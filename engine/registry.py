@@ -1,0 +1,71 @@
+"""Query/oracle registry (SURVEY §7).
+
+Implementing an operator and declaring its DuckDB oracle is ONE code
+change: decorate the query function with ``@register(name, oracle=...)``.
+``__spark_entry__.py`` exposes the accumulated dicts to the driver.
+
+Contract (driver, ``__spark_entry__.py`` docstring):
+- query fn: ``(spark, sf_dir) -> DataFrame``
+- oracle: ANSI SQL for DuckDB over pre-registered views
+  ``region nation customer supplier part orders lineitem events
+  documents embeddings``; omit (None) for rows-only checks.
+- column names must match between the two — alias everything computed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        from .session import apply_runtime_confs
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            raise ValueError(f"duplicate query id: {name}")
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated parquet table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS,false), which Spark's
+    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read
+    it via ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild the
+    timestamp at microsecond precision — lossless here (no sub-µs
+    parts in the data, verified in FIXTURES.md) — as TIMESTAMP_NTZ so
+    it compares bit-for-bit with DuckDB's naive reading. Session tz is
+    UTC (session.apply_runtime_confs), so the LTZ→NTZ cast is a no-op
+    on the wall clock.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+            )
+        return df
+    return spark.read.parquet(path)

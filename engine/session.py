@@ -1,0 +1,55 @@
+"""SparkSession construction for the engine.
+
+One shared session per process (SURVEY §6): AQE on, Arrow on, UTC
+session timezone, shuffle partitions sized for local[32] test runs.
+At cluster scale the same builder applies — AQE re-sizes shuffle
+partitions at runtime, so the static number is only the upper bound
+for the toy scale factors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs every query relies on; applied defensively to
+# externally-supplied sessions too (the driver builds its own).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime-settable confs on an existing session (idempotent).
+
+    The driver hands us its own SparkSession; timestamps and Arrow
+    behavior must not depend on its defaults, so every registered
+    query routes through this.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — ignore
+    return spark
+
+
+def get_session(app_name: str = "engine", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(min(32, cpus * 2)))
+        .config("spark.driver.memory", os.environ.get("ENGINE_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return apply_runtime_confs(b.getOrCreate())
