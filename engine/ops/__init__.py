@@ -1,3 +1,3 @@
 """Operator modules; importing this package registers every query."""
 
-from . import aggregates, scans  # noqa: F401
+from . import aggregates, joins, relational, scans  # noqa: F401

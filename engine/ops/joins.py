@@ -1,0 +1,263 @@
+"""2.C — joins (SURVEY §2.C).
+
+Scale notes baked into each operator: dimension tables (region,
+nation, supplier, part at dim-scale) are broadcast explicitly; fact-
+fact joins shuffle on their keys and rely on AQE for skew splitting;
+the theta join pre-filters both sides so the nested-loop product
+stays bounded; the as-of join is expressed as join+window, which at
+cluster scale shuffles once on the equi key and sorts within
+partitions (no driver-side logic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..dsl import dsum
+from ..registry import register, table
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+        SELECT p_partkey, p_brand, l_orderkey, l_quantity
+        FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return li.join(p, li.l_partkey == p.p_partkey, "right").select(
+        "p_partkey", "p_brand", "l_orderkey", "l_quantity"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        SELECT a.k AS big_spender_key, b.k AS negative_bal_key, b.c_name
+        FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0) a
+        FULL OUTER JOIN
+             (SELECT c_custkey AS k, c_name FROM customer WHERE c_acctbal < 0.0) b
+        ON a.k = b.k
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    a = (
+        o.filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    b = c.filter(F.col("c_acctbal") < 0.0).select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        a.k.alias("big_spender_key"), b.k.alias("negative_bal_key"), "c_name"
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)
+    """,
+)
+def join_left_semi(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)
+    """,
+)
+def join_left_anti(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark, sf_dir):
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, p_brand, p_size
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size > 40
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Inner equi-join with an explicit broadcast hint on the dim side.
+
+    part is dimension-scale (20k rows at sf0.1); broadcasting it keeps
+    the 600k/100 TB fact side shuffle-free — tests assert the physical
+    plan contains BroadcastHashJoin.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "p_brand", "p_size"
+    )
+
+
+@register(
+    "join_multikey",
+    oracle="""
+        SELECT
+          n_name,
+          sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey  = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+)
+def join_multikey(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join with a 2-key equi join in the middle."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice, p_partkey, p_retailprice
+        FROM (SELECT * FROM lineitem WHERE l_quantity = 1.0) l
+        JOIN (SELECT * FROM part WHERE p_size > 45) p
+          ON l.l_extendedprice >= p.p_retailprice * 10.0
+         AND l.l_extendedprice <  p.p_retailprice * 11.0
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Non-equi (range) join. Both sides are pre-filtered so the
+    nested-loop product stays bounded; at cluster scale this becomes a
+    broadcast-nested-loop with the small filtered side broadcast."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 1.0)
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    cond = (li.l_extendedprice >= p.p_retailprice * 10.0) & (
+        li.l_extendedprice < p.p_retailprice * 11.0
+    )
+    return li.join(F.broadcast(p), cond, "inner").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "p_partkey", "p_retailprice"
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        WITH od AS (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts, od.o_orderkey, od.o_orderdate
+        FROM events e
+        ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: latest order at-or-before each event, per user.
+
+    Spark has no ASOF JOIN; idiomatic emulation is equi-join on the
+    key + event-time filter + row_number over (event, orderdate desc).
+    One shuffle on the equi key; the window sorts within partitions.
+    Orders are first collapsed to one row per (custkey, orderdate) so
+    tie-breaking matches DuckDB's ASOF deterministically.
+    """
+    e = table(spark, sf_dir, "events")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    j = e.join(o, (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate), "inner")
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    )

@@ -1,0 +1,248 @@
+"""2.B projection/filter/predicates, 2.F sort/limit, 2.G set ops.
+
+Per-row double arithmetic is bit-identical across Spark and DuckDB
+(both strict IEEE-754), so projections need no rounding — only
+aggregates do (engine.dsl). Every LIMIT is preceded by a total order
+(unique tiebreak key), otherwise the result set itself would be
+nondeterministic across engines.
+
+The testdata has no NULLs (FIXTURES.md), so null-semantics operators
+synthesize them with nullif — same expression on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+
+
+# --- 2.B projection & filters -----------------------------------------------
+
+
+@register(
+    "project_arithmetic",
+    oracle="""
+        SELECT
+          l_orderkey,
+          l_linenumber,
+          l_extendedprice * (1 - l_discount) AS disc_price,
+          l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+          l_quantity * 2 + 1 AS qty_adj
+        FROM lineitem
+    """,
+)
+def project_arithmetic(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        (F.col("l_quantity") * 2 + 1).alias("qty_adj"),
+    )
+
+
+@register(
+    "filter_compound",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE (o_orderstatus = 'O' AND o_totalprice > 150000.0)
+           OR (NOT (o_orderpriority LIKE '1-%') AND o_totalprice < 50000.0)
+    """,
+)
+def filter_compound(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c1 = (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0)
+    c2 = (~F.col("o_orderpriority").like("1-%")) & (F.col("o_totalprice") < 50000.0)
+    return o.filter(c1 | c2).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "filter_in_between_like",
+    oracle="""
+        SELECT p_partkey, p_brand, p_size, p_retailprice
+        FROM part
+        WHERE p_brand LIKE 'Brand#1%'
+          AND p_size BETWEEN 10 AND 30
+          AND p_brand IN ('Brand#1', 'Brand#10', 'Brand#12', 'Brand#15', 'Brand#19')
+    """,
+)
+def filter_in_between_like(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").like("Brand#1%")
+        & F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#1", "Brand#10", "Brand#12", "Brand#15", "Brand#19")
+    ).select("p_partkey", "p_brand", "p_size", "p_retailprice")
+
+
+@register(
+    "filter_null_semantics",
+    oracle="""
+        SELECT
+          o_orderkey,
+          nullif(o_orderstatus, 'P') AS st_nullable,
+          (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O') AS is_o_nullsafe,
+          (nullif(o_orderstatus, 'P') IS NULL) AS is_null
+        FROM orders
+        WHERE nullif(o_orderstatus, 'P') IS NULL
+           OR nullif(o_orderstatus, 'P') IS NOT NULL
+    """,
+)
+def filter_null_semantics(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        st.alias("st_nullable"),
+        st.eqNullSafe("O").alias("is_o_nullsafe"),
+        st.isNull().alias("is_null"),
+    ).filter(st.isNull() | st.isNotNull())
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_rows(spark, sf_dir):
+    return table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# --- 2.F sort / limit --------------------------------------------------------
+
+
+@register(
+    "sort_multikey_limit",
+    oracle="""
+        SELECT
+          l_orderkey,
+          sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue,
+          o_orderdate,
+          o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """,
+)
+def sort_multikey_limit(spark, sf_dir):
+    """TPC-H Q3 shape: global top-10 by (revenue desc, date asc).
+
+    Spark executes this as TakeOrderedAndProject — per-partition top-10
+    then a 10-row merge on the driver; no global sort at any scale.
+    l_orderkey joins the sort key so the LIMIT boundary is tie-free.
+    """
+    from ..dsl import dsum
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+        SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        FROM customer
+        ORDER BY seg ASC NULLS FIRST, c_custkey ASC
+        LIMIT 50
+    """,
+)
+def sort_nulls_ordering(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    return (
+        c.select("c_custkey", seg)
+        .orderBy(F.asc_nulls_first("seg"), F.asc("c_custkey"))
+        .limit(50)
+    )
+
+
+# --- 2.G set operations ------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000.0
+    """,
+)
+def set_union_all(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_totalprice") > 200000.0).select(F.col("o_custkey").alias("k"))
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        UNION
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000.0
+    """,
+)
+def set_union_distinct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_totalprice") > 200000.0).select(F.col("o_custkey").alias("k"))
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_except(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.exceptAll(s)
