@@ -1,3 +1,11 @@
 """Operator modules; importing this package registers every query."""
 
-from . import aggregates, joins, relational, scans  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+    scalars,
+    scans,
+    udfs,
+    windows,
+)

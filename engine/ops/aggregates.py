@@ -16,6 +16,213 @@ from ..registry import register, table
 
 
 @register(
+    "agg_global",
+    oracle=f"""
+        SELECT
+          count(*) AS n_rows,
+          sum(l_quantity) AS sum_qty,
+          min(l_shipdate) AS min_ship,
+          max(l_shipdate) AS max_ship,
+          {sql_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT
+          count(DISTINCT o_custkey) AS n_custs,
+          count(DISTINCT o_orderstatus) AS n_status,
+          count(DISTINCT o_orderpriority) AS n_prio
+        FROM orders
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+@register("agg_approx_count_distinct")  # rows-only: HLL estimate != exact oracle
+def agg_approx_count_distinct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
+@register("agg_approx_percentile")  # rows-only: approximate quantile sketch
+def agg_approx_percentile(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+        SELECT
+          round(stddev_samp(l_quantity), 6) AS sd_qty,
+          round(var_samp(l_quantity), 6) AS var_qty,
+          round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+          round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        FROM lineitem
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Sample statistics; rounded to 6 dp in BOTH engines — co-moment
+    merge order differs across engines, exact bits do not survive."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_extendedprice')} AS sum_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_extendedprice')} AS sum_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_extendedprice')} AS sum_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("engine_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_extendedprice*100) AS BIGINT))/CAST(100 AS DOUBLE)
+                 AS sum_price,
+               count(*) AS n
+        FROM engine_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT c_nationkey,
+               list_sort(list(DISTINCT c_mktsegment)) AS segments
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS click,
+               count(*) FILTER (WHERE event_type = 'error')    AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot with an explicit value list (no extra pass to discover
+    values — mandatory at scale) and 0-fill to match conditional-count
+    semantics."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+        SELECT o_custkey, count(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS total_spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 15
+    """,
+)
+def agg_having(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
     "agg_group_hash",
     oracle=f"""
         SELECT

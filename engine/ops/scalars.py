@@ -1,0 +1,300 @@
+"""2.H — scalar functions: string / date / math / array / map / json /
+conditional / cast (SURVEY §2.H).
+
+All expressions stay JVM-side (whole-stage codegen; no Python UDFs).
+Transcendental results (ln/exp/pow) are rounded to 6 dp in BOTH
+engines — libm vs java.lang.Math differ in the last ulp. sqrt is
+IEEE-correctly-rounded, so it needs no rounding.
+
+Integer-returning Spark functions (length, year, ceil, …) are cast to
+long to match DuckDB's BIGINT outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+
+
+@register(
+    "str_basic",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name) AS name_up,
+               lower(p_type) AS type_low,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               trim(concat(' ', p_name, ' ')) AS name_trim,
+               substr(p_name, 1, 5) AS name_pre,
+               concat(p_brand, '-', p_type) AS brand_type
+        FROM part
+    """,
+)
+def str_basic(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_type").alias("type_low"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@register(
+    "str_regex",
+    oracle=r"""
+        SELECT p_partkey,
+               CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+               regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+               regexp_matches(p_name, '^(red|blue)') AS is_colored
+        FROM part
+    """,
+)
+def str_regex(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.col("p_name").rlike("^(red|blue)").alias("is_colored"),
+    )
+
+
+@register(
+    "str_split_explode",
+    oracle="""
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    """,
+)
+def str_split_explode(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@register(
+    "date_parts",
+    oracle="""
+        SELECT event_id,
+               year(ts)      AS y,
+               month(ts)     AS mo,
+               day(ts)       AS d,
+               hour(ts)      AS h,
+               minute(ts)    AS mi,
+               second(ts)    AS s
+        FROM events
+    """,
+)
+def date_parts(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.second("ts").cast("long").alias("s"),
+    )
+
+
+@register(
+    "date_trunc_diff_add",
+    oracle="""
+        SELECT o_orderkey,
+               date_trunc('month', o_orderdate) AS month_start,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+               o_orderdate + INTERVAL 30 DAY AS plus_30
+        FROM orders
+    """,
+)
+def date_trunc_diff_add(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz"))
+        .cast("long")
+        .alias("days_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus_30"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice / 7.0, 2) AS price_div,
+               abs(l_discount - 0.05) AS disc_dev,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               sqrt(l_quantity) AS qty_sqrt,
+               round(ln(l_extendedprice), 6) AS price_ln,
+               round(exp(l_discount), 6) AS disc_exp,
+               round(pow(l_quantity, 2), 6) AS qty_sq,
+               l_orderkey % 7 AS key_mod
+        FROM lineitem
+    """,
+)
+def math_funcs(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7.0, 2).alias("price_div"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.pow("l_quantity", 2), 6).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "cond_case_coalesce",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 250000.0 THEN 'big'
+                    WHEN o_totalprice > 100000.0 THEN 'mid'
+                    ELSE 'small' END AS size_band,
+               coalesce(nullif(o_orderstatus, 'P'), 'none') AS status_or_none,
+               greatest(o_totalprice, 150000.0) AS at_least,
+               least(o_totalprice, 150000.0) AS at_most
+        FROM orders
+    """,
+)
+def cond_case_coalesce(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 250000.0, "big")
+        .when(F.col("o_totalprice") > 100000.0, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("none")).alias(
+            "status_or_none"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("at_least"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("at_most"),
+    )
+
+
+@register(
+    "cast_ops",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               CAST(o_orderkey AS DOUBLE) AS key_dbl,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+               CAST(round(o_totalprice) AS BIGINT) AS price_long,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num
+        FROM orders
+    """,
+)
+def cast_ops(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        # raw DATE output avoided: pandas date-vs-midnight-timestamp
+        # rendering differs across engines; the cast itself is exercised
+        # via the string round-trip below.
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.round("o_totalprice").cast("long").alias("price_long"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("prio_num"),
+    )
+
+
+@register(
+    "arr_funcs",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               list_slice(string_split(text, ' '), 1, 3) AS first3,
+               list_contains(string_split(text, ' '), 'join') AS has_join,
+               list_sort(list_slice(string_split(text, ' '), 1, 5)) AS sorted5
+        FROM documents
+    """,
+)
+def arr_funcs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.sort_array(F.slice(toks, 1, 5)).alias("sorted5"),
+    )
+
+
+@register(
+    "arr_higher_order",
+    oracle="""
+        SELECT vec_id,
+               round(sqrt(list_aggregate(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 'sum')), 6) AS l2_norm,
+               list_transform(list_slice(embedding, 1, 4),
+                              x -> round(CAST(x AS DOUBLE) * 2, 6)) AS first4_x2
+        FROM embeddings
+    """,
+)
+def arr_higher_order(spark, sf_dir):
+    """Element-wise transform + fold, entirely in Catalyst HOFs.
+
+    Elements are cast to double BEFORE multiplying in both engines so
+    the per-element squares are bit-identical; the fold is sequential
+    in list order on both sides.
+    """
+    em = table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    return em.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.transform(
+            F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double") * 2, 6)
+        ).alias("first4_x2"),
+    )
+
+
+@register("map_ops")  # rows-only: engines render MAP values differently
+def map_ops(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    kv = F.concat(F.lit("lang="), F.col("lang"), F.lit(",src="), F.col("source"))
+    m = F.str_to_map(kv, F.lit(","), F.lit("="))
+    return d.select(
+        "doc_id",
+        m.alias("meta"),
+        F.map_keys(m).alias("meta_keys"),
+        F.element_at(m, "lang").alias("lang_from_map"),
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               json_extract_string(props, '$.k') AS k_str
+        FROM events
+    """,
+)
+def json_extract(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )

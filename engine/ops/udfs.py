@@ -1,0 +1,134 @@
+"""2.K — UDF / pandas-UDF / applyInPandas / mapInPandas surface.
+
+These exist to prove the Python boundary works (Arrow batches on; see
+session.RUNTIME_CONFS), not because the computations need Python —
+each has a pure-SQL oracle. Cost ordering is documented in SURVEY §3:
+builtin expr < pandas UDF < row-at-a-time UDF; the row-at-a-time UDF
+here is deliberately the only one in the whole engine.
+
+Determinism: the grouped ops compute means via the scaled-integer
+trick inside pandas (engine.dsl rationale) so group means are
+bit-identical with the DuckDB window-average oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from ..registry import register, table
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+        SELECT doc_id, n_chars,
+               CAST(length(text) AS BIGINT) AS udf_chars
+        FROM documents
+    """,
+)
+def udf_python_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF (the slow path, kept off hot paths)."""
+
+    @udf("long")
+    def char_count(s: str) -> int:
+        return len(s) if s is not None else None
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars", char_count("text").alias("udf_chars"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+        SELECT event_id, value, value * 2 + 1 AS value_scaled
+        FROM events
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Vectorized Series→Series pandas UDF over Arrow batches."""
+
+    @pandas_udf("double")
+    def scale(v: pd.Series) -> pd.Series:
+        return v * 2 + 1
+
+    e = table(spark, sf_dir, "events")
+    return e.select("event_id", "value", scale("value").alias("value_scaled"))
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+        SELECT l_returnflag, avg(l_quantity) AS mean_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_pandas_grouped_agg(spark, sf_dir):
+    """GROUPED_AGG pandas UDF. l_quantity is integer-valued so the
+    pandas mean (pairwise sum) equals DuckDB's avg bit-for-bit."""
+
+    @pandas_udf("double")
+    def mean_qty(v: pd.Series) -> float:
+        return float(v.sum()) / len(v)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(mean_qty("l_quantity").alias("mean_qty"))
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+        SELECT event_id, user_id, value,
+               value - (sum(CAST(round(value*10000) AS BIGINT)) OVER w)
+                       / (count(*) OVER w) / 10000.0 AS value_demeaned
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def udf_grouped_map(spark, sf_dir):
+    """applyInPandas group→DataFrame transform: de-mean value per user."""
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 10000).round().astype("int64")
+        mean = float(cents.sum()) / len(pdf) / 10000.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "value": pdf["value"],
+                "value_demeaned": pdf["value"] - mean,
+            }
+        )
+
+    e = table(spark, sf_dir, "events")
+    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        demean, "event_id long, user_id long, value double, value_demeaned double"
+    )
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+)
+def udf_map_in_pandas(spark, sf_dir):
+    """mapInPandas partition-wise iterator transform (the envelope
+    gzip-decode in engine.ingest uses the same shape)."""
+
+    def count_tokens(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].str.split(" ").str.len().astype("int64"),
+                }
+            )
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInPandas(
+        count_tokens, "doc_id long, n_tokens long"
+    )

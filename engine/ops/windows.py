@@ -1,0 +1,172 @@
+"""2.E — window functions (SURVEY §2.E).
+
+Determinism rule from the survey: every ORDER BY inside a window ends
+with a unique key (o_orderkey / event_id) so row_number, frames, and
+LIMIT boundaries are tie-free in both engines. Running sums use the
+scaled-integer trick (engine.dsl rationale) — a running double sum
+would be prefix-order-exact here, but the scaled form also keeps the
+partial-agg path deterministic.
+
+Scale: window partitions are per-customer / per-user — millions of
+small partitions, one shuffle each; nothing accumulates driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+
+
+@register(
+    "win_ranking",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w AS rn,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4)     OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_ranking(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer. At scale this is the rank-then-filter
+    pattern: one shuffle on the group key; AQE handles group skew."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               value - lag(value)  OVER w AS delta_prev,
+               lead(event_type)    OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               sum(CAST(round(o_totalprice*100) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / 100.0 AS running_spend
+        FROM orders
+    """,
+)
+def win_running_sum(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_spend"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               (sum(CAST(round(value*10000) AS BIGINT)) OVER w)
+                 / (count(*) OVER w) / 10000.0 AS value_ma3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 10000).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(cents).over(w) / F.count(F.lit(1)).over(w) / F.lit(10000.0)).alias(
+            "value_ma3"
+        ),
+    )
+
+
+@register(
+    "win_percent_cume",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist()    OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+    """,
+)
+def win_percent_cume(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
