@@ -2,10 +2,12 @@
 
 from . import (  # noqa: F401
     aggregates,
+    ingest_ops,
     joins,
     relational,
     scalars,
     scans,
+    streaming,
     udfs,
     windows,
 )

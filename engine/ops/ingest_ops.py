@@ -1,0 +1,125 @@
+"""2.A ingest/sink operators: partitioned parquet sink, CloudWatch
+envelope decode, flow-log parse, and the file-stream source stand-in
+for Kinesis (no Kinesis in the sandbox; the source abstraction is the
+same readStream contract).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..ingest import (
+    SQL_EPOCH,
+    SQL_K,
+    SQL_LINE,
+    decode_envelopes,
+    flowlog_line_col,
+    parse_flowlog_lines,
+    synthesize_envelopes,
+)
+from ..registry import register, table
+from ..schemas import EVENTS_STREAM_SCHEMA
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def sink_parquet_partitioned(spark, sf_dir):
+    """Write events partitioned by event_type (the reference pipeline's
+    output layout: analytics-partitioned parquet), read it back, and
+    prove the round-trip is lossless. Partition pruning on event_type
+    is what makes per-type queries cheap at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="engine_sink_")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "ingest_flowlog_parse",
+    oracle=f"""
+        SELECT
+          event_id,
+          2 AS version,
+          CAST(user_id AS VARCHAR) AS account_id,
+          'eni-' || CAST(user_id AS VARCHAR) AS interface_id,
+          '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                  || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
+          '10.1.' || CAST(({SQL_K}*3) % 256 AS VARCHAR) || '.'
+                  || CAST(({SQL_K}*11) % 256 AS VARCHAR) AS dstaddr,
+          CAST({SQL_K} + 1024 AS INT) AS srcport,
+          443 AS dstport,
+          6 AS protocol,
+          CAST(round(value) AS BIGINT) AS packets,
+          CAST(round(value*100) AS BIGINT) AS bytes,
+          {SQL_EPOCH} AS start,
+          {SQL_EPOCH} + 60 AS "end",
+          CASE WHEN event_type = 'error' THEN 'REJECT' ELSE 'ACCEPT' END AS action,
+          'OK' AS log_status
+        FROM events
+    """,
+)
+def ingest_flowlog_parse(spark, sf_dir):
+    """Space-delimited VPC Flow Log v2 line → typed columns.
+
+    Lines are synthesized deterministically from events, then parsed
+    with from_csv(sep=' ') — the parse inverts the format exactly, so
+    the oracle can state the typed output directly from events."""
+    e = table(spark, sf_dir, "events")
+    lines = e.select("event_id", flowlog_line_col().alias("line"))
+    return parse_flowlog_lines(lines)
+
+
+@register(
+    "ingest_envelope_decode",
+    oracle=f"""
+        SELECT
+          CAST(user_id AS VARCHAR) AS owner,
+          '/vpc/flowlogs' AS log_group,
+          'eni-' || CAST(user_id AS VARCHAR) || '-all' AS log_stream,
+          CAST(event_id AS VARCHAR) AS id,
+          (epoch_ns(ts) // 1000000) AS timestamp,
+          {SQL_LINE} AS message
+        FROM events
+    """,
+)
+def ingest_envelope_decode(spark, sf_dir):
+    """Full CloudWatch→Kinesis envelope round-trip: synthesize
+    base64(gzip(JSON)) envelopes from events, then run the decode
+    pipeline (unbase64 → gunzip in mapInPandas → from_json →
+    explode). The oracle states the expected decoded rows directly
+    from events, so every byte of the decode path is value-checked."""
+    e = table(spark, sf_dir, "events")
+    return decode_envelopes(synthesize_envelopes(e))
+
+
+@register(
+    "stream_file_source",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def stream_file_source(spark, sf_dir):
+    """Streaming read stand-in for Kinesis: events → file stream with a
+    declared schema → availableNow parquet sink → read-back. Exercises
+    the whole Structured Streaming source/sink/checkpoint contract in
+    a bounded call."""
+    e = table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="engine_stream_src_")
+    sink = tempfile.mkdtemp(prefix="engine_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="engine_stream_ckpt_")
+    e.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(sink)
+    return back.select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -1,0 +1,180 @@
+"""2.I — streaming semantics, declared as their batch event-time
+equivalents on `events` (the driver oracle is batch DuckDB).
+
+The streaming forms run behind the same functions via a file stream +
+availableNow trigger in tests/test_streaming.py, which asserts
+stream≡batch. Watermarking/late-data policy is a config of the
+streaming form; the batch equivalents are exact by construction
+(SURVEY §2.I).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dsl import dsum
+from ..registry import register, table
+
+SQL_VSUM = "sum(CAST(round(value*10000) AS BIGINT))/10000.0"
+
+
+def tumbling_agg(e: DataFrame) -> DataFrame:
+    """1h tumbling counts/sums per event_type (shared batch/stream)."""
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), 10000).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               count(*) AS n, {SQL_VSUM} AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    return tumbling_agg(table(spark, sf_dir, "events"))
+
+
+def sliding_agg(e: DataFrame) -> DataFrame:
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), 10000).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - (t.i * INTERVAL '15 minutes') AS ws,
+               event_type,
+               count(*) AS n, {SQL_VSUM} AS sum_value
+        FROM events, range(4) t(i)
+        GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """1h window sliding every 15min: each event lands in exactly 4
+    windows; the oracle enumerates them via the range(4) trick
+    (SURVEY §2.I — DuckDB 1.0 lacks Spark's window() generator)."""
+    return sliding_agg(table(spark, sf_dir, "events"))
+
+
+def session_agg(e: DataFrame) -> DataFrame:
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 10000).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events, {SQL_VSUM} AS sum_value
+        FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Per-user sessions with a 30min gap. Spark session_window ends at
+    last_event + gap and starts a NEW session when the inter-event gap
+    is >= the gap duration (end-exclusive) — the gaps-and-islands
+    oracle mirrors both choices."""
+    return session_agg(table(spark, sf_dir, "events"))
+
+
+def dedup_by_id(e: DataFrame) -> DataFrame:
+    return e.dropDuplicates(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
+    "stream_watermark_dedup",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def stream_watermark_dedup(spark, sf_dir):
+    """Exactly-once by event_id. The streaming form adds
+    withWatermark('ts','1 hour') so state is bounded; the batch
+    equivalent on dupe-free input is the identity (FIXTURES.md)."""
+    return dedup_by_id(table(spark, sf_dir, "events"))
+
+
+def stateful_counts(e: DataFrame) -> DataFrame:
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 10000).alias("sum_value"),
+    )
+
+
+@register(
+    "stream_stateful_counts",
+    oracle=f"""
+        SELECT user_id, count(*) AS n_events, {SQL_VSUM} AS sum_value
+        FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_counts(spark, sf_dir):
+    """Running per-user counts (update-mode streaming agg; batch form
+    is the final state)."""
+    return stateful_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_late_data_policy",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type
+        FROM events
+        WHERE ts >= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def stream_late_data_policy(spark, sf_dir):
+    """Watermark horizon semantics as a batch query: only events within
+    1h of the max event time survive (what a 1h watermark would admit
+    at end-of-stream). The streaming drop behavior is exercised in
+    tests/test_streaming.py with an out-of-order feed."""
+    e = table(spark, sf_dir, "events")
+    horizon = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("h")
+    )
+    return (
+        e.join(F.broadcast(horizon))
+        .filter(F.col("ts") >= F.col("h"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )

@@ -1,0 +1,209 @@
+"""Streaming ≡ batch equivalence (SURVEY §5).
+
+Each 2.I operator's streaming form (file stream + availableNow) must
+equal its batch form on the same data. Late-data policy is tested with
+an out-of-order two-file feed and a real watermark drop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from tests.conftest import SMOKE_SF_DIR
+from tests.harness import canon
+
+from engine.registry import table
+from engine.schemas import EVENTS_STREAM_SCHEMA
+
+
+def _events(spark):
+    return table(spark, SMOKE_SF_DIR, "events")
+
+
+def _write_sorted_chunks(spark, events, src, n_chunks=3):
+    """In-order feed: chunk files ascending in event time, mtimes spaced
+    so the file source processes them oldest-first."""
+    pdf = events.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # ns parquet is unreadable by Spark
+    step = (len(pdf) + n_chunks - 1) // n_chunks
+    paths = []
+    for i in range(n_chunks):
+        part = pdf.iloc[i * step : (i + 1) * step]
+        p = os.path.join(src, f"chunk_{i:03d}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (time.time() - (n_chunks - i) * 10,) * 2)
+        paths.append(p)
+    return paths
+
+
+def _run_stream(spark, stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _read_stream(spark, src, max_files=None, ltz=False):
+    r = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files:
+        r = r.option("maxFilesPerTrigger", max_files)
+    df = r.parquet(src)
+    if ltz:
+        # watermarks require TIMESTAMP (LTZ); session tz is UTC so the
+        # cast is value-preserving
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    from engine.ops.streaming import tumbling_agg
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    e.write.parquet(src, mode="append")
+    got = _run_stream(
+        spark, tumbling_agg(_read_stream(spark, src)), "t_tumble", "complete"
+    )
+    assert canon(got.toPandas()) == canon(tumbling_agg(e).toPandas())
+
+
+def test_stateful_counts_stream_equals_batch(spark, tmp_path):
+    from engine.ops.streaming import stateful_counts
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    e.write.parquet(src, mode="append")
+    got = _run_stream(
+        spark, stateful_counts(_read_stream(spark, src)), "t_counts", "complete"
+    )
+    assert canon(got.toPandas()) == canon(stateful_counts(e).toPandas())
+
+
+def test_dedup_stream_removes_duplicates(spark, tmp_path):
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    e.write.parquet(src, mode="append")
+    e.write.parquet(src, mode="append")  # exact duplicate feed
+
+    stream = _read_stream(spark, src, ltz=True).withWatermark(
+        "ts", "1 hour"
+    ).dropDuplicates(["event_id"])
+    got = _run_stream(spark, stream, "t_dedup", "append")
+    assert got.count() == e.count()
+    assert canon(got.select("event_id").toPandas()) == canon(
+        e.select("event_id").toPandas()
+    )
+
+
+def test_session_stream_equals_batch(spark, tmp_path):
+    """Append-mode session windows with watermark 0s; a far-future
+    sentinel event advances the watermark so every real session
+    flushes before the availableNow query stops."""
+    import pandas as pd
+
+    from engine.ops.streaming import session_agg
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_sorted_chunks(spark, e, src)
+
+    sentinel = pd.DataFrame(
+        {
+            "event_id": [10**12],
+            "ts": [e.toPandas()["ts"].max() + pd.Timedelta(days=10)],
+            "user_id": [-1],
+            "event_type": ["view"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
+    sp = os.path.join(src, "zz_sentinel.parquet")
+    sentinel.to_parquet(sp, index=False)
+    os.utime(sp, (time.time() + 5,) * 2)
+
+    stream = _read_stream(spark, src, max_files=1, ltz=True).withWatermark(
+        "ts", "0 seconds"
+    )
+    from pyspark.sql import functions as F
+    got = (
+        _run_stream(spark, session_agg(stream), "t_session", "append")
+        .filter("user_id >= 0")
+        .withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+    )
+    assert canon(got.toPandas()) == canon(session_agg(e).toPandas())
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Out-of-order feed: a file far older than the watermark arrives
+    after newer files — its rows must be dropped by the late-event
+    filter. NOTE (verified on the physical plan): the late-event filter
+    uses the watermark LOGGED for batch N-1, which itself derives from
+    batch N-2's data — so the watermark established by file 1 only
+    drops late rows from file 3 onward; file 2 is a buffer batch."""
+    import pandas as pd
+
+    e = _events(spark).toPandas().sort_values("ts").reset_index(drop=True)
+    e["ts"] = e["ts"].astype("datetime64[us]")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    newest = e.iloc[len(e) // 2 :]
+    oldest = e.iloc[: len(e) // 4]  # > 1h older than newest's max
+
+    p1 = os.path.join(src, "a_new.parquet")
+    newest.to_parquet(p1, index=False)
+    os.utime(p1, (time.time() - 60,) * 2)
+    # buffer batch: one event at max ts (user -1) — its window is in the
+    # never-emitted tail, so it cannot pollute the compared output
+    buf = pd.DataFrame(
+        {
+            "event_id": [10**12],
+            "ts": [newest["ts"].max()],
+            "user_id": [-1],
+            "event_type": ["view"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    buf["ts"] = buf["ts"].astype("datetime64[us]")
+    pb = os.path.join(src, "aa_buffer.parquet")
+    buf.to_parquet(pb, index=False)
+    os.utime(pb, (time.time() - 45,) * 2)
+    p2 = os.path.join(src, "b_old.parquet")
+    oldest.to_parquet(p2, index=False)
+    os.utime(p2, (time.time() - 30,) * 2)
+
+    from pyspark.sql import functions as F
+
+    from engine.ops.streaming import tumbling_agg
+
+    stream = _read_stream(spark, src, max_files=1, ltz=True).withWatermark(
+        "ts", "1 hour"
+    )
+    got = _run_stream(spark, tumbling_agg(stream), "t_late", "append").withColumn(
+        "ws", F.col("ws").cast("timestamp_ntz")
+    )
+
+    # append mode emits only windows finalized below the watermark
+    # (max event time - 1h); the old file's rows arrive after the
+    # watermark passed their windows, so they must not be counted.
+    wm = newest["ts"].max() - pd.Timedelta(hours=1)
+    expected = tumbling_agg(
+        spark.createDataFrame(newest, EVENTS_STREAM_SCHEMA)
+    ).filter(F.col("ws") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+    assert canon(got.toPandas()) == canon(expected.toPandas())
