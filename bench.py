@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the registered query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing discipline (SURVEY §6 / BASELINE.md): one shared SparkSession for
+the whole set (built outside the timed region), per-query wall time
+around a full materialization. Queries are forced with a `noop`-format
+write so the entire plan executes distributed without paying
+driver-collect serialization — the same work a sink would do, minus the
+bytes on disk.
+
+Usage: python bench.py [--sf-dir DIR] [--queries a,b,c] [--repeat N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import engine  # noqa: E402
+from engine.session import get_session  # noqa: E402
+
+
+def force(df) -> int:
+    """Materialize every partition of ``df`` on the executors."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument("--repeat", type=int, default=1, help="best-of-N per query")
+    args = ap.parse_args()
+
+    names = sorted(engine.QUERIES)
+    if args.queries:
+        names = [n for n in args.queries.split(",") if n in engine.QUERIES]
+
+    m = re.search(r"sf([0-9.]+)", args.sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_session("bench")
+    # warm the JVM + parquet footers once, outside any per-query timing
+    force(engine.table(spark, args.sf_dir, "nation").limit(1))
+
+    per_q: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            force(engine.QUERIES[name](spark, args.sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        per_q[name] = round(best, 4)
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+
+    total = round(sum(per_q.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_q,
+                "sf": sf,
+                "n_queries": len(per_q),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

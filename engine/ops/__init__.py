@@ -2,12 +2,16 @@
 
 from . import (  # noqa: F401
     aggregates,
+    dedup,
     ingest_ops,
     joins,
     relational,
     scalars,
     scans,
+    similarity,
     streaming,
+    textops,
+    multimodal,
     udfs,
     windows,
 )

@@ -1,0 +1,259 @@
+"""2.J dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale shapes (the whole point of these ops at 100 TB):
+- exact: one hash-groupBy, fully map-side-combinable.
+- jaccard: shingle self-join — quadratic only within identical
+  shingles; at production scale hot shingles get a document-frequency
+  cap before the join (not applied here because the oracle must see
+  identical semantics).
+- minhash LSH: candidate generation is a bucket join on (band,
+  band_key) — linear in data, no crossJoin anywhere; exact jaccard is
+  re-verified only for candidates.
+- simhash: 64-bit signature via bit-vote aggregation; candidates via
+  16-bit band buckets (hamming ≤ 8 within 4 bands guarantees a
+  matching band by pigeonhole... for hamming ≤ 3; wider distances are
+  best-effort, as in practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+
+JACCARD_THRESHOLD = 0.2
+
+
+def _tokens():
+    return F.split("text", " ")
+
+
+def _shingle_array(toks):
+    """Distinct 3-token shingles as an array column (1-based element_at)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+
+
+def shingles(docs):
+    """(doc_id, shingle) rows, distinct per doc."""
+    return docs.select(
+        "doc_id", F.explode(_shingle_array(_tokens())).alias("shingle")
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+        )
+        SELECT sha256(text) AS content_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM all_docs GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash; keeps the lowest doc_id per group.
+    The testdata has no duplicate texts (FIXTURES.md), so a copied
+    slice is unioned in to make the operator observable."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return (
+        d.unionByName(dupes)
+        .groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+JACCARD_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+           FROM t, unnest(range(1, len(toks)-1)) r(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common / (sa.n + sb.n - n_common) AS jaccard
+    FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (3-shingle) Jaccard similarity for all pairs
+    sharing at least one shingle. jaccard = |∩| / (|A|+|B|-|∩|) is an
+    integer/integer division — bit-deterministic across engines."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+N_MINHASH = 16
+N_BANDS = 8  # 8 bands x 2 rows: P(candidate | j) = 1-(1-j^2)^8
+
+
+@register("dedup_near_minhash")  # rows-only: LSH candidate set is impl-defined
+def dedup_near_minhash(spark, sf_dir):
+    """MinHash + banded LSH near-dup detection, pure DataFrame ops.
+
+    shingle → 16 minhashes (seeded xxhash64) → 8 bands of 2 → bucket
+    join on (band, band_key) → exact jaccard re-verification of
+    candidates only. Property-tested against the exact-jaccard anchor
+    in tests/test_llm_ops.py (recall on high-similarity pairs).
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.xxhash64("shingle", "seed")).alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", F.col("seed") % N_BANDS)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("seed", "mh"))
+                        ),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact re-verification on candidates only
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cands.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register("dedup_simhash")  # rows-only: signature/banding is impl-defined
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates: 64-bit signature from weighted
+    token-hash bit votes; candidate pairs share a 16-bit band and have
+    hamming distance <= 8."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", F.xxhash64("token"))
+    )
+    votes = (
+        tok.select(
+            "doc_id",
+            "cnt",
+            "th",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.expr("getbit(th, i)") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("contrib").alias("vote"))
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr("(simhash >> (16 * band)) & 65535"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )

@@ -1,0 +1,234 @@
+"""2.J text-analysis operators for LLM data pipelines: wordcount,
+TF-IDF, n-grams, per-source stats, quality scoring, BPE-ish token
+counting, language-ID, document fingerprinting.
+
+Everything is Catalyst expressions (explode/groupBy/window/HOFs) — no
+Python on the data path. ln() results are rounded to 6 dp on both
+sides (libm vs JVM ulp), integer/integer divisions are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+
+
+def _tokens():
+    return F.split("text", " ")
+
+
+@register(
+    "text_wordcount",
+    oracle="""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    """,
+)
+def text_wordcount(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term,
+               round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (term), n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """TF-IDF per (doc, term): two aggregations + a broadcast join with
+    the corpus size — no collect() anywhere."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", F.round(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        bg AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+               FROM t, unnest(range(1, len(toks))) r(i))
+        SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+    """,
+)
+def text_ngrams(spark, sf_dir):
+    """Bigram counts; the array-index construction keeps doc boundaries
+    (no lead() across documents)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+        SELECT lang, source, count(*) AS n_docs,
+               avg(n_chars) AS avg_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               avg(len(string_split(text, ' '))) AS avg_tokens
+        FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark, sf_dir):
+    """Per-(lang, source) stats. n_chars and token counts are integers,
+    so double avgs are order-exact."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.avg(F.size(_tokens()).cast("long")).alias("avg_tokens"),
+    )
+
+
+STOPWORDS = ["a", "row", "value", "table"]
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        WITH s AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      t -> list_contains({STOPWORDS!r}, t))) AS BIGINT) AS n_stop,
+                 n_chars
+          FROM documents
+        )
+        SELECT doc_id, lang, n_tok,
+               n_stop / n_tok AS stopword_ratio,
+               (n_chars - (n_tok - 1)) / n_tok AS mean_token_len,
+               0.5 * least(1.0, n_tok / 50.0) + 0.5 * (1.0 - n_stop / n_tok) AS quality
+        FROM s
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic doc-quality score: length saturation + stopword ratio
+    (the punctuation/casing terms are degenerate on this corpus — the
+    text is lowercase with no punctuation — so they are omitted rather
+    than constant columns)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        (n_stop / n_tok).alias("stopword_ratio"),
+        ((F.col("n_chars") - (n_tok - 1)) / n_tok).alias("mean_token_len"),
+        (
+            0.5 * F.least(F.lit(1.0), n_tok / 50.0)
+            + 0.5 * (1.0 - n_stop / n_tok)
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_token_bpe",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def text_token_bpe(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (word runs,
+    digit runs, stray symbols)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|\S"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@register("text_langid_ngram")  # rows-only: profile construction is impl-defined
+def text_langid_ngram(spark, sf_dir):
+    """Language-ID heuristic: per-language char-trigram profiles (top
+    30 by frequency, built from the corpus itself) scored against each
+    document's trigram set; argmax with deterministic tiebreaks."""
+    d = table(spark, sf_dir, "documents")
+    tri_arr = F.expr(
+        "transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3))"
+    )
+    tris = d.select("doc_id", "lang", F.explode(tri_arr).alias("tri"))
+
+    prof_w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
+    profile = (
+        tris.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(prof_w))
+        .filter(F.col("rn") <= 30)
+        .select(F.col("lang").alias("cand_lang"), "tri")
+    )
+    doc_tris = tris.select("doc_id", "lang", "tri").distinct()
+    scores = (
+        doc_tris.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    pick_w = Window.partitionBy("doc_id").orderBy(F.desc("matches"), F.asc("cand_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "lang", F.col("cand_lang").alias("predicted_lang"), "matches"
+        )
+    )
+
+
+@register("text_fingerprint")  # rows-only: xxhash64 seed differs from DuckDB's hash
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over token xxhash64s, mod the Mersenne prime 2^31-1 (a
+    distributed-friendly stand-in for winnowing/rabin fingerprints).
+
+    The modulus keeps every intermediate < 2^52, so the fold never
+    overflows a long under ANSI arithmetic: h < 2^31, multiplier
+    1000003 < 2^20, token term < 2^31."""
+    d = table(spark, sf_dir, "documents")
+    p = F.lit(2147483647).cast("long")
+    fp = F.aggregate(
+        F.transform(_tokens(), lambda t: F.pmod(F.xxhash64(t), p)),
+        F.lit(0).cast("long"),
+        lambda h, t: F.pmod(h * F.lit(1000003) + t, p),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,98 @@
+"""Property tests for the 2.J LLM-pipeline operators (SURVEY §5).
+
+The LSH/approx operators have no value-hash oracle (impl-defined
+candidate sets), so they are pinned here against their exact anchors:
+- minhash-LSH output must be a *subset* of the exact-jaccard pairs
+  (the candidate step can only lose pairs, never invent them, because
+  every candidate is re-verified with the same exact jaccard);
+- blocked ANN scores must bit-match the brute-force scores for every
+  pair both return, and its recall vs the brute top-k is pinned;
+- dedup is idempotent: copies are counted, nothing is lost.
+"""
+
+from __future__ import annotations
+
+import engine
+from engine.ops import similarity
+from engine.registry import table
+from tests.conftest import T2_SF_DIR
+
+
+def _pairs(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_minhash_subset_of_exact_jaccard(spark):
+    exact = engine.QUERIES["dedup_ngram_jaccard"](spark, T2_SF_DIR)
+    lsh = engine.QUERIES["dedup_near_minhash"](spark, T2_SF_DIR)
+    exact_pairs = _pairs(exact, ["doc_a", "doc_b", "jaccard"])
+    lsh_pairs = _pairs(lsh, ["doc_a", "doc_b", "jaccard"])
+    assert lsh_pairs <= exact_pairs
+
+
+def test_dedup_exact_conserves_rows(spark):
+    out = engine.QUERIES["dedup_exact"](spark, T2_SF_DIR).collect()
+    n_docs = table(spark, T2_SF_DIR, "documents").count()
+    assert sum(r["n_copies"] for r in out) == n_docs + min(n_docs, 100)
+    # idempotence: hashes are unique keys, every group keeps exactly one id
+    assert len({r["content_hash"] for r in out}) == len(out)
+
+
+def test_simhash_candidates_within_hamming(spark):
+    out = engine.QUERIES["dedup_simhash"](spark, T2_SF_DIR).collect()
+    assert all(r["hamming"] <= 8 and r["doc_a"] < r["doc_b"] for r in out)
+
+
+def test_blocked_ann_scores_match_brute(spark):
+    brute = engine.QUERIES["sim_search_topk"](spark, T2_SF_DIR)
+    blocked = engine.QUERIES["sim_search_blocked"](spark, T2_SF_DIR)
+    b = {(r["q_id"], r["c_id"]): r["score"] for r in brute.collect()}
+    bl = blocked.collect()
+    # per-query cardinality: at most TOP_K results each
+    per_q = {}
+    for r in bl:
+        per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
+    assert all(v <= similarity.TOP_K for v in per_q.values())
+    # any pair both return has the identical (rounded) score
+    for r in bl:
+        if (r["q_id"], r["c_id"]) in b:
+            assert r["score"] == b[(r["q_id"], r["c_id"])]
+    # recall vs brute top-k, pinned for this deterministic dataset+seed
+    hits = sum(1 for r in bl if (r["q_id"], r["c_id"]) in b)
+    recall = hits / len(b)
+    assert recall >= 0.15, f"LSH recall collapsed: {recall:.3f}"
+
+
+def test_knn_vote_one_label_per_probe(spark):
+    out = engine.QUERIES["knn_label_vote"](spark, T2_SF_DIR).collect()
+    assert len(out) == similarity.N_PROBES
+    assert len({r["q_id"] for r in out}) == similarity.N_PROBES
+    assert all(1 <= r["votes"] <= similarity.TOP_K for r in out)
+
+
+def test_fingerprint_deterministic(spark):
+    q = engine.QUERIES["text_fingerprint"]
+    a = {(r["doc_id"], r["fingerprint"]) for r in q(spark, T2_SF_DIR).collect()}
+    b = {(r["doc_id"], r["fingerprint"]) for r in q(spark, T2_SF_DIR).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_langid_structural(spark):
+    """The synthetic corpus draws text from one shared vocabulary for
+    every lang (FIXTURES.md), so accuracy-above-chance is not a valid
+    property here; instead pin the structure: one prediction per doc,
+    predictions drawn from the observed language set, deterministic."""
+    out = engine.QUERIES["text_langid_ngram"](spark, T2_SF_DIR).collect()
+    docs = table(spark, T2_SF_DIR, "documents")
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert len(out) == docs.count()
+    assert len({r["doc_id"] for r in out}) == len(out)
+    assert all(r["predicted_lang"] in langs for r in out)
+
+
+def test_multimodal_features_shape(spark):
+    out = engine.QUERIES["multimodal_decode_stub"](spark, T2_SF_DIR).collect()
+    n_docs = table(spark, T2_SF_DIR, "documents").count()
+    assert len(out) == n_docs
+    assert all(len(r["features"]) == 4 for r in out)
+    assert all(0.0 <= x < 1.0 for r in out for x in r["features"])
