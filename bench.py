@@ -54,8 +54,16 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     spark = get_session("bench")
-    # warm the JVM + parquet footers once, outside any per-query timing
-    force(engine.table(spark, args.sf_dir, "nation").limit(1))
+    # Warm the JVM outside any per-query timing: every table's parquet
+    # reader path plus one shuffle, so the first measured query isn't
+    # charged for executor/codegen/scan-infra spin-up (BASELINE.md:
+    # per-query time excludes session build; steady-state is warm).
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        force(engine.table(spark, args.sf_dir, t))
+    force(engine.table(spark, args.sf_dir, "orders").groupBy("o_orderstatus").count())
 
     per_q: dict[str, float] = {}
     for name in names:

@@ -135,33 +135,43 @@ def dedup_near_minhash(spark, sf_dir):
     shingle → 16 minhashes (seeded xxhash64) → 8 bands of 2 → bucket
     join on (band, band_key) → exact jaccard re-verification of
     candidates only. Property-tested against the exact-jaccard anchor
-    in tests/test_llm_ops.py (recall on high-similarity pairs).
+    in tests/test_llm_ops.py (output ⊆ exact pairs).
+
+    Scale shape: the 16 signatures are 16 agg expressions in ONE
+    map-side-combinable pass over the shingle rows (not a 16× row
+    fan-out), and verification intersects per-doc shingle *arrays*
+    carried to the candidate pairs — no shingle-level self-join, so
+    the only quadratic work is inside LSH buckets.
     """
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d)
-    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.xxhash64("shingle", "seed")).alias("mh"))
+    doc_sh = d.select("doc_id", _shingle_array(_tokens()).alias("sh"))
+    sh = doc_sh.select("doc_id", F.explode("sh").alias("shingle"))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(s))).alias(f"mh{s}")
+            for s in range(N_MINHASH)
+        ]
     )
-    bands = (
-        mh.withColumn("band", F.col("seed") % N_BANDS)
-        .groupBy("doc_id", "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct("seed", "mh"))
-                        ),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                )
-            ).alias("band_key")
-        )
-    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{band * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("band_key"),
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -175,25 +185,23 @@ def dedup_near_minhash(spark, sf_dir):
         )
         .distinct()
     )
-    # exact re-verification on candidates only
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cands.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
+    # exact re-verification on candidates only, via array intersection
+    sa = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    sized = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return sized.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
@@ -209,28 +217,24 @@ def dedup_simhash(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("th", F.xxhash64("token"))
     )
-    votes = (
-        tok.select(
-            "doc_id",
-            "cnt",
-            "th",
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
-        )
-        .withColumn(
-            "contrib",
-            F.when(F.expr("getbit(th, i)") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.sum("contrib").alias("vote"))
+    # 64 per-bit vote sums as ONE wide aggregation (map-side
+    # combinable) instead of a 64× row explosion + second shuffle
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"getbit(th, {i})") == 1, F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("vote") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    sig_col = F.lit(0).cast("long")
+    for i in range(64):
+        sig_col = sig_col + F.when(
+            F.col(f"v{i}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})")
+        ).otherwise(F.lit(0).cast("long"))
+    sig = votes.select("doc_id", sig_col.alias("simhash"))
     bands = sig.select(
         "doc_id",
         "simhash",

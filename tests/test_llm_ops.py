@@ -63,6 +63,22 @@ def test_blocked_ann_scores_match_brute(spark):
     assert recall >= 0.15, f"LSH recall collapsed: {recall:.3f}"
 
 
+def test_ivf_ann_scores_match_brute(spark):
+    brute = engine.QUERIES["sim_search_topk"](spark, T2_SF_DIR)
+    ivf = engine.QUERIES["sim_search_ivf"](spark, T2_SF_DIR)
+    b = {(r["q_id"], r["c_id"]): r["score"] for r in brute.collect()}
+    out = ivf.collect()
+    per_q = {}
+    for r in out:
+        per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
+        if (r["q_id"], r["c_id"]) in b:
+            assert r["score"] == b[(r["q_id"], r["c_id"])]
+    assert all(v <= similarity.TOP_K for v in per_q.values())
+    assert len(per_q) == similarity.N_PROBES  # every probe gets answers
+    recall = sum(1 for r in out if (r["q_id"], r["c_id"]) in b) / len(b)
+    assert recall >= 0.15, f"IVF recall collapsed: {recall:.3f}"
+
+
 def test_knn_vote_one_label_per_probe(spark):
     out = engine.QUERIES["knn_label_vote"](spark, T2_SF_DIR).collect()
     assert len(out) == similarity.N_PROBES

@@ -1,0 +1,70 @@
+"""Physical-plan shape regressions (SURVEY §4): the properties that make
+the 100 TB story true must be visible in the plan, not just asserted in
+docstrings — filter/column pushdown reaches the parquet scan, small dims
+broadcast, aggregates combine map-side, and the blocked/LSH ops contain
+no cartesian product.
+
+Plan inspection only triggers planning (analyze→optimize→physical), not
+execution, so these tests are cheap.
+"""
+
+from __future__ import annotations
+
+import engine
+from tests.conftest import T2_SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = engine.QUERIES[name](spark, T2_SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_predicate_reaches_parquet_scan(spark):
+    plan = _plan(spark, "scan_predicate_pushdown")
+    assert "PushedFilters: [" in plan
+    # non-empty pushdown: at least one filter made it into the scan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"no filters pushed: {plan}"
+
+
+def test_projection_prunes_scan_schema(spark):
+    plan = _plan(spark, "scan_projection")
+    rs = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs and "l_shipdate" not in rs
+
+
+def test_dim_joins_broadcast(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "join_broadcast")
+
+
+def test_entry_broadcasts_dims(spark):
+    import __spark_entry__ as e
+
+    plan = e.entry(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_partial_then_final(spark):
+    """Map-side combine: HashAggregate appears as partial+final pair."""
+    plan = _plan(spark, "agg_group_hash")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_blocked_ops_avoid_cartesian(spark):
+    """The scale-path ANN/dedup variants must never degenerate to an
+    all-pairs product: candidate generation is an equi-join on
+    (band, band_key) / cluster, which Spark plans as hash or sort-merge
+    joins. (The brute-force anchors sim_search_topk /
+    embed_cosine_neardup intentionally ARE products — not checked.)"""
+    for name in ("sim_search_blocked", "dedup_simhash", "dedup_ngram_jaccard"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_minhash_only_broadcasts_seed_product(spark):
+    """dedup_near_minhash's one intentional product is the 16-row seed
+    fan-out, which must be broadcast (nested-loop against a 16-row
+    side), never a shuffled CartesianProduct."""
+    plan = _plan(spark, "dedup_near_minhash")
+    assert "CartesianProduct" not in plan
