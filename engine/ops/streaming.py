@@ -178,3 +178,107 @@ def stream_late_data_policy(spark, sf_dir):
         .filter(F.col("ts") >= F.col("h"))
         .select("event_id", "ts", "user_id", "event_type")
     )
+
+
+# --- custom stateful operator: applyInPandasWithState -----------------------
+
+ACTIVITY_OUT_SCHEMA = (
+    "user_id long, n_events long, first_ts timestamp, "
+    "last_ts timestamp, max_gap_us long"
+)
+ACTIVITY_STATE_SCHEMA = "n long, first_us long, last_us long, max_gap_us long"
+
+
+def user_activity_agg(e: DataFrame) -> DataFrame:
+    """Batch twin of the custom stateful op: per-user event count,
+    first/last event time, and the maximum gap between consecutive
+    events in microseconds (NULL for single-event users). This is the
+    semantics session_window cannot express (it buckets, it doesn't
+    expose the extreme inter-arrival gap)."""
+    from pyspark.sql import Window
+
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.withColumn("us", us).withColumn(
+        "gap_us", F.col("us") - F.lag("us").over(w)
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+def user_activity_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming form via applyInPandasWithState: per-user GroupState
+    holds (n, first_us, last_us, max_gap_us); each micro-batch folds
+    its (in-order) rows into the state and emits the updated snapshot.
+
+    At scale this is the canonical arbitrary-state pattern: state is
+    O(1) per key, partitioned by user_id, checkpointed by the state
+    store; no per-key buffering of raw events.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            n, first_us, last_us, max_gap = state.get
+        else:
+            n, first_us, last_us, max_gap = 0, None, None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = (pdf["ts"].astype("int64") // 1000).tolist()
+            for u in us:
+                if last_us is not None:
+                    gap = u - last_us
+                    if max_gap is None or gap > max_gap:
+                        max_gap = gap
+                if first_us is None or u < first_us:
+                    first_us = u
+                last_us = u
+                n += 1
+        state.update((n, first_us, last_us, max_gap))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "max_gap_us": [max_gap],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        ACTIVITY_OUT_SCHEMA,
+        ACTIVITY_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_custom_state",
+    oracle="""
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 epoch_ns(ts)//1000
+                   - lag(epoch_ns(ts)//1000) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap_us
+          FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               min(ts) AS first_ts, max(ts) AS last_ts,
+               max(gap_us) AS max_gap_us
+        FROM g GROUP BY user_id
+    """,
+)
+def stream_custom_state(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState),
+    declared as its batch twin; stream≡batch is proven in
+    tests/test_streaming.py over a chunked in-order feed."""
+    return user_activity_agg(table(spark, sf_dir, "events"))

@@ -207,3 +207,33 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
         spark.createDataFrame(newest, EVENTS_STREAM_SCHEMA)
     ).filter(F.col("ws") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
     assert canon(got.toPandas()) == canon(expected.toPandas())
+
+
+def test_custom_state_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState fold over a chunked in-order feed must
+    reach the same per-user summaries as the batch twin. Update mode
+    emits a snapshot per (batch, user); n_events is monotone, so the
+    final state is each user's max-n_events row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from engine.ops.streaming import user_activity_agg, user_activity_stateful
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_sorted_chunks(spark, e, src)
+
+    stream = _read_stream(spark, src, max_files=1, ltz=True)
+    got_all = _run_stream(
+        spark, user_activity_stateful(stream), "t_custom_state", "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    got = (
+        got_all.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .withColumn("first_ts", F.col("first_ts").cast("timestamp_ntz"))
+        .withColumn("last_ts", F.col("last_ts").cast("timestamp_ntz"))
+    )
+    assert canon(got.toPandas()) == canon(user_activity_agg(e).toPandas())
