@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     similarity,
     streaming,
     textops,
+    tpch,
     multimodal,
     udfs,
     windows,

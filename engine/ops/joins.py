@@ -261,3 +261,46 @@ def join_asof(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               c.c_name, c.c_acctbal
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Shuffle-free co-located join via bucketing — THE pre-shuffle
+    technique for repeated large-table joins at 100 TB: both sides are
+    written bucketed+sorted on the join key (8 buckets here; thousands
+    in production), so the sort-merge join reads matching buckets
+    directly with no Exchange in the plan (asserted in
+    tests/test_plans.py). Auto-broadcast is disabled for this query
+    only, else Spark would broadcast the toy-scale dim side and hide
+    the bucketing path; the conf is restored by the registry wrapper
+    on the next query.
+    """
+    import tempfile
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    for name, df, key in (
+        ("b_orders", o, "o_custkey"),
+        ("b_customer", c, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    return bo.join(bc, bo.o_custkey == bc.c_custkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
+    )

@@ -21,6 +21,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # restored per-query because join_bucketed_colocated disables it
+    # to demonstrate the shuffle-free co-located join path
+    "spark.sql.autoBroadcastJoinThreshold": "10485760",
 }
 
 

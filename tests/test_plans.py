@@ -62,6 +62,20 @@ def test_blocked_ops_avoid_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed+sorted on the join key → sort-merge join
+    with zero Exchange nodes (the whole point of bucketing)."""
+    plan = _plan(spark, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
+def test_tpch_q6_pushes_all_predicates(spark):
+    plan = _plan(spark, "tpch_q6")
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
 def test_minhash_only_broadcasts_seed_product(spark):
     """dedup_near_minhash's one intentional product is the 16-row seed
     fan-out, which must be broadcast (nested-loop against a 16-row

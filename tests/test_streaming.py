@@ -237,3 +237,53 @@ def test_custom_state_stream_equals_batch(spark, tmp_path):
         .withColumn("last_ts", F.col("last_ts").cast("timestamp_ntz"))
     )
     assert canon(got.toPandas()) == canon(user_activity_agg(e).toPandas())
+
+
+def test_stream_parquet_sink_partitioned(spark, tmp_path):
+    """The reference pipeline's actual output stage: envelope stream →
+    writeStream to dt/hr-partitioned parquet with a checkpoint. The
+    read-back must equal the batch projection, and the directory layout
+    must be hive-partitioned (dt=/hr=)."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    e.write.parquet(src, mode="append")
+
+    def project(df):
+        return df.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            F.date_format("ts", "HH").alias("hr"),
+        )
+
+    q = (
+        project(_read_stream(spark, src, ltz=True))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("dt", "hr")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # keep partition values as the written strings ("08" not int 8)
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try:
+        got = spark.read.parquet(out)
+        assert canon(got.toPandas()) == canon(project(e).toPandas())
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+        )
+    parts = os.listdir(out)
+    assert any(p.startswith("dt=") for p in parts)
+    inner = os.listdir(os.path.join(out, next(p for p in parts if p.startswith("dt="))))
+    assert any(p.startswith("hr=") for p in inner)
