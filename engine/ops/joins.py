@@ -304,3 +304,39 @@ def join_bucketed_colocated(spark, sf_dir):
     return bo.join(bc, bo.o_custkey == bc.c_custkey).select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
     )
+
+
+N_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+        SELECT e.event_id, e.user_id, c.c_name, e.value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-proof fact⋈dim join by key salting, with semantics
+    identical to the plain equi-join (the oracle IS the plain join).
+
+    The fact side gets salt = hash(event_id) % N_SALTS; the dim side is
+    exploded ×N_SALTS; the join key becomes (user_id, salt), splitting
+    any hot user across N_SALTS reducers. This is the manual fallback
+    for when AQE skew-join splitting isn't enough (a single key too hot
+    for one partition at 100 TB). N_SALTS scales with observed skew.
+    """
+    e = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(N_SALTS)])
+        ).alias("salt"),
+    )
+    return (
+        e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
+        .select("event_id", "user_id", "c_name", "value")
+    )

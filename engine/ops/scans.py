@@ -46,3 +46,73 @@ def scan_predicate_pushdown(spark, sf_dir):
     return li.filter(
         F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz")
     ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """CSV source/sink: write nation as headered CSV, read it back with
+    an explicit schema (never inference in production paths — SURVEY
+    §1.2). Value-hash parity against the original table proves the
+    round-trip is lossless."""
+    import tempfile
+
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    n.write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).option("header", "true").csv(out)
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal FROM supplier",
+)
+def source_json_roundtrip(spark, sf_dir):
+    """JSON-lines source/sink round-trip with explicit schema; doubles
+    are rounded identically on both sides (JSON text serialization is
+    shortest-roundtrip, so the re-parsed double is bit-identical, but
+    the oracle's column must be aliased anyway)."""
+    import tempfile
+
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    out = tempfile.mkdtemp(prefix="json_rt_")
+    s.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "s_suppkey int, s_name string, s_nationkey int, acctbal double"
+    ).json(out)
+
+
+@register(
+    "sql_surface_q1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_surface_q1(spark, sf_dir):
+    """The E3 entry point (SURVEY §3): the same logical plan reached
+    through a SQL string over a registered view instead of the
+    DataFrame API — parser → analyzer → identical Catalyst pipeline."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity*100) AS BIGINT))/CAST(100 AS DOUBLE) AS sum_qty,
+               count(*) AS count_order
+        FROM v_lineitem
+        WHERE l_shipdate <= TIMESTAMP_NTZ '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )

@@ -48,7 +48,11 @@ def cell(v) -> str:
     if isinstance(v, np.floating):
         v = float(v)
     if isinstance(v, Decimal):
-        v = float(v)
+        # deliberately NOT coerced: a DecimalType column where the
+        # oracle has double is a schema divergence the driver's strict
+        # compare would flag (bit us once via a SQL literal `100.0`
+        # parsing as DECIMAL in Spark SQL) — keep it loud here.
+        return f"decimal:{v}"
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):

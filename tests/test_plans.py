@@ -76,6 +76,29 @@ def test_tpch_q6_pushes_all_predicates(spark):
     assert "l_discount" in pushed and "l_quantity" in pushed
 
 
+def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """dt-partitioned output read back with a dt predicate must prune
+    at the directory level (PartitionFilters), reading one partition's
+    files instead of scanning everything — the access pattern the
+    time-partitioned parquet sink exists for."""
+    from pyspark.sql import functions as F
+
+    from engine.registry import table
+    from tests.conftest import T2_SF_DIR
+
+    out = str(tmp_path / "part")
+    e = table(spark, T2_SF_DIR, "events").select(
+        "event_id", "user_id", "value", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    )
+    e.write.partitionBy("dt").parquet(out)
+    some_dt = e.select("dt").first()["dt"]
+    df = spark.read.parquet(out).filter(F.col("dt") == some_dt)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "dt" in pf
+
+
 def test_minhash_only_broadcasts_seed_product(spark):
     """dedup_near_minhash's one intentional product is the 16-row seed
     fan-out, which must be broadcast (nested-loop against a 16-row
