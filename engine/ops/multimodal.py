@@ -71,3 +71,41 @@ def multimodal_decode_stub(spark, sf_dir):
     return assets.mapInPandas(
         decode, "doc_id long, mime string, n_bytes long, features array<double>"
     )
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@register("multimodal_frame_sample")  # rows-only: stub frames are impl-defined
+def multimodal_frame_sample(spark, sf_dir):
+    """One-to-many media fan-out: payload → sampled frame rows
+    (frame_idx, frame_bytes, fingerprint) via mapInPandas, the shape a
+    real video frame-sampler has (decode is the stub; the fan-out,
+    batch iteration, and schema contract are real). Each document
+    yields ceil(n_bytes/64)/4 frames."""
+    import hashlib
+
+    d = table(spark, sf_dir, "documents")
+    assets = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def sample(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frame_bytes": [], "fingerprint": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                frames = [b[i : i + FRAME_BYTES] for i in range(0, len(b), FRAME_BYTES)]
+                for idx in range(0, len(frames), FRAME_STRIDE):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frame_bytes"].append(len(frames[idx]))
+                    out["fingerprint"].append(
+                        int.from_bytes(
+                            hashlib.sha256(frames[idx]).digest()[:8], "big", signed=True
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        sample, "doc_id long, frame_idx long, n_frame_bytes long, fingerprint long"
+    )

@@ -232,3 +232,57 @@ def text_fingerprint(spark, sf_dir):
         lambda h, t: F.pmod(h * F.lit(1000003) + t, p),
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "text_dedup_pipeline",
+    oracle=f"""
+        WITH all_docs AS (
+          SELECT doc_id, text, lang, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text, lang, n_chars
+          FROM documents WHERE doc_id < 100
+        ),
+        q AS (
+          SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      t -> list_contains({STOPWORDS!r}, t))) AS BIGINT) AS n_stop
+          FROM all_docs
+        ),
+        f AS (
+          SELECT * FROM q
+          WHERE n_tok >= 5 AND n_stop / n_tok <= 0.5
+        )
+        SELECT min(doc_id) AS keep_id,
+               min(lang) AS lang,
+               min(n_tok) AS n_tok,
+               count(*) AS n_copies
+        FROM f GROUP BY sha256(text)
+    """,
+)
+def text_dedup_pipeline(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline: quality gate (token
+    count + stopword ratio) → exact dedup (keep lowest doc_id per
+    content hash). One declarative chain — Catalyst fuses the gate into
+    the scan and the dedup is one hash aggregation, which is the whole
+    pipeline's shuffle. A copied slice is unioned in (as in
+    dedup_exact) so the dedup stage is observable."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    dupes = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "n_chars"
+    )
+    toks = _tokens()
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    gated = (
+        d.unionByName(dupes)
+        .withColumn("n_tok", n_tok)
+        .withColumn("n_stop", n_stop)
+        .filter((F.col("n_tok") >= 5) & (F.col("n_stop") / F.col("n_tok") <= 0.5))
+    )
+    return gated.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tok").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).drop("h")
