@@ -269,3 +269,24 @@ def agg_group_hash(spark, sf_dir):
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+        SELECT event_type,
+               median(value) AS med_value,
+               min(value) AS min_value,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+)
+def agg_median_mode(spark, sf_dir):
+    """Exact median per group (interpolated at even counts identically
+    by both engines: mean of the two middle doubles)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.median("value").alias("med_value"),
+        F.min("value").alias("min_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

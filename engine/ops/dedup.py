@@ -261,3 +261,58 @@ def dedup_simhash(spark, sf_dir):
         .distinct()
         .filter(F.col("hamming") <= 8)
     )
+
+
+EDIT_PREFIX = 60
+EDIT_MAX = 45
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(substr(a.text, 1, {EDIT_PREFIX}),
+                           substr(b.text, 1, {EDIT_PREFIX})) AS edit_dist
+        FROM documents a
+        JOIN documents b
+          ON a.lang = b.lang
+         AND len(a.text) = len(b.text)
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(substr(a.text, 1, {EDIT_PREFIX}),
+                          substr(b.text, 1, {EDIT_PREFIX})) <= {EDIT_MAX}
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup with equi-join blocking: candidate pairs
+    must share (lang, exact length) — an equi-join Spark hash-partitions,
+    never an all-pairs product — then Levenshtein on a fixed prefix
+    (bounding the O(len²) cost per pair) filters survivors. At 100 TB
+    the blocking key generalizes (length band + simhash band); the
+    quadratic work stays confined inside blocks."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.length("text").alias("len_a"),
+        F.substring("text", 1, EDIT_PREFIX).alias("pre_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.length("text").alias("len_b"),
+        F.substring("text", 1, EDIT_PREFIX).alias("pre_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("len_a") == F.col("len_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pre_a", "pre_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_MAX)
+    )

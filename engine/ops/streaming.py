@@ -282,3 +282,63 @@ def stream_custom_state(spark, sf_dir):
     declared as its batch twin; stream≡batch is proven in
     tests/test_streaming.py over a chunked in-order feed."""
     return user_activity_agg(table(spark, sf_dir, "events"))
+
+
+# --- stream-stream join ------------------------------------------------------
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Attribution join shared by batch and streaming: each click joined
+    to same-user purchases within the following hour. In streaming both
+    sides carry watermarks and the time-band condition bounds the join
+    state (Structured Streaming drops buffered rows once the watermark
+    passes the band) — without the band the state would grow forever.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            "click_id", "user_id", "purchase_id",
+            "click_ts", "purchase_ts", "purchase_value",
+        )
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join declared as its batch twin;
+    tests/test_streaming.py runs the same function over two watermarked
+    file streams and asserts equality."""
+    e = table(spark, sf_dir, "events")
+    return click_purchase_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

@@ -170,3 +170,37 @@ def win_percent_cume(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "win_range_interval",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               count(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS n_prev_hour
+        FROM events
+    """,
+)
+def win_range_interval(spark, sf_dir):
+    """Time-based RANGE frame: per user, how many of their events fell
+    in the trailing hour (inclusive). The frame is value-based on the
+    microsecond epoch, so ties (same ts) are peers — deterministic
+    without a unique tiebreak, unlike ROWS frames."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "us", F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+    )

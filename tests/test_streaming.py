@@ -287,3 +287,38 @@ def test_stream_parquet_sink_partitioned(spark, tmp_path):
     assert any(p.startswith("dt=") for p in parts)
     inner = os.listdir(os.path.join(out, next(p for p in parts if p.startswith("dt="))))
     assert any(p.startswith("hr=") for p in inner)
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Two watermarked streams (clicks, purchases from the same feed)
+    joined with an event-time band must equal the batch join."""
+    from pyspark.sql import functions as F
+
+    from engine.ops.streaming import click_purchase_join
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    e.write.parquet(src, mode="append")
+
+    def side(kind):
+        return (
+            _read_stream(spark, src, ltz=True)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "2 hours")
+        )
+
+    got = _run_stream(
+        spark, click_purchase_join(side("click"), side("purchase")),
+        "t_ss_join", "append",
+    ).select(
+        "click_id", "user_id", "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+    want = click_purchase_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    assert canon(got.toPandas()) == canon(want.toPandas())
