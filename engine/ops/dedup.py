@@ -316,3 +316,58 @@ def dedup_edit_distance(spark, sf_dir):
         )
         .filter(F.col("edit_dist") <= EDIT_MAX)
     )
+
+
+CC_MAX_ITERS = 20
+
+
+@register("dedup_cluster_cc")  # rows-only: iterative, not SQL-expressible
+def dedup_cluster_cc(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the
+    exact-Jaccard near-dup pair graph by iterative min-label
+    propagation — each doc ends up labeled with the smallest doc_id in
+    its component (the canonical survivor).
+
+    This is the genuinely iterative operator class (driver-side loop,
+    one distributed join per round, O(graph diameter) rounds).
+    localCheckpoint() each round truncates the lineage so round N's
+    plan doesn't re-derive rounds 1..N-1; the convergence check is one
+    count() per round — the only driver-side data is that scalar. At
+    100 TB this is the standard large-graph CC shape (alternating
+    small-star/large-star is the proven variant for skewed graphs).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        msgs = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "doc_id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -112,3 +112,20 @@ def test_multimodal_features_shape(spark):
     assert len(out) == n_docs
     assert all(len(r["features"]) == 4 for r in out)
     assert all(0.0 <= x < 1.0 for r in out for x in r["features"])
+
+
+def test_cc_labels_consistent_with_pairs(spark):
+    """Connected-component labels: both endpoints of every near-dup
+    pair share a label, every label is the min doc_id of its component
+    (label <= member, and the label doc carries its own id)."""
+    pairs = engine.QUERIES["dedup_ngram_jaccard"](spark, T2_SF_DIR).collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in engine.QUERIES["dedup_cluster_cc"](spark, T2_SF_DIR).collect()
+    }
+    assert labels, "no components found"
+    for r in pairs:
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]
+    for doc, lab in labels.items():
+        assert lab <= doc
+        assert labels[lab] == lab
