@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     aggregates,
     dedup,
+    flow,
     ingest_ops,
     joins,
     relational,

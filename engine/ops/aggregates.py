@@ -290,3 +290,39 @@ def agg_median_mode(spark, sf_dir):
         F.min("value").alias("min_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "rollup_timeseries",
+    oracle="""
+        SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+               event_type, count(*) AS n,
+               sum(CAST(round(value*10000) AS BIGINT))/10000.0 AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS (
+          (date_trunc('day', ts), event_type),
+          (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+        )
+    """,
+)
+def rollup_timeseries(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: daily and hourly
+    pre-aggregates per event_type materialized in ONE pass via grouping
+    sets (one shuffle instead of one per granularity) — the continuous-
+    aggregate pattern a log store maintains so dashboards never scan
+    raw events."""
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("v_events_rts")
+    return spark.sql(
+        """
+        SELECT date_trunc('DAY', ts) AS d, date_trunc('HOUR', ts) AS h,
+               event_type, count(*) AS n,
+               sum(CAST(round(value*10000) AS BIGINT))/CAST(10000 AS DOUBLE)
+                 AS sum_value
+        FROM v_events_rts
+        GROUP BY GROUPING SETS (
+          (date_trunc('DAY', ts), event_type),
+          (date_trunc('DAY', ts), date_trunc('HOUR', ts), event_type)
+        )
+        """
+    )

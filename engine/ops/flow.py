@@ -1,0 +1,122 @@
+"""Flow-log analytics — the queries a VPC-flow-log pipeline exists to
+answer (top talkers, per-CIDR traffic, reject ratios), computed over
+the PARSED flow-log lines so the whole synthesize → parse → analyze
+path is value-checked end to end: the oracle states each result
+directly from `events` via the deterministic line-synthesis twins
+(engine.ingest.SQL_K / SQL_LINE discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..ingest import SQL_K, flowlog_line_col, parse_flowlog_lines
+from ..registry import register, table
+
+
+def _parsed(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return parse_flowlog_lines(e.select("event_id", flowlog_line_col().alias("line")))
+
+
+@register(
+    "flow_top_talkers",
+    oracle=f"""
+        WITH f AS (
+          SELECT '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
+                 CAST(round(value*100) AS BIGINT) AS bytes,
+                 CAST(round(value) AS BIGINT) AS packets
+          FROM events
+        )
+        SELECT srcaddr, CAST(sum(bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(packets) AS BIGINT) AS total_packets,
+               count(*) AS n_flows
+        FROM f GROUP BY srcaddr
+        ORDER BY total_bytes DESC, srcaddr LIMIT 20
+    """,
+)
+def flow_top_talkers(spark, sf_dir):
+    """Top-20 source addresses by bytes. Long sums are exact; the
+    tiebreak on srcaddr keeps the limit deterministic."""
+    return (
+        _parsed(spark, sf_dir)
+        .groupBy("srcaddr")
+        .agg(
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("packets").alias("total_packets"),
+            F.count(F.lit(1)).alias("n_flows"),
+        )
+        .orderBy(F.desc("total_bytes"), F.asc("srcaddr"))
+        .limit(20)
+    )
+
+
+@register(
+    "flow_cidr_aggregate",
+    oracle=f"""
+        SELECT (10*16777216 + ({SQL_K} % 256)*256) AS net24,
+               CASE WHEN event_type = 'error' THEN 'REJECT' ELSE 'ACCEPT' END
+                 AS action,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                 AS total_bytes,
+               count(*) AS n_flows
+        FROM events GROUP BY 1, 2
+    """,
+)
+def flow_cidr_aggregate(spark, sf_dir):
+    """Traffic per /24 network and action. The dotted-quad is parsed
+    back to a 32-bit integer with octet arithmetic (split + shifts,
+    all Catalyst expressions) and masked to the /24 prefix — the
+    general CIDR-bucketing shape; the oracle derives the same prefix
+    from the synthesis parameters."""
+    p = _parsed(spark, sf_dir)
+    o = F.split("srcaddr", r"\.")
+    ipnum = (
+        F.element_at(o, 1).cast("long") * 16777216
+        + F.element_at(o, 2).cast("long") * 65536
+        + F.element_at(o, 3).cast("long") * 256
+        + F.element_at(o, 4).cast("long")
+    )
+    net24 = ipnum.bitwiseAND(F.lit(0xFFFFFF00).cast("long"))
+    return (
+        p.withColumn("net24", net24)
+        .groupBy("net24", "action")
+        .agg(
+            F.sum("bytes").alias("total_bytes"),
+            F.count(F.lit(1)).alias("n_flows"),
+        )
+    )
+
+
+@register(
+    "flow_reject_ratio",
+    oracle=f"""
+        WITH f AS (
+          SELECT 'eni-' || CAST(user_id AS VARCHAR) AS interface_id,
+                 CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS rejected,
+                 CAST(round(value*100) AS BIGINT) AS bytes
+          FROM events
+        )
+        SELECT interface_id, count(*) AS n_flows,
+               CAST(sum(rejected) AS BIGINT) AS n_reject,
+               sum(rejected) / count(*) AS reject_ratio,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes
+        FROM f GROUP BY interface_id
+    """,
+)
+def flow_reject_ratio(spark, sf_dir):
+    """Per-interface REJECT ratio — the security-posture query. The
+    ratio is long/long (double in both engines, numerator exact)."""
+    p = _parsed(spark, sf_dir)
+    rejected = F.when(F.col("action") == "REJECT", 1).otherwise(0)
+    return (
+        p.withColumn("rejected", rejected)
+        .groupBy("interface_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.sum("rejected").alias("n_reject"),
+            (F.sum("rejected") / F.count(F.lit(1))).alias("reject_ratio"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+    )
