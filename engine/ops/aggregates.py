@@ -326,3 +326,29 @@ def rollup_timeseries(spark, sf_dir):
         )
         """
     )
+
+
+@register("agg_hll_sketch_merge")  # rows-only: sketch estimates are approximate
+def agg_hll_sketch_merge(spark, sf_dir):
+    """Mergeable distinct-count sketches — the re-aggregatable rollup
+    pattern: per-event_type HLL sketches built in one pass, then UNIONED
+    (not recomputed) into a global estimate. At 100 TB this is how
+    per-partition/per-day distinct counts roll up to any grain without
+    touching raw data again. Property-tested against exact counts
+    (tests/test_llm_ops.py)."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    )
+    total = per_type.agg(
+        F.lit("__ALL__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return per_type_est.unionByName(total)

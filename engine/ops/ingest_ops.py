@@ -123,3 +123,63 @@ def stream_file_source(spark, sf_dir):
     q.awaitTermination(300)
     back = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(sink)
     return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "ingest_flowlog_malformed",
+    oracle="""
+        SELECT event_id, true AS is_valid FROM events
+        UNION ALL
+        SELECT event_id + 1000000000 AS event_id, false AS is_valid
+        FROM events WHERE event_id % 50 = 0
+    """,
+)
+def ingest_flowlog_malformed(spark, sf_dir):
+    """Malformed-record recovery: a feed with truncated flow-log lines
+    (every 50th event re-sent with only 3 of 14 fields) parsed in
+    PERMISSIVE mode — missing fields become NULLs instead of killing
+    the job, and validity is a column the pipeline can route on
+    (dead-letter the invalid rows, load the rest). The oracle states
+    exactly which rows must come out valid."""
+    e = table(spark, sf_dir, "events")
+    good = e.select("event_id", flowlog_line_col().alias("line"))
+    bad = e.filter(F.col("event_id") % 50 == 0).select(
+        (F.col("event_id") + 1000000000).alias("event_id"),
+        F.concat_ws(
+            " ",
+            F.lit("2"),
+            F.col("user_id").cast("string"),
+            F.concat(F.lit("eni-"), F.col("user_id").cast("string")),
+        ).alias("line"),
+    )
+    parsed = parse_flowlog_lines(good.unionByName(bad))
+    return parsed.select(
+        "event_id", F.col("log_status").isNotNull().alias("is_valid")
+    )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+        SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value FROM events
+        UNION ALL
+        SELECT event_id + 2000000000 AS event_id, user_id, value FROM events
+    """,
+)
+def source_schema_evolution(spark, sf_dir):
+    """Schema evolution on the lake: an old writer produced (event_id,
+    user_id), a new writer added `value`; mergeSchema reads both
+    generations as one table with NULLs where the column didn't exist.
+    In production the merged schema comes from the table catalog so the
+    footer-merge cost isn't paid per query — mergeSchema is the
+    bootstrap path."""
+    e = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    e.select("event_id", "user_id").write.parquet(f"{out}/gen=1")
+    e.select(
+        (F.col("event_id") + 2000000000).alias("event_id"), "user_id", "value"
+    ).write.parquet(f"{out}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return back.select("event_id", "user_id", "value")

@@ -129,3 +129,16 @@ def test_cc_labels_consistent_with_pairs(spark):
     for doc, lab in labels.items():
         assert lab <= doc
         assert labels[lab] == lab
+
+
+def test_hll_sketch_estimates_close_to_exact(spark):
+    """HLL estimates within 5% of exact per type; the merged __ALL__
+    estimate within 5% of the true global distinct count."""
+    rows = engine.QUERIES["agg_hll_sketch_merge"](spark, T2_SF_DIR).collect()
+    ev = table(spark, T2_SF_DIR, "events")
+    exact_total = ev.select("user_id").distinct().count()
+    for r in rows:
+        if r["event_type"] == "__ALL__":
+            assert abs(r["est_users"] - exact_total) / exact_total < 0.05
+        else:
+            assert abs(r["est_users"] - r["exact_users"]) / r["exact_users"] < 0.05
