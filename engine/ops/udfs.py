@@ -132,3 +132,35 @@ def udf_map_in_pandas(spark, sf_dir):
     return d.select("doc_id", "text").mapInPandas(
         count_tokens, "doc_id long, n_tokens long"
     )
+
+
+@register(
+    "udtf_python",
+    oracle="""
+        SELECT event_id, unnest(range(event_id % 3 + 1)) AS i
+        FROM events WHERE event_id < 1000
+    """,
+)
+def udtf_python(spark, sf_dir):
+    """Python UDTF (table function): one input row → event_id%3+1
+    output rows, consumed through the SQL LATERAL surface. Completes
+    the UDF family (scalar / pandas / grouped / map / stateful /
+    table). Arrow-less row interface — fine off the hot path; bulk
+    fan-outs belong in explode()/mapInPandas."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i: bigint")
+    class RepeatRows:
+        def eval(self, event_id: int):
+            for i in range(event_id % 3 + 1):
+                yield (i,)
+
+    spark.udtf.register("repeat_rows", RepeatRows)
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    e.createOrReplaceTempView("v_events_udtf")
+    return spark.sql(
+        """
+        SELECT e.event_id, t.i
+        FROM v_events_udtf e, LATERAL repeat_rows(e.event_id) AS t
+        """
+    )
