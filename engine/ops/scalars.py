@@ -298,3 +298,29 @@ def json_extract(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
         F.get_json_object("props", "$.k").alias("k_str"),
     )
+
+
+@register(
+    "cast_try_safe",
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+               TRY_CAST(event_type AS BIGINT) AS type_num,
+               TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) / 7
+                 AS k_seventh
+        FROM events
+    """,
+)
+def cast_try_safe(spark, sf_dir):
+    """Error-safe casts: try_cast yields NULL instead of an ANSI
+    runtime error on non-numeric input (event_type never parses, k
+    always does) — the ingestion-hardening counterpart to PERMISSIVE
+    parsing."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.try_cast("bigint").alias("k_num"),
+        F.col("event_type").try_cast("bigint").alias("type_num"),
+        (k.try_cast("double") / 7).alias("k_seventh"),
+    )

@@ -204,3 +204,40 @@ def win_range_interval(spark, sf_dir):
         "ts",
         F.count(F.lit(1)).over(w).alias("n_prev_hour"),
     )
+
+
+@register(
+    "win_first_last_nth",
+    oracle="""
+        SELECT event_id, user_id,
+               first_value(event_id) OVER w AS first_event,
+               last_value(event_id) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_event,
+               nth_value(event_id, 2) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_first_last_nth(spark, sf_dir):
+    """first/last/nth_value navigation. last/nth use the full-partition
+    frame explicitly — the default ORDER BY frame stops at CURRENT ROW,
+    where last_value degenerates to the current row (a classic window
+    footgun both engines share). Unique (ts, event_id) ordering keeps
+    every value deterministic."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    cur = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = cur.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(cur).alias("first_event"),
+        F.last("event_id").over(full).alias("last_event"),
+        F.nth_value("event_id", 2).over(full).alias("second_event"),
+    )

@@ -1,0 +1,79 @@
+"""Hypothesis property tests (SURVEY §5): invariants that must hold for
+ARBITRARY data, not just the fixture tables — the parse path inverts the
+synthesis path exactly, and the deterministic money-sum is invariant
+under repartitioning (the property that makes it oracle-safe).
+
+Data is generated driver-side and pushed through real Spark plans;
+examples are kept small (Spark job per example is ~0.5 s) with
+deadline=None.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from engine.dsl import dsum
+
+LINE_FIELDS = st.tuples(
+    st.integers(0, 10**9),            # account
+    st.integers(0, 2**16 - 1),         # srcport
+    st.integers(0, 2**16 - 1),         # dstport
+    st.integers(0, 255),               # protocol
+    st.integers(0, 10**12),            # packets
+    st.integers(0, 10**12),            # bytes
+    st.integers(0, 2**31 - 1),         # start epoch
+    st.sampled_from(["ACCEPT", "REJECT"]),
+    st.sampled_from(["OK", "NODATA", "SKIPDATA"]),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(LINE_FIELDS, min_size=1, max_size=8))
+def test_flowlog_parse_inverts_any_v2_line(spark, rows):
+    """from_csv(sep=' ') must recover every field of any well-formed
+    v2 line, not just the fixture-synthesized ones."""
+    from engine.ingest import parse_flowlog_lines
+
+    lines = [
+        (
+            i,
+            f"2 {acct} eni-{acct} 10.0.0.1 10.1.0.2 {sp} {dp} {proto} "
+            f"{pk} {by} {t0} {t0 + 60} {action} {status}",
+        )
+        for i, (acct, sp, dp, proto, pk, by, t0, action, status) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(lines, "row_id long, line string")
+    got = {r["row_id"]: r for r in parse_flowlog_lines(df).collect()}
+    for i, (acct, sp, dp, proto, pk, by, t0, action, status) in enumerate(rows):
+        r = got[i]
+        assert r["version"] == 2
+        assert r["account_id"] == str(acct)
+        assert r["srcport"] == sp and r["dstport"] == dp
+        assert r["protocol"] == proto
+        assert r["packets"] == pk and r["bytes"] == by
+        assert r["start"] == t0 and r["end"] == t0 + 60
+        assert r["action"] == action and r["log_status"] == status
+
+
+MONEY = st.decimals(
+    min_value=-(10**6), max_value=10**6, places=2, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(MONEY, min_size=1, max_size=40), st.integers(1, 8))
+def test_dsum_invariant_under_partitioning(spark, vals, nparts):
+    """dsum must produce the bit-identical double for every partition
+    layout (plain sum(double) would not) — the invariant the DuckDB
+    value-hash parity rests on."""
+    floats = [float(v) for v in vals]
+    df = spark.createDataFrame([(x,) for x in floats], "v double")
+    a = df.repartition(nparts).agg(dsum(F.col("v"), 100).alias("s")).collect()[0]["s"]
+    b = df.coalesce(1).agg(dsum(F.col("v"), 100).alias("s")).collect()[0]["s"]
+    assert a == b
+    # exact-decimal reconstruction: both sides are the correctly-rounded
+    # double of the same exact rational sum
+    assert a == float(sum(vals))
