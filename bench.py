@@ -48,7 +48,10 @@ def main() -> None:
 
     names = sorted(engine.QUERIES)
     if args.queries:
-        names = [n for n in args.queries.split(",") if n in engine.QUERIES]
+        names = args.queries.split(",")
+        unknown = [n for n in names if n not in engine.QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown query ids: {unknown}")
 
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -29,18 +29,26 @@ def _tokens():
 
 
 def _shingle_array(toks):
-    """Distinct 3-token shingles as an array column (1-based element_at)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
+    """Distinct 3-token shingles as an array column (1-based element_at).
+
+    Guarded for short documents: sequence(1, size-2) would DESCEND for
+    size < 3 (Spark defaults step to -1) and element_at(toks, 0) would
+    raise — a <3-token doc must yield an empty shingle set, as the
+    oracle's range() does."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(docs):

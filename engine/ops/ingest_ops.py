@@ -6,8 +6,6 @@ same readStream contract).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import functions as F
 
 from ..ingest import (
@@ -19,7 +17,7 @@ from ..ingest import (
     parse_flowlog_lines,
     synthesize_envelopes,
 )
-from ..registry import register, table
+from ..registry import register, scratch_dir, table
 from ..schemas import EVENTS_STREAM_SCHEMA
 
 
@@ -33,7 +31,7 @@ def sink_parquet_partitioned(spark, sf_dir):
     prove the round-trip is lossless. Partition pruning on event_type
     is what makes per-type queries cheap at 100 TB."""
     e = table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="engine_sink_")
+    out = scratch_dir("sink_parquet")
     e.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out)
     return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -107,9 +105,8 @@ def stream_file_source(spark, sf_dir):
     the whole Structured Streaming source/sink/checkpoint contract in
     a bounded call."""
     e = table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="engine_stream_src_")
-    sink = tempfile.mkdtemp(prefix="engine_stream_sink_")
-    ckpt = tempfile.mkdtemp(prefix="engine_stream_ckpt_")
+    base = scratch_dir("stream_file_source")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     e.write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
@@ -120,7 +117,9 @@ def stream_file_source(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_file_source: availableNow query exceeded 300s")
     back = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(sink)
     return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
@@ -174,7 +173,7 @@ def source_schema_evolution(spark, sf_dir):
     footer-merge cost isn't paid per query — mergeSchema is the
     bootstrap path."""
     e = table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="schema_evo_")
+    out = scratch_dir("schema_evo")
     e.select("event_id", "user_id").write.parquet(f"{out}/gen=1")
     e.select(
         (F.col("event_id") + 2000000000).alias("event_id"), "user_id", "value"

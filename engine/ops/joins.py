@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..dsl import dsum
-from ..registry import register, table
+from ..registry import register, scratch_dir, table
 
 
 @register(
@@ -282,10 +282,8 @@ def join_bucketed_colocated(spark, sf_dir):
     the bucketing path; the conf is restored by the registry wrapper
     on the next query.
     """
-    import tempfile
-
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    base = scratch_dir("bucketed")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     for name, df, key in (

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..registry import register, table
+from ..registry import register, scratch_dir, table
 
 
 @register(
@@ -57,12 +57,10 @@ def source_csv_roundtrip(spark, sf_dir):
     an explicit schema (never inference in production paths — SURVEY
     §1.2). Value-hash parity against the original table proves the
     round-trip is lossless."""
-    import tempfile
-
     n = table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    out = tempfile.mkdtemp(prefix="csv_rt_")
+    out = scratch_dir("csv_rt")
     n.write.mode("overwrite").option("header", "true").csv(out)
     return spark.read.schema(
         "n_nationkey int, n_name string, n_regionkey int"
@@ -78,12 +76,10 @@ def source_json_roundtrip(spark, sf_dir):
     are rounded identically on both sides (JSON text serialization is
     shortest-roundtrip, so the re-parsed double is bit-identical, but
     the oracle's column must be aliased anyway)."""
-    import tempfile
-
     s = table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
     )
-    out = tempfile.mkdtemp(prefix="json_rt_")
+    out = scratch_dir("json_rt")
     s.write.mode("overwrite").json(out)
     return spark.read.schema(
         "s_suppkey int, s_name string, s_nationkey int, acctbal double"

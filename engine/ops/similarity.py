@@ -328,7 +328,7 @@ def knn_label_vote(spark, sf_dir):
     """k-NN majority label among the top-k cosine neighbors; ties break
     to the smallest label."""
     em = table(spark, sf_dir, "embeddings")
-    topk = sim_search_topk.__wrapped__(spark, sf_dir) if hasattr(sim_search_topk, "__wrapped__") else sim_search_topk(spark, sf_dir)
+    topk = sim_search_topk(spark, sf_dir)
     labels = em.select(F.col("vec_id").alias("c_id"), "label")
     votes = (
         topk.join(F.broadcast(labels), "c_id")

@@ -93,14 +93,17 @@ def session_agg(e: DataFrame) -> DataFrame:
     "stream_session_window",
     oracle=f"""
         WITH flagged AS (
-          SELECT user_id, ts, value,
+          SELECT user_id, ts, event_id, value,
                  CASE WHEN lag(ts) OVER w IS NULL
                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_s
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
-          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          -- (ts, event_id) tiebreak: a ROWS frame over ts alone would
+          -- order same-ts peers arbitrarily and could split them across
+          -- sessions nondeterministically
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS sid
           FROM flagged
         )

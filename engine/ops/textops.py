@@ -78,12 +78,17 @@ def text_ngrams(spark, sf_dir):
     (no lead() across documents)."""
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    # guarded like dedup._shingle_array: a 1-token doc has no bigrams
+    # (sequence() would descend and element_at(,0) would raise)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")

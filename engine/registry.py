@@ -14,6 +14,7 @@ Contract (driver, ``__spark_entry__.py`` docstring):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import Optional
 
@@ -29,12 +30,10 @@ def register(name: str, oracle: Optional[str] = None):
     def deco(fn: QueryFn) -> QueryFn:
         from .session import apply_runtime_confs
 
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             apply_runtime_confs(spark)
             return fn(spark, sf_dir)
-
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
         if name in QUERIES:
             raise ValueError(f"duplicate query id: {name}")
         QUERIES[name] = wrapped
@@ -43,6 +42,23 @@ def register(name: str, oracle: Optional[str] = None):
         return wrapped
 
     return deco
+
+
+def scratch_dir(name: str) -> str:
+    """Stable per-operator scratch directory, wiped at each call.
+
+    Side-effectful operators (sinks, bucketed tables, round-trips)
+    write here instead of a fresh mkdtemp so repeated runs are bounded
+    to ONE copy on disk; wiping (not reusing) keeps streaming
+    checkpoints and sink contents fresh per run."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"engine_scratch_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

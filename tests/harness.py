@@ -33,15 +33,18 @@ TABLES = [
 
 def oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-    return con.execute(sql).df()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
 
 
 def cell(v) -> str:
-    if v is None:
+    if v is None or v is pd.NaT:
         return "<NULL>"
     if isinstance(v, float) and math.isnan(v):
         return "<NULL>"
@@ -58,8 +61,6 @@ def cell(v) -> str:
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return str(int(v))
     if isinstance(v, pd.Timestamp):
-        if v is pd.NaT:
-            return "<NULL>"
         return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(cell(x) for x in v) + "]"

@@ -47,7 +47,9 @@ def _run_stream(spark, stream_df, name, mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{name}: availableNow query exceeded 300s")
     return spark.table(name)
 
 
@@ -272,7 +274,9 @@ def test_stream_parquet_sink_partitioned(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("parquet sink stream exceeded 300s")
 
     # keep partition values as the written strings ("08" not int 8)
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
