@@ -352,3 +352,72 @@ def agg_hll_sketch_merge(spark, sf_dir):
         F.lit(None).cast("long").alias("exact_users"),
     )
     return per_type_est.unionByName(total)
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+        WITH agg AS (
+          SELECT user_id, min(value) AS min_v, max(value) AS max_v,
+                 count(*) * 1.0 AS n_v
+          FROM events GROUP BY user_id
+        )
+        SELECT * FROM agg UNPIVOT (metric_value FOR metric IN (min_v, max_v, n_v))
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """Unpivot (melt): wide per-user metrics → (user_id, metric, value)
+    long form — the inverse of agg_pivot, the shape feature stores and
+    metric sinks want. Narrow-side casts keep one value type (double)."""
+    e = table(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").agg(
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        (F.count(F.lit(1)) * 1.0).alias("n_v"),
+    )
+    return wide.unpivot(
+        ["user_id"], ["min_v", "max_v", "n_v"], "metric", "metric_value"
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 6) AS q25,
+               round(quantile_cont(value, 0.50), 6) AS q50,
+               round(quantile_cont(value, 0.75), 6) AS q75
+        FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_exact(spark, sf_dir):
+    """Exact continuous percentiles per group (vs the approximate
+    sketch in agg_approx_percentile). Rounded to 6 dp on both sides:
+    the interpolation formulas differ in fp rounding ((1-f)a+fb vs
+    a+f(b-a)) by at most an ulp."""
+    e = table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return e.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 6).alias("q25"),
+        F.round(F.element_at(pct, 2), 6).alias("q50"),
+        F.round(F.element_at(pct, 3), 6).alias("q75"),
+    )
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+        SELECT event_type AS event_type_bucket,
+               count(*) FILTER (user_id % 3 = 0) AS "0",
+               count(*) FILTER (user_id % 3 = 1) AS "1",
+               count(*) FILTER (user_id % 3 = 2) AS "2"
+        FROM events GROUP BY event_type
+    """,
+)
+def stat_crosstab(spark, sf_dir):
+    """Contingency table via df.stat.crosstab — pairwise frequency
+    counts with one categorical pivoted into columns."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(3))
+    )
+    return e.stat.crosstab("event_type", "bucket")

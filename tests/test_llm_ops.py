@@ -142,3 +142,24 @@ def test_hll_sketch_estimates_close_to_exact(spark):
             assert abs(r["est_users"] - exact_total) / exact_total < 0.05
         else:
             assert abs(r["est_users"] - r["exact_users"]) / r["exact_users"] < 0.05
+
+
+def test_shingle_and_bigram_guards_short_docs(spark):
+    """Sub-3-token documents must yield empty shingle sets (and 1-token
+    docs no bigrams) instead of crashing on a descending sequence() /
+    element_at(toks, 0) — regression for the short-document guard."""
+    from pyspark.sql import functions as F
+
+    from engine.ops.dedup import _shingle_array, _tokens
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "one two three"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", _shingle_array(_tokens()).alias("sh")).collect()
+    }
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["one two three"]
+    assert sorted(rows[4]) == ["a b c", "b c d"]
