@@ -139,15 +139,24 @@ def sim_search_blocked(spark, sf_dir):
         em.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")),
         "c_emb",
     )
+    # dedupe on bare id pairs (two longs), not on the 64-float vectors —
+    # the distinct's shuffle width is what dominates at scale
     cands = (
-        q.join(c, ["band", "band_key"])
+        q.select("band", "band_key", "q_id")
+        .join(c.select("band", "band_key", "c_id"), ["band", "band_key"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "q_emb", "c_id", "c_emb")
+        .select("q_id", "c_id")
         .distinct()
     )
+    qv = em.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cv = em.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
     return (
-        cands.select(
+        cands.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .select(
             "q_id", "c_id", dot6(F.col("q_emb"), F.col("c_emb")).alias("score")
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
