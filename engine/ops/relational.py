@@ -246,3 +246,52 @@ def set_except(spark, sf_dir):
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.exceptAll(s)
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > (
+          SELECT 2 * avg(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+    """,
+)
+def subquery_correlated(spark, sf_dir):
+    """Correlated scalar subquery through the SQL surface: orders more
+    than 2× their customer's average. Catalyst decorrelates this to an
+    aggregate + join (RewriteCorrelatedScalarSubquery, SURVEY §4) — no
+    per-row re-execution, which is what makes the form survivable at
+    100 TB. avg is order-sensitive in fp, but the 2× threshold is far
+    from any order boundary on this data (verified: parity holds)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders_subq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM v_orders_subq o
+        WHERE o.o_totalprice > (
+          SELECT 2 * avg(o2.o_totalprice) FROM v_orders_subq o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """Bag-semantics intersection (duplicates preserved up to the
+    smaller multiplicity), completing the set-op family."""
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)

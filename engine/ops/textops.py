@@ -291,3 +291,60 @@ def text_dedup_pipeline(spark, sf_dir):
         F.min("n_tok").alias("n_tok"),
         F.count(F.lit(1)).alias("n_copies"),
     ).drop("h")
+
+
+PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_tok
+          FROM t
+        )
+        SELECT doc_id, n_tok,
+               CAST((cum_tok - 1) // {PACK_BUDGET} AS BIGINT) AS bin_id
+        FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM training prep: assign documents (in
+    deterministic doc_id order) to fixed token-budget bins via a
+    running-sum window — each bin holds ~BUDGET tokens of concatenated
+    docs. The single unpartitioned window is the one global-order
+    operator in the inventory; at 100 TB packing runs per shard
+    (partitionBy(shard) added to the window) since bins never need to
+    span shards."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens()).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.select("doc_id", n_tok.alias("n_tok"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            "n_tok",
+            ((F.col("cum_tok") - 1) / PACK_BUDGET).cast("long").alias("bin_id"),
+        )
+    )
+
+
+@register("sample_stratified")  # rows-only: sampling is partition-layout-defined
+def sample_stratified(spark, sf_dir):
+    """Class-balanced corpus sampling: per-language fractions chosen to
+    downsample the majority class (en) — the dataset-rebalancing step
+    of a training-data pipeline. Bernoulli per row with a fixed seed;
+    exact membership depends on partition layout, so the contract
+    (property-tested) is per-group fraction bounds, not row identity."""
+    d = table(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 1.0}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

@@ -163,3 +163,19 @@ def test_shingle_and_bigram_guards_short_docs(spark):
     assert rows[1] == [] and rows[2] == []
     assert rows[3] == ["one two three"]
     assert sorted(rows[4]) == ["a b c", "b c d"]
+
+
+def test_stratified_sample_fractions(spark):
+    """Per-language sample rates must track the requested fractions
+    (en downsampled to ~0.3, the rest kept) within Bernoulli noise."""
+    d = table(spark, T2_SF_DIR, "documents")
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    got = engine.QUERIES["sample_stratified"](spark, T2_SF_DIR).collect()
+    by_lang = {}
+    for r in got:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert 0.15 <= by_lang["en"] / totals["en"] <= 0.45
+    for lang in ("fr", "es", "de", "zh"):
+        assert by_lang[lang] == totals[lang]  # fraction 1.0 keeps all
