@@ -421,3 +421,28 @@ def stat_crosstab(spark, sf_dir):
         "bucket", F.pmod(F.col("user_id"), F.lit(3))
     )
     return e.stat.crosstab("event_type", "bucket")
+
+
+@register(
+    "agg_bool_bit",
+    oracle="""
+        SELECT event_type,
+               bool_and(value > 0) AS all_positive,
+               bool_or(value > 100) AS any_large,
+               bit_and(CAST(user_id AS BIGINT)) AS uid_bit_and,
+               bit_or(CAST(user_id AS BIGINT)) AS uid_bit_or,
+               bit_xor(CAST(user_id AS BIGINT)) AS uid_bit_xor
+        FROM events GROUP BY event_type
+    """,
+)
+def agg_bool_bit(spark, sf_dir):
+    """Boolean and bitwise aggregates (every/some, bit_and/or/xor) —
+    all order-insensitive, so exact cross-engine parity."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.every(F.col("value") > 0).alias("all_positive"),
+        F.some(F.col("value") > 100).alias("any_large"),
+        F.bit_and("user_id").alias("uid_bit_and"),
+        F.bit_or("user_id").alias("uid_bit_or"),
+        F.bit_xor("user_id").alias("uid_bit_xor"),
+    )

@@ -338,3 +338,32 @@ def join_skew_salted(spark, sf_dir):
         e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
         .select("event_id", "user_id", "c_name", "value")
     )
+
+
+@register(
+    "join_interval_point",
+    oracle="""
+        SELECT o.o_orderkey, e.event_id, e.user_id, o.o_orderdate, e.ts
+        FROM orders o JOIN events e
+          ON e.user_id = o.o_custkey
+         AND e.ts >= o.o_orderdate
+         AND e.ts < o.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def join_interval_point(spark, sf_dir):
+    """Point-in-interval join: events landing inside each same-user
+    order's 30-day window. The equi-key (user_id = custkey) makes this
+    a hash-partitioned join with the interval as residual condition —
+    at 100 TB add coarse time-bucket keys to both sides so the residual
+    never sees a whole user's history."""
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    return (
+        o.join(
+            e,
+            (e.user_id == o.o_custkey)
+            & (e.ts >= o.o_orderdate)
+            & (e.ts < o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        )
+        .select("o_orderkey", "event_id", "user_id", "o_orderdate", "ts")
+    )

@@ -324,3 +324,53 @@ def cast_try_safe(spark, sf_dir):
         F.col("event_type").try_cast("bigint").alias("type_num"),
         (k.try_cast("double") / 7).alias("k_seventh"),
     )
+
+
+@register(
+    "str_pad_translate",
+    oracle="""
+        SELECT p_partkey,
+               lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+               translate(p_name, 'aeiou', '_____') AS devoweled,
+               reverse(p_brand) AS brand_rev,
+               repeat('*', p_size % 5) AS stars
+        FROM part
+    """,
+)
+def str_pad_translate(spark, sf_dir):
+    """Second string batch: lpad / translate / reverse / repeat."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.translate("p_name", "aeiou", "_____").alias("devoweled"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("*"), F.pmod("p_size", F.lit(5))).alias("stars"),
+    )
+
+
+@register(
+    "date_make_construct",
+    oracle="""
+        SELECT event_id,
+               CAST(make_date(CAST(year(ts) AS INT), CAST(month(ts) AS INT),
+                         CAST(day(ts) AS INT)) AS VARCHAR) AS d,
+               CAST(make_timestamp(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT),
+                              CAST(day(ts) AS BIGINT), CAST(hour(ts) AS BIGINT),
+                              CAST(minute(ts) AS BIGINT), 0.0) AS TIMESTAMP) AS t0
+        FROM events
+    """,
+)
+def date_make_construct(spark, sf_dir):
+    """Date/timestamp constructors from parts (make_date /
+    make_timestamp) — the inverse of date_parts extraction."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.make_date(F.year("ts"), F.month("ts"), F.dayofmonth("ts"))
+        .cast("string")
+        .alias("d"),
+        F.expr(
+            "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), minute(ts), 0)"
+        ).alias("t0"),
+    )

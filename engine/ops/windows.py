@@ -241,3 +241,44 @@ def win_first_last_nth(spark, sf_dir):
         F.last("event_id").over(full).alias("last_event"),
         F.nth_value("event_id", 2).over(full).alias("second_event"),
     )
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+        WITH g AS (
+          SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS grp
+          FROM events
+        )
+        SELECT user_id, event_type, count(*) AS streak_len,
+               min(ts) AS streak_start, max(ts) AS streak_end
+        FROM g GROUP BY user_id, event_type, grp
+        HAVING count(*) >= 3
+    """,
+)
+def win_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands streak detection: runs of >=3 consecutive
+    same-type events per user, via the double-row_number difference
+    trick — one window pass + one aggregation, no self-joins."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+    )
+    return (
+        g.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("ts").alias("streak_start"),
+            F.max("ts").alias("streak_end"),
+        )
+        .filter(F.col("streak_len") >= 3)
+        .drop("grp")
+    )
