@@ -77,3 +77,40 @@ def test_dsum_invariant_under_partitioning(spark, vals, nparts):
     # exact-decimal reconstruction: both sides are the correctly-rounded
     # double of the same exact rational sum
     assert a == float(sum(vals))
+
+
+MESSAGES = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
+    min_size=0,
+    max_size=200,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(MESSAGES, min_size=1, max_size=6))
+def test_envelope_codec_roundtrips_arbitrary_text(spark, msgs):
+    """The gzip+base64+JSON envelope codec must round-trip ANY unicode
+    message (quotes, newlines, emoji, control chars) — the decode path
+    can't assume well-behaved log lines."""
+    import base64
+    import gzip
+    import json
+
+    from engine.ingest import decode_envelopes
+
+    payloads = []
+    for i, m in enumerate(msgs):
+        env = {
+            "messageType": "DATA_MESSAGE",
+            "owner": str(i),
+            "logGroup": "/g",
+            "logStream": f"s-{i}",
+            "subscriptionFilters": ["f"],
+            "logEvents": [{"id": str(i), "timestamp": 1000 + i, "message": m}],
+        }
+        payloads.append(
+            (base64.b64encode(gzip.compress(json.dumps(env).encode())).decode(),)
+        )
+    df = spark.createDataFrame(payloads, "payload string")
+    got = {r["id"]: r["message"] for r in decode_envelopes(df).collect()}
+    assert got == {str(i): m for i, m in enumerate(msgs)}
