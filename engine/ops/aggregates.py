@@ -446,3 +446,15 @@ def agg_bool_bit(spark, sf_dir):
         F.bit_or("user_id").alias("uid_bit_or"),
         F.bit_xor("user_id").alias("uid_bit_xor"),
     )
+
+
+@register("stat_freq_items")  # rows-only: approximate single-pass sketch
+def stat_freq_items(spark, sf_dir):
+    """Approximate heavy hitters via df.stat.freqItems (single-pass
+    Karp-Shenker-Papadimitriou): all items with frequency above the
+    support threshold are guaranteed present (false positives allowed,
+    no false negatives) — the mergeable one-pass alternative to an
+    exact groupBy count at 100 TB. Property-tested: every event_type
+    above support must appear."""
+    e = table(spark, sf_dir, "events")
+    return e.stat.freqItems(["event_type", "user_id"], support=0.1)

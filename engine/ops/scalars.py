@@ -374,3 +374,23 @@ def date_make_construct(spark, sf_dir):
             "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), minute(ts), 0)"
         ).alias("t0"),
     )
+
+
+@register(
+    "arr_explode_outer",
+    oracle="""
+        SELECT d.doc_id, u.tok
+        FROM documents d
+        LEFT JOIN LATERAL (
+          SELECT unnest(list_filter(string_split(d.text, ' '),
+                                    t -> t = 'join')) AS tok
+        ) u ON true
+    """,
+)
+def arr_explode_outer(spark, sf_dir):
+    """explode_outer: unnesting that KEEPS rows whose array is empty
+    (as a NULL row) — the left-join flavor of explode, essential when
+    the fan-out must not drop parents."""
+    d = table(spark, sf_dir, "documents")
+    hits = F.filter(F.split("text", " "), lambda t: t == "join")
+    return d.select("doc_id", F.explode_outer(hits).alias("tok"))

@@ -179,3 +179,19 @@ def test_stratified_sample_fractions(spark):
     assert 0.15 <= by_lang["en"] / totals["en"] <= 0.45
     for lang in ("fr", "es", "de", "zh"):
         assert by_lang[lang] == totals[lang]  # fraction 1.0 keeps all
+
+
+def test_freq_items_contains_all_frequent(spark):
+    """KSP guarantee: no false negatives above the support threshold."""
+    e = table(spark, T2_SF_DIR, "events")
+    n = e.count()
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["event_type"]: r["c"]
+        for r in e.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    frequent = {t for t, c in counts.items() if c / n > 0.1}
+    row = engine.QUERIES["stat_freq_items"](spark, T2_SF_DIR).collect()[0]
+    got = set(row["event_type_freqItems"])
+    assert frequent <= got
