@@ -196,17 +196,22 @@ def text_langid_ngram(spark, sf_dir):
     )
     tris = d.select("doc_id", "lang", F.explode(tri_arr).alias("tri"))
 
+    # ONE shuffle over the exploded trigrams; both the language profiles
+    # and the per-doc distinct trigram sets derive from this base (the
+    # naive form explodes twice and pays an extra distinct shuffle)
+    base = tris.groupBy("doc_id", "lang", "tri").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     prof_w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
     profile = (
-        tris.groupBy("lang", "tri")
-        .agg(F.count(F.lit(1)).alias("n"))
+        base.groupBy("lang", "tri")
+        .agg(F.sum("cnt").alias("n"))
         .withColumn("rn", F.row_number().over(prof_w))
         .filter(F.col("rn") <= 30)
         .select(F.col("lang").alias("cand_lang"), "tri")
     )
-    doc_tris = tris.select("doc_id", "lang", "tri").distinct()
     scores = (
-        doc_tris.join(F.broadcast(profile), "tri")
+        base.join(F.broadcast(profile), "tri")
         .groupBy("doc_id", "lang", "cand_lang")
         .agg(F.count(F.lit(1)).alias("matches"))
     )

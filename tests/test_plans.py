@@ -99,6 +99,30 @@ def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
     assert "dt" in pf
 
 
+def test_salted_join_partitions_on_salt(spark):
+    """The salted join must hash-partition on BOTH keys — user_id alone
+    would defeat the salting."""
+    plan = _plan(spark, "join_skew_salted")
+    assert "CartesianProduct" not in plan
+    # the join condition carries both user and salt equality
+    assert "salt" in plan and ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan)
+
+
+def test_q18_aggregates_before_joining(spark):
+    """Q18's HAVING aggregation must sit BELOW the joins in the plan —
+    shrinking lineitem to qualifying orders before any join."""
+    plan = _plan(spark, "tpch_q18")
+    agg_pos = plan.find("HashAggregate")
+    first_join = min(
+        [p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                     plan.find("ShuffledHashJoin")) if p != -1],
+        default=-1,
+    )
+    assert agg_pos != -1 and first_join != -1
+    # plans print top-down: the join appears before (above) the agg that feeds it
+    assert first_join < plan.rfind("HashAggregate")
+
+
 def test_minhash_only_broadcasts_seed_product(spark):
     """dedup_near_minhash's one intentional product is the 16-row seed
     fan-out, which must be broadcast (nested-loop against a 16-row
