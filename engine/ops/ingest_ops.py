@@ -182,3 +182,28 @@ def source_schema_evolution(spark, sf_dir):
         f"{out}/gen=1", f"{out}/gen=2"
     )
     return back.select("event_id", "user_id", "value")
+
+
+@register(
+    "sink_sorted_clustered",
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def sink_sorted_clustered(spark, sf_dir):
+    """Range-clustered parquet sink: repartitionByRange(user_id) +
+    sortWithinPartitions before writing gives each output file a tight
+    user_id min/max band, so later scans with user predicates skip
+    whole files on parquet row-group statistics — data clustering, the
+    lakehouse complement to directory partitioning (which suits only
+    low-cardinality keys like dt). Round-trip parity proves the
+    re-layout is lossless."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = scratch_dir("sorted_clustered")
+    (
+        e.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)

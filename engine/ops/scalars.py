@@ -394,3 +394,75 @@ def arr_explode_outer(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     hits = F.filter(F.split("text", " "), lambda t: t == "join")
     return d.select("doc_id", F.explode_outer(hits).alias("tok"))
+
+
+@register(
+    "str_hash_encode",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               sha256(text) AS text_sha256,
+               to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS prefix_b64,
+               lower(hex(substr(text, 1, 4))) AS prefix_hex
+        FROM documents
+    """,
+)
+def str_hash_encode(spark, sf_dir):
+    """Hashing/encoding batch: md5 / sha256 / base64 / hex — content
+    addressing and wire encoding for dedup keys and payload framing."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("prefix_b64"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias(
+            "prefix_hex"
+        ),
+    )
+
+
+@register(
+    "num_format_printf",
+    oracle="""
+        SELECT event_id,
+               printf('%08d', CAST(user_id AS INT)) AS uid_padded,
+               printf('%.3f', value) AS value_3dp
+        FROM events
+    """,
+)
+def num_format_printf(spark, sf_dir):
+    """printf-style formatting (fixed-width ids, fixed-precision
+    rendering) — the stable-text serialization surface."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.format_string("%08d", F.col("user_id").cast("int")).alias("uid_padded"),
+        F.format_string("%.3f", "value").alias("value_3dp"),
+    )
+
+
+@register(
+    "date_tz_shift",
+    oracle="""
+        SELECT event_id, ts,
+               ts + INTERVAL 330 MINUTE AS ts_ist,
+               ts - INTERVAL 8 HOUR AS ts_pst
+        FROM events
+    """,
+)
+def date_tz_shift(spark, sf_dir):
+    """Fixed-offset timezone shifts via from_utc_timestamp — rendered
+    as interval arithmetic in the oracle (fixed offsets avoid tzdata
+    version skew between engines)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "ts",
+        F.from_utc_timestamp(F.col("ts").cast("timestamp"), "+05:30")
+        .cast("timestamp_ntz")
+        .alias("ts_ist"),
+        F.from_utc_timestamp(F.col("ts").cast("timestamp"), "-08:00")
+        .cast("timestamp_ntz")
+        .alias("ts_pst"),
+    )
