@@ -345,3 +345,32 @@ def stream_stream_join(spark, sf_dir):
         e.filter(F.col("event_type") == "click"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+def static_enrich(events_df: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment (shared batch/stream): each event joined
+    to the broadcast customer dim — no state, no watermark needed; the
+    static side is re-broadcast per micro-batch, which is why dims must
+    stay broadcast-sized (or become a slowly-changing stream-stream
+    join instead)."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return events_df.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static join declared as its batch twin; the streaming
+    form runs in tests/test_streaming.py."""
+    return static_enrich(
+        table(spark, sf_dir, "events"), table(spark, sf_dir, "customer")
+    )

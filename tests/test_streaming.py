@@ -374,3 +374,20 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     write_batch(spark.createDataFrame(replay_rows), last_id)
     spark.catalog.refreshByPath(out)
     assert spark.read.parquet(out).count() == total_before
+
+
+def test_stream_static_join_equals_batch(spark, tmp_path):
+    from engine.ops.streaming import static_enrich
+
+    e = _events(spark)
+    customers = table(spark, SMOKE_SF_DIR, "customer")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    e.write.parquet(src, mode="append")
+    got = _run_stream(
+        spark,
+        static_enrich(_read_stream(spark, src), customers),
+        "t_static_join",
+        "append",
+    )
+    assert canon(got.toPandas()) == canon(static_enrich(e, customers).toPandas())
