@@ -350,3 +350,37 @@ def knn_label_vote(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("q_id", F.col("label").alias("predicted_label"), "votes")
     )
+
+
+@register(
+    "embed_normalize",
+    oracle="""
+        WITH n AS (
+          SELECT vec_id,
+                 sqrt(list_aggregate(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm
+          FROM embeddings
+        )
+        SELECT vec_id, round(norm, 6) AS l2_norm,
+               CAST(abs(norm - 1.0) < 0.001 AS BOOLEAN) AS is_unit
+        FROM n
+    """,
+)
+def embed_normalize(spark, sf_dir):
+    """L2-norm computation/validation over the embedding column — the
+    normalization gate an ingestion pipeline applies so that dot ==
+    cosine downstream (FIXTURES.md says these are pre-normalized; the
+    is_unit flag proves it query-side)."""
+    em = table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return em.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        (F.abs(norm - 1.0) < 0.001).alias("is_unit"),
+    )

@@ -353,3 +353,82 @@ def sample_stratified(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     fractions = {"en": 0.3, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 1.0}
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12  # 4-token overlap
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        )
+        SELECT doc_id, CAST(r.i AS BIGINT) AS chunk_idx,
+               array_to_string(
+                 list_slice(toks, r.i * {CHUNK_STRIDE} + 1,
+                            r.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk
+        FROM t, unnest(range((len(toks) + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})) r(i)
+        WHERE r.i * {CHUNK_STRIDE} < len(toks)
+    """,
+)
+def text_chunk_overlap(spark, sf_dir):
+    """RAG/context chunking: overlapping fixed-token windows (16-token
+    chunks, stride 12 → 4-token overlap), one row per chunk, doc
+    boundaries respected — pure array ops, no Python."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_chunks = F.ceil(F.size(toks) / CHUNK_STRIDE).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+            ).alias("chunk"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk"
+    )
+
+
+VOCAB_SIZE = 50
+
+
+@register(
+    "text_vocab_build",
+    oracle=f"""
+        WITH counts AS (
+          SELECT token, count(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY token
+        ),
+        ranked AS (
+          SELECT token, n,
+                 row_number() OVER (ORDER BY n DESC, token) AS token_id
+          FROM counts
+        )
+        SELECT token, CAST(token_id AS BIGINT) AS token_id, n
+        FROM ranked WHERE token_id <= {VOCAB_SIZE}
+    """,
+)
+def text_vocab_build(spark, sf_dir):
+    """Tokenizer-prep vocabulary: top-K tokens by corpus frequency with
+    deterministic ids (freq desc, token asc) — the build step before
+    any id-mapping tokenization pass."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+        .filter(F.col("token_id") <= VOCAB_SIZE)
+        .select("token", "token_id", "n")
+    )
