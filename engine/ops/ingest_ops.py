@@ -207,3 +207,61 @@ def sink_sorted_clustered(spark, sf_dir):
         .parquet(out)
     )
     return spark.read.parquet(out)
+
+
+@register(
+    "ingest_xml_parse",
+    oracle="""
+        SELECT event_id,
+               user_id AS uid,
+               event_type AS etype,
+               CAST(round(value*100) AS BIGINT) AS cents
+        FROM events
+    """,
+)
+def ingest_xml_parse(spark, sf_dir):
+    """XML record parsing via from_xml with a declared schema — the
+    third text wire format next to JSON (envelope) and CSV (flow
+    lines). Records are synthesized deterministically from events so
+    the parse is value-checked end to end."""
+    e = table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<rec><uid>"), F.col("user_id").cast("string"),
+        F.lit("</uid><etype>"), F.col("event_type"),
+        F.lit("</etype><cents>"),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+        F.lit("</cents></rec>"),
+    )
+    parsed = e.select(
+        "event_id",
+        F.from_xml(xml, "uid BIGINT, etype STRING, cents BIGINT").alias("r"),
+    )
+    return parsed.select("event_id", "r.uid", "r.etype", "r.cents")
+
+
+@register(
+    "source_text_lines",
+    oracle="""
+        SELECT
+          2 AS version,
+          CAST(user_id AS VARCHAR) AS account_id,
+          'eni-' || CAST(user_id AS VARCHAR) AS interface_id,
+          CAST(round(value) AS BIGINT) AS packets,
+          CAST(round(value*100) AS BIGINT) AS bytes,
+          CASE WHEN event_type = 'error' THEN 'REJECT' ELSE 'ACCEPT' END AS action
+        FROM events
+    """,
+)
+def source_text_lines(spark, sf_dir):
+    """Raw-text source format: flow-log lines written via the `text`
+    sink (one line per row, the shape log shippers deliver), read back
+    as lines, parsed to typed columns — the from-disk twin of
+    ingest_flowlog_parse."""
+    e = table(spark, sf_dir, "events")
+    out = scratch_dir("text_lines")
+    e.select(flowlog_line_col().alias("value")).write.mode("overwrite").text(out)
+    lines = spark.read.text(out).withColumnRenamed("value", "line")
+    parsed = parse_flowlog_lines(lines)
+    return parsed.select(
+        "version", "account_id", "interface_id", "packets", "bytes", "action"
+    )

@@ -466,3 +466,27 @@ def date_tz_shift(spark, sf_dir):
         .cast("timestamp_ntz")
         .alias("ts_pst"),
     )
+
+
+@register(
+    "json_variant_ops",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+               json_extract_string(props, '$.k') AS k_str
+        FROM events
+    """,
+)
+def json_variant_ops(spark, sf_dir):
+    """Semi-structured VARIANT type (Spark 4): parse_json once into a
+    binary variant, then typed variant_get extractions — the
+    open-schema path that avoids re-parsing JSON text per field at
+    scale. Output is the extracted primitives (the variant itself has
+    no cross-engine twin)."""
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k_typed"),
+        F.variant_get("v", "$.k", "string").alias("k_str"),
+    )

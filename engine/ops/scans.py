@@ -112,3 +112,20 @@ def sql_surface_q1(spark, sf_dir):
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink round-trip (Spark's second native columnar
+    format) — lossless against the parquet-derived original."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = scratch_dir("orc_rt")
+    e.write.mode("overwrite").orc(out)
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).orc(out)
