@@ -379,3 +379,54 @@ def dedup_cluster_cc(spark, sf_dir):
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+PR_ITERS = 10
+PR_DAMPING = 0.85
+
+
+@register("graph_pagerank")  # rows-only: iterative, not SQL-expressible
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the near-dup pair graph (undirected → both edge
+    directions): rank = (1-d) + d·Σ rank_in/deg_out, PR_ITERS rounds.
+    The second iterative-algorithm shape next to dedup_cluster_cc —
+    fractional mass propagation instead of min-label — with the same
+    scale discipline: one join + one aggregation per round,
+    localCheckpoint lineage truncation, only scalars to the driver.
+    Ranks are rounded to 6 dp for cross-run determinism (the per-round
+    double sums are order-dependent; rounding absorbs the ulps)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("doc_a").alias("doc_id"), "deg")
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(
+                ranks.select(
+                    F.col("doc_id").alias("doc_a"), "deg", "rank"
+                ),
+                "doc_a",
+            )
+            .select(
+                F.col("doc_b").alias("doc_id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "doc_id", "left")
+            .select(
+                "doc_id",
+                "deg",
+                (
+                    F.lit(1.0 - PR_DAMPING)
+                    + F.lit(PR_DAMPING) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))

@@ -195,3 +195,14 @@ def test_freq_items_contains_all_frequent(spark):
     row = engine.QUERIES["stat_freq_items"](spark, T2_SF_DIR).collect()[0]
     got = set(row["event_type_freqItems"])
     assert frequent <= got
+
+
+def test_pagerank_mass_conserved(spark):
+    """On this graph every node has out-degree >= 1 (edges are pair-
+    derived), so total rank mass must equal the node count (within
+    rounding), and every rank must be >= the damping floor."""
+    out = engine.QUERIES["graph_pagerank"](spark, T2_SF_DIR).collect()
+    assert out, "no ranked nodes"
+    total = sum(r["rank"] for r in out)
+    assert abs(total - len(out)) < 0.01 * len(out)
+    assert all(r["rank"] >= 0.1499 for r in out)
