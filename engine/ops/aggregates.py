@@ -458,3 +458,31 @@ def stat_freq_items(spark, sf_dir):
     above support must appear."""
     e = table(spark, sf_dir, "events")
     return e.stat.freqItems(["event_type", "user_id"], support=0.1)
+
+
+@register(
+    "agg_value_histogram",
+    oracle="""
+        SELECT least(greatest(CAST(floor(value / 50) AS BIGINT), 0), 9) AS bucket,
+               count(*) AS n,
+               round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        FROM events GROUP BY 1
+    """,
+)
+def agg_value_histogram(spark, sf_dir):
+    """Fixed-width histogram (10 buckets of 50, clamped): the
+    one-shuffle distributed histogram; bucket edges are pure arithmetic
+    so the map side pre-aggregates everything."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 50).cast("long"), F.lit(0)), F.lit(9)
+    )
+    return (
+        e.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )

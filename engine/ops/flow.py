@@ -120,3 +120,37 @@ def flow_reject_ratio(spark, sf_dir):
             F.sum("bytes").alias("total_bytes"),
         )
     )
+
+
+FANOUT_THRESHOLD = 10
+
+
+@register(
+    "flow_fanout_detect",
+    oracle=f"""
+        WITH f AS (
+          SELECT date_trunc('hour', ts) AS hr,
+                 '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
+                 '10.1.' || CAST(({SQL_K}*3) % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*11) % 256 AS VARCHAR) AS dstaddr
+          FROM events
+        )
+        SELECT hr, srcaddr, count(DISTINCT dstaddr) AS n_dst
+        FROM f GROUP BY hr, srcaddr
+        HAVING count(DISTINCT dstaddr) >= {FANOUT_THRESHOLD}
+    """,
+)
+def flow_fanout_detect(spark, sf_dir):
+    """Scan/fan-out detection — the flow-log security query: sources
+    touching >= THRESHOLD distinct destinations within an hour. One
+    distinct-count aggregation per (hour, src); at 100 TB swap the
+    exact distinct for approx_count_distinct and keep the HAVING."""
+    p = _parsed(spark, sf_dir).withColumn(
+        "hr", F.date_trunc("hour", F.expr("CAST(timestamp_seconds(start) AS TIMESTAMP_NTZ)"))
+    )
+    return (
+        p.groupBy("hr", "srcaddr")
+        .agg(F.countDistinct("dstaddr").alias("n_dst"))
+        .filter(F.col("n_dst") >= FANOUT_THRESHOLD)
+    )

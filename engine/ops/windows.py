@@ -282,3 +282,70 @@ def win_gaps_islands(spark, sf_dir):
         .filter(F.col("streak_len") >= 3)
         .drop("grp")
     )
+
+
+@register(
+    "win_event_funnel",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, min(ts) FILTER (event_type = 'view') AS t_view
+          FROM events GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               1 + CAST(c.t_click IS NOT NULL AS INT)
+                 + CAST(p.t_purchase IS NOT NULL AS INT) AS funnel_stage
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        WHERE v.t_view IS NOT NULL
+    """,
+)
+def win_event_funnel(spark, sf_dir):
+    """Ordered funnel analytics: view → first click AFTER the first
+    view → first purchase AFTER that click, per user, with the stage
+    reached. Stage chaining is two conditional-agg joins (each stage
+    filters on the previous stage's timestamp) — no per-user sorting
+    in Python, no window over the whole history."""
+    e = table(spark, sf_dir, "events")
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    ).filter(F.col("t_view").isNotNull())
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("funnel_stage"),
+        )
+    )
