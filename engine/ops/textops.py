@@ -78,19 +78,19 @@ def text_ngrams(spark, sf_dir):
     (no lead() across documents)."""
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
-    # guarded like dedup._shingle_array: a 1-token doc has no bigrams
-    # (sequence() would descend and element_at(,0) would raise)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip the token array against its offset-1 self (two slices) instead
+    # of element_at-indexing inside a transform: Catalyst inlines `toks`
+    # at each use, so the indexed form re-splits the text per bigram
+    # (see dedup._shingle_array). greatest(size-1, 0) guards 1-token
+    # docs (empty slice → no bigrams).
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(toks, 1, n), F.slice(toks, 2, n))
+    bigrams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", s["0"], s["1"])
+    )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.repartition(32, "doc_id")
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -194,7 +194,11 @@ def text_langid_ngram(spark, sf_dir):
     tri_arr = F.expr(
         "transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3))"
     )
-    tris = d.select("doc_id", "lang", F.explode(tri_arr).alias("tri"))
+    # repartition: the single-split parquet read would otherwise run
+    # the whole trigram explode (≈500× row fan-out) as one task
+    tris = d.repartition(32, "doc_id").select(
+        "doc_id", "lang", F.explode(tri_arr).alias("tri")
+    )
 
     # ONE shuffle over the exploded trigrams; both the language profiles
     # and the per-doc distinct trigram sets derive from this base (the
