@@ -436,3 +436,131 @@ def text_vocab_build(spark, sf_dir):
         .filter(F.col("token_id") <= VOCAB_SIZE)
         .select("token", "token_id", "n")
     )
+
+
+TRAIN_HEX_CUT = "cd"  # first md5 hex byte < 0xcd -> 205/256 ~ 80.1% train
+
+
+@register(
+    "sample_train_test_split",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_HEX_CUT}'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def sample_train_test_split(spark, sf_dir):
+    """Deterministic ~80/20 train/test split by hashing the document
+    key: membership is a pure function of doc_id (stable across runs,
+    re-partitions, and engines — unlike Bernoulli sampling, which is
+    partition-layout-defined, see sample_stratified). md5 is the one
+    hash both Spark and the oracle compute identically; at 100 TB
+    this is a narrow projection + map, no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(bucket < TRAIN_HEX_CUT, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+EVAL_MAX_ID = 50  # docs below this id stand in for the eval benchmark
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+               FROM t, unnest(range(1, len(toks)-1)) r(i)),
+        eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {EVAL_MAX_ID}),
+        tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+                WHERE doc_id >= {EVAL_MAX_ID} GROUP BY doc_id),
+        hits AS (SELECT s.doc_id, count(*) AS n_contaminated
+                 FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+                 WHERE s.doc_id >= {EVAL_MAX_ID} GROUP BY s.doc_id)
+        SELECT h.doc_id, n_contaminated, n_shingles,
+               n_contaminated / n_shingles AS contamination
+        FROM hits h JOIN tot USING (doc_id)
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing 3-token
+    shingles with an eval set (stand-in: doc_id < EVAL_MAX_ID). The
+    eval shingle set is dim-table sized by construction (benchmarks
+    are small), so it broadcasts and the training corpus is scanned
+    exactly once — the standard decontamination shape at 100 TB."""
+    from .dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    eval_sh = (
+        sh.filter(F.col("doc_id") < EVAL_MAX_ID).select("shingle").distinct()
+    )
+    train_sh = sh.filter(F.col("doc_id") >= EVAL_MAX_ID)
+    tot = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return hits.join(tot, "doc_id").select(
+        "doc_id",
+        "n_contaminated",
+        "n_shingles",
+        (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact' || CAST(doc_id AS VARCHAR) || '@example.com ph 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(raw, '{EMAIL_RE}'))
+                    + len(regexp_extract_all(raw, '{PHONE_RE}')) AS BIGINT) AS n_pii
+        FROM aug
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing: replace email addresses and phone-shaped digit
+    runs with typed placeholder tokens and count what was removed.
+    The testdata text contains no PII, so a deterministic synthetic
+    email + phone per doc is appended first (identically in both
+    engines) to make the redaction observable. Patterns stay in the
+    RE2 ∩ Java-regex common subset so both engines match the same
+    spans. Pure per-row expressions — map-only at any scale."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    n_pii = (
+        F.regexp_count(raw, F.lit(EMAIL_RE))
+        + F.regexp_count(raw, F.lit(PHONE_RE))
+    ).cast("long")
+    return d.select(
+        "doc_id", red.alias("redacted"), n_pii.alias("n_pii")
+    )
