@@ -292,21 +292,42 @@ def dedup_simhash(spark, sf_dir):
         "band_val",
         F.expr("(simhash >> (16 * band)) & 65535"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # candidate pairs per (band, band_val) bucket via grouped inverted
+    # index (one shuffle, in-array i<j pair emission) — same shape as
+    # dedup_ngram_jaccard; signatures ride along in the struct so the
+    # hamming distance is computed in the same codegen stage
+    grouped = (
+        bands.groupBy("band", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x, i: F.transform(
+                            F.slice("ds", i + 2, F.size("ds")),
+                            lambda y: F.struct(
+                                x["doc_id"].alias("doc_a"),
+                                y["doc_id"].alias("doc_b"),
+                                F.bit_count(
+                                    x["simhash"].bitwiseXOR(y["simhash"])
+                                )
+                                .cast("long")
+                                .alias("hamming"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("long").alias("hamming"),
-        )
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= 8)
     )
