@@ -486,3 +486,90 @@ def agg_value_histogram(spark, sf_dir):
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "upsert_latest_wins",
+    oracle="""
+        WITH ranked AS (
+          SELECT user_id, event_type, ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        SELECT user_id, event_type, event_id AS last_event_id,
+               ts AS last_ts, value AS last_value
+        FROM ranked WHERE rn = 1
+    """,
+)
+def upsert_latest_wins(spark, sf_dir):
+    """Changelog compaction (SCD type-1 / log-compaction semantics):
+    treat events as an upsert stream keyed by (user_id, event_type)
+    and keep only the latest version, ties broken by event_id so the
+    winner is unique. This is the batch MERGE-equivalent an engine
+    without a table format expresses directly; at 100 TB it is one
+    hash-partitioned window per key — Spark's WindowGroupLimit pushes
+    the rn=1 filter into a partial top-1 per map task, so the shuffle
+    carries one candidate row per (key, task), not the full history."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.select("user_id", "event_type", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "agg_retention_cohort",
+    oracle="""
+        WITH cohort AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id
+        )
+        SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+               CAST(floor(date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) / 7)
+                    AS BIGINT) AS week_offset,
+               count(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def agg_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-activity day,
+    counted distinct per (cohort, weeks-since-cohort). The classic
+    product-analytics rollup. Two shuffles total: the per-user min
+    (map-side combinable) and the final grouped distinct; the cohort
+    table is per-user-sized but joins on the same user_id key the
+    events already hash by, and floor() is explicit because DuckDB
+    rounds double→int casts while Spark truncates."""
+    e = table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    return (
+        e.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

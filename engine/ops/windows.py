@@ -349,3 +349,37 @@ def win_event_funnel(spark, sf_dir):
             ).alias("funnel_stage"),
         )
     )
+
+
+@register(
+    "win_event_transitions",
+    oracle="""
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n_transitions
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
+)
+def win_event_transitions(spark, sf_dir):
+    """First-order event-transition (Markov) matrix: per-user event
+    sequences ordered by (ts, event_id), adjacent pairs counted per
+    (from, to) type. One window shuffle on user_id + one tiny grouped
+    count — the path-analysis primitive behind funnel discovery and
+    next-action models."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
