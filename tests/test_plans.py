@@ -129,3 +129,27 @@ def test_minhash_only_broadcasts_seed_product(spark):
     side), never a shuffled CartesianProduct."""
     plan = _plan(spark, "dedup_near_minhash")
     assert "CartesianProduct" not in plan
+
+
+def test_pure_map_ops_have_zero_exchanges(spark):
+    """The per-row pipeline ops (hash split, PII redaction, int8
+    quantization) must plan as a single scan→project stage: any
+    Exchange here would be a scale bug, since the semantics are a pure
+    function of each row."""
+    for name in ("sample_train_test_split", "text_pii_redact", "embed_quantize"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles: {plan}"
+
+
+def test_upsert_pushes_partial_top1(spark):
+    """Latest-wins compaction must show WindowGroupLimit (partial
+    top-1 per map task) so the shuffle carries one candidate per
+    (key, task), not the full history."""
+    assert "WindowGroupLimit" in _plan(spark, "upsert_latest_wins")
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The eval shingle set is benchmark-sized; the training corpus
+    must stream past it as a broadcast build side, never shuffle-join
+    against it."""
+    assert "BroadcastHashJoin" in _plan(spark, "text_decontaminate")
