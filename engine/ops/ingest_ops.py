@@ -265,3 +265,91 @@ def source_text_lines(spark, sf_dir):
     return parsed.select(
         "version", "account_id", "interface_id", "packets", "bytes", "action"
     )
+
+
+@register(
+    "stream_ingest_e2e",
+    oracle=f"""
+        SELECT
+          event_id,
+          2 AS version,
+          CAST(user_id AS VARCHAR) AS account_id,
+          'eni-' || CAST(user_id AS VARCHAR) AS interface_id,
+          '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                  || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
+          '10.1.' || CAST(({SQL_K}*3) % 256 AS VARCHAR) || '.'
+                  || CAST(({SQL_K}*11) % 256 AS VARCHAR) AS dstaddr,
+          CAST({SQL_K} + 1024 AS INT) AS srcport,
+          443 AS dstport,
+          6 AS protocol,
+          CAST(round(value) AS BIGINT) AS packets,
+          CAST(round(value*100) AS BIGINT) AS bytes,
+          {SQL_EPOCH} AS start,
+          {SQL_EPOCH} + 60 AS "end",
+          CASE WHEN event_type = 'error' THEN 'REJECT' ELSE 'ACCEPT' END AS action,
+          'OK' AS log_status,
+          strftime(make_timestamp({SQL_EPOCH} * 1000000), '%Y-%m-%d') AS dt,
+          CAST(hour(make_timestamp({SQL_EPOCH} * 1000000)) AS INT) AS hr
+        FROM events
+    """,
+)
+def stream_ingest_e2e(spark, sf_dir):
+    """The reference pipeline (SURVEY §3 E1) end-to-end under
+    Structured Streaming: Kinesis stand-in (file stream of
+    base64+gzip CloudWatch envelope payloads) → unbase64 → gunzip
+    (mapInPandas) → from_json → explode(logEvents) → flow-log line
+    parse → event-time partition columns → parquet sink partitioned
+    by (dt, hr) with checkpoint → read-back of the analytics layout.
+
+    Every byte is value-checked: the oracle states the typed,
+    partitioned output directly from events. The (dt, hr) layout is
+    what makes time-sliced queries prune at 100 TB; the checkpoint +
+    availableNow trigger exercise the exactly-once sink contract the
+    production job relies on."""
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("stream_ingest_e2e")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    synthesize_envelopes(e).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("payload STRING").parquet(src)
+    decoded = decode_envelopes(stream)
+    parsed = parse_flowlog_lines(
+        decoded.select(
+            F.col("id").cast("long").alias("event_id"),
+            F.col("message").alias("line"),
+        )
+    )
+    staged = parsed.withColumn(
+        "dt", F.date_format(F.timestamp_seconds("start"), "yyyy-MM-dd")
+    ).withColumn("hr", F.hour(F.timestamp_seconds("start")))
+    q = (
+        staged.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("dt", "hr")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_ingest_e2e: availableNow query exceeded 300s")
+    back = spark.read.parquet(sink)
+    return back.select(
+        "event_id",
+        "version",
+        "account_id",
+        "interface_id",
+        "srcaddr",
+        "dstaddr",
+        "srcport",
+        "dstport",
+        "protocol",
+        "packets",
+        "bytes",
+        "start",
+        F.col("end").alias("end"),
+        "action",
+        "log_status",
+        F.col("dt").cast("string").alias("dt"),
+        F.col("hr").cast("int").alias("hr"),
+    )
