@@ -154,3 +154,75 @@ def flow_fanout_detect(spark, sf_dir):
         .agg(F.countDistinct("dstaddr").alias("n_dst"))
         .filter(F.col("n_dst") >= FANOUT_THRESHOLD)
     )
+
+
+Z_THRESHOLD = 2.0
+
+
+@register(
+    "flow_zscore_anomaly",
+    oracle=f"""
+        WITH f AS (
+          SELECT event_id,
+                 'eni-' || CAST(user_id AS VARCHAR) AS interface_id,
+                 CAST(round(value*100) AS BIGINT) AS bytes
+          FROM events
+        ),
+        stats AS (
+          SELECT interface_id,
+                 CAST(sum(bytes) AS BIGINT) AS s,
+                 CAST(sum(bytes * bytes) AS BIGINT) AS sq,
+                 count(*) AS n
+          FROM f GROUP BY interface_id
+        )
+        SELECT event_id, f.interface_id, bytes,
+               round((bytes - CAST(s AS DOUBLE) / n)
+                     / sqrt((CAST(sq AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                            / (n - 1)), 6) AS z_score
+        FROM f JOIN stats USING (interface_id)
+        WHERE n >= 2
+          AND (CAST(sq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) > 0
+          AND abs((bytes - CAST(s AS DOUBLE) / n)
+                  / sqrt((CAST(sq AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                         / (n - 1))) > {Z_THRESHOLD}
+    """,
+)
+def flow_zscore_anomaly(spark, sf_dir):
+    """Per-interface byte-volume anomalies: flows whose bytes deviate
+    more than 2 sample standard deviations from their interface mean.
+    The volumetric-anomaly primitive behind exfiltration/DDoS alerts.
+
+    Not stddev_samp(): both engines accumulate EXACT integer sums
+    (sum, sum-of-squares, count), and variance/z are derived through
+    an identical scalar double expression — bit-deterministic where a
+    shuffled double stddev is not. One map-side-combinable shuffle for
+    stats, then a broadcast join back to the flows (per-interface
+    stats are dim-sized at any scale)."""
+    parsed = _parsed(spark, sf_dir)
+    f = parsed.select(
+        "event_id", "interface_id", "bytes"
+    )
+    stats = f.groupBy("interface_id").agg(
+        F.sum("bytes").alias("s"),
+        F.sum(F.col("bytes") * F.col("bytes")).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("bytes") - mean) / F.sqrt(var)
+    return (
+        f.join(F.broadcast(stats), "interface_id")
+        .filter((F.col("n") >= 2) & (var > 0) & (F.abs(z) > Z_THRESHOLD))
+        .select(
+            "event_id",
+            "interface_id",
+            "bytes",
+            F.round(z, 6).alias("z_score"),
+        )
+    )

@@ -383,3 +383,62 @@ def win_event_transitions(spark, sf_dir):
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "win_time_weighted_avg",
+    oracle="""
+        WITH s AS (
+          SELECT user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 (epoch_ns(ts) // 1000000000) AS ts_s,
+                 lead((epoch_ns(ts) // 1000000000))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_s
+          FROM events
+        )
+        SELECT user_id,
+               CAST(sum(next_s - ts_s) AS BIGINT) AS total_seconds,
+               CAST(sum(cents * (next_s - ts_s)) AS BIGINT) / 100.0
+                 / CAST(sum(next_s - ts_s) AS BIGINT) AS twap
+        FROM s WHERE next_s IS NOT NULL
+        GROUP BY user_id
+        HAVING sum(next_s - ts_s) > 0
+    """,
+)
+def win_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each observation
+    weighted by how long it was current (seconds to the next event).
+    The timeseries aggregation sensor/finance pipelines need, which a
+    plain avg() gets wrong under irregular sampling. Determinism: the
+    weights and scaled values are exact integers, so the shuffled sums
+    are order-independent; the only float math is the identical final
+    division sequence in both engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ts_s.alias("ts_s"),
+    ).withColumn("next_s", F.lead("ts_s").over(w))
+    dt = F.col("next_s") - F.col("ts_s")
+    return (
+        s.filter(F.col("next_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(dt).alias("total_seconds"),
+            F.sum(F.col("cents") * dt).alias("wsum"),
+        )
+        .filter(F.col("total_seconds") > 0)
+        .select(
+            "user_id",
+            "total_seconds",
+            (
+                F.col("wsum").cast("double")
+                / F.lit(100.0)
+                / F.col("total_seconds")
+            ).alias("twap"),
+        )
+    )
