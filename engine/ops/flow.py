@@ -226,3 +226,51 @@ def flow_zscore_anomaly(spark, sf_dir):
             F.round(z, 6).alias("z_score"),
         )
     )
+
+
+@register(
+    "flow_bidirectional_pairs",
+    oracle=f"""
+        WITH f AS (
+          SELECT '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
+                 '10.1.' || CAST(({SQL_K}*3) % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*11) % 256 AS VARCHAR) AS dstaddr,
+                 CAST(round(value*100) AS BIGINT) AS bytes
+          FROM events
+        ),
+        agg AS (
+          SELECT srcaddr, dstaddr, CAST(sum(bytes) AS BIGINT) AS total_bytes,
+                 count(*) AS n_flows
+          FROM f GROUP BY srcaddr, dstaddr
+        )
+        SELECT a.srcaddr, a.dstaddr, a.total_bytes, a.n_flows
+        FROM agg a
+        WHERE EXISTS (SELECT 1 FROM agg b
+                      WHERE b.srcaddr = a.dstaddr AND b.dstaddr = a.srcaddr)
+    """,
+)
+def flow_bidirectional_pairs(spark, sf_dir):
+    """Connection pairing: directed (src,dst) aggregates whose reverse
+    direction also carried traffic (i.e. real two-way conversations,
+    the starting point of NAT/session analysis on flow logs).
+
+    Scale shape: aggregate FIRST (collapses the 100 TB of raw flows to
+    one row per directed pair), then self-semi-join the much smaller
+    aggregate on the swapped key — never a raw-fact self-join."""
+    agg = (
+        _parsed(spark, sf_dir)
+        .groupBy("srcaddr", "dstaddr")
+        .agg(
+            F.sum("bytes").alias("total_bytes"),
+            F.count(F.lit(1)).alias("n_flows"),
+        )
+    )
+    rev = agg.select(
+        F.col("srcaddr").alias("r_dst"), F.col("dstaddr").alias("r_src")
+    )
+    return agg.join(
+        rev,
+        (agg.srcaddr == rev.r_src) & (agg.dstaddr == rev.r_dst),
+        "left_semi",
+    )

@@ -439,3 +439,29 @@ def embed_quantize(spark, sf_dir):
     return em.select("vec_id", "embedding", q8.alias("q8")).select(
         "vec_id", "q8", err.alias("max_abs_err")
     )
+
+
+@register(
+    "embed_dim_minmax",
+    oracle="""
+        SELECT label, i - 1 AS dim,
+               min(embedding[i]) AS min_v, max(embedding[i]) AS max_v
+        FROM embeddings, unnest(range(1, 65)) r(i)
+        GROUP BY label, dim
+        ORDER BY label, dim
+    """,
+)
+def embed_dim_minmax(spark, sf_dir):
+    """Per-label, per-dimension min/max over the embedding column —
+    the feature-range profile used for quantization calibration and
+    drift monitoring. posexplode fans each vector out map-side (64
+    rows/vector, no Python), then one hash aggregation on the compact
+    (label, dim) key; min/max are order-independent so float results
+    are bit-exact across engines at any parallelism."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+        .orderBy("label", "dim")
+    )

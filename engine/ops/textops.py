@@ -564,3 +564,123 @@ def text_pii_redact(spark, sf_dir):
     return d.select(
         "doc_id", red.alias("redacted"), n_pii.alias("n_pii")
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        tc AS (
+          SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               CAST(max(cnt) AS BIGINT) AS top_token_n,
+               max(cnt) * 1.0 / sum(cnt) AS top_token_frac,
+               1.0 - count(*) * 1.0 / sum(cnt) AS dup_ratio,
+               CASE WHEN max(cnt) * 1.0 / sum(cnt) <= 0.2
+                         AND 1.0 - count(*) * 1.0 / sum(cnt) <= 0.7
+                    THEN 1 ELSE 0 END AS keep
+        FROM tc GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality gate: per-document duplicate-
+    token ratio and most-frequent-token fraction, with the keep/drop
+    decision as a column (so the filter is auditable, not silent).
+
+    Two map-side-combinable aggregations — (doc,token) then (doc) —
+    both shuffle-keyed on doc_id-prefixed keys; no windows, no UDFs.
+    All ratios are int/int single IEEE divisions, bit-equal across
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_frac = F.max("cnt") * F.lit(1.0) / F.sum("cnt")
+    dup_ratio = F.lit(1.0) - F.count(F.lit(1)) * F.lit(1.0) / F.sum("cnt")
+    return (
+        tc.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_token_n"),
+            top_frac.alias("top_token_frac"),
+            dup_ratio.alias("dup_ratio"),
+            F.when((top_frac <= 0.2) & (dup_ratio <= 0.7), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bm25",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(dlen) * 1.0 / count(*) AS avg_dlen
+          FROM dl
+        ),
+        idf AS (
+          SELECT term, count(*) AS df FROM tf
+          WHERE term IN ('join', 'filter', 'window') GROUP BY term
+        )
+        SELECT t.doc_id, t.term,
+               round(ln((s.n_docs - i.df + 0.5) / (i.df + 0.5) + 1.0)
+                     * (t.tf * 2.2)
+                     / (t.tf + 1.2 * (0.25 + 0.75 * d.dlen / s.avg_dlen)),
+                     6) AS bm25
+        FROM tf t
+        JOIN idf i USING (term)
+        JOIN dl d USING (doc_id), stats s
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """BM25 relevance scores (k1=1.2, b=0.75) for a fixed query-term
+    set against every document — the retrieval scorer of a RAG /
+    data-curation pipeline, fully declarative.
+
+    Plan shape: one tokenize pass feeds tf and doc-length aggs; the
+    3-term idf table and the 2-value corpus stats broadcast onto the
+    tf relation — the only full shuffle is the (doc,term) partial agg.
+    ln() rounded to 6 dp (libm-vs-JVM ulp discipline, module
+    docstring); every other operand is an exact int-derived double."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_dlen"),
+    )
+    idf = (
+        tf.filter(F.col("term").isin("join", "filter", "window"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    score = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avg_dlen"))),
+        6,
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", "term", score.alias("bm25"))
+    )

@@ -442,3 +442,43 @@ def win_time_weighted_avg(spark, sf_dir):
             ).alias("twap"),
         )
     )
+
+
+@register(
+    "win_pct_of_total",
+    oracle="""
+        WITH nat AS (
+          SELECT c.c_nationkey,
+                 sum(CAST(round(o.o_totalprice*100) AS BIGINT))/100.0 AS nation_rev
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_nationkey
+        )
+        SELECT c_nationkey, nation_rev,
+               nation_rev / sum(nation_rev) OVER () AS pct_of_total
+        FROM nat
+        ORDER BY c_nationkey
+    """,
+)
+def win_pct_of_total(spark, sf_dir):
+    """Share-of-total: per-nation revenue over the global total via an
+    unpartitioned window ON THE POST-AGG RELATION (25 rows), never on
+    the fact table — the aggregate shrinks first, so the single-
+    partition window is trivially cheap at any scale. Both the nation
+    sums and the total are exact scaled-int sums; the final division
+    is one IEEE op on identical operands in both engines."""
+    from ..dsl import dsum
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    nat = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(dsum(F.col("o_totalprice"), 100).alias("nation_rev"))
+    )
+    w = Window.partitionBy()
+    return (
+        nat.withColumn(
+            "pct_of_total", F.col("nation_rev") / F.sum("nation_rev").over(w)
+        )
+        .orderBy("c_nationkey")
+    )
