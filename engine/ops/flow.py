@@ -15,8 +15,15 @@ from ..registry import register, table
 
 
 def _parsed(spark, sf_dir):
+    # events.parquet is one file → one input split, which would funnel
+    # the CPU-heavy from_csv parse through a single task. A round-robin
+    # repartition of the (tiny) raw lines fans the parse across the
+    # cluster — the batch stand-in for the many-shard parallelism a
+    # real Kinesis/multi-file source provides natively.
     e = table(spark, sf_dir, "events")
-    return parse_flowlog_lines(e.select("event_id", flowlog_line_col().alias("line")))
+    par = spark.sparkContext.defaultParallelism
+    lines = e.select("event_id", flowlog_line_col().alias("line"))
+    return parse_flowlog_lines(lines.repartition(par))
 
 
 @register(
@@ -255,22 +262,164 @@ def flow_bidirectional_pairs(spark, sf_dir):
     direction also carried traffic (i.e. real two-way conversations,
     the starting point of NAT/session analysis on flow logs).
 
-    Scale shape: aggregate FIRST (collapses the 100 TB of raw flows to
-    one row per directed pair), then self-semi-join the much smaller
-    aggregate on the swapped key — never a raw-fact self-join."""
-    agg = (
-        _parsed(spark, sf_dir)
-        .groupBy("srcaddr", "dstaddr")
-        .agg(
-            F.sum("bytes").alias("total_bytes"),
-            F.count(F.lit(1)).alias("n_flows"),
+    Scale shape: ONE aggregation on the canonical undirected key
+    (least, greatest) with per-direction conditional sums — no
+    self-join, no second scan of the raw flows; the two directed
+    result rows are re-emitted with an inline explode of a 2-element
+    struct array. One shuffle total, map-side combinable."""
+    p = _parsed(spark, sf_dir)
+    fwd = F.col("srcaddr") < F.col("dstaddr")
+    und = (
+        p.select(
+            F.least("srcaddr", "dstaddr").alias("lo"),
+            F.greatest("srcaddr", "dstaddr").alias("hi"),
+            F.when(fwd, F.col("bytes")).otherwise(0).alias("f_bytes"),
+            F.when(fwd, 1).otherwise(0).alias("f_flows"),
+            F.when(~fwd, F.col("bytes")).otherwise(0).alias("r_bytes"),
+            F.when(~fwd, 1).otherwise(0).alias("r_flows"),
         )
+        .groupBy("lo", "hi")
+        .agg(
+            F.sum("f_bytes").alias("f_bytes"),
+            F.sum("f_flows").alias("f_flows"),
+            F.sum("r_bytes").alias("r_bytes"),
+            F.sum("r_flows").alias("r_flows"),
+        )
+        .filter((F.col("f_flows") > 0) & (F.col("r_flows") > 0))
     )
-    rev = agg.select(
-        F.col("srcaddr").alias("r_dst"), F.col("dstaddr").alias("r_src")
+    both = und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lo").alias("srcaddr"),
+                    F.col("hi").alias("dstaddr"),
+                    F.col("f_bytes").alias("total_bytes"),
+                    F.col("f_flows").alias("n_flows"),
+                ),
+                F.struct(
+                    F.col("hi").alias("srcaddr"),
+                    F.col("lo").alias("dstaddr"),
+                    F.col("r_bytes").alias("total_bytes"),
+                    F.col("r_flows").alias("n_flows"),
+                ),
+            )
+        ).alias("d")
     )
-    return agg.join(
-        rev,
-        (agg.srcaddr == rev.r_src) & (agg.dstaddr == rev.r_dst),
-        "left_semi",
+    return both.select("d.srcaddr", "d.dstaddr", "d.total_bytes", "d.n_flows")
+
+
+@register(
+    "flow_srcaddr_entropy",
+    oracle=f"""
+        WITH f AS (
+          SELECT 'eni-' || CAST(user_id AS VARCHAR) AS interface_id,
+                 '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr
+          FROM events
+        ),
+        cnts AS (
+          SELECT interface_id, srcaddr, count(*) AS cnt
+          FROM f GROUP BY interface_id, srcaddr
+        )
+        SELECT interface_id,
+               CAST(sum(cnt) AS BIGINT) AS n_flows,
+               count(*) AS n_sources,
+               round(ln(sum(cnt))
+                     - CAST(sum(CAST(round(1000000.0 * cnt * ln(cnt)) AS BIGINT))
+                            AS DOUBLE) / 1000000.0 / sum(cnt),
+                     6) AS src_entropy
+        FROM cnts GROUP BY interface_id
+        ORDER BY interface_id
+    """,
+)
+def flow_srcaddr_entropy(spark, sf_dir):
+    """Per-interface Shannon entropy of source addresses — the
+    dispersion signal behind scan/DDoS detection (many distinct
+    low-count sources → high entropy; one chatty source → low).
+
+    Determinism: H = ln(N) - (Σ cnt·ln cnt)/N with the Σ term
+    accumulated as an exact scaled integer (micro-nats), so shuffle
+    merge order can't perturb the double sum; the outer expression is
+    then identical scalar math in both engines (6 dp rounded). Two
+    map-side-combinable aggregations, no windows, no Python."""
+    cnts = (
+        _parsed(spark, sf_dir)
+        .groupBy("interface_id", "srcaddr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sum_term = F.sum(
+        F.round(F.lit(1000000.0) * F.col("cnt") * F.log("cnt")).cast("long")
+    )
+    return (
+        cnts.groupBy("interface_id")
+        .agg(
+            F.sum("cnt").alias("n_flows"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(
+                F.log(F.sum("cnt"))
+                - sum_term.cast("double") / F.lit(1000000.0) / F.sum("cnt"),
+                6,
+            ).alias("src_entropy"),
+        )
+        .orderBy("interface_id")
+    )
+
+
+@register(
+    "flow_hourly_spike",
+    oracle=f"""
+        WITH f AS (
+          SELECT '10.1.' || CAST(({SQL_K}*3) % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*11) % 256 AS VARCHAR) AS dstaddr,
+                 date_trunc('hour', ts) AS hr,
+                 CAST(round(value*100) AS BIGINT) AS bytes
+          FROM events
+        ),
+        hourly AS (
+          SELECT dstaddr, hr, CAST(sum(bytes) AS BIGINT) AS hr_bytes
+          FROM f GROUP BY dstaddr, hr
+        )
+        SELECT dstaddr, hr, hr_bytes,
+               lag(hr_bytes) OVER (PARTITION BY dstaddr ORDER BY hr)
+                 AS prev_bytes
+        FROM hourly
+        QUALIFY prev_bytes IS NOT NULL
+            AND hr_bytes >= 3 * prev_bytes AND hr_bytes >= 10000
+        ORDER BY dstaddr, hr
+    """,
+)
+def flow_hourly_spike(spark, sf_dir):
+    """Temporal volumetric spike detection: destination-hours whose
+    byte volume at least tripled versus the immediately preceding
+    active hour (with an absolute floor to mute cold-start noise) —
+    the DDoS-onset / exfiltration-burst primitive.
+
+    Hourly pre-aggregation collapses raw flows before any window, so
+    the lag() runs over dim-sized (dst, hour) series; integer sums
+    and an integer ratio test keep it hash-exact. events.ts is ns in
+    parquet but µs in Spark — date_trunc('hour') lands identically."""
+    from pyspark.sql import Window
+
+    parsed = _parsed(spark, sf_dir)
+    hourly = (
+        parsed.select(
+            "dstaddr",
+            F.date_trunc(
+                "hour",
+                F.expr("CAST(timestamp_seconds(start) AS TIMESTAMP_NTZ)"),
+            ).alias("hr"),
+            "bytes",
+        )
+        .groupBy("dstaddr", "hr")
+        .agg(F.sum("bytes").alias("hr_bytes"))
+    )
+    w = Window.partitionBy("dstaddr").orderBy("hr")
+    return (
+        hourly.withColumn("prev_bytes", F.lag("hr_bytes").over(w))
+        .filter(
+            F.col("prev_bytes").isNotNull()
+            & (F.col("hr_bytes") >= 3 * F.col("prev_bytes"))
+            & (F.col("hr_bytes") >= 10000)
+        )
+        .orderBy("dstaddr", "hr")
     )
