@@ -129,3 +129,56 @@ def source_orc_roundtrip(spark, sf_dir):
     return spark.read.schema(
         "event_id long, user_id long, event_type string, value double"
     ).orc(out)
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+        SELECT id, (id * id) % 97 AS val
+        FROM range(10000) t(id)
+    """,
+)
+def source_python_datasource(spark, sf_dir):
+    """Spark 4 Python DataSource API: a custom batch source
+    ("pyrange") that splits its keyspace into 8 InputPartitions, each
+    generating a deterministic stride of rows executor-side — the
+    extension point a user would implement for a bespoke feed (REST
+    pagination, proprietary format) without leaving Python. The read
+    is fully parallel: one task per InputPartition, no driver-side
+    materialization."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class PyRangeReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.parts = int(options.get("parts", 8))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            for x in range(partition.value, self.n, self.parts):
+                yield (x, (x * x) % 97)
+
+    class PyRangeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pyrange"
+
+        def schema(self):
+            return "id bigint, val bigint"
+
+        def reader(self, schema):
+            return PyRangeReader(self.options)
+
+    spark.dataSource.register(PyRangeSource)
+    return (
+        spark.read.format("pyrange")
+        .option("n", "10000")
+        .option("parts", "8")
+        .load()
+    )

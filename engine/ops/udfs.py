@@ -164,3 +164,65 @@ def udtf_python(spark, sf_dir):
         FROM v_events_udtf e, LATERAL repeat_rows(e.event_id) AS t
         """
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+        SELECT event_id,
+               length(CAST(event_id AS VARCHAR)) + (event_id % 7) AS feat
+        FROM events WHERE event_id < 2000
+    """,
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """Arrow-optimized scalar Python UDF (useArrow=True): same
+    row-at-a-time authoring surface as a classic UDF but transported
+    in Arrow batches instead of pickled rows — the Spark-4 default
+    answer when scalar Python is unavoidable. Integer-only logic, so
+    the DuckDB twin is exact."""
+
+    @udf("long", useArrow=True)
+    def feat(event_id: int) -> int:
+        return len(str(event_id)) + event_id % 7
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select("event_id", feat("event_id").alias("feat"))
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+        SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents
+        FROM events WHERE event_id < 2000
+    """,
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow: partition-iterator transform over raw
+    pyarrow.RecordBatch — the zero-copy sibling of mapInPandas for
+    code that wants Arrow compute kernels instead of pandas. Used
+    here for an exact cents conversion so the oracle value-hashes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("event_id")),
+                    pc.cast(
+                        pc.round(
+                            pc.multiply(
+                                b.column(b.schema.get_field_index("value")),
+                                pa.scalar(100.0),
+                            )
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["event_id", "cents"],
+            )
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select("event_id", "value").mapInArrow(
+        to_cents, "event_id long, cents long"
+    )
