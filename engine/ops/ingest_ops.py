@@ -309,7 +309,10 @@ def stream_ingest_e2e(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     base = scratch_dir("stream_ingest_e2e")
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
-    synthesize_envelopes(e).write.mode("overwrite").parquet(src)
+    # 16 source files → 16 parallel decode tasks in the micro-batch
+    # (one file = one task would serialize the gzip+parse path, and a
+    # real Kinesis source is many-shard-parallel anyway).
+    synthesize_envelopes(e).repartition(16).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema("payload STRING").parquet(src)
     decoded = decode_envelopes(stream)
@@ -319,9 +322,17 @@ def stream_ingest_e2e(spark, sf_dir):
             F.col("message").alias("line"),
         )
     )
-    staged = parsed.withColumn(
-        "dt", F.date_format(F.timestamp_seconds("start"), "yyyy-MM-dd")
-    ).withColumn("hr", F.hour(F.timestamp_seconds("start")))
+    staged = (
+        parsed.withColumn(
+            "dt", F.date_format(F.timestamp_seconds("start"), "yyyy-MM-dd")
+        )
+        .withColumn("hr", F.hour(F.timestamp_seconds("start")))
+        # cluster by the sink's partition key before the write: without
+        # this every decode task writes a sliver into every (dt,hr) dir
+        # (writers × partitions tiny files — the classic small-file
+        # explosion); with it each hour's rows land in one file.
+        .repartition("dt", "hr")
+    )
     q = (
         staged.writeStream.format("parquet")
         .option("path", sink)
