@@ -482,3 +482,123 @@ def win_pct_of_total(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+        WITH hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS hr,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
+                 count(*) AS n
+          FROM events WHERE user_id < 50 GROUP BY 1, 2
+        ),
+        bounds AS (SELECT user_id, min(hr) mn, max(hr) mx FROM hourly GROUP BY 1),
+        grid AS (
+          SELECT b.user_id, g.g AS hr
+          FROM bounds b, unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) g(g)
+        ),
+        j AS (
+          SELECT g.user_id, g.hr, h.cents * 1.0 / h.n / 100.0 AS obs
+          FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+        ),
+        w AS (
+          SELECT user_id, hr, obs,
+            last_value(obs IGNORE NULLS) OVER wp AS prev_v,
+            last_value(CASE WHEN obs IS NOT NULL THEN hr END IGNORE NULLS)
+              OVER wp AS prev_hr,
+            first_value(obs IGNORE NULLS) OVER wf AS next_v,
+            first_value(CASE WHEN obs IS NOT NULL THEN hr END IGNORE NULLS)
+              OVER wf AS next_hr
+          FROM j
+          WINDOW
+            wp AS (PARTITION BY user_id ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY user_id ORDER BY hr
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, hr,
+               CASE WHEN obs IS NOT NULL THEN 1 ELSE 0 END AS observed,
+               CAST(floor((CASE WHEN obs IS NOT NULL THEN obs
+                            ELSE prev_v + (next_v - prev_v)
+                                 * (epoch(hr) - epoch(prev_hr))
+                                 / (epoch(next_hr) - epoch(prev_hr)) END)
+                           * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+                 AS value_filled
+        FROM w ORDER BY user_id, hr
+    """,
+)
+def ts_gap_fill(spark, sf_dir):
+    """Hypertable-style gap-fill: densify each user's hourly series
+    over its own [min,max] hour range (sequence + explode — no
+    driver-side grid) and linearly interpolate missing hours between
+    the surrounding observations (last/first IGNORE NULLS windows).
+
+    Determinism: hourly means come from exact integer cent sums; the
+    interpolation is the identical scalar expression in both engines.
+    Scale shape: the grid explodes off the per-user bounds row (one
+    row per user-hour, never a global calendar cross-join), and both
+    windows run over the already-densified per-user series."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = (
+        e.select("user_id", F.date_trunc("hour", "ts").alias("hr"), "value")
+        .groupBy("user_id", "hr")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        (F.col("cents") * F.lit(1.0) / F.col("n") / F.lit(100.0)).alias("obs"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("obs").isNotNull(), F.col("hr"))
+    w = j.select(
+        "user_id",
+        "hr",
+        "obs",
+        F.last("obs", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_hr, ignorenulls=True).over(wp).alias("prev_hr"),
+        F.first("obs", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_hr, ignorenulls=True).over(wf).alias("next_hr"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.col("hr").cast("long") - F.col("prev_hr").cast("long")
+    ) / (F.col("next_hr").cast("long") - F.col("prev_hr").cast("long"))
+    return (
+        w.select(
+            "user_id",
+            "hr",
+            F.when(F.col("obs").isNotNull(), 1).otherwise(0).alias("observed"),
+            (
+                F.floor(
+                    F.when(F.col("obs").isNotNull(), F.col("obs")).otherwise(
+                        interp
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("value_filled"),
+        )
+        .orderBy("user_id", "hr")
+    )

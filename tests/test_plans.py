@@ -153,3 +153,41 @@ def test_decontaminate_broadcasts_eval_set(spark):
     must stream past it as a broadcast build side, never shuffle-join
     against it."""
     assert "BroadcastHashJoin" in _plan(spark, "text_decontaminate")
+
+
+def test_bidirectional_pairs_single_shuffle_no_join(spark):
+    """flow_bidirectional_pairs must be ONE aggregation on the
+    canonical key — a plan with any Join node (the old
+    aggregate+self-semi-join shape) or a second hash-agg Exchange
+    regressed the rewrite."""
+    plan = _plan(spark, "flow_bidirectional_pairs")
+    assert "Join" not in plan, f"self-join reappeared: {plan}"
+    # exactly one hashpartitioning exchange for the (lo,hi) agg; the
+    # round-robin parse fan-out is the only other allowed exchange
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_q8_star_broadcasts_all_dims(spark):
+    """tpch_q8: every dimension side (part, supplier, nations, region)
+    must broadcast; the only shuffle joins allowed are between the two
+    facts (orders x lineitem)."""
+    plan = _plan(spark, "tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_q17_decorrelated_single_fact_shuffle(spark):
+    """tpch_q17's avg-quantity subquery must decorrelate into a
+    pre-aggregation (no per-row subquery => no nested CartesianProduct
+    or BroadcastNestedLoopJoin in the plan)."""
+    plan = _plan(spark, "tpch_q17")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_no_cartesian_grid(spark):
+    """ts_gap_fill densifies via per-user sequence explode; a
+    CartesianProduct against a calendar relation would be the
+    non-scalable shape."""
+    plan = _plan(spark, "ts_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
