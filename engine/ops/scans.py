@@ -182,3 +182,95 @@ def source_python_datasource(spark, sf_dir):
         .option("parts", "8")
         .load()
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT prev AS src, event_type AS dst FROM (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+          ) WHERE prev IS NOT NULL
+        ),
+        reach(node, depth) AS (
+          SELECT 'signup', 0
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.depth < 3
+        )
+        SELECT node, min(depth) AS min_depth, count(*) AS n_paths
+        FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE) — bounded-depth
+    reachability over the event-transition graph derived from the
+    data (which event types are reachable from 'signup' within 3
+    hops, and along how many paths). The recursion runs over the
+    dim-sized distinct-edge relation, never the raw events; the raw
+    scan happens exactly once to build the edges.
+
+    Same SQL text runs on both engines (the E3 parity surface)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("v_events_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT prev AS src, event_type AS dst FROM (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM v_events_rec
+          ) WHERE prev IS NOT NULL
+        ),
+        reach(node, depth) AS (
+          SELECT 'signup', 0
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.depth < 3
+        )
+        SELECT node, min(depth) AS min_depth, count(*) AS n_paths
+        FROM reach GROUP BY node ORDER BY node
+        """
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        ORDER BY c.c_custkey, o.o_orderkey
+    """,
+)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT
+    (top-2 orders per customer) — the SQL spelling of
+    win_topk_per_group. Catalyst decorrelates it into a join +
+    ranking rather than executing one subquery per customer row;
+    unique o_orderkey tiebreak keeps the limit deterministic."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_lat")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM v_cust_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM v_ord_lat
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        ORDER BY c.c_custkey, o.o_orderkey
+        """
+    )
