@@ -573,3 +573,96 @@ def agg_retention_cohort(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "agg_max_by_min_by",
+    oracle="""
+        SELECT o_orderpriority,
+               arg_max(o_orderkey,
+                       CAST(round(o_totalprice*100) AS BIGINT) * 10000000000
+                       + o_orderkey) AS top_orderkey,
+               arg_min(o_orderkey,
+                       CAST(round(o_totalprice*100) AS BIGINT) * 10000000000
+                       + o_orderkey) AS bottom_orderkey,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def agg_max_by_min_by(spark, sf_dir):
+    """max_by/min_by (argmax aggregates): the order id carrying each
+    priority class's highest/lowest total price — one pass, no window,
+    no join-back. The ordering key packs exact cents and the unique
+    orderkey into one BIGINT ((priority,totalprice) ties DO occur in
+    the data) so both engines break ties identically."""
+    o = table(spark, sf_dir, "orders")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", key).alias("top_orderkey"),
+            F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "orders_rfm_segmentation",
+    oracle="""
+        WITH rfm AS (
+          SELECT o_custkey AS c_custkey,
+                 date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01')
+                   AS recency_days,
+                 count(*) AS frequency,
+                 sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS monetary
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, recency_days, frequency, monetary,
+               ntile(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency, c_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary, c_custkey) AS m_score
+        FROM rfm
+        ORDER BY c_custkey
+    """,
+)
+def orders_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency / frequency / monetary per
+    customer, each quintile-scored with ntile (higher = better). The
+    windows are global but run over the POST-AGG one-row-per-customer
+    relation, not the fact table; at true scale the global sorts
+    become range-partitioned exchanges. Unique c_custkey tiebreak in
+    every ntile ordering keeps quintile boundaries deterministic;
+    monetary is an exact cents sum."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("timestamp_ntz").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice"), 100).alias("monetary"),
+    )
+    return rfm.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("c_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("c_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
+        .alias("m_score"),
+    ).orderBy("c_custkey")

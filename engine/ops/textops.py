@@ -684,3 +684,62 @@ def text_bm25(spark, sf_dir):
         .join(F.broadcast(stats))
         .select("doc_id", "term", score.alias("bm25"))
     )
+
+
+@register(
+    "text_perplexity_proxy",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni)
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CAST(round(1000000.0
+                        * ln(u.cnt * 1.0 / s.n_total)) AS BIGINT)) AS BIGINT)
+                 AS logp_micro,
+               CAST(sum(CAST(round(1000000.0
+                        * ln(u.cnt * 1.0 / s.n_total)) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / count(*) AS avg_logp
+        FROM tok t JOIN uni u USING (token), tot s
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+)
+def text_perplexity_proxy(spark, sf_dir):
+    """Unigram LM scoring — the classic cheap-perplexity quality
+    filter of LLM data pipelines: train corpus unigram probabilities
+    in one aggregation, score every document by its mean token
+    log-probability (low = gibberish / off-distribution).
+
+    The unigram table broadcasts onto the token stream (vocab is
+    dim-sized at any corpus scale); per-token log-probs are rounded
+    to exact integer micro-nats BEFORE summation so the per-doc sum
+    is shuffle-order-proof, then one identical scalar division per
+    engine."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.agg(F.sum("cnt").cast("long").alias("n_total"))
+    logp_micro = F.sum(
+        F.round(
+            F.lit(1000000.0)
+            * F.log(F.col("cnt") * F.lit(1.0) / F.col("n_total"))
+        ).cast("long")
+    )
+    return (
+        tok.join(F.broadcast(uni), "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            logp_micro.alias("logp_micro"),
+            (
+                logp_micro.cast("double")
+                / F.lit(1000000.0)
+                / F.count(F.lit(1))
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
