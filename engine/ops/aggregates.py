@@ -666,3 +666,52 @@ def orders_rfm_segmentation(spark, sf_dir):
         .over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
         .alias("m_score"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+        WITH med AS (
+          SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+          FROM events GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_id, e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS dev
+          FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.value, d.med, a.mad
+        FROM dev d JOIN mad a USING (event_type)
+        WHERE d.dev > 3.5 * a.mad
+        ORDER BY d.event_id
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    median/MAD analogue of flow_zscore_anomaly, immune to the outliers
+    it hunts. Two grouped exact medians with broadcast join-backs (the
+    per-type stats are dim-sized at any scale).
+
+    Both medians are rounded to 6 dp BEFORE any downstream arithmetic
+    so the interpolation-ulp divergence between engines can't flip the
+    3.5×MAD comparison."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("dev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3.5 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+        .orderBy("event_id")
+    )

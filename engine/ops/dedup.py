@@ -503,3 +503,58 @@ def graph_pagerank(spark, sf_dir):
             .localCheckpoint()
         )
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_degree_centrality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+           FROM t, unnest(range(1, len(toks)-1)) r(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    edges AS (
+      SELECT doc_a, doc_b, n_common / (sa.n + sb.n - n_common) AS jaccard
+      FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    ),
+    directed AS (
+      SELECT doc_a AS doc_id, jaccard FROM edges
+      UNION ALL
+      SELECT doc_b AS doc_id, jaccard FROM edges
+    )
+    SELECT doc_id, count(*) AS degree,
+           CAST(sum(CAST(round(jaccard*1000000.0) AS BIGINT)) AS BIGINT)
+             AS wdegree_micro
+    FROM directed GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def graph_degree_centrality(spark, sf_dir):
+    """Degree and weighted degree per document over the exact-Jaccard
+    near-dup graph — the cheapest centrality, and the quantity a
+    curation pipeline thresholds to drop 'template' documents that
+    near-duplicate half the corpus.
+
+    Weighted degree is summed in exact micro-jaccard integers
+    (jaccard itself is an int/int division, so round(j*1e6) is
+    engine-identical); count/sum are one map-side-combinable
+    aggregation over the symmetrized edge list."""
+    edges = dedup_ngram_jaccard(spark, sf_dir)
+    directed = edges.select("doc_a", "jaccard").withColumnsRenamed(
+        {"doc_a": "doc_id"}
+    ).unionByName(
+        edges.select("doc_b", "jaccard").withColumnsRenamed({"doc_b": "doc_id"})
+    )
+    return (
+        directed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.sum(F.round(F.col("jaccard") * 1000000.0).cast("long")).alias(
+                "wdegree_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -367,3 +367,52 @@ def join_interval_point(spark, sf_dir):
         )
         .select("o_orderkey", "event_id", "user_id", "o_orderdate", "ts")
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+        WITH p AS (
+          SELECT user_id, ts, max(event_id) AS next_purchase_id
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               p.next_purchase_id, p.ts AS next_purchase_ts
+        FROM events e
+        ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts < p.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: each event attributed to the user's NEXT
+    strictly-later purchase (time-to-conversion analysis) — the
+    mirror of join_asof, kept as a left join so non-converting events
+    survive with NULLs.
+
+    Emulation: equi-join on user + strict time inequality, then keep
+    the earliest candidate per event via row_number. Purchases are
+    collapsed to one row per (user, ts) first so tie-breaking matches
+    DuckDB's ASOF. One shuffle on the equi key."""
+    e = table(spark, sf_dir, "events")
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .agg(F.max("event_id").alias("next_purchase_id"))
+    )
+    j = e.join(
+        p, (e.user_id == p.p_user) & (e.ts < p.p_ts), "left"
+    )
+    w = Window.partitionBy("event_id").orderBy(F.asc_nulls_last("p_ts"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "next_purchase_id",
+            F.col("p_ts").alias("next_purchase_ts"),
+        )
+    )
