@@ -715,3 +715,37 @@ def events_anomaly_mad(spark, sf_dir):
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_id")
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    """GROUPING() markers on a rollup — distinguishes 'NULL because
+    subtotal row' from 'NULL in the data', which agg_rollup alone
+    cannot. grouping() returns tinyint in Spark vs int in DuckDB;
+    cast explicitly."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "n"
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )

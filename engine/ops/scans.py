@@ -274,3 +274,71 @@ def sql_lateral_topk(spark, sf_dir):
         ORDER BY c.c_custkey, o.o_orderkey
         """
     )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+        SELECT event_id, user_id, value
+        FROM events WHERE event_type = 'click'
+    """,
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Static partition pruning: events written partitioned by
+    event_type, read back with a partition-key predicate — the scan
+    must touch ONLY the click directory (PartitionFilters in the
+    plan, asserted in tests/test_plans.py). At 100 TB this is the
+    difference between scanning one partition and five."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = scratch_dir("part_pruned")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+        WITH dim AS (
+          SELECT DISTINCT event_type FROM events WHERE event_type LIKE 'p%'
+        )
+        SELECT e.event_type, count(*) AS n,
+               CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+)
+def join_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning: the fact side is partitioned on the
+    join key and the dim side's filter is only known at runtime —
+    Spark injects a dynamicpruning subquery so the fact scan skips
+    partitions that can't match (asserted in tests/test_plans.py).
+    The 100 TB pattern for star joins on partitioned facts."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    out = scratch_dir("dpp_fact")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        table(spark, sf_dir, "events")
+        .select("event_type")
+        .filter(F.col("event_type").like("p%"))
+        .distinct()
+        .withColumnRenamed("event_type", "d_type")
+    )
+    return (
+        fact.join(dim, fact.event_type == dim.d_type)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("event_type")
+    )

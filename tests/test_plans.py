@@ -191,3 +191,18 @@ def test_gap_fill_no_cartesian_grid(spark):
     plan = _plan(spark, "ts_gap_fill")
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_partition_pruning_static(spark):
+    """scan_partition_pruned: the partition-key predicate must land in
+    PartitionFilters (directory pruning), not just a row filter."""
+    plan = _plan(spark, "scan_partition_pruned")
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf, plan
+
+
+def test_partition_pruning_dynamic(spark):
+    """join_dynamic_partition_pruning: the fact scan must carry a
+    dynamicpruning subquery keyed on the dim side."""
+    plan = _plan(spark, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan, plan
