@@ -749,3 +749,62 @@ def agg_grouping_id(spark, sf_dir):
             F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
         )
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+        SELECT lang,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def agg_string_concat(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg): distinct
+    sources per language as one comma-joined, lexically-sorted string.
+    Spark spelling: collect_set → sort_array → concat_ws (the sort
+    makes the concatenation order — and the hash — deterministic)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("source"))
+            ).alias("sources")
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via mergeable bitmaps (Spark 3.5
+    bitmap_* family): per (event_type, bucket) partial bitmaps are
+    OR-merged, then popcounted — same answer as count(DISTINCT) but
+    the partials are re-aggregatable, which is how exact distinct
+    rolls up across partitions/days at 100 TB without re-scanning
+    (count(DISTINCT) partials are not mergeable; sketches are but
+    approximate). The oracle is plain count(DISTINCT)."""
+    e = table(spark, sf_dir, "events")
+    partial = (
+        e.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .orderBy("event_type")
+    )

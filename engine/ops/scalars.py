@@ -490,3 +490,24 @@ def json_variant_ops(spark, sf_dir):
         F.variant_get("v", "$.k", "bigint").alias("k_typed"),
         F.variant_get("v", "$.k", "string").alias("k_str"),
     )
+
+
+@register(
+    "str_regex_extract_all",
+    oracle="""
+        SELECT p_partkey,
+               regexp_extract_all(p_name, '[a-z]+ed') AS ed_words,
+               len(regexp_extract_all(p_name, '[a-z]+ed')) AS n_ed
+        FROM part
+        ORDER BY p_partkey
+    """,
+)
+def str_regex_extract_all(spark, sf_dir):
+    """regexp_extract_all: every match, not just the first — returns
+    an array column (order of matches is positional, so the hash is
+    deterministic). RE2∩Java common-subset pattern discipline."""
+    p = table(spark, sf_dir, "part")
+    ed = F.regexp_extract_all("p_name", F.lit("[a-z]+ed"), 0)
+    return p.select(
+        "p_partkey", ed.alias("ed_words"), F.size(ed).alias("n_ed")
+    ).orderBy("p_partkey")
