@@ -808,3 +808,186 @@ def agg_bitmap_distinct(spark, sf_dir):
         .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_count_if_filter",
+    oracle="""
+        SELECT event_type,
+               count(*) FILTER (WHERE value > 250.0) AS n_big,
+               count(*) FILTER (WHERE value <= 250.0) AS n_small,
+               sum(CAST(round(value*100) AS BIGINT)) FILTER (WHERE event_type = 'purchase')
+                 / 100.0 AS purchase_value,
+               count(DISTINCT user_id) FILTER (WHERE value > 400.0) AS big_spenders
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def agg_count_if_filter(spark, sf_dir):
+    """Conditional aggregation — the FILTER-clause surface. Spark
+    expresses it as count_if / when-guarded sums; both forms compile
+    to the same partial+final hash aggregate, so one pass over the
+    input computes every conditional branch (no per-condition
+    re-scan). sum FILTER over an empty group yields NULL in both
+    engines (the non-purchase rows)."""
+    e = table(spark, sf_dir, "events")
+    big = F.col("value") > 250.0
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_if(big).alias("n_big"),
+            F.count_if(~big).alias("n_small"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100.0).cast("long"),
+                    )
+                )
+                / 100.0
+            ).alias("purchase_value"),
+            F.count_distinct(
+                F.when(F.col("value") > 400.0, F.col("user_id"))
+            ).alias("big_spenders"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_central_moments",
+    oracle="""
+        WITH s AS (
+          SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+          FROM events
+        ), m AS (
+          SELECT event_type,
+                 count(*) AS n,
+                 CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(v AS HUGEINT)*v) AS DOUBLE) AS s2,
+                 CAST(sum(CAST(v AS HUGEINT)*v*v) AS DOUBLE) AS s3,
+                 CAST(sum(CAST(v AS HUGEINT)*v*v*v) AS DOUBLE) AS s4
+          FROM s GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(s1/n/100.0, 6) AS mean_value,
+               round((s2/n - (s1/n)*(s1/n)) / 10000.0, 6) AS var_pop,
+               round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                     / ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n))), 6)
+                 AS skewness,
+               round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                     / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6)
+                 AS kurtosis,
+               round(sqrt(s2/n - (s1/n)*(s1/n)) / (s1/n), 6) AS cv
+        FROM m
+        ORDER BY event_type
+    """,
+)
+def agg_central_moments(spark, sf_dir):
+    """Exact grouped skewness/kurtosis/CV from integer power sums.
+
+    Built-in skewness()/kurtosis() accumulate doubles in
+    shuffle-fetch order (non-deterministic last-ulp), so instead the
+    four raw power sums are taken over the exactly-recovered scaled
+    integer (value is 2-dp, FIXTURES.md): every per-row power v^4 <
+    5.8e18 fits a long, and the SUM runs in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB) — overflow-free and exact at any scale. The
+    double-precision moment formulas then see bit-identical inputs
+    and run the identical expression tree on both engines (sqrt, not
+    pow(x,1.5): sqrt is IEEE-correctly-rounded, pow is not).
+    Skewness/kurtosis are scale-invariant so the *100 encoding
+    cancels; mean/variance divide it back out. One map-side-combined
+    shuffle; 6-dp rounding guards the final transcendental-free ops."""
+    e = table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100.0).cast("long")
+    s = e.select("event_type", v.alias("v"))
+    dec = "decimal(38,0)"
+    m = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("h1"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("h2"),
+        F.sum((F.col("v") * F.col("v") * F.col("v")).cast(dec)).alias("h3"),
+        F.sum(
+            (F.col("v") * F.col("v") * F.col("v") * F.col("v")).cast(dec)
+        ).alias("h4"),
+    )
+    s1 = F.col("h1").cast("double")
+    s2 = F.col("h2").cast("double")
+    s3 = F.col("h3").cast("double")
+    s4 = F.col("h4").cast("double")
+    n = F.col("n")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean / 100.0, 6).alias("mean_value"),
+        F.round(m2 / 10000.0, 6).alias("var_pop"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("kurtosis"),
+        F.round(F.sqrt(m2) / mean, 6).alias("cv"),
+    ).orderBy("event_type")
+
+
+@register(
+    "ts_time_bucket",
+    oracle="""
+        WITH b AS (
+          SELECT CAST(to_timestamp((epoch_ns(ts) // 1000000000) // 900 * 900)
+                      AS TIMESTAMP) AS bucket_start,
+                 event_type, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT CAST(bucket_start AS VARCHAR) AS bucket_start, event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(cents)/100.0 AS total_value
+        FROM b
+        GROUP BY bucket_start, event_type
+        ORDER BY bucket_start, event_type
+        LIMIT 4000
+    """,
+)
+def ts_time_bucket(spark, sf_dir):
+    """Arbitrary-width time bucketing (TimescaleDB time_bucket /
+    ClickHouse toStartOfInterval): 15-minute buckets via exact
+    integer epoch arithmetic — floor-divide seconds by the width.
+    Complements stream_tumbling_window (window() is restricted to
+    the streaming-compatible windowing API; epoch math composes
+    with any expression and buckets of any anchor/width, e.g.
+    week-anchored or 90-s buckets). Rendered as VARCHAR on both
+    sides to sidestep pandas date64 unit skew. One
+    map-side-combined shuffle keyed on (bucket, type)."""
+    e = table(spark, sf_dir, "events")
+    secs = (F.unix_micros(F.col("ts").cast("timestamp")) / 1000000).cast(
+        "long"
+    )
+    bucket = F.timestamp_seconds(F.floor(secs / 900) * 900).cast(
+        "timestamp_ntz"
+    )
+    return (
+        e.select(
+            bucket.cast("string").alias("bucket_start"),
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+        .limit(4000)
+    )

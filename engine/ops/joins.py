@@ -416,3 +416,82 @@ def join_asof_forward(spark, sf_dir):
             F.col("p_ts").alias("next_purchase_ts"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        WITH pv AS (
+          SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                 v.event_id AS view_id, v.ts AS view_ts,
+                 row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY v.ts DESC, v.event_id DESC) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON v.user_id = p.user_id
+           AND v.ts <= p.ts
+           AND v.ts >= p.ts - INTERVAL 1 HOUR
+        )
+        SELECT purchase_id, user_id, purchase_ts, view_id, view_ts,
+               CASE WHEN view_ts IS NULL THEN NULL
+                    ELSE epoch_us(purchase_ts) - epoch_us(view_ts)
+               END AS lead_time_us
+        FROM pv
+        WHERE rn = 1
+        ORDER BY purchase_id
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH a tolerance bound (last 'view' at-or-before
+    each 'purchase' by the same user, but only within 1 hour) — the
+    attribution-window shape ad pipelines run. Unlike the plain
+    as-of (join_asof), the tolerance makes the band join finite:
+    state per key is bounded by the window, which is exactly what
+    lets the streaming twin (stream_stream_join) bound its state
+    store. Implemented as a banded LEFT join + per-purchase top-1
+    (row_number with a unique (ts, event_id) desc order); purchases
+    with no in-window view survive with NULLs. Catalyst turns the
+    rn=1 filter into WindowGroupLimit, so only one candidate row
+    per purchase crosses the final shuffle."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = p.join(
+        v,
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        ),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("view_ts"), F.desc("view_id")
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "view_id",
+            "view_ts",
+            F.when(
+                F.col("view_ts").isNotNull(),
+                us("purchase_ts") - us("view_ts"),
+            ).alias("lead_time_us"),
+        )
+        .orderBy("purchase_id")
+    )

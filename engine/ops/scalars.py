@@ -511,3 +511,184 @@ def str_regex_extract_all(spark, sf_dir):
     return p.select(
         "p_partkey", ed.alias("ed_words"), F.size(ed).alias("n_ed")
     ).orderBy("p_partkey")
+
+
+@register(
+    "date_week_parts",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+               CAST(isodow(o_orderdate) - 1 AS BIGINT) AS weekday_mon0,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(CAST(last_day(o_orderdate) AS DATE) AS VARCHAR) AS month_end,
+               CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 1000
+    """,
+)
+def date_week_parts(spark, sf_dir):
+    """Calendar-part extraction beyond year/month/day: ISO week
+    number, Monday-0 weekday, quarter, month-end, day-of-year.
+    weekofyear/week are both ISO-8601 (weeks belong to the year
+    containing their Thursday) so the year-boundary dates in
+    orders (1995–2001) hash identically; Spark's weekday() is
+    already Monday=0 while DuckDB's isodow is Monday=1, mapped
+    explicitly. All pure column expressions — codegen, no shuffle
+    beyond the ordered limit."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+            F.weekday("o_orderdate").cast("long").alias("weekday_mon0"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.last_day("o_orderdate").cast("string").alias("month_end"),
+            F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@register(
+    "str_url_parse",
+    oracle="""
+        SELECT doc_id,
+               source || '.example.com' AS host,
+               '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+               'lang=' || lang AS query,
+               lang AS lang_param
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def str_url_parse(spark, sf_dir):
+    """URL structural parsing via parse_url (HOST / PATH / QUERY /
+    single query parameter) over a URL synthesized from document
+    columns — the oracle states the decomposition directly, so the
+    check proves parse_url inverts the construction exactly. Common
+    in web-corpus pipelines (canonicalization, per-host grouping
+    before politeness-limited fetch or per-domain dedup)."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.parse_url(url, F.lit("HOST")).alias("host"),
+            F.parse_url(url, F.lit("PATH")).alias("path"),
+            F.parse_url(url, F.lit("QUERY")).alias("query"),
+            F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "json_tuple_multi",
+    oracle="""
+        SELECT event_id,
+               CAST(user_id AS VARCHAR) AS uid_s,
+               event_type AS type_s,
+               CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS cents_s
+        FROM events
+        ORDER BY event_id
+        LIMIT 2000
+    """,
+)
+def json_tuple_multi(spark, sf_dir):
+    """Multi-key JSON extraction in one pass: a JSON document is
+    rendered with to_json(struct(...)) and json_tuple pulls three
+    keys as one generator (single parse per row, vs three
+    get_json_object re-parses). The oracle states the round-trip
+    identity from the base columns. Integer-cents encoding keeps
+    the float out of the JSON text (to_json double formatting is
+    engine-specific)."""
+    e = table(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("type"),
+            F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+    )
+    return (
+        e.select("event_id", j.alias("j"))
+        .select(
+            "event_id",
+            F.json_tuple(F.col("j"), "uid", "type", "cents").alias(
+                "uid_s", "type_s", "cents_s"
+            ),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+@register(
+    "arr_set_operations",
+    oracle="""
+        WITH h AS (
+          SELECT doc_id,
+                 string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ), ab AS (
+          SELECT doc_id,
+                 toks[1 : n//2] AS a,
+                 toks[n//2 + 1 : n] AS b
+          FROM h
+        )
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(a,
+                 x -> list_contains(b, x)))) AS common,
+               list_sort(list_distinct(list_filter(a,
+                 x -> NOT list_contains(b, x)))) AS only_first,
+               CAST(len(list_distinct(a || b)) AS INTEGER) AS n_union
+        FROM ab
+        ORDER BY doc_id
+    """,
+)
+def arr_set_operations(spark, sf_dir):
+    """Array set algebra (intersect / except / union-cardinality)
+    between the first and second half of each document's token
+    sequence — a per-row (no shuffle!) vocabulary-overlap profile,
+    the cheap precursor to pairwise Jaccard. Spark's
+    array_intersect/except order is first-occurrence (engine-
+    specific), so results are canonicalized through
+    sort_array(array_distinct(...)) to a deterministic set form on
+    both engines. slice() is 1-based in Spark like DuckDB's list
+    slicing; whole thing is codegen'd per-row expression work that
+    scales embarrassingly."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    h = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+    )
+    half = (F.col("n") / 2).cast("int")
+    ab = h.select(
+        "doc_id",
+        F.slice(F.col("toks"), 1, half).alias("a"),
+        F.slice(
+            F.col("toks"), half + 1, F.col("n") - half
+        ).alias("b"),
+    )
+    return ab.select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(F.array_intersect("a", "b"))
+        ).alias("common"),
+        F.sort_array(F.array_distinct(F.array_except("a", "b"))).alias(
+            "only_first"
+        ),
+        F.size(F.array_distinct(F.concat("a", "b"))).alias("n_union"),
+    ).orderBy("doc_id")

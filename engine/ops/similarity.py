@@ -465,3 +465,48 @@ def embed_dim_minmax(spark, sf_dir):
         .agg(F.min("v").alias("min_v"), F.max("v").alias("max_v"))
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "embed_centroid_per_label",
+    oracle="""
+        SELECT label, CAST(i AS INTEGER) AS dim,
+               sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)*10000000)
+                        AS BIGINT))/count(*)/10000000.0 AS centroid,
+               count(*) AS n_vecs
+        FROM embeddings, unnest(range(0, 64)) r(i)
+        GROUP BY label, i
+        ORDER BY label, dim
+    """,
+)
+def embed_centroid_per_label(spark, sf_dir):
+    """Per-class centroid of the embedding space (label → 64-dim mean
+    vector), the building block for nearest-centroid classification
+    and IVF coarse quantizers (sim_search_ivf recomputes these each
+    Lloyd step). posexplode flattens to (label, dim, value); the mean
+    runs on a 1e-7-quantized integer so the merge order of partial
+    sums can't flake the hash (float32→double is exact, the quantize
+    is one correctly-rounded op on both engines).
+
+    Scale: |labels|×64 groups — the agg output is tiny no matter the
+    corpus size, and the partial agg collapses each task to ≤640
+    rows before the one shuffle. No collect; the exploded relation
+    is 64× rows but never materialized (pipelined into the agg)."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("x").cast("double") * 10000000.0).cast("long")
+                )
+                / F.count(F.lit(1))
+                / 10000000.0
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )

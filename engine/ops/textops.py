@@ -743,3 +743,161 @@ def text_perplexity_proxy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_zipf_rank",
+    oracle="""
+        WITH tok AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM documents
+        ), f AS (
+          SELECT token, count(*) AS freq FROM tok GROUP BY token
+        ), tot AS (SELECT sum(freq) AS total FROM f)
+        SELECT token, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+                 AS rnk,
+               round(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                 AS share,
+               round(CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / CAST(total AS DOUBLE), 6) AS cum_share
+        FROM f, tot
+        ORDER BY rnk
+        LIMIT 100
+    """,
+)
+def text_zipf_rank(spark, sf_dir):
+    """Zipf rank–frequency profile of the corpus vocabulary: token
+    frequency, rank, share and cumulative share of total tokens —
+    the standard head/tail diagnostic before building a tokenizer
+    vocab (how much mass do the top-100 types cover?).
+
+    Scale shape: the token count is a map-side-combined agg; the
+    unpartitioned rank window runs over the POST-AGG relation
+    (vocabulary-sized, not corpus-sized) — at 100 TB the vocab is
+    still ~millions of rows, and the top-100 cut means a
+    WindowGroupLimit-style single-reducer pass over a small input.
+    Exact integer sums; the only double ops are the two final
+    divisions, identical on both engines."""
+    d = table(spark, sf_dir, "documents")
+    f = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = f.agg(F.sum("freq").alias("total"))
+    w_rank = Window.orderBy(F.desc("freq"), F.asc("token"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        f.join(F.broadcast(total))
+        .select(
+            "token",
+            "freq",
+            F.row_number().over(w_rank).cast("long").alias("rnk"),
+            F.round(
+                F.col("freq").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.sum("freq").over(w_cum).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("rnk")
+        .limit(100)
+    )
+
+
+@register(
+    "text_length_band_filter",
+    oracle="""
+        WITH n AS (
+          SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        ), b AS (
+          SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.05) AS lo,
+                 quantile_cont(CAST(n_tokens AS DOUBLE), 0.95) AS hi
+          FROM n
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM n, b
+        WHERE CAST(n_tokens AS DOUBLE) >= lo
+          AND CAST(n_tokens AS DOUBLE) <= hi
+        ORDER BY doc_id
+    """,
+)
+def text_length_band_filter(spark, sf_dir):
+    """Corpus length-band gate (keep docs between the exact 5th and
+    95th token-count percentiles) — the standard 'too short / too
+    long' filter in LLM data pipelines, with the thresholds LEARNED
+    from the corpus rather than hard-coded. The two-row bounds
+    relation is broadcast back against the full corpus: one exact
+    percentile agg over (doc-count-sized) lengths + one scan with a
+    pushed residual comparison; no self-shuffle of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    b = n.agg(
+        F.percentile(nd, F.lit(0.05)).alias("lo"),
+        F.percentile(nd, F.lit(0.95)).alias("hi"),
+    )
+    return (
+        n.join(F.broadcast(b))
+        .filter((nd >= F.col("lo")) & (nd <= F.col("hi")))
+        .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_source_hhi",
+    oracle="""
+        WITH c AS (
+          SELECT lang, source, count(*) AS cnt
+          FROM documents GROUP BY lang, source
+        ), t AS (
+          SELECT lang, sum(cnt) AS total, sum(cnt*cnt) AS sum_sq,
+                 count(*) AS n_sources
+          FROM c GROUP BY lang
+        )
+        SELECT lang, n_sources, CAST(total AS BIGINT) AS n_docs,
+               round(CAST(sum_sq AS DOUBLE)
+                     / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+                 AS hhi
+        FROM t
+        ORDER BY lang
+    """,
+)
+def text_source_hhi(spark, sf_dir):
+    """Per-language source-concentration (Herfindahl–Hirschman
+    index): Σ(share_i²) over sources — the diversity diagnostic run
+    before corpus mixing (an HHI near 1 means one crawl source
+    dominates a language). Σ(cᵢ/T)² is computed as Σcᵢ²/T² so every
+    sum is exact integer arithmetic regardless of merge order; the
+    single double division happens once per language. Two stacked
+    aggregations, both map-side combined; the second's input is
+    |lang×source| rows."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("lang").agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return t.select(
+        "lang",
+        "n_sources",
+        F.col("total").cast("long").alias("n_docs"),
+        F.round(
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("hhi"),
+    ).orderBy("lang")

@@ -565,3 +565,42 @@ def tpch_q22(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """Q13 customer-distribution: LEFT OUTER join with an extra
+    predicate in the join condition (not a post-filter — customers
+    whose only orders are URGENT must still appear with count 0),
+    then a second aggregation over the first's output.
+
+    Scale shape: the first agg reduces orders to one row per
+    customer; the second agg's input is |customer| rows, so the
+    second shuffle is tiny. count(o_orderkey) (not count(*))
+    gives 0 for the null-extended rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

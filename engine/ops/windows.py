@@ -602,3 +602,116 @@ def ts_gap_fill(spark, sf_dir):
         )
         .orderBy("user_id", "hr")
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+        WITH flagged AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                      THEN 1 ELSE 0 END AS first_seen
+          FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(sum(first_seen) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+        FROM flagged
+        ORDER BY user_id, event_id
+        LIMIT 5000
+    """,
+)
+def win_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over an ordered per-user stream —
+    neither engine supports DISTINCT aggregates in a window frame,
+    so it is decomposed into two plain windows: a first-occurrence
+    flag (row_number over the (user, type) sub-partition) and a
+    running sum of flags. Both windows shuffle on user_id only —
+    the second reuses the first's partitioning (one Exchange in the
+    plan). The pattern is the scalable form: state per group is a
+    counter, not a growing set (vs collect_set over a frame, which
+    buffers every distinct value per row at 100 TB)."""
+    e = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("first_seen"),
+    )
+    return (
+        flagged.select(
+            "event_id",
+            "user_id",
+            F.sum("first_seen").over(w_run).cast("long").alias(
+                "distinct_types_so_far"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(5000)
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+        WITH gaps AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+          FROM events
+        )
+        SELECT event_type,
+               count(gap_us) AS n_gaps,
+               CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+               round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0, 6)
+                 AS avg_gap_s,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(min(gap_us) AS BIGINT) AS min_gap_us
+        FROM gaps
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def events_interarrival_stats(spark, sf_dir):
+    """Per-type inter-arrival-time statistics (rate/burstiness
+    profiling): lag() over the event-time order inside each type,
+    then one aggregation of the integer-microsecond gaps — sums and
+    extrema are exact int64 arithmetic, the only double op is the
+    final single division. At scale both the window and the agg
+    partition on event_type; the window's sort is the only
+    per-partition cost (no driver state)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # unix_micros requires TIMESTAMP (LTZ); the NTZ→LTZ cast is a
+    # wall-clock no-op under the UTC session timezone.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count("gap_us") / 1000000.0,
+                6,
+            ).alias("avg_gap_s"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+        )
+        .orderBy("event_type")
+    )
