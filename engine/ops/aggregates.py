@@ -901,17 +901,19 @@ def agg_central_moments(spark, sf_dir):
     cancels; mean/variance divide it back out. One map-side-combined
     shuffle; 6-dp rounding guards the final transcendental-free ops."""
     e = table(spark, sf_dir, "events")
+    # Per-row powers run in DECIMAL, not long: v^4 already exceeds
+    # int64 at v = 56021 (sf0.1's max 560.21), and the session is
+    # ANSI so the overflow is an error, not a wrap. decimal(10,0)
+    # factors grow to ≤ decimal(38,0) products — exact.
     v = F.round(F.col("value") * 100.0).cast("long")
-    s = e.select("event_type", v.alias("v"))
-    dec = "decimal(38,0)"
+    s = e.select("event_type", v.cast("decimal(10,0)").alias("v"))
+    vd = F.col("v")
     m = s.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("v").cast(dec)).alias("h1"),
-        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("h2"),
-        F.sum((F.col("v") * F.col("v") * F.col("v")).cast(dec)).alias("h3"),
-        F.sum(
-            (F.col("v") * F.col("v") * F.col("v") * F.col("v")).cast(dec)
-        ).alias("h4"),
+        F.sum(vd).alias("h1"),
+        F.sum(vd * vd).alias("h2"),
+        F.sum(vd * vd * vd).alias("h3"),
+        F.sum(vd * vd * vd * vd).alias("h4"),
     )
     s1 = F.col("h1").cast("double")
     s2 = F.col("h2").cast("double")
@@ -990,4 +992,53 @@ def ts_time_bucket(spark, sf_dir):
         )
         .orderBy("bucket_start", "event_type")
         .limit(4000)
+    )
+
+
+@register(
+    "agg_geomean",
+    oracle="""
+        WITH q AS (
+          SELECT l_returnflag,
+                 CAST(round(ln(l_quantity) * 1000000) AS BIGINT) AS lnq_u
+          FROM lineitem
+          WHERE l_quantity > 0
+        )
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(exp(CAST(sum(lnq_u) AS DOUBLE) / count(*) / 1000000.0), 4)
+                 AS geomean_qty
+        FROM q
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_geomean(spark, sf_dir):
+    """Grouped geometric mean — exp(mean(ln x)), the right average
+    for ratio-like quantities. A naive double sum of ln() values is
+    order-dependent AND libm-vs-JVM divergent; instead each row's
+    ln is rounded once to 6 dp and scaled to an exact integer, so
+    the sum is associative and bit-stable under any merge order,
+    and the single exp() at the end (one call per GROUP, not per
+    row) is rounded to 4 dp to absorb the last-ulp exp difference
+    between engines. Same one-shuffle partial-agg shape as any
+    grouped sum."""
+    li = table(spark, sf_dir, "lineitem")
+    lnq_u = F.round(F.log(F.col("l_quantity")) * 1000000.0).cast("long")
+    return (
+        li.filter(F.col("l_quantity") > 0)
+        .select("l_returnflag", lnq_u.alias("lnq_u"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.exp(
+                    F.sum("lnq_u").cast("double")
+                    / F.count(F.lit(1))
+                    / 1000000.0
+                ),
+                4,
+            ).alias("geomean_qty"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -901,3 +901,59 @@ def text_source_hhi(spark, sf_dir):
             6,
         ).alias("hhi"),
     ).orderBy("lang")
+
+
+@register(
+    "corpus_mix_weights",
+    oracle="""
+        WITH c AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+          FROM documents GROUP BY lang
+        ), t AS (
+          SELECT sum(n_docs) AS total_docs, count(*) AS n_langs FROM c
+        )
+        SELECT lang, n_docs, n_chars,
+               round(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE), 6)
+                 AS actual_share,
+               round(1.0 / CAST(n_langs AS DOUBLE), 6) AS target_share,
+               round((1.0 / CAST(n_langs AS DOUBLE))
+                     / (CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)),
+                     6) AS sample_weight
+        FROM c, t
+        ORDER BY lang
+    """,
+)
+def corpus_mix_weights(spark, sf_dir):
+    """Pre-training mixture reweighting: per-language corpus shares
+    vs a uniform target, yielding the per-document sampling weight
+    (target/actual) that a weighted sampler or epoch-repetition
+    schedule consumes downstream. The aggregate is language-
+    cardinality-sized; the 1-row totals relation broadcasts back.
+    All ratios are single double divisions over exact integer
+    counts. This is the declarative front half of data mixing —
+    the actual resample composes sample_weight with
+    sample_stratified's sampleBy."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("n_chars"),
+    )
+    t = c.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    actual = F.col("n_docs").cast("double") / F.col("total_docs").cast("double")
+    target = F.lit(1.0) / F.col("n_langs").cast("double")
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            F.round(actual, 6).alias("actual_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target / actual, 6).alias("sample_weight"),
+        )
+        .orderBy("lang")
+    )

@@ -629,12 +629,15 @@ def win_running_distinct(spark, sf_dir):
     neither engine supports DISTINCT aggregates in a window frame,
     so it is decomposed into two plain windows: a first-occurrence
     flag (row_number over the (user, type) sub-partition) and a
-    running sum of flags. Both windows shuffle on user_id only —
-    the second reuses the first's partitioning (one Exchange in the
-    plan). The pattern is the scalable form: state per group is a
-    counter, not a growing set (vs collect_set over a frame, which
-    buffers every distinct value per row at 100 TB)."""
-    e = table(spark, sf_dir, "events")
+    running sum of flags. An explicit repartition on user_id feeds
+    BOTH windows: HashPartitioning(user_id) satisfies the
+    (user_id, event_type) clustering too, so EnsureRequirements
+    inserts no further Exchange — one shuffle total (plan-asserted
+    in tests/test_plans.py). The pattern is the scalable form:
+    state per group is a counter, not a growing set (vs collect_set
+    over a frame, which buffers every distinct value per row at
+    100 TB)."""
+    e = table(spark, sf_dir, "events").repartition(F.col("user_id"))
     w_first = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id"
     )

@@ -206,3 +206,23 @@ def test_partition_pruning_dynamic(spark):
     dynamicpruning subquery keyed on the dim side."""
     plan = _plan(spark, "join_dynamic_partition_pruning")
     assert "dynamicpruning" in plan, plan
+
+
+def test_running_distinct_single_shuffle(spark):
+    """win_running_distinct: the explicit user_id repartition must
+    satisfy BOTH window distributions ((user_id, event_type) and
+    (user_id)) — exactly one Exchange in the plan."""
+    import re
+
+    plan = _plan(spark, "win_running_distinct")
+    n = len(re.findall(r"Exchange (hash|range|Single|RoundRobin)", plan))
+    assert n == 1, plan
+
+
+def test_zipf_window_on_post_agg_only(spark):
+    """text_zipf_rank: the global rank window must consume the
+    vocabulary-sized aggregate, and the 1-row total join must be a
+    broadcast, never a shuffled join."""
+    plan = _plan(spark, "text_zipf_rank")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
