@@ -1042,3 +1042,97 @@ def agg_geomean(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * CAST(round(l_quantity) AS BIGINT))
+                 / CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS wavg_price,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS total_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price — the aggregation SQL's plain
+    avg() can't express. Both the weighted numerator and the weight
+    sum are exact integer arithmetic (price is 2-dp, quantity
+    integer-valued; products ≤ 6e10 per row, far inside int64), so
+    any shuffle merge order yields the same bits; one double
+    division at the end. Same single partial+final hash-agg shape
+    as an unweighted mean."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100.0).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(cents * qty) / F.sum(qty).cast("double") / 100.0
+            ).alias("wavg_price"),
+            F.sum(qty).cast("long").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "events_dau_stickiness",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(week(ts) AS BIGINT) AS iso_week,
+                 user_id
+          FROM events
+        ), dau AS (
+          SELECT day, any_value(iso_week) AS iso_week,
+                 count(DISTINCT user_id) AS dau
+          FROM d GROUP BY day
+        ), wau AS (
+          SELECT iso_week, count(DISTINCT user_id) AS wau
+          FROM d GROUP BY iso_week
+        )
+        SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+               round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+                 AS stickiness
+        FROM dau JOIN wau ON dau.iso_week = wau.iso_week
+        ORDER BY day
+    """,
+)
+def events_dau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness: daily and ISO-week distinct actives joined
+    on the week — the engagement ratio every product-analytics
+    deployment computes. Two distinct-aggs over the same scan (both
+    map-side partial), then a broadcast join of the week-cardinality
+    relation back onto days. A day's week is recovered with
+    any_value (all rows in a day share the ISO week) rather than a
+    re-derivation in the join key."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+        "user_id",
+    )
+    dau = d.groupBy("day").agg(
+        F.any_value("iso_week").alias("iso_week"),
+        F.count_distinct("user_id").alias("dau"),
+    )
+    wau = d.groupBy("iso_week").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(F.broadcast(wau), "iso_week")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -495,3 +495,32 @@ def join_asof_tolerance(spark, sf_dir):
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "join_hint_strategies",
+    oracle=f"""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal > 5000.0
+        ORDER BY o.o_orderkey
+        LIMIT 5000
+    """,
+)
+def join_hint_strategies(spark, sf_dir):
+    """Explicit physical join-strategy control: SHUFFLE_MERGE hint
+    pins a sort-merge join where size estimates would otherwise pick
+    broadcast. Semantically a plain inner join (the oracle states
+    that); the value is operational — at 100 TB the optimizer's
+    size estimates can be wrong mid-pipeline (post-filter fact
+    joined to fact), and hints are the per-query override that
+    avoids an OOM'ing broadcast without flipping global thresholds.
+    The SMJ shape is plan-asserted in tests/test_plans.py."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    return (
+        o.join(c.hint("SHUFFLE_MERGE"), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+        .limit(5000)
+    )

@@ -295,3 +295,54 @@ def set_intersect_all(spark, sf_dir):
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.intersectAll(op)
+
+
+@register(
+    "na_replace_ops",
+    oracle="""
+        WITH holed AS (
+          SELECT o_orderkey,
+                 nullif(o_orderstatus, 'P') AS status_n,
+                 CASE WHEN o_totalprice > 400000.0 THEN NULL
+                      ELSE o_totalprice END AS price_n,
+                 o_orderpriority
+          FROM orders
+        )
+        SELECT o_orderkey,
+               coalesce(status_n, 'PENDING') AS status_filled,
+               coalesce(price_n, -1.0) AS price_filled,
+               CASE o_orderpriority WHEN '1-URGENT' THEN 'P1'
+                                    WHEN '2-HIGH' THEN 'P2'
+                                    ELSE o_orderpriority END AS prio_mapped,
+               (status_n IS NULL) AS was_null
+        FROM holed
+        ORDER BY o_orderkey
+    """,
+)
+def na_replace_ops(spark, sf_dir):
+    """The DataFrameNaFunctions surface (na.fill / na.replace) over
+    synthesized holes (testdata has no NULLs — FIXTURES.md): typed
+    per-column fill defaults and a value-remap dictionary, exactly
+    the null-scrubbing pass an ingest pipeline runs before a sink
+    with NOT NULL expectations. All pure projections — codegen'd,
+    shuffle-free; the fill/replace maps compile to CASE ladders, not
+    Python."""
+    o = table(spark, sf_dir, "orders")
+    holed = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"),
+        F.when(F.col("o_totalprice") > 400000.0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_n"),
+        "o_orderpriority",
+    ).withColumn("was_null", F.col("status_n").isNull())
+    filled = holed.na.fill({"status_n": "PENDING", "price_n": -1.0}).na.replace(
+        {"1-URGENT": "P1", "2-HIGH": "P2"}, subset=["o_orderpriority"]
+    )
+    return filled.select(
+        "o_orderkey",
+        F.col("status_n").alias("status_filled"),
+        F.col("price_n").alias("price_filled"),
+        F.col("o_orderpriority").alias("prio_mapped"),
+        "was_null",
+    ).orderBy("o_orderkey")

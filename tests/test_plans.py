@@ -226,3 +226,11 @@ def test_zipf_window_on_post_agg_only(spark):
     plan = _plan(spark, "text_zipf_rank")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_join_hint_forces_smj(spark):
+    """join_hint_strategies: the SHUFFLE_MERGE hint must override the
+    would-be broadcast (customer easily fits the threshold) and
+    produce a SortMergeJoin."""
+    plan = _plan(spark, "join_hint_strategies")
+    assert "SortMergeJoin" in plan, plan
