@@ -524,3 +524,65 @@ def join_hint_strategies(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(5000)
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+               p.p_partkey, p.p_retailprice
+        FROM (SELECT * FROM lineitem WHERE l_quantity = 1.0) l
+        JOIN (SELECT * FROM part WHERE p_size > 45) p
+          ON l.l_extendedprice >= p.p_retailprice * 10.0
+         AND l.l_extendedprice <  p.p_retailprice * 11.0
+        ORDER BY l_orderkey, l_linenumber, p_partkey
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """The SCALE path for join_theta_range — identical band-join
+    semantics (and oracle), different physical shape: the non-equi
+    condition is converted to an equi-join by bucketing the price
+    axis ($2000 buckets). Each lineitem row carries ONE bucket key;
+    each part explodes to the few buckets its [10p, 11p) band can
+    touch (±1 bucket of margin so the integer bucketing is a strict
+    superset of the double-precision band; the original double
+    residual then decides exactly). Because the probe side has a
+    single key, no post-join dedup is needed.
+
+    Result: a hash-partitionable join (plan-asserted: no
+    BroadcastNestedLoopJoin/CartesianProduct) whose per-key fan-in
+    is bounded by the bucket width — at 100 TB this shuffles both
+    sides by bucket instead of nested-looping the full cross
+    product, the standard range-join trick Spark lacks natively."""
+    W = 200000  # bucket width in cents ($2000)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 1.0)
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+
+    li_k = li.withColumn(
+        "bucket",
+        F.floor(F.round(F.col("l_extendedprice") * 100.0).cast("long") / W),
+    )
+    p_cents = F.round(F.col("p_retailprice") * 100.0).cast("long")
+    p_k = p.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(p_cents * 10 / W) - 1, F.floor(p_cents * 11 / W) + 1
+            )
+        ),
+    )
+    residual = (
+        F.col("l_extendedprice") >= F.col("p_retailprice") * 10.0
+    ) & (F.col("l_extendedprice") < F.col("p_retailprice") * 11.0)
+    return (
+        li_k.join(p_k, ["bucket"])
+        .filter(residual)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "p_partkey",
+            "p_retailprice",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey")
+    )

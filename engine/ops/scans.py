@@ -342,3 +342,69 @@ def join_dynamic_partition_pruning(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "plan_cache_reuse",
+    oracle=f"""
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus, l_extendedprice, l_discount
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT 'by_returnflag' AS grouping_name, l_returnflag AS key,
+               count(*) AS n,
+               sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+                 /10000.0 AS revenue
+        FROM base GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'by_linestatus', l_linestatus, count(*),
+               sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+                 /10000.0
+        FROM base GROUP BY l_linestatus
+        ORDER BY grouping_name, key
+    """,
+)
+def plan_cache_reuse(spark, sf_dir):
+    """Explicit midpoint materialization: one filtered/projected base
+    relation persist()ed and consumed by TWO aggregations — the
+    other half of the caching story next to CTE inlining (Catalyst
+    inlines a WITH clause, re-scanning parquet once per consumer;
+    persist trades memory for the second scan, the right call when
+    the base is expensive and consumers are many — e.g. the parsed
+    flow-log table feeding a dashboard's panel queries). Both
+    consumers must show InMemoryTableScan in the plan
+    (tests/test_plans.py). MEMORY_AND_DISK so a 100 TB base spills
+    per-partition instead of OOMing executors."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..dsl import dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    base = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    by_rf = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), rev.alias("revenue")
+    ).select(
+        F.lit("by_returnflag").alias("grouping_name"),
+        F.col("l_returnflag").alias("key"),
+        "n",
+        "revenue",
+    )
+    by_ls = base.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), rev.alias("revenue")
+    ).select(
+        F.lit("by_linestatus").alias("grouping_name"),
+        F.col("l_linestatus").alias("key"),
+        "n",
+        "revenue",
+    )
+    return by_rf.unionByName(by_ls).orderBy("grouping_name", "key")

@@ -234,3 +234,18 @@ def test_join_hint_forces_smj(spark):
     produce a SortMergeJoin."""
     plan = _plan(spark, "join_hint_strategies")
     assert "SortMergeJoin" in plan, plan
+
+
+def test_cache_reuse_in_memory_scan(spark):
+    """plan_cache_reuse: both aggregation branches must read the
+    persisted relation (InMemoryTableScan), not re-scan parquet."""
+    plan = _plan(spark, "plan_cache_reuse")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_range_bucketed_is_equi_join(spark):
+    """join_range_bucketed: the bucket-key conversion must produce a
+    hash-based equi join — never a nested-loop over the band."""
+    plan = _plan(spark, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
