@@ -1136,3 +1136,58 @@ def events_dau_stickiness(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "agg_corr_exact",
+    oracle="""
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(round(l_quantity) AS BIGINT) AS q,
+                 CAST(round(l_discount*100) AS BIGINT) AS d
+          FROM lineitem
+        ), m AS (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(d) AS DOUBLE) AS sd,
+                 CAST(sum(q*q) AS DOUBLE) AS sqq,
+                 CAST(sum(d*d) AS DOUBLE) AS sdd,
+                 CAST(sum(q*d) AS DOUBLE) AS sqd
+          FROM s GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((sqd/n - (sq/n)*(sd/n))
+                     / (sqrt(sqq/n - (sq/n)*(sq/n))
+                        * sqrt(sdd/n - (sd/n)*(sd/n))), 6) AS corr_qty_disc
+        FROM m
+        ORDER BY l_returnflag
+    """,
+)
+def agg_corr_exact(spark, sf_dir):
+    """GROUPED Pearson correlation from exact integer co-moment sums
+    — the built-in corr() accumulates doubles in merge order (hence
+    agg_stats rounds a global value); this form keeps every sum
+    exact integer arithmetic (quantity ≤ 50, discount-cents ≤ 10:
+    products are tiny), so per-GROUP correlations are bit-stable at
+    any parallelism, and the double formula runs identically on
+    both engines (sqrt, not pow). One map-side-combined shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")
+    d = F.round(F.col("l_discount") * 100.0).cast("long")
+    s = li.select("l_returnflag", q.alias("q"), d.alias("d"))
+    m = s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
+        F.sum(F.col("q") * F.col("d")).cast("double").alias("sqd"),
+    )
+    n = F.col("n")
+    mq = F.col("sq") / n
+    md = F.col("sd") / n
+    corr = (F.col("sqd") / n - mq * md) / (
+        F.sqrt(F.col("sqq") / n - mq * mq) * F.sqrt(F.col("sdd") / n - md * md)
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_disc")
+    ).orderBy("l_returnflag")

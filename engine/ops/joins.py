@@ -586,3 +586,53 @@ def join_range_bucketed(spark, sf_dir):
         )
         .orderBy("l_orderkey", "l_linenumber", "p_partkey")
     )
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+        WITH b AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+               count(*) AS support
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY a.l_partkey, c.l_partkey
+        HAVING count(*) >= 3
+        ORDER BY support DESC, part_a, part_b
+        LIMIT 100
+    """,
+)
+def orders_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs ordered together in
+    ≥3 baskets (the support count behind association rules). The
+    self-join is keyed on l_orderkey — an equi-join whose fan-out is
+    quadratic only in per-basket item count (bounded, ~7 here), never
+    in table size; the a<b inequality is a residual that halves the
+    pairs and canonicalizes orientation. Per-pair support then
+    aggregates with map-side combine. At 100 TB the same plan holds:
+    shuffle by orderkey, quadratic-in-basket expansion locally,
+    shuffle by pair — both keys well-distributed."""
+    b = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(100)
+    )

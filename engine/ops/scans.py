@@ -408,3 +408,25 @@ def plan_cache_reuse(spark, sf_dir):
         "revenue",
     )
     return by_rf.unionByName(by_ls).orderBy("grouping_name", "key")
+
+
+@register("scan_metadata_columns")  # rows-only: file paths are environment-specific
+def scan_metadata_columns(spark, sf_dir):
+    """The hidden _metadata struct every file source exposes
+    (file_path, file_name, file_size, file_modification_time) —
+    the lineage/debugging surface for partitioned lakes (which
+    physical file produced this row?). Values are
+    environment-specific, so the check is rows-only; the shape
+    returned is one row per (file, count) — at scale this is how
+    you find skewed/corrupt input files without a separate listing
+    job."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .groupBy("file_name", "file_size")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("file_name")
+    )

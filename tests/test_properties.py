@@ -114,3 +114,32 @@ def test_envelope_codec_roundtrips_arbitrary_text(spark, msgs):
     df = spark.createDataFrame(payloads, "payload string")
     got = {r["id"]: r["message"] for r in decode_envelopes(df).collect()}
     assert got == {str(i): m for i, m in enumerate(msgs)}
+
+
+def test_range_join_variants_equivalent(spark):
+    """join_range_bucketed must produce exactly join_theta_range's
+    rows (same band semantics, different physical shape) — the
+    bucketing+residual may never lose or duplicate a pair."""
+    import engine
+
+    sf = "/root/testdata/sf0.01"
+    theta = {
+        tuple(r)
+        for r in engine.QUERIES["join_theta_range"](spark, sf)
+        .select(
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            "p_partkey", "p_retailprice",
+        )
+        .collect()
+    }
+    bucketed = [
+        tuple(r)
+        for r in engine.QUERIES["join_range_bucketed"](spark, sf)
+        .select(
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            "p_partkey", "p_retailprice",
+        )
+        .collect()
+    ]
+    assert len(bucketed) == len(set(bucketed)), "bucketing duplicated pairs"
+    assert set(bucketed) == theta
