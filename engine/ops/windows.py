@@ -718,3 +718,78 @@ def events_interarrival_stats(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "win_sessionized_path",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN epoch_us(ts)
+                        - lag(epoch_us(ts)) OVER w > 1800000000
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS session_no
+          FROM flagged
+        )
+        SELECT user_id, session_no,
+               count(*) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess
+        GROUP BY user_id, session_no
+        HAVING count(*) >= 5
+        ORDER BY user_id, session_no
+    """,
+)
+def win_sessionized_path(spark, sf_dir):
+    """Clickstream path analysis: 30-minute-gap sessionization (the
+    batch twin of session_window) followed by the ordered event-type
+    path string per session — the input to funnel mining and
+    next-action models. The gap flag + running sum reuse ONE
+    user_id partitioning (same single-shuffle discipline as
+    win_running_distinct); the path is built with
+    array_sort(collect_list(struct(...))) — the struct's (ts,
+    event_id) prefix makes the sort key unique, so the
+    concatenated path is deterministic on both engines (DuckDB:
+    string_agg ORDER BY). State per session is the event list —
+    bounded by session length, the same bound the streaming
+    session_window carries."""
+    e = table(spark, sf_dir, "events").repartition(F.col("user_id"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0).alias("new_s"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_s").over(w_run).cast("long").alias("session_no"),
+    )
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s.event_type,
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"), path.alias("path"))
+        .filter(F.col("n_events") >= 5)
+        .orderBy("user_id", "session_no")
+    )
