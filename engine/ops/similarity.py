@@ -510,3 +510,80 @@ def embed_centroid_per_label(spark, sf_dir):
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "embed_centroid_distance",
+    oracle="""
+        WITH c AS (
+          SELECT label, i AS dim,
+                 sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)*10000000)
+                          AS BIGINT))/count(*)/10000000.0 AS centroid
+          FROM embeddings, unnest(range(0, 64)) r(i)
+          GROUP BY label, i
+        ), d AS (
+          SELECT e.vec_id, e.label,
+                 sum(CAST(round(
+                   (CAST(e.embedding[c.dim+1] AS DOUBLE) - c.centroid)
+                   * (CAST(e.embedding[c.dim+1] AS DOUBLE) - c.centroid)
+                   * 1000000000) AS BIGINT)) AS sq_nano
+          FROM embeddings e JOIN c ON e.label = c.label
+          GROUP BY e.vec_id, e.label
+        )
+        SELECT vec_id, label,
+               round(sqrt(CAST(sq_nano AS DOUBLE) / 1000000000.0), 6)
+                 AS centroid_dist,
+               CAST(row_number() OVER (PARTITION BY label
+                    ORDER BY sq_nano DESC, vec_id) AS BIGINT) AS outlier_rank
+        FROM d
+        ORDER BY vec_id
+    """,
+)
+def embed_centroid_distance(spark, sf_dir):
+    """Distance of every embedding to its own label's centroid, with
+    a per-label outlier rank — the mislabeled-example / outlier
+    detector run before using labels for eval or distillation.
+    Composes embed_centroid_per_label: the label×64 centroid
+    relation (tiny at any scale) broadcasts onto the posexploded
+    vectors; each per-dim squared deviation is quantized to exact
+    integer nano-units BEFORE the per-vector sum, so the 64-way
+    merge order can't flake the hash, and ranking keys on the
+    integer. One broadcast join + one vec-keyed aggregation."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("x").cast("double") * 10000000.0).cast("long")
+                )
+                / F.count(F.lit(1))
+                / 10000000.0
+            ).alias("centroid")
+        )
+    )
+    diff = F.col("x").cast("double") - F.col("centroid")
+    d = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.round(diff * diff * 1000000000.0).cast("long")
+            ).alias("sq_nano")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("sq_nano"), F.asc("vec_id"))
+    return (
+        d.select(
+            "vec_id",
+            "label",
+            F.round(
+                F.sqrt(F.col("sq_nano").cast("double") / 1000000000.0), 6
+            ).alias("centroid_dist"),
+            F.row_number().over(w).cast("long").alias("outlier_rank"),
+        )
+        .orderBy("vec_id")
+    )
