@@ -430,3 +430,66 @@ def scan_metadata_columns(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("file_name")
     )
+
+
+@register(
+    "sql_pivot_surface",
+    oracle="""
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS click,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def sql_pivot_surface(spark, sf_dir):
+    """The SQL-dialect PIVOT clause (E3 surface twin of agg_pivot's
+    DataFrame form) with an explicit IN list — both forms compile to
+    the same conditional-aggregate plan, which is the point: the SQL
+    surface adds zero execution machinery. count(*) over a missing
+    cell yields 0 (not NULL) in both engines."""
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("engine_pivot_events")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT user_id, event_type FROM engine_pivot_events
+        )
+        PIVOT (count(*) FOR event_type IN ('click', 'purchase', 'view'))
+        ORDER BY user_id
+        """
+    )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+)
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB dialect
+    convergence): every non-aggregate select item becomes a grouping
+    key positionally — the analyst-ergonomics surface that removes
+    the classic copy-the-select-list error. Resolves at analysis
+    time to the identical hash-aggregate plan."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("engine_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice*100) AS BIGINT))
+                 / CAST(100 AS DOUBLE) AS total
+        FROM engine_gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
