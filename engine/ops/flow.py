@@ -423,3 +423,104 @@ def flow_hourly_spike(spark, sf_dir):
         )
         .orderBy("dstaddr", "hr")
     )
+
+
+@register(
+    "flow_cidr_lpm_enrich",
+    oracle=f"""
+        WITH f AS (
+          SELECT '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
+                 CAST(round(value*100) AS BIGINT) AS bytes
+          FROM events
+        ), d24 AS (
+          SELECT '10.0.' || CAST(n_nationkey AS VARCHAR) AS p24,
+                 n_name AS net24 FROM nation
+        ), d16 AS (
+          SELECT '10.0' AS p16, r_name AS net16 FROM region WHERE r_regionkey = 0
+        ), j AS (
+          SELECT f.srcaddr, f.bytes,
+                 coalesce(d24.net24, d16.net16, 'DEFAULT') AS network,
+                 CASE WHEN d24.net24 IS NOT NULL THEN 24
+                      WHEN d16.net16 IS NOT NULL THEN 16
+                      ELSE 8 END AS prefix_len
+          FROM f
+          LEFT JOIN d24
+            ON split_part(f.srcaddr, '.', 1) || '.'
+               || split_part(f.srcaddr, '.', 2) || '.'
+               || split_part(f.srcaddr, '.', 3) = d24.p24
+          LEFT JOIN d16
+            ON split_part(f.srcaddr, '.', 1) || '.'
+               || split_part(f.srcaddr, '.', 2) = d16.p16
+        )
+        SELECT network, prefix_len,
+               count(*) AS n_flows,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes
+        FROM j
+        GROUP BY network, prefix_len
+        ORDER BY network, prefix_len
+    """,
+)
+def flow_cidr_lpm_enrich(spark, sf_dir):
+    """Longest-prefix-match CIDR enrichment — the routing-table join
+    (which named network owns this source address?) that network
+    analytics needs and equi-join engines lack natively. The LPM is
+    decomposed into one equi-join PER PREFIX LENGTH against the
+    exact prefix string (/24 from nation, /16 from region, /8
+    default), most-specific coalesced first — each dim is
+    routing-table-sized, so every join is a broadcast and the flow
+    table streams through unshuffled until the final small
+    aggregation. At 100 TB with real routing tables the same
+    cascade holds (a handful of prefix lengths × broadcast each);
+    no explode of per-address prefix sets is needed on the big
+    side beyond substring keys."""
+    e = table(spark, sf_dir, "events")
+    par = spark.sparkContext.defaultParallelism
+    f = parse_flowlog_lines(
+        e.select("event_id", flowlog_line_col().alias("line")).repartition(par)
+    ).select("srcaddr", "bytes")
+
+    n = table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("10.0."), F.col("n_nationkey").cast("string")).alias(
+            "p24"
+        ),
+        F.col("n_name").alias("net24"),
+    )
+    r = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_regionkey") == 0)
+        .select(F.lit("10.0").alias("p16"), F.col("r_name").alias("net16"))
+    )
+    k24 = F.concat_ws(
+        ".",
+        F.split_part(F.col("srcaddr"), F.lit("."), F.lit(1)),
+        F.split_part(F.col("srcaddr"), F.lit("."), F.lit(2)),
+        F.split_part(F.col("srcaddr"), F.lit("."), F.lit(3)),
+    )
+    k16 = F.concat_ws(
+        ".",
+        F.split_part(F.col("srcaddr"), F.lit("."), F.lit(1)),
+        F.split_part(F.col("srcaddr"), F.lit("."), F.lit(2)),
+    )
+    j = (
+        f.withColumn("k24", k24)
+        .withColumn("k16", k16)
+        .join(F.broadcast(n), F.col("k24") == F.col("p24"), "left")
+        .join(F.broadcast(r), F.col("k16") == F.col("p16"), "left")
+        .select(
+            F.coalesce("net24", "net16", F.lit("DEFAULT")).alias("network"),
+            F.when(F.col("net24").isNotNull(), 24)
+            .when(F.col("net16").isNotNull(), 16)
+            .otherwise(8)
+            .alias("prefix_len"),
+            "bytes",
+        )
+    )
+    return (
+        j.groupBy("network", "prefix_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("network", "prefix_len")
+    )
