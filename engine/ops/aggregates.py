@@ -9,6 +9,7 @@ a handful of rows before the shuffle.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..dsl import davg, dsum, sql_davg, sql_dsum
@@ -1191,3 +1192,104 @@ def agg_corr_exact(spark, sf_dir):
     return m.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_disc")
     ).orderBy("l_returnflag")
+
+
+@register(
+    "events_seasonality_matrix",
+    oracle="""
+        SELECT CAST(isodow(ts) - 1 AS BIGINT) AS weekday_mon0,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
+        FROM events
+        GROUP BY weekday_mon0, hr
+        ORDER BY weekday_mon0, hr
+    """,
+)
+def events_seasonality_matrix(spark, sf_dir):
+    """Hour-of-day × day-of-week activity heatmap — the seasonality
+    profile behind capacity planning and anomaly baselines (compare
+    an hour against its weekday-hour cell, not the global mean).
+    168 output cells regardless of input size: the canonical
+    high-reduction aggregate where map-side partials collapse
+    each scan task to ≤168 rows before the single tiny shuffle."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.weekday("ts").cast("long").alias("weekday_mon0"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            (
+                F.sum(F.round(F.col("value") * 100.0).cast("long")) / 100.0
+            ).alias("total_value"),
+        )
+        .orderBy("weekday_mon0", "hr")
+    )
+
+
+@register(
+    "orders_pareto_customers",
+    oracle="""
+        WITH spend AS (
+          SELECT o_custkey,
+                 sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+          FROM orders GROUP BY o_custkey
+        ), tot AS (SELECT sum(cents) AS total_cents FROM spend),
+        ranked AS (
+          SELECT o_custkey, cents,
+                 sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents,
+                 row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+          FROM spend
+        )
+        SELECT rnk, o_custkey, cents/100.0 AS spend,
+               round(CAST(cum_cents AS DOUBLE)/CAST(total_cents AS DOUBLE), 6)
+                 AS cum_share
+        FROM ranked, tot
+        WHERE CAST(cum_cents AS DOUBLE)/CAST(total_cents AS DOUBLE) <= 0.5
+        ORDER BY rnk
+    """,
+)
+def orders_pareto_customers(spark, sf_dir):
+    """Pareto concentration: the smallest set of customers covering
+    half of total revenue (the 80/20 diagnostic). Revenue ranks and
+    the running share are windows over the POST-AGG per-customer
+    relation (|customers| rows, not |orders|); integer cents keep
+    the running sum exact so the 0.5 cutoff is tie-free and
+    identical on both engines. The unpartitioned window is the one
+    intentionally serial step — it consumes the reduced relation,
+    the same shape as text_zipf_rank's rank pass."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias(
+            "cents"
+        )
+    )
+    tot = spend.agg(F.sum("cents").alias("total_cents"))
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "o_custkey",
+        "cents",
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_cents"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+    share = F.col("cum_cents").cast("double") / F.col("total_cents").cast(
+        "double"
+    )
+    return (
+        ranked.join(F.broadcast(tot))
+        .filter(share <= 0.5)
+        .select(
+            "rnk",
+            "o_custkey",
+            (F.col("cents") / 100.0).alias("spend"),
+            F.round(share, 6).alias("cum_share"),
+        )
+        .orderBy("rnk")
+    )
