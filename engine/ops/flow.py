@@ -207,10 +207,18 @@ def flow_zscore_anomaly(spark, sf_dir):
     an identical scalar double expression — bit-deterministic where a
     shuffled double stddev is not. One map-side-combinable shuffle for
     stats, then a broadcast join back to the flows (per-interface
-    stats are dim-sized at any scale)."""
+    stats are dim-sized at any scale).
+
+    The 3-column parsed projection is persist()ed because BOTH the
+    stats pass and the scoring join consume it — without the cache
+    each consumer re-runs the from_csv parse of every line (the
+    dominant cost); with it the parse happens once and the second
+    consumer reads columnar memory (spills per-partition at scale)."""
+    from pyspark.storagelevel import StorageLevel
+
     parsed = _parsed(spark, sf_dir)
-    f = parsed.select(
-        "event_id", "interface_id", "bytes"
+    f = parsed.select("event_id", "interface_id", "bytes").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     stats = f.groupBy("interface_id").agg(
         F.sum("bytes").alias("s"),
