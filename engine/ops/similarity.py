@@ -587,3 +587,63 @@ def embed_centroid_distance(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+HARDNEG_SQL = f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+               FROM embeddings WHERE vec_id < {N_PROBES}),
+    c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS c_emb
+          FROM embeddings),
+    s AS (
+      SELECT q_id, q_label, c_id, c_label,
+             {SQL_DOT.format(a='q_emb', b='c_emb')} AS score
+      FROM q, c WHERE q_id <> c_id AND q_label <> c_label
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, c_id) AS rank
+          FROM s)
+    SELECT q_id, q_label, c_id, c_label, score, rank
+    FROM r WHERE rank <= {TOP_K}
+"""
+
+
+@register("embed_hard_negatives", oracle=HARDNEG_SQL)
+def embed_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval/embedding training: per
+    query, the top-k most-similar vectors with a DIFFERENT label —
+    the near-misses that make contrastive batches informative
+    (random negatives are too easy, same-label hits are false
+    negatives). Identical brute-anchor discipline as
+    sim_search_topk (broadcast probe set, exact fold-order dot),
+    plus the label-inequality residual BEFORE ranking so the
+    window only sees eligible candidates; the production-scale
+    form swaps the candidate side to the LSH-bucketed join exactly
+    as sim_search_blocked does."""
+    em = table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = em.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("q_id") != F.col("c_id"))
+            & (F.col("q_label") != F.col("c_label"))
+        )
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            dot6(F.col("q_emb"), F.col("c_emb")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
