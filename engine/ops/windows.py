@@ -793,3 +793,104 @@ def win_sessionized_path(spark, sf_dir):
         .filter(F.col("n_events") >= 5)
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "events_hourly_leaderboard",
+    oracle="""
+        WITH h AS (
+          SELECT date_trunc('hour', ts) AS hr, event_type,
+                 count(*) AS n,
+                 count(DISTINCT user_id) AS n_users
+          FROM events GROUP BY hr, event_type
+        )
+        SELECT CAST(hr AS VARCHAR) AS hr, event_type, n, n_users, rnk
+        FROM (SELECT *, CAST(row_number() OVER (PARTITION BY hr
+                     ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+              FROM h)
+        WHERE rnk <= 3
+        ORDER BY hr, rnk
+    """,
+)
+def events_hourly_leaderboard(spark, sf_dir):
+    """Per-hour top-3 event-type leaderboard — the windowed
+    leaderboard pattern behind 'trending now' panels. Rank runs
+    over the PRE-AGGREGATED (hour, type) relation (`hours × types`
+    rows however large the input), and Catalyst's WindowGroupLimit
+    keeps only 3 candidates per hour ahead of the final shuffle.
+    The streaming twin is the same aggregation under a tumbling
+    window + foreachBatch rank (rank-over-window isn't incremental;
+    re-ranking the micro-batch's touched hours is)."""
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    w = Window.partitionBy("hr").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        h.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("hr").cast("string").alias("hr"),
+            "event_type",
+            "n",
+            "n_users",
+            "rnk",
+        )
+        .orderBy("hr", "rnk")
+    )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id
+        ), d AS (
+          SELECT DISTINCT CAST(e.ts AS DATE) AS day, e.user_id,
+                 (CAST(e.ts AS DATE) = f.first_day) AS is_new
+          FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               count(*) FILTER (WHERE is_new) AS new_users,
+               count(*) FILTER (WHERE NOT is_new) AS returning_users
+        FROM d
+        GROUP BY day
+        ORDER BY day
+    """,
+)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning split — the acquisition/retention
+    top-line. A user's first-ever day comes from one min()
+    aggregation (broadcastable: one row per user); each active
+    (day, user) pair is then classified by equality against it.
+    Both aggregations are map-side combined; nothing scans events
+    twice thanks to the self-join being against the REDUCED firsts
+    relation, not raw events."""
+    e = table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    d = (
+        e.select(day.alias("day"), "user_id")
+        .distinct()
+        .join(firsts, "user_id")
+        .select(
+            "day", "user_id", (F.col("day") == F.col("first_day")).alias("is_new")
+        )
+    )
+    return (
+        d.groupBy("day")
+        .agg(
+            F.count_if(F.col("is_new")).alias("new_users"),
+            F.count_if(~F.col("is_new")).alias("returning_users"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "new_users",
+            "returning_users",
+        )
+        .orderBy("day")
+    )
