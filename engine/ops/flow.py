@@ -8,9 +8,10 @@ directly from `events` via the deterministic line-synthesis twins
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..ingest import SQL_K, flowlog_line_col, parse_flowlog_lines
+from ..ingest import SQL_EPOCH, SQL_K, flowlog_line_col, parse_flowlog_lines
 from ..registry import register, table
 
 
@@ -531,4 +532,86 @@ def flow_cidr_lpm_enrich(spark, sf_dir):
             F.sum("bytes").cast("long").alias("total_bytes"),
         )
         .orderBy("network", "prefix_len")
+    )
+
+
+@register(
+    "flow_beaconing_detect",
+    oracle=f"""
+        WITH f AS (
+          SELECT '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
+                 '10.1.' || CAST(({SQL_K}*3) % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*11) % 256 AS VARCHAR) AS dstaddr,
+                 {SQL_EPOCH} AS start
+          FROM events
+        ),
+        g AS (
+          SELECT srcaddr, dstaddr,
+                 start - lag(start) OVER (PARTITION BY srcaddr, dstaddr
+                                          ORDER BY start) AS gap
+          FROM f
+        ),
+        s AS (
+          SELECT srcaddr, dstaddr,
+                 count(*) AS m,
+                 CAST(sum(gap) AS BIGINT) AS sg,
+                 CAST(sum(gap * gap) AS BIGINT) AS sg2
+          FROM g WHERE gap IS NOT NULL
+          GROUP BY srcaddr, dstaddr
+        )
+        SELECT srcaddr, dstaddr, m + 1 AS n_flows,
+               round(CAST(sg AS DOUBLE) / m, 6) AS mean_gap_s,
+               round(sqrt((CAST(sg2 AS DOUBLE)
+                           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / m) / m)
+                     / (CAST(sg AS DOUBLE) / m), 6) AS cv
+        FROM s
+        WHERE m >= 5 AND sg > 0
+        ORDER BY cv, srcaddr LIMIT 20
+    """,
+)
+def flow_beaconing_detect(spark, sf_dir):
+    """C2-beaconing candidates: the 20 (src, dst) conversations whose
+    inter-arrival gaps are most REGULAR — coefficient of variation
+    sqrt(popvar)/mean of the gap series, ascending. Malware check-ins
+    tick on a timer (cv → 0); human traffic is bursty (cv ≈ 1).
+
+    Gaps come from one lag() over the per-pair start series; the gap
+    MULTISET is invariant to tie order among equal starts, so the
+    window needs no unique tiebreak. Per-pair stats reduce to exact
+    integer (sum, sum², count) partials — map-side combinable, one
+    shuffle keyed by the pair — and cv is derived through an identical
+    scalar double expression in both engines. Sum-of-gaps telescopes
+    to max(start)−min(start), so sg ≤ the capture window in seconds
+    and sg² stays far inside the exact-double range at any scale. The
+    final global top-20 is a TakeOrdered, not a full sort."""
+    p = _parsed(spark, sf_dir)
+    w = Window.partitionBy("srcaddr", "dstaddr").orderBy("start")
+    g = (
+        p.select("srcaddr", "dstaddr", "start")
+        .withColumn("gap", F.col("start") - F.lag("start").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    s = g.groupBy("srcaddr", "dstaddr").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sg2"),
+    )
+    mean = F.col("sg").cast("double") / F.col("m")
+    popvar = (
+        F.col("sg2").cast("double")
+        - F.col("sg").cast("double") * F.col("sg").cast("double") / F.col("m")
+    ) / F.col("m")
+    cv = F.sqrt(popvar) / mean
+    return (
+        s.filter((F.col("m") >= 5) & (F.col("sg") > 0))
+        .select(
+            "srcaddr",
+            "dstaddr",
+            (F.col("m") + 1).alias("n_flows"),
+            F.round(mean, 6).alias("mean_gap_s"),
+            F.round(cv, 6).alias("cv"),
+        )
+        .orderBy("cv", "srcaddr")
+        .limit(20)
     )

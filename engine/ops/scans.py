@@ -493,3 +493,36 @@ def sql_group_by_all(spark, sf_dir):
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "sql_not_in_null_aware",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+          FROM orders WHERE o_orderstatus = 'F')
+        ORDER BY c_custkey
+    """,
+)
+def sql_not_in_null_aware(spark, sf_dir):
+    """NOT IN over a NULLABLE subquery column — the three-valued-logic
+    trap (one NULL in the list makes every NOT IN test UNKNOWN) that
+    a plain anti join gets WRONG. The CASE keeps the expression
+    nullable at analysis time, so Catalyst must plan the null-aware
+    variant: a single-key broadcast null-aware anti join (streamed
+    side probes the hash relation, plus the empty/null-key fast
+    paths) rather than the nested-loop a naive NOT IN rewrite needs.
+    Data-wise no NULL is ever produced, so the result equals the set
+    anti join and stays value-checkable."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("engine_naaj_cust")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("engine_naaj_ord")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM engine_naaj_cust
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+          FROM engine_naaj_ord WHERE o_orderstatus = 'F')
+        ORDER BY c_custkey
+        """
+    )

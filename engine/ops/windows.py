@@ -894,3 +894,60 @@ def events_new_vs_returning(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "win_rank_change",
+    oracle="""
+        WITH wk AS (
+          SELECT date_trunc('week', ts) AS week, user_id, count(*) AS n
+          FROM events GROUP BY week, user_id
+        ), r AS (
+          SELECT week, user_id, n,
+                 CAST(row_number() OVER (PARTITION BY week
+                        ORDER BY n DESC, user_id) AS BIGINT) AS rnk
+          FROM wk
+        )
+        , lg AS (
+          SELECT week, user_id, n, rnk,
+                 lag(rnk) OVER (PARTITION BY user_id ORDER BY week) AS prev_rnk
+          FROM r
+        )
+        SELECT CAST(week AS VARCHAR) AS week, user_id, n, rnk,
+               prev_rnk, prev_rnk - rnk AS delta
+        FROM lg
+        WHERE rnk <= 10
+        ORDER BY week, rnk
+    """,
+)
+def win_rank_change(spark, sf_dir):
+    """Week-over-week leaderboard movement: each week's top-10 users
+    by event count, annotated with last week's rank and the delta
+    (positive = climbed). Two stacked windows over the PRE-AGGREGATED
+    (week, user) relation — rank within week, then lag along each
+    user's week series — so window state is user×week sized, never
+    event sized. The rnk<=10 filter must run AFTER the lag: a user's
+    previous rank is their rank among ALL users that week, not among
+    the survivors (filtering first would silently change semantics).
+    row_number with the (n DESC, user_id) tiebreak keeps ranks unique
+    and the hash deterministic."""
+    e = table(spark, sf_dir, "events")
+    wk = e.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.partitionBy("week").orderBy(F.desc("n"), F.asc("user_id"))
+    w_lag = Window.partitionBy("user_id").orderBy("week")
+    r = wk.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+    return (
+        r.withColumn("prev_rnk", F.lag("rnk").over(w_lag))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("week").cast("date").cast("string").alias("week"),
+            "user_id",
+            "n",
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).alias("delta"),
+        )
+        .orderBy("week", "rnk")
+    )

@@ -249,3 +249,22 @@ def test_range_bucketed_is_equi_join(spark):
     plan = _plan(spark, "join_range_bucketed")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_not_in_plans_null_aware_anti(spark):
+    # the trailing `true` on the BHJ line is isNullAwareAntiJoin —
+    # Catalyst planned the single-key null-aware variant, not a
+    # nested-loop NOT IN rewrite
+    plan = _plan(spark, "sql_not_in_null_aware")
+    lines = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert lines and "LeftAnti" in lines[0] and lines[0].rstrip().endswith("true")
+    assert "NestedLoop" not in plan
+
+
+def test_rank_change_windows_on_post_agg(spark):
+    # both windows must run over the (week,user) aggregate, never raw
+    # events — plan prints consumer-first, so Window lines sit ABOVE
+    # the HashAggregate that feeds them
+    plan = _plan(spark, "win_rank_change")
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
