@@ -1293,3 +1293,152 @@ def orders_pareto_customers(spark, sf_dir):
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "events_welch_ttest",
+    oracle="""
+        WITH q AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        s AS (
+          SELECT day,
+                 count(*) FILTER (WHERE event_type = 'purchase') AS na,
+                 CAST(sum(v) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS sa,
+                 CAST(sum(v * v) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS qa,
+                 count(*) FILTER (WHERE event_type = 'click') AS nb,
+                 CAST(sum(v) FILTER (WHERE event_type = 'click') AS BIGINT) AS sb,
+                 CAST(sum(v * v) FILTER (WHERE event_type = 'click') AS BIGINT) AS qb
+          FROM q GROUP BY day
+        )
+        SELECT CAST(day AS VARCHAR) AS day, na, nb,
+               round(((CAST(sa AS DOUBLE) / na) - (CAST(sb AS DOUBLE) / nb))
+                     / sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1)) / na
+                          + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1)) / nb),
+                     6) AS t_stat
+        FROM s
+        WHERE na >= 2 AND nb >= 2
+        ORDER BY day
+    """,
+)
+def events_welch_ttest(spark, sf_dir):
+    """Daily Welch two-sample t statistic between purchase and click
+    values — the A/B-experiment primitive. One conditional aggregate
+    per day accumulates EXACT integer (n, Σv, Σv²) for both arms
+    (values quantized to 1e-4 units; Σv² stays far inside int64 at
+    per-day group sizes), then t is derived through an identical
+    scalar double expression in both engines — bit-stable at any
+    parallelism, where a naive stddev-of-doubles would drift with
+    shuffle order. Single map-side-combinable shuffle on day."""
+    e = table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 10000).cast("long")
+    is_a = F.col("event_type") == "purchase"
+    is_b = F.col("event_type") == "click"
+    s = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .select(F.col("ts").cast("date").alias("day"), "event_type", v.alias("v"))
+        .groupBy("day")
+        .agg(
+            F.count_if(is_a).alias("na"),
+            F.sum(F.when(is_a, F.col("v"))).alias("sa"),
+            F.sum(F.when(is_a, F.col("v") * F.col("v"))).alias("qa"),
+            F.count_if(is_b).alias("nb"),
+            F.sum(F.when(is_b, F.col("v"))).alias("sb"),
+            F.sum(F.when(is_b, F.col("v") * F.col("v"))).alias("qb"),
+        )
+    )
+    mean_a = F.col("sa").cast("double") / F.col("na")
+    mean_b = F.col("sb").cast("double") / F.col("nb")
+    var_a = (
+        F.col("qa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double") / F.col("na")
+    ) / (F.col("na") - 1)
+    var_b = (
+        F.col("qb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double") / F.col("nb")
+    ) / (F.col("nb") - 1)
+    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("na") + var_b / F.col("nb"))
+    return (
+        s.filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "na",
+            "nb",
+            F.round(t, 6).alias("t_stat"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+        WITH fv AS (
+          SELECT user_id, min(epoch_us(ts)) AS first_view_us
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fp AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+          FROM events e JOIN fv ON e.user_id = fv.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) >= fv.first_view_us
+          GROUP BY e.user_id
+        ),
+        lat AS (
+          SELECT fv.user_id,
+                 (fp.first_purchase_us - fv.first_view_us) AS us
+          FROM fv JOIN fp ON fv.user_id = fp.user_id
+        )
+        SELECT us // 3600000000 AS hours_bucket,
+               count(*) AS n_users,
+               CAST(min(us) AS BIGINT) AS min_us,
+               CAST(max(us) AS BIGINT) AS max_us,
+               round(CAST(sum(us) AS DOUBLE) / count(*) / 1000000, 6)
+                 AS avg_secs
+        FROM lat
+        GROUP BY hours_bucket
+        ORDER BY hours_bucket
+    """,
+)
+def events_time_to_convert(spark, sf_dir):
+    """View→purchase conversion-latency histogram: each user's first
+    view, their first purchase at-or-after it, and the latency bucketed
+    by hour. The funnel-latency primitive behind 'how long does
+    conversion take'. Both firsts are min() aggregates over exact
+    integer epoch microseconds (user-count sized relations, broadcast-
+    joinable); the final histogram is a high-reduction aggregate on
+    the bucket. No window over raw events — state is per-user, and
+    every sum is exact integer math until the one avg division."""
+    e = table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", us.alias("us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_view_us"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("us"))
+        .join(F.broadcast(fv), "user_id")
+        .filter(F.col("us") >= F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_purchase_us"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        "user_id", (F.col("first_purchase_us") - F.col("first_view_us")).alias("us")
+    )
+    return (
+        lat.groupBy(F.expr("us div 3600000000").alias("hours_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+            F.round(F.sum("us").cast("double") / F.count(F.lit(1)) / 1000000, 6).alias(
+                "avg_secs"
+            ),
+        )
+        .orderBy("hours_bucket")
+    )

@@ -951,3 +951,76 @@ def win_rank_change(spark, sf_dir):
         )
         .orderBy("week", "rnk")
     )
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+        WITH q AS (
+          SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events
+        ),
+        cum AS (
+          SELECT user_id, tsn, event_id,
+                 CAST(sum(v) OVER w AS BIGINT) AS cum
+          FROM q
+          WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        c AS (
+          SELECT user_id, cum,
+                 CAST(max(cum) OVER w AS BIGINT) AS run_max
+          FROM cum
+          WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id,
+               round(CAST(max(run_max - cum) AS DOUBLE) / 10000, 6)
+                 AS max_drawdown,
+               round(CAST(max(cum) AS DOUBLE) / 10000, 6) AS peak_cum
+        FROM c
+        GROUP BY user_id
+        ORDER BY max_drawdown DESC, user_id
+        LIMIT 25
+    """,
+)
+def win_drawdown(spark, sf_dir):
+    """Per-user maximum drawdown of the cumulative value series — the
+    risk metric ported from finance to any running-total telemetry
+    (deepest dip below the high-water mark). Three stacked frames over
+    each user's event series: running sum, running max of that sum,
+    then a plain max of the gap. Every accumulation runs on EXACT
+    integer 1e-4 units — a double cumsum would be shuffle-order-
+    dependent — and (ts, event_id) makes the frame order unique, so
+    the series (not just its multiset) is deterministic. Window state
+    is O(1) per row; one shuffle on user_id serves all three frames."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("v").over(w).alias("cum"),
+    )
+    c = c.withColumn("run_max", F.max("cum").over(w))
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.round(
+                F.max(F.col("run_max") - F.col("cum")).cast("double") / 10000, 6
+            ).alias("max_drawdown"),
+            F.round(F.max("cum").cast("double") / 10000, 6).alias("peak_cum"),
+        )
+        .orderBy(F.desc("max_drawdown"), F.asc("user_id"))
+        .limit(25)
+    )
