@@ -1442,3 +1442,82 @@ def events_time_to_convert(spark, sf_dir):
         )
         .orderBy("hours_bucket")
     )
+
+
+@register(
+    "agg_linreg_trend",
+    oracle="""
+        WITH d AS (
+          SELECT event_type,
+                 CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+                 count(*) AS y
+          FROM events GROUP BY event_type, x
+        ),
+        s AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM d GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx) * sx)
+                     / CAST(n AS DOUBLE), 6) AS intercept,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS r2
+        FROM s
+        WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        ORDER BY event_type
+    """,
+)
+def agg_linreg_trend(spark, sf_dir):
+    """Per-event-type OLS trend of daily activity: slope, intercept,
+    and r² of count-vs-day — the 'is this metric growing' primitive.
+    Two stacked high-reduction aggregates (events → daily counts →
+    per-type moment sums); every moment (n, Σx, Σy, Σxy, Σx², Σy²)
+    is an exact int64 partial, map-side combinable, and the closed-
+    form OLS solution is derived through one identical scalar double
+    expression per engine — no regr_slope() builtin, whose double
+    accumulation order would vary with parallelism. x is the day
+    index from the corpus epoch so integers stay tiny."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    slope = num.cast("double") / dxx
+    intercept = (sy - slope * sx) / n.cast("double")
+    r2 = num.cast("double") * num.cast("double") / (dxx.cast("double") * dyy)
+    return (
+        s.filter((n >= 2) & (dxx > 0) & (dyy > 0))
+        .select(
+            "event_type",
+            n.alias("n_days"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )

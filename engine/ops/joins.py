@@ -636,3 +636,60 @@ def orders_market_basket(spark, sf_dir):
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(100)
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH err AS (
+          SELECT event_id, user_id, epoch_us(ts) AS e_us
+          FROM events WHERE event_type = 'error'
+        ),
+        pur AS (
+          SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'
+        ),
+        ranked AS (
+          SELECT err.event_id, err.user_id, purchase_id,
+                 p_us - e_us AS delta_us,
+                 row_number() OVER (
+                   PARTITION BY err.event_id
+                   ORDER BY abs(p_us - e_us), p_us, purchase_id) AS rn
+          FROM err JOIN pur ON err.user_id = pur.user_id
+        )
+        SELECT event_id, user_id, purchase_id, delta_us
+        FROM ranked WHERE rn = 1
+        ORDER BY event_id
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-in-time join: each error event paired with the SAME
+    user's temporally closest purchase, either direction — the
+    incident-attribution variant neither a backward nor a forward
+    as-of can express (both are one-sided). Emulated identically in
+    both engines: equi-join on user, rank candidates by |Δt| with a
+    (time, id) tiebreak, keep rank 1 — Catalyst's WindowGroupLimit
+    prunes each event's candidate list to the single survivor before
+    the final shuffle. Δt is exact integer microseconds; the
+    candidate space is bounded by per-user purchase counts (dim-like),
+    not the event stream."""
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("e_us")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("p_us"),
+    )
+    j = err.join(pur, err.user_id == pur.p_user)
+    delta = F.col("p_us") - F.col("e_us")
+    w = Window.partitionBy("event_id").orderBy(
+        F.abs(delta), F.col("p_us"), F.col("purchase_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "purchase_id", delta.alias("delta_us"))
+        .orderBy("event_id")
+    )

@@ -526,3 +526,44 @@ def sql_not_in_null_aware(spark, sf_dir):
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "sql_inline_values_join",
+    oracle="""
+        WITH w(o_orderpriority, weight) AS (
+          VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                 ('4-NOT SPECIFIED', 2), ('5-LOW', 1)
+        )
+        SELECT w.o_orderpriority, w.weight,
+               count(*) AS n_orders,
+               CAST(sum(weight * CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS weighted_cents
+        FROM orders o JOIN w USING (o_orderpriority)
+        GROUP BY w.o_orderpriority, w.weight
+        ORDER BY w.o_orderpriority
+    """,
+)
+def sql_inline_values_join(spark, sf_dir):
+    """Inline VALUES relation joined against a fact table — the
+    literal-dimension surface (scoring rubrics, tier weights) that
+    otherwise forces a temp-file round trip. The VALUES table is a
+    LocalRelation: Catalyst folds it straight into a broadcast, so
+    the weighted aggregate is one scan + one map-side-combinable
+    shuffle. Weights stay integer against exact cents."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("engine_vals_orders")
+    return spark.sql(
+        """
+        SELECT w.o_orderpriority, w.weight,
+               count(*) AS n_orders,
+               sum(w.weight * CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS weighted_cents
+        FROM engine_vals_orders o
+        JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                     ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+             AS w(o_orderpriority, weight)
+          ON o.o_orderpriority = w.o_orderpriority
+        GROUP BY w.o_orderpriority, w.weight
+        ORDER BY w.o_orderpriority
+        """
+    )
