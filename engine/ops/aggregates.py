@@ -1521,3 +1521,82 @@ def agg_linreg_trend(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_cusum_detect",
+    oracle="""
+        WITH RECURSIVE
+        d AS (
+          SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        i AS (
+          SELECT event_type, day, n,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS BIGINT) AS idx
+          FROM d
+        ),
+        t AS (
+          SELECT event_type, CAST(sum(n) AS BIGINT) AS num,
+                 count(*) AS den
+          FROM d GROUP BY event_type
+        ),
+        r AS (
+          SELECT i.event_type, i.day, i.idx, i.n,
+                 CAST(greatest(0, i.n * t.den - t.num) AS BIGINT) AS cusum
+          FROM i JOIN t USING (event_type) WHERE i.idx = 1
+          UNION ALL
+          SELECT i.event_type, i.day, i.idx, i.n,
+                 CAST(greatest(0, r.cusum + i.n * t.den - t.num) AS BIGINT)
+          FROM r
+          JOIN i ON i.event_type = r.event_type AND i.idx = r.idx + 1
+          JOIN t ON t.event_type = i.event_type
+        )
+        SELECT r.event_type, r.day, r.n, r.cusum,
+               r.cusum >= 2 * t.num AS flagged
+        FROM r JOIN t ON t.event_type = r.event_type
+        ORDER BY r.event_type, r.day
+    """,
+)
+def ts_cusum_detect(spark, sf_dir):
+    """CUSUM changepoint detection on each event type's daily count
+    series: Sᵢ = max(0, Sᵢ₋₁ + (nᵢ − mean)) — a NONLINEAR recurrence
+    no window frame can express (the max-reset couples every step).
+    The idiomatic Spark escape hatch is applyInPandas: the series is
+    first reduced to (type, day) counts — group cardinality, not
+    event cardinality — then each type's ~30-row series runs the
+    recurrence sequentially inside one Arrow batch. To stay exact the
+    recurrence is computed in mean-scaled integer units (n·den − num,
+    where num/den is the per-type mean as a fraction), so Spark's
+    pandas int64 path and DuckDB's recursive CTE produce identical
+    integers; the alarm threshold (2 mean-days of excess, 2·num) is
+    integer too. Parallelism = number of series, the natural unit."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        num = int(pdf["n"].sum())
+        den = len(pdf)
+        s, out = 0, []
+        for n in pdf["n"]:
+            s = max(0, s + int(n) * den - num)
+            out.append(s)
+        pdf["cusum"] = pd.Series(out, dtype="int64")
+        pdf["flagged"] = pdf["cusum"] >= 2 * num
+        return pdf
+
+    return (
+        d.groupBy("event_type")
+        .applyInPandas(
+            cusum,
+            "event_type string, day string, n long, cusum long, flagged boolean",
+        )
+        .orderBy("event_type", "day")
+    )

@@ -693,3 +693,83 @@ def join_asof_nearest(spark, sf_dir):
         .select("event_id", "user_id", "purchase_id", delta.alias("delta_us"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "orders_basket_lift",
+    oracle="""
+        WITH b AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        item AS (
+          SELECT l_partkey, count(*) AS supp FROM b GROUP BY l_partkey
+        ),
+        tot AS (SELECT count(DISTINCT l_orderkey) AS nb FROM b),
+        pair AS (
+          SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+                 count(*) AS support
+          FROM b a JOIN b c
+            ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= 3
+        )
+        SELECT part_a, part_b, support,
+               round(CAST(support AS DOUBLE) * nb
+                     / (ia.supp * ib.supp), 6) AS lift
+        FROM pair
+        JOIN item ia ON ia.l_partkey = part_a
+        JOIN item ib ON ib.l_partkey = part_b
+        CROSS JOIN tot
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT 50
+    """,
+)
+def orders_basket_lift(spark, sf_dir):
+    """Association-rule lift on co-purchased part pairs:
+    lift = P(a,b) / (P(a)·P(b)) = support·N / (suppₐ·supp_b) — >1
+    means the pair co-occurs more than independence predicts. Pair
+    supports reuse the market-basket plan (equi-join on orderkey,
+    quadratic only in basket size); per-item supports are a part-
+    sized relation BROADCAST to the pairs twice, and the basket
+    count N rides along as a literal-sized cross join. Every factor
+    is an exact integer; lift is one double expression at the end."""
+    b = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    tot = b.agg(F.countDistinct("l_orderkey").alias("nb"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    lift = (
+        F.col("support").cast("double")
+        * F.col("nb")
+        / (F.col("supp_a") * F.col("supp_b"))
+    )
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select("part_a", "part_b", "support", F.round(lift, 6).alias("lift"))
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )

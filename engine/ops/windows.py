@@ -1024,3 +1024,73 @@ def win_drawdown(spark, sf_dir):
         .orderBy(F.desc("max_drawdown"), F.asc("user_id"))
         .limit(25)
     )
+
+
+@register(
+    "win_rolling_zscore",
+    oracle="""
+        WITH q AS (
+          SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events
+        ),
+        w AS (
+          SELECT event_id, user_id, v,
+                 count(*) OVER fr AS n,
+                 CAST(sum(v) OVER fr AS BIGINT) AS s,
+                 CAST(sum(v * v) OVER fr AS BIGINT) AS q2
+          FROM q
+          WINDOW fr AS (PARTITION BY user_id ORDER BY tsn, event_id
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               round((v - CAST(s AS DOUBLE) / n)
+                     / sqrt((CAST(q2 AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                            / (n - 1)), 6) AS z
+        FROM w
+        WHERE n >= 8
+          AND (CAST(q2 AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) > 0
+          AND abs((v - CAST(s AS DOUBLE) / n)
+                  / sqrt((CAST(q2 AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                         / (n - 1))) > 2.5
+        ORDER BY event_id
+    """,
+)
+def win_rolling_zscore(spark, sf_dir):
+    """Rolling-window anomaly score: each event's value z-scored
+    against the SAME user's trailing 24 observations — the adaptive
+    baseline that a global z-score (flow_zscore_anomaly) can't give a
+    drifting series. One window frame accumulates exact integer
+    (count, Σv, Σv²) partials simultaneously; z is derived through an
+    identical scalar double expression in both engines, so results
+    are bit-stable at any parallelism. Flags |z| > 2.5 after an 8-row
+    warmup. One shuffle on user_id; O(1) frame state per row."""
+    e = table(spark, sf_dir, "events")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    v = F.round(F.col("value") * 10000).cast("long")
+    w = e.select("event_id", "user_id", "ts", v.alias("v")).select(
+        "event_id",
+        "user_id",
+        "v",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("v").over(fr).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(fr).alias("q2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("q2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("v") - mean) / F.sqrt(var)
+    return (
+        w.filter((F.col("n") >= 8) & (var > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", F.round(z, 6).alias("z"))
+        .orderBy("event_id")
+    )
