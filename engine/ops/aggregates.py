@@ -1600,3 +1600,59 @@ def ts_cusum_detect(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "orders_priority_share_shift",
+    oracle="""
+        WITH m AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 o_orderpriority, count(*) AS n
+          FROM orders GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT month, CAST(sum(n) AS BIGINT) AS mn FROM m GROUP BY month
+        ),
+        sh AS (
+          SELECT m.month, o_orderpriority, n,
+                 CAST(n AS DOUBLE) / mn AS share
+          FROM m JOIN tot USING (month)
+        )
+        SELECT CAST(month AS VARCHAR) AS month, o_orderpriority, n,
+               round(share, 6) AS share,
+               round(share - lag(share) OVER (PARTITION BY o_orderpriority
+                                              ORDER BY month), 6) AS delta_pp
+        FROM sh
+        ORDER BY month, o_orderpriority
+    """,
+)
+def orders_priority_share_shift(spark, sf_dir):
+    """Month-over-month mix shift: each priority class's share of the
+    month's orders and its change vs the prior month — the composition
+    drift behind 'did urgent orders grow or did everything else
+    shrink'. Shares divide exact integer counts by the month total
+    (computed as a second aggregate, joined back — months are
+    dim-sized so the join broadcasts); the lag runs over the tiny
+    (month, priority) relation. Both engines evaluate share and delta
+    through the same division/subtraction, and the lag key (priority,
+    month) is unique, so no tiebreak is needed."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = m.groupBy("month").agg(F.sum("n").alias("mn"))
+    sh = m.join(F.broadcast(tot), "month").select(
+        "month",
+        "o_orderpriority",
+        "n",
+        (F.col("n").cast("double") / F.col("mn")).alias("share"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return sh.select(
+        F.col("month").cast("string").alias("month"),
+        "o_orderpriority",
+        "n",
+        F.round("share", 6).alias("share"),
+        F.round(F.col("share") - F.lag("share").over(w), 6).alias("delta_pp"),
+    ).orderBy("month", "o_orderpriority")

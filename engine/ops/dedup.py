@@ -558,3 +558,88 @@ def graph_degree_centrality(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+               FROM t, unnest(range(1, len(toks)-1)) r(i)),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS n_common
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        dir AS (
+          SELECT doc_a AS src_doc, doc_b AS dst_doc, n_common,
+                 sa.n AS n_src
+          FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+          UNION ALL
+          SELECT doc_b, doc_a, n_common, sb.n
+          FROM pairs JOIN sz sb ON doc_b = sb.doc_id
+        )
+        SELECT src_doc, dst_doc, n_common, n_src,
+               round(CAST(n_common AS DOUBLE) / n_src, 6) AS containment
+        FROM dir
+        WHERE 2 * n_common >= n_src
+        ORDER BY src_doc, dst_doc
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Shingle CONTAINMENT |A∩B|/|A| — the asymmetric near-dup signal
+    Jaccard misses: a short doc pasted inside a long one scores high
+    containment but low Jaccard (the union is dominated by the long
+    doc). Pair intersections reuse the shingle equi-join (quadratic
+    only within identical shingles); each undirected pair then fans
+    into both directions with its own denominator. The ≥0.5 gate is
+    evaluated as 2·n_common ≥ n_src — pure integer comparison, so
+    threshold membership can't float-drift; the ratio itself is one
+    division at output."""
+    docs = table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sz_b = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    both = pairs.join(F.broadcast(sz_a), "doc_a").join(F.broadcast(sz_b), "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("src_doc"),
+        F.col("doc_b").alias("dst_doc"),
+        "n_common",
+        F.col("n_a").alias("n_src"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("src_doc"),
+        F.col("doc_a").alias("dst_doc"),
+        "n_common",
+        F.col("n_b").alias("n_src"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(2 * F.col("n_common") >= F.col("n_src"))
+        .select(
+            "src_doc",
+            "dst_doc",
+            "n_common",
+            "n_src",
+            F.round(F.col("n_common").cast("double") / F.col("n_src"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("src_doc", "dst_doc")
+    )

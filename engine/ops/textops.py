@@ -957,3 +957,57 @@ def corpus_mix_weights(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_tfidf_topk_terms",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        w AS (
+          SELECT doc_id, term,
+                 tf * ln((n_docs + 1.0) / (df + 1.0)) AS w
+          FROM tf JOIN df USING (term), n
+        )
+        SELECT doc_id, term, rnk, round(w, 6) AS tfidf
+        FROM (SELECT doc_id, term, w,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                            ORDER BY w DESC, term) AS BIGINT) AS rnk
+              FROM w)
+        WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_topk_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — keyphrase extraction, the
+    per-doc summary feature behind search snippets and topic tags.
+    Weights reuse the tf/df/N aggregates (df and N are vocabulary- and
+    literal-sized, broadcast); ranking runs over the (doc, term)
+    relation with Catalyst's WindowGroupLimit pruning to 3 candidates
+    per doc before the final shuffle. Ranking compares the UNROUNDED
+    weight — tf·ln((N+1)/(df+1)) is the same IEEE expression in both
+    engines — with the term string as tiebreak, so top-3 membership
+    is deterministic; rounding happens only at output."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    wcol = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", wcol.alias("w"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        w.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk", F.round("w", 6).alias("tfidf"))
+        .orderBy("doc_id", "rnk")
+    )
