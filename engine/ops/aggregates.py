@@ -1656,3 +1656,121 @@ def orders_priority_share_shift(spark, sf_dir):
         F.round("share", 6).alias("share"),
         F.round(F.col("share") - F.lag("share").over(w), 6).alias("delta_pp"),
     ).orderBy("month", "o_orderpriority")
+
+
+@register(
+    "events_user_overlap_jaccard",
+    oracle="""
+        WITH ut AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        ),
+        sz AS (
+          SELECT event_type, count(*) AS n FROM ut GROUP BY event_type
+        ),
+        inter AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS n_both
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b,
+               round(CAST(n_both AS DOUBLE)
+                     / (sa.n + sb.n - n_both), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.event_type = type_a
+        JOIN sz sb ON sb.event_type = type_b
+        ORDER BY type_a, type_b
+    """,
+)
+def events_user_overlap_jaccard(spark, sf_dir):
+    """Audience overlap between event types: Jaccard of the user sets
+    for every type pair — the segment-overlap matrix behind 'do
+    purchasers also file errors'. The (user, type) relation is first
+    deduplicated (high reduction: bounded by users × types), then the
+    pair intersection is a self-equi-join on user_id — fan-out
+    quadratic only in types-per-user (≤5), never in events. Set sizes
+    are a types-sized dim broadcast back; all counts exact integers,
+    one division at output."""
+    e = table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_both").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_both")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "orders_backlog_aging",
+    oracle="""
+        SELECT CASE
+                 WHEN age_days < 365 THEN '0-1y'
+                 WHEN age_days < 730 THEN '1-2y'
+                 WHEN age_days < 1095 THEN '2-3y'
+                 ELSE '3y+'
+               END AS age_bucket,
+               count(*) AS n_open,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS open_cents
+        FROM (
+          SELECT date_diff('day', o_orderdate, TIMESTAMP '2001-09-01')
+                   AS age_days, o_totalprice
+          FROM orders WHERE o_orderstatus = 'O'
+        )
+        GROUP BY 1
+        ORDER BY age_bucket
+    """,
+)
+def orders_backlog_aging(spark, sf_dir):
+    """Open-order backlog aging: orders still in status 'O' bucketed
+    by age against the corpus horizon, with count and exact-cents
+    value per bucket — the AR-aging shape every ops dashboard carries.
+    The status filter pushes to the parquet scan; the CASE ladder is
+    a pure map expression; one 4-row high-reduction aggregate."""
+    o = table(spark, sf_dir, "orders")
+    age = F.datediff(F.lit("2001-09-01").cast("date"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age < 365, "0-1y")
+        .when(age < 730, "1-2y")
+        .when(age < 1095, "2-3y")
+        .otherwise("3y+")
+    )
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "open_cents"
+            ),
+        )
+        .orderBy("age_bucket")
+    )

@@ -1094,3 +1094,65 @@ def win_rolling_zscore(spark, sf_dir):
         .select("event_id", "user_id", F.round(z, 6).alias("z"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+        WITH q AS (
+          SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events
+        )
+        SELECT event_id, user_id,
+               round(v / 10000.0, 6) AS value_q,
+               round(median(v) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     / 10000.0, 6) AS med7
+        FROM q
+        ORDER BY event_id
+    """,
+)
+def win_rolling_median(spark, sf_dir):
+    """7-row rolling median per user — the robust smoother (Hampel/
+    median-filter family) that a rolling mean can't give: one outlier
+    shifts a mean by its full weight but leaves the median untouched.
+    Runs on quantized 1e-4 integer units, so each window's median is
+    either an integer or an exact x.5 midpoint — bit-identical across
+    engines, where a double-valued median could differ in the
+    interpolation arithmetic. Frame order (ts, event_id) is unique;
+    O(window) state per row, one shuffle on user_id."""
+    e = table(spark, sf_dir, "events")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    v = F.round(F.col("value") * 10000).cast("long")
+    # Spark refuses median() over a framed window; the frame's values
+    # are gathered with collect_list (bounded: 7 elements) and the
+    # median is picked from the sorted array — same exact math.
+    arr = F.sort_array(F.collect_list("v").over(fr))
+    s = F.size(arr)
+    mid_hi = F.element_at(arr, (s / 2 + 1).cast("int"))
+    med = (
+        F.when(
+            s % 2 == 1,
+            F.element_at(arr, ((s + 1) / 2).cast("int")).cast("double"),
+        ).otherwise(
+            (
+                F.element_at(arr, (s / 2).cast("int")) + mid_hi
+            ).cast("double")
+            / 2.0
+        )
+    )
+    return (
+        e.select("event_id", "user_id", "ts", v.alias("v"))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("v") / 10000.0, 6).alias("value_q"),
+            F.round(med / 10000.0, 6).alias("med7"),
+        )
+        .orderBy("event_id")
+    )
