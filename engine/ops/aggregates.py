@@ -70,8 +70,11 @@ def agg_approx_count_distinct(spark, sf_dir):
 @register("agg_approx_percentile")  # rows-only: approximate quantile sketch
 def agg_approx_percentile(spark, sf_dir):
     e = table(spark, sf_dir, "events")
-    return e.agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99])
+    return e.agg(q.alias("q")).select(
+        F.element_at("q", 1).alias("p50"),
+        F.element_at("q", 2).alias("p95"),
+        F.element_at("q", 3).alias("p99"),
     )
 
 
@@ -163,15 +166,22 @@ def agg_grouping_sets(spark, sf_dir):
     "agg_collect_sorted",
     oracle="""
         SELECT c_nationkey,
-               list_sort(list(DISTINCT c_mktsegment)) AS segments
+               COALESCE(array_to_string(list_sort(list(DISTINCT c_mktsegment)), ','), '')
+                 AS segments
         FROM customer
         GROUP BY c_nationkey
     """,
 )
 def agg_collect_sorted(spark, sf_dir):
+    """collect_set + deterministic sort, emitted as a joined string:
+    the driver's canonicalizer hashes scalar cells only (array cells
+    are unhashable in its pandas sort), so the array surface is
+    serialized at the boundary."""
     c = table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments")
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        )
     )
 
 
@@ -458,7 +468,18 @@ def stat_freq_items(spark, sf_dir):
     exact groupBy count at 100 TB. Property-tested: every event_type
     above support must appear."""
     e = table(spark, sf_dir, "events")
-    return e.stat.freqItems(["event_type", "user_id"], support=0.1)
+    freq = e.stat.freqItems(["event_type", "user_id"], support=0.1)
+    # serialize the sketch arrays: scalar cells only at the driver
+    # comparison boundary (rows-only check still canonicalizes).
+    return freq.select(
+        F.array_join(
+            F.sort_array(F.col("event_type_freqItems")), ","
+        ).alias("event_type_freqitems"),
+        F.array_join(
+            F.sort_array(F.transform(F.col("user_id_freqItems"), lambda x: x.cast("string"))),
+            ",",
+        ).alias("user_id_freqitems"),
+    )
 
 
 @register(

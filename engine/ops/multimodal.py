@@ -64,12 +64,17 @@ def multimodal_decode_stub(spark, sf_dir):
                     "doc_id": pdf["doc_id"],
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "features": [extract(p) for p in pdf["payload"]],
+                    # scalar cells only at the driver boundary: features
+                    # serialize as e6-scaled ints joined with ','.
+                    "features": [
+                        ",".join(str(int(round(v * 1e6))) for v in extract(p))
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 
     return assets.mapInPandas(
-        decode, "doc_id long, mime string, n_bytes long, features array<double>"
+        decode, "doc_id long, mime string, n_bytes long, features string"
     )
 
 

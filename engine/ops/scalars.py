@@ -217,21 +217,25 @@ def cast_ops(spark, sf_dir):
     oracle="""
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-               list_slice(string_split(text, ' '), 1, 3) AS first3,
+               COALESCE(array_to_string(list_slice(string_split(text, ' '), 1, 3), ' '), '')
+                 AS first3,
                list_contains(string_split(text, ' '), 'join') AS has_join,
-               list_sort(list_slice(string_split(text, ' '), 1, 5)) AS sorted5
+               COALESCE(array_to_string(list_sort(list_slice(string_split(text, ' '), 1, 5)), ' '), '')
+                 AS sorted5
         FROM documents
     """,
 )
 def arr_funcs(spark, sf_dir):
+    """Array slice/contains/sort surface; arrays serialize to joined
+    strings at the comparison boundary (driver hashes scalars only)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_toks"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
         F.array_contains(toks, "join").alias("has_join"),
-        F.sort_array(F.slice(toks, 1, 5)).alias("sorted5"),
+        F.array_join(F.sort_array(F.slice(toks, 1, 5)), " ").alias("sorted5"),
     )
 
 
@@ -242,8 +246,10 @@ def arr_funcs(spark, sf_dir):
                round(sqrt(list_aggregate(
                  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                  'sum')), 6) AS l2_norm,
-               list_transform(list_slice(embedding, 1, 4),
-                              x -> round(CAST(x AS DOUBLE) * 2, 6)) AS first4_x2
+               array_to_string(
+                 list_transform(list_slice(embedding, 1, 4),
+                                x -> CAST(round(CAST(x AS DOUBLE) * 2 * 1000000) AS BIGINT)),
+                 ',') AS first4_x2_e6
         FROM embeddings
     """,
 )
@@ -263,9 +269,13 @@ def arr_higher_order(spark, sf_dir):
     return em.select(
         "vec_id",
         F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
-        F.transform(
-            F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double") * 2, 6)
-        ).alias("first4_x2"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.round(x.cast("double") * 2 * 1000000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("first4_x2_e6"),
     )
 
 
@@ -276,8 +286,8 @@ def map_ops(spark, sf_dir):
     m = F.str_to_map(kv, F.lit(","), F.lit("="))
     return d.select(
         "doc_id",
-        m.alias("meta"),
-        F.map_keys(m).alias("meta_keys"),
+        F.to_json(m).alias("meta"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("meta_keys"),
         F.element_at(m, "lang").alias("lang_from_map"),
     )
 
@@ -496,20 +506,23 @@ def json_variant_ops(spark, sf_dir):
     "str_regex_extract_all",
     oracle="""
         SELECT p_partkey,
-               regexp_extract_all(p_name, '[a-z]+ed') AS ed_words,
+               COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]+ed'), ' '), '')
+                 AS ed_words,
                len(regexp_extract_all(p_name, '[a-z]+ed')) AS n_ed
         FROM part
         ORDER BY p_partkey
     """,
 )
 def str_regex_extract_all(spark, sf_dir):
-    """regexp_extract_all: every match, not just the first — returns
-    an array column (order of matches is positional, so the hash is
-    deterministic). RE2∩Java common-subset pattern discipline."""
+    """regexp_extract_all: every match, not just the first — match
+    order is positional so the joined-string form is deterministic.
+    RE2∩Java common-subset pattern discipline."""
     p = table(spark, sf_dir, "part")
     ed = F.regexp_extract_all("p_name", F.lit("[a-z]+ed"), 0)
     return p.select(
-        "p_partkey", ed.alias("ed_words"), F.size(ed).alias("n_ed")
+        "p_partkey",
+        F.array_join(ed, " ").alias("ed_words"),
+        F.size(ed).alias("n_ed"),
     ).orderBy("p_partkey")
 
 
@@ -647,10 +660,10 @@ def json_tuple_multi(spark, sf_dir):
           FROM h
         )
         SELECT doc_id,
-               list_sort(list_distinct(list_filter(a,
-                 x -> list_contains(b, x)))) AS common,
-               list_sort(list_distinct(list_filter(a,
-                 x -> NOT list_contains(b, x)))) AS only_first,
+               COALESCE(array_to_string(list_sort(list_distinct(list_filter(a,
+                 x -> list_contains(b, x)))), ' '), '') AS common,
+               COALESCE(array_to_string(list_sort(list_distinct(list_filter(a,
+                 x -> NOT list_contains(b, x)))), ' '), '') AS only_first,
                CAST(len(list_distinct(a || b)) AS INTEGER) AS n_union
         FROM ab
         ORDER BY doc_id
@@ -684,11 +697,11 @@ def arr_set_operations(spark, sf_dir):
     )
     return ab.select(
         "doc_id",
-        F.sort_array(
-            F.array_distinct(F.array_intersect("a", "b"))
+        F.array_join(
+            F.sort_array(F.array_distinct(F.array_intersect("a", "b"))), " "
         ).alias("common"),
-        F.sort_array(F.array_distinct(F.array_except("a", "b"))).alias(
-            "only_first"
-        ),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.array_except("a", "b"))), " "
+        ).alias("only_first"),
         F.size(F.array_distinct(F.concat("a", "b"))).alias("n_union"),
     ).orderBy("doc_id")

@@ -400,7 +400,7 @@ Q_SCALE = 127
                           -{Q_SCALE}), {Q_SCALE}) AS INT)) AS q8
           FROM embeddings
         )
-        SELECT vec_id, q8,
+        SELECT vec_id, array_to_string(q8, ',') AS q8,
                round(list_aggregate(
                  list_transform(range(1, len(q8) + 1),
                    i -> abs(CAST(embedding[i] AS DOUBLE) - q8[i] / {Q_SCALE}.0)),
@@ -437,7 +437,9 @@ def embed_quantize(spark, sf_dir):
         6,
     )
     return em.select("vec_id", "embedding", q8.alias("q8")).select(
-        "vec_id", "q8", err.alias("max_abs_err")
+        "vec_id",
+        F.array_join(F.transform("q8", lambda x: x.cast("string")), ",").alias("q8"),
+        err.alias("max_abs_err"),
     )
 
 

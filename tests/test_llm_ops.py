@@ -110,8 +110,9 @@ def test_multimodal_features_shape(spark):
     out = engine.QUERIES["multimodal_decode_stub"](spark, T2_SF_DIR).collect()
     n_docs = table(spark, T2_SF_DIR, "documents").count()
     assert len(out) == n_docs
-    assert all(len(r["features"]) == 4 for r in out)
-    assert all(0.0 <= x < 1.0 for r in out for x in r["features"])
+    feats = [[int(t) / 1e6 for t in r["features"].split(",")] for r in out]
+    assert all(len(f) == 4 for f in feats)
+    assert all(0.0 <= x < 1.0 + 1e-6 for f in feats for x in f)
 
 
 def test_cc_labels_consistent_with_pairs(spark):
@@ -193,7 +194,7 @@ def test_freq_items_contains_all_frequent(spark):
     }
     frequent = {t for t, c in counts.items() if c / n > 0.1}
     row = engine.QUERIES["stat_freq_items"](spark, T2_SF_DIR).collect()[0]
-    got = set(row["event_type_freqItems"])
+    got = set(row["event_type_freqitems"].split(","))
     assert frequent <= got
 
 
