@@ -191,41 +191,67 @@ def text_langid_ngram(spark, sf_dir):
     30 by frequency, built from the corpus itself) scored against each
     document's trigram set; argmax with deterministic tiebreaks."""
     d = table(spark, sf_dir, "documents")
-    tri_arr = F.expr(
-        "transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3))"
+    # char trigrams by zipping offset slices of the one-time char split
+    # (substring(text, i, 3) per index is O(n) on UTF8String → O(n²)/doc;
+    # see dedup._shingle_array for the measured 8× variant of this trick)
+    # `chars` / `n` are materialized as named projections so the split
+    # runs once per row: inlined, Catalyst would re-evaluate it at all
+    # three slice sites plus the size guard (~7 splits/row, measured 2×
+    # slower end-to-end).
+    base = (
+        d.repartition(32, "doc_id")
+        .select("doc_id", "lang", F.split("text", "").alias("chars"))
+        .select(
+            "doc_id",
+            "lang",
+            "chars",
+            F.greatest(F.size("chars") - 2, F.lit(1)).alias("n"),
+        )
     )
-    # repartition: the single-split parquet read would otherwise run
-    # the whole trigram explode (≈500× row fan-out) as one task
-    tris = d.repartition(32, "doc_id").select(
-        "doc_id", "lang", F.explode(tri_arr).alias("tri")
+    tri_arr = F.transform(
+        F.arrays_zip(
+            F.slice("chars", 1, F.col("n")),
+            F.slice("chars", 2, F.col("n")),
+            F.slice("chars", 3, F.col("n")),
+        ),
+        lambda s: F.concat(s["0"], s["1"], s["2"]),
     )
 
-    # ONE shuffle over the exploded trigrams; both the language profiles
-    # and the per-doc distinct trigram sets derive from this base (the
-    # naive form explodes twice and pays an extra distinct shuffle)
-    base = tris.groupBy("doc_id", "lang", "tri").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # job 1 — per-language profiles. The only shuffle is keyed (lang,
+    # tri): map-side partial aggregation compresses each task's explode
+    # output to |langs|×|distinct tris| rows regardless of corpus size,
+    # and the top-30 result (|langs|×30 rows) is driver-collectable at
+    # ANY scale. (The previous one-shuffle form keyed the full explode
+    # by high-cardinality doc_id — ~500× the shuffle bytes.)
+    tris = base.select("lang", F.explode(tri_arr).alias("tri"))
     prof_w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
-    profile = (
-        base.groupBy("lang", "tri")
-        .agg(F.sum("cnt").alias("n"))
+    profile_rows = (
+        tris.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("rn", F.row_number().over(prof_w))
         .filter(F.col("rn") <= 30)
-        .select(F.col("lang").alias("cand_lang"), "tri")
+        .select("lang", "tri")
+        .collect()
     )
-    scores = (
-        base.join(F.broadcast(profile), "tri")
-        .groupBy("doc_id", "lang", "cand_lang")
-        .agg(F.count(F.lit(1)).alias("matches"))
-    )
-    pick_w = Window.partitionBy("doc_id").orderBy(F.desc("matches"), F.asc("cand_lang"))
-    return (
-        scores.withColumn("rn", F.row_number().over(pick_w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id", "lang", F.col("cand_lang").alias("predicted_lang"), "matches"
+    profiles: dict[str, list[str]] = {}
+    for r in profile_rows:
+        profiles.setdefault(r["lang"], []).append(r["tri"])
+    langs = sorted(profiles)
+
+    # job 2 — map-only scoring: per-doc distinct trigrams intersected
+    # with each (literal, ≤30-element) profile. No shuffle at all.
+    scored = base.select("doc_id", "lang", F.array_distinct(tri_arr).alias("tris"))
+    for lg in langs:
+        prof_lit = F.array(*[F.lit(t) for t in profiles[lg]])
+        scored = scored.withColumn(
+            f"m_{lg}", F.size(F.array_intersect("tris", prof_lit))
         )
+    mcols = [F.col(f"m_{lg}") for lg in langs]
+    best = mcols[0] if len(mcols) == 1 else F.greatest(*mcols)
+    # argmax with asc-lang tiebreak (langs iterated sorted)
+    pred = F.coalesce(*[F.when(F.col(f"m_{lg}") == best, F.lit(lg)) for lg in langs])
+    return scored.select(
+        "doc_id", "lang", pred.alias("predicted_lang"), best.alias("matches")
     )
 
 
@@ -1010,4 +1036,114 @@ def text_tfidf_topk_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "rnk", F.round("w", 6).alias("tfidf"))
         .orderBy("doc_id", "rnk")
+    )
+
+
+SOURCE_CAP = 20
+
+
+@register(
+    "sample_per_source_cap",
+    oracle=f"""
+        SELECT doc_id, source, n_chars
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= {SOURCE_CAP}
+        ORDER BY source, n_chars DESC, doc_id
+    """,
+)
+def sample_per_source_cap(spark, sf_dir):
+    """Per-source quota sampling: cap every source at {SOURCE_CAP} docs,
+    keeping the longest first (deterministic doc_id tiebreak) — the
+    domain-rebalancing step that stops one crawl dump from dominating
+    the training mix. Spark plans this as WindowGroupLimit: the top-K
+    per group is pre-pruned map-side BEFORE the shuffle, so shuffle
+    bytes are ≤ cap×|sources| per task regardless of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", F.desc("n_chars"), "doc_id")
+    )
+
+
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_MAX_TOKENS = 200
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, lang, text,
+                 len(string_split(text, ' ')) AS n_tok
+          FROM documents
+        ),
+        staged AS (
+          SELECT *,
+                 (n_tok BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS})
+                   AS pass_len,
+                 (row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+                   AS pass_exact,
+                 (lang IN ('en', 'fr', 'es', 'de')) AS pass_lang
+          FROM t
+        )
+        SELECT 'raw' AS stage, 0 AS stage_idx, count(*) AS n_docs FROM staged
+        UNION ALL
+        SELECT 'len_band', 1, count(*) FROM staged WHERE pass_len
+        UNION ALL
+        SELECT 'exact_dedup', 2, count(*) FROM staged
+        WHERE pass_len AND pass_exact
+        UNION ALL
+        SELECT 'lang_keep', 3, count(*) FROM staged
+        WHERE pass_len AND pass_exact AND pass_lang
+        ORDER BY stage_idx
+    """,
+)
+def corpus_filter_funnel(spark, sf_dir):
+    """Pipeline-funnel report: how many documents survive each curation
+    stage (raw → length band → exact dedup → language keep-list). ONE
+    pass computes all stage flags, then a single conditional-count
+    aggregation emits the funnel — no per-stage re-scan (at 100 TB,
+    four scans vs one is the whole game). Exact dedup keeps the lowest
+    doc_id per identical text, matching dedup_exact's rule."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = Window.partitionBy("text").orderBy("doc_id")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        F.col("text"),
+    ).withColumn(
+        "pass_exact", F.row_number().over(w) == 1
+    ).select(
+        F.col("n_tok").between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS).alias("pass_len"),
+        "pass_exact",
+        F.col("lang").isin("en", "fr", "es", "de").alias("pass_lang"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.count_if(F.col("pass_len")).alias("len_band"),
+        F.count_if(F.col("pass_len") & F.col("pass_exact")).alias("exact_dedup"),
+        F.count_if(
+            F.col("pass_len") & F.col("pass_exact") & F.col("pass_lang")
+        ).alias("lang_keep"),
+    )
+    stages = F.array(
+        F.struct(F.lit("raw").alias("stage"), F.lit(0).cast("int").alias("stage_idx"), F.col("raw").alias("n_docs")),
+        F.struct(F.lit("len_band").alias("stage"), F.lit(1).cast("int").alias("stage_idx"), F.col("len_band").alias("n_docs")),
+        F.struct(F.lit("exact_dedup").alias("stage"), F.lit(2).cast("int").alias("stage_idx"), F.col("exact_dedup").alias("n_docs")),
+        F.struct(F.lit("lang_keep").alias("stage"), F.lit(3).cast("int").alias("stage_idx"), F.col("lang_keep").alias("n_docs")),
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.stage_idx", "s.n_docs")
+        .orderBy("stage_idx")
     )
