@@ -643,3 +643,51 @@ def dedup_containment(spark, sf_dir):
         )
         .orderBy("src_doc", "dst_doc")
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH edges AS (SELECT doc_a, doc_b FROM ({JACCARD_SQL}) j),
+        tri AS (
+          SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+          FROM edges e1
+          JOIN edges e2 ON e2.doc_a = e1.doc_b
+          JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        )
+        SELECT doc_id, count(*) AS n_triangles
+        FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle participation over the near-dup graph — the
+    clustering-coefficient numerator used to find tightly-knit
+    duplicate neighborhoods (template families) that pairwise scores
+    miss.
+
+    Each triangle is counted exactly once via the a<b<c orientation the
+    Jaccard edge list already carries: wedges (a<b<c) form by joining
+    edges on the middle vertex, then a third equi-join checks the
+    closing (a,c) edge. Both joins are hash-partitioned equi-joins —
+    never an all-pairs product — and the wedge fan-out is bounded by
+    per-vertex degree, the standard distributed-triangle-count shape
+    (degree-ordered orientation caps skew at 100 TB). The edge list is
+    localCheckpointed so the shingle→Jaccard pipeline runs once, not
+    three times."""
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    wedges = e1.join(e2, "b")
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = wedges.join(e3, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
+    )
