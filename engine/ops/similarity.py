@@ -649,3 +649,69 @@ def embed_hard_negatives(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+@register("embed_kmeans_iterate")  # rows-only: iterative, not SQL-expressible
+def embed_kmeans_iterate(spark, sf_dir):
+    """Full Lloyd's k-means over the embedding corpus (k=8, 3 fixed
+    iterations, deterministic init = the k lowest vec_ids) — the
+    corpus-clustering step behind IVF index build (sim_search_ivf runs
+    exactly one of these steps) and topic-balanced data mixing.
+
+    Per-iteration shape at 100 TB: centroids are a k×dim literal
+    broadcast into a map-only argmax assignment (vectors normalized ⇒
+    nearest centroid = max dot product, computed as a per-centroid
+    zip_with fold); the update is ONE shuffle keyed (cluster, dim)
+    after a posexplode — map-side partial avg compresses each task to
+    ≤ k×dim rows — and only the k×dim centroid matrix ever reaches
+    the driver. Empty clusters keep their previous centroid. Returns
+    the final assignment plus each vector's similarity to its
+    centroid (the IVF residual)."""
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def assign(centroids):
+        dots = [
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+        best = F.greatest(*dots)
+        cluster = F.coalesce(
+            *[F.when(dots[j] == best, F.lit(j)) for j in range(len(dots))]
+        )
+        return em.select(
+            "vec_id",
+            "embedding",
+            cluster.alias("cluster"),
+            best.alias("sim_to_centroid"),
+        )
+
+    init = em.orderBy("vec_id").limit(KMEANS_K).collect()
+    centroids = [list(r["embedding"]) for r in init]
+    for _ in range(KMEANS_ITERS):
+        means = (
+            assign(centroids)
+            .select("cluster", F.posexplode("embedding"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .collect()
+        )
+        upd: dict[int, list[float]] = {}
+        for r in means:
+            upd.setdefault(r["cluster"], [0.0] * EMB_DIM)[r["pos"]] = r["m"]
+        centroids = [upd.get(j, centroids[j]) for j in range(KMEANS_K)]
+
+    return assign(centroids).select(
+        "vec_id", "cluster", F.round("sim_to_centroid", 6).alias("sim_to_centroid")
+    )

@@ -207,3 +207,26 @@ def test_pagerank_mass_conserved(spark):
     total = sum(r["rank"] for r in out)
     assert abs(total - len(out)) < 0.01 * len(out)
     assert all(r["rank"] >= 0.1499 for r in out)
+
+
+def test_kmeans_assignment_complete(spark):
+    """Lloyd's k-means: every vector assigned exactly once to a valid
+    cluster, more than one cluster in use, and the mean similarity to
+    own centroid beats the mean similarity to the GLOBAL centroid (the
+    k=1 degenerate solution) — i.e. the iterations actually moved the
+    objective."""
+    from engine.ops.similarity import KMEANS_K
+
+    out = engine.QUERIES["embed_kmeans_iterate"](spark, T2_SF_DIR).toPandas()
+    em = table(spark, T2_SF_DIR, "embeddings").toPandas()
+    assert len(out) == len(em)
+    assert out["vec_id"].is_unique
+    assert set(out["cluster"]) <= set(range(KMEANS_K))
+    assert out["cluster"].nunique() > 1
+
+    import numpy as np
+
+    mat = np.stack(em.sort_values("vec_id")["embedding"].to_numpy()).astype(float)
+    g = mat.mean(axis=0)
+    global_sim = (mat @ g).mean()
+    assert out["sim_to_centroid"].mean() > global_sim
