@@ -773,3 +773,41 @@ def orders_basket_lift(spark, sf_dir):
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+        WITH o AS (
+          SELECT o_orderkey, nullif(o_custkey % 25, 7) AS k FROM orders
+        ),
+        n AS (
+          SELECT nullif(n_nationkey, 7) AS k, n_name FROM nation
+        )
+        SELECT n_name, count(*) AS n_rows
+        FROM o JOIN n ON o.k IS NOT DISTINCT FROM n.k
+        GROUP BY n_name ORDER BY n_name
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of dropping — the semantics dirty
+    dimension keys need. The fixtures have no NULLs (FIXTURES.md), so
+    both sides synthesize them with nullif. Spark still plans this as
+    a broadcast HASH join (eqNullSafe keys hash as coalesce+null
+    flag), not a nested loop — which is the whole point at scale;
+    the null⋈null match cardinality is bounded by the dim side's
+    single null row."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 25, F.lit(7)).alias("k")
+    )
+    n = table(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey").cast("long"), F.lit(7)).alias("k"),
+        "n_name",
+    )
+    return (
+        o.join(F.broadcast(n), o["k"].eqNullSafe(n["k"]))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("n_name")
+    )

@@ -268,3 +268,46 @@ def test_rank_change_windows_on_post_agg(spark):
     plan = _plan(spark, "win_rank_change")
     assert "Window" in plan and "HashAggregate" in plan
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_source_cap_prunes_map_side(spark):
+    """sample_per_source_cap must plan the per-group cap as
+    WindowGroupLimit (Partial before the exchange), so shuffle bytes
+    are bounded by cap×|sources| per task."""
+    plan = _plan(spark, "sample_per_source_cap")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_q3_top10_is_take_ordered(spark):
+    """tpch_q3's LIMIT 10 must plan as TakeOrderedAndProject (per-
+    partition top-10 then merge) — not a global Sort + Limit."""
+    plan = _plan(spark, "tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    plan = _plan(spark, "tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """eqNullSafe must still plan as a (broadcast) HASH join — the
+    null-safe key hashes as coalesce+null-flag — never a nested loop."""
+    plan = _plan(spark, "join_null_safe_eq")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_equi_joins_only(spark):
+    plan = _plan(spark, "graph_triangle_count")
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_scan(spark):
+    """corpus_filter_funnel computes all stage flags in one pass: the
+    documents parquet must be scanned exactly once."""
+    plan = _plan(spark, "corpus_filter_funnel")
+    assert plan.count("FileScan parquet") == 1
