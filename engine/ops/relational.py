@@ -298,6 +298,26 @@ def set_intersect_all(spark, sf_dir):
 
 
 @register(
+    "set_except_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """Bag-semantics difference (each row's multiplicity is the excess
+    of left occurrences over right), the last member of the set-op
+    family. Spark plans exceptAll as one aggregation computing signed
+    multiplicities plus a replication generate — a single shuffle, no
+    join."""
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.exceptAll(op)
+
+
+@register(
     "na_replace_ops",
     oracle="""
         WITH holed AS (

@@ -705,3 +705,59 @@ def arr_set_operations(spark, sf_dir):
         ).alias("only_first"),
         F.size(F.array_distinct(F.concat("a", "b"))).alias("n_union"),
     ).orderBy("doc_id")
+
+
+@register(
+    "map_hof_ops",
+    oracle="""
+        SELECT doc_id,
+               upper(lang) AS lang_up,
+               CASE WHEN length(source) > 4 THEN source END AS src_if_long,
+               lang || '/' || source AS zipped
+        FROM documents
+    """,
+)
+def map_hof_ops(spark, sf_dir):
+    """Map higher-order functions — transform_values, map_filter,
+    map_zip_with — all Catalyst expressions (no shuffle, no Python).
+    The oracle restates each extraction's value derivation directly
+    (DuckDB's MAP surface has no HOF twins); the Spark side genuinely
+    routes through the map ops and extracts scalars at the boundary."""
+    d = table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
+    )
+    m_swap = F.create_map(
+        F.lit("lang"), F.col("source"), F.lit("src"), F.col("lang")
+    )
+    mv = F.transform_values(m, lambda k, v: F.upper(v))
+    mf = F.map_filter(m, lambda k, v: F.length(v) > 4)
+    mz = F.map_zip_with(m, m_swap, lambda k, v1, v2: F.concat_ws("/", v1, v2))
+    return d.select(
+        "doc_id",
+        F.element_at(mv, "lang").alias("lang_up"),
+        F.element_at(mf, "src").alias("src_if_long"),
+        F.element_at(mz, "lang").alias("zipped"),
+    )
+
+
+@register(
+    "str_regex_count_substr",
+    oracle="""
+        SELECT p_partkey,
+               CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT)
+                 AS n_vowels,
+               nullif(regexp_extract(p_name, '[a-z]+ed'), '') AS first_ed
+        FROM part
+    """,
+)
+def str_regex_count_substr(spark, sf_dir):
+    """Spark 4 regexp_count / regexp_substr scalar surface. DuckDB
+    twins: len(regexp_extract_all) and nullif('' → NULL), since its
+    regexp_extract returns '' where Spark's regexp_substr is NULL."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("long").alias("n_vowels"),
+        F.regexp_substr("p_name", F.lit("[a-z]+ed")).alias("first_ed"),
+    )
