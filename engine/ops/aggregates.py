@@ -1795,3 +1795,138 @@ def orders_backlog_aging(spark, sf_dir):
         )
         .orderBy("age_bucket")
     )
+
+
+EWMA_NUM = 1  # alpha = 1/4: s = (x + 3 s) / 4, exact double both engines
+EWMA_DEN = 4
+
+
+@register(
+    "ts_ewma_smooth",
+    oracle="""
+        WITH RECURSIVE
+        d AS (
+          SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        i AS (
+          SELECT event_type, day, n,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS BIGINT) AS idx
+          FROM d
+        ),
+        r AS (
+          SELECT event_type, day, idx, n, CAST(n AS DOUBLE) AS ewma
+          FROM i WHERE idx = 1
+          UNION ALL
+          SELECT i.event_type, i.day, i.idx, i.n,
+                 (1.0 * i.n + 3.0 * r.ewma) / 4.0
+          FROM r JOIN i ON i.event_type = r.event_type AND i.idx = r.idx + 1
+        )
+        SELECT event_type, day, n, round(ewma, 6) AS ewma
+        FROM r ORDER BY event_type, day
+    """,
+)
+def ts_ewma_smooth(spark, sf_dir):
+    """Exponentially-weighted moving average over each event type's
+    daily count series (α=1/4, seeded with the first observation) —
+    like CUSUM a recurrence no window frame expresses (every step
+    feeds the next). Same scale shape as ts_cusum_detect: ONE
+    aggregation reduces events to group-cardinality series, then each
+    ~30-row series runs sequentially inside one Arrow batch via
+    applyInPandas; parallelism = number of series. The step
+    (1·x + 3·s)/4 is two products, one sum, one division in IEEE
+    double on both engines, in the same order — bit-identical, so
+    parity needs only the 6 dp output rounding."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = None
+        out = []
+        for n in pdf["n"]:
+            x = float(n)
+            s = x if s is None else (1.0 * x + 3.0 * s) / 4.0
+            # α=1/4 keeps s an exact binary fraction, so .5 ties at
+            # 6 dp are common: round half-UP (floor(x·1e6+0.5)) to
+            # match DuckDB's half-away-from-zero, not Python's
+            # banker's rounding (values here are all positive).
+            out.append(math.floor(s * 1e6 + 0.5) / 1e6)
+        pdf["ewma"] = pd.Series(out, dtype="float64")
+        return pdf
+
+    return (
+        d.groupBy("event_type")
+        .applyInPandas(ewma, "event_type string, day string, n long, ewma double")
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "stat_chi_square",
+    oracle="""
+        WITH o AS (
+          SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+                 count(*) AS obs
+          FROM events GROUP BY 1, 2
+        ),
+        rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS r_tot FROM o GROUP BY 1),
+        ct AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS c_tot FROM o GROUP BY 1),
+        n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM o),
+        cells AS (
+          SELECT o.event_type, o.dow, o.obs,
+                 CAST(r_tot AS DOUBLE) * c_tot / total AS expected
+          FROM o JOIN rt USING (event_type) JOIN ct USING (dow), n
+        )
+        SELECT CAST(sum(CAST(round((obs - expected) * (obs - expected)
+                                   / expected * 1000000) AS BIGINT)) AS BIGINT)
+                 AS chi2_e6,
+               (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+                 AS dof
+        FROM cells
+    """,
+)
+def stat_chi_square(spark, sf_dir):
+    """χ² independence test for event_type × weekday, from exact
+    integer contingency counts. Per-cell contribution (O−E)²/E is
+    deterministic double math; the cross-cell SUM — the only
+    order-sensitive step — is made order-free by scaling each
+    contribution to an integer (×1e6, rounded) before summing, the
+    same exact-sum discipline as engine.dsl.dsum. Two margin
+    aggregates broadcast onto the cell table; everything reduces to
+    group cardinality before any join."""
+    e = table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r_tot"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("c_tot"))
+    n = o.agg(F.sum("obs").alias("total"))
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "expected",
+            F.col("r_tot").cast("double") * F.col("c_tot") / F.col("total"),
+        )
+    )
+    contrib = (
+        (F.col("obs") - F.col("expected"))
+        * (F.col("obs") - F.col("expected"))
+        / F.col("expected")
+    )
+    return cells.agg(
+        F.sum(F.round(contrib * 1000000).cast("long")).alias("chi2_e6"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).alias("dof"),
+    )

@@ -114,3 +114,45 @@ def multimodal_frame_sample(spark, sf_dir):
     return assets.mapInPandas(
         sample, "doc_id long, frame_idx long, n_frame_bytes long, fingerprint long"
     )
+
+
+RESIZE_TARGET = 32  # target "resolution" in stub bytes
+
+
+@register("multimodal_resize_stub")  # rows-only: stub resample is impl-defined
+def multimodal_resize_stub(spark, sf_dir):
+    """Binary→binary media transform (the resize/resample step):
+    payload bytes are deterministically downsampled to RESIZE_TARGET
+    bytes (stride sampling — the stub twin of bilinear resize), with
+    typed before/after metadata. With real media only the resampler
+    body changes; the binary-in/binary-out mapInPandas plumbing,
+    Arrow transfer of bytearray columns, and metadata contract are
+    what this op pins. Output fingerprint columns are scalars so the
+    driver's canonicalizer can hash rows."""
+    import hashlib
+
+    d = table(spark, sf_dir, "documents")
+    assets = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def resize(batches):
+        if not DECODERS_AVAILABLE:
+            pass  # STUB resampler below; real path would NotImplementedError
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes_in": [], "n_bytes_out": [], "out_sha_prefix": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                stride = max(1, len(b) // RESIZE_TARGET)
+                resized = b[::stride][:RESIZE_TARGET]
+                out["doc_id"].append(doc_id)
+                out["n_bytes_in"].append(len(b))
+                out["n_bytes_out"].append(len(resized))
+                out["out_sha_prefix"].append(
+                    int.from_bytes(
+                        hashlib.sha256(resized).digest()[:8], "big", signed=True
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        resize, "doc_id long, n_bytes_in long, n_bytes_out long, out_sha_prefix long"
+    )
