@@ -279,8 +279,21 @@ def arr_higher_order(spark, sf_dir):
     )
 
 
-@register("map_ops")  # rows-only: engines render MAP values differently
+@register(
+    "map_ops",
+    oracle="""
+        SELECT doc_id,
+               '{"lang":"' || lang || '","src":"' || source || '"}' AS meta,
+               'lang,src' AS meta_keys,
+               lang AS lang_from_map
+        FROM documents
+    """,
+)
 def map_ops(spark, sf_dir):
+    """MAP construction + key/value access. Upgraded from rows-only to
+    a full value-hash oracle once the boundary became deterministic
+    strings: to_json renders str_to_map in insertion order, and the
+    key list is sorted — so DuckDB can state the exact rendering."""
     d = table(spark, sf_dir, "documents")
     kv = F.concat(F.lit("lang="), F.col("lang"), F.lit(",src="), F.col("source"))
     m = F.str_to_map(kv, F.lit(","), F.lit("="))

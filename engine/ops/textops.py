@@ -185,11 +185,46 @@ def text_token_bpe(spark, sf_dir):
     )
 
 
-@register("text_langid_ngram")  # rows-only: profile construction is impl-defined
+@register(
+    "text_langid_ngram",
+    oracle="""
+        WITH tris AS (
+          SELECT doc_id, lang, substr(text, CAST(r.i AS INTEGER), 3) AS tri
+          FROM documents,
+               unnest(range(1, greatest(len(text) - 2, 1) + 1)) r(i)
+        ),
+        prof AS (
+          SELECT lang AS cand_lang, tri,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY count(*) DESC, tri) AS rn
+          FROM tris GROUP BY lang, tri
+        ),
+        p30 AS (SELECT cand_lang, tri FROM prof WHERE rn <= 30),
+        dtris AS (SELECT DISTINCT doc_id, lang, tri FROM tris),
+        scores AS (
+          SELECT d.doc_id, d.lang, p.cand_lang, count(*) AS matches
+          FROM dtris d JOIN p30 p USING (tri)
+          GROUP BY 1, 2, 3
+        ),
+        best AS (
+          SELECT doc_id, lang, cand_lang AS predicted_lang, matches,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY matches DESC, cand_lang) AS rn
+          FROM scores
+        )
+        SELECT doc_id, lang, predicted_lang, CAST(matches AS BIGINT) AS matches
+        FROM best WHERE rn = 1
+    """,
+)
 def text_langid_ngram(spark, sf_dir):
     """Language-ID heuristic: per-language char-trigram profiles (top
-    30 by frequency, built from the corpus itself) scored against each
-    document's trigram set; argmax with deterministic tiebreaks."""
+    30 by corpus frequency) scored against each document's distinct
+    trigram set; argmax with (matches desc, lang asc) tiebreaks.
+    Upgraded from rows-only to a full value-hash oracle: profile
+    construction and scoring are deterministic, so DuckDB can restate
+    the whole pipeline (the oracle drops would-be zero-match docs via
+    its inner join; on this corpus every doc matches ≥1 profile —
+    the parity check itself proves that holds)."""
     d = table(spark, sf_dir, "documents")
     # char trigrams by zipping offset slices of the one-time char split
     # (substring(text, i, 3) per index is O(n) on UTF8String → O(n²)/doc;
