@@ -143,3 +143,20 @@ def test_range_join_variants_equivalent(spark):
     ]
     assert len(bucketed) == len(set(bucketed)), "bucketing duplicated pairs"
     assert set(bucketed) == theta
+
+
+def test_catalog_is_current():
+    """CATALOG.md must be regenerated whenever the registry changes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.gen_catalog import render
+
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CATALOG.md"
+    )
+    with open(here) as f:
+        assert f.read() == render(), (
+            "CATALOG.md is stale — run scripts/gen_catalog.py"
+        )
