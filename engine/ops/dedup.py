@@ -17,6 +17,7 @@ Scale shapes (the whole point of these ops at 100 TB):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register, table
@@ -690,4 +691,57 @@ def graph_triangle_count(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_savings_report",
+    oracle="""
+        WITH all_docs AS (
+          SELECT doc_id, source, text, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, source, text, n_chars
+          FROM documents WHERE doc_id < 100
+        ),
+        ranked AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM all_docs
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                 AS bytes_saved
+        FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def dedup_savings_report(spark, sf_dir):
+    """Survivorship accounting for exact dedup: per source, how many
+    docs would be dropped (lowest-doc_id-wins, the dedup_exact rule)
+    and how many bytes that saves — the what-did-dedup-buy-us report
+    every pipeline run emits. Duplicates are synthesized by re-adding
+    the first 100 docs under shifted ids (the corpus has none at
+    sf0.01, FIXTURES.md). One text-keyed window then one source-keyed
+    aggregation; survivor choice never leaves the text's hash
+    partition."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    dup = d.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    ranked = d.unionByName(dup).withColumn("rn", F.row_number().over(w))
+    dropped = F.when(F.col("rn") > 1, 1).otherwise(0)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dropped).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("bytes_saved"),
+        )
+        .orderBy("source")
     )

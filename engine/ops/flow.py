@@ -615,3 +615,41 @@ def flow_beaconing_detect(spark, sf_dir):
         .orderBy("cv", "srcaddr")
         .limit(20)
     )
+
+
+@register(
+    "flow_top_ports",
+    oracle=f"""
+        WITH f AS (
+          SELECT {SQL_K} + 1024 AS srcport,
+                 CASE WHEN event_type = 'error' THEN 'REJECT' ELSE 'ACCEPT' END
+                   AS action,
+                 CAST(round(value*100) AS BIGINT) AS bytes
+          FROM events
+        )
+        SELECT srcport, count(*) AS n_flows,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(CASE WHEN action = 'REJECT' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_reject
+        FROM f GROUP BY srcport
+        ORDER BY total_bytes DESC, srcport LIMIT 10
+    """,
+)
+def flow_top_ports(spark, sf_dir):
+    """Port-level traffic profile: top-10 source ports by bytes with
+    reject counts — the service-identification slice of flow triage.
+    One hash aggregation over the parsed lines; the limit rides a
+    TakeOrderedAndProject (per-partition top-10, no global sort)."""
+    p = _parsed(spark, sf_dir)
+    return (
+        p.groupBy("srcport")
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.sum("bytes").alias("total_bytes"),
+            F.sum(F.when(F.col("action") == "REJECT", 1).otherwise(0))
+            .cast("long")
+            .alias("n_reject"),
+        )
+        .orderBy(F.desc("total_bytes"), F.asc("srcport"))
+        .limit(10)
+    )
