@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     scalars,
     scans,
     similarity,
+    stream_source,
     streaming,
     textops,
     tpch,

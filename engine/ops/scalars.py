@@ -283,7 +283,7 @@ def arr_higher_order(spark, sf_dir):
     "map_ops",
     oracle="""
         SELECT doc_id,
-               '{"lang":"' || lang || '","src":"' || source || '"}' AS meta,
+               CAST(json_object('lang', lang, 'src', source) AS VARCHAR) AS meta,
                'lang,src' AS meta_keys,
                lang AS lang_from_map
         FROM documents

@@ -438,3 +438,67 @@ def test_checkpoint_resume_incremental(spark, tmp_path):
 
     got = spark.read.parquet(out).select("event_id").toPandas()
     assert sorted(got["event_id"]) == sorted(pdf["event_id"])  # exactly once
+
+
+def test_kshards_source_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Kinesis-shaped custom source (engine/ops/stream_source.py):
+    stop the query mid-stream, restart from the SAME checkpoint, and
+    the sink must hold each (shard, seq) exactly once — no loss from
+    the interrupted run, no duplicates from replay. Also exercises the
+    restart clamp: the fresh reader's admission cursor restarts at 0
+    and must not re-emit committed ranges."""
+    from engine.ops.stream_source import (
+        drain_kshards,
+        parse_offset,
+        read_kshards_stream,
+    )
+
+    shards, per_batch, total = 4, 200, 1200
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            read_kshards_stream(
+                spark,
+                shards=shards,
+                per_batch=per_batch,
+                total=total,
+                state_path=str(tmp_path / "lease"),
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    # run 1: wait for >= 2 committed microbatches, then kill mid-flight
+    q = start()
+    deadline = time.time() + 120
+    committed = 0
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("sources"):
+            eo = parse_offset(p["sources"][0].get("endOffset"))
+            if eo:
+                committed = min(int(v) for v in eo.values())
+                if committed >= 2 * per_batch:
+                    break
+        time.sleep(0.05)
+    assert committed >= 2 * per_batch, "run 1 never committed two batches"
+    q.stop()
+    assert committed < total, "run 1 finished everything; resume not exercised"
+
+    # run 2: same checkpoint — drain to the end
+    q = start()
+    try:
+        drain_kshards(q, total)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(sink)
+    n = got.count()
+    n_distinct = got.select("shard_id", "seq").distinct().count()
+    assert n == shards * total, f"lost rows: {n} != {shards * total}"
+    assert n_distinct == n, f"duplicates: {n - n_distinct}"
