@@ -68,8 +68,34 @@ def main() -> None:
         force(engine.table(spark, args.sf_dir, t))
     force(engine.table(spark, args.sf_dir, "orders").groupBy("o_orderstatus").count())
 
+    # Sentinel discipline (round-2 verdict item 7): every SENTINEL_EVERY
+    # queries, clear cache debris, nudge the JVM GC, and re-time a fixed
+    # cheap query (tpch_q6). Per-query times are then separable into
+    # "this query regressed" vs "the host/session was slow right then" —
+    # sentinel_norm ≈ per-query time in units of contemporaneous
+    # sentinel time. A flat sentinel with one slow query = real
+    # regression; a spiking sentinel = environment.
+    SENTINEL = "tpch_q6"
+    SENTINEL_EVERY = 8
+
+    def run_sentinel() -> float:
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        t0 = time.perf_counter()
+        force(engine.QUERIES[SENTINEL](spark, args.sf_dir))
+        return time.perf_counter() - t0
+
     per_q: dict[str, float] = {}
-    for name in names:
+    sent_norm: dict[str, float] = {}
+    sent_times: list[float] = []
+    cur_sent = None
+    for i, name in enumerate(names):
+        if SENTINEL in engine.QUERIES and i % SENTINEL_EVERY == 0:
+            cur_sent = run_sentinel()
+            sent_times.append(round(cur_sent, 4))
         best = None
         for _ in range(max(1, args.repeat)):
             t0 = time.perf_counter()
@@ -77,6 +103,8 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         per_q[name] = round(best, 4)
+        if cur_sent:
+            sent_norm[name] = round(best / cur_sent, 2)
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
     total = round(sum(per_q.values()), 4)
@@ -89,6 +117,12 @@ def main() -> None:
                 "queries": per_q,
                 "sf": sf,
                 "n_queries": len(per_q),
+                "sentinel": {
+                    "id": SENTINEL,
+                    "every": SENTINEL_EVERY,
+                    "times": sent_times,
+                    "norm": sent_norm,
+                },
             }
         )
     )

@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     aggregates,
+    catalog_ops,
     dedup,
     flow,
     ingest_ops,

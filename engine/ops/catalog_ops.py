@@ -1,0 +1,86 @@
+"""Catalog / partition-registration surface (VERDICT r2 item 3).
+
+The production pipeline's parquet output is consumed through a catalog
+(AWS Glue + Athena): the writer lands `dt=/hr=` directories on S3 and a
+`MSCK REPAIR TABLE` (or Glue crawler) registers the partitions so
+engines can prune by partition predicate. This module reproduces that
+publicly-documented step on Spark's built-in catalog: external
+partitioned table DDL + `MSCK REPAIR TABLE` + read-back through the
+catalog identifier with partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register, scratch_dir, table
+
+TABLE_NAME = "engine_cat_events_parts"
+
+
+@register(
+    "catalog_partition_register",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS dt,
+               strftime(ts, '%H') AS hr,
+               count(*) AS n_rows,
+               CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def catalog_partition_register(spark, sf_dir):
+    """Glue/Athena registration analogue, end to end: write events as
+    dt= partitioned parquet → declare an EXTERNAL partitioned
+    table over the directory (explicit string partition column — no
+    directory-name type inference) →
+    `MSCK REPAIR TABLE` discovers the partitions into the catalog →
+    read back THROUGH THE CATALOG IDENTIFIER and aggregate per
+    (partition, hour). The oracle restates the expected per-partition rollup
+    straight from events, so a partition lost (or double-registered)
+    by the repair step is a value-hash failure, not just a row-count
+    blip. At scale the repair is a metadata-only listing; the
+    aggregation prunes to partition columns + two longs."""
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("catalog_partition_register")
+    path = f"{base}/tbl"
+    # Partition by DAY, keep hr as a data column: dtxhr would mean 720
+    # directories of ~100-row files at bench scale — the classic
+    # small-files anti-pattern (measured 21s vs ~2s). repartition(dt)
+    # gives one writer task -> one file per partition.
+    (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            F.date_format("ts", "HH").alias("hr"),
+        )
+        .repartition("dt")
+        .write.partitionBy("dt")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE_NAME}")
+    spark.sql(
+        f"""
+        CREATE TABLE {TABLE_NAME}
+          (event_id BIGINT, user_id BIGINT, value DOUBLE,
+           hr STRING, dt STRING)
+        USING parquet
+        PARTITIONED BY (dt)
+        LOCATION '{path}'
+        """
+    )
+    # Freshly created: catalog knows the table but ZERO partitions —
+    # a read now returns nothing. MSCK REPAIR walks dt=* and registers
+    # each, exactly like the Athena/Glue flow.
+    spark.sql(f"MSCK REPAIR TABLE {TABLE_NAME}")
+    return (
+        spark.table(TABLE_NAME)
+        .groupBy("dt", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+    )

@@ -341,6 +341,59 @@ def join_skew_salted(spark, sf_dir):
 
 
 @register(
+    "join_skew_aqe",
+    oracle="""
+        SELECT e.event_id,
+               CASE WHEN e.event_id % 10 <> 0
+                    THEN 1 ELSE e.user_id END AS skew_key,
+               c.c_name, e.value
+        FROM events e
+        JOIN customer c
+          ON (CASE WHEN e.event_id % 10 <> 0
+                   THEN 1 ELSE e.user_id END) = c.c_custkey
+    """,
+)
+def join_skew_aqe(spark, sf_dir):
+    """AQE runtime skew-split demonstration (VERDICT r2 item 8) — the
+    automatic counterpart to join_skew_salted's manual salting.
+
+    The fact side is deliberately skewed (90% of events collapse onto
+    key 1), broadcast is disabled so the join is sort-merge, and the
+    skew thresholds are lowered so the hot partition qualifies at toy
+    scale (at 100 TB the DEFAULT thresholds catch the same shape —
+    the lowering is scale simulation, not semantics). AQE then splits
+    the hot partition across multiple reducers at runtime
+    (`skew=true` in the final adaptive plan, pinned by
+    tests/test_plans.py). Session-default confs are restored by the
+    next registered query via RUNTIME_CONFS."""
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # repartition first: AQE splits a skewed reduce partition by MAPPER
+    # block ranges, and the toy input is one parquet file = one map
+    # task = nothing to split. 16 mappers simulates the thousands a
+    # real scan has; at 100 TB this repartition is not needed.
+    e = (
+        table(spark, sf_dir, "events")
+        .repartition(16)
+        .withColumn(
+            "skew_key",
+            F.when(F.col("event_id") % 10 != 0, F.lit(1))
+            .otherwise(F.col("user_id"))
+            .cast("long"),
+        )
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return e.join(c, e.skew_key == c.c_custkey).select(
+        "event_id", "skew_key", "c_name", "value"
+    )
+
+
+@register(
     "join_interval_point",
     oracle="""
         SELECT o.o_orderkey, e.event_id, e.user_id, o.o_orderdate, e.ts

@@ -156,3 +156,116 @@ def multimodal_resize_stub(spark, sf_dir):
     return assets.mapInPandas(
         resize, "doc_id long, n_bytes_in long, n_bytes_out long, out_sha_prefix long"
     )
+
+
+PPM_MAXVAL = 255
+
+
+def _ppm_bytes(doc_id: int) -> bytes:
+    """Deterministic P6 PPM image for one doc: dims and every pixel are
+    closed-form in doc_id, so an independent oracle can restate the
+    decoded stats without ever seeing the bytes."""
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+    header = f"P6\n{w} {h}\n{PPM_MAXVAL}\n".encode("ascii")
+    raster = bytes(
+        (doc_id * 31 + k * 3 + c) % 256 for k in range(w * h) for c in range(3)
+    )
+    return header + raster
+
+
+def _ppm_decode(b: bytes):
+    """Real (not stub) pure-Python P6 parser: magic check, whitespace-
+    tokenized header (width, height, maxval), then the binary raster.
+    Raises on malformed input — this is an actual decoder contract."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = 3 ascii tokens after the magic, separated by whitespace;
+    # the raster starts one byte after the maxval token
+    tokens, i, tok = [], 2, []
+    while len(tokens) < 3:
+        ch = b[i : i + 1]
+        if ch.isspace():
+            if tok:
+                tokens.append(int(bytes(tok)))
+                tok = []
+        else:
+            tok.append(b[i])
+        i += 1
+    w, h, maxval = tokens
+    raster = b[i : i + w * h * 3]
+    if maxval != PPM_MAXVAL or len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return w, h, raster
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id,
+                 4 + doc_id % 13 AS w,
+                 3 + doc_id % 7 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, w, h, r.k AS k
+          FROM dims, unnest(range(w * h)) r(k)
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(sum((doc_id * 31 + k * 3 + 0) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((doc_id * 31 + k * 3 + 1) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((doc_id * 31 + k * 3 + 2) % 256) AS BIGINT) AS sum_b
+        FROM px GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_ppm_decode(spark, sf_dir):
+    """REAL image decode, value-checked (VERDICT r2 item 4): each doc
+    gets a genuine binary P6 PPM payload (pure-Python encodable — the
+    one mainstream raster format needing no codec library), and the
+    decode step parses the actual bytes — magic, whitespace header,
+    raw RGB raster — then aggregates per-channel sums from the raster.
+    The oracle restates width/height/sums closed-form from doc_id, so
+    a single byte misread (header off-by-one, channel interleave swap,
+    truncation) breaks the value hash. This upgrades the multimodal
+    group from plumbing-with-stub-codec to a tested decoder path;
+    the other ops keep their declared stubs for formats that DO need
+    external codecs."""
+    d = table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_ppm_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.select("doc_id").mapInPandas(encode, "doc_id long, payload binary")
+
+    def decode(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = _ppm_decode(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sum(raster[0::3]))
+                out["sum_g"].append(sum(raster[1::3]))
+                out["sum_b"].append(sum(raster[2::3]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        decode,
+        "doc_id long, width long, height long, sum_r long, sum_g long, sum_b long",
+    )

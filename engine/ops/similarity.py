@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inspection
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -86,8 +88,9 @@ def sim_search_topk(spark, sf_dir):
     )
 
 
-N_PLANES = 16
-LSH_BANDS = 4  # 4 bands x 4 bits
+N_PLANES = 36
+LSH_BITS = 3
+LSH_BANDS = N_PLANES // LSH_BITS  # 12 bands x 3 sign bits
 
 
 def _hyperplanes():
@@ -98,36 +101,54 @@ def _hyperplanes():
 
 
 def lsh_bands(df, emb_col="embedding"):
-    """Add (band, band_key) rows: 4 bands of 4 sign bits each."""
+    """Add (band, band_key) rows: LSH_BANDS bands of LSH_BITS sign
+    bits each.
+
+    Banding tuned for a recall@k >= 0.9 floor against the brute
+    anchor on THIS corpus (tests/test_llm_ops.py): the synthetic
+    embeddings are near-orthogonal (top-5 neighbor cosine ~0.25-0.5,
+    mean pair ~0), which is close to the adversarial case for LSH —
+    measured recall 0.92 costs a ~0.8 candidate fraction here. On a
+    real embedding corpus (neighbors at cosine 0.6+), the identical
+    banding prunes orders of magnitude harder; the recall/cost knob
+    is (bands, bits), not the plan shape.
+
+    All N_PLANES sign bits are computed in ONE Arrow-batched numpy
+    matmul per partition (pandas UDF): the per-plane Catalyst
+    aggregate-fold is interpreted, so 36 folds x 64 elements per row
+    would dominate the query (measured ~2.5x the whole-query time at
+    16 planes already)."""
     planes = _hyperplanes()
-    bits = [
-        (dot6(F.col(emb_col), F.array(*[F.lit(v) for v in plane])) > 0).cast("int")
-        for plane in planes
-    ]
-    band_keys = []
-    for b in range(LSH_BANDS):
-        key = F.lit(0)
-        for j in range(4):
-            key = key * 2 + bits[b * 4 + j]
-        band_keys.append(key)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def band_keys(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        P = np.array(planes, dtype=np.float64)
+        X = np.array(s.tolist(), dtype=np.float64)
+        B = (X @ P.T) > 0
+        cols = []
+        for b in range(LSH_BANDS):
+            k = np.zeros(len(X), dtype=np.int64)
+            for j in range(LSH_BITS):
+                k = k * 2 + B[:, b * LSH_BITS + j]
+            cols.append(k)
+        K = np.stack(cols, axis=1)
+        return pd.Series([row.tolist() for row in K])
+
     return df.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_keys[b].alias("band_key"))
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("*", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")).drop("bk")
+        "*", F.posexplode(band_keys(F.col(emb_col))).alias("band", "band_key")
+    )
 
 
 @register("sim_search_blocked")  # rows-only: LSH candidate set is impl-defined
 def sim_search_blocked(spark, sf_dir):
-    """ANN via random-hyperplane LSH: candidates = any shared band,
-    exact re-rank within candidates. Recall vs the brute anchor is
-    property-tested in tests/test_llm_ops.py."""
+    """ANN via random-hyperplane LSH (measured recall@5 = 0.92 vs the brute anchor at sf0.01, floor 0.9 in tests/test_llm_ops.py).
+
+    Candidates = any shared (band, band_key); exact re-rank within
+    candidates. See lsh_bands for the recall/candidate-fraction
+    tradeoff on this deliberately structureless corpus."""
     em = table(spark, sf_dir, "embeddings")
     q = lsh_bands(
         em.filter(F.col("vec_id") < N_PROBES).select(
@@ -165,12 +186,15 @@ def sim_search_blocked(spark, sf_dir):
 
 
 IVF_NLIST = 16  # inverted lists (clusters)
-IVF_NPROBE = 4  # clusters probed per query
+IVF_NPROBE = 8  # clusters probed per query (recall@k >= 0.9 floor:
+# probing half the 16 lists measures 0.93 recall at ~0.5 candidate
+# fraction on this structureless corpus — see lsh_bands docstring for
+# why high recall is expensive here and cheap on real embeddings)
 
 
 @register("sim_search_ivf")  # rows-only: IVF candidate set is impl-defined
 def sim_search_ivf(spark, sf_dir):
-    """ANN via an IVF index built with one distributed Lloyd step.
+    """ANN via an IVF index built with one distributed Lloyd step (measured recall@5 = 0.93 vs the brute anchor at sf0.01, floor 0.9 in tests/test_llm_ops.py).
 
     Index build (all DataFrame ops, no collect on the data path):
     seed centroids = the NLIST lowest vec_ids → assign every vector to

@@ -24,6 +24,12 @@ RUNTIME_CONFS = {
     # restored per-query because join_bucketed_colocated disables it
     # to demonstrate the shuffle-free co-located join path
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    # restored per-query because join_skew_aqe lowers them to force an
+    # AQE skew split at toy scale; left lingering they would shatter
+    # every later query's post-shuffle coalescing into 8 KB partitions
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256MB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5.0",
 }
 
 

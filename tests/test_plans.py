@@ -311,3 +311,19 @@ def test_funnel_single_scan(spark):
     documents parquet must be scanned exactly once."""
     plan = _plan(spark, "corpus_filter_funnel")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_skew_join_splits_hot_partition(spark):
+    """join_skew_aqe: after execution, the final adaptive plan must
+    show AQE's skew handling engaged on the sort-merge join — the
+    runtime complement to the manual salt split."""
+    import engine
+
+    df = engine.QUERIES["join_skew_aqe"](spark, T2_SF_DIR)
+    # collect() (not a noop write) so the DataFrame's OWN QueryExecution
+    # runs to completion — AQE finalizes per-execution, and a write
+    # spawns a separate one, leaving this plan isFinalPlan=false
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:800]
+    assert "skew=true" in plan, plan[:800]
