@@ -84,3 +84,64 @@ def catalog_partition_register(spark, sf_dir):
             F.sum("event_id").alias("sum_event_id"),
         )
     )
+
+
+@register(
+    "sink_partition_overwrite_backfill",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS dt,
+               count(*) AS n_rows,
+               CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        FROM events
+        GROUP BY 1
+    """,
+)
+def sink_partition_overwrite_backfill(spark, sf_dir):
+    """Single-partition backfill via DYNAMIC partition overwrite — the
+    day-repair operation every partitioned pipeline needs: a bad day
+    landed, rewrite exactly that day, leave every other day's files
+    untouched.
+
+    The op plants a corrupted day (event_ids negated for the earliest
+    dt), then backfills only that day with
+    partitionOverwriteMode=dynamic + write.mode(overwrite): Spark
+    replaces just the partitions present in the incoming frame. The
+    oracle is the CLEAN full-corpus rollup, so the value-hash proves
+    both properties at once — the bad day was repaired AND the static
+    overwrite failure mode (wiping all other partitions) did not
+    happen. At scale this is an O(one partition) rewrite, not a table
+    rewrite."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+    )
+    base = scratch_dir("sink_partition_overwrite_backfill")
+    path = f"{base}/tbl"
+    bad_day = e.agg(F.min("dt")).collect()[0][0]
+
+    corrupted = e.withColumn(
+        "event_id",
+        F.when(F.col("dt") == bad_day, -F.col("event_id")).otherwise(
+            F.col("event_id")
+        ),
+    )
+    corrupted.repartition("dt").write.partitionBy("dt").mode("overwrite").parquet(path)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        e.filter(F.col("dt") == bad_day)
+        .repartition("dt")
+        .write.partitionBy("dt")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+    )

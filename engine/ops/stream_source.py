@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 from ..registry import register, scratch_dir
 
 N_SHARDS = 4
-PER_BATCH = 500  # seqs admitted per shard per microbatch (rate limit)
+# Admission rate limit: seqs per shard per microbatch. 1250 drains the
+# bounded demo total in 2 microbatches — still exercises the
+# multi-batch offset protocol (the checkpoint-resume test uses
+# per_batch=200 for a 6-batch run) without paying 5x the per-batch
+# sink/commit overhead in every bench invocation.
+PER_BATCH = 1250
 TOTAL_PER_SHARD = 2500
 TS_BASE = 1704067200  # 2024-01-01T00:00:00Z, fixed epoch base
 
@@ -276,3 +281,60 @@ def source_python_stream(spark, sf_dir):
         q.stop()
     back = spark.read.parquet(sink)
     return back.select("shard_id", "seq", "arrival_epoch_s", "srcport", "n_bytes")
+
+
+@register(
+    "stream_kshards_rollup_e2e",
+    oracle=f"""
+        WITH recs AS (
+          SELECT 'shardId-' || lpad(CAST(t.s AS VARCHAR), 12, '0') AS shard_id,
+                 r.q AS seq,
+                 {TS_BASE} + r.q * {N_SHARDS} + t.s AS arrival_epoch_s,
+                 (r.q * 7 + t.s) % 65536 AS srcport,
+                 (r.q * r.q + t.s) % 1000000 AS n_bytes
+          FROM range({N_SHARDS}) t(s), range({TOTAL_PER_SHARD}) r(q)
+        )
+        SELECT shard_id,
+               CAST(arrival_epoch_s // 3600 AS BIGINT) AS hour_bucket,
+               count(*) AS n_records,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(max(seq) AS BIGINT) AS max_seq
+        FROM recs
+        GROUP BY 1, 2
+    """,
+)
+def stream_kshards_rollup_e2e(spark, sf_dir):
+    """The complete production path in one value-checked op: custom
+    Kinesis-shaped source → streaming hourly rollup per shard
+    (stateful windowed aggregation in update-less complete batches is
+    overkill here; the rollup runs on the landed parquet exactly as
+    the reference architecture queries S3 via Athena) → per-(shard,
+    hour) traffic stats. Every byte is value-hashed: the record set
+    is closed-form, so the oracle restates source AND aggregation.
+    The landing step reuses source_python_stream's exactly-once
+    machinery (checkpoint + lease sidecar)."""
+    base = scratch_dir("stream_kshards_rollup_e2e")
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    q = (
+        read_kshards_stream(spark, state_path=f"{base}/lease")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        drain_kshards(q, TOTAL_PER_SHARD)
+    finally:
+        q.stop()
+    landed = spark.read.parquet(sink)
+    return landed.groupBy(
+        "shard_id",
+        (F.col("arrival_epoch_s") / F.lit(3600))
+        .cast("long")
+        .alias("hour_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("seq").alias("max_seq"),
+    )

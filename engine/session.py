@@ -30,6 +30,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256MB",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5.0",
+    # restored per-query because sink_partition_overwrite_backfill
+    # switches it to dynamic for the surgical single-day rewrite
+    "spark.sql.sources.partitionOverwriteMode": "static",
 }
 
 
