@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     scalars,
     scans,
     similarity,
+    spark4_ops,
     stream_source,
     streaming,
     textops,

@@ -502,3 +502,44 @@ def test_kshards_source_checkpoint_resume_exactly_once(spark, tmp_path):
     n_distinct = got.select("shard_id", "seq").distinct().count()
     assert n == shards * total, f"lost rows: {n} != {shards * total}"
     assert n_distinct == n, f"duplicates: {n - n_distinct}"
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas spawns a protobuf-speaking driver
+    worker; this container ships a broken google.protobuf (no
+    descriptor module), so the streaming form is environment-gated
+    exactly as the brief prescribes for missing libraries."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs google.protobuf; broken in this container",
+)
+def test_transform_with_state_stream_equals_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary state) over a
+    chunked feed must reach the same per-user summaries as the batch
+    twin. Update mode emits a snapshot per (batch, user); n_events is
+    monotone, so each user's final state is their max-n_events row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from engine.ops.spark4_ops import user_count_max_agg, user_count_max_tws
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_sorted_chunks(spark, e, src)
+
+    stream = _read_stream(spark, src, max_files=1)
+    got_all = _run_stream(
+        spark, user_count_max_tws(stream), "t_tws_state", "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    got = got_all.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    assert canon(got.toPandas()) == canon(user_count_max_agg(e).toPandas())
