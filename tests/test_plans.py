@@ -327,3 +327,23 @@ def test_skew_join_splits_hot_partition(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan[:800]
     assert "skew=true" in plan, plan[:800]
+
+
+def test_lateral_topn_decorrelates_to_window_limit(spark):
+    """join_lateral_topn: Catalyst must decorrelate the per-row LIMIT
+    lateral subquery into the WindowGroupLimit shape (with a map-side
+    Partial pass), never a per-outer-row nested loop."""
+    plan = _plan(spark, "join_lateral_topn")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side top-k pruning before the shuffle
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_udtf_scan_prunes_to_argument_column(spark):
+    """udtf_order_chunks: the scan under the Python UDTF must read ONLY
+    the argument column — a table function over one column must not
+    drag the whole orders schema through the Python worker."""
+    plan = _plan(spark, "udtf_order_chunks")
+    assert "BatchEvalPythonUDTF" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
