@@ -394,6 +394,48 @@ def join_skew_aqe(spark, sf_dir):
 
 
 @register(
+    "join_bloom_filtered",
+    oracle="""
+        SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 400000
+    """,
+)
+def join_bloom_filtered(spark, sf_dir):
+    """Runtime bloom-filter join pruning (InjectRuntimeFilter): the
+    selective dimension side builds a bloom_filter_agg over its join
+    keys and the FACT SCAN applies bloom_filter_might_contain BEFORE
+    the shuffle — at 100 TB this is the difference between shuffling
+    the whole fact table and shuffling only rows that can possibly
+    match. Broadcast is disabled so the join stays shuffle-shaped
+    (bloom filters target exactly the joins too big to broadcast);
+    thresholds are lowered so injection happens at toy scale — the
+    DEFAULT thresholds (10 MB build side, 10 GB probe scan) fire on
+    the same shape in production. Plan-asserted in tests/test_plans.py;
+    session defaults restored per-query via RUNTIME_CONFS."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    l = table(spark, sf_dir, "lineitem")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_totalprice"
+    )
+
+
+@register(
     "join_interval_point",
     oracle="""
         SELECT o.o_orderkey, e.event_id, e.user_id, o.o_orderdate, e.ts

@@ -132,6 +132,46 @@ def source_orc_roundtrip(spark, sf_dir):
 
 
 @register(
+    "scan_observe_metrics",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_e4
+        FROM events
+    """,
+)
+def scan_observe_metrics(spark, sf_dir):
+    """Pipeline health metrics via df.observe(): row count, error
+    count, and an exact scaled value sum accumulate DURING the main
+    pass — zero extra scans, zero extra shuffles. This is how a
+    production job emits data-quality counters (rows in, rows
+    dead-lettered, bytes) without paying a second aggregation over
+    100 TB: the Observation aggregates ride along as accumulator-style
+    expressions on the existing tasks. The op returns the observed
+    values (forced by one count() action) as a 1-row frame; the oracle
+    recomputes them independently, so a drifting metric is a
+    value-hash failure."""
+    from pyspark.sql import Observation
+
+    e = table(spark, sf_dir, "events")
+    obs = Observation("health")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_e4"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], row["n_errors"], row["sum_value_e4"])],
+        "n_rows long, n_errors long, sum_value_e4 long",
+    )
+
+
+@register(
     "source_python_datasource",
     oracle="""
         SELECT id, (id * id) % 97 AS val

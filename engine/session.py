@@ -33,6 +33,10 @@ RUNTIME_CONFS = {
     # restored per-query because sink_partition_overwrite_backfill
     # switches it to dynamic for the surgical single-day rewrite
     "spark.sql.sources.partitionOverwriteMode": "static",
+    # restored per-query because join_bloom_filtered lowers them so the
+    # runtime bloom filter injects at toy scale
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
 }
 
 

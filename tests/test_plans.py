@@ -347,3 +347,13 @@ def test_udtf_scan_prunes_to_argument_column(spark):
     plan = _plan(spark, "udtf_order_chunks")
     assert "BatchEvalPythonUDTF" in plan
     assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+
+
+def test_bloom_filter_injected_on_fact_scan(spark):
+    """join_bloom_filtered: the optimizer must inject a runtime bloom
+    filter — bloom_filter_agg on the selective build side and a
+    might_contain predicate applied on the fact side BEFORE its
+    shuffle."""
+    plan = _plan(spark, "join_bloom_filtered")
+    assert "bloom_filter_agg" in plan, plan[:900]
+    assert "BloomFilterMightContain" in plan or "might_contain" in plan, plan[:900]
