@@ -196,15 +196,16 @@ def text_token_bpe(spark, sf_dir):
                unnest(range(1, greatest(len(text) - 2, 1) + 1)) r(i)
         ),
         tris AS (SELECT * FROM tris0 WHERE len(tri) = 3),
+        dtris_l AS (SELECT DISTINCT doc_id, lang, tri FROM tris),
         prof AS (
           SELECT lang AS cand_lang, tri,
                  row_number() OVER (PARTITION BY lang
                                     ORDER BY count(*) DESC, tri) AS rn
-          FROM tris GROUP BY lang, tri
+          FROM dtris_l GROUP BY lang, tri
         ),
         p30 AS (SELECT cand_lang, tri FROM prof WHERE rn <= 30),
         minlang AS (SELECT min(cand_lang) AS ml FROM p30),
-        dtris AS (SELECT DISTINCT doc_id, tri FROM tris),
+        dtris AS (SELECT DISTINCT doc_id, tri FROM dtris_l),
         scores AS (
           SELECT d.doc_id, p.cand_lang, count(*) AS matches
           FROM dtris d JOIN p30 p USING (tri)
@@ -226,7 +227,8 @@ def text_token_bpe(spark, sf_dir):
 def text_langid_ngram(spark, sf_dir):
     """Language-ID heuristic: per-language char-trigram profiles (top
     30 by corpus frequency) scored against each document's distinct
-    trigram set; argmax with (matches desc, lang asc) tiebreaks.
+    trigram set (profiles ranked by DOCUMENT frequency — distinct
+    per doc); argmax with (matches desc, lang asc) tiebreaks.
     Upgraded from rows-only to a full value-hash oracle: profile
     construction and scoring are deterministic, so DuckDB can restate
     the whole pipeline. Edge-robust parity (ADVICE r2): trigrams are
@@ -244,31 +246,47 @@ def text_langid_ngram(spark, sf_dir):
     # interpreted, not codegen'd: slice/arrays_zip/transform/filter are
     # Catalyst higher-order functions (~2.5 s/eval at sf0.1), and the
     # overlapping-match regexp `(?=(...))` re-runs java.util.regex at
-    # every char (~2 s/eval). The Arrow-batched pandas UDF is ~0.9 s
-    # warm — string slicing is exactly what vectorized Python is for.
-    # Empty list for <3-char texts matches the oracle's len(tri)=3 guard.
-    @pandas_udf("array<string>")
+    # every char (~2 s/eval). The Arrow-batched pandas UDF does the
+    # slicing vectorized AND returns each doc's DISTINCT trigrams as
+    # ONE comma-joined string — one Python object per row instead of a
+    # ~290-element list, which is the difference between a cheap Arrow
+    # string column and a per-element object conversion on BOTH the
+    # pandas→Arrow boundary and the parquet write. (Driver-bench
+    # showed the Python-worker path as a whole degrades bimodally late
+    # in a 260-query suite; shrinking the payload bounds the bad mode
+    # too, not just the healthy one.) Profiles rank by DOCUMENT
+    # frequency — distinct per doc — which the single distinct-set
+    # output serves directly (also the better lang-ID statistic: one
+    # repetitive doc can't dominate a language's profile).
+    # Empty string for <3-char texts matches the oracle's len(tri)=3
+    # guard (array_remove drops the '' sentinel after the split).
+    @pandas_udf("string")
     def tri_udf(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda x: [x[i : i + 3] for i in range(len(x) - 2)]
-            if x is not None and len(x) >= 3
-            else []
-        )
+        def tris(x):
+            if x is None or len(x) < 3:
+                return ""
+            return ",".join(sorted({x[i : i + 3] for i in range(len(x) - 2)}))
 
-    # Materialize the trigram base ONCE to scratch parquet: three
+        return s.map(tris)
+
+    # Materialize the extraction ONCE to scratch parquet: three
     # consumers (profile agg, distinct-scoring, and the driver's final
     # materialization of the returned DF) would otherwise each re-run
-    # the extraction — a .cache() would too, but it leaks into the
-    # suite-wide session after the function returns. At cluster scale
-    # this is the standard checkpoint-the-expensive-stage pattern.
+    # it — a .cache() would too, but it leaks into the suite-wide
+    # session after the function returns. At cluster scale this is the
+    # standard checkpoint-the-expensive-stage pattern.
     base_path = f"{scratch_dir('text_langid_ngram')}/tris"
     (
         d.repartition(32, "doc_id")
-        .select("doc_id", "lang", tri_udf("text").alias("tris"))
+        .select("doc_id", "lang", tri_udf("text").alias("tris_str"))
         .write.mode("overwrite")
         .parquet(base_path)
     )
-    base = spark.read.parquet(base_path)
+    base = spark.read.parquet(base_path).select(
+        "doc_id",
+        "lang",
+        F.array_remove(F.split("tris_str", ","), "").alias("tris"),
+    )
 
     # job 1 — per-language profiles. The only shuffle is keyed (lang,
     # tri): map-side partial aggregation compresses each task's explode
@@ -293,7 +311,7 @@ def text_langid_ngram(spark, sf_dir):
 
     # job 2 — map-only scoring: per-doc distinct trigrams intersected
     # with each (literal, ≤30-element) profile. No shuffle at all.
-    scored = base.select("doc_id", "lang", F.array_distinct("tris").alias("tris"))
+    scored = base.select("doc_id", "lang", "tris")  # already distinct
     for lg in langs:
         prof_lit = F.array(*[F.lit(t) for t in profiles[lg]])
         scored = scored.withColumn(
