@@ -75,27 +75,37 @@ def main() -> None:
     # sentinel_norm ≈ per-query time in units of contemporaneous
     # sentinel time. A flat sentinel with one slow query = real
     # regression; a spiking sentinel = environment.
+    # Two sentinels: tpch_q6 exercises the JVM scan/filter/agg path;
+    # udf_pandas_scalar exercises the Python-worker + Arrow path. They
+    # degrade INDEPENDENTLY — a full-suite window was observed where
+    # every Python-path query ran 1.2-4.5x slow while the JVM sentinel
+    # stayed flat — so a JVM-only sentinel would mislabel a
+    # Python-worker brownout as a per-query regression.
     SENTINEL = "tpch_q6"
+    PY_SENTINEL = "udf_pandas_scalar"
     SENTINEL_EVERY = 8
 
-    def run_sentinel() -> float:
-        spark.catalog.clearCache()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+    def run_sentinel(qname: str) -> float:
         t0 = time.perf_counter()
-        force(engine.QUERIES[SENTINEL](spark, args.sf_dir))
+        force(engine.QUERIES[qname](spark, args.sf_dir))
         return time.perf_counter() - t0
 
     per_q: dict[str, float] = {}
     sent_norm: dict[str, float] = {}
     sent_times: list[float] = []
+    py_sent_times: list[float] = []
     cur_sent = None
     for i, name in enumerate(names):
         if SENTINEL in engine.QUERIES and i % SENTINEL_EVERY == 0:
-            cur_sent = run_sentinel()
+            spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            cur_sent = run_sentinel(SENTINEL)
             sent_times.append(round(cur_sent, 4))
+            if PY_SENTINEL in engine.QUERIES:
+                py_sent_times.append(round(run_sentinel(PY_SENTINEL), 4))
         best = None
         for _ in range(max(1, args.repeat)):
             t0 = time.perf_counter()
@@ -122,6 +132,8 @@ def main() -> None:
                     "every": SENTINEL_EVERY,
                     "times": sent_times,
                     "norm": sent_norm,
+                    "py_id": PY_SENTINEL,
+                    "py_times": py_sent_times,
                 },
             }
         )

@@ -269,23 +269,27 @@ def text_langid_ngram(spark, sf_dir):
 
         return s.map(tris)
 
-    # Materialize the extraction ONCE to scratch parquet: three
-    # consumers (profile agg, distinct-scoring, and the driver's final
-    # materialization of the returned DF) would otherwise each re-run
-    # it — a .cache() would too, but it leaks into the suite-wide
-    # session after the function returns. At cluster scale this is the
-    # standard checkpoint-the-expensive-stage pattern.
-    base_path = f"{scratch_dir('text_langid_ngram')}/tris"
-    (
+    # Materialize the extraction ONCE via localCheckpoint (block
+    # manager, eager): three consumers (profile agg, distinct-scoring,
+    # and the driver's final materialization of the returned DF) would
+    # otherwise each re-run it. A scratch-parquet round-trip did the
+    # same job but put TWO disk commits (fsync per writer task) + a
+    # cold re-read on the critical path — on a page-cache-starved host
+    # this stalled the whole query 10-30 s while both bench sentinels
+    # stayed flat (BASELINE.md round-3 notes); the block-manager copy
+    # is memory-first and is dropped by the ContextCleaner once the
+    # DataFrame goes out of scope (the bench's periodic GC nudge makes
+    # that prompt). A plain .cache() would pin it in the suite-wide
+    # session instead.
+    base = (
         d.repartition(32, "doc_id")
         .select("doc_id", "lang", tri_udf("text").alias("tris_str"))
-        .write.mode("overwrite")
-        .parquet(base_path)
-    )
-    base = spark.read.parquet(base_path).select(
-        "doc_id",
-        "lang",
-        F.array_remove(F.split("tris_str", ","), "").alias("tris"),
+        .localCheckpoint(eager=True)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_remove(F.split("tris_str", ","), "").alias("tris"),
+        )
     )
 
     # job 1 — per-language profiles. The only shuffle is keyed (lang,
