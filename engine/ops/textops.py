@@ -196,16 +196,17 @@ def text_token_bpe(spark, sf_dir):
                unnest(range(1, greatest(len(text) - 2, 1) + 1)) r(i)
         ),
         tris AS (SELECT * FROM tris0 WHERE len(tri) = 3),
-        dtris_l AS (SELECT DISTINCT doc_id, lang, tri FROM tris),
         prof AS (
           SELECT lang AS cand_lang, tri,
                  row_number() OVER (PARTITION BY lang
                                     ORDER BY count(*) DESC, tri) AS rn
-          FROM dtris_l GROUP BY lang, tri
+          FROM (SELECT DISTINCT doc_id, lang, tri FROM tris
+                WHERE doc_id % 20 = 0)
+          GROUP BY lang, tri
         ),
         p30 AS (SELECT cand_lang, tri FROM prof WHERE rn <= 30),
         minlang AS (SELECT min(cand_lang) AS ml FROM p30),
-        dtris AS (SELECT DISTINCT doc_id, tri FROM dtris_l),
+        dtris AS (SELECT DISTINCT doc_id, tri FROM tris),
         scores AS (
           SELECT d.doc_id, p.cand_lang, count(*) AS matches
           FROM dtris d JOIN p30 p USING (tri)
@@ -226,79 +227,68 @@ def text_token_bpe(spark, sf_dir):
 )
 def text_langid_ngram(spark, sf_dir):
     """Language-ID heuristic: per-language char-trigram profiles (top
-    30 by corpus frequency) scored against each document's distinct
-    trigram set (profiles ranked by DOCUMENT frequency — distinct
-    per doc); argmax with (matches desc, lang asc) tiebreaks.
-    Upgraded from rows-only to a full value-hash oracle: profile
-    construction and scoring are deterministic, so DuckDB can restate
-    the whole pipeline. Edge-robust parity (ADVICE r2): trigrams are
-    length-guarded on both sides (texts < 3 chars contribute none —
-    the zipped slices would otherwise yield NULLs where the oracle's
-    substr yields short strings), and zero-match docs are emitted on
-    both sides with matches=0 / predicted = min(lang) (the oracle uses
-    LEFT JOIN + COALESCE; Spark's argmax-coalesce picks the first of
-    the sorted langs when every score is 0)."""
-    from pyspark.sql.functions import pandas_udf
+    30 by document frequency, built from a deterministic 5% sample —
+    ``doc_id % 20 = 0``) scored against each document's distinct
+    trigram set; argmax with (matches desc, lang asc) tiebreaks.
+    Full value-hash oracle: sampling, profile construction, and
+    scoring are all deterministic and restated in DuckDB.
 
+    Round-4 redesign (VERDICT r3 #1, third strike): the query no
+    longer crosses the Python boundary AT ALL. Rounds 1-3 used an
+    Arrow pandas UDF for trigram extraction because every JVM
+    spelling is interpreted (higher-order functions don't codegen,
+    ~2.5 s/eval at sf0.1) — locally faster, but the driver's
+    260-query suite showed the shared Python-worker path degrading
+    bimodally (15 s → 66 s round-over-round with flat sentinels).
+    The fix restructures the work so the interpreted JVM pass is
+    affordable instead of avoiding it:
+      * profiles come from the 5% sample, so extraction there costs
+        1/20th of a pass — and the sample predicate (`doc_id % 20`)
+        is pushdown-friendly and identical in the oracle (doc_id is
+        BIGINT on both sides). Top-30-by-document-frequency profiles
+        are statistically insensitive to uniform sampling; the oracle
+        restates the SAME sample so the value-hash stays exact.
+      * scoring extracts trigrams once over the full corpus in ONE
+        interpreted transform (sequence + substr, length-guarded for
+        <3-char texts), then intersects with ≤30-element literal
+        profile arrays — map-only, no shuffle, no materialization
+        step needed (each job reads the parquet once).
+    At 100 TB the profile job touches 5% of data with a
+    (lang, tri)-bounded shuffle and the scoring job is a single
+    map-only pass — both scale linearly with no Python workers.
+    Edge-robust parity (ADVICE r2): texts < 3 chars contribute no
+    trigrams on either side, and zero-match docs are emitted with
+    matches=0 / predicted = min(profile lang) (the oracle's LEFT
+    JOIN + COALESCE; Spark's argmax-coalesce picks the first sorted
+    lang when every score is 0)."""
     d = table(spark, sf_dir, "documents")
 
-    # Trigram extraction is the hot loop, and every JVM-side spelling is
-    # interpreted, not codegen'd: slice/arrays_zip/transform/filter are
-    # Catalyst higher-order functions (~2.5 s/eval at sf0.1), and the
-    # overlapping-match regexp `(?=(...))` re-runs java.util.regex at
-    # every char (~2 s/eval). The Arrow-batched pandas UDF does the
-    # slicing vectorized AND returns each doc's DISTINCT trigrams as
-    # ONE comma-joined string — one Python object per row instead of a
-    # ~290-element list, which is the difference between a cheap Arrow
-    # string column and a per-element object conversion on BOTH the
-    # pandas→Arrow boundary and the parquet write. (Driver-bench
-    # showed the Python-worker path as a whole degrades bimodally late
-    # in a 260-query suite; shrinking the payload bounds the bad mode
-    # too, not just the healthy one.) Profiles rank by DOCUMENT
-    # frequency — distinct per doc — which the single distinct-set
-    # output serves directly (also the better lang-ID statistic: one
-    # repetitive doc can't dominate a language's profile).
-    # Empty string for <3-char texts matches the oracle's len(tri)=3
-    # guard (array_remove drops the '' sentinel after the split).
-    @pandas_udf("string")
-    def tri_udf(s: pd.Series) -> pd.Series:
-        def tris(x):
-            if x is None or len(x) < 3:
-                return ""
-            return ",".join(sorted({x[i : i + 3] for i in range(len(x) - 2)}))
+    # One interpreted HOF pass: overlapping trigrams via
+    # sequence(1, len-2) + substr inside a single transform, then
+    # array_distinct. sequence(1, 0) would step BACKWARDS ([1, 0]),
+    # so short texts are guarded to an empty array explicitly.
+    def tris_expr():
+        return F.when(
+            F.length("text") >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.col("text").substr(i, F.lit(3)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
-        return s.map(tris)
-
-    # Materialize the extraction ONCE via localCheckpoint (block
-    # manager, eager): three consumers (profile agg, distinct-scoring,
-    # and the driver's final materialization of the returned DF) would
-    # otherwise each re-run it. A scratch-parquet round-trip did the
-    # same job but put TWO disk commits (fsync per writer task) + a
-    # cold re-read on the critical path — on a page-cache-starved host
-    # this stalled the whole query 10-30 s while both bench sentinels
-    # stayed flat (BASELINE.md round-3 notes); the block-manager copy
-    # is memory-first and is dropped by the ContextCleaner once the
-    # DataFrame goes out of scope (the bench's periodic GC nudge makes
-    # that prompt). A plain .cache() would pin it in the suite-wide
-    # session instead.
-    base = (
-        d.repartition(32, "doc_id")
-        .select("doc_id", "lang", tri_udf("text").alias("tris_str"))
-        .localCheckpoint(eager=True)
-        .select(
-            "doc_id",
-            "lang",
-            F.array_remove(F.split("tris_str", ","), "").alias("tris"),
-        )
+    # job 1 — per-language profiles from the 5% sample. The only
+    # shuffle is keyed (lang, tri): map-side partial aggregation
+    # compresses each task's explode output to |langs|×|distinct tris|
+    # rows regardless of corpus size, and the top-30 result
+    # (|langs|×30 rows) is driver-collectable at ANY scale.
+    # tris_expr is array_distinct per doc, so the explode output is
+    # already (doc_id, tri)-unique — counting rows per (lang, tri)
+    # IS document frequency, no extra dedup shuffle needed.
+    tris = d.filter(F.col("doc_id") % 20 == 0).select(
+        "lang", F.explode(tris_expr()).alias("tri")
     )
-
-    # job 1 — per-language profiles. The only shuffle is keyed (lang,
-    # tri): map-side partial aggregation compresses each task's explode
-    # output to |langs|×|distinct tris| rows regardless of corpus size,
-    # and the top-30 result (|langs|×30 rows) is driver-collectable at
-    # ANY scale. (The previous one-shuffle form keyed the full explode
-    # by high-cardinality doc_id — ~500× the shuffle bytes.)
-    tris = base.select("lang", F.explode("tris").alias("tri"))
     prof_w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
     profile_rows = (
         tris.groupBy("lang", "tri")
@@ -313,9 +303,10 @@ def text_langid_ngram(spark, sf_dir):
         profiles.setdefault(r["lang"], []).append(r["tri"])
     langs = sorted(profiles)
 
-    # job 2 — map-only scoring: per-doc distinct trigrams intersected
-    # with each (literal, ≤30-element) profile. No shuffle at all.
-    scored = base.select("doc_id", "lang", "tris")  # already distinct
+    # job 2 — map-only scoring: per-doc distinct trigrams (the one
+    # full-corpus interpreted pass) intersected with each (literal,
+    # ≤30-element) profile. No shuffle, no Python, read parquet once.
+    scored = d.select("doc_id", "lang", tris_expr().alias("tris"))
     for lg in langs:
         prof_lit = F.array(*[F.lit(t) for t in profiles[lg]])
         scored = scored.withColumn(
@@ -326,7 +317,10 @@ def text_langid_ngram(spark, sf_dir):
     # argmax with asc-lang tiebreak (langs iterated sorted)
     pred = F.coalesce(*[F.when(F.col(f"m_{lg}") == best, F.lit(lg)) for lg in langs])
     return scored.select(
-        "doc_id", "lang", pred.alias("predicted_lang"), best.alias("matches")
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        best.cast("long").alias("matches"),
     )
 
 
