@@ -137,8 +137,13 @@ def sink_partition_overwrite_backfill(spark, sf_dir):
         .mode("overwrite")
         .parquet(path)
     )
+    # Partition-column type inference turns the dt= directory name into
+    # a DATE column on read-back, while the oracle emits VARCHAR; the
+    # driver's strict schema compare would flag the divergence (ADVICE
+    # r3). Cast back to the string the writer produced.
     return (
         spark.read.parquet(path)
+        .withColumn("dt", F.col("dt").cast("string"))
         .groupBy("dt")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -34,6 +34,31 @@ from engine.session import get_session  # noqa: E402
 from tests.harness import canon, oracle_df  # noqa: E402
 
 
+def type_sig(pdf) -> list:
+    """Per-column value-type signature: (name, type-class of the first
+    non-null cell). int/float unify numpy vs builtin; everything else
+    keeps its Python type name so date-vs-str etc. stay visible."""
+    sig = []
+    for c in sorted(pdf.columns):
+        s = pdf[c].dropna()
+        if len(s) == 0:
+            sig.append((c, "empty"))
+            continue
+        v = s.iloc[0]
+        import numpy as _np
+
+        if isinstance(v, (bool, _np.bool_)):
+            t = "bool"
+        elif isinstance(v, (int, _np.integer)):
+            t = "int"
+        elif isinstance(v, (float, _np.floating)):
+            t = "float"
+        else:
+            t = type(v).__name__
+        sig.append((c, t))
+    return sig
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -70,7 +95,15 @@ def main() -> None:
                 scols, srows = canon(spdf)
                 ocols, orows = canon(opdf)
                 rec["rows_match"] = len(srows) == len(orows)
-                rec["schema_match"] = scols == ocols
+                # Names AND types: canon() compares names only, which
+                # masked a DATE-vs-VARCHAR divergence the driver's
+                # strict compare would flag (ADVICE r3). Signature =
+                # per-column (name, python type of first non-null
+                # cell) — catches date/str/Decimal divergences that
+                # coarse pandas dtypes ('object') hide.
+                rec["schema_match"] = scols == ocols and type_sig(
+                    spdf
+                ) == type_sig(opdf)
                 rec["hash_match"] = srows == orows
                 ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
                 n_pass += ok
