@@ -150,3 +150,72 @@ def sink_partition_overwrite_backfill(spark, sf_dir):
             F.sum("event_id").alias("sum_event_id"),
         )
     )
+
+
+@register(
+    "join_reorder_cbo",
+    oracle="""
+        SELECT n.n_name,
+               count(*) AS n_orders,
+               CAST(sum(o.o_orderkey) AS BIGINT) AS sum_okey
+        FROM orders o, customer c, nation n
+        WHERE o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n.n_nationkey
+          AND o.o_orderstatus = 'O'
+        GROUP BY n.n_name
+    """,
+)
+def join_reorder_cbo(spark, sf_dir):
+    """Cost-based-optimizer path, end to end (SURVEY §4 commitment;
+    VERDICT r3 item 5): register the three join tables in the catalog,
+    `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS <join keys>`,
+    enable CBO + stats-based join reordering, and run the canonical
+    star query (orders ⋈ customer ⋈ nation) THROUGH the catalog
+    identifiers so Catalyst plans against the collected statistics
+    instead of raw file sizes.
+
+    Why this matters at 100 TB: size-on-disk estimates stop being
+    broadcast-decidable once compression/filter selectivity diverge
+    from row counts — `sizeInBytes` of a compressed scan wildly
+    under/over-estimates the post-filter build side. ANALYZE'd
+    rowCount + column NDV let the optimizer (a) keep small dims on
+    the broadcast side deliberately and (b) reorder multi-join
+    chains by estimated cardinality (CostBasedJoinReorder is a
+    DP over the join graph, only active when every input has
+    rowCount stats). tests/test_plans.py asserts the optimized
+    plan carries catalog rowCount statistics and broadcasts both
+    dims — the stats-driven decision, not the file-size fallback.
+    """
+    base = scratch_dir("join_reorder_cbo")
+    for t in ("orders", "customer", "nation"):
+        table(spark, sf_dir, t).write.mode("overwrite").parquet(f"{base}/{t}")
+        spark.sql(f"DROP TABLE IF EXISTS engine_cbo_{t}")
+        spark.sql(
+            f"CREATE TABLE engine_cbo_{t} USING parquet LOCATION '{base}/{t}'"
+        )
+    spark.sql(
+        "ANALYZE TABLE engine_cbo_orders COMPUTE STATISTICS "
+        "FOR COLUMNS o_custkey, o_orderstatus"
+    )
+    spark.sql(
+        "ANALYZE TABLE engine_cbo_customer COMPUTE STATISTICS "
+        "FOR COLUMNS c_custkey, c_nationkey"
+    )
+    spark.sql(
+        "ANALYZE TABLE engine_cbo_nation COMPUTE STATISTICS "
+        "FOR COLUMNS n_nationkey, n_name"
+    )
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(*) AS n_orders,
+               CAST(sum(o.o_orderkey) AS BIGINT) AS sum_okey
+        FROM engine_cbo_orders o, engine_cbo_customer c, engine_cbo_nation n
+        WHERE o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n.n_nationkey
+          AND o.o_orderstatus = 'O'
+        GROUP BY n.n_name
+        """
+    )

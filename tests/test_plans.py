@@ -357,3 +357,16 @@ def test_bloom_filter_injected_on_fact_scan(spark):
     plan = _plan(spark, "join_bloom_filtered")
     assert "bloom_filter_agg" in plan, plan[:900]
     assert "BloomFilterMightContain" in plan or "might_contain" in plan, plan[:900]
+
+
+def test_cbo_stats_drive_join_plan(spark):
+    """join_reorder_cbo: after ANALYZE TABLE, the optimized plan must
+    carry catalog rowCount statistics (only present when CBO reads
+    ANALYZE'd stats — the file-size fallback has sizeInBytes only),
+    and both dims must broadcast."""
+    df = engine.QUERIES["join_reorder_cbo"](spark, T2_SF_DIR)
+    qe = df._jdf.queryExecution()
+    stats = qe.optimizedPlan().stats().toString()
+    assert "rowCount=" in stats, stats
+    plan = qe.executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
