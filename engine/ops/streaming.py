@@ -374,3 +374,65 @@ def stream_static_join(spark, sf_dir):
     return static_enrich(
         table(spark, sf_dir, "events"), table(spark, sf_dir, "customer")
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Bounded-state streaming dedup via Spark 4's
+    ``dropDuplicatesWithinWatermark`` (VERDICT r3 item 6) — the API a
+    real exactly-once 100 TB pipeline uses instead of classic
+    ``dropDuplicates``: state for a key is guaranteed evictable once
+    the watermark passes the key's event time + delay, so state size
+    is bounded by the delay window, not the key cardinality of the
+    whole stream. (Classic dropDuplicates keeps every key forever
+    unless the watermark column itself is part of the key.)
+
+    Run end-to-end in-op like the other e2e streams: events written
+    TWICE to a file source (exact duplicate feed) → availableNow
+    stream → withWatermark(1h) + dropDuplicatesWithinWatermark →
+    checkpointed parquet sink → read-back. All files land in one
+    micro-batch (file-source availableNow default), so every
+    duplicate is within the live window and exactly one row per
+    event_id survives — the oracle is the clean events table. The
+    state-EVICTION half of the contract (a duplicate arriving after
+    the watermark passed its window is emitted again) needs a
+    multi-batch feed and is proven in
+    tests/test_streaming.py::test_dedup_within_watermark_evicts_state.
+    """
+    from ..registry import scratch_dir
+    from ..schemas import EVENTS_STREAM_SCHEMA
+
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("stream_dedup_within_watermark")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    sel = e.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    sel.write.mode("overwrite").parquet(src)
+    sel.write.mode("append").parquet(src)  # exact duplicate feed
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(src)
+        # watermark needs an instant; NTZ→LTZ is a wall-clock no-op
+        # under the UTC session timezone
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_dedup_within_watermark: availableNow query exceeded 300s"
+        )
+    return spark.read.parquet(sink).select(
+        "event_id", "user_id", "event_type", "value"
+    )

@@ -543,3 +543,52 @@ def test_transform_with_state_stream_equals_batch(spark, tmp_path):
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     got = got_all.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
     assert canon(got.toPandas()) == canon(user_count_max_agg(e).toPandas())
+
+
+def test_dedup_within_watermark_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's bounded-state contract, both
+    halves. Within the delay window a re-keyed arrival is a duplicate
+    (dropped); once the watermark passes key+delay the state is
+    EVICTED, so a later arrival with the same key is emitted again —
+    the behavior that distinguishes it from classic dropDuplicates'
+    grow-forever state. Feed (maxFilesPerTrigger=1, mtime-ordered;
+    watermark lags one batch, hence the buffer file):
+      f1: id=1@T0 and id=1@T0+10m  -> dedup within window, ONE row
+      f2: id=2@T0+3h               -> watermark -> T0+2h after batch
+      f3: id=3@T0+3h1m             -> buffer batch, eviction applies
+      f4: id=1@T0+4h               -> state gone, EMITTED AGAIN
+    """
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def feed(i, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        p = os.path.join(src, f"f{i}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (time.time() - (10 - i) * 10,) * 2)
+
+    feed(1, [(1, t0, 7, "view", 1.0, "{}"),
+             (1, t0 + pd.Timedelta(minutes=10), 7, "view", 1.0, "{}")])
+    feed(2, [(2, t0 + pd.Timedelta(hours=3), 7, "view", 1.0, "{}")])
+    feed(3, [(3, t0 + pd.Timedelta(hours=3, minutes=1), 7, "view", 1.0, "{}")])
+    feed(4, [(1, t0 + pd.Timedelta(hours=4), 7, "view", 1.0, "{}")])
+
+    stream = (
+        _read_stream(spark, src, max_files=1, ltz=True)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    got = _run_stream(spark, stream, "t_dedup_wm", "append").toPandas()
+    by_id = got["event_id"].value_counts().to_dict()
+    assert by_id[2] == 1 and by_id[3] == 1
+    assert by_id[1] == 2, (
+        f"expected id=1 twice (in-window dupe dropped, post-eviction "
+        f"arrival re-emitted), got {by_id}"
+    )
+    assert len(got) == 4
