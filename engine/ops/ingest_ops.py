@@ -373,3 +373,81 @@ def stream_ingest_e2e(spark, sf_dir):
         F.col("dt").cast("string").alias("dt"),
         F.col("hr").cast("int").alias("hr"),
     )
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def sink_compact_small_files(spark, sf_dir):
+    """OPTIMIZE-style small-file compaction (VERDICT r3 item 8) — the
+    maintenance job every streaming parquet lake runs: micro-batch
+    sinks leave each partition as N writer-slivers; the compactor
+    bin-packs them back to target-sized files without changing a row.
+
+    Shape of the job, scale-first:
+      1. plant the problem: events written partitionBy(dt) from 16
+         parallel writers → every dt directory holds ~16 slivers
+         (exactly what a 16-shard streaming sink produces per day).
+      2. plan the packing from METADATA only: a driver-side listing
+         of per-partition byte totals (what Delta/Iceberg OPTIMIZE
+         reads from the manifest; here an os.walk over the partition
+         dirs) → files_per_partition = ceil(bytes / 128 MiB target),
+         a tiny dict regardless of table size.
+      3. rewrite with one distributed pass: broadcast-join the
+         (dt → n_files) plan, salt each row into its slot with
+         pmod(xxhash64(key), n_files), repartition("dt", "slot") so
+         each slot becomes one writer task → one file, and write
+         with partitionBy(dt). No driver data path; the shuffle
+         moves each partition once.
+    At toy scale every partition packs to 1 file (asserted in
+    tests/test_plans.py: file count drops ~16x); at 100 TB the same
+    plan yields ceil(partition_bytes/128 MiB) files per day. The
+    oracle proves row-level losslessness of the rewrite."""
+    import math
+    import os
+
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("sink_compact_small_files")
+    sliver, compact = f"{base}/sliver", f"{base}/compact"
+    (
+        e.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition(16)
+        .write.partitionBy("dt")
+        .mode("overwrite")
+        .parquet(sliver)
+    )
+
+    target = 128 * 1024 * 1024
+    part_bytes: dict[str, int] = {}
+    for root, _dirs, files in os.walk(sliver):
+        dt = os.path.basename(root)
+        if not dt.startswith("dt="):
+            continue
+        part_bytes[dt[3:]] = sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    plan = [
+        (dt, max(1, math.ceil(b / target))) for dt, b in sorted(part_bytes.items())
+    ]
+    m = spark.createDataFrame(plan, "dt string, n_files int")
+
+    back = spark.read.parquet(sliver).withColumn(
+        "dt", F.col("dt").cast("string")
+    )
+    (
+        back.join(F.broadcast(m), "dt")
+        .withColumn(
+            "slot", F.pmod(F.xxhash64("event_id"), F.col("n_files")).cast("int")
+        )
+        .repartition("dt", "slot")
+        .drop("n_files", "slot")
+        .write.partitionBy("dt")
+        .mode("overwrite")
+        .parquet(compact)
+    )
+    return spark.read.parquet(compact).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

@@ -370,3 +370,28 @@ def test_cbo_stats_drive_join_plan(spark):
     assert "rowCount=" in stats, stats
     plan = qe.executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+
+
+def test_compaction_reduces_file_count(spark):
+    """sink_compact_small_files: the rewrite must actually pack the
+    16-writer slivers — per-partition file count drops to the planned
+    ceil(bytes/target) (= 1 at toy scale) and total file count drops
+    by an order of magnitude."""
+    import os
+    import tempfile
+
+    engine.QUERIES["sink_compact_small_files"](spark, T2_SF_DIR).count()
+    base = os.path.join(tempfile.gettempdir(), "engine_scratch_sink_compact_small_files")
+
+    def counts(sub):
+        per = {}
+        for root, _d, files in os.walk(os.path.join(base, sub)):
+            dt = os.path.basename(root)
+            if dt.startswith("dt="):
+                per[dt] = sum(1 for f in files if f.endswith(".parquet"))
+        return per
+
+    before, after = counts("sliver"), counts("compact")
+    assert before and after and set(after) == set(before)
+    assert all(n == 1 for n in after.values()), after
+    assert sum(before.values()) >= 8 * sum(after.values()), (before, after)
