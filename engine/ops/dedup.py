@@ -105,7 +105,7 @@ JACCARD_SQL = f"""
 
 
 @register("dedup_ngram_jaccard", oracle=JACCARD_SQL)
-def dedup_ngram_jaccard(spark, sf_dir):
+def dedup_ngram_jaccard(spark, sf_dir, max_doc_freq=None):
     """Exact n-gram (3-shingle) Jaccard similarity for all pairs
     sharing at least one shingle. jaccard = |∩| / (|A|+|B|-|∩|) is an
     integer/integer division — bit-deterministic across engines.
@@ -115,10 +115,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     emitted inside an array transform (whole-stage codegen, no
     shingle-level self-join — the self-join shuffles the shingle rows
     twice and re-hashes the join keys; this shuffles them once).
-    Measured ~1.7× faster at sf0.1 with identical output. Skew guard
-    at 100 TB: a document-frequency cap on hot shingles bounds the
-    per-group pair fan-out; here max docs/shingle is small (≤25 at
-    sf0.1) and the oracle needs uncapped semantics."""
+    Measured ~1.7× faster at sf0.1 with identical output.
+
+    ``max_doc_freq`` is the 100 TB skew guard (VERDICT r3 item 7): a
+    shingle appearing in more than ``max_doc_freq`` documents is
+    dropped from PAIR GENERATION (doc sizes |A|,|B| stay uncapped),
+    bounding the per-shingle fan-out at C(max_doc_freq, 2) — the
+    quadratic term that otherwise explodes on boilerplate shingles
+    ("in the the", license headers) in a web-scale corpus. Dropping
+    hot shingles only LOWERS n_common, so jaccard estimates are
+    monotone-conservative and the capped pair set is a subset of the
+    uncapped one (property-tested;
+    tests/test_llm_ops.py::test_jaccard_df_cap). Default None = exact
+    semantics, which is what the registered oracle checks; BASELINE.md
+    records the measured candidate-pair flattening."""
     d = table(spark, sf_dir, "documents")
     sh = shingles(d)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -127,6 +137,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_doc_freq is not None:
+        grouped = grouped.filter(F.size("ids") <= max_doc_freq)
     pairs = (
         grouped.select(
             F.explode(

@@ -31,9 +31,12 @@ def register(name: str, oracle: Optional[str] = None):
         from .session import apply_runtime_confs
 
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
+            # kwargs pass through to operators with tuning parameters
+            # (e.g. dedup_ngram_jaccard's max_doc_freq); the driver
+            # contract itself always calls with (spark, sf_dir) only.
             apply_runtime_confs(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
         if name in QUERIES:
             raise ValueError(f"duplicate query id: {name}")
         QUERIES[name] = wrapped

@@ -232,3 +232,42 @@ def test_kmeans_assignment_complete(spark):
     g = mat.mean(axis=0)
     global_sim = (mat @ g).mean()
     assert out["sim_to_centroid"].mean() > global_sim
+
+
+def test_jaccard_df_cap(spark):
+    """max_doc_freq drops hot shingles from pair generation only, so
+    (a) the capped pair set is a subset of the exact one — jaccard is
+    monotone-conservative under the cap — and (b) a cap above the max
+    document frequency is a no-op (bit-identical output)."""
+    from engine.ops.dedup import dedup_ngram_jaccard
+
+    def pairs(df):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in df.collect()
+        }
+
+    exact = pairs(dedup_ngram_jaccard(spark, T2_SF_DIR))
+    capped = pairs(dedup_ngram_jaccard(spark, T2_SF_DIR, max_doc_freq=5))
+    nocap = pairs(dedup_ngram_jaccard(spark, T2_SF_DIR, max_doc_freq=10**9))
+    assert {(a, b) for a, b, _ in capped} <= {(a, b) for a, b, _ in exact}
+    assert nocap == exact
+    # the cap bounds the QUADRATIC candidate term: sum C(df,2) over
+    # shingles with df <= cap must be strictly below the uncapped sum
+    # (final high-jaccard pairs may survive — near-dups share many
+    # low-df shingles — which is exactly the conservative design)
+    from pyspark.sql import functions as F
+
+    from engine.ops.dedup import shingles
+    from engine.registry import table as _table
+
+    df = (
+        shingles(_table(spark, T2_SF_DIR, "documents"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cand, cand5 = df.agg(
+        F.sum(F.expr("df*(df-1)/2")),
+        F.sum(F.expr("CASE WHEN df<=5 THEN df*(df-1)/2 ELSE 0 END")),
+    ).collect()[0]
+    assert cand5 < cand, (cand5, cand)
