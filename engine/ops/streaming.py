@@ -485,3 +485,64 @@ def stream_state_store_read(spark, sf_dir):
             F.col("value.count").alias("n"),
         )
     )
+
+
+@register(
+    "stream_rocksdb_state",
+    oracle=f"""
+        SELECT user_id, count(*) AS n_events, {SQL_VSUM} AS sum_value
+        FROM events GROUP BY user_id
+    """,
+)
+def stream_rocksdb_state(spark, sf_dir):
+    """Stateful streaming aggregation on the RocksDB state store
+    provider — the state backend that makes 100 TB streaming state
+    real: the default HDFSBackedStateStoreProvider keeps every key in
+    executor HEAP (state size is bounded by cluster memory), while
+    RocksDB spills to local SSD with changelog checkpointing, so
+    per-executor state is bounded by disk. Same per-user counts/sums
+    as stream_stateful_counts; the oracle proves the backend swap is
+    semantically invisible. Provider + changelog confs are scoped to
+    this op and restored after."""
+    from ..registry import scratch_dir
+    from ..schemas import EVENTS_STREAM_SCHEMA
+
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("stream_rocksdb_state")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    e.select("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(src)
+
+    PROVIDER = "spark.sql.streaming.stateStore.providerClass"
+    CHANGELOG = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    old_provider = spark.conf.get(PROVIDER, None)
+    old_changelog = spark.conf.get(CHANGELOG, None)
+    spark.conf.set(
+        PROVIDER,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(CHANGELOG, "true")
+    try:
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        agg = stateful_counts(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("engine_rocksdb_state")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_rocksdb_state: availableNow query exceeded 300s"
+            )
+        # memory sink is session-lived; copy out so the conf restore
+        # below can't race a lazy re-read
+        return spark.table("engine_rocksdb_state").localCheckpoint(eager=True)
+    finally:
+        for key, old in ((PROVIDER, old_provider), (CHANGELOG, old_changelog)):
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
