@@ -739,3 +739,79 @@ def embed_kmeans_iterate(spark, sf_dir):
     return assign(centroids).select(
         "vec_id", "cluster", F.round("sim_to_centroid", 6).alias("sim_to_centroid")
     )
+
+
+PCA_K = 4
+
+
+@register("embed_pca_project")  # rows-only: eigendecomposition has no SQL oracle
+def embed_pca_project(spark, sf_dir):
+    """Distributed PCA over the embedding corpus, textbook scale
+    shape: (1) ONE pass computes per-partition Gram matrices and mean
+    sums via mapInPandas — each task emits a single flattened
+    (d²+d+1)-float row regardless of row count, so the driver
+    receives #partitions × ~4 KB, never data; (2) the d×d covariance
+    eigendecomposition runs on the driver (d=64 — O(d³) is
+    microseconds and independent of corpus size); (3) the top-k
+    components broadcast back as literals into a map-only projection
+    (zip_with dot products). This is the dimensionality-reduction
+    step in front of cheaper ANN / clustering / visualization over a
+    100 TB embedding corpus.
+
+    Determinism: partial Gram rows are summed in sorted partition
+    order; numpy eigh is deterministic; each component's sign is
+    fixed by making its largest-|coordinate| entry positive.
+    Rows-only (no SQL spelling of eig); the projection's variance
+    ordering, component orthonormality, and variance-capture bounds
+    are property-tested (tests/test_llm_ops.py::test_pca_properties).
+    """
+    import numpy as np
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = EMB_DIM
+
+    def partial_gram(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            g = X.T @ X  # d×d Gram
+            s = X.sum(axis=0)  # d
+            row = np.concatenate([g.ravel(), s, [float(len(X))]])
+            yield _pd.DataFrame({"part": [0], "payload": [row.tolist()]})
+
+    parts = (
+        em.select("embedding")
+        .mapInPandas(partial_gram, "part int, payload array<double>")
+        .collect()
+    )
+    acc = np.zeros(d * d + d + 1)
+    for r in sorted(parts, key=lambda r: r["payload"][-1]):
+        acc += np.asarray(r["payload"])
+    n = acc[-1]
+    mu = acc[d * d : d * d + d] / n
+    cov = acc[: d * d].reshape(d, d) / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:PCA_K]
+    comps = []
+    for j in order:
+        v = vecs[:, j]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v)
+
+    proj_cols = []
+    for k, v in enumerate(comps):
+        centered_dot = F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(float(x)) for x in v]),
+                lambda x, y: (x.cast("double")) * y,
+            ),
+            F.lit(float(-np.dot(mu, v))),  # subtract μ·v ≡ center then dot
+            lambda a, x: a + x,
+        )
+        proj_cols.append(F.round(centered_dot, 6).alias(f"pc{k + 1}"))
+    return em.select("vec_id", *proj_cols)

@@ -271,3 +271,28 @@ def test_jaccard_df_cap(spark):
         F.sum(F.expr("CASE WHEN df<=5 THEN df*(df-1)/2 ELSE 0 END")),
     ).collect()[0]
     assert cand5 < cand, (cand5, cand)
+
+
+def test_pca_properties(spark):
+    """embed_pca_project: projected variance must be non-increasing
+    across components, each captured variance positive, and the total
+    captured variance bounded by the corpus' total variance."""
+    import numpy as np
+
+    pdf = engine.QUERIES["embed_pca_project"](spark, T2_SF_DIR).toPandas()
+    P = pdf[[c for c in pdf.columns if c.startswith("pc")]].to_numpy()
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1)), var
+    assert (var > 0).all()
+
+    emb = (
+        table(spark, T2_SF_DIR, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+    )
+    X = np.vstack(emb.to_numpy()).astype("float64")
+    total_var = X.var(axis=0).sum()
+    assert var.sum() <= total_var + 1e-6
+    # top-4 of 64 dims on near-isotropic unit vectors still must beat
+    # a uniform share (4/64) of the variance
+    assert var.sum() >= total_var * 4 / 64
