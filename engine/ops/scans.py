@@ -684,3 +684,106 @@ def sql_parameterized(spark, sf_dir):
         """,
         args={"min_bal": 0, "max_nation": 13},
     )
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(round(value * 10000) AS BIGINT) AS value_e4
+        FROM events
+    """,
+)
+def sink_python_datasource(spark, sf_dir):
+    """Spark 4 Python DataSource WRITER — the other half of the
+    custom-connector surface (source_python_datasource /
+    source_python_stream cover the read paths): a bespoke sink a user
+    would implement for a proprietary store without leaving Python.
+    The exactly-once contract is the point: each task writes its
+    partition to a TEMP name executor-side (Arrow → parquet via
+    pyarrow) and returns a WriterCommitMessage carrying the temp
+    path; only the driver-side commit() renames every temp into its
+    final name, and abort() removes strays — a failed/speculated task
+    can never publish partial output (the same temp-plus-atomic-
+    publish protocol FileOutputCommitter v1 uses). The oracle
+    round-trips the published files, so a lost/duplicated partition
+    is a value-hash failure."""
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out = scratch_dir("sink_python_datasource")
+
+    class TmpFileMsg(WriterCommitMessage):
+        def __init__(self, tmp):
+            self.tmp = tmp
+
+    class PyPartsWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rows = list(iterator)
+            tmp = os.path.join(
+                self.path, f"_tmp_{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array(
+                            [r[0] for r in rows], pa.int64()
+                        ),
+                        "user_id": pa.array(
+                            [r[1] for r in rows], pa.int64()
+                        ),
+                        "value_e4": pa.array(
+                            [r[2] for r in rows], pa.int64()
+                        ),
+                    }
+                ),
+                tmp,
+            )
+            return TmpFileMsg(tmp)
+
+        def commit(self, messages):
+            for i, m in enumerate(messages):
+                os.rename(
+                    m.tmp, os.path.join(self.path, f"part-{i:05d}.parquet")
+                )
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.tmp):
+                    os.remove(m.tmp)
+
+    class PyPartsSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "pyparts"
+
+        def schema(self):
+            return "event_id bigint, user_id bigint, value_e4 bigint"
+
+        def writer(self, schema, overwrite):
+            return PyPartsWriter(self.options)
+
+    spark.dataSource.register(PyPartsSink)
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
+    )
+    e.repartition(8).write.format("pyparts").option("path", out).mode(
+        "append"
+    ).save()
+    return spark.read.schema(
+        "event_id long, user_id long, value_e4 long"
+    ).parquet(out)

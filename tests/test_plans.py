@@ -395,3 +395,31 @@ def test_compaction_reduces_file_count(spark):
     assert before and after and set(after) == set(before)
     assert all(n == 1 for n in after.values()), after
     assert sum(before.values()) >= 8 * sum(after.values()), (before, after)
+
+
+def test_pipe_syntax_plan_equals_classic(spark):
+    """sql_pipe_syntax: the |> chain must resolve to the same physical
+    plan as the classic SELECT spelling (modulo plan ids) — pipes are
+    syntax, not a different engine path."""
+    import re
+
+    engine.QUERIES["sql_pipe_syntax"](spark, T2_SF_DIR)  # registers the view
+    classic = spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM engine_pipe_orders
+        WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+        GROUP BY o_orderstatus
+        """
+    )
+    piped = engine.QUERIES["sql_pipe_syntax"](spark, T2_SF_DIR)
+
+    def norm(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        s = re.sub(r"#\d+L?", "#x", s)
+        return re.sub(r"plan_id=\d+", "plan_id=x", s)
+
+    assert norm(piped) == norm(classic)

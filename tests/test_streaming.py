@@ -592,3 +592,24 @@ def test_dedup_within_watermark_evicts_state(spark, tmp_path):
         f"arrival re-emitted), got {by_id}"
     )
     assert len(got) == 4
+
+
+def test_rocksdb_state_files_on_disk(spark):
+    """stream_rocksdb_state: the checkpoint must actually contain
+    RocksDB state artifacts (SST/changelog files under state/), not
+    the default HDFS-backed .delta files — proving the provider conf
+    took effect and state lived in RocksDB."""
+    import glob
+    import tempfile
+
+    engine_mod = __import__("engine")
+    engine_mod.QUERIES["stream_rocksdb_state"](spark, SMOKE_SF_DIR).count()
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "engine_scratch_stream_rocksdb_state", "ckpt"
+    )
+    state_files = glob.glob(os.path.join(ckpt, "state", "**", "*"), recursive=True)
+    names = {os.path.basename(p) for p in state_files}
+    assert any(n.endswith((".zip", ".sst", ".changelog")) for n in names), names
+    assert not any(n.endswith(".delta") for n in names), (
+        "HDFS-backed provider artifacts present — RocksDB conf did not take"
+    )
