@@ -1239,3 +1239,132 @@ def corpus_filter_funnel(spark, sf_dir):
         .select("s.stage", "s.stage_idx", "s.n_docs")
         .orderBy("stage_idx")
     )
+
+
+@register(
+    "corpus_temperature_resample",
+    oracle="""
+        WITH s AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ), t AS (
+          SELECT source, n_docs,
+                 sqrt(CAST(n_docs AS DOUBLE)) AS w
+          FROM s
+        )
+        SELECT source, n_docs,
+               round(n_docs / (SELECT sum(n_docs) FROM t), 6) AS raw_share,
+               round(w / (SELECT sum(w) FROM t), 6) AS temp_share,
+               round((w / (SELECT sum(w) FROM t))
+                     / (n_docs / (SELECT sum(n_docs) FROM t)), 6)
+                 AS upweight
+        FROM t
+    """,
+)
+def corpus_temperature_resample(spark, sf_dir):
+    """Temperature-based corpus mixing (the multilingual/multi-source
+    sampling scheme from the XLM-R / mT5 line of work, T=2 ⇒ α=0.5):
+    source s gets sampling share n_s^α / Σ n_t^α instead of its raw
+    share, upweighting small sources so the head source can't drown
+    them. Output is the per-source mixing table (raw share, tempered
+    share, upweight factor) a sampler consumes. Shape at 100 TB: one
+    map-side-combinable count per source plus window sums over
+    |sources| rows — the corpus is scanned once, the mixing table is
+    tiny. α=0.5 = sqrt keeps the arithmetic bit-identical across
+    engines (no pow() rounding divergence)."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    w = F.sqrt(F.col("n_docs").cast("double"))
+    raw_share = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    temp_share = w / F.sum(w).over(w_all)
+    return s.select(
+        "source",
+        "n_docs",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / raw_share, 6).alias("upweight"),
+    )
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle="""
+        WITH prev AS (
+          SELECT DISTINCT sha256(text) AS h FROM documents
+          WHERE doc_id < (SELECT 0.6 * max(doc_id) FROM documents)
+        ), batch AS (
+          SELECT doc_id, sha256(text) AS h FROM documents
+          WHERE doc_id >= (SELECT 0.4 * max(doc_id) FROM documents)
+        )
+        SELECT b.doc_id,
+               CAST(p.h IS NOT NULL AS BOOLEAN) AS seen_before
+        FROM batch b LEFT JOIN prev p USING (h)
+    """,
+)
+def dedup_incremental_snapshot(spark, sf_dir):
+    """Incremental (cross-snapshot) dedup — the production form of
+    exact dedup: a new crawl BATCH is checked against the accumulated
+    corpus SNAPSHOT's content-hash index, not against itself, so each
+    ingest round costs one hash anti/semi-join instead of re-deduping
+    100 TB from scratch. Snapshot = docs below the 60% id cut; batch
+    = docs above the 40% cut (the overlap region models re-crawled
+    pages). The hash index is (distinct h) — at scale a bucketed
+    table the batch broadcast- or shuffle-joins against; here the
+    LEFT JOIN marks each batch doc seen/unseen, and downstream keeps
+    `NOT seen_before`. sha256 is the content key on both engines."""
+    d = table(spark, sf_dir, "documents")
+    cut = d.agg(F.max("doc_id")).collect()[0][0]
+    prev = (
+        d.filter(F.col("doc_id") < 0.6 * cut)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") >= 0.4 * cut).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    return batch.join(prev.withColumn("seen", F.lit(True)), "h", "left").select(
+        "doc_id", F.coalesce("seen", F.lit(False)).alias("seen_before")
+    )
+
+
+@register(
+    "text_quality_classifier",
+    oracle="""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('a', 'row', 'value', 'table'))) AS DOUBLE)
+                   AS n_stop
+          FROM documents
+        )
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(
+                 0.02 * n_tok - 4.0 * (n_stop / n_tok) - 0.5))), 6) AS score,
+               CAST(1.0 / (1.0 + exp(-(
+                 0.02 * n_tok - 4.0 * (n_stop / n_tok) - 0.5))) >= 0.5
+                 AS BOOLEAN) AS keep
+        FROM f
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering, the fasttext-classifier shape
+    (CCNet / GPT-3 data pipeline): a fixed-weight logistic over cheap
+    text features (length reward, stopword-ratio penalty) scores every
+    document in one map-only pass; `keep` is the 0.5-threshold gate.
+    The weights are literals standing in for a trained model's — the
+    pipeline shape (feature extraction → linear score → sigmoid →
+    threshold) is what scales, one scan, no shuffle, no Python. The
+    oracle restates the identical arithmetic; 6-dp rounding absorbs
+    any last-ulp exp() divergence between engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+    z = 0.02 * n_tok - 4.0 * (n_stop / n_tok) - 0.5
+    score = 1.0 / (1.0 + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
