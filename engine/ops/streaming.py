@@ -546,3 +546,40 @@ def stream_rocksdb_state(spark, sf_dir):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, old)
+
+
+@register(
+    "stream_progress_metrics",
+    oracle="SELECT count(*) AS total_input_rows FROM events",
+)
+def stream_progress_metrics(spark, sf_dir):
+    """Streaming observability surface: StreamingQueryProgress is the
+    per-micro-batch telemetry a production job exports (input rows,
+    batch durations, state rows, watermark) to its metrics system.
+    The op runs a checkpointed availableNow pass and returns the
+    TOTAL numInputRows accumulated across every progress event; the
+    oracle is the plain table count, so a progress report that drops
+    or double-counts a micro-batch is a value-hash failure — the
+    metrics pipeline is verified, not just exercised."""
+    from ..registry import scratch_dir
+    from ..schemas import EVENTS_STREAM_SCHEMA
+
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("stream_progress_metrics")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    e.select("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_progress_metrics: availableNow query exceeded 300s"
+        )
+    total = sum(p["numInputRows"] for p in q.recentProgress)
+    return spark.createDataFrame([(total,)], "total_input_rows long")
