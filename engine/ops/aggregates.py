@@ -1930,3 +1930,32 @@ def stat_chi_square(spark, sf_dir):
             (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
         ).alias("dof"),
     )
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+        SELECT event_type AS item, count(*) AS est_n
+        FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_top_k(spark, sf_dir):
+    """Spark 4 approx_top_k sketch — the bounded-memory heavy-hitters
+    aggregate (Misra-Gries family): tracks at most maxItemsTracked
+    counters per partition and merges them, so finding the top talkers
+    over a 100 TB column costs O(k) memory per task instead of a full
+    groupBy's distinct-key state. Verification trick: with
+    maxItemsTracked (10000) far above the column's true cardinality
+    (5 event types) the sketch degenerates to EXACT counts, so the
+    value-hash oracle is the plain GROUP BY — the surface is
+    exercised AND proven, not just smoke-run. At true scale you size
+    maxItemsTracked >= heavy-hitter count and accept the documented
+    over-count bound instead."""
+    e = table(spark, sf_dir, "events")
+    topk = e.agg(
+        F.expr("approx_top_k(event_type, 10, 10000)").alias("tk")
+    )
+    return topk.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("item"),
+        F.col("s.count").alias("est_n"),
+    )
