@@ -1156,3 +1156,58 @@ def win_rolling_median(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+        WITH r AS (
+          SELECT user_id, date_trunc('hour', ts) AS hr0, value,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events WHERE user_id < 40
+        )
+        SELECT user_id, strftime(hr0, '%Y-%m-%d %H:00') AS hr,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n_ticks
+        FROM r GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_bars(spark, sf_dir):
+    """OHLC bar resampling — the canonical time-series downsample
+    (per-key, per-bucket open/high/low/close): ONE hash aggregation
+    using Spark's native min_by/max_by with a composite (ts, event_id)
+    struct ordering key, so first/last are deterministic even with
+    tied timestamps and no window-sort pass is needed (the oracle
+    spells the same semantics with row_number windows because DuckDB's
+    arg_min cannot take a struct key). Map-side partial min_by/max_by
+    makes this a single (user, hour)-keyed shuffle of 5 scalars per
+    group at any scale — the resample that turns a raw 100 TB tick
+    table into a dashboard-sized bar table."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hr = F.date_trunc("hour", "ts")
+    return (
+        e.select("user_id", hr.alias("hr0"), "ts", "event_id", "value")
+        .groupBy("user_id", "hr0")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "user_id",
+            F.date_format("hr0", "yyyy-MM-dd HH:00").alias("hr"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )
