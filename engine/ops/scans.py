@@ -787,3 +787,41 @@ def sink_python_datasource(spark, sf_dir):
     return spark.read.schema(
         "event_id long, user_id long, value_e4 long"
     ).parquet(out)
+
+
+@register(
+    "sql_scripting_control_flow",
+    oracle="""
+        SELECT count(*) AS n_orders,
+               CAST(ceil(log2(count(*))) AS BIGINT) AS k_pow2
+        FROM orders
+    """,
+)
+def sql_scripting_control_flow(spark, sf_dir):
+    """SQL scripting (Spark 4.0, SQL/PSM subset): BEGIN/END blocks
+    with DECLARE'd session variables, data-dependent SET, and a WHILE
+    loop — the procedural surface that replaces driver-side Python
+    glue for multi-statement SQL jobs (each statement still compiles
+    to a normal Catalyst plan; the script only sequences them). The
+    loop computes ceil(log2(row_count)) by doubling — a
+    data-DEPENDENT iteration count — and the oracle restates it in
+    closed form, so control flow, variable mutation, and the scalar
+    subquery handoff are all value-checked."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("engine_script_orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n BIGINT;
+          DECLARE k BIGINT DEFAULT 0;
+          DECLARE p BIGINT DEFAULT 1;
+          SET n = (SELECT count(*) FROM engine_script_orders);
+          WHILE p < n DO
+            SET p = p * 2;
+            SET k = k + 1;
+          END WHILE;
+          SELECT n AS n_orders, k AS k_pow2;
+        END
+        """
+    )

@@ -226,3 +226,46 @@ def udf_map_in_arrow(spark, sf_dir):
     return e.select("event_id", "value").mapInArrow(
         to_cents, "event_id long, cents long"
     )
+
+
+@register(
+    "udf_grouped_map_arrow",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_e4
+        FROM events GROUP BY event_type
+    """,
+)
+def udf_grouped_map_arrow(spark, sf_dir):
+    """groupBy().applyInArrow — the Arrow-native sibling of
+    applyInPandas (§2.K): each group arrives as ONE pyarrow.Table and
+    the function computes with pyarrow.compute kernels, skipping the
+    pandas conversion entirely (no index materialization, no dtype
+    coercion, zero-copy from the Arrow stream). The per-group sums
+    are computed on scaled int64s executor-side, so the result is
+    exact and the plain GROUP BY oracle value-checks the whole
+    Arrow round trip."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # NOTE: deliberately un-annotated — pyspark infers the eval type
+    # from type hints, and string annotations ("pa.Table") send it
+    # down a broken path (UnboundLocalError in group_ops.applyInArrow
+    # on pyspark 4.1.2); hint-less functions take the correct
+    # signature-arity path.
+    def per_group(key, tbl):
+        cents = pc.cast(pc.round(pc.multiply(tbl["value"], 10000.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": pa.array([key[0]], pa.string()),
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "sum_value_e4": pa.array([pc.sum(cents).as_py()], pa.int64()),
+            }
+        )
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").applyInArrow(
+        per_group, "event_type string, n long, sum_value_e4 long"
+    )
