@@ -296,3 +296,21 @@ def test_pca_properties(spark):
     # top-4 of 64 dims on near-isotropic unit vectors still must beat
     # a uniform share (4/64) of the variance
     assert var.sum() >= total_var * 4 / 64
+
+
+def test_pq_ann_scores_match_brute(spark):
+    """sim_search_pq: exact re-rank means every pair shared with the
+    brute anchor carries a bit-identical score; recall@5 floor 0.9 at
+    the differential scale (see docstring for the structureless-corpus
+    caveat)."""
+    brute = engine.QUERIES["sim_search_topk"](spark, T2_SF_DIR)
+    b = {(r["q_id"], r["c_id"]): r["score"] for r in brute.collect()}
+    out = engine.QUERIES["sim_search_pq"](spark, T2_SF_DIR).collect()
+    per_q = {}
+    for r in out:
+        per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
+        if (r["q_id"], r["c_id"]) in b:
+            assert r["score"] == b[(r["q_id"], r["c_id"])]
+    assert all(v <= similarity.TOP_K for v in per_q.values())
+    recall = sum(1 for r in out if (r["q_id"], r["c_id"]) in b) / len(b)
+    assert recall >= 0.9, f"PQ recall@{similarity.TOP_K} below floor: {recall:.3f}"
