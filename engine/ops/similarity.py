@@ -863,9 +863,14 @@ def sim_search_pq(spark, sf_dir):
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     d, m, sub = EMB_DIM, PQ_M, EMB_DIM // PQ_M
 
+    # Fixed-SIZE training sample (not a fraction): the modulo spreads
+    # the picks across the id space, the limit caps driver transfer at
+    # 4096 vectors (1 MB) no matter the corpus size — orderBy+limit is
+    # a distributed top-k, so nothing unbounded reaches the driver.
     sample = (
         em.filter(F.col("vec_id") % 4 == 0)
         .orderBy("vec_id")
+        .limit(4096)
         .collect()
     )
     X = np.vstack([r["embedding"] for r in sample]).astype("float64")
