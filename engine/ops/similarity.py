@@ -967,3 +967,87 @@ def sim_search_pq(spark, sf_dir):
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "c_id", "score", "rank")
     )
+
+
+LOGREG_ITERS = 12
+LOGREG_LR = 2.0
+
+
+def _logreg_fit(spark, sf_dir):
+    """Distributed batch-gradient-descent logistic regression (binary:
+    label==0 vs rest). Per iteration: broadcast w, ONE mapInPandas
+    pass where each task emits a single (d+2)-float partial row
+    (gradient sum + loss sum + count), driver sums partials in sorted
+    order and steps. Returns (w, per-iteration losses)."""
+    import numpy as np
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    d = EMB_DIM
+    w = np.zeros(d + 1)
+    losses = []
+    for _ in range(LOGREG_ITERS):
+        wb = spark.sparkContext.broadcast(w.tolist())
+
+        def partial(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            W = _np.asarray(wb.value)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = _np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+                Xb = _np.hstack([X, _np.ones((len(X), 1))])
+                y = (pdf["label"].to_numpy() == 0).astype("float64")
+                p = 1.0 / (1.0 + _np.exp(-(Xb @ W)))
+                g = Xb.T @ (p - y)
+                ls = -_np.sum(
+                    y * _np.log(p + 1e-12) + (1 - y) * _np.log(1 - p + 1e-12)
+                )
+                row = _np.concatenate([g, [ls, float(len(X))]])
+                yield _pd.DataFrame(
+                    {"k": [int(pdf["vec_id"].min())], "payload": [row.tolist()]}
+                )
+
+        parts = em.mapInPandas(partial, "k long, payload array<double>").collect()
+        acc = np.zeros(d + 3)  # d+1 gradient terms + loss sum + count
+        for r in sorted(parts, key=lambda r: r["k"]):
+            acc += np.asarray(r["payload"])
+        n = acc[-1]
+        losses.append(acc[-2] / n)
+        w = w - LOGREG_LR * acc[: d + 1] / n
+    return w, losses
+
+
+@register("ml_logreg_train")  # rows-only: trained weights have no SQL oracle
+def ml_logreg_train(spark, sf_dir):
+    """Distributed logistic-regression training — the gradient-descent
+    member of the iterative family (kmeans = EM, pagerank = power
+    iteration, cc = label propagation, pca = closed-form): per
+    iteration ONE distributed pass emits a single (d+2)-float partial
+    per task (the same bounded-partials discipline as
+    embed_pca_project), the driver steps the broadcast weight vector,
+    and nothing data-sized ever leaves the executors. Scoring is a
+    final map-only pass. Properties pinned in tests
+    (test_logreg_loss_decreases): training loss strictly decreases
+    every iteration and ends at/below the prior entropy — on THIS
+    corpus labels are independent of the embeddings (the same
+    structureless-fixture caveat as langid/ANN), so calibration to
+    the base rate, not accuracy, is the correct learnable target."""
+    import numpy as np
+
+    w, _losses = _logreg_fit(spark, sf_dir)
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    wlit = F.array(*[F.lit(float(v)) for v in w[:-1]])
+    z = F.aggregate(
+        F.zip_with("embedding", wlit, lambda x, y: x.cast("double") * y),
+        F.lit(float(w[-1])),
+        lambda a, x: a + x,
+    )
+    prob = 1.0 / (1.0 + F.exp(-z))
+    return em.select(
+        "vec_id",
+        (F.col("label") == 0).alias("is_pos"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= 0.5).alias("predicted"),
+    )

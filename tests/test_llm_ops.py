@@ -314,3 +314,24 @@ def test_pq_ann_scores_match_brute(spark):
     assert all(v <= similarity.TOP_K for v in per_q.values())
     recall = sum(1 for r in out if (r["q_id"], r["c_id"]) in b) / len(b)
     assert recall >= 0.9, f"PQ recall@{similarity.TOP_K} below floor: {recall:.3f}"
+
+
+def test_logreg_loss_decreases(spark):
+    """ml_logreg_train: gradient descent must strictly reduce the
+    training loss every iteration, ending at/below the prior entropy;
+    scored output covers every vector with probs in [0,1]."""
+    import math
+
+    from engine.ops.similarity import _logreg_fit
+
+    _w, losses = _logreg_fit(spark, T2_SF_DIR)
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    n = table(spark, T2_SF_DIR, "embeddings").count()
+    pos = (
+        table(spark, T2_SF_DIR, "embeddings").filter("label = 0").count() / n
+    )
+    prior_entropy = -(pos * math.log(pos) + (1 - pos) * math.log(1 - pos))
+    assert losses[-1] <= prior_entropy + 1e-3
+    out = engine.QUERIES["ml_logreg_train"](spark, T2_SF_DIR).collect()
+    assert len(out) == n
+    assert all(0.0 <= r["prob"] <= 1.0 for r in out)
