@@ -583,3 +583,58 @@ def stream_progress_metrics(spark, sf_dir):
         )
     total = sum(p["numInputRows"] for p in q.recentProgress)
     return spark.createDataFrame([(total,)], "total_input_rows long")
+
+
+def click_purchase_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER attribution join shared by batch and streaming:
+    every click survives; purchases within the following hour attach,
+    unconverted clicks carry NULLs. The streaming form is the subtle
+    half of the stream-stream join surface: an unmatched left row can
+    only be EMITTED (with nulls) once the watermark proves no
+    matching right row can still arrive — i.e. null-extension is
+    watermark-driven state eviction, not a per-batch outer join
+    (tests/test_streaming.py::test_stream_stream_left_join_equals_batch
+    proves the flush with a sentinel-advanced watermark)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "click_id", "user_id", "purchase_id",
+        "click_ts", "purchase_ts", "purchase_value",
+    )
+
+
+@register(
+    "stream_stream_left_join",
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_left_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join declared as its batch twin (see
+    click_purchase_left_join for the watermark-driven null-emission
+    semantics the streaming test pins)."""
+    e = table(spark, sf_dir, "events")
+    return click_purchase_left_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

@@ -613,3 +613,68 @@ def test_rocksdb_state_files_on_disk(spark):
     assert not any(n.endswith(".delta") for n in names), (
         "HDFS-backed provider artifacts present — RocksDB conf did not take"
     )
+
+
+def test_stream_stream_left_join_equals_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched clicks must be emitted
+    null-extended once the watermark proves no purchase can still
+    arrive. Feed = time-sorted chunks, then two far-future sentinel
+    files (one click u=-1, one purchase u=-2 — distinct users so they
+    never join) that advance BOTH sides' watermarks past every real
+    click's band; the second sentinel batch lets the lagged watermark
+    apply so state flushes before availableNow terminates."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from engine.ops.streaming import click_purchase_left_join
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_sorted_chunks(spark, e, src)
+
+    far = e.toPandas()["ts"].max() + pd.Timedelta(days=10)
+    for i, (uid, etype) in enumerate([(-1, "click"), (-2, "purchase")]):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [10**12 + i],
+                "ts": [far + pd.Timedelta(hours=i)],
+                "user_id": [uid],
+                "event_type": [etype],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = os.path.join(src, f"zz_sentinel_{i}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (time.time() + 5 + i * 5,) * 2)
+
+    def side(kind):
+        return (
+            _read_stream(spark, src, max_files=1, ltz=True)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "2 hours")
+        )
+
+    got = (
+        _run_stream(
+            spark,
+            click_purchase_left_join(side("click"), side("purchase")),
+            "t_ss_left_join",
+            "append",
+        )
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "click_id", "user_id", "purchase_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "purchase_value",
+        )
+    )
+    want = click_purchase_left_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    assert canon(got.toPandas()) == canon(want.toPandas())
