@@ -638,3 +638,65 @@ def stream_stream_left_join(spark, sf_dir):
         e.filter(F.col("event_type") == "click"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+@register(
+    "stream_session_window_dynamic",
+    oracle="""
+        WITH g AS (
+          SELECT user_id, ts,
+                 ts + CASE WHEN event_type = 'click'
+                           THEN INTERVAL 30 MINUTE
+                           ELSE INTERVAL 1 HOUR END AS pend
+          FROM events
+        ), m AS (
+          SELECT user_id, ts, pend,
+                 max(pend) OVER (PARTITION BY user_id ORDER BY ts, pend
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_max
+          FROM g
+        ), s AS (
+          SELECT user_id, ts, pend,
+                 CAST(sum(CASE WHEN prev_max IS NULL OR ts >= prev_max
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, pend
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+          FROM m
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(pend), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window_dynamic(spark, sf_dir):
+    """Session windows with a DYNAMIC, per-event gap —
+    ``session_window(ts, CASE ...)`` (Spark 3.2+, a surface DuckDB has
+    no native analogue for): engaged users (clicks) time out after
+    30 min, passive events after 1 h. Each event extends its session
+    to ts+gap(event); overlapping extents merge. The oracle restates
+    the merge as a running-max-of-ends islands construction — new
+    session iff ts >= max(previous ends) — which is the exact
+    batch semantics of Spark's interval-union session assignment
+    (end-exclusive boundaries, tie-order-insensitive: an equal-ts
+    event always lands in its twin's session). Streaming form carries
+    the same expression over a watermarked stream; state per key is
+    one open session extent, the same bound as fixed-gap sessions."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("30 minutes"))
+        .otherwise(F.lit("1 hour"))
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -678,3 +678,59 @@ def test_stream_stream_left_join_equals_batch(spark, tmp_path):
         e.filter(F.col("event_type") == "purchase"),
     )
     assert canon(got.toPandas()) == canon(want.toPandas())
+
+
+def test_dynamic_session_stream_equals_batch(spark, tmp_path):
+    """Dynamic-gap session windows over a watermarked stream must equal
+    the batch form (same sentinel-flush rig as the fixed-gap test)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_sorted_chunks(spark, e, src)
+
+    sentinel = pd.DataFrame(
+        {
+            "event_id": [10**12],
+            "ts": [e.toPandas()["ts"].max() + pd.Timedelta(days=10)],
+            "user_id": [-1],
+            "event_type": ["view"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
+    sp = os.path.join(src, "zz_sentinel.parquet")
+    sentinel.to_parquet(sp, index=False)
+    os.utime(sp, (time.time() + 5,) * 2)
+
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("30 minutes"))
+        .otherwise(F.lit("1 hour"))
+    )
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("en"),
+                "n_events",
+            )
+        )
+
+    stream = _read_stream(spark, src, max_files=1, ltz=True).withWatermark(
+        "ts", "0 seconds"
+    )
+    got = _run_stream(spark, sessions(stream), "t_dynsession", "append").filter(
+        "user_id >= 0"
+    )
+    want = sessions(
+        _events(spark).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    assert canon(got.toPandas()) == canon(want.toPandas())
