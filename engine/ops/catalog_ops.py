@@ -185,6 +185,15 @@ def join_reorder_cbo(spark, sf_dir):
     rowCount stats). tests/test_plans.py asserts the optimized
     plan carries catalog rowCount statistics and broadcasts both
     dims — the stats-driven decision, not the file-size fallback.
+
+    Conf scoping (round-4 review finding): the two CBO confs are
+    restored in a finally block — the shared suite session must not
+    plan every SUBSEQUENT query with CBO estimation active. The
+    result is materialized to a localCheckpoint while CBO is still
+    on, so the returned frame carries the CBO-planned answer; plan
+    inspection re-enables the confs itself via _cbo_frame (the
+    catalog stats persist — ANALYZE is durable, only the planner
+    flags are scoped).
     """
     base = scratch_dir("join_reorder_cbo")
     for t in ("orders", "customer", "nation"):
@@ -205,8 +214,23 @@ def join_reorder_cbo(spark, sf_dir):
         "ANALYZE TABLE engine_cbo_nation COMPUTE STATISTICS "
         "FOR COLUMNS n_nationkey, n_name"
     )
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    confs = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k in confs:
+        spark.conf.set(k, "true")
+    try:
+        return _cbo_frame(spark).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def _cbo_frame(spark):
+    """The CBO demonstration query against the ANALYZE'd catalog
+    tables. Lazily planned: callers that want to INSPECT the
+    CBO-driven plan (tests/test_plans.py) must enable the CBO confs
+    around planning themselves; join_reorder_cbo materializes it
+    inside its scoped-conf window."""
     return spark.sql(
         """
         SELECT n.n_name,

@@ -809,19 +809,30 @@ def sql_scripting_control_flow(spark, sf_dir):
     subquery handoff are all value-checked."""
     o = table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("engine_script_orders")
-    spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE n BIGINT;
-          DECLARE k BIGINT DEFAULT 0;
-          DECLARE p BIGINT DEFAULT 1;
-          SET n = (SELECT count(*) FROM engine_script_orders);
-          WHILE p < n DO
-            SET p = p * 2;
-            SET k = k + 1;
-          END WHILE;
-          SELECT n AS n_orders, k AS k_pow2;
-        END
-        """
-    )
+    # scripting is an opt-in parser surface; scope it to this op
+    # (round-4 review finding) — materialize before restoring so the
+    # returned frame never re-parses the script with the flag off
+    SCRIPTING = "spark.sql.scripting.enabled"
+    old = spark.conf.get(SCRIPTING, None)
+    spark.conf.set(SCRIPTING, "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE n BIGINT;
+              DECLARE k BIGINT DEFAULT 0;
+              DECLARE p BIGINT DEFAULT 1;
+              SET n = (SELECT count(*) FROM engine_script_orders);
+              WHILE p < n DO
+                SET p = p * 2;
+                SET k = k + 1;
+              END WHILE;
+              SELECT n AS n_orders, k AS k_pow2;
+            END
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if old is None:
+            spark.conf.unset(SCRIPTING)
+        else:
+            spark.conf.set(SCRIPTING, old)

@@ -560,7 +560,15 @@ def stream_progress_metrics(spark, sf_dir):
     TOTAL numInputRows accumulated across every progress event; the
     oracle is the plain table count, so a progress report that drops
     or double-counts a micro-batch is a value-hash failure — the
-    metrics pipeline is verified, not just exercised."""
+    metrics pipeline is verified, not just exercised.
+
+    recentProgress only RETAINS the last
+    spark.sql.streaming.numRecentProgressUpdates entries (default
+    100) — a run splitting into more micro-batches would silently
+    undercount (round-4 review finding), so the retention is raised
+    far above any plausible batch count for the op's scope and
+    restored after; a production exporter would use a
+    StreamingQueryListener instead of polling recentProgress."""
     from ..registry import scratch_dir
     from ..schemas import EVENTS_STREAM_SCHEMA
 
@@ -569,19 +577,28 @@ def stream_progress_metrics(spark, sf_dir):
     src, ckpt = f"{base}/src", f"{base}/ckpt"
     e.select("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(src)
 
-    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
-    q = (
-        stream.writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "stream_progress_metrics: availableNow query exceeded 300s"
+    RETAIN = "spark.sql.streaming.numRecentProgressUpdates"
+    old_retain = spark.conf.get(RETAIN, None)
+    spark.conf.set(RETAIN, "100000")
+    try:
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-    total = sum(p["numInputRows"] for p in q.recentProgress)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_progress_metrics: availableNow query exceeded 300s"
+            )
+        total = sum(p["numInputRows"] for p in q.recentProgress)
+    finally:
+        if old_retain is None:
+            spark.conf.unset(RETAIN)
+        else:
+            spark.conf.set(RETAIN, old_retain)
     return spark.createDataFrame([(total,)], "total_input_rows long")
 
 

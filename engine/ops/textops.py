@@ -320,9 +320,17 @@ def text_langid_ngram(spark, sf_dir):
     def q(s: str) -> str:
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+    # coalesce(text, ''): contains() propagates NULL, which would turn
+    # matches/predicted_lang NULL where the oracle's LEFT JOIN +
+    # COALESCE emits 0/min(lang) — the NULL-doc guard the old pandas
+    # UDF had explicitly (round-4 review finding; latent on this
+    # fixture, which guarantees non-null text).
     m_exprs = [
         "("
-        + " + ".join(f"CAST(contains(text, {q(t)}) AS INT)" for t in profiles[lg])
+        + " + ".join(
+            f"CAST(contains(coalesce(text, ''), {q(t)}) AS INT)"
+            for t in profiles[lg]
+        )
         + f") AS m_{lg}"
         for lg in langs
     ]
@@ -1329,12 +1337,12 @@ def dedup_incremental_snapshot(spark, sf_dir):
 
 @register(
     "text_quality_classifier",
-    oracle="""
+    oracle=f"""
         WITH f AS (
           SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
                  CAST(len(list_filter(string_split(text, ' '),
-                      t -> t IN ('a', 'row', 'value', 'table'))) AS DOUBLE)
+                      t -> list_contains({STOPWORDS!r}, t))) AS DOUBLE)
                    AS n_stop
           FROM documents
         )

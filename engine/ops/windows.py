@@ -742,7 +742,7 @@ def events_interarrival_stats(spark, sf_dir):
                string_agg(event_type, '>' ORDER BY ts, event_id) AS path
         FROM sess
         GROUP BY user_id, session_no
-        HAVING count(*) >= 5
+        HAVING count(*) >= 3
         ORDER BY user_id, session_no
     """,
 )
@@ -790,7 +790,12 @@ def win_sessionized_path(spark, sf_dir):
     return (
         sess.groupBy("user_id", "session_no")
         .agg(F.count(F.lit(1)).alias("n_events"), path.alias("path"))
-        .filter(F.col("n_events") >= 5)
+        # threshold 3 (was 5): at the sf0.01 differential scale the
+        # >=5 cut produced ZERO sessions, making the oracle's
+        # value-hash vacuously true — the listagg path ordering was
+        # never actually exercised (round-4 review finding). >=3
+        # keeps 16 real multi-event paths in the differential.
+        .filter(F.col("n_events") >= 3)
         .orderBy("user_id", "session_no")
     )
 

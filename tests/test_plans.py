@@ -363,13 +363,27 @@ def test_cbo_stats_drive_join_plan(spark):
     """join_reorder_cbo: after ANALYZE TABLE, the optimized plan must
     carry catalog rowCount statistics (only present when CBO reads
     ANALYZE'd stats — the file-size fallback has sizeInBytes only),
-    and both dims must broadcast."""
-    df = engine.QUERIES["join_reorder_cbo"](spark, T2_SF_DIR)
-    qe = df._jdf.queryExecution()
-    stats = qe.optimizedPlan().stats().toString()
-    assert "rowCount=" in stats, stats
-    plan = qe.executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+    and both dims must broadcast. The op scopes its CBO confs (they
+    must NOT leak into the suite session), so plan inspection
+    re-enables them around planning the same query."""
+    from engine.ops.catalog_ops import _cbo_frame
+
+    engine.QUERIES["join_reorder_cbo"](spark, T2_SF_DIR)  # tables + stats
+    confs = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k in confs:
+        spark.conf.set(k, "true")
+    try:
+        qe = _cbo_frame(spark)._jdf.queryExecution()
+        stats = qe.optimizedPlan().stats().toString()
+        assert "rowCount=" in stats, stats
+        plan = qe.executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    # and the leak itself is the regression: confs are back to default
+    assert spark.conf.get("spark.sql.cbo.enabled") == "false"
 
 
 def test_compaction_reduces_file_count(spark):
