@@ -143,6 +143,14 @@ FANOUT_THRESHOLD = 10
                  '10.1.' || CAST(({SQL_K}*3) % 256 AS VARCHAR) || '.'
                  || CAST(({SQL_K}*11) % 256 AS VARCHAR) AS dstaddr
           FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) AS hr,
+                 '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
+                 '10.9.' || CAST(r.i AS VARCHAR) || '.'
+                 || CAST({SQL_K} % 256 AS VARCHAR) AS dstaddr
+          FROM events, unnest(range(0, 15)) r(i)
+          WHERE event_id % 97 = 0
         )
         SELECT hr, srcaddr, count(DISTINCT dstaddr) AS n_dst
         FROM f GROUP BY hr, srcaddr
@@ -153,12 +161,49 @@ def flow_fanout_detect(spark, sf_dir):
     """Scan/fan-out detection — the flow-log security query: sources
     touching >= THRESHOLD distinct destinations within an hour. One
     distinct-count aggregation per (hour, src); at 100 TB swap the
-    exact distinct for approx_count_distinct and keep the HAVING."""
+    exact distinct for approx_count_distinct and keep the HAVING.
+
+    Fixture augmentation (round-4 review class — structurally-empty
+    differential): the synthetic flows map each src to exactly ONE
+    dst, so NO threshold can ever fire on the raw fixture. A
+    deterministic scan burst is layered on top — every event with
+    event_id % 97 == 0 fans its source out to 15 extra 10.9.i.*
+    destinations in its hour (the port-scan pattern the query
+    exists to catch) — and the oracle restates the same burst, so
+    the detector's HAVING edge is genuinely exercised (~100
+    detections at the differential scale)."""
     p = _parsed(spark, sf_dir).withColumn(
         "hr", F.date_trunc("hour", F.expr("CAST(timestamp_seconds(start) AS TIMESTAMP_NTZ)"))
     )
+    k = F.col("event_id") % 97
+    scan = (
+        _parsed(spark, sf_dir)
+        .filter(F.col("event_id") % 97 == 0)
+        .withColumn(
+            "hr",
+            F.date_trunc(
+                "hour", F.expr("CAST(timestamp_seconds(start) AS TIMESTAMP_NTZ)")
+            ),
+        )
+        .select(
+            "hr",
+            "srcaddr",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(14)),
+                    lambda i: F.concat(
+                        F.lit("10.9."),
+                        i.cast("string"),
+                        F.lit("."),
+                        F.split(F.col("srcaddr"), "\\.")[2],
+                    ),
+                )
+            ).alias("dstaddr"),
+        )
+    )
+    flows = p.select("hr", "srcaddr", "dstaddr").unionByName(scan)
     return (
-        p.groupBy("hr", "srcaddr")
+        flows.groupBy("hr", "srcaddr")
         .agg(F.countDistinct("dstaddr").alias("n_dst"))
         .filter(F.col("n_dst") >= FANOUT_THRESHOLD)
     )
@@ -247,13 +292,20 @@ def flow_zscore_anomaly(spark, sf_dir):
 @register(
     "flow_bidirectional_pairs",
     oracle=f"""
-        WITH f AS (
-          SELECT '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+        WITH base AS (
+          SELECT event_id,
+                 '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
                  || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
                  '10.1.' || CAST(({SQL_K}*3) % 256 AS VARCHAR) || '.'
                  || CAST(({SQL_K}*11) % 256 AS VARCHAR) AS dstaddr,
                  CAST(round(value*100) AS BIGINT) AS bytes
           FROM events
+        ),
+        f AS (
+          SELECT srcaddr, dstaddr, bytes FROM base
+          UNION ALL
+          SELECT dstaddr AS srcaddr, srcaddr AS dstaddr, bytes
+          FROM base WHERE event_id % 3 = 0
         ),
         agg AS (
           SELECT srcaddr, dstaddr, CAST(sum(bytes) AS BIGINT) AS total_bytes,
@@ -273,10 +325,26 @@ def flow_bidirectional_pairs(spark, sf_dir):
 
     Scale shape: ONE aggregation on the canonical undirected key
     (least, greatest) with per-direction conditional sums — no
-    self-join, no second scan of the raw flows; the two directed
-    result rows are re-emitted with an inline explode of a 2-element
-    struct array. One shuffle total, map-side combinable."""
-    p = _parsed(spark, sf_dir)
+    self-join; the two directed result rows are re-emitted with an
+    inline explode of a 2-element struct array. One shuffle total,
+    map-side combinable (the response-leg union below adds a second
+    filtered parse branch, still join-free).
+
+    Fixture augmentation (round-4 review class — structurally-empty
+    differential): the synthesis maps src to 10.0.* and dst to
+    10.1.* exclusively, so NO reverse direction can ever exist in
+    the raw fixture and the pairing predicate was never exercised.
+    Response traffic is layered on deterministically — every flow
+    with event_id % 3 == 0 also emits its reverse (the ACK/response
+    leg) — and the oracle restates the same augmentation, so the
+    both-directions filter now selects a real non-empty subset."""
+    raw = _parsed(spark, sf_dir)
+    rev = raw.filter(F.col("event_id") % 3 == 0).select(
+        F.col("dstaddr").alias("srcaddr"),
+        F.col("srcaddr").alias("dstaddr"),
+        "bytes",
+    )
+    p = raw.select("srcaddr", "dstaddr", "bytes").unionByName(rev)
     fwd = F.col("srcaddr") < F.col("dstaddr")
     und = (
         p.select(

@@ -438,30 +438,44 @@ def join_bloom_filtered(spark, sf_dir):
 @register(
     "join_interval_point",
     oracle="""
-        SELECT o.o_orderkey, e.event_id, e.user_id, o.o_orderdate, e.ts
-        FROM orders o JOIN events e
-          ON e.user_id = o.o_custkey
-         AND e.ts >= o.o_orderdate
-         AND e.ts < o.o_orderdate + INTERVAL 30 DAY
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts
+         AND c.ts < p.ts + INTERVAL 2 HOUR
     """,
 )
 def join_interval_point(spark, sf_dir):
-    """Point-in-interval join: events landing inside each same-user
-    order's 30-day window. The equi-key (user_id = custkey) makes this
-    a hash-partitioned join with the interval as residual condition —
-    at 100 TB add coarse time-bucket keys to both sides so the residual
-    never sees a whole user's history."""
-    o = table(spark, sf_dir, "orders")
+    """Point-in-interval join: clicks landing inside each same-user
+    purchase's 2-hour follow-up window. The equi-key (user_id) makes
+    this a hash-partitioned join with the interval as residual
+    condition — at 100 TB add coarse time-bucket keys to both sides so
+    the residual never sees a whole user's history.
+
+    (Round-4 review class — structurally-empty differential: the
+    original spelling joined events (2024) into orders' 30-day
+    windows, whose o_orderdate range is 1995-2001 in this fixture, so
+    the interval predicate could never be true; both interval
+    endpoints now come from the same time domain.)"""
     e = table(spark, sf_dir, "events")
-    return (
-        o.join(
-            e,
-            (e.user_id == o.o_custkey)
-            & (e.ts >= o.o_orderdate)
-            & (e.ts < o.o_orderdate + F.expr("INTERVAL 30 DAY")),
-        )
-        .select("o_orderkey", "event_id", "user_id", "o_orderdate", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
     )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (c.c_user == p.user_id)
+        & (F.col("click_ts") >= F.col("purchase_ts"))
+        & (F.col("click_ts") < F.col("purchase_ts") + F.expr("INTERVAL 2 HOUR")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
 
 
 @register(

@@ -536,21 +536,30 @@ def tpch_q19(spark, sf_dir):
                {sql_dsum("c.c_acctbal", 100)} AS totacctbal
         FROM customer c, thresh t
         WHERE c.c_acctbal > t.avg_bal
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority LIKE '1-%')
         GROUP BY c.c_nationkey
         ORDER BY c.c_nationkey
     """,
 )
 def tpch_q22(spark, sf_dir):
     """Q22 global-sales-opportunity shape: rich customers (balance
-    above the positive-balance average) with no orders, grouped by
-    nation (stands in for the reference's missing phone country code).
-    The scalar average is an exact scaled-int (davg) broadcast to
-    every row; NOT EXISTS is a left-anti join against just the
-    o_custkey column."""
+    above the positive-balance average) with no URGENT orders, grouped
+    by nation (stands in for the reference's missing phone country
+    code; the urgency filter replaces bare no-orders because every
+    fixture customer has at least one order at sf0.01 — the original
+    spelling was a structurally-empty differential, round-4 review
+    class). The scalar average is an exact scaled-int (davg)
+    broadcast to every row; NOT EXISTS is a left-anti join against
+    the filtered o_custkey column."""
 
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").startswith("1-"))
+        .select("o_custkey")
+    )
     thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
         davg(F.col("c_acctbal"), 100).alias("avg_bal")
     )
