@@ -214,15 +214,16 @@ def join_reorder_cbo(spark, sf_dir):
         "ANALYZE TABLE engine_cbo_nation COMPUTE STATISTICS "
         "FOR COLUMNS n_nationkey, n_name"
     )
-    confs = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
-    old = {k: spark.conf.get(k, None) for k in confs}
-    for k in confs:
-        spark.conf.set(k, "true")
-    try:
+    from ..session import scoped_confs
+
+    with scoped_confs(
+        spark,
+        **{
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+        },
+    ):
         return _cbo_frame(spark).localCheckpoint(eager=True)
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
 
 
 def _cbo_frame(spark):

@@ -172,36 +172,26 @@ def flow_fanout_detect(spark, sf_dir):
     exists to catch) — and the oracle restates the same burst, so
     the detector's HAVING edge is genuinely exercised (~100
     detections at the differential scale)."""
+    # ONE parse; the scan burst rides the same rows as a conditional
+    # array explode (a second _parsed() branch would re-run the
+    # CPU-dominant from_csv over the whole table — review finding)
     p = _parsed(spark, sf_dir).withColumn(
         "hr", F.date_trunc("hour", F.expr("CAST(timestamp_seconds(start) AS TIMESTAMP_NTZ)"))
     )
-    k = F.col("event_id") % 97
-    scan = (
-        _parsed(spark, sf_dir)
-        .filter(F.col("event_id") % 97 == 0)
-        .withColumn(
-            "hr",
-            F.date_trunc(
-                "hour", F.expr("CAST(timestamp_seconds(start) AS TIMESTAMP_NTZ)")
-            ),
-        )
-        .select(
-            "hr",
-            "srcaddr",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(14)),
-                    lambda i: F.concat(
-                        F.lit("10.9."),
-                        i.cast("string"),
-                        F.lit("."),
-                        F.split(F.col("srcaddr"), "\\.")[2],
-                    ),
-                )
-            ).alias("dstaddr"),
-        )
+    scan_dsts = F.transform(
+        F.sequence(F.lit(0), F.lit(14)),
+        lambda i: F.concat(
+            F.lit("10.9."),
+            i.cast("string"),
+            F.lit("."),
+            F.split(F.col("srcaddr"), "\\.")[2],
+        ),
     )
-    flows = p.select("hr", "srcaddr", "dstaddr").unionByName(scan)
+    dsts = F.when(
+        F.col("event_id") % 97 == 0,
+        F.concat(F.array("dstaddr"), scan_dsts),
+    ).otherwise(F.array("dstaddr"))
+    flows = p.select("hr", "srcaddr", F.explode(dsts).alias("dstaddr"))
     return (
         flows.groupBy("hr", "srcaddr")
         .agg(F.countDistinct("dstaddr").alias("n_dst"))
@@ -338,13 +328,23 @@ def flow_bidirectional_pairs(spark, sf_dir):
     with event_id % 3 == 0 also emits its reverse (the ACK/response
     leg) — and the oracle restates the same augmentation, so the
     both-directions filter now selects a real non-empty subset."""
+    # ONE parse; the response leg rides the same rows as a 1-or-2
+    # element struct explode instead of a second parse branch
     raw = _parsed(spark, sf_dir)
-    rev = raw.filter(F.col("event_id") % 3 == 0).select(
+    fwd_leg = F.struct(
+        F.col("srcaddr").alias("srcaddr"),
+        F.col("dstaddr").alias("dstaddr"),
+        F.col("bytes").alias("bytes"),
+    )
+    rev_leg = F.struct(
         F.col("dstaddr").alias("srcaddr"),
         F.col("srcaddr").alias("dstaddr"),
-        "bytes",
+        F.col("bytes").alias("bytes"),
     )
-    p = raw.select("srcaddr", "dstaddr", "bytes").unionByName(rev)
+    legs = F.when(
+        F.col("event_id") % 3 == 0, F.array(fwd_leg, rev_leg)
+    ).otherwise(F.array(fwd_leg))
+    p = raw.select(F.explode(legs).alias("l")).select("l.*")
     fwd = F.col("srcaddr") < F.col("dstaddr")
     und = (
         p.select(

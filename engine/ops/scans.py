@@ -812,10 +812,9 @@ def sql_scripting_control_flow(spark, sf_dir):
     # scripting is an opt-in parser surface; scope it to this op
     # (round-4 review finding) — materialize before restoring so the
     # returned frame never re-parses the script with the flag off
-    SCRIPTING = "spark.sql.scripting.enabled"
-    old = spark.conf.get(SCRIPTING, None)
-    spark.conf.set(SCRIPTING, "true")
-    try:
+    from ..session import scoped_confs
+
+    with scoped_confs(spark, **{"spark.sql.scripting.enabled": "true"}):
         return spark.sql(
             """
             BEGIN
@@ -831,8 +830,3 @@ def sql_scripting_control_flow(spark, sf_dir):
             END
             """
         ).localCheckpoint(eager=True)
-    finally:
-        if old is None:
-            spark.conf.unset(SCRIPTING)
-        else:
-            spark.conf.set(SCRIPTING, old)

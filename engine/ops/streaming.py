@@ -95,7 +95,7 @@ def session_agg(e: DataFrame) -> DataFrame:
         WITH flagged AS (
           SELECT user_id, ts, event_id, value,
                  CASE WHEN lag(ts) OVER w IS NULL
-                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_s
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -116,9 +116,13 @@ def session_agg(e: DataFrame) -> DataFrame:
 )
 def stream_session_window(spark, sf_dir):
     """Per-user sessions with a 30min gap. Spark session_window ends at
-    last_event + gap and starts a NEW session when the inter-event gap
-    is >= the gap duration (end-exclusive) — the gaps-and-islands
-    oracle mirrors both choices."""
+    last_event + gap and MERGES an event arriving exactly at that end
+    (boundary-inclusive — verified empirically on 4.1.2: two events
+    exactly 30 min apart form ONE session), so a new session starts
+    only when the inter-event gap is STRICTLY greater than the gap
+    duration; the gaps-and-islands oracle mirrors both choices
+    (round-4 review: the earlier >= spelling was a latent off-by-one
+    the fixture never hit)."""
     return session_agg(table(spark, sf_dir, "events"))
 
 
@@ -512,16 +516,19 @@ def stream_rocksdb_state(spark, sf_dir):
     src, ckpt = f"{base}/src", f"{base}/ckpt"
     e.select("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(src)
 
-    PROVIDER = "spark.sql.streaming.stateStore.providerClass"
-    CHANGELOG = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    old_provider = spark.conf.get(PROVIDER, None)
-    old_changelog = spark.conf.get(CHANGELOG, None)
-    spark.conf.set(
-        PROVIDER,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    spark.conf.set(CHANGELOG, "true")
-    try:
+    from ..session import scoped_confs
+
+    with scoped_confs(
+        spark,
+        **{
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+        },
+    ):
         stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
         agg = stateful_counts(stream)
         q = (
@@ -538,14 +545,8 @@ def stream_rocksdb_state(spark, sf_dir):
                 "stream_rocksdb_state: availableNow query exceeded 300s"
             )
         # memory sink is session-lived; copy out so the conf restore
-        # below can't race a lazy re-read
+        # can't race a lazy re-read
         return spark.table("engine_rocksdb_state").localCheckpoint(eager=True)
-    finally:
-        for key, old in ((PROVIDER, old_provider), (CHANGELOG, old_changelog)):
-            if old is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, old)
 
 
 @register(
@@ -577,10 +578,11 @@ def stream_progress_metrics(spark, sf_dir):
     src, ckpt = f"{base}/src", f"{base}/ckpt"
     e.select("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(src)
 
-    RETAIN = "spark.sql.streaming.numRecentProgressUpdates"
-    old_retain = spark.conf.get(RETAIN, None)
-    spark.conf.set(RETAIN, "100000")
-    try:
+    from ..session import scoped_confs
+
+    with scoped_confs(
+        spark, **{"spark.sql.streaming.numRecentProgressUpdates": "100000"}
+    ):
         stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
         q = (
             stream.writeStream.format("noop")
@@ -594,11 +596,6 @@ def stream_progress_metrics(spark, sf_dir):
                 "stream_progress_metrics: availableNow query exceeded 300s"
             )
         total = sum(p["numInputRows"] for p in q.recentProgress)
-    finally:
-        if old_retain is None:
-            spark.conf.unset(RETAIN)
-        else:
-            spark.conf.set(RETAIN, old_retain)
     return spark.createDataFrame([(total,)], "total_input_rows long")
 
 
@@ -674,7 +671,7 @@ def stream_stream_left_join(spark, sf_dir):
           FROM g
         ), s AS (
           SELECT user_id, ts, pend,
-                 CAST(sum(CASE WHEN prev_max IS NULL OR ts >= prev_max
+                 CAST(sum(CASE WHEN prev_max IS NULL OR ts > prev_max
                                THEN 1 ELSE 0 END)
                       OVER (PARTITION BY user_id ORDER BY ts, pend
                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid

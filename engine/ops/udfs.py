@@ -210,11 +210,16 @@ def udf_map_in_arrow(spark, sf_dir):
                 [
                     b.column(b.schema.get_field_index("event_id")),
                     pc.cast(
+                        # half_towards_infinity: pyarrow's default is
+                        # banker's rounding (half_to_even) while the
+                        # DuckDB oracle and Spark F.round are
+                        # ties-away-from-zero (round-4 review finding)
                         pc.round(
                             pc.multiply(
                                 b.column(b.schema.get_field_index("value")),
                                 pa.scalar(100.0),
-                            )
+                            ),
+                            round_mode="half_towards_infinity",
                         ),
                         pa.int64(),
                     ),
@@ -256,7 +261,15 @@ def udf_grouped_map_arrow(spark, sf_dir):
     # on pyspark 4.1.2); hint-less functions take the correct
     # signature-arity path.
     def per_group(key, tbl):
-        cents = pc.cast(pc.round(pc.multiply(tbl["value"], 10000.0)), pa.int64())
+        # half_towards_infinity matches DuckDB/Spark round() ties —
+        # pyarrow defaults to banker's rounding (round-4 review finding)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(tbl["value"], 10000.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
         return pa.table(
             {
                 "event_type": pa.array([key[0]], pa.string()),

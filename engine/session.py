@@ -10,6 +10,7 @@ for the toy scale factors.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -69,3 +70,33 @@ def get_session(app_name: str = "engine", cpus: int | None = None) -> SparkSessi
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
     return apply_runtime_confs(b.getOrCreate())
+
+
+@contextmanager
+def scoped_confs(spark: SparkSession, **confs: str):
+    """Set session confs for the duration of a block, then restore —
+    unset-if-previously-unset, reset-if-previously-set. The single
+    source of the restore semantics for every op that flips an
+    opt-in planner/runtime flag (CBO, SQL scripting, progress
+    retention, RocksDB state store): a shared suite session must
+    never see another op's flags (round-4 review finding — four
+    hand-rolled copies of this block had accumulated).
+
+    Keys with dots are passed via the ``confs`` dict form:
+    ``scoped_confs(spark, **{"spark.sql.cbo.enabled": "true"})``.
+
+    NOTE for ops returning DataFrames: Spark plans lazily — if the
+    returned frame must be PLANNED under these confs, materialize it
+    (e.g. ``localCheckpoint(eager=True)``) before the block exits.
+    """
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -367,21 +367,21 @@ def test_cbo_stats_drive_join_plan(spark):
     must NOT leak into the suite session), so plan inspection
     re-enables them around planning the same query."""
     from engine.ops.catalog_ops import _cbo_frame
+    from engine.session import scoped_confs
 
     engine.QUERIES["join_reorder_cbo"](spark, T2_SF_DIR)  # tables + stats
-    confs = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
-    old = {k: spark.conf.get(k, None) for k in confs}
-    for k in confs:
-        spark.conf.set(k, "true")
-    try:
+    with scoped_confs(
+        spark,
+        **{
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+        },
+    ):
         qe = _cbo_frame(spark)._jdf.queryExecution()
         stats = qe.optimizedPlan().stats().toString()
         assert "rowCount=" in stats, stats
         plan = qe.executedPlan().toString()
         assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     # and the leak itself is the regression: confs are back to default
     assert spark.conf.get("spark.sql.cbo.enabled") == "false"
 

@@ -734,3 +734,28 @@ def test_dynamic_session_stream_equals_batch(spark, tmp_path):
         _events(spark).withColumn("ts", F.col("ts").cast("timestamp"))
     )
     assert canon(got.toPandas()) == canon(want.toPandas())
+
+
+def test_session_window_boundary_is_inclusive(spark):
+    """Two events exactly one gap apart MERGE into one session (Spark
+    session_window is boundary-inclusive) — the regression behind the
+    round-4 review's off-by-one finding in both session oracles: the
+    gaps-and-islands restatement must flag a new session only on a
+    STRICTLY greater gap."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    static = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .collect()
+    )
+    assert len(static) == 1 and static[0]["count"] == 2
+    gap = F.when(F.lit(True), F.lit("30 minutes"))
+    dynamic = (
+        df.groupBy("user_id", F.session_window("ts", gap)).count().collect()
+    )
+    assert len(dynamic) == 1 and dynamic[0]["count"] == 2
