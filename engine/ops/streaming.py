@@ -714,3 +714,47 @@ def stream_session_window_dynamic(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "stream_stream_full_join",
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id AS click_user,
+               p.event_id AS purchase_id, p.user_id AS purchase_user,
+               c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_full_join(spark, sf_dir):
+    """FULL OUTER stream-stream join — both unmatched sides null-extend
+    (unconverted clicks AND spontaneous purchases survive), each leg
+    emitted only once its side's watermark proves no counterpart can
+    still arrive. State bounds are the same band as the inner/left
+    variants; the batch twin keeps both user_id columns (they differ
+    on null-extended rows, so coalescing them would lose which side
+    matched)."""
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "click_id", "click_user", "purchase_id", "purchase_user",
+        "click_ts", "purchase_ts", "purchase_value",
+    )
