@@ -317,8 +317,8 @@ def flow_bidirectional_pairs(spark, sf_dir):
     (least, greatest) with per-direction conditional sums — no
     self-join; the two directed result rows are re-emitted with an
     inline explode of a 2-element struct array. One shuffle total,
-    map-side combinable (the response-leg union below adds a second
-    filtered parse branch, still join-free).
+    map-side combinable; the response leg rides the SAME single parse
+    as a conditional 1-or-2 element struct explode, join-free.
 
     Fixture augmentation (round-4 review class — structurally-empty
     differential): the synthesis maps src to 10.0.* and dst to

@@ -691,10 +691,12 @@ def stream_session_window_dynamic(spark, sf_dir):
     30 min, passive events after 1 h. Each event extends its session
     to ts+gap(event); overlapping extents merge. The oracle restates
     the merge as a running-max-of-ends islands construction — new
-    session iff ts >= max(previous ends) — which is the exact
-    batch semantics of Spark's interval-union session assignment
-    (end-exclusive boundaries, tie-order-insensitive: an equal-ts
-    event always lands in its twin's session). Streaming form carries
+    session iff ts STRICTLY exceeds max(previous ends) — which is the
+    exact batch semantics of Spark's interval-union session assignment
+    (boundary-INCLUSIVE: an event at exactly a session's end merges
+    into it, verified live and pinned by
+    test_session_window_boundary_is_inclusive; tie-order-insensitive:
+    an equal-ts event always lands in its twin's session). Streaming form carries
     the same expression over a watermarked stream; state per key is
     one open session extent, the same bound as fixed-gap sessions."""
     e = table(spark, sf_dir, "events").withColumn(
@@ -735,14 +737,26 @@ def stream_stream_full_join(spark, sf_dir):
     still arrive. State bounds are the same band as the inner/left
     variants; the batch twin keeps both user_id columns (they differ
     on null-extended rows, so coalescing them would lose which side
-    matched)."""
+    matched). The streaming form runs the SAME
+    click_purchase_full_join over two watermarked streams in
+    tests/test_streaming.py (the right-side null-extension path is
+    the half the left variant cannot exercise)."""
     e = table(spark, sf_dir, "events")
-    c = e.filter(F.col("event_type") == "click").select(
+    return click_purchase_full_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def click_purchase_full_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared batch/stream FULL OUTER attribution join (see
+    stream_stream_full_join)."""
+    c = clicks.select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("click_user"),
         F.col("ts").alias("click_ts"),
     )
-    p = e.filter(F.col("event_type") == "purchase").select(
+    p = purchases.select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("purchase_user"),
         F.col("ts").alias("purchase_ts"),

@@ -759,3 +759,72 @@ def test_session_window_boundary_is_inclusive(spark):
         df.groupBy("user_id", F.session_window("ts", gap)).count().collect()
     )
     assert len(dynamic) == 1 and dynamic[0]["count"] == 2
+
+
+def test_stream_stream_full_join_equals_batch(spark, tmp_path):
+    """FULL OUTER stream-stream join: BOTH unmatched sides must emit
+    null-extended once the watermark proves no counterpart can arrive
+    — the right-side (spontaneous purchase) path the left variant
+    cannot exercise. Same two-sentinel flush rig as the left test."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from engine.ops.streaming import click_purchase_full_join
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_sorted_chunks(spark, e, src)
+
+    far = e.toPandas()["ts"].max() + pd.Timedelta(days=10)
+    for i, (uid, etype) in enumerate([(-1, "click"), (-2, "purchase")]):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [10**12 + i],
+                "ts": [far + pd.Timedelta(hours=i)],
+                "user_id": [uid],
+                "event_type": [etype],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = os.path.join(src, f"zz_sentinel_{i}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (time.time() + 5 + i * 5,) * 2)
+
+    def side(kind):
+        return (
+            _read_stream(spark, src, max_files=1, ltz=True)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "2 hours")
+        )
+
+    got = (
+        _run_stream(
+            spark,
+            click_purchase_full_join(side("click"), side("purchase")),
+            "t_ss_full_join",
+            "append",
+        )
+        .filter(
+            (F.coalesce("click_user", F.lit(0)) >= 0)
+            & (F.coalesce("purchase_user", F.lit(0)) >= 0)
+        )
+        .select(
+            "click_id", "click_user", "purchase_id", "purchase_user",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "purchase_value",
+        )
+    )
+    want = click_purchase_full_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    got_pdf = got.toPandas()
+    # right-side null-extension actually exercised
+    assert (got_pdf["click_id"].isna()).any()
+    assert (got_pdf["purchase_id"].isna()).any()
+    assert canon(got_pdf) == canon(want.toPandas())
