@@ -123,9 +123,11 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         per_q[name] = round(best, 4)
-        if cur_sent:
+        # `is not None` (not truthiness): a sentinel rounded to 0.0s
+        # must not silently drop the query's normalized ratio
+        if cur_sent is not None and cur_sent > 0:
             sent_norm[name] = round(best / cur_sent, 2)
-        if cur_py_sent:
+        if cur_py_sent is not None and cur_py_sent > 0:
             py_norm[name] = round(best / cur_py_sent, 2)
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
 

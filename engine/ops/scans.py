@@ -703,11 +703,14 @@ def sink_python_datasource(spark, sf_dir):
     partition to a TEMP name executor-side (Arrow → parquet via
     pyarrow) and returns a WriterCommitMessage carrying the temp
     path; only the driver-side commit() renames every temp into its
-    final name, and abort() removes strays — a failed/speculated task
-    can never publish partial output (the same temp-plus-atomic-
-    publish protocol FileOutputCommitter v1 uses). The oracle
-    round-trips the published files, so a lost/duplicated partition
-    is a value-hash failure."""
+    final name, and abort() removes strays — a failed/speculated TASK
+    can never publish partial output. The rename loop itself is not
+    job-atomic (a driver crash mid-commit leaves a partial file set —
+    the same weakness as FileOutputCommitter v1), so commit() writes
+    a _SUCCESS marker only after the last rename and readers gate on
+    it: a half-committed job is invisible, not silently partial. The
+    oracle round-trips the published files, so a lost/duplicated
+    partition is a value-hash failure."""
     import os
     import uuid
 
@@ -758,6 +761,10 @@ def sink_python_datasource(spark, sf_dir):
                 os.rename(
                     m.tmp, os.path.join(self.path, f"part-{i:05d}.parquet")
                 )
+            # marker LAST: readers treat its absence as "no committed
+            # job here" (see docstring — job-level atomicity)
+            with open(os.path.join(self.path, "_SUCCESS"), "w"):
+                pass
 
         def abort(self, messages):
             for m in messages:
@@ -784,6 +791,10 @@ def sink_python_datasource(spark, sf_dir):
     e.repartition(8).write.format("pyparts").option("path", out).mode(
         "append"
     ).save()
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        raise FileNotFoundError(
+            "pyparts sink: _SUCCESS marker missing — commit incomplete"
+        )
     return spark.read.schema(
         "event_id long, user_id long, value_e4 long"
     ).parquet(out)

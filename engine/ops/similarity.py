@@ -780,15 +780,20 @@ def embed_pca_project(spark, sf_dir):
             g = X.T @ X  # d×d Gram
             s = X.sum(axis=0)  # d
             row = np.concatenate([g.ravel(), s, [float(len(X))]])
-            yield _pd.DataFrame({"part": [0], "payload": [row.tolist()]})
+            # key = min vec_id in the batch: globally unique (vec_ids
+            # are unique), so the fold order below is total — sorting
+            # on row count would tie on uniform splits (ADVICE r4)
+            yield _pd.DataFrame(
+                {"part": [int(pdf["vec_id"].min())], "payload": [row.tolist()]}
+            )
 
     parts = (
-        em.select("embedding")
-        .mapInPandas(partial_gram, "part int, payload array<double>")
+        em.select("vec_id", "embedding")
+        .mapInPandas(partial_gram, "part long, payload array<double>")
         .collect()
     )
     acc = np.zeros(d * d + d + 1)
-    for r in sorted(parts, key=lambda r: r["payload"][-1]):
+    for r in sorted(parts, key=lambda r: r["part"]):
         acc += np.asarray(r["payload"])
     n = acc[-1]
     mu = acc[d * d : d * d + d] / n

@@ -325,22 +325,28 @@ def text_langid_ngram(spark, sf_dir):
     # COALESCE emits 0/min(lang) — the NULL-doc guard the old pandas
     # UDF had explicitly (round-4 review finding; latent on this
     # fixture, which guarantees non-null text).
+    # aliases are INDEX-based (m_0, m_1, …) — lang values never enter
+    # an identifier, and every lang LITERAL routes through q(), so a
+    # lang code containing quotes/spaces/dashes cannot break or inject
+    # into the generated SQL (ADVICE r4)
     m_exprs = [
         "("
         + " + ".join(
             f"CAST(contains(coalesce(text, ''), {q(t)}) AS INT)"
             for t in profiles[lg]
         )
-        + f") AS m_{lg}"
-        for lg in langs
+        + f") AS m_{i}"
+        for i, lg in enumerate(langs)
     ]
     scored = d.selectExpr("doc_id", "lang", "text", *m_exprs)
-    mrefs = [f"m_{lg}" for lg in langs]
+    mrefs = [f"m_{i}" for i in range(len(langs))]
     best = mrefs[0] if len(mrefs) == 1 else f"greatest({', '.join(mrefs)})"
     # argmax with asc-lang tiebreak (langs iterated sorted)
     pred = (
         "CASE "
-        + " ".join(f"WHEN m_{lg} = {best} THEN '{lg}'" for lg in langs)
+        + " ".join(
+            f"WHEN m_{i} = {best} THEN {q(lg)}" for i, lg in enumerate(langs)
+        )
         + " END"
     )
     return scored.selectExpr(

@@ -35,6 +35,13 @@ TABLES = [
 ]
 N_EXECUTED = 45
 
+# Oracles that PARSE under Spark SQL but use a DuckDB-only runtime
+# surface (function exists in both dialects' grammar, semantics or
+# signature differ at execution). Anything outside this set failing at
+# runtime is a regression and fails the test — a bare skip would let a
+# previously-executable oracle silently rotate past (ADVICE r4).
+RUNTIME_DUCKDB_ONLY = set()
+
 
 def _cell(v):
     import numpy as np
@@ -73,6 +80,7 @@ def test_oracles_self_parity_under_spark(spark):
     executed = 0
     parseable = 0
     mismatches = []
+    runtime_failed = []
     for name in ranked:
         try:
             sql_df = spark.sql(engine.ORACLES[name])
@@ -84,11 +92,16 @@ def test_oracles_self_parity_under_spark(spark):
         try:
             got_sql = _canon(sql_df.toPandas())
         except Exception:
+            runtime_failed.append(name)
             continue  # parses but uses a DuckDB-only runtime function
         executed += 1
         got_df = _canon(engine.QUERIES[name](spark, T2_SF_DIR).toPandas())
         if got_sql != got_df:
             mismatches.append(name)
+    unexpected = set(runtime_failed) - RUNTIME_DUCKDB_ONLY
+    assert not unexpected, (
+        f"oracles newly failing at runtime under Spark: {sorted(unexpected)}"
+    )
     assert executed == N_EXECUTED, f"only {executed} oracle pairs executed"
     assert parseable >= 100, f"only {parseable} oracles Spark-parseable"
     assert not mismatches, f"SQL/DF divergence: {mismatches}"
