@@ -748,6 +748,64 @@ def stream_stream_full_join(spark, sf_dir):
     )
 
 
+@register(
+    "stream_stream_right_join",
+    oracle="""
+        SELECT c.event_id AS click_id, p.user_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_right_join(spark, sf_dir):
+    """RIGHT OUTER stream-stream join — the mirror of the left variant
+    and the last member of the outer-join family (inner/left/full
+    already registered): every purchase survives, an attributable
+    click within the preceding hour attaches, spontaneous purchases
+    null-extend on the click side once the click-side watermark proves
+    no click can still arrive. user_id is taken from the PURCHASE side
+    (always non-null — the surviving side), mirroring the left variant
+    which keeps the click-side key. Streaming form runs the same
+    function over two watermarked streams in tests/test_streaming.py."""
+    e = table(spark, sf_dir, "events")
+    return click_purchase_right_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def click_purchase_right_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared batch/stream RIGHT OUTER attribution join (see
+    stream_stream_right_join)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "rightOuter",
+    ).select(
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def click_purchase_full_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     """Shared batch/stream FULL OUTER attribution join (see
     stream_stream_full_join)."""

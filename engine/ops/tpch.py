@@ -760,34 +760,44 @@ def tpch_q21(spark, sf_dir):
     the order) and an anti-condition (no other supplier is also
     last) over lineitem self-correlations.
 
-    Spark shape: both the semi and the anti collapse into ONE
-    per-order aggregation (n_supps, max_ship, and the count of
-    suppliers shipping at max_ship) — a single shuffle on l_orderkey
-    replaces two self-joins; the anti becomes n_at_max = 1 ∧ ships
-    at max. Dimension sides broadcast."""
+    Spark shape (round-5 rewrite): ZERO lineitem self-joins. A
+    two-level aggregation replaces the li⋈per_order join the first
+    spelling used: level 1 shuffles lineitem ONCE on
+    (l_orderkey, l_shipdate) with map-side partial agg (lines,
+    min/max suppkey per date); level 2 aggregates the tiny per-date
+    table per order, pulling the at-max-date values with max_by
+    (unambiguous — level 1 leaves exactly one row per (order, date)).
+    The semi-condition "another supplier exists" becomes
+    min(suppkey) != max(suppkey) over the whole order; the
+    anti-condition "no other supplier also ships last" becomes
+    min==max of suppkey AT the max date. Dimension sides broadcast."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
 
-    per_order = li.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
+    by_date = li.groupBy("l_orderkey", "l_shipdate").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("l_suppkey").alias("mn_supp"),
+        F.max("l_suppkey").alias("mx_supp"),
     )
-    at_max = li.join(per_order, "l_orderkey").filter(
-        F.col("l_shipdate") == F.col("max_ship")
-    )
-    # distinct: a supplier with several lines at max_ship counts once
-    # (mirrors the oracle's row-per-l1 EXISTS semantics via the
-    # n_last_supps = 1 sole-shipper condition)
     sole = (
-        at_max.groupBy("l_orderkey", "max_ship", "n_supps")
+        by_date.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_last_supps"),
-            F.max("l_suppkey").alias("l_suppkey"),
-            F.count(F.lit(1)).alias("n_lines_at_max"),
+            F.max("l_shipdate").alias("max_ship"),
+            # ≥2 distinct suppliers on the order ⟺ key range is non-degenerate
+            (F.min("mn_supp") != F.max("mx_supp")).alias("multi_supp"),
+            F.expr("max_by(n_lines, l_shipdate)").alias("n_lines_at_max"),
+            F.expr("max_by(mn_supp, l_shipdate)").alias("mn_at_max"),
+            F.expr("max_by(mx_supp, l_shipdate)").alias("mx_at_max"),
         )
-        .filter((F.col("n_last_supps") == 1) & (F.col("n_supps") > 1))
+        # sole last shipper: exactly one distinct supplier at max date
+        .filter((F.col("mn_at_max") == F.col("mx_at_max")) & F.col("multi_supp"))
+        .select(
+            "l_orderkey",
+            F.col("mn_at_max").alias("l_suppkey"),
+            "n_lines_at_max",
+        )
     )
     return (
         sole.join(o, F.col("l_orderkey") == F.col("o_orderkey"))

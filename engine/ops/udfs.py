@@ -88,11 +88,25 @@ def udf_pandas_grouped_agg(spark, sf_dir):
     """,
 )
 def udf_grouped_map(spark, sf_dir):
-    """applyInPandas group→DataFrame transform: de-mean value per user."""
+    """applyInPandas group→DataFrame transform: de-mean value per user.
 
-    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+    Grouping key is a hash BUCKET of user_id, not user_id itself
+    (round-5 profiling): per-user groups are tiny (~67 rows at sf0.1),
+    and applyInPandas pays ~2 ms of slice/construct/assemble machinery
+    PER GROUP — 1500 user-groups cost 3.1 s where the same rows as 16
+    groups cost 0.43 s and the raw Arrow transfer is 0.21 s. Bucketing
+    bounds the group count (256) while every user still lands wholly
+    in one group, so the per-user means are recovered INSIDE the
+    bucket with a vectorized pandas groupby-transform — identical
+    float op order (s/n)/1e4, bit-identical output, ~6× faster. This
+    is the general high-cardinality-small-groups pattern for
+    applyInPandas at 100 TB: group by a bounded bucket of the key,
+    vectorize the per-key logic within the bucket."""
+
+    def demean_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         cents = (pdf["value"] * 10000).round().astype("int64")
-        mean = float(cents.sum()) / len(pdf) / 10000.0
+        g = cents.groupby(pdf["user_id"])
+        mean = (g.transform("sum") / g.transform("count")) / 10000.0
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
@@ -103,8 +117,13 @@ def udf_grouped_map(spark, sf_dir):
         )
 
     e = table(spark, sf_dir, "events")
-    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
-        demean, "event_id long, user_id long, value double, value_demeaned double"
+    return (
+        e.select("event_id", "user_id", "value")
+        .groupBy(F.pmod(F.xxhash64("user_id"), F.lit(256)).alias("bucket"))
+        .applyInPandas(
+            demean_bucket,
+            "event_id long, user_id long, value double, value_demeaned double",
+        )
     )
 
 

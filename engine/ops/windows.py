@@ -529,16 +529,25 @@ def win_pct_of_total(spark, sf_dir):
     """,
 )
 def ts_gap_fill(spark, sf_dir):
-    """Hypertable-style gap-fill: densify each user's hourly series
-    over its own [min,max] hour range (sequence + explode — no
-    driver-side grid) and linearly interpolate missing hours between
-    the surrounding observations (last/first IGNORE NULLS windows).
+    """Hypertable-style gap-fill: linearly interpolate missing hours of
+    each user's hourly series between the surrounding observations.
+
+    Round-5 single-pass spelling: instead of densifying the grid and
+    running TWO ignore-nulls window passes over it (the first
+    spelling — norm ~10.6), interpolation runs against the SPARSE
+    observed series only: one lead() window over the per-(user,hour)
+    aggregate gives each observation its successor, then each
+    [obs, next_obs) segment explodes into its missing hours with both
+    interpolation bounds already in hand. The window input shrinks
+    from |grid| (every user-hour) to |observations|, and the
+    grid-vs-hourly join disappears entirely — the dense rows only
+    ever exist inside the final projection.
 
     Determinism: hourly means come from exact integer cent sums; the
     interpolation is the identical scalar expression in both engines.
-    Scale shape: the grid explodes off the per-user bounds row (one
-    row per user-hour, never a global calendar cross-join), and both
-    windows run over the already-densified per-user series."""
+    Scale shape: segments explode off per-observation rows (never a
+    global calendar cross-join); one shuffle for the hourly agg, one
+    for the lead window on the same key."""
     e = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     hourly = (
         e.select("user_id", F.date_trunc("hour", "ts").alias("hr"), "value")
@@ -547,53 +556,51 @@ def ts_gap_fill(spark, sf_dir):
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
             F.count(F.lit(1)).alias("n"),
         )
-    )
-    grid = (
-        hourly.groupBy("user_id")
-        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
         .select(
             "user_id",
-            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+            "hr",
+            (F.col("cents") * F.lit(1.0) / F.col("n") / F.lit(100.0)).alias(
+                "obs"
+            ),
         )
     )
-    j = grid.join(hourly, ["user_id", "hr"], "left").select(
-        "user_id",
-        "hr",
-        (F.col("cents") * F.lit(1.0) / F.col("n") / F.lit(100.0)).alias("obs"),
-    )
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy("user_id")
-        .orderBy("hr")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_hr = F.when(F.col("obs").isNotNull(), F.col("hr"))
-    w = j.select(
+    w = Window.partitionBy("user_id").orderBy("hr")
+    seg = hourly.select(
         "user_id",
         "hr",
         "obs",
-        F.last("obs", ignorenulls=True).over(wp).alias("prev_v"),
-        F.last(obs_hr, ignorenulls=True).over(wp).alias("prev_hr"),
-        F.first("obs", ignorenulls=True).over(wf).alias("next_v"),
-        F.first(obs_hr, ignorenulls=True).over(wf).alias("next_hr"),
+        F.lead("hr").over(w).alias("nx_hr"),
+        F.lead("obs").over(w).alias("nx_v"),
     )
-    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
-        F.col("hr").cast("long") - F.col("prev_hr").cast("long")
-    ) / (F.col("next_hr").cast("long") - F.col("prev_hr").cast("long"))
+    # each segment emits its own hour plus the gap hours before the
+    # next observation; the last observation (nx_hr NULL) emits itself
+    out = seg.select(
+        "user_id",
+        "hr",
+        "obs",
+        "nx_hr",
+        "nx_v",
+        F.explode(
+            F.expr(
+                "sequence(hr, coalesce(nx_hr - interval 1 hour, hr),"
+                " interval 1 hour)"
+            )
+        ).alias("out_hr"),
+    )
+    interp = F.col("obs") + (F.col("nx_v") - F.col("obs")) * (
+        F.col("out_hr").cast("long") - F.col("hr").cast("long")
+    ) / (F.col("nx_hr").cast("long") - F.col("hr").cast("long"))
     return (
-        w.select(
+        out.select(
             "user_id",
-            "hr",
-            F.when(F.col("obs").isNotNull(), 1).otherwise(0).alias("observed"),
+            F.col("out_hr").alias("hr"),
+            F.when(F.col("out_hr") == F.col("hr"), 1).otherwise(0).alias(
+                "observed"
+            ),
             (
                 F.floor(
-                    F.when(F.col("obs").isNotNull(), F.col("obs")).otherwise(
-                        interp
-                    )
+                    F.when(F.col("out_hr") == F.col("hr"), F.col("obs"))
+                    .otherwise(interp)
                     * 1000000.0
                     + 0.5
                 )

@@ -828,3 +828,66 @@ def test_stream_stream_full_join_equals_batch(spark, tmp_path):
     assert (got_pdf["click_id"].isna()).any()
     assert (got_pdf["purchase_id"].isna()).any()
     assert canon(got_pdf) == canon(want.toPandas())
+
+
+def test_stream_stream_right_join_equals_batch(spark, tmp_path):
+    """RIGHT OUTER stream-stream join: unmatched purchases must be
+    emitted null-extended on the click side once the click watermark
+    proves no attributable click can still arrive (same sentinel-flush
+    rig as the left/full variants; the click-side null-extension path
+    is the half the left test cannot exercise)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from engine.ops.streaming import click_purchase_right_join
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_sorted_chunks(spark, e, src)
+
+    far = e.toPandas()["ts"].max() + pd.Timedelta(days=10)
+    for i, (uid, etype) in enumerate([(-1, "click"), (-2, "purchase")]):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [10**12 + i],
+                "ts": [far + pd.Timedelta(hours=i)],
+                "user_id": [uid],
+                "event_type": [etype],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = os.path.join(src, f"zz_sentinel_{i}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (time.time() + 5 + i * 5,) * 2)
+
+    def side(kind):
+        return (
+            _read_stream(spark, src, max_files=1, ltz=True)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "2 hours")
+        )
+
+    got = (
+        _run_stream(
+            spark,
+            click_purchase_right_join(side("click"), side("purchase")),
+            "t_ss_right_join",
+            "append",
+        )
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "click_id", "user_id", "purchase_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "purchase_value",
+        )
+    )
+    want = click_purchase_right_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    assert canon(got.toPandas()) == canon(want.toPandas())
