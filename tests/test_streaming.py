@@ -891,3 +891,72 @@ def test_stream_stream_right_join_equals_batch(spark, tmp_path):
         e.filter(F.col("event_type") == "purchase"),
     )
     assert canon(got.toPandas()) == canon(want.toPandas())
+
+
+def test_chained_stateful_stream_equals_batch(spark, tmp_path):
+    """TWO stateful stages composed in ONE streaming query
+    (dropDuplicatesWithinWatermark -> broadcast enrich -> tumbling agg)
+    must equal the composed batch form over an ADVERSARIAL feed: every
+    event duplicated, the union shuffled, split across four
+    micro-batches — so duplicates cross batch boundaries in both
+    directions and windows fill out of order. Sentinel pair flushes the
+    append-mode agg (watermark computed at end of one batch applies in
+    the next)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from engine.ops.streaming import enrich_window_agg
+
+    e = _events(spark)
+    cust = table(spark, SMOKE_SF_DIR, "customer")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    pdf = e.toPandas()
+    dup = (
+        pd.concat([pdf, pdf])
+        .sample(frac=1.0, random_state=7)
+        .reset_index(drop=True)
+    )
+    dup["ts"] = dup["ts"].astype("datetime64[us]")
+    n_chunks = 4
+    step = (len(dup) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        part = dup.iloc[i * step : (i + 1) * step]
+        p = os.path.join(src, f"chunk_{i:03d}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (time.time() - (n_chunks - i) * 10,) * 2)
+    far = pdf["ts"].max() + pd.Timedelta(days=90)
+    for i in range(2):
+        s = pd.DataFrame(
+            {
+                "event_id": [10**12 + i],
+                "ts": [far + pd.Timedelta(hours=i)],
+                "user_id": [-1],
+                "event_type": ["view"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        )
+        s["ts"] = s["ts"].astype("datetime64[us]")
+        p = os.path.join(src, f"zz_sentinel_{i}.parquet")
+        s.to_parquet(p, index=False)
+        os.utime(p, (time.time() + 5 + i * 5,) * 2)
+
+    stream = (
+        _read_stream(spark, src, max_files=1, ltz=True)
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    got = _run_stream(
+        spark, enrich_window_agg(stream, cust), "t_chained_stateful", "append"
+    ).select(
+        F.col("ws").cast("timestamp_ntz").alias("ws"),
+        "c_mktsegment",
+        "n",
+        "sum_value",
+    )
+    # batch twin: the fixture events are dupe-free, so dedup(feed) ≡ events
+    want = enrich_window_agg(e, cust)
+    assert canon(got.toPandas()) == canon(want.toPandas())
