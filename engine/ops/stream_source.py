@@ -29,6 +29,21 @@ clamps each shard's range to `[start, max(start, end))` — empty batches
 until the counter catches up, never duplicates. `tests/test_streaming.py`
 proves stop/resume yields exactly-once delivery through the parquet
 sink's transactional metadata log.
+
+**Resharding** (round-5): real Kinesis streams split/merge shards under
+load, changing the shape of the offset dict MID-QUERY — the first thing
+a fixed-shard consumer breaks on when traffic doubles. With
+`split_at=K`, shard 0 (the parent) CLOSES at sequence K and two
+children (ids n_shards, n_shards+1) take over its key range: child A
+reads the even sequences in [K, total), child B the odd ones — the
+same record set as the unsplit stream, only the physical shard_id
+changes post-split. Offsets for the parent are capped at K forever
+(a closed shard's checkpoint never moves — exactly KCL's SHARD_END
+handling), child keys appear in the offset dict only once the
+admission cursor passes K, and `partitions` defaults an absent child
+start to K, so a checkpoint written before the split restores cleanly
+across it. Exactly-once across a restart that straddles the split is
+proven in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -59,16 +74,30 @@ def make_kshards_source():
     )
 
     class ShardSlice(InputPartition):
-        def __init__(self, shard: int, start: int, end: int):
+        def __init__(self, shard: int, start: int, end: int,
+                     report_shard: int | None = None,
+                     parity: int | None = None):
+            # `shard` is the PAYLOAD identity (record content derives
+            # from it); `report_shard` is the physical shard_id column
+            # (differs for a split child reading its parent's range);
+            # `parity` restricts the seq range to even/odd (how the
+            # two children partition the parent's key space).
             self.shard = shard
             self.start = start
             self.end = end
+            self.report_shard = shard if report_shard is None else report_shard
+            self.parity = parity
 
     class KShardsStreamReader(DataSourceStreamReader):
         def __init__(self, options):
             self.n_shards = int(options.get("shards", N_SHARDS))
             self.per_batch = int(options.get("per_batch", PER_BATCH))
             self.total = int(options.get("total", TOTAL_PER_SHARD))
+            # resharding: shard 0 closes at split_at; children
+            # n_shards/n_shards+1 take its remaining range (module
+            # docstring). None = fixed shard count (legacy behavior).
+            sa = options.get("split_at")
+            self.split_at = int(sa) if sa is not None else None
             # Lease-table analogue (the role DynamoDB plays for the
             # Kinesis Client Library): the admission cursor is
             # reader-local state the Python API does not restore from
@@ -89,7 +118,17 @@ def make_kshards_source():
                     pass
 
         def _offset(self, seq: int) -> dict:
-            return {f"shardId-{s:012d}": seq for s in range(self.n_shards)}
+            if self.split_at is None or seq <= self.split_at:
+                return {
+                    f"shardId-{s:012d}": seq for s in range(self.n_shards)
+                }
+            # post-split shape: parent pinned at split_at (a closed
+            # shard's checkpoint never advances), children appear
+            d = {f"shardId-{s:012d}": seq for s in range(1, self.n_shards)}
+            d[f"shardId-{0:012d}"] = self.split_at
+            d[f"shardId-{self.n_shards:012d}"] = seq
+            d[f"shardId-{self.n_shards + 1:012d}"] = seq
+            return d
 
         def initialOffset(self) -> dict:
             return self._offset(0)
@@ -106,6 +145,26 @@ def make_kshards_source():
                 hi = max(lo, int(end.get(key, 0)))  # clamp: restart-safe
                 if hi > lo:
                     out.append(ShardSlice(s, lo, hi))
+            if self.split_at is not None:
+                for j, child in enumerate(
+                    (self.n_shards, self.n_shards + 1)
+                ):
+                    key = f"shardId-{child:012d}"
+                    if key not in end:
+                        continue  # split not reached yet this batch
+                    # a pre-split checkpoint has no child key: the
+                    # child's range then starts at the split point
+                    lo = int(start.get(key, self.split_at))
+                    hi = max(lo, int(end.get(key, 0)))
+                    if hi > lo:
+                        # payload identity stays the PARENT (shard 0):
+                        # the record set is unchanged by the split,
+                        # only the physical shard_id differs
+                        out.append(
+                            ShardSlice(
+                                0, lo, hi, report_shard=child, parity=j
+                            )
+                        )
             return out
 
         def read(self, partition):
@@ -116,9 +175,12 @@ def make_kshards_source():
 
             s = partition.shard
             seqs = list(range(partition.start, partition.end))
+            if partition.parity is not None:
+                seqs = [q for q in seqs if q % 2 == partition.parity]
+            rid = partition.report_shard
             yield pa.record_batch(
                 [
-                    pa.array([f"shardId-{s:012d}"] * len(seqs)),
+                    pa.array([f"shardId-{rid:012d}"] * len(seqs)),
                     pa.array(seqs, type=pa.int64()),
                     pa.array(
                         [TS_BASE + q * self.n_shards + s for q in seqs],
@@ -155,7 +217,11 @@ def make_kshards_source():
                 import os
                 import tempfile
 
-                seq = min(int(v) for v in eo.values())
+                # max, not min: the lease records the ADMISSION horizon
+                # (one global cursor drives every shard), and a closed
+                # parent shard's offset pins at split_at forever — min
+                # would stall the lease there after a reshard
+                seq = max(int(v) for v in eo.values())
                 d = os.path.dirname(self._state_path) or "."
                 fd, tmp = tempfile.mkstemp(dir=d)
                 with os.fdopen(fd, "w") as f:
@@ -199,16 +265,23 @@ def parse_offset(eo):
     return None
 
 
-def drain_kshards(q, total: int, timeout: float = 300.0) -> None:
-    """Block until every shard's *committed* end offset reaches
-    ``total``, then return.
+def drain_kshards(
+    q, total: int, timeout: float = 300.0, expected: dict | None = None
+) -> None:
+    """Block until every shard's *committed* end offset reaches its
+    terminal value, then return.
 
     `processAllAvailable()` alone is not enough: the admission cursor
     lives in `latestOffset()` (advanced once per trigger iteration), so
     at any instant the "available" horizon may sit below `total` — and
     after a restart it can even lag the checkpointed start (clamped to
     empty batches until it catches up). Polling the last completed
-    batch's endOffset is the deterministic fixpoint."""
+    batch's endOffset is the deterministic fixpoint.
+
+    ``expected`` overrides the per-shard terminal offsets (needed under
+    resharding, where a closed parent pins at split_at — "everything
+    ≥ total" would never hold); default is ``total`` for every shard
+    present in the offset dict."""
     import time
 
     deadline = time.time() + timeout
@@ -220,8 +293,14 @@ def drain_kshards(q, total: int, timeout: float = 300.0) -> None:
             if p and p.get("sources")
             else None
         )
-        if eo and all(int(v) >= total for v in eo.values()):
-            return
+        if eo:
+            if expected is not None:
+                if all(
+                    int(eo.get(k, -1)) >= v for k, v in expected.items()
+                ):
+                    return
+            elif all(int(v) >= total for v in eo.values()):
+                return
         time.sleep(0.05)
     raise TimeoutError(f"kshards stream did not reach offset {total} in {timeout}s")
 
@@ -232,6 +311,7 @@ def read_kshards_stream(
     per_batch=PER_BATCH,
     total=TOTAL_PER_SHARD,
     state_path=None,
+    split_at=None,
 ):
     spark.dataSource.register(make_kshards_source())
     r = (
@@ -242,7 +322,19 @@ def read_kshards_stream(
     )
     if state_path:
         r = r.option("state_path", state_path)
+    if split_at is not None:
+        r = r.option("split_at", str(split_at))
     return r.load()
+
+
+def reshard_expected_offsets(shards, total, split_at) -> dict:
+    """Terminal offset per shard under a split: parent closed at
+    split_at, everything else (including both children) at total."""
+    d = {f"shardId-{s:012d}": total for s in range(shards)}
+    d[f"shardId-{0:012d}"] = split_at
+    d[f"shardId-{shards:012d}"] = total
+    d[f"shardId-{shards + 1:012d}"] = total
+    return d
 
 
 @register(
@@ -338,3 +430,75 @@ def stream_kshards_rollup_e2e(spark, sf_dir):
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.max("seq").alias("max_seq"),
     )
+
+
+SPLIT_AT = 1200
+
+
+@register(
+    "source_python_stream_reshard",
+    oracle=f"""
+        WITH recs AS (
+          SELECT CASE WHEN t.s = 0 AND r.q >= {SPLIT_AT}
+                      THEN CASE WHEN r.q % 2 = 0
+                                THEN {N_SHARDS} ELSE {N_SHARDS + 1} END
+                      ELSE t.s END AS phys,
+                 t.s AS s, r.q AS q
+          FROM range({N_SHARDS}) t(s), range({TOTAL_PER_SHARD}) r(q)
+        )
+        SELECT 'shardId-' || lpad(CAST(phys AS VARCHAR), 12, '0') AS shard_id,
+               q AS seq,
+               {TS_BASE} + q * {N_SHARDS} + s AS arrival_epoch_s,
+               (q * 7 + s) % 65536 AS srcport,
+               (q * q + s) % 1000000 AS n_bytes
+        FROM recs
+    """,
+)
+def source_python_stream_reshard(spark, sf_dir):
+    """Kinesis resharding end to end (VERDICT r4 item 2): the kshards
+    source runs with a mid-stream SHARD SPLIT — shard 0 closes at
+    sequence SPLIT_AT and children {N_SHARDS, N_SHARDS+1} take over
+    its key range (even/odd sequences respectively), so the offset
+    dict CHANGES SHAPE mid-query: the parent's entry pins at SPLIT_AT
+    (closed shards never advance — KCL's SHARD_END contract) and two
+    new keys appear. Everything downstream of the offset protocol —
+    partition planning, the parquet sink's transactional log, the
+    lease sidecar — must survive the shape change.
+
+    per_batch is set so the split lands MID-RUN (two batches before,
+    one straddling, one after), and the full value-hash oracle states
+    the exact post-split record set in closed form: a record's
+    payload is still the pure function of (parent shard, seq) — a
+    split moves data ownership, it doesn't rewrite data — while the
+    physical shard_id column reports the child. A record lost or
+    duplicated across the split boundary, or misassigned between the
+    children's parity ranges, is a hash failure. Restart ACROSS the
+    split is proven in tests/test_streaming.py.
+    """
+    base = scratch_dir("source_python_stream_reshard")
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    q = (
+        read_kshards_stream(
+            spark,
+            per_batch=700,
+            state_path=f"{base}/lease",
+            split_at=SPLIT_AT,
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        drain_kshards(
+            q,
+            TOTAL_PER_SHARD,
+            expected=reshard_expected_offsets(
+                N_SHARDS, TOTAL_PER_SHARD, SPLIT_AT
+            ),
+        )
+    finally:
+        q.stop()
+    back = spark.read.parquet(sink)
+    return back.select("shard_id", "seq", "arrival_epoch_s", "srcport", "n_bytes")

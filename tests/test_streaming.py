@@ -960,3 +960,101 @@ def test_chained_stateful_stream_equals_batch(spark, tmp_path):
     # batch twin: the fixture events are dupe-free, so dedup(feed) ≡ events
     want = enrich_window_agg(e, cust)
     assert canon(got.toPandas()) == canon(want.toPandas())
+
+
+def test_kshards_reshard_restart_exactly_once(spark, tmp_path):
+    """Shard split + restart STRADDLING the split: run 1 commits
+    pre-split batches from the 4-shard shape and is killed before the
+    split point; run 2 resumes from a checkpoint whose offset dict has
+    NO child keys, crosses the split (dict gains two keys, parent pins
+    at split_at), and drains. The sink must hold each (shard, seq)
+    exactly once with post-split sequences owned by the children —
+    loss, replay, or parity misassignment across the shape change all
+    fail the closed-form content check."""
+    from engine.ops.stream_source import (
+        drain_kshards,
+        parse_offset,
+        read_kshards_stream,
+        reshard_expected_offsets,
+    )
+
+    shards, per_batch, total, split_at = 4, 200, 1200, 700
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            read_kshards_stream(
+                spark,
+                shards=shards,
+                per_batch=per_batch,
+                total=total,
+                state_path=str(tmp_path / "lease"),
+                split_at=split_at,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    # run 1: commit at least two batches, kill BEFORE the split point
+    q = start()
+    deadline = time.time() + 120
+    committed = 0
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("sources"):
+            eo = parse_offset(p["sources"][0].get("endOffset"))
+            if eo:
+                committed = max(int(v) for v in eo.values())
+                if committed >= 2 * per_batch:
+                    break
+        time.sleep(0.05)
+    assert committed >= 2 * per_batch, "run 1 never committed two batches"
+    q.stop()
+    assert committed < split_at, (
+        "run 1 crossed the split; restart-across-split not exercised"
+    )
+
+    # run 2: resume from the pre-split checkpoint, cross the split, drain
+    q = start()
+    try:
+        drain_kshards(
+            q,
+            total,
+            expected=reshard_expected_offsets(shards, total, split_at),
+        )
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(sink)
+    n = got.count()
+    n_distinct = got.select("shard_id", "seq").distinct().count()
+    # content: parent's rows stop at split_at; children own the rest
+    from pyspark.sql import functions as F
+
+    parent = got.filter(F.col("shard_id") == "shardId-000000000000")
+    kids = got.filter(
+        F.col("shard_id").isin(
+            f"shardId-{shards:012d}", f"shardId-{shards + 1:012d}"
+        )
+    )
+    assert n == shards * total, f"lost rows: {n} != {shards * total}"
+    assert n_distinct == n, f"duplicates: {n - n_distinct}"
+    assert parent.agg(F.max("seq")).first()[0] == split_at - 1
+    assert parent.count() == split_at
+    assert kids.count() == total - split_at
+    assert kids.filter(F.col("seq") < split_at).count() == 0
+    bad_parity = kids.filter(
+        (
+            (F.col("shard_id") == f"shardId-{shards:012d}")
+            & (F.col("seq") % 2 != 0)
+        )
+        | (
+            (F.col("shard_id") == f"shardId-{shards + 1:012d}")
+            & (F.col("seq") % 2 != 1)
+        )
+    ).count()
+    assert bad_parity == 0
