@@ -1058,3 +1058,135 @@ def test_kshards_reshard_restart_exactly_once(spark, tmp_path):
         )
     ).count()
     assert bad_parity == 0
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs google.protobuf; broken in this container",
+)
+def test_tws_timers_stream_equals_batch(spark, tmp_path):
+    """Event-time-timer session builder (ListState + registerTimer)
+    over a chunked watermarked feed must equal the batch gap-islands
+    twin. Sentinel pair advances the watermark so every real user's
+    gap timer fires before availableNow terminates (sessions are
+    emitted from handleExpiredTimer ONLY — an unfired timer means a
+    missing session row, so this also proves timers fire off the
+    watermark, not processing time)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from engine.ops.spark4_ops import (
+        session_gap_stats_batch,
+        session_gap_stats_tws,
+    )
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_sorted_chunks(spark, e, src)
+    far = e.toPandas()["ts"].max() + pd.Timedelta(days=10)
+    for i in range(2):
+        s = pd.DataFrame(
+            {
+                "event_id": [10**12 + i],
+                "ts": [far + pd.Timedelta(hours=i)],
+                "user_id": [-1],
+                "event_type": ["view"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        )
+        s["ts"] = s["ts"].astype("datetime64[us]")
+        p = os.path.join(src, f"zz_sentinel_{i}.parquet")
+        s.to_parquet(p, index=False)
+        os.utime(p, (time.time() + 5 + i * 5,) * 2)
+
+    stream = _read_stream(spark, src, max_files=1, ltz=True).withWatermark(
+        "ts", "2 hours"
+    )
+    got = (
+        _run_stream(
+            spark, session_gap_stats_tws(stream), "t_tws_timers", "append"
+        )
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "max_intra_gap_us",
+        )
+    )
+    want = session_gap_stats_batch(e)
+    assert canon(got.toPandas()) == canon(want.toPandas())
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs google.protobuf; broken in this container",
+)
+def test_tws_timer_evicts_state(spark, tmp_path):
+    """After a key's gap timer fires, ALL its state must be gone: a
+    replay of an already-emitted event in a later batch must open a
+    FRESH single-event session (n_events=1), not extend or re-emit the
+    flushed one. Feed: one event for user 7 -> sentinel flush (timer
+    fires, session emitted, state cleared) -> the SAME event again ->
+    second sentinel flush. Expect exactly two identical 1-event
+    sessions for user 7."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from engine.ops.spark4_ops import session_gap_stats_tws
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, rows, mtime_off):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = os.path.join(src, name)
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (time.time() + mtime_off,) * 2)
+
+    ev = {
+        "event_id": [1],
+        "ts": [t0],
+        "user_id": [7],
+        "event_type": ["view"],
+        "value": [1.0],
+        "props": ["{}"],
+    }
+
+    def sentinel(i, days):
+        return {
+            "event_id": [10**12 + i],
+            "ts": [t0 + pd.Timedelta(days=days)],
+            "user_id": [-1],
+            "event_type": ["view"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+
+    write("a_event.parquet", ev, 0)
+    write("b_flush_1.parquet", sentinel(0, 10), 5)
+    write("c_flush_2.parquet", sentinel(1, 10.1), 10)  # watermark applies next batch
+    write("d_replay.parquet", ev, 15)
+    write("e_flush_3.parquet", sentinel(2, 20), 20)
+    write("f_flush_4.parquet", sentinel(3, 20.1), 25)
+
+    stream = _read_stream(spark, src, max_files=1, ltz=True).withWatermark(
+        "ts", "1 hour"
+    )
+    got = (
+        _run_stream(
+            spark, session_gap_stats_tws(stream), "t_tws_evict", "append"
+        )
+        .filter(F.col("user_id") == 7)
+        .toPandas()
+    )
+    assert len(got) == 2, f"expected 2 fresh sessions, got\n{got}"
+    assert (got["n_events"] == 1).all()
+    assert got["session_start"].nunique() == 1  # same replayed instant
