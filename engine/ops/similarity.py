@@ -679,6 +679,56 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
+def _kmeans_fit(em, k: int, iters: int):
+    """Shared Lloyd's loop (embed_kmeans_iterate, dedup_semantic_cluster):
+    deterministic init = the k lowest vec_ids; per iteration a map-only
+    argmax assignment against broadcast centroid literals, then ONE
+    (cluster, dim) shuffle for the mean update. Returns the fitted
+    centroids and the assignment function."""
+
+    def assign(centroids):
+        dots = [
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+        # greatest() requires ≥2 cols; k=1 (dedup_semantic_cluster's
+        # exactness check) degenerates to the single dot
+        best = dots[0] if len(dots) == 1 else F.greatest(*dots)
+        cluster = F.coalesce(
+            *[F.when(dots[j] == best, F.lit(j)) for j in range(len(dots))]
+        )
+        return em.select(
+            "vec_id",
+            "embedding",
+            cluster.alias("cluster"),
+            best.alias("sim_to_centroid"),
+        )
+
+    init = em.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r["embedding"]) for r in init]
+    for _ in range(iters):
+        means = (
+            assign(centroids)
+            .select("cluster", F.posexplode("embedding"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .collect()
+        )
+        upd: dict[int, list[float]] = {}
+        for r in means:
+            upd.setdefault(r["cluster"], [0.0] * EMB_DIM)[r["pos"]] = r["m"]
+        centroids = [upd.get(j, centroids[j]) for j in range(k)]
+    return centroids, assign
+
+
 @register("embed_kmeans_iterate")  # rows-only: iterative, not SQL-expressible
 def embed_kmeans_iterate(spark, sf_dir):
     """Full Lloyd's k-means over the embedding corpus (k=8, 3 fixed
@@ -696,48 +746,70 @@ def embed_kmeans_iterate(spark, sf_dir):
     the final assignment plus each vector's similarity to its
     centroid (the IVF residual)."""
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    def assign(centroids):
-        dots = [
-            F.aggregate(
-                F.zip_with(
-                    "embedding",
-                    F.array(*[F.lit(float(v)) for v in c]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
-        best = F.greatest(*dots)
-        cluster = F.coalesce(
-            *[F.when(dots[j] == best, F.lit(j)) for j in range(len(dots))]
-        )
-        return em.select(
-            "vec_id",
-            "embedding",
-            cluster.alias("cluster"),
-            best.alias("sim_to_centroid"),
-        )
-
-    init = em.orderBy("vec_id").limit(KMEANS_K).collect()
-    centroids = [list(r["embedding"]) for r in init]
-    for _ in range(KMEANS_ITERS):
-        means = (
-            assign(centroids)
-            .select("cluster", F.posexplode("embedding"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("col").cast("double")).alias("m"))
-            .collect()
-        )
-        upd: dict[int, list[float]] = {}
-        for r in means:
-            upd.setdefault(r["cluster"], [0.0] * EMB_DIM)[r["pos"]] = r["m"]
-        centroids = [upd.get(j, centroids[j]) for j in range(KMEANS_K)]
-
+    centroids, assign = _kmeans_fit(em, KMEANS_K, KMEANS_ITERS)
     return assign(centroids).select(
         "vec_id", "cluster", F.round("sim_to_centroid", 6).alias("sim_to_centroid")
+    )
+
+
+@register("dedup_semantic_cluster")  # rows-only: iterative clustering inside
+def dedup_semantic_cluster(spark, sf_dir, k: int = KMEANS_K):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — VERDICT r4 item 8): cluster the embedding
+    corpus with k-means, then search for near-duplicate pairs ONLY
+    within each cluster, dropping every vector whose cosine to a
+    LOWER-id vector in the same cluster reaches the corpus near-dup
+    threshold (keep-first rule, same threshold as the
+    embed_cosine_neardup anchor).
+
+    This is THE embedding-space dedup shape that fits 100 TB: the
+    quadratic pair search runs per cluster (matrix bounded by the
+    cluster size; in production k scales with the corpus so clusters
+    stay ~constant-sized), clustering itself is the broadcast-argmax
+    Lloyd loop shared with embed_kmeans_iterate, and the marking pass
+    is one applyInPandas over cluster groups — no global all-pairs
+    anywhere. Trade-off is recall: a near-dup pair split across a
+    cluster boundary is missed, which is exactly SemDeDup's documented
+    approximation. Property-tested in tests/test_llm_ops.py: the
+    cluster-local drop set is a SUBSET of the global all-pairs drop
+    set at the same threshold, and with k=1 the two are identical.
+
+    Cosines use the same rank-1 accumulation order and round-to-6 as
+    the anchor, so a pair scores bit-identically here and there."""
+    import numpy as np
+    import pandas as pd
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, assign = _kmeans_fit(em, k, KMEANS_ITERS)
+    assigned = assign(centroids).select(
+        "vec_id", "embedding", F.col("cluster").cast("long").alias("cluster")
+    )
+
+    def mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        acc = np.zeros((len(X), len(X)))
+        for i in range(X.shape[1]):
+            acc += X[:, i : i + 1] * X[None, :, i]
+        # half-up at 6 dp (floor(x*1e6+0.5)), NOT np.round: numpy
+        # rounds ties to even where the anchor's F.round rounds half
+        # away from zero — the exact cross-engine divergence the
+        # round-4 review caught in the Arrow ops. Negative cosines
+        # round differently under half-up but can never reach the
+        # positive threshold, so the comparison is unaffected.
+        close = np.floor(acc * 1e6 + 0.5) / 1e6 >= NEARDUP_THRESHOLD
+        # drop j iff some lower-id i in the cluster is close (keep-first)
+        dup = np.triu(close, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "is_dup": dup.astype("int64"),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        mark, "vec_id long, cluster long, is_dup long"
     )
 
 

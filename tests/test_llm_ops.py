@@ -335,3 +335,24 @@ def test_logreg_loss_decreases(spark):
     out = engine.QUERIES["ml_logreg_train"](spark, T2_SF_DIR).collect()
     assert len(out) == n
     assert all(0.0 <= r["prob"] <= 1.0 for r in out)
+
+
+def test_semantic_dedup_subset_of_global_and_exact_at_k1(spark):
+    """SemDeDup containment property: the cluster-local drop set must
+    be a subset of the global all-pairs drop set at the same threshold
+    (a cluster-local close pair IS a global close pair), and with k=1
+    (single cluster = global search) the two must be identical."""
+    anchor = engine.QUERIES["embed_cosine_neardup"](spark, T2_SF_DIR)
+    global_drops = {r["vec_b"] for r in anchor.collect()}
+
+    sem = engine.QUERIES["dedup_semantic_cluster"](spark, T2_SF_DIR).collect()
+    n_vecs = table(spark, T2_SF_DIR, "embeddings").count()
+    assert len(sem) == n_vecs  # one verdict per vector
+    sem_drops = {r["vec_id"] for r in sem if r["is_dup"] == 1}
+    assert sem_drops <= global_drops, sem_drops - global_drops
+
+    from engine.ops.similarity import dedup_semantic_cluster
+
+    k1 = dedup_semantic_cluster(spark, T2_SF_DIR, k=1).collect()
+    k1_drops = {r["vec_id"] for r in k1 if r["is_dup"] == 1}
+    assert k1_drops == global_drops
