@@ -1382,3 +1382,99 @@ def text_quality_classifier(spark, sf_dir):
         F.round(score, 6).alias("score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+N_BPE_MERGES = 10
+
+
+@register("text_bpe_train")  # rows-only: iterative merge training (exact-
+# match tested vs a pure-Python reference in tests/test_llm_ops.py)
+def text_bpe_train(spark, sf_dir):
+    """TRUE BPE merge training (Sennrich et al. 2016) as DataFrame ops
+    — upgrades the "BPE-ish" regex counter (text_token_bpe) to the
+    real iterative algorithm (VERDICT r4 item 9). Spec, mirrored
+    exactly by the test's pure-Python reference:
+
+    - corpus → space-split tokens (the house tokenizer), empty tokens
+      dropped; word-frequency table built ONCE (the only corpus-wide
+      shuffle);
+    - each word starts as its character sequence (no end-of-word
+      marker — merges are intrinsically word-internal here because
+      words are separate rows);
+    - 10 rounds: count adjacent symbol pairs weighted by word freq
+      (overlapping occurrences count, the canonical spelling), pick
+      the most frequent pair (ties broken (left, right) ascending),
+      then merge greedily left-to-right in every word.
+
+    The merge is a Catalyst `aggregate` fold — append-or-coalesce
+    with the accumulator's last element — which equals greedy
+    non-overlapping left-to-right merging because a merged token can
+    never equal the pair's left symbol (it is strictly longer), so a
+    chain-merge through a just-created token is impossible.
+
+    Scale shape: the iteration runs on the DISTINCT-WORD table, not
+    the corpus — |vocab| rows, each a ≤word-length array — with one
+    small (l, r) pair-count shuffle per round and a driver-side top-1;
+    localCheckpoint per round truncates the 10-deep lineage. At
+    100 TB the corpus scan stays a single pass and the loop cost is
+    independent of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merges = []
+    for rank in range(N_BPE_MERGES):
+        top = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(syms, 1, size(syms)-1)").alias("l"),
+                        F.expr("slice(syms, 2, size(syms)-1)").alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, pf = top[0]["l"], top[0]["r"], int(top[0]["pair_freq"])
+        merged = l + r
+        merges.append((rank, l, r, merged, pf))
+        words = words.select(
+            F.aggregate(
+                "syms",
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left string, right string, "
+        "merged string, pair_freq long",
+    )

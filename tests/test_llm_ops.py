@@ -356,3 +356,49 @@ def test_semantic_dedup_subset_of_global_and_exact_at_k1(spark):
     k1 = dedup_semantic_cluster(spark, T2_SF_DIR, k=1).collect()
     k1_drops = {r["vec_id"] for r in k1 if r["is_dup"] == 1}
     assert k1_drops == global_drops
+
+
+def test_bpe_train_matches_reference(spark):
+    """text_bpe_train must reproduce, merge for merge, a pure-Python
+    reference implementation of the same spec (space-split words, char
+    init, overlapping pair counts, freq-desc/(l,r)-asc selection,
+    greedy left-to-right merge) — the value-check for an op whose
+    10-round iteration has no tractable SQL oracle."""
+    from collections import Counter
+
+    texts = [
+        r["text"]
+        for r in table(spark, T2_SF_DIR, "documents").select("text").collect()
+    ]
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    words = {w: list(w) for w in wf}
+    ref = []
+    for rank in range(10):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), pf = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merged = l + r
+        ref.append((rank, l, r, merged, pf))
+        for w, syms in words.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            words[w] = out
+
+    got = sorted(
+        (
+            (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_freq"])
+            for r in engine.QUERIES["text_bpe_train"](spark, T2_SF_DIR).collect()
+        )
+    )
+    assert got == ref, f"\ngot: {got}\nref: {ref}"
