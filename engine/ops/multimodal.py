@@ -269,3 +269,138 @@ def multimodal_ppm_decode(spark, sf_dir):
         decode,
         "doc_id long, width long, height long, sum_r long, sum_g long, sum_b long",
     )
+
+
+WAV_N_BASE = 64
+WAV_N_MOD = 129
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM RIFF/WAVE file for one doc: sample
+    count, rate, and every sample value are closed-form in doc_id, so
+    an independent oracle can restate the decoded stats without seeing
+    the bytes. Sample k = ((doc_id*37 + k*11) % 4096) - 2048."""
+    import struct
+
+    n = WAV_N_BASE + doc_id % WAV_N_MOD
+    rate = 8000 + (doc_id % 3) * 4000
+    samples = [((doc_id * 37 + k * 11) % 4096) - 2048 for k in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_decode(b: bytes):
+    """Real pure-Python RIFF/WAVE parser: chunk-walks the container
+    (RIFF magic + size, WAVE form type, then fmt/data subchunks —
+    tolerating other chunks in between, as the format allows), checks
+    PCM/16-bit/mono, and decodes the little-endian samples. Raises on
+    malformed input — an actual decoder contract, not a stub."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    riff_size = struct.unpack("<I", b[4:8])[0]
+    if riff_size != len(b) - 8:
+        raise ValueError("RIFF size mismatch")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        sz = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        payload = b[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[:16])
+        elif cid == b"data":
+            data = payload
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, byte_rate, block_align, bits = fmt
+    if (audio_fmt, channels, bits) != (1, 1, 16):
+        raise ValueError("not 16-bit mono PCM")
+    if byte_rate != rate * 2 or block_align != 2 or len(data) % 2:
+        raise ValueError("inconsistent PCM layout")
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    return rate, samples
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle=f"""
+        WITH dims AS (
+          SELECT doc_id,
+                 {WAV_N_BASE} + doc_id % {WAV_N_MOD} AS n,
+                 8000 + (doc_id % 3) * 4000 AS rate
+          FROM documents
+        ),
+        smp AS (
+          SELECT doc_id, n, rate,
+                 ((doc_id * 37 + r.k * 11) % 4096) - 2048 AS s
+          FROM dims, unnest(range(n)) r(k)
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(rate AS BIGINT) AS sample_rate,
+               CAST(sum(s) AS BIGINT) AS sum_samples,
+               CAST(max(abs(s)) AS BIGINT) AS peak_abs
+        FROM smp GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode, value-checked — the audio sibling of
+    multimodal_ppm_decode: each doc gets a genuine RIFF/WAVE 16-bit
+    mono PCM payload (pure-Python encodable, no codec library), and
+    the decode step chunk-walks the actual container (RIFF magic +
+    size check, fmt/data subchunk scan with word alignment, PCM
+    sanity checks) before unpacking the little-endian samples and
+    aggregating per-file stats. The oracle restates sample count,
+    rate, sum, and peak closed-form from doc_id, so a header
+    off-by-one, endianness slip, or truncated data chunk breaks the
+    value hash. With this, both the image AND audio legs of the
+    multimodal group have tested real-decoder paths; only
+    codec-dependent formats (JPEG/MP3/H.264) keep declared stubs."""
+    d = table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_wav_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.select("doc_id").mapInPandas(encode, "doc_id long, payload binary")
+
+    def decode(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "sum_samples": [],
+                "peak_abs": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = _wav_decode(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["sample_rate"].append(rate)
+                out["sum_samples"].append(sum(samples))
+                out["peak_abs"].append(max(abs(s) for s in samples))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        decode,
+        "doc_id long, n_samples long, sample_rate long, "
+        "sum_samples long, peak_abs long",
+    )

@@ -962,3 +962,124 @@ def stream_chained_stateful_e2e(spark, sf_dir):
         "n",
         "sum_value",
     )
+
+
+def join_window_agg(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared tail of the join→window pipeline (batch and stream):
+    attribution join (each click to same-user purchases within the
+    following hour), then 1h tumbling conversion count + revenue per
+    purchase hour. In streaming this is the OTHER sanctioned
+    multi-stateful composition (stream-stream join feeding a
+    time-window aggregation), complementing the dedup→agg chain."""
+    j = click_purchase_join(clicks, purchases)
+    return (
+        j.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            dsum(F.col("purchase_value"), 10000).alias("revenue"),
+        )
+        .select(F.col("w.start").alias("ws"), "n_conversions", "revenue")
+    )
+
+
+@register(
+    "stream_join_window_e2e",
+    oracle="""
+        SELECT date_trunc('hour', p.ts) AS ws,
+               count(*) AS n_conversions,
+               sum(CAST(round(p.value*10000) AS BIGINT))/10000.0 AS revenue
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY 1
+    """,
+)
+def stream_join_window_e2e(spark, sf_dir):
+    """Stream-stream JOIN chained into a windowed aggregation in ONE
+    streaming query — the second of Spark's two sanctioned
+    multi-stateful compositions (stream_chained_stateful_e2e covers
+    dedup→agg): two watermarked streams filtered off one file source,
+    inner attribution join with an event-time band, then 1h tumbling
+    conversion revenue, append-mode checkpointed parquet sink. The
+    windowed agg finalizes against the JOIN-DELAYED watermark — the
+    propagation subtlety that makes chaining nontrivial.
+
+    Feed: events split into two mtime-ordered chunks plus two
+    far-future sentinels (one click, one purchase, distinct negative
+    users so they never join — they advance both sides' watermarks
+    without contributing a conversion; the second sentinel batch lets
+    the lagged watermark apply and flush every real window). Oracle =
+    composed batch twin; a pair double-joined across batches or a
+    window emitted early/late/twice is a value-hash failure."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from ..registry import scratch_dir
+    from ..schemas import EVENTS_STREAM_SCHEMA
+
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("stream_join_window_e2e")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src)
+
+    pdf = (
+        e.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    feeds = [("a_chunk0", pdf.iloc[:half]), ("b_chunk1", pdf.iloc[half:])]
+    far = pdf["ts"].max() + pd.Timedelta(days=90)
+    for i, (uid, etype) in enumerate([(-1, "click"), (-2, "purchase")]):
+        s = pd.DataFrame(
+            {
+                "event_id": [10**12 + i],
+                "ts": [far + pd.Timedelta(hours=i)],
+                "user_id": [uid],
+                "event_type": [etype],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        )
+        s["ts"] = s["ts"].astype("datetime64[us]")
+        feeds.append((f"c_sentinel_{i}", s))
+    now = _time.time()
+    for i, (nm, f) in enumerate(feeds):
+        p = f"{src}/{nm}.parquet"
+        f.to_parquet(p, index=False)
+        os.utime(p, (now - (len(feeds) - i) * 10,) * 2)
+
+    def side(kind):
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "35 days")
+        )
+
+    result = join_window_agg(side("click"), side("purchase"))
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_join_window_e2e: availableNow query exceeded 300s"
+        )
+    return spark.read.parquet(sink).select(
+        F.col("ws").cast("timestamp_ntz").alias("ws"),
+        "n_conversions",
+        "revenue",
+    )
