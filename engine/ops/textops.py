@@ -1478,3 +1478,70 @@ def text_bpe_train(spark, sf_dir):
         "merge_rank long, left string, right string, "
         "merged string, pair_freq long",
     )
+
+
+@register("text_bpe_encode")  # rows-only: depends on trained merges (exact-
+# match tested vs the same pure-Python reference as text_bpe_train)
+def text_bpe_encode(spark, sf_dir):
+    """BPE ENCODE with the merges text_bpe_train learns — the apply
+    half of the tokenizer loop: re-train the 10 merges (cheap: the
+    loop runs on the distinct-word table), then apply them IN RANK
+    ORDER to every document's words and count the resulting tokens.
+    Applying in rank order with the same greedy left-to-right fold is
+    the defining BPE-encode contract (a different application order
+    gives a different segmentation).
+
+    Scale shape: the application is a map-only pass over the corpus —
+    10 chained Catalyst folds over per-word char arrays, merges inlined
+    as literals (they are driver-side scalars by construction); no
+    shuffle beyond text_bpe_train's own. Output per doc: char count
+    (= token count before any merge) and token count after all 10
+    merges; the compression delta is the useful corpus statistic."""
+    d = table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in sorted(
+            text_bpe_train(spark, sf_dir).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+
+    words = d.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    syms = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
+    n_chars = F.length("w")
+
+    # factory, not default-arg lambda: pyspark introspects the HOF
+    # callable's arity, so extra bound parameters are rejected
+    def fold(col, l, r, merged):
+        return F.aggregate(
+            col,
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    for l, r, merged in merges:
+        syms = fold(syms, l, r, merged)
+    return (
+        words.select(
+            "doc_id",
+            n_chars.alias("nc"),
+            F.size(syms).alias("nt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum("nt").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -358,22 +358,17 @@ def test_semantic_dedup_subset_of_global_and_exact_at_k1(spark):
     assert k1_drops == global_drops
 
 
-def test_bpe_train_matches_reference(spark):
-    """text_bpe_train must reproduce, merge for merge, a pure-Python
-    reference implementation of the same spec (space-split words, char
-    init, overlapping pair counts, freq-desc/(l,r)-asc selection,
-    greedy left-to-right merge) — the value-check for an op whose
-    10-round iteration has no tractable SQL oracle."""
+def _ref_bpe(texts, rounds=10):
+    """Pure-Python reference of the text_bpe_train spec (space-split
+    words, char init, overlapping pair counts, freq-desc/(l,r)-asc
+    selection, greedy left-to-right merge). Returns (merge list,
+    final per-word segmentation, word freqs)."""
     from collections import Counter
 
-    texts = [
-        r["text"]
-        for r in table(spark, T2_SF_DIR, "documents").select("text").collect()
-    ]
     wf = Counter(w for t in texts for w in t.split(" ") if w)
     words = {w: list(w) for w in wf}
     ref = []
-    for rank in range(10):
+    for rank in range(rounds):
         pc: Counter = Counter()
         for w, syms in words.items():
             f = wf[w]
@@ -394,7 +389,18 @@ def test_bpe_train_matches_reference(spark):
                 else:
                     out.append(x)
             words[w] = out
+    return ref, words, wf
 
+
+def test_bpe_train_matches_reference(spark):
+    """text_bpe_train must reproduce, merge for merge, the pure-Python
+    reference — the value-check for an op whose 10-round iteration has
+    no tractable SQL oracle."""
+    texts = [
+        r["text"]
+        for r in table(spark, T2_SF_DIR, "documents").select("text").collect()
+    ]
+    ref, _, _ = _ref_bpe(texts)
     got = sorted(
         (
             (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_freq"])
@@ -402,3 +408,25 @@ def test_bpe_train_matches_reference(spark):
         )
     )
     assert got == ref, f"\ngot: {got}\nref: {ref}"
+
+
+def test_bpe_encode_matches_reference(spark):
+    """text_bpe_encode's per-doc token counts must equal encoding each
+    doc with the reference's final segmentation (merges applied in rank
+    order — the defining BPE-encode contract)."""
+    rows = (
+        table(spark, T2_SF_DIR, "documents").select("doc_id", "text").collect()
+    )
+    _, words, _ = _ref_bpe([r["text"] for r in rows])
+    want = {}
+    for r in rows:
+        toks = [w for w in r["text"].split(" ") if w]
+        want[r["doc_id"]] = (
+            sum(len(w) for w in toks),
+            sum(len(words[w]) for w in toks),
+        )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_bpe_tokens"])
+        for r in engine.QUERIES["text_bpe_encode"](spark, T2_SF_DIR).collect()
+    }
+    assert got == want
