@@ -357,3 +357,81 @@ def stream_tws_timers(spark, sf_dir):
     (see session_gap_stats_tws for the streaming form and its
     eviction contract)."""
     return session_gap_stats_batch(table(spark, sf_dir, "events"))
+
+
+# --- transformWithState: MapState -------------------------------------------
+
+
+def user_type_counts_batch(e: DataFrame) -> DataFrame:
+    """Batch twin of the MapState op: per-(user, event_type) event
+    counts — the final contents of each user's map."""
+    return e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def user_type_counts_tws(stream: DataFrame) -> DataFrame:
+    """Streaming form exercising MAPSTATE — the third typed state
+    primitive (ValueState: stream_transform_with_state; ListState +
+    timers: stream_tws_timers): one map per user keyed by event_type,
+    each micro-batch folding its counts with updateValue and emitting
+    the updated snapshot rows. MapState is the primitive a 100 TB
+    per-entity feature store actually uses: point lookups and updates
+    by sub-key without deserializing the whole per-user blob (what a
+    single ValueState holding a dict would force on every batch).
+    Protobuf-gated in tests like its siblings; the registered batch
+    twin is fully value-checked."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "counts", "event_type STRING", "n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for et, cnt in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._m.getValue((et,))[0]
+                        if self._m.containsKey((et,))
+                        else 0
+                    )
+                    self._m.updateValue((et,), (prev + int(cnt),))
+            pairs = [(k[0], v[0]) for k, v in self._m.iterator()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(pairs),
+                    "event_type": [p[0] for p in pairs],
+                    "n": [p[1] for p in pairs],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType="user_id bigint, event_type string, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+@register(
+    "stream_tws_map_state",
+    oracle="""
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_tws_map_state(spark, sf_dir):
+    """MapState per-user per-event-type counts, declared as the batch
+    twin (see user_type_counts_tws for the streaming form); completes
+    the transformWithState typed-state primitive set."""
+    return user_type_counts_batch(table(spark, sf_dir, "events"))

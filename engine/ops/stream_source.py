@@ -98,6 +98,13 @@ def make_kshards_source():
             # docstring). None = fixed shard count (legacy behavior).
             sa = options.get("split_at")
             self.split_at = int(sa) if sa is not None else None
+            # shard MERGE (the other Kinesis resharding direction):
+            # shards 1 and 2 close at merge_at; ONE child (id
+            # n_shards+2 — reserved clear of the split children) takes
+            # over both parents' remaining ranges. Composable with
+            # split_at; ids never collide.
+            ma = options.get("merge_at")
+            self.merge_at = int(ma) if ma is not None else None
             # Lease-table analogue (the role DynamoDB plays for the
             # Kinesis Client Library): the admission cursor is
             # reader-local state the Python API does not restore from
@@ -118,16 +125,18 @@ def make_kshards_source():
                     pass
 
         def _offset(self, seq: int) -> dict:
-            if self.split_at is None or seq <= self.split_at:
-                return {
-                    f"shardId-{s:012d}": seq for s in range(self.n_shards)
-                }
-            # post-split shape: parent pinned at split_at (a closed
-            # shard's checkpoint never advances), children appear
-            d = {f"shardId-{s:012d}": seq for s in range(1, self.n_shards)}
-            d[f"shardId-{0:012d}"] = self.split_at
-            d[f"shardId-{self.n_shards:012d}"] = seq
-            d[f"shardId-{self.n_shards + 1:012d}"] = seq
+            d = {f"shardId-{s:012d}": seq for s in range(self.n_shards)}
+            if self.split_at is not None and seq > self.split_at:
+                # post-split shape: parent pinned at split_at (a closed
+                # shard's checkpoint never advances), children appear
+                d[f"shardId-{0:012d}"] = self.split_at
+                d[f"shardId-{self.n_shards:012d}"] = seq
+                d[f"shardId-{self.n_shards + 1:012d}"] = seq
+            if self.merge_at is not None and seq > self.merge_at:
+                # post-merge shape: BOTH parents pin, ONE child appears
+                d[f"shardId-{1:012d}"] = self.merge_at
+                d[f"shardId-{2:012d}"] = self.merge_at
+                d[f"shardId-{self.n_shards + 2:012d}"] = seq
             return d
 
         def initialOffset(self) -> dict:
@@ -165,6 +174,24 @@ def make_kshards_source():
                                 0, lo, hi, report_shard=child, parity=j
                             )
                         )
+            if self.merge_at is not None:
+                key = f"shardId-{self.n_shards + 2:012d}"
+                if key in end:
+                    lo = int(start.get(key, self.merge_at))
+                    hi = max(lo, int(end.get(key, 0)))
+                    if hi > lo:
+                        # the merge child covers BOTH closed parents'
+                        # ranges: two slices, one per payload identity,
+                        # both reporting the child's physical id
+                        for parent in (1, 2):
+                            out.append(
+                                ShardSlice(
+                                    parent,
+                                    lo,
+                                    hi,
+                                    report_shard=self.n_shards + 2,
+                                )
+                            )
             return out
 
         def read(self, partition):
@@ -312,6 +339,7 @@ def read_kshards_stream(
     total=TOTAL_PER_SHARD,
     state_path=None,
     split_at=None,
+    merge_at=None,
 ):
     spark.dataSource.register(make_kshards_source())
     r = (
@@ -324,7 +352,19 @@ def read_kshards_stream(
         r = r.option("state_path", state_path)
     if split_at is not None:
         r = r.option("split_at", str(split_at))
+    if merge_at is not None:
+        r = r.option("merge_at", str(merge_at))
     return r.load()
+
+
+def merge_expected_offsets(shards, total, merge_at) -> dict:
+    """Terminal offset per shard under a merge: both parents closed at
+    merge_at, everything else (including the child) at total."""
+    d = {f"shardId-{s:012d}": total for s in range(shards)}
+    d[f"shardId-{1:012d}"] = merge_at
+    d[f"shardId-{2:012d}"] = merge_at
+    d[f"shardId-{shards + 2:012d}"] = total
+    return d
 
 
 def reshard_expected_offsets(shards, total, split_at) -> dict:
@@ -496,6 +536,69 @@ def source_python_stream_reshard(spark, sf_dir):
             TOTAL_PER_SHARD,
             expected=reshard_expected_offsets(
                 N_SHARDS, TOTAL_PER_SHARD, SPLIT_AT
+            ),
+        )
+    finally:
+        q.stop()
+    back = spark.read.parquet(sink)
+    return back.select("shard_id", "seq", "arrival_epoch_s", "srcport", "n_bytes")
+
+
+MERGE_AT = 1500
+
+
+@register(
+    "source_python_stream_merge_shards",
+    oracle=f"""
+        WITH recs AS (
+          SELECT CASE WHEN t.s IN (1, 2) AND r.q >= {MERGE_AT}
+                      THEN {N_SHARDS + 2} ELSE t.s END AS phys,
+                 t.s AS s, r.q AS q
+          FROM range({N_SHARDS}) t(s), range({TOTAL_PER_SHARD}) r(q)
+        )
+        SELECT 'shardId-' || lpad(CAST(phys AS VARCHAR), 12, '0') AS shard_id,
+               q AS seq,
+               {TS_BASE} + q * {N_SHARDS} + s AS arrival_epoch_s,
+               (q * 7 + s) % 65536 AS srcport,
+               (q * q + s) % 1000000 AS n_bytes
+        FROM recs
+    """,
+)
+def source_python_stream_merge_shards(spark, sf_dir):
+    """Kinesis shard MERGE end to end — the other resharding direction
+    (source_python_stream_reshard covers the split): shards 1 and 2
+    both close at sequence MERGE_AT and a single child (id N_SHARDS+2)
+    takes over BOTH parents' remaining ranges, so one micro-batch
+    plans TWO input slices for the child (one per parent payload
+    identity) while the offset dict pins two entries and grows one.
+    Downscaling is what merge models in production — cold streams
+    consolidating shards to cut consumer cost — and its failure mode
+    is the inverse of the split's: losing one parent's tail, not
+    misassigning parity. The full value-hash oracle states the merged
+    record set in closed form: payloads unchanged (a merge moves
+    ownership, not data), physical shard_id rewritten to the child for
+    both parents' post-merge sequences."""
+    base = scratch_dir("source_python_stream_merge_shards")
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    q = (
+        read_kshards_stream(
+            spark,
+            per_batch=700,
+            state_path=f"{base}/lease",
+            merge_at=MERGE_AT,
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        drain_kshards(
+            q,
+            TOTAL_PER_SHARD,
+            expected=merge_expected_offsets(
+                N_SHARDS, TOTAL_PER_SHARD, MERGE_AT
             ),
         )
     finally:

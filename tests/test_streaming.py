@@ -1190,3 +1190,31 @@ def test_tws_timer_evicts_state(spark, tmp_path):
     assert len(got) == 2, f"expected 2 fresh sessions, got\n{got}"
     assert (got["n_events"] == 1).all()
     assert got["session_start"].nunique() == 1  # same replayed instant
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs google.protobuf; broken in this container",
+)
+def test_tws_map_state_stream_equals_batch(spark, tmp_path):
+    """MapState per-user type counts over a chunked feed must reach the
+    batch GROUP BY. Update mode emits a snapshot per (batch, user); n
+    is monotone per (user, type), so the final state is the max."""
+    from pyspark.sql import functions as F
+
+    from engine.ops.spark4_ops import (
+        user_type_counts_batch,
+        user_type_counts_tws,
+    )
+
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_sorted_chunks(spark, e, src)
+
+    stream = _read_stream(spark, src, max_files=1)
+    got_all = _run_stream(
+        spark, user_type_counts_tws(stream), "t_tws_map", "update"
+    )
+    got = got_all.groupBy("user_id", "event_type").agg(F.max("n").alias("n"))
+    assert canon(got.toPandas()) == canon(user_type_counts_batch(e).toPandas())
