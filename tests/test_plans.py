@@ -437,3 +437,35 @@ def test_pipe_syntax_plan_equals_classic(spark):
         return re.sub(r"plan_id=\d+", "plan_id=x", s)
 
     assert norm(piped) == norm(classic)
+
+
+def test_q21_scans_lineitem_once(spark):
+    """The round-5 q21 spelling replaces both lineitem self-joins with a
+    two-level aggregation: the fact table must appear in exactly ONE
+    scan (orders/supplier/nation account for the rest)."""
+    plan = _plan(spark, "tpch_q21")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_gap_fill_single_window_single_explode(spark):
+    """Single-pass gap-fill: one lead() window over the SPARSE hourly
+    series and one segment explode — not the densify-then-two-
+    ignore-nulls-windows shape the first spelling used."""
+    plan = _plan(spark, "ts_gap_fill")
+    # "Window" also prefixes WindowGroupLimit; count exact node lines
+    n_window = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.lstrip("+-* ").startswith("Window ")
+    )
+    assert n_window == 1, plan
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_grouped_map_buckets_not_raw_key(spark):
+    """udf_grouped_map groups by a bounded hash bucket (256) of
+    user_id, not user_id itself — the high-cardinality-small-groups
+    fix; the pandas stage must still be present."""
+    plan = _plan(spark, "udf_grouped_map")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "pmod" in plan and "xxhash64" in plan, plan
