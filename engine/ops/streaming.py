@@ -930,32 +930,41 @@ def stream_chained_stateful_e2e(spark, sf_dir):
         f.to_parquet(p, index=False)
         os.utime(p, (now - (len(feeds) - i) * 10,) * 2)
 
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        # watermark needs an instant; NTZ→LTZ is a wall-clock no-op
-        # under the UTC session timezone
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        # delay > the 30-day event span: no dedup state is evicted
-        # before the duplicate copy arrives, so suppression is total
-        .withWatermark("ts", "35 days")
-        .dropDuplicatesWithinWatermark(["event_id"])
-    )
-    result = enrich_window_agg(stream, table(spark, sf_dir, "customer"))
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "stream_chained_stateful_e2e: availableNow query exceeded 300s"
+    from ..session import scoped_confs
+
+    # state-store partition count is frozen into the checkpoint at the
+    # first batch from spark.sql.shuffle.partitions; 8 is sized for
+    # this rig's data (two stateful operators commit one state file
+    # per partition per micro-batch — at 32 the commit overhead is
+    # ~3× the actual work at toy scale). A production job sizes this
+    # to its cluster before first start, exactly as here.
+    with scoped_confs(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            # watermark needs an instant; NTZ→LTZ is a wall-clock no-op
+            # under the UTC session timezone
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            # delay > the 30-day event span: no dedup state is evicted
+            # before the duplicate copy arrives, so suppression is total
+            .withWatermark("ts", "35 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
         )
+        result = enrich_window_agg(stream, table(spark, sf_dir, "customer"))
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_chained_stateful_e2e: availableNow query exceeded 300s"
+            )
     return spark.read.parquet(sink).select(
         F.col("ws").cast("timestamp_ntz").alias("ws"),
         "c_mktsegment",
@@ -1064,20 +1073,26 @@ def stream_join_window_e2e(spark, sf_dir):
             .withWatermark("ts", "35 days")
         )
 
-    result = join_window_agg(side("click"), side("purchase"))
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "stream_join_window_e2e: availableNow query exceeded 300s"
+    from ..session import scoped_confs
+
+    # see stream_chained_stateful_e2e: state partition count is frozen
+    # at first batch; 8 bounds the per-batch state-commit overhead of
+    # the two stateful operators at rig scale
+    with scoped_confs(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        result = join_window_agg(side("click"), side("purchase"))
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_join_window_e2e: availableNow query exceeded 300s"
+            )
     return spark.read.parquet(sink).select(
         F.col("ws").cast("timestamp_ntz").alias("ws"),
         "n_conversions",

@@ -1491,12 +1491,17 @@ def text_bpe_encode(spark, sf_dir):
     the defining BPE-encode contract (a different application order
     gives a different segmentation).
 
-    Scale shape: the application is a map-only pass over the corpus —
-    10 chained Catalyst folds over per-word char arrays, merges inlined
-    as literals (they are driver-side scalars by construction); no
-    shuffle beyond text_bpe_train's own. Output per doc: char count
-    (= token count before any merge) and token count after all 10
-    merges; the compression delta is the useful corpus statistic."""
+    Scale shape — DICTIONARY ENCODING, the trick that makes BPE apply
+    affordable at 100 TB: a word's segmentation is a pure function of
+    the word, so the 10 chained interpreted folds run over the
+    DISTINCT vocabulary only (|vocab| rows), and the corpus pass is a
+    plain (broadcastable) join word→token-count plus a per-doc sum.
+    Folding every word INSTANCE instead (the first spelling) cost 17 s
+    at sf0.1 — ~8× this form — and the gap widens with corpus size
+    while the vocab stays sublinear (Heaps' law). Output per doc:
+    char count (= token count before any merge) and token count after
+    all 10 merges; the compression delta is the useful corpus
+    statistic."""
     d = table(spark, sf_dir, "documents")
     merges = [
         (r["left"], r["right"], r["merged"])
@@ -1506,14 +1511,14 @@ def text_bpe_encode(spark, sf_dir):
         )
     ]
 
-    words = d.select(
+    doc_words = d.select(
         "doc_id",
         F.explode(F.split("text", " ")).alias("w"),
     ).filter(F.length("w") > 0)
+    vocab = doc_words.select("w").distinct()
     syms = F.expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
     )
-    n_chars = F.length("w")
 
     # factory, not default-arg lambda: pyspark introspects the HOF
     # callable's arity, so extra bound parameters are rejected
@@ -1533,12 +1538,13 @@ def text_bpe_encode(spark, sf_dir):
 
     for l, r, merged in merges:
         syms = fold(syms, l, r, merged)
+    encoded = vocab.select(
+        "w",
+        F.length("w").alias("nc"),
+        F.size(syms).alias("nt"),
+    )
     return (
-        words.select(
-            "doc_id",
-            n_chars.alias("nc"),
-            F.size(syms).alias("nt"),
-        )
+        doc_words.join(encoded, "w")
         .groupBy("doc_id")
         .agg(
             F.sum("nc").cast("long").alias("n_chars"),
