@@ -317,6 +317,8 @@ def _wav_decode(b: bytes):
         cid = b[i : i + 4]
         sz = struct.unpack("<I", b[i + 4 : i + 8])[0]
         payload = b[i + 8 : i + 8 + sz]
+        if len(payload) != sz:
+            raise ValueError("truncated chunk")  # declared size overruns buffer
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", payload[:16])
         elif cid == b"data":

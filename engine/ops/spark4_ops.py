@@ -230,9 +230,10 @@ def session_gap_stats_tws(stream: DataFrame) -> DataFrame:
       buffer is split into gap-islands, one row per finished session
       is emitted, and ALL state for the key is cleared + the timer
       consumed — i.e. timer-driven state EVICTION, pinned by
-      tests/test_streaming.py::test_tws_timer_evicts_state (a replay
-      of an already-emitted event after the flush must open a FRESH
-      session).
+      tests/test_streaming.py::test_tws_timer_evicts_state (a later
+      non-late event for a flushed key must open a FRESH session
+      without re-emitting the flushed one — surviving buffer state
+      would duplicate the first session at the next expiry).
 
     State per key is O(events in the open window), bounded by the
     watermark delay; timers are per-key singletons. Environment note:

@@ -329,6 +329,16 @@ def drain_kshards(
             elif all(int(v) >= total for v in eo.values()):
                 return
         time.sleep(0.05)
+    if expected is not None:
+        unmet = {
+            k: f"{(eo or {}).get(k, 'absent')}<{v}"
+            for k, v in expected.items()
+            if int((eo or {}).get(k, -1)) < v
+        }
+        raise TimeoutError(
+            f"kshards stream missed expected per-shard offsets in "
+            f"{timeout}s: {unmet}"
+        )
     raise TimeoutError(f"kshards stream did not reach offset {total} in {timeout}s")
 
 

@@ -1511,9 +1511,11 @@ def text_bpe_encode(spark, sf_dir):
         )
     ]
 
+    # _tokens(), not an inline split: the encode half MUST tokenize
+    # exactly like the train half or the learned merges don't apply
     doc_words = d.select(
         "doc_id",
-        F.explode(F.split("text", " ")).alias("w"),
+        F.explode(_tokens()).alias("w"),
     ).filter(F.length("w") > 0)
     vocab = doc_words.select("w").distinct()
     syms = F.expr(

@@ -776,6 +776,16 @@ def tpch_q21(spark, sf_dir):
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
 
+    # push the o_orderstatus='F' restriction BELOW the wide aggregation
+    # as a broadcast semi-join: it is all-or-nothing per order, so every
+    # per-order aggregate is unchanged while the shuffle halves. (At
+    # 100 TB the broadcast becomes a bloom/DPP-pruned join — same shape.)
+    li = li.join(
+        F.broadcast(o.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "leftsemi",
+    )
+
     by_date = li.groupBy("l_orderkey", "l_shipdate").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.min("l_suppkey").alias("mn_supp"),
@@ -784,7 +794,6 @@ def tpch_q21(spark, sf_dir):
     sole = (
         by_date.groupBy("l_orderkey")
         .agg(
-            F.max("l_shipdate").alias("max_ship"),
             # ≥2 distinct suppliers on the order ⟺ key range is non-degenerate
             (F.min("mn_supp") != F.max("mx_supp")).alias("multi_supp"),
             F.expr("max_by(n_lines, l_shipdate)").alias("n_lines_at_max"),
@@ -800,8 +809,9 @@ def tpch_q21(spark, sf_dir):
         )
     )
     return (
-        sole.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # no orders re-join: the status filter already applied via the
+        # pre-aggregation semi-join and no orders column is projected
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.sum("n_lines_at_max").alias("numwait"))

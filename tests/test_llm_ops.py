@@ -430,3 +430,25 @@ def test_bpe_encode_matches_reference(spark):
         for r in engine.QUERIES["text_bpe_encode"](spark, T2_SF_DIR).collect()
     }
     assert got == want
+
+
+def test_wav_decoder_rejects_malformed():
+    """The WAV decoder's contract is raise-on-malformed (round-5
+    review finding: a chunk whose declared size overruns the buffer
+    was silently truncated)."""
+    import struct
+
+    import pytest
+
+    from engine.ops.multimodal import _wav_bytes, _wav_decode
+
+    good = _wav_bytes(7)
+    rate, samples = _wav_decode(good)
+    assert rate == 8000 + (7 % 3) * 4000 and len(samples) == 64 + 7 % 129
+
+    truncated = bytearray(good[:-10])
+    truncated[4:8] = struct.pack("<I", len(truncated) - 8)  # consistent RIFF size
+    with pytest.raises(ValueError):
+        _wav_decode(bytes(truncated))
+    with pytest.raises(ValueError):
+        _wav_decode(b"JUNK" + good[4:])

@@ -1127,13 +1127,18 @@ def test_tws_timers_stream_equals_batch(spark, tmp_path):
     reason="transformWithState needs google.protobuf; broken in this container",
 )
 def test_tws_timer_evicts_state(spark, tmp_path):
-    """After a key's gap timer fires, ALL its state must be gone: a
-    replay of an already-emitted event in a later batch must open a
-    FRESH single-event session (n_events=1), not extend or re-emit the
-    flushed one. Feed: one event for user 7 -> sentinel flush (timer
-    fires, session emitted, state cleared) -> the SAME event again ->
-    second sentinel flush. Expect exactly two identical 1-event
-    sessions for user 7."""
+    """After a key's gap timer fires, ALL its state must be gone. A
+    literal replay of the flushed event cannot probe this — event-time
+    mode filters sub-watermark rows before handleInputRows ever sees
+    them (confirmed in TransformWithStateExec's late-event predicate)
+    — so the probe is a SECOND, non-late event for the same user after
+    the first flush: if the ListState buffer survived the timer, the
+    second expiry would re-emit the first session alongside the new
+    one (three rows, duplicate start); with eviction working, exactly
+    one fresh 1-event session joins the first. Feed: user-7 event at
+    t0 -> sentinel pair (timer fires, session emitted, state cleared)
+    -> user-7 event at t0+12d (above the ~day-10 watermark) ->
+    second sentinel pair."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -1151,14 +1156,15 @@ def test_tws_timer_evicts_state(spark, tmp_path):
         pdf.to_parquet(p, index=False)
         os.utime(p, (time.time() + mtime_off,) * 2)
 
-    ev = {
-        "event_id": [1],
-        "ts": [t0],
-        "user_id": [7],
-        "event_type": ["view"],
-        "value": [1.0],
-        "props": ["{}"],
-    }
+    def ev(eid, ts_off_days):
+        return {
+            "event_id": [eid],
+            "ts": [t0 + pd.Timedelta(days=ts_off_days)],
+            "user_id": [7],
+            "event_type": ["view"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
 
     def sentinel(i, days):
         return {
@@ -1170,10 +1176,10 @@ def test_tws_timer_evicts_state(spark, tmp_path):
             "props": ["{}"],
         }
 
-    write("a_event.parquet", ev, 0)
+    write("a_event.parquet", ev(1, 0), 0)
     write("b_flush_1.parquet", sentinel(0, 10), 5)
     write("c_flush_2.parquet", sentinel(1, 10.1), 10)  # watermark applies next batch
-    write("d_replay.parquet", ev, 15)
+    write("d_second.parquet", ev(2, 12), 15)  # NOT late vs ~day-10 watermark
     write("e_flush_3.parquet", sentinel(2, 20), 20)
     write("f_flush_4.parquet", sentinel(3, 20.1), 25)
 
@@ -1186,10 +1192,12 @@ def test_tws_timer_evicts_state(spark, tmp_path):
         )
         .filter(F.col("user_id") == 7)
         .toPandas()
+        .sort_values("session_start")
+        .reset_index(drop=True)
     )
-    assert len(got) == 2, f"expected 2 fresh sessions, got\n{got}"
+    assert len(got) == 2, f"expected 2 sessions (no re-emission), got\n{got}"
     assert (got["n_events"] == 1).all()
-    assert got["session_start"].nunique() == 1  # same replayed instant
+    assert got["session_start"].nunique() == 2  # distinct, no duplicate emit
 
 
 @pytest.mark.skipif(
