@@ -841,3 +841,139 @@ def sql_scripting_control_flow(spark, sf_dir):
             END
             """
         ).localCheckpoint(eager=True)
+
+
+@register(
+    "sink_python_stream_datasource",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(round(value * 10000) AS BIGINT) AS value_e4
+        FROM events
+    """,
+)
+def sink_python_stream_datasource(spark, sf_dir):
+    """Spark 4 Python DataSource STREAMING writer — the fourth corner
+    of the custom-connector surface (batch read:
+    source_python_datasource; stream read: kshards; batch write:
+    sink_python_datasource): a bespoke streaming sink implemented as a
+    `DataSourceStreamArrowWriter`, the Arrow variant, so executor
+    tasks hand the sink RecordBatches (no per-row pickling — the only
+    Python-writer shape that survives 100 TB/day ingest). Exactly-once
+    protocol: write() lands each task's batches at a TEMP name and
+    returns the path in its commit message; the driver-side
+    commit(messages, batchId) renames every temp to a deterministic
+    `batch-{batchId}-part-{i}` name via os.replace — a batch REPLAYED
+    after a crash (streaming's at-least-once batch delivery) rewrites
+    the exact same final names, so replay is idempotent by
+    construction, which is precisely how the parquet sink's
+    transactional log achieves exactly-once without distributed
+    coordination. abort() removes strays. Feed = the events table
+    split across three mtime-ordered files (one micro-batch each), so
+    commit runs per-batch three times; the oracle round-trips the
+    landed files — a lost task, duplicated replay, or partial commit
+    is a value-hash failure."""
+    import os
+    import time as _time
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamArrowWriter,
+        WriterCommitMessage,
+    )
+
+    from ..schemas import EVENTS_STREAM_SCHEMA
+
+    base = scratch_dir("sink_python_stream_datasource")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    os.makedirs(out)
+
+    e = table(spark, sf_dir, "events")
+    pdf = e.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    step = (len(pdf) + 2) // 3
+    now = _time.time()
+    for i in range(3):
+        p = f"{src}/chunk_{i}.parquet"
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (now - (3 - i) * 10,) * 2)
+
+    class TmpMsg(WriterCommitMessage):
+        def __init__(self, tmp):
+            self.tmp = tmp
+
+    class PyStreamWriter(DataSourceStreamArrowWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            batches = list(iterator)
+            tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.parquet")
+            if batches:
+                pq.write_table(pa.Table.from_batches(batches), tmp)
+            else:
+                tmp = None  # empty task publishes nothing
+            return TmpMsg(tmp)
+
+        def commit(self, messages, batchId):
+            for i, m in enumerate(messages):
+                if m is None or m.tmp is None:
+                    continue
+                # deterministic names keyed by batchId: a replayed
+                # batch overwrites itself — idempotent, hence
+                # exactly-once through at-least-once batch delivery
+                os.replace(
+                    m.tmp,
+                    os.path.join(
+                        self.path, f"batch-{batchId:05d}-part-{i:05d}.parquet"
+                    ),
+                )
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and m.tmp and os.path.exists(m.tmp):
+                    os.remove(m.tmp)
+
+    class PyStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "pystreamparts"
+
+        def schema(self):
+            return "event_id bigint, user_id bigint, value_e4 bigint"
+
+        def streamWriter(self, schema, overwrite):
+            return PyStreamWriter(self.options)
+
+    spark.dataSource.register(PyStreamSink)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
+        )
+    )
+    q = (
+        stream.writeStream.format("pystreamparts")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "sink_python_stream_datasource: availableNow query exceeded 300s"
+        )
+    return spark.read.schema(
+        "event_id long, user_id long, value_e4 long"
+    ).parquet(out)

@@ -436,3 +436,55 @@ def stream_tws_map_state(spark, sf_dir):
     twin (see user_type_counts_tws for the streaming form); completes
     the transformWithState typed-state primitive set."""
     return user_type_counts_batch(table(spark, sf_dir, "events"))
+
+
+@register(
+    "udtf_analyze_dynamic",
+    oracle="""
+        SELECT doc_id,
+               string_split(text, ' ')[1] AS w_0,
+               string_split(text, ' ')[2] AS w_1,
+               string_split(text, ' ')[3] AS w_2
+        FROM documents
+    """,
+)
+def udtf_analyze_dynamic(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is not
+    declared statically but computed by a static ``analyze`` method
+    from the call's CONSTANT argument at plan time — here
+    ``first_words(text, 3)`` manufactures columns w_0..w_2, and
+    calling it with a different literal produces a different relation
+    type. This is the API surface behind schema-aware connectors and
+    config-driven extractors (the column list lives in the query, not
+    the code). analyze() runs once on the driver during analysis;
+    eval() runs row-parallel on executors like any UDTF. The oracle
+    restates the n=3 instance with DuckDB list indexing (1-based,
+    NULL past the end — matching the eval's padding)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise ValueError("n must be a constant literal")
+            st = StructType()
+            for i in range(int(n.value)):
+                st = st.add(f"w_{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text, n):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(int(n))
+            )
+
+    spark.udtf.register("first_words", udtf(FirstWords))
+    table(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.w_0, f.w_1, f.w_2
+        FROM v_docs_udtf d, LATERAL first_words(d.text, 3) f
+        """
+    )
