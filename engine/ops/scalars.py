@@ -782,3 +782,46 @@ def str_regex_count_substr(spark, sf_dir):
         F.regexp_count("p_name", F.lit("[aeiou]")).cast("long").alias("n_vowels"),
         F.regexp_substr("p_name", F.lit("[a-z]+ed")).alias("first_ed"),
     )
+
+
+@register(
+    "str_collation_ci",
+    oracle="""
+        WITH segs AS (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                      ELSE upper(substr(c_mktsegment, 1, 1))
+                           || lower(substr(c_mktsegment, 2)) END AS seg
+          FROM customer
+        )
+        SELECT count(DISTINCT seg) AS n_raw,
+               count(DISTINCT lower(seg)) AS n_ci,
+               CAST(sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_building_ci
+        FROM segs
+    """,
+)
+def str_collation_ci(spark, sf_dir):
+    """Spark 4 COLLATIONS: comparisons, DISTINCT, and equality under
+    ``collate(col, 'UTF8_LCASE')`` are case-insensitive AT THE ENGINE
+    level — the collation travels with the string type through every
+    operator (joins, aggs, sorts) instead of being re-spelled as
+    lower() at each use site, and unlike lower() it preserves the
+    original bytes. The demo manufactures a mixed-case segment column
+    (half lowercase, half initcap), then counts distinct segments
+    under binary vs UTF8_LCASE collation (10 vs 5) and filters with a
+    collated equality. The oracle restates the semantics with lower()
+    — legal here because ASCII lowercasing and UTF8_LCASE agree on
+    this data; the Spark side exercises the real collation surface."""
+    c = table(spark, sf_dir, "customer").select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+        )
+        .otherwise(F.initcap("c_mktsegment"))
+        .alias("seg")
+    )
+    ci = F.collate(F.col("seg"), "UTF8_LCASE")
+    return c.agg(
+        F.countDistinct("seg").alias("n_raw"),
+        F.countDistinct(ci).alias("n_ci"),
+        F.sum((ci == F.lit("building")).cast("long")).alias("n_building_ci"),
+    )

@@ -1098,3 +1098,121 @@ def stream_join_window_e2e(spark, sf_dir):
         "n_conversions",
         "revenue",
     )
+
+
+@register(
+    "sink_stream_upsert_scd1",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               value AS last_value
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+)
+def sink_stream_upsert_scd1(spark, sf_dir):
+    """Streaming UPSERT (SCD type-1) into a keyed parquet snapshot via
+    ``foreachBatch`` — the production pattern for maintaining a
+    latest-row-per-key dimension from a stream when no ACID table
+    format (Delta/Iceberg MERGE) is available: each micro-batch
+    reduces to its per-key latest, full-outer-merges with the current
+    snapshot keeping the newer row, writes the NEW snapshot generation
+    to a fresh directory, and atomically advances a pointer file —
+    readers never observe a half-written snapshot, and a replayed
+    batch re-merges idempotently (max-by-timestamp is idempotent and
+    commutative, the property that makes at-least-once delivery safe
+    here). Feed = events in three time-ordered micro-batches, so later
+    batches genuinely OVERWRITE earlier users' rows; the oracle is the
+    per-user latest event over the whole table — a lost upsert, stale
+    generation read, or double-applied batch diverges the hash.
+
+    Scale shape: the merge is one shuffle per batch keyed user_id
+    (batch-side pre-reduced map-side), snapshot rewrite is
+    O(|snapshot|) per batch — the right form until snapshot size
+    demands partition-targeted rewrites (then: partitionBy(bucket) and
+    rewrite only touched buckets, same pointer protocol)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from ..registry import scratch_dir
+    from ..schemas import EVENTS_STREAM_SCHEMA
+
+    base = scratch_dir("sink_stream_upsert_scd1")
+    src, snaps, ptr = f"{base}/src", f"{base}/snaps", f"{base}/CURRENT"
+    ckpt = f"{base}/ckpt"
+    os.makedirs(src)
+    os.makedirs(snaps)
+
+    e = table(spark, sf_dir, "events")
+    pdf = (
+        e.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    step = (len(pdf) + 2) // 3
+    now = _time.time()
+    for i in range(3):
+        p = f"{src}/chunk_{i}.parquet"
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (now - (3 - i) * 10,) * 2)
+
+    SNAP_SCHEMA = "user_id long, last_event_id long, last_ts timestamp_ntz, last_value double"
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("last_ts"), F.desc("last_event_id")
+    )
+
+    def upsert(batch_df, batch_id):
+        latest = (
+            batch_df.select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+                F.col("value").alias("last_value"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = spark.read.schema(SNAP_SCHEMA).parquet(f.read().strip())
+            merged = (
+                cur.unionByName(latest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1")
+                .drop("rn")
+            )
+        else:
+            merged = latest
+        gen_dir = os.path.join(snaps, f"gen-{batch_id:05d}")
+        merged.write.mode("overwrite").parquet(gen_dir)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(gen_dir)
+        os.replace(tmp, ptr)  # atomic pointer advance
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "sink_stream_upsert_scd1: availableNow query exceeded 300s"
+        )
+    with open(ptr) as f:
+        return spark.read.schema(SNAP_SCHEMA).parquet(f.read().strip())
