@@ -977,3 +977,72 @@ def sink_python_stream_datasource(spark, sf_dir):
     return spark.read.schema(
         "event_id long, user_id long, value_e4 long"
     ).parquet(out)
+
+
+@register(
+    "scan_manifest_file_skip",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10'
+          AND ts <  TIMESTAMP '2024-01-15'
+    """,
+)
+def scan_manifest_file_skip(spark, sf_dir):
+    """Zone-map FILE SKIPPING from a manifest — the lakehouse pruning
+    layer BEYOND partition pruning (what Delta/Iceberg data-skipping
+    stats do): the table is written range-clustered on ts
+    (repartitionByRange → each file covers a tight ts interval), a
+    manifest of per-file (min_ts, max_ts) is derived in one
+    distributed pass off the ``_metadata.file_path`` hidden column
+    (in production it is written at ingest), and a time-band query
+    consults the MANIFEST first — only files whose [min,max] interval
+    overlaps the predicate are handed to the reader at all. The files
+    list is metadata-sized (one row per file), so the driver-side
+    selection is O(|files|), never O(rows). Row-level correctness
+    still comes from re-applying the predicate inside the pruned scan
+    (zone maps admit false positives at the boundaries, never false
+    negatives — same contract as parquet row-group stats one level
+    up). tests/test_plans.py asserts the five-day band reads a strict
+    minority of the 8 files; the oracle is the plain full-scan filter,
+    so a file wrongly skipped is missing rows and a hash failure.
+
+    At 100 TB: clustering + manifest turns a full-table time query
+    into an O(matching-files) read even when the partition key is
+    something else entirely (here there are no partitions at all)."""
+    import os
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = scratch_dir("scan_manifest_file_skip")
+    data = f"{base}/data"
+    e.repartitionByRange(8, "ts").write.parquet(data)
+
+    manifest = (
+        spark.read.parquet(data)
+        .select("ts", F.col("_metadata.file_path").alias("file_path"))
+        .groupBy("file_path")
+        .agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+    )
+    lo, hi = "2024-01-10", "2024-01-15"
+    keep = [
+        r["file_path"]
+        for r in manifest.filter(
+            (F.col("max_ts") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("min_ts") < F.lit(hi).cast("timestamp_ntz"))
+        ).collect()
+    ]
+    n_total = len([f for f in os.listdir(data) if f.endswith(".parquet")])
+    if not (0 < len(keep) < n_total):
+        raise AssertionError(
+            f"manifest pruning vacuous: {len(keep)}/{n_total} files selected"
+        )
+    return (
+        spark.read.parquet(*[p.replace("file://", "") for p in keep])
+        .filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )

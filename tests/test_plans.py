@@ -469,3 +469,14 @@ def test_grouped_map_buckets_not_raw_key(spark):
     plan = _plan(spark, "udf_grouped_map")
     assert "FlatMapGroupsInPandas" in plan
     assert "pmod" in plan and "xxhash64" in plan, plan
+
+
+def test_manifest_skip_reads_minority_of_files(spark):
+    """Zone-map pruning must be real: the five-day band over the
+    8-file range-clustered table may touch at most 3 files (the op
+    itself asserts non-vacuity; this pins the selectivity)."""
+    from pyspark.sql import functions as F
+
+    df = engine.QUERIES["scan_manifest_file_skip"](spark, T2_SF_DIR)
+    n = df.select(F.col("_metadata.file_path")).distinct().count()
+    assert 1 <= n <= 3, f"pruned scan touched {n} files"
