@@ -1134,6 +1134,22 @@ def sink_stream_upsert_scd1(spark, sf_dir):
     O(|snapshot|) per batch — the right form until snapshot size
     demands partition-targeted rewrites (then: partitionBy(bucket) and
     rewrite only touched buckets, same pointer protocol)."""
+    ptr, _snaps = _scd1_rig(spark, sf_dir, "sink_stream_upsert_scd1")
+    with open(ptr) as f:
+        return spark.read.schema(SCD1_SNAP_SCHEMA).parquet(f.read().strip())
+
+
+SCD1_SNAP_SCHEMA = (
+    "user_id long, last_event_id long, last_ts timestamp_ntz, "
+    "last_value double"
+)
+
+
+def _scd1_rig(spark, sf_dir, opname):
+    """Shared SCD1 generation-snapshot rig (sink_stream_upsert_scd1,
+    scan_snapshot_time_travel): three time-ordered micro-batches of the
+    events table upserted into generation dirs behind an atomic
+    pointer. Returns (pointer path, generations dir)."""
     import os
     import time as _time
 
@@ -1142,7 +1158,7 @@ def sink_stream_upsert_scd1(spark, sf_dir):
     from ..registry import scratch_dir
     from ..schemas import EVENTS_STREAM_SCHEMA
 
-    base = scratch_dir("sink_stream_upsert_scd1")
+    base = scratch_dir(opname)
     src, snaps, ptr = f"{base}/src", f"{base}/snaps", f"{base}/CURRENT"
     ckpt = f"{base}/ckpt"
     os.makedirs(src)
@@ -1163,7 +1179,6 @@ def sink_stream_upsert_scd1(spark, sf_dir):
         pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
         os.utime(p, (now - (3 - i) * 10,) * 2)
 
-    SNAP_SCHEMA = "user_id long, last_event_id long, last_ts timestamp_ntz, last_value double"
     w = Window.partitionBy("user_id").orderBy(
         F.desc("last_ts"), F.desc("last_event_id")
     )
@@ -1182,7 +1197,9 @@ def sink_stream_upsert_scd1(spark, sf_dir):
         )
         if os.path.exists(ptr):
             with open(ptr) as f:
-                cur = spark.read.schema(SNAP_SCHEMA).parquet(f.read().strip())
+                cur = spark.read.schema(SCD1_SNAP_SCHEMA).parquet(
+                    f.read().strip()
+                )
             merged = (
                 cur.unionByName(latest)
                 .withColumn("rn", F.row_number().over(w))
@@ -1211,8 +1228,178 @@ def sink_stream_upsert_scd1(spark, sf_dir):
     )
     if not q.awaitTermination(300):
         q.stop()
+        raise TimeoutError(f"{opname}: availableNow query exceeded 300s")
+    return ptr, snaps
+
+
+@register(
+    "sink_stream_cdc_apply",
+    oracle="""
+        WITH ops AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN event_id % 10 = 0 THEN 'D'
+                      ELSE 'U' END AS op,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ) AS rn
+          FROM events
+        )
+        SELECT user_id, event_id AS last_event_id, value AS last_value
+        FROM ops WHERE rn = 1 AND op = 'U'
+    """,
+)
+def sink_stream_cdc_apply(spark, sf_dir):
+    """CDC APPLY with DELETES — the half of change-data-capture the
+    SCD1 upsert (sink_stream_upsert_scd1) cannot express: the stream
+    carries I/U/D operations (derived closed-form here: every 10th
+    event_id is a DELETE of its key, the rest are upserts), and the
+    materialized table must honor the LAST operation per key in
+    event-time order — a key whose newest change is a delete is
+    ABSENT, even if the delete arrived in an earlier micro-batch than
+    a stale update replay. Per batch: reduce to last-op-per-key,
+    full-merge with the snapshot keeping the newer (ts, event_id),
+    then filter out keys whose winning op is D; generation-dir +
+    atomic pointer protocol as in SCD1, so replays re-apply
+    idempotently (last-writer-wins is order-insensitive across
+    batches once the tiebreak is total). The oracle restates the
+    final table closed-form: per user, the latest event wins, and a
+    latest-event DELETE removes the row. A tombstone applied as an
+    upsert, a resurrected deleted key, or a lost delete is a
+    value-hash failure.
+
+    Scale: identical shape to SCD1 (one keyed shuffle per batch,
+    snapshot rewrite per generation); tombstones stay IN the snapshot
+    (op column) so late stale updates lose against them — compaction
+    may age them out after the retention window, exactly as
+    Delta/Iceberg expire tombstones."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from ..registry import scratch_dir
+    from ..schemas import EVENTS_STREAM_SCHEMA
+
+    base = scratch_dir("sink_stream_cdc_apply")
+    src, snaps, ptr = f"{base}/src", f"{base}/snaps", f"{base}/CURRENT"
+    ckpt = f"{base}/ckpt"
+    os.makedirs(src)
+    os.makedirs(snaps)
+
+    e = table(spark, sf_dir, "events")
+    pdf = (
+        e.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    step = (len(pdf) + 2) // 3
+    now = _time.time()
+    for i in range(3):
+        p = f"{src}/chunk_{i}.parquet"
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (now - (3 - i) * 10,) * 2)
+
+    SNAP_SCHEMA = (
+        "user_id long, last_event_id long, last_ts timestamp_ntz, "
+        "last_value double, op string"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("last_ts"), F.desc("last_event_id")
+    )
+
+    def apply_cdc(batch_df, batch_id):
+        changes = batch_df.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+            F.col("value").alias("last_value"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = spark.read.schema(SNAP_SCHEMA).parquet(f.read().strip())
+            changes = cur.unionByName(changes)
+        merged = (
+            changes.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        gen_dir = os.path.join(snaps, f"gen-{batch_id:05d}")
+        merged.write.mode("overwrite").parquet(gen_dir)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(gen_dir)
+        os.replace(tmp, ptr)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_cdc)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
         raise TimeoutError(
-            "sink_stream_upsert_scd1: availableNow query exceeded 300s"
+            "sink_stream_cdc_apply: availableNow query exceeded 300s"
         )
     with open(ptr) as f:
-        return spark.read.schema(SNAP_SCHEMA).parquet(f.read().strip())
+        snap = spark.read.schema(SNAP_SCHEMA).parquet(f.read().strip())
+    # serving view: tombstoned keys are invisible
+    return snap.filter(F.col("op") == "U").select(
+        "user_id", "last_event_id", "last_value"
+    )
+
+
+@register(
+    "scan_snapshot_time_travel",
+    oracle="""
+        WITH ordered AS (
+          SELECT user_id, event_id, ts, value,
+                 row_number() OVER (ORDER BY ts, event_id) AS gpos,
+                 count(*) OVER () AS n
+          FROM events
+        ), prefix AS (
+          SELECT * FROM ordered
+          WHERE gpos <= 2 * CAST(ceil(n / 3.0) AS BIGINT)
+        ), latest AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ) AS rn
+          FROM prefix
+        )
+        SELECT user_id, event_id AS last_event_id, value AS last_value
+        FROM latest WHERE rn = 1
+    """,
+)
+def scan_snapshot_time_travel(spark, sf_dir):
+    """TIME TRAVEL over the generation-snapshot table — the read-side
+    payoff of the SCD1 pointer protocol (shared rig with
+    sink_stream_upsert_scd1): every upsert batch leaves an immutable
+    ``gen-{batch}`` directory, so "the table AS OF batch 1" is a plain
+    read of an older generation — no ACID format required, the same
+    contract `VERSION AS OF` gives on Delta/Iceberg (whose snapshots
+    are likewise just retained manifests). The op reads gen-00001 (the
+    state after the first TWO of three micro-batches) and the oracle
+    reconstructs it closed-form: the feed is the events table in
+    global (ts, event_id) order split into ceil(n/3)-row chunks, so
+    generation 1 ≡ latest-per-user over the first 2·ceil(n/3) rows. A
+    generation contaminated by a later batch, or a non-reproducible
+    chunk boundary, is a value-hash failure. Retention/GC of old
+    generations is the same policy knob as snapshot expiry in real
+    table formats."""
+    import os
+
+    _ptr, snaps = _scd1_rig(spark, sf_dir, "scan_snapshot_time_travel")
+    gen1 = os.path.join(snaps, "gen-00001")
+    return spark.read.schema(SCD1_SNAP_SCHEMA).parquet(gen1).select(
+        "user_id", "last_event_id", "last_value"
+    )
