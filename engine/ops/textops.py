@@ -1553,3 +1553,75 @@ def text_bpe_encode(spark, sf_dir):
             F.sum("nt").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+@register(
+    "corpus_prep_pipeline_e2e",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, lang, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents
+        ), staged AS (
+          SELECT *,
+                 (n_tok BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS})
+                   AS pass_len,
+                 (row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+                   AS pass_exact,
+                 (lang IN ('en', 'fr', 'es', 'de')) AS pass_lang
+          FROM t
+        ), kept AS (
+          SELECT doc_id, lang, n_tok
+          FROM staged WHERE pass_len AND pass_exact AND pass_lang
+        ), packed AS (
+          SELECT *,
+                 sum(n_tok) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM kept
+        )
+        SELECT doc_id, lang, n_tok,
+               CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS bin_id
+        FROM packed
+    """,
+)
+def corpus_prep_pipeline_e2e(spark, sf_dir):
+    """The WHOLE training-data prep pipeline as ONE composed DataFrame
+    query — the per-document companion to corpus_filter_funnel's count
+    report: length-band filter → exact dedup (lowest-doc_id keeper,
+    dedup_exact's rule) → language keep-list → sequence packing of the
+    SURVIVORS into {PACK_BUDGET}-token bins. A user of the engine runs
+    their curation end to end in one call and gets back, per selected
+    document, its language, token count, and packed-bin assignment.
+
+    Composition is where pipelines silently break (a filter applied
+    after packing instead of before changes every bin boundary), so
+    the oracle restates the full four-stage chain and value-hashes the
+    final assignment — any stage reordering, off-by-one in the dedup
+    keeper, or drift in the packing prefix-sum shows up as a hash
+    mismatch. One scan computes all stage flags; the only wide ops are
+    the per-text dedup window and the packing prefix-sum (global-order
+    here, per-shard at 100 TB exactly as text_pack_sequences notes)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens()).cast("long")
+    wd = Window.partitionBy("text").orderBy("doc_id")
+    staged = (
+        d.select("doc_id", "lang", "text", n_tok.alias("n_tok"))
+        .withColumn("pass_exact", F.row_number().over(wd) == 1)
+        .withColumn(
+            "pass_len",
+            F.col("n_tok").between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS),
+        )
+        .withColumn("pass_lang", F.col("lang").isin("en", "fr", "es", "de"))
+    )
+    kept = staged.filter(
+        F.col("pass_len") & F.col("pass_exact") & F.col("pass_lang")
+    ).select("doc_id", "lang", "n_tok")
+    wp = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return kept.withColumn("cum", F.sum("n_tok").over(wp)).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        ((F.col("cum") - 1) / PACK_BUDGET).cast("long").alias("bin_id"),
+    )
