@@ -861,19 +861,19 @@ def sink_python_stream_datasource(spark, sf_dir):
     Python-writer shape that survives 100 TB/day ingest). Exactly-once
     protocol: write() lands each task's batches at a TEMP name and
     returns the path in its commit message; the driver-side
-    commit(messages, batchId) renames every temp to a deterministic
-    `batch-{batchId}-part-{i}` name via os.replace — a batch REPLAYED
-    after a crash (streaming's at-least-once batch delivery) rewrites
-    the exact same final names, so replay is idempotent by
-    construction, which is precisely how the parquet sink's
-    transactional log achieves exactly-once without distributed
-    coordination. abort() removes strays. Feed = the events table
+    commit(messages, batchId) first sweeps ANY parts a crashed prior
+    attempt of this batch left behind (a replay may plan fewer
+    partitions, so overwrite-by-name alone would leak stale
+    higher-numbered parts), then renames every temp to a
+    deterministic `batch-{batchId}-part-{i}` name via os.replace — a
+    REPLAYED batch (streaming's at-least-once batch delivery) fully
+    replaces its own output, so replay is idempotent and delivery is
+    exactly-once without distributed coordination. abort() removes strays. Feed = the events table
     split across three mtime-ordered files (one micro-batch each), so
     commit runs per-batch three times; the oracle round-trips the
     landed files — a lost task, duplicated replay, or partial commit
     is a value-hash failure."""
     import os
-    import time as _time
     import uuid
 
     from pyspark.sql.datasource import (
@@ -889,17 +889,9 @@ def sink_python_stream_datasource(spark, sf_dir):
     os.makedirs(src)
     os.makedirs(out)
 
-    e = table(spark, sf_dir, "events")
-    pdf = e.select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    ).toPandas()
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    step = (len(pdf) + 2) // 3
-    now = _time.time()
-    for i in range(3):
-        p = f"{src}/chunk_{i}.parquet"
-        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
-        os.utime(p, (now - (3 - i) * 10,) * 2)
+    from .streaming import _chunked_stream_feed
+
+    _chunked_stream_feed(spark, sf_dir, src)
 
     class TmpMsg(WriterCommitMessage):
         def __init__(self, tmp):
@@ -922,12 +914,24 @@ def sink_python_stream_datasource(spark, sf_dir):
             return TmpMsg(tmp)
 
         def commit(self, messages, batchId):
+            import glob as _glob
+
+            # clear ANY prior attempt of this batch first: overwrite-
+            # by-name alone is not enough when a replay plans FEWER
+            # partitions than the crashed attempt — its stale higher-
+            # numbered parts would survive and double-count (round-5
+            # second-review finding)
+            for stale in _glob.glob(
+                os.path.join(self.path, f"batch-{batchId:05d}-part-*")
+            ):
+                os.remove(stale)
             for i, m in enumerate(messages):
                 if m is None or m.tmp is None:
                     continue
-                # deterministic names keyed by batchId: a replayed
-                # batch overwrites itself — idempotent, hence
-                # exactly-once through at-least-once batch delivery
+                # deterministic names keyed by batchId: with the
+                # stale-part sweep above, a replayed batch fully
+                # replaces itself — idempotent, hence exactly-once
+                # through at-least-once batch delivery
                 os.replace(
                     m.tmp,
                     os.path.join(

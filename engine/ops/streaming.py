@@ -1145,13 +1145,42 @@ SCD1_SNAP_SCHEMA = (
 )
 
 
-def _scd1_rig(spark, sf_dir, opname):
-    """Shared SCD1 generation-snapshot rig (sink_stream_upsert_scd1,
-    scan_snapshot_time_travel): three time-ordered micro-batches of the
-    events table upserted into generation dirs behind an atomic
-    pointer. Returns (pointer path, generations dir)."""
+def _chunked_stream_feed(spark, sf_dir, src, n_chunks=3):
+    """Shared mtime-ordered stream feed: the events table in global
+    (ts, event_id) order, split into ceil(n/n_chunks)-row chunk files
+    processed one per micro-batch (maxFilesPerTrigger=1 on the
+    reader). The chunk arithmetic is LOAD-BEARING for
+    scan_snapshot_time_travel's oracle (generation k ≡ latest-per-key
+    over the first k·ceil(n/3) rows) — single-sourced here instead of
+    copied per op (round-5 second-review finding)."""
     import os
     import time as _time
+
+    e = table(spark, sf_dir, "events")
+    pdf = (
+        e.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    step = (len(pdf) + n_chunks - 1) // n_chunks
+    now = _time.time()
+    for i in range(n_chunks):
+        p = f"{src}/chunk_{i}.parquet"
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (now - (n_chunks - i) * 10,) * 2)
+
+
+def _generation_snapshot_rig(spark, sf_dir, opname, snap_schema, make_changes):
+    """Generation-snapshot foreachBatch rig shared by the SCD1 upsert,
+    the CDC apply, and time travel: chunked feed → per micro-batch,
+    ``make_changes`` projects the batch into the snapshot schema, the
+    result unions with the current snapshot, the newest
+    (last_ts, last_event_id) row per user wins, the new generation is
+    written to an immutable ``gen-{batch}`` dir, and a pointer file is
+    atomically advanced. Returns (pointer path, generations dir)."""
+    import os
 
     from pyspark.sql import Window
 
@@ -1163,51 +1192,23 @@ def _scd1_rig(spark, sf_dir, opname):
     ckpt = f"{base}/ckpt"
     os.makedirs(src)
     os.makedirs(snaps)
-
-    e = table(spark, sf_dir, "events")
-    pdf = (
-        e.select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .toPandas()
-        .sort_values(["ts", "event_id"])
-        .reset_index(drop=True)
-    )
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    step = (len(pdf) + 2) // 3
-    now = _time.time()
-    for i in range(3):
-        p = f"{src}/chunk_{i}.parquet"
-        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
-        os.utime(p, (now - (3 - i) * 10,) * 2)
+    _chunked_stream_feed(spark, sf_dir, src)
 
     w = Window.partitionBy("user_id").orderBy(
         F.desc("last_ts"), F.desc("last_event_id")
     )
 
     def upsert(batch_df, batch_id):
-        latest = (
-            batch_df.select(
-                "user_id",
-                F.col("event_id").alias("last_event_id"),
-                F.col("ts").cast("timestamp_ntz").alias("last_ts"),
-                F.col("value").alias("last_value"),
-            )
-            .withColumn("rn", F.row_number().over(w))
+        changes = make_changes(batch_df)
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = spark.read.schema(snap_schema).parquet(f.read().strip())
+            changes = cur.unionByName(changes)
+        merged = (
+            changes.withColumn("rn", F.row_number().over(w))
             .filter("rn = 1")
             .drop("rn")
         )
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                cur = spark.read.schema(SCD1_SNAP_SCHEMA).parquet(
-                    f.read().strip()
-                )
-            merged = (
-                cur.unionByName(latest)
-                .withColumn("rn", F.row_number().over(w))
-                .filter("rn = 1")
-                .drop("rn")
-            )
-        else:
-            merged = latest
         gen_dir = os.path.join(snaps, f"gen-{batch_id:05d}")
         merged.write.mode("overwrite").parquet(gen_dir)
         tmp = ptr + ".tmp"
@@ -1230,6 +1231,23 @@ def _scd1_rig(spark, sf_dir, opname):
         q.stop()
         raise TimeoutError(f"{opname}: availableNow query exceeded 300s")
     return ptr, snaps
+
+
+def _scd1_rig(spark, sf_dir, opname):
+    """SCD1 instantiation of the generation rig: upsert-only changes
+    (no op column)."""
+
+    def latest_cols(batch_df):
+        return batch_df.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+
+    return _generation_snapshot_rig(
+        spark, sf_dir, opname, SCD1_SNAP_SCHEMA, latest_cols
+    )
 
 
 @register(
@@ -1272,45 +1290,13 @@ def sink_stream_cdc_apply(spark, sf_dir):
     (op column) so late stale updates lose against them — compaction
     may age them out after the retention window, exactly as
     Delta/Iceberg expire tombstones."""
-    import os
-    import time as _time
-
-    from pyspark.sql import Window
-
-    from ..registry import scratch_dir
-    from ..schemas import EVENTS_STREAM_SCHEMA
-
-    base = scratch_dir("sink_stream_cdc_apply")
-    src, snaps, ptr = f"{base}/src", f"{base}/snaps", f"{base}/CURRENT"
-    ckpt = f"{base}/ckpt"
-    os.makedirs(src)
-    os.makedirs(snaps)
-
-    e = table(spark, sf_dir, "events")
-    pdf = (
-        e.select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .toPandas()
-        .sort_values(["ts", "event_id"])
-        .reset_index(drop=True)
-    )
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    step = (len(pdf) + 2) // 3
-    now = _time.time()
-    for i in range(3):
-        p = f"{src}/chunk_{i}.parquet"
-        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
-        os.utime(p, (now - (3 - i) * 10,) * 2)
-
-    SNAP_SCHEMA = (
+    snap_schema = (
         "user_id long, last_event_id long, last_ts timestamp_ntz, "
         "last_value double, op string"
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("last_ts"), F.desc("last_event_id")
-    )
 
-    def apply_cdc(batch_df, batch_id):
-        changes = batch_df.select(
+    def cdc_changes(batch_df):
+        return batch_df.select(
             "user_id",
             F.col("event_id").alias("last_event_id"),
             F.col("ts").cast("timestamp_ntz").alias("last_ts"),
@@ -1319,40 +1305,12 @@ def sink_stream_cdc_apply(spark, sf_dir):
             .otherwise(F.lit("U"))
             .alias("op"),
         )
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                cur = spark.read.schema(SNAP_SCHEMA).parquet(f.read().strip())
-            changes = cur.unionByName(changes)
-        merged = (
-            changes.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .drop("rn")
-        )
-        gen_dir = os.path.join(snaps, f"gen-{batch_id:05d}")
-        merged.write.mode("overwrite").parquet(gen_dir)
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(gen_dir)
-        os.replace(tmp, ptr)
 
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+    ptr, _snaps = _generation_snapshot_rig(
+        spark, sf_dir, "sink_stream_cdc_apply", snap_schema, cdc_changes
     )
-    q = (
-        stream.writeStream.foreachBatch(apply_cdc)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "sink_stream_cdc_apply: availableNow query exceeded 300s"
-        )
     with open(ptr) as f:
-        snap = spark.read.schema(SNAP_SCHEMA).parquet(f.read().strip())
+        snap = spark.read.schema(snap_schema).parquet(f.read().strip())
     # serving view: tombstoned keys are invisible
     return snap.filter(F.col("op") == "U").select(
         "user_id", "last_event_id", "last_value"

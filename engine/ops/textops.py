@@ -1558,10 +1558,15 @@ def text_bpe_encode(spark, sf_dir):
 @register(
     "corpus_prep_pipeline_e2e",
     oracle=f"""
-        WITH t AS (
+        WITH u AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, lang, text FROM documents
+          WHERE doc_id < 100
+        ), t AS (
           SELECT doc_id, lang, text,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-          FROM documents
+          FROM u
         ), staged AS (
           SELECT *,
                  (n_tok BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS})
@@ -1592,6 +1597,12 @@ def corpus_prep_pipeline_e2e(spark, sf_dir):
     SURVIVORS into {PACK_BUDGET}-token bins. A user of the engine runs
     their curation end to end in one call and gets back, per selected
     document, its language, token count, and packed-bin assignment.
+    The fixture corpus has NO duplicate texts (FIXTURES.md), so a
+    copied slice (doc_id+100000, dedup_exact's convention) is unioned
+    in to make the dedup stage observable — a broken keeper rule now
+    admits synthetic copies into the packing and shifts every later
+    bin boundary, which the hash catches (round-5 second review: the
+    stage was vacuous without this).
 
     Composition is where pipelines silently break (a filter applied
     after packing instead of before changes every bin boundary), so
@@ -1603,7 +1614,12 @@ def corpus_prep_pipeline_e2e(spark, sf_dir):
     here, per-shard at 100 TB exactly as text_pack_sequences notes)."""
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = base.unionByName(
+        base.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+        )
+    )
     n_tok = F.size(_tokens()).cast("long")
     wd = Window.partitionBy("text").orderBy("doc_id")
     staged = (
