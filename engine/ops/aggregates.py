@@ -1583,41 +1583,46 @@ def agg_linreg_trend(spark, sf_dir):
 )
 def ts_cusum_detect(spark, sf_dir):
     """CUSUM changepoint detection on each event type's daily count
-    series: Sᵢ = max(0, Sᵢ₋₁ + (nᵢ − mean)) — a NONLINEAR recurrence
-    no window frame can express (the max-reset couples every step).
-    The idiomatic Spark escape hatch is applyInPandas: the series is
-    first reduced to (type, day) counts — group cardinality, not
-    event cardinality — then each type's ~30-row series runs the
-    recurrence sequentially inside one Arrow batch. To stay exact the
-    recurrence is computed in mean-scaled integer units (n·den − num,
-    where num/den is the per-type mean as a fraction), so Spark's
-    pandas int64 path and DuckDB's recursive CTE produce identical
-    integers; the alarm threshold (2 mean-days of excess, 2·num) is
-    integer too. Parallelism = number of series, the natural unit."""
-    import pandas as pd
+    series: Sᵢ = max(0, Sᵢ₋₁ + (nᵢ − mean)). The max-reset LOOKS like
+    a recurrence no window frame can express, but it has the classic
+    drawdown closed form — with cumᵗ the prefix sum of the deviations
+    (and cum₀ = 0), Sᵗ = cumᵗ − min(0, min_{j≤t} cumⱼ) — so the whole
+    detector is TWO plain window passes over the per-(type, day)
+    aggregate, entirely inside whole-stage codegen (round-5 rewrite;
+    the first spelling ran the recurrence in applyInPandas and its
+    docstring wrongly claimed windows could not express it). Exactness
+    is unchanged: deviations are mean-scaled integers (n·den − num,
+    num/den the per-type mean as a fraction), so the window arithmetic
+    and DuckDB's recursive CTE produce identical integers; the alarm
+    threshold (2 mean-days of excess, 2·num) is integer too. One
+    shuffle for the daily rollup; the windows reuse its (event_type)
+    partitioning."""
+    from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
     d = e.groupBy(
         "event_type", F.col("ts").cast("date").cast("string").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
 
-    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day").reset_index(drop=True)
-        num = int(pdf["n"].sum())
-        den = len(pdf)
-        s, out = 0, []
-        for n in pdf["n"]:
-            s = max(0, s + int(n) * den - num)
-            out.append(s)
-        pdf["cusum"] = pd.Series(out, dtype="int64")
-        pdf["flagged"] = pdf["cusum"] >= 2 * num
-        return pdf
-
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dev = F.col("n") * F.col("den") - F.col("num")  # n·den − num, exact ints
+    g = (
+        d.withColumn("num", F.sum("n").over(wt))
+        .withColumn("den", F.count(F.lit(1)).over(wt))
+        .withColumn("cum", F.sum(dev).over(wo))
+        # min(0, running-min of cum) ≡ including the empty prefix cum₀=0
+        .withColumn("floor", F.least(F.lit(0), F.min("cum").over(wo)))
+    )
     return (
-        d.groupBy("event_type")
-        .applyInPandas(
-            cusum,
-            "event_type string, day string, n long, cusum long, flagged boolean",
+        g.select(
+            "event_type",
+            "day",
+            "n",
+            (F.col("cum") - F.col("floor")).cast("long").alias("cusum"),
+            (F.col("cum") - F.col("floor") >= 2 * F.col("num")).alias(
+                "flagged"
+            ),
         )
         .orderBy("event_type", "day")
     )
@@ -1830,12 +1835,17 @@ EWMA_DEN = 4
 )
 def ts_ewma_smooth(spark, sf_dir):
     """Exponentially-weighted moving average over each event type's
-    daily count series (α=1/4, seeded with the first observation) —
-    like CUSUM a recurrence no window frame expresses (every step
-    feeds the next). Same scale shape as ts_cusum_detect: ONE
-    aggregation reduces events to group-cardinality series, then each
-    ~30-row series runs sequentially inside one Arrow batch via
-    applyInPandas; parallelism = number of series. The step
+    daily count series (α=1/4, seeded with the first observation).
+    Unlike CUSUM — whose max-reset turned out to be windowable via the
+    drawdown identity (see ts_cusum_detect) — EWMA's linear recurrence
+    DOES have a closed-form weighted-sum spelling, but a window sum of
+    α(1−α)^(t−i)·xᵢ terms changes the floating-point evaluation order
+    and breaks the bit-parity the differential requires (ties at 6 dp
+    are common at α=1/4), so the sequential evaluation is the correct
+    spelling, not a fallback. ONE aggregation reduces events to
+    group-cardinality series, then each ~30-row series runs
+    sequentially inside one Arrow batch via applyInPandas;
+    parallelism = number of series. The step
     (1·x + 3·s)/4 is two products, one sum, one division in IEEE
     double on both engines, in the same order — bit-identical, so
     parity needs only the 6 dp output rounding."""
