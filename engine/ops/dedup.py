@@ -757,3 +757,76 @@ def dedup_savings_report(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+CDC_SHINGLE = 3  # rolling-hash window (tokens)
+CDC_MOD = 8  # boundary when crc32(window) % MOD == 0 → ~MOD-token chunks
+
+
+@register("dedup_cdc_chunks")  # rows-only: chunking is param-defined; an
+# exact pure-Python replica (zlib.crc32 / hashlib.sha256 match Spark's
+# crc32 / sha2 bit-for-bit) is asserted in tests/test_llm_ops.py
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (CDC) dedup — the block-level family
+    member (exact: dedup_exact; shingle: dedup_ngram_jaccard;
+    sketch: minhash/simhash): each document's token stream is split at
+    positions where a rolling hash of the last CDC_SHINGLE tokens hits
+    0 mod CDC_MOD, so chunk boundaries are CONTENT-anchored — insert a
+    sentence and only the chunks it touches change, unlike fixed-size
+    blocks where one insertion shifts every later boundary (the
+    rsync/LBFS/backup-dedup insight). Shared-chunk pairs then surface
+    partially-overlapping documents that whole-doc hashing misses and
+    jaccard underweights.
+
+    All JVM: posexplode → two lag()s build the rolling window,
+    crc32 % MOD flags boundaries, a prefix-sum assigns chunk ids,
+    listagg WITHIN GROUP rebuilds chunk text, sha2 fingerprints it,
+    and the pair search is the grouped inverted index on chunk_hash
+    (bucketed by construction — no all-pairs). crc32/sha2 were chosen
+    over xxhash64 deliberately: zlib.crc32 and hashlib.sha256
+    reproduce them exactly, so the test replica is bit-for-bit, not
+    structural. Scale: one shuffle to tokens' doc partition (window),
+    one to (doc, chunk), one index join keyed chunk_hash."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.length("tok") > 0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = F.concat_ws(
+        " ", F.lag("tok", 2).over(w), F.lag("tok", 1).over(w), F.col("tok")
+    )
+    flagged = toks.withColumn(
+        "boundary",
+        F.when(
+            (F.col("pos") >= CDC_SHINGLE - 1)
+            & (F.crc32(sh) % CDC_MOD == 0),
+            1,
+        ).otherwise(0),
+    )
+    # a boundary closes the chunk AT this token; the next token starts
+    # a new chunk → chunk_id = exclusive prefix sum of boundaries
+    wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    chunked = flagged.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(wx), F.lit(0))
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)").alias(
+                "chunk_text"
+            )
+        )
+        .select("doc_id", F.sha2("chunk_text", 256).alias("chunk_hash"))
+        .distinct()
+    )
+    a = chunks.select(F.col("doc_id").alias("doc_a"), "chunk_hash")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), "chunk_hash")
+    return (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        .filter(F.col("n_shared_chunks") >= 2)
+    )

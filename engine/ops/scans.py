@@ -843,36 +843,13 @@ def sql_scripting_control_flow(spark, sf_dir):
         ).localCheckpoint(eager=True)
 
 
-@register(
-    "sink_python_stream_datasource",
-    oracle="""
-        SELECT event_id, user_id,
-               CAST(round(value * 10000) AS BIGINT) AS value_e4
-        FROM events
-    """,
-)
-def sink_python_stream_datasource(spark, sf_dir):
-    """Spark 4 Python DataSource STREAMING writer — the fourth corner
-    of the custom-connector surface (batch read:
-    source_python_datasource; stream read: kshards; batch write:
-    sink_python_datasource): a bespoke streaming sink implemented as a
-    `DataSourceStreamArrowWriter`, the Arrow variant, so executor
-    tasks hand the sink RecordBatches (no per-row pickling — the only
-    Python-writer shape that survives 100 TB/day ingest). Exactly-once
-    protocol: write() lands each task's batches at a TEMP name and
-    returns the path in its commit message; the driver-side
-    commit(messages, batchId) first sweeps ANY parts a crashed prior
-    attempt of this batch left behind (a replay may plan fewer
-    partitions, so overwrite-by-name alone would leak stale
-    higher-numbered parts), then renames every temp to a
-    deterministic `batch-{batchId}-part-{i}` name via os.replace — a
-    REPLAYED batch (streaming's at-least-once batch delivery) fully
-    replaces its own output, so replay is idempotent and delivery is
-    exactly-once without distributed coordination. abort() removes strays. Feed = the events table
-    split across three mtime-ordered files (one micro-batch each), so
-    commit runs per-batch three times; the oracle round-trips the
-    landed files — a lost task, duplicated replay, or partial commit
-    is a value-hash failure."""
+
+
+def make_pystream_sink():
+    """Build the "pystreamparts" DataSource class (lazily, like
+    make_kshards_source, so importing this module never touches
+    pyspark.sql.datasource on builds that lack it); shared by the
+    registered op and the restart test."""
     import os
     import uuid
 
@@ -881,17 +858,6 @@ def sink_python_stream_datasource(spark, sf_dir):
         DataSourceStreamArrowWriter,
         WriterCommitMessage,
     )
-
-    from ..schemas import EVENTS_STREAM_SCHEMA
-
-    base = scratch_dir("sink_python_stream_datasource")
-    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
-    os.makedirs(src)
-    os.makedirs(out)
-
-    from .streaming import _chunked_stream_feed
-
-    _chunked_stream_feed(spark, sf_dir, src)
 
     class TmpMsg(WriterCommitMessage):
         def __init__(self, tmp):
@@ -955,7 +921,55 @@ def sink_python_stream_datasource(spark, sf_dir):
         def streamWriter(self, schema, overwrite):
             return PyStreamWriter(self.options)
 
-    spark.dataSource.register(PyStreamSink)
+    return PyStreamSink
+
+
+@register(
+    "sink_python_stream_datasource",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(round(value * 10000) AS BIGINT) AS value_e4
+        FROM events
+    """,
+)
+def sink_python_stream_datasource(spark, sf_dir):
+    """Spark 4 Python DataSource STREAMING writer — the fourth corner
+    of the custom-connector surface (batch read:
+    source_python_datasource; stream read: kshards; batch write:
+    sink_python_datasource): a bespoke streaming sink implemented as a
+    `DataSourceStreamArrowWriter`, the Arrow variant, so executor
+    tasks hand the sink RecordBatches (no per-row pickling — the only
+    Python-writer shape that survives 100 TB/day ingest). Exactly-once
+    protocol: write() lands each task's batches at a TEMP name and
+    returns the path in its commit message; the driver-side
+    commit(messages, batchId) first sweeps ANY parts a crashed prior
+    attempt of this batch left behind (a replay may plan fewer
+    partitions, so overwrite-by-name alone would leak stale
+    higher-numbered parts), then renames every temp to a
+    deterministic `batch-{batchId}-part-{i}` name via os.replace — a
+    REPLAYED batch (streaming's at-least-once batch delivery) fully
+    replaces its own output, so replay is idempotent and delivery is
+    exactly-once without distributed coordination. abort() removes strays. Feed = the events table
+    split across three mtime-ordered files (one micro-batch each), so
+    commit runs per-batch three times; the oracle round-trips the
+    landed files — a lost task, duplicated replay, or partial commit
+    is a value-hash failure. Restart STRADDLING a batch is proven
+    exactly-once in tests/test_streaming.py (stop mid-stream, resume
+    from the checkpoint, value-compare)."""
+    import os
+
+    from ..schemas import EVENTS_STREAM_SCHEMA
+
+    base = scratch_dir("sink_python_stream_datasource")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    os.makedirs(out)
+
+    from .streaming import _chunked_stream_feed
+
+    _chunked_stream_feed(spark, sf_dir, src)
+
+    spark.dataSource.register(make_pystream_sink())
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -1049,4 +1063,34 @@ def scan_manifest_file_skip(spark, sf_dir):
             & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
         )
         .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "sql_named_window",
+    oracle="""
+        SELECT user_id, event_id,
+               row_number() OVER w AS rn,
+               lag(event_id) OVER w AS prev_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def sql_named_window(spark, sf_dir):
+    """Named ``WINDOW`` clause — one window definition shared by
+    multiple functions (the E3 analyst surface this repo's own oracles
+    use constantly); both engines run the SAME text, and Catalyst
+    plans exactly one Window node for the shared spec (two functions,
+    one sort — the de-duplication that matters when the partition is
+    100 TB wide). Unique (ts, event_id) ordering keeps rn/lag
+    deterministic for the value hash."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("v_events_nw")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               row_number() OVER w AS rn,
+               lag(event_id) OVER w AS prev_event
+        FROM v_events_nw
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
     )

@@ -452,3 +452,52 @@ def test_wav_decoder_rejects_malformed():
         _wav_decode(bytes(truncated))
     with pytest.raises(ValueError):
         _wav_decode(b"JUNK" + good[4:])
+
+
+def test_cdc_chunks_match_python_replica(spark):
+    """dedup_cdc_chunks must equal a bit-for-bit pure-Python replica:
+    zlib.crc32 and hashlib.sha256 are the same functions Spark's
+    crc32()/sha2() compute, so boundaries, chunk hashes, and the final
+    shared-chunk pairs reproduce exactly (not just structurally)."""
+    import hashlib
+    import zlib
+    from collections import defaultdict
+
+    from engine.ops.dedup import CDC_MOD, CDC_SHINGLE, dedup_cdc_chunks
+
+    rows = (
+        table(spark, T2_SF_DIR, "documents").select("doc_id", "text").collect()
+    )
+    doc_chunks = {}
+    for r in rows:
+        toks = [t for t in r["text"].split(" ") if t]
+        chunks, cur = [], []
+        for i, t in enumerate(toks):
+            cur.append(t)
+            if i >= CDC_SHINGLE - 1:
+                win = " ".join(toks[i - CDC_SHINGLE + 1 : i + 1])
+                if zlib.crc32(win.encode()) % CDC_MOD == 0:
+                    chunks.append(" ".join(cur))
+                    cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        doc_chunks[r["doc_id"]] = {
+            hashlib.sha256(c.encode()).hexdigest() for c in chunks
+        }
+    index = defaultdict(set)
+    for doc, hs in doc_chunks.items():
+        for h in hs:
+            index[h].add(doc)
+    pairs = defaultdict(int)
+    for h, docs in index.items():
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs[(ds[i], ds[j])] += 1
+    want = {k: v for k, v in pairs.items() if v >= 2}
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_chunks"]
+        for r in dedup_cdc_chunks(spark, T2_SF_DIR).collect()
+    }
+    assert got == want

@@ -1226,3 +1226,75 @@ def test_tws_map_state_stream_equals_batch(spark, tmp_path):
     )
     got = got_all.groupBy("user_id", "event_type").agg(F.max("n").alias("n"))
     assert canon(got.toPandas()) == canon(user_type_counts_batch(e).toPandas())
+
+
+def test_pystream_sink_restart_exactly_once(spark, tmp_path):
+    """Python streaming sink (pystreamparts): stop the query mid-stream
+    and resume from the SAME checkpoint — the landed files must hold
+    every event exactly once. This drives the replay path the sink's
+    commit() protects: a re-delivered batch must fully replace its own
+    prior output (batchId-keyed names + stale-part sweep), never
+    append to it."""
+    from pyspark.sql import functions as F
+
+    from engine.ops.scans import make_pystream_sink
+    from engine.ops.streaming import _chunked_stream_feed
+
+    spark.dataSource.register(make_pystream_sink())
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(out)
+    _chunked_stream_feed(spark, SMOKE_SF_DIR, src, n_chunks=6)
+
+    def start():
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select(
+                "event_id",
+                "user_id",
+                F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
+            )
+            .writeStream.format("pystreamparts")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    # run 1: let at least 2 of the 6 single-file batches commit, then stop
+    q = start()
+    deadline = time.time() + 120
+    committed = 0
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p.get("batchId", -1) >= 1:
+            committed = p["batchId"]
+            break
+        time.sleep(0.05)
+    q.stop()
+    assert committed >= 1, "run 1 never committed two batches"
+
+    # run 2: same checkpoint, drain the rest
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.schema("event_id long, user_id long, value_e4 long").parquet(
+        out
+    )
+    e = _events(spark)
+    n_events = e.count()
+    assert got.count() == n_events, "lost or duplicated rows"
+    assert got.select("event_id").distinct().count() == n_events
+    want = e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
+    )
+    assert canon(got.toPandas()) == canon(want.toPandas())
