@@ -1987,15 +1987,19 @@ def agg_count_min_sketch(spark, sf_dir):
     over 100 TB in O(sketch) memory), the per-type sketches merge
     associatively into a corpus sketch (``mergeInPlace`` — the same
     op a combiner tree runs), and a broadcast-sized probe set is
-    answered from the merged sketch. Width (2/eps = 20000 cells) ≫ key
-    cardinality at EVERY fixture scale (150 users at sf0.01, 1500 at
-    sf0.1), so each depth row is collision-free and the estimate is
-    EXACT — making the full
-    value-hash GROUP BY oracle applicable, the same
-    capacity-beats-cardinality trick agg_approx_top_k uses (CMS
-    over-counts only on collision; seed fixed ⇒ deterministic either
-    way). The merged-sketch query runs driver-side through Spark's
-    public CountMinSketch API on KB-sized state — never a data path."""
+    answered from the merged sketch. Why a full value-hash oracle is
+    honest here: the FIXED SEED makes the sketch a deterministic
+    function of the data, and a probe's estimate (min over 5 depth
+    rows) is exact unless the key collides in EVERY row — with 20000
+    cells per row that survival probability is negligible per probe at
+    both fixture cardinalities (150 / 1500 keys; note per-ROW
+    collisions among 1500 keys are near-certain — it is the min across
+    depth, not "collision-free rows", that delivers exactness, a
+    sharper claim than agg_approx_top_k's capacity argument). Verified
+    hash-green at sf0.01 AND sf0.1; were a future fixture to break the
+    bound, the oracle FAILS loudly rather than drifting. The
+    merged-sketch query runs driver-side through Spark's public
+    CountMinSketch API on KB-sized state — never a data path."""
     e = table(spark, sf_dir, "events")
     rows = (
         e.groupBy("event_type")

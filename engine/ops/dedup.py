@@ -787,9 +787,15 @@ def dedup_cdc_chunks(spark, sf_dir):
     reproduce them exactly, so the test replica is bit-for-bit, not
     structural. Scale: one shuffle to tokens' doc partition (window),
     one to (doc, chunk), one index join keyed chunk_hash."""
+    return _cdc_pairs(table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _cdc_pairs(d):
+    """CDC chunking + shared-pair search over a (doc_id, text) frame —
+    factored so tests can drive it with crafted inputs (irregular
+    whitespace) beyond the single-spaced fixture."""
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     ).filter(F.length("tok") > 0)
@@ -800,7 +806,12 @@ def dedup_cdc_chunks(spark, sf_dir):
     flagged = toks.withColumn(
         "boundary",
         F.when(
-            (F.col("pos") >= CDC_SHINGLE - 1)
+            # guard on the LAGGED token, not the raw pos: pos counts
+            # pre-filter positions, so a doc with consecutive spaces
+            # would otherwise test sub-3-token windows the replica
+            # never sees (round-5 third-review finding; latent on the
+            # single-spaced fixture, real on arbitrary input)
+            F.lag("tok", CDC_SHINGLE - 1).over(w).isNotNull()
             & (F.crc32(sh) % CDC_MOD == 0),
             1,
         ).otherwise(0),

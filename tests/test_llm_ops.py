@@ -501,3 +501,58 @@ def test_cdc_chunks_match_python_replica(spark):
         for r in dedup_cdc_chunks(spark, T2_SF_DIR).collect()
     }
     assert got == want
+
+
+def test_cdc_chunks_irregular_whitespace(spark):
+    """The boundary guard must key on SURVIVING tokens, not raw split
+    positions: crafted docs with leading/consecutive spaces must chunk
+    identically to the replica (round-5 review: a raw-pos guard tested
+    sub-3-token windows the replica never sees)."""
+    import hashlib
+    import zlib
+    from collections import defaultdict
+
+    from engine.ops.dedup import CDC_MOD, CDC_SHINGLE, _cdc_pairs
+
+    texts = [
+        "alpha  beta gamma delta epsilon zeta eta theta iota kappa",
+        " alpha beta  gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "noise one two three  four five six seven eight nine ten",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    doc_chunks = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        chunks, cur = [], []
+        for i, t in enumerate(toks):
+            cur.append(t)
+            if i >= CDC_SHINGLE - 1:
+                win = " ".join(toks[i - CDC_SHINGLE + 1 : i + 1])
+                if zlib.crc32(win.encode()) % CDC_MOD == 0:
+                    chunks.append(" ".join(cur))
+                    cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        doc_chunks[doc_id] = {
+            hashlib.sha256(c.encode()).hexdigest() for c in chunks
+        }
+    index = defaultdict(set)
+    for doc, hs in doc_chunks.items():
+        for h in hs:
+            index[h].add(doc)
+    pairs = defaultdict(int)
+    for h, docs in index.items():
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs[(ds[i], ds[j])] += 1
+    want = {k: v for k, v in pairs.items() if v >= 2}
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_chunks"]
+        for r in _cdc_pairs(df).collect()
+    }
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
