@@ -841,3 +841,124 @@ def _cdc_pairs(d):
         .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
         .filter(F.col("n_shared_chunks") >= 2)
     )
+
+
+SPAN_K = 8  # span length in tokens — the "memorized boilerplate" unit
+
+
+@register(
+    "dedup_span_coverage",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, i, array_to_string(a[i:i+{SPAN_K - 1}], ' ') AS span
+          FROM (SELECT doc_id, a, unnest(range(1, len(a) - {SPAN_K} + 2)) AS i
+                FROM tok WHERE len(a) >= {SPAN_K})
+        ),
+        dup AS (
+          SELECT span FROM sh GROUP BY span
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+          SELECT doc_id, i AS s, i + {SPAN_K} - 1 AS e
+          FROM sh WHERE span IN (SELECT span FROM dup)
+        ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM hits
+        ),
+        grp AS (
+          SELECT doc_id, s, e,
+                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+          FROM isl
+        ),
+        cov AS (
+          SELECT doc_id, CAST(sum(seg) AS BIGINT) AS dup_tokens
+          FROM (SELECT doc_id, isl_id, max(e) - min(s) + 1 AS seg
+                FROM grp GROUP BY doc_id, isl_id)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id, len(a) AS n_tokens,
+               coalesce(dup_tokens, 0) AS dup_tokens,
+               round(coalesce(dup_tokens, 0) * 1.0 / len(a), 6) AS dup_ratio
+        FROM tok t LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id
+    """,
+)
+def dedup_span_coverage(spark, sf_dir):
+    """Substring-level exact dedup signal (the Lee et al. 2022
+    "Deduplicating Training Data" shape): what fraction of each
+    document's tokens sits inside a {SPAN_K}-token span that also
+    appears verbatim in ANOTHER document. Corpus pipelines drop or
+    trim documents above a coverage threshold — doc-level exact/near
+    dedup misses this cross-document boilerplate entirely.
+
+    Shape: positional shingling (one explode), one groupBy(span)
+    HAVING count(DISTINCT doc_id) >= 2 for the duplicated-span set, a
+    semi join back (shuffle keyed on span — linear, no pair blowup),
+    then interval-union per doc via gaps-and-islands (running max-end
+    window) so overlapping spans are not double-counted. All integer
+    arithmetic until the final ratio. At 100 TB the span string is
+    replaced by xxhash64(span) for the groupBy/join key (8 bytes vs
+    ~50) — kept as text here so the oracle sees identical semantics."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
+        "n_tokens", F.size("a")
+    )
+    sh = (
+        base.filter(F.col("n_tokens") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, n_tokens - {SPAN_K} + 1),"
+                    f" i -> array_join(slice(a, i, {SPAN_K}), ' '))"
+                )
+            ).alias("p", "span"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("s"), "span")
+    )
+    dup = (
+        sh.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    hits = sh.join(dup, "span", "left_semi").select(
+        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = hits.withColumn(
+        "new_isl",
+        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cov = (
+        isl.groupBy("doc_id", "isl_id")
+        .agg((F.max("e") - F.min("s") + 1).alias("seg"))
+        .groupBy("doc_id")
+        .agg(F.sum("seg").alias("dup_tokens"))
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) * 1.0 / F.col("n_tokens"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

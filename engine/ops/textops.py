@@ -1641,3 +1641,135 @@ def corpus_prep_pipeline_e2e(spark, sf_dir):
         "n_tok",
         ((F.col("cum") - 1) / PACK_BUDGET).cast("long").alias("bin_id"),
     )
+
+
+@register(
+    "ml_naive_bayes_langid",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, lang, text,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_HEX_CUT}'
+                   AS is_train
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, lang, is_train,
+                       unnest(string_split(text, ' ')) AS token FROM d),
+        cnt_lt AS (SELECT lang, token, count(*) AS c
+                   FROM tok WHERE is_train GROUP BY 1, 2),
+        lang_tok AS (SELECT lang, count(*) AS cnt_l
+                     FROM tok WHERE is_train GROUP BY 1),
+        vocab AS (SELECT count(DISTINCT token) AS v FROM tok WHERE is_train),
+        ntr AS (SELECT count(*) AS n_tr FROM d WHERE is_train),
+        pri AS (SELECT lang,
+                       CAST(round(1000000.0 * ln(CAST(count(*) AS DOUBLE)
+                                                 / n_tr)) AS BIGINT)
+                         AS prior_s
+                FROM d, ntr WHERE is_train GROUP BY lang, n_tr),
+        tt AS (SELECT doc_id, lang AS true_lang, token
+               FROM tok WHERE NOT is_train),
+        scored AS (
+          SELECT tt.doc_id, tt.true_lang, lt.lang,
+                 CAST(round(1000000.0
+                            * ln((coalesce(c, 0) + 1.0) / (cnt_l + v)))
+                      AS BIGINT) AS cond_s
+          FROM tt
+          CROSS JOIN lang_tok lt
+          CROSS JOIN vocab
+          LEFT JOIN cnt_lt ON cnt_lt.lang = lt.lang
+                          AND cnt_lt.token = tt.token
+        ),
+        tot AS (
+          SELECT s.doc_id, s.true_lang, s.lang,
+                 p.prior_s + sum(cond_s) AS total
+          FROM scored s JOIN pri p ON p.lang = s.lang
+          GROUP BY s.doc_id, s.true_lang, s.lang, p.prior_s
+        ),
+        pred AS (
+          SELECT doc_id, true_lang, lang AS pred_lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY total DESC, lang) AS rn
+          FROM tot
+        )
+        SELECT true_lang, pred_lang, count(*) AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ml_naive_bayes_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language-ID, trained AND scored entirely
+    as relational aggregations — the fully-SQL-expressible distributed
+    ML shape (vs the gradient loop in ml_logreg_train): train on the
+    md5-hash 80% split, score the held-out 20%, emit the confusion
+    matrix (true_lang, pred_lang, n_docs).
+
+    Determinism: every count is an exact integer; each log-probability
+    is individually quantized to micro-nats (round(1e6*ln(ratio)) as
+    BIGINT, the flow_srcaddr_entropy discipline), so the per-document
+    score is an exact INTEGER sum — shuffle/merge order cannot perturb
+    the argmax; ties break on lang ascending via row_number.
+
+    Scale shape: the model is aggregation output — token-conditional
+    table (V×L rows), per-lang totals, priors — all broadcast to the
+    scoring scan (model-sized at any corpus scale: the vocab, not the
+    corpus). Scoring is one explode + broadcast joins + one
+    map-side-combinable groupBy(doc,lang); the lang dim (|L| rows)
+    rides a broadcast crossJoin so unseen tokens get the Laplace
+    floor per lang without a second pass."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = d.filter(bucket < TRAIN_HEX_CUT)
+    test = d.filter(bucket >= TRAIN_HEX_CUT)
+    tok_tr = train.select("lang", F.explode(_tokens()).alias("token"))
+    cnt_lt = tok_tr.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    lang_tok = tok_tr.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt_l"))
+    vocab = tok_tr.agg(F.countDistinct("token").alias("v"))
+    ntr = train.agg(F.count(F.lit(1)).alias("n_tr"))
+    micronat = lambda x: F.round(1000000.0 * F.log(x)).cast("long")  # noqa: E731
+    pri = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "lang",
+            micronat(F.col("n_l").cast("double") / F.col("n_tr")).alias(
+                "prior_s"
+            ),
+        )
+    )
+    langdim = lang_tok.crossJoin(F.broadcast(vocab))
+    tt = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(_tokens()).alias("token"),
+    )
+    scored = (
+        tt.crossJoin(F.broadcast(langdim))
+        .join(F.broadcast(cnt_lt), ["lang", "token"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            micronat(
+                (F.coalesce("c", F.lit(0)) + 1.0)
+                / (F.col("cnt_l") + F.col("v"))
+            ).alias("cond_s"),
+        )
+    )
+    tot = (
+        scored.groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum("cond_s").alias("cs"))
+        .join(F.broadcast(pri), "lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (F.col("cs") + F.col("prior_s")).alias("total"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("total"), F.asc("lang"))
+    pred = tot.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
