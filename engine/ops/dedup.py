@@ -901,14 +901,18 @@ def dedup_span_coverage(spark, sf_dir):
     trim documents above a coverage threshold — doc-level exact/near
     dedup misses this cross-document boilerplate entirely.
 
-    Shape: positional shingling (one explode), one groupBy(span)
-    HAVING count(DISTINCT doc_id) >= 2 for the duplicated-span set, a
-    semi join back (shuffle keyed on span — linear, no pair blowup),
+    Shape: positional shingling (ONE explode, one pass), then the
+    cross-doc test as a whole-partition window over span —
+    min(doc_id) != max(doc_id), exactly count(DISTINCT doc_id) >= 2 —
+    so the duplicated-span filter costs one shuffle keyed on span and
+    NO join (the groupBy + semi-join spelling re-derives the shingle
+    frame on both sides and materializes the dup-span set for a
+    broadcast — a blowup when the boilerplate set is corpus-sized);
     then interval-union per doc via gaps-and-islands (running max-end
     window) so overlapping spans are not double-counted. All integer
     arithmetic until the final ratio. At 100 TB the span string is
-    replaced by xxhash64(span) for the groupBy/join key (8 bytes vs
-    ~50) — kept as text here so the oracle sees identical semantics."""
+    replaced by xxhash64(span) for the shuffle key (8 bytes vs ~50) —
+    kept as text here so the oracle sees identical semantics."""
     d = table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
         "n_tokens", F.size("a")
@@ -926,14 +930,14 @@ def dedup_span_coverage(spark, sf_dir):
         )
         .select("doc_id", (F.col("p") + 1).alias("s"), "span")
     )
-    dup = (
-        sh.groupBy("span")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("span")
-    )
-    hits = sh.join(dup, "span", "left_semi").select(
-        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
+    wspan = Window.partitionBy("span")
+    hits = (
+        sh.withColumn(
+            "is_dup",
+            F.min("doc_id").over(wspan) != F.max("doc_id").over(wspan),
+        )
+        .filter("is_dup")
+        .select("doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e"))
     )
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))

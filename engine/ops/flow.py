@@ -721,3 +721,106 @@ def flow_top_ports(spark, sf_dir):
         .orderBy(F.desc("total_bytes"), F.asc("srcport"))
         .limit(10)
     )
+
+
+EXFIL_RATIO = 3.0
+
+
+@register(
+    "flow_exfil_asymmetry",
+    oracle=f"""
+        WITH base AS (
+          SELECT event_id,
+                 '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
+                 '10.1.' || CAST(({SQL_K}*3) % 256 AS VARCHAR) || '.'
+                 || CAST(({SQL_K}*11) % 256 AS VARCHAR) AS dstaddr,
+                 CAST(round(value*100) AS BIGINT) AS bytes
+          FROM events
+        ),
+        f AS (
+          SELECT srcaddr, dstaddr, bytes FROM base
+          UNION ALL
+          SELECT dstaddr AS srcaddr, srcaddr AS dstaddr, bytes
+          FROM base WHERE event_id % 3 = 0
+        ),
+        und AS (
+          SELECT least(srcaddr, dstaddr) AS lo,
+                 greatest(srcaddr, dstaddr) AS hi,
+                 CAST(sum(CASE WHEN srcaddr < dstaddr THEN bytes ELSE 0 END)
+                      AS BIGINT) AS f_bytes,
+                 CAST(sum(CASE WHEN srcaddr < dstaddr THEN 0 ELSE bytes END)
+                      AS BIGINT) AS r_bytes
+          FROM f GROUP BY 1, 2
+        )
+        SELECT CASE WHEN f_bytes >= r_bytes THEN lo ELSE hi END AS sender,
+               CASE WHEN f_bytes >= r_bytes THEN hi ELSE lo END AS receiver,
+               greatest(f_bytes, r_bytes) AS out_bytes,
+               least(f_bytes, r_bytes) AS in_bytes,
+               round(CAST(greatest(f_bytes, r_bytes) AS DOUBLE)
+                     / least(f_bytes, r_bytes), 6) AS asym
+        FROM und
+        WHERE least(f_bytes, r_bytes) > 0
+          AND CAST(greatest(f_bytes, r_bytes) AS DOUBLE)
+              / least(f_bytes, r_bytes) >= {EXFIL_RATIO}
+    """,
+)
+def flow_exfil_asymmetry(spark, sf_dir):
+    """Exfiltration screening on flow logs: two-way conversations whose
+    byte volume is >= {EXFIL_RATIO}x asymmetric (a host pushing far
+    more than it receives on an established session — the data-
+    staging signature volumetric per-flow alerts miss). Reported from
+    the heavy side's perspective (sender/receiver).
+
+    Rides the flow_bidirectional_pairs rig: the same %3 response-leg
+    augmentation (the raw fixture is strictly one-way, so the
+    two-way predicate would otherwise be structurally empty), the
+    same join-free canonical-undirected-key aggregation — per-pair
+    byte totals for both directions come out of ONE map-side-
+    combinable shuffle, then the asymmetry test is a scalar
+    expression. Per-pair %3-leg byte sums vary with the draw, so the
+    >= {EXFIL_RATIO} edge genuinely selects (some conversations pass,
+    some fail). Exact integer sums; one double division at the end."""
+    raw = _parsed(spark, sf_dir)
+    fwd_leg = F.struct(
+        F.col("srcaddr").alias("srcaddr"),
+        F.col("dstaddr").alias("dstaddr"),
+        F.col("bytes").alias("bytes"),
+    )
+    rev_leg = F.struct(
+        F.col("dstaddr").alias("srcaddr"),
+        F.col("srcaddr").alias("dstaddr"),
+        F.col("bytes").alias("bytes"),
+    )
+    legs = F.when(
+        F.col("event_id") % 3 == 0, F.array(fwd_leg, rev_leg)
+    ).otherwise(F.array(fwd_leg))
+    p = raw.select(F.explode(legs).alias("l")).select("l.*")
+    fwd = F.col("srcaddr") < F.col("dstaddr")
+    und = (
+        p.select(
+            F.least("srcaddr", "dstaddr").alias("lo"),
+            F.greatest("srcaddr", "dstaddr").alias("hi"),
+            F.when(fwd, F.col("bytes")).otherwise(0).alias("fb"),
+            F.when(~fwd, F.col("bytes")).otherwise(0).alias("rb"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.sum("fb").alias("f_bytes"), F.sum("rb").alias("r_bytes"))
+    )
+    out_b = F.greatest("f_bytes", "r_bytes")
+    in_b = F.least("f_bytes", "r_bytes")
+    asym = out_b.cast("double") / in_b
+    return (
+        und.filter((in_b > 0) & (asym >= EXFIL_RATIO))
+        .select(
+            F.when(F.col("f_bytes") >= F.col("r_bytes"), F.col("lo"))
+            .otherwise(F.col("hi"))
+            .alias("sender"),
+            F.when(F.col("f_bytes") >= F.col("r_bytes"), F.col("hi"))
+            .otherwise(F.col("lo"))
+            .alias("receiver"),
+            out_b.alias("out_bytes"),
+            in_b.alias("in_bytes"),
+            F.round(asym, 6).alias("asym"),
+        )
+    )

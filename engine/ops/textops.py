@@ -1773,3 +1773,39 @@ def ml_naive_bayes_langid(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+BOTTOMK_N = 64
+
+
+@register(
+    "sample_bottom_k_consistent",
+    oracle=f"""
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+        ORDER BY h, doc_id LIMIT {BOTTOMK_N}
+    """,
+)
+def sample_bottom_k_consistent(spark, sf_dir):
+    """Consistent bottom-k corpus sample: the {BOTTOMK_N} documents with
+    the smallest md5(doc_id) — a deterministic uniform sample that is
+    also a MERGEABLE SKETCH: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    bottom-k(B)), so per-shard samples union into the corpus sample
+    with no resampling (and two corpora's bottom-k sets estimate their
+    Jaccard overlap). That mergeability is why production pipelines
+    key samples on a content hash rather than rand().
+
+    Scale shape: orderBy(h).limit(k) plans as TakeOrderedAndProject —
+    each task keeps a k-row heap and the driver merges k·tasks rows;
+    no global sort, no single-partition window. The md5 hex ordering
+    matches DuckDB's byte-wise varchar ordering exactly."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(BOTTOMK_N)
+    )

@@ -480,3 +480,22 @@ def test_manifest_skip_reads_minority_of_files(spark):
     df = engine.QUERIES["scan_manifest_file_skip"](spark, T2_SF_DIR)
     n = df.select(F.col("_metadata.file_path")).distinct().count()
     assert 1 <= n <= 3, f"pruned scan touched {n} files"
+
+
+def test_bottom_k_sample_is_distributed_topk(spark):
+    """sample_bottom_k_consistent must plan as TakeOrderedAndProject
+    (per-task k-row heaps), not a global sort or a one-partition
+    window."""
+    plan = _plan(spark, "sample_bottom_k_consistent")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_span_coverage_single_shingle_pass(spark):
+    """dedup_span_coverage generates shingles ONCE (one explode, one
+    pass): the cross-doc duplicated-span filter is a whole-partition
+    window over span, not a groupBy + semi-join (which re-derives the
+    shingle frame on both sides and broadcasts the dup-span set)."""
+    plan = _plan(spark, "dedup_span_coverage")
+    assert plan.count("Generate posexplode") == 1, plan
+    assert "Join" not in plan.replace("BroadcastHashJoin [doc_id", "DOCJOIN ["), plan

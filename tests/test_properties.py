@@ -160,3 +160,33 @@ def test_catalog_is_current():
         assert f.read() == render(), (
             "CATALOG.md is stale — run scripts/gen_catalog.py"
         )
+
+
+def test_bottom_k_sample_is_mergeable(spark):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    sketch-merge property that lets per-shard samples union into the
+    corpus sample without resampling."""
+    from pyspark.sql import functions as F
+
+    import engine
+    from engine.ops.textops import BOTTOMK_N
+    from engine.registry import table
+
+    sf = "/root/testdata/sf0.01"
+    d = table(spark, sf, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    half_a = d.filter(F.col("doc_id") % 2 == 0)
+    half_b = d.filter(F.col("doc_id") % 2 == 1)
+    bk = lambda df: df.orderBy("h", "doc_id").limit(BOTTOMK_N)  # noqa: E731
+    merged = {
+        tuple(r)
+        for r in bk(bk(half_a).unionAll(bk(half_b))).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in engine.QUERIES["sample_bottom_k_consistent"](
+            spark, sf
+        ).collect()
+    }
+    assert merged == direct
