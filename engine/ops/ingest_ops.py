@@ -451,3 +451,68 @@ def sink_compact_small_files(spark, sf_dir):
     return spark.read.parquet(compact).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+BACKFILL_FILES = 8
+BACKFILL_FILES_PER_TRIGGER = 2
+
+
+@register(
+    "stream_backfill_bounded",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    """,
+)
+def stream_backfill_bounded(spark, sf_dir):
+    """Rate-limited backfill: replay a historical directory through the
+    stream with maxFilesPerTrigger so catch-up runs in BOUNDED
+    micro-batches instead of one giant batch — the production lever
+    that keeps a month-long backfill from sizing state and shuffle for
+    the whole month at once (availableNow honors read limits; the
+    legacy once trigger ignored them, which is why it was deprecated).
+
+    The op asserts the bound it claims: >= {files}/{per} micro-batches
+    ran and no batch read more than ~{per} files' worth of rows.
+    Result is the per-user rollup of the sink read-back, so the oracle
+    also proves no rows were lost or duplicated across the batch
+    seams.""".format(files=BACKFILL_FILES, per=BACKFILL_FILES_PER_TRIGGER)
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("stream_backfill_bounded")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    e.repartition(BACKFILL_FILES).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", BACKFILL_FILES_PER_TRIGGER)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_backfill_bounded: query exceeded 300s")
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    total = sum(p["numInputRows"] for p in progress)
+    min_batches = BACKFILL_FILES // BACKFILL_FILES_PER_TRIGGER
+    assert len(progress) >= min_batches, (
+        f"backfill ran in {len(progress)} batches; "
+        f"maxFilesPerTrigger bound implies >= {min_batches}"
+    )
+    # repartition() balances files, so a 2-of-8-files batch carries
+    # ~total/4 rows; 1.5x headroom tolerates file-size skew
+    cap = 1.5 * total * BACKFILL_FILES_PER_TRIGGER / BACKFILL_FILES
+    assert all(p["numInputRows"] <= cap for p in progress), (
+        "a micro-batch exceeded the per-trigger file bound"
+    )
+    back = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(sink)
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )

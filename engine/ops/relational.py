@@ -366,3 +366,81 @@ def na_replace_ops(spark, sf_dir):
         F.col("o_orderpriority").alias("prio_mapped"),
         "was_null",
     ).orderBy("o_orderkey")
+
+
+@register(
+    "audit_referential_integrity",
+    oracle="""
+        WITH parents AS (
+          SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 97 != 0
+        ),
+        children AS (
+          SELECT l_orderkey FROM lineitem WHERE l_orderkey % 89 != 0
+        ),
+        custs AS (
+          SELECT c_custkey FROM customer WHERE c_custkey % 53 != 0
+        )
+        SELECT 'orphan_lineitem' AS check_name, count(*) AS n_bad
+        FROM (SELECT DISTINCT l_orderkey FROM children) c
+        WHERE NOT EXISTS (SELECT 1 FROM parents p
+                          WHERE p.o_orderkey = c.l_orderkey)
+        UNION ALL
+        SELECT 'childless_order', count(*)
+        FROM parents p
+        WHERE NOT EXISTS (SELECT 1 FROM children c
+                          WHERE c.l_orderkey = p.o_orderkey)
+        UNION ALL
+        SELECT 'dangling_custkey', count(*)
+        FROM parents p
+        WHERE NOT EXISTS (SELECT 1 FROM custs c
+                          WHERE c.c_custkey = p.o_custkey)
+        ORDER BY check_name
+    """,
+)
+def audit_referential_integrity(spark, sf_dir):
+    """Data-quality audit: referential-integrity violation counts
+    between a fact and its parents — the check every incremental
+    pipeline runs before publishing a snapshot (a lagging parent
+    batch silently orphans children). Emits one row per check.
+
+    Fixture augmentation (structurally-empty differential): TPC-H
+    fixtures are perfectly consistent, so the audit is run against a
+    simulated PARTIAL LOAD — orders missing every 97th key, lineitems
+    missing every 89th, customers every 53rd — making all three
+    checks genuinely non-zero; the oracle restates the same partial
+    load.
+
+    Scale shape: three LeftAnti joins (orphans on DISTINCT child keys
+    so the anti probe is key-sized, not row-sized) + three count
+    aggregations unioned — no full-row materialization anywhere; each
+    anti join shuffles on its key and is AQE-broadcastable when the
+    parent side is small."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cu = table(spark, sf_dir, "customer")
+    parents = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    children = li.filter(F.col("l_orderkey") % 89 != 0).select("l_orderkey")
+    custs = cu.filter(F.col("c_custkey") % 53 != 0).select("c_custkey")
+    orphan = (
+        children.distinct()
+        .join(parents, children.l_orderkey == parents.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select(F.lit("orphan_lineitem").alias("check_name"), "n_bad")
+    )
+    childless = (
+        parents.join(
+            children.distinct(),
+            parents.o_orderkey == children.l_orderkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select(F.lit("childless_order").alias("check_name"), "n_bad")
+    )
+    dangling = (
+        parents.join(custs, parents.o_custkey == custs.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select(F.lit("dangling_custkey").alias("check_name"), "n_bad")
+    )
+    return orphan.unionAll(childless).unionAll(dangling).orderBy("check_name")

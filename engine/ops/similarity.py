@@ -1128,3 +1128,91 @@ def ml_logreg_train(spark, sf_dir):
         F.round(prob, 6).alias("prob"),
         (prob >= 0.5).alias("predicted"),
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 20
+MMR_PICKS = 5
+
+
+def _mmr_rerank(lam):
+    """Per-probe greedy MMR over the candidate pandas frame. Float64
+    numpy with the same left-to-right dot as dot6; ties broken on
+    c_id so the pick sequence is fully deterministic."""
+
+    def rerank(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("c_id").reset_index(drop=True)
+        X = np.array(pdf["c_emb"].tolist(), dtype=np.float64)
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        picked: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        for rank in range(min(MMR_PICKS, n)):
+            best, best_score = -1, -np.inf
+            for i in range(n):
+                if i in picked:
+                    continue
+                penalty = 0.0 if rank == 0 else max_sim[i]
+                s = lam * rel[i] - (1.0 - lam) * penalty
+                # strict > with c_id-ascending scan order = lowest
+                # c_id wins ties
+                if s > best_score:
+                    best, best_score = i, s
+            picked.append(best)
+            sims = X @ X[best]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            {
+                "q_id": pdf["q_id"].iloc[:1].repeat(len(picked)).values,
+                "c_id": pdf["c_id"].iloc[picked].values,
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int64),
+                "rel6": np.round(rel[picked], 6),
+            }
+        )
+
+    return rerank
+
+
+@register("embed_mmr_diversify")  # rows-only: iterative greedy, no SQL form
+def embed_mmr_diversify(spark, sf_dir, lam=MMR_LAMBDA):
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    for each probe, pick {MMR_PICKS} of the top-{MMR_CANDIDATES}
+    cosine candidates greedily maximizing
+    lambda*sim(q,c) - (1-lambda)*max_sim(c, already_picked) — the
+    diversified-retrieval step RAG pipelines run after ANN so the k
+    results aren't k paraphrases of one passage.
+
+    Scale shape: candidate generation is the existing distributed
+    top-k (probes broadcast over the corpus scan, per-group window
+    limit); the greedy loop — inherently sequential — runs per probe
+    in applyInPandas over a {MMR_CANDIDATES}-row group (model-sized:
+    the loop never sees the corpus, only each probe's shortlist).
+    Property-tested: rank-1 pick equals the cosine argmax, picks are
+    distinct members of the shortlist, and lambda=1 degenerates to
+    the plain cosine order."""
+    em = table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = em.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("c_id"))
+    shortlist = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "c_emb",
+            dot6(F.col("q_emb"), F.col("c_emb")).alias("rel"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MMR_CANDIDATES)
+    )
+    return shortlist.groupBy("q_id").applyInPandas(
+        _mmr_rerank(lam), "q_id long, c_id long, mmr_rank long, rel6 double"
+    )

@@ -190,3 +190,28 @@ def test_bottom_k_sample_is_mergeable(spark):
         ).collect()
     }
     assert merged == direct
+
+
+def test_mmr_rank1_is_cosine_argmax_and_lambda1_degenerates(spark):
+    """embed_mmr_diversify: the first MMR pick must equal the cosine
+    top-1 (no diversity penalty yet), every probe gets MMR_PICKS
+    distinct shortlist members, and lambda=1 must reproduce the plain
+    cosine order exactly."""
+    import engine
+    from engine.ops.similarity import MMR_PICKS
+
+    sf = "/root/testdata/sf0.01"
+    mmr = engine.QUERIES["embed_mmr_diversify"](spark, sf).toPandas()
+    top = engine.QUERIES["sim_search_topk"](spark, sf).toPandas()
+    top1 = top[top["rank"] == 1].set_index("q_id")["c_id"].sort_index()
+    mmr1 = mmr[mmr.mmr_rank == 1].set_index("q_id")["c_id"].sort_index()
+    assert (top1 == mmr1).all()
+    assert mmr.groupby("q_id")["c_id"].nunique().eq(MMR_PICKS).all()
+    lam1 = engine.QUERIES["embed_mmr_diversify"](spark, sf, lam=1.0).toPandas()
+    t5 = top.sort_values(["q_id", "rank"]).groupby("q_id")["c_id"].apply(list)
+    m5 = (
+        lam1.sort_values(["q_id", "mmr_rank"])
+        .groupby("q_id")["c_id"]
+        .apply(list)
+    )
+    assert (t5 == m5).all()
