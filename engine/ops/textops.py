@@ -1809,3 +1809,119 @@ def sample_bottom_k_consistent(spark, sf_dir):
         .orderBy("h", "doc_id")
         .limit(BOTTOMK_N)
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_HEX_CUT}'
+                   AS is_train,
+                 string_split(text, ' ') AS a
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, is_train, a[i] AS w1, a[i+1] AS w2
+          FROM (SELECT doc_id, is_train, a,
+                       unnest(range(1, len(a))) AS i
+                FROM d)
+        ),
+        c2 AS (SELECT w1, w2, count(*) AS c FROM bg WHERE is_train GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE is_train GROUP BY 1),
+        vocab AS (SELECT count(DISTINCT w1) AS v
+                  FROM (SELECT w1 FROM bg WHERE is_train
+                        UNION ALL SELECT w2 FROM bg WHERE is_train)),
+        scored AS (
+          SELECT b.doc_id,
+                 CAST(round(1000000.0
+                            * ln((coalesce(c, 0) + 1.0)
+                                 / (coalesce(c1, 0) + v)))
+                      AS BIGINT) AS lp_micro
+          FROM bg b
+          CROSS JOIN vocab
+          LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+          LEFT JOIN c1 ON c1.w1 = b.w1
+          WHERE NOT b.is_train
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(round(CAST(sum(lp_micro) AS DOUBLE) / count(*))
+                    AS BIGINT) AS avg_logp_micro
+        FROM scored GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Bigram language-model quality score — the step up from the
+    unigram text_perplexity_proxy: train add-one-smoothed bigram
+    probabilities P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) on the md5 80%
+    split, score held-out documents by mean bigram log-probability
+    (low = locally incoherent token order, which unigram stats cannot
+    see). The filter modern corpus pipelines actually run is exactly
+    this shape with a KenLM binary; here the LM itself is relational.
+
+    Determinism: each bigram log-prob is quantized to micro-nats
+    (exact-integer inputs in, bigint out) before the per-doc sum, so
+    the average is round(exact_int / exact_int) — shuffle-order-proof.
+
+    Scale shape: the model (bigram table, unigram table, vocab
+    scalar) is aggregation output, broadcast onto the scoring scan —
+    corpus-scale-independent; scoring is one bigram explode + two
+    broadcast left joins + one map-side-combinable groupBy(doc). The
+    bigram explode is zip_with over two array slices — no self-join
+    on positions."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("a"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < TRAIN_HEX_CUT
+        ).alias("is_train"),
+    )
+    bg = d.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "zip_with(slice(a, 1, size(a) - 1),"
+                " slice(a, 2, size(a) - 1),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "is_train", "b.w1", "b.w2")
+    tr = bg.filter("is_train")
+    c2 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        tr.select(F.col("w1").alias("w"))
+        .unionAll(tr.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bg.filter(~F.col("is_train"))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                1000000.0
+                * F.log(
+                    (F.coalesce("c", F.lit(0)) + 1.0)
+                    / (F.coalesce("c1", F.lit(0)) + F.col("v"))
+                )
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp_micro").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_logp_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1223,3 +1223,110 @@ def ts_ohlc_bars(spark, sf_dir):
             "n_ticks",
         )
     )
+
+
+STL_PERIOD = 24  # hours — daily seasonality on the hourly series
+
+
+@register(
+    "ts_stl_decompose",
+    oracle=f"""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hr,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s
+          FROM events GROUP BY 1
+        ),
+        idx AS (
+          SELECT hr, s, epoch_ns(hr) // 3600000000000 AS hr_idx FROM hourly
+        ),
+        tr AS (
+          SELECT hr, s, hr_idx,
+                 CAST(sum(s) OVER w AS BIGINT) AS sum24,
+                 count(*) OVER w AS cnt24
+          FROM idx
+          WINDOW w AS (ORDER BY hr_idx
+                       RANGE BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+        ),
+        det AS (
+          SELECT hr, s,
+                 CAST(round(1000000.0 * sum24 / {STL_PERIOD}.0) AS BIGINT)
+                   AS trend_micro,
+                 s * 1000000
+                   - CAST(round(1000000.0 * sum24 / {STL_PERIOD}.0) AS BIGINT)
+                   AS det_micro
+          FROM tr WHERE cnt24 = {STL_PERIOD}
+        ),
+        sea AS (
+          SELECT hour(hr) AS hod,
+                 CAST(round(CAST(sum(det_micro) AS DOUBLE) / count(*))
+                      AS BIGINT) AS seasonal_micro
+          FROM det GROUP BY 1
+        )
+        SELECT d.hr, d.s AS s_cents, d.trend_micro, sea.seasonal_micro,
+               d.det_micro - sea.seasonal_micro AS resid_micro
+        FROM det d JOIN sea ON hour(d.hr) = sea.hod
+        ORDER BY d.hr
+    """,
+)
+def ts_stl_decompose(spark, sf_dir):
+    """STL-style additive decomposition of the hourly revenue series:
+    trend = centered {STL_PERIOD}-hour moving average, seasonal =
+    per-hour-of-day mean of the detrended series, residual = the rest
+    — the baseline behind 'is this hour anomalous FOR a 3am' alerts
+    (compare the residual, not the raw value).
+
+    Determinism discipline: the series is exact integer cents; the
+    trend is quantized to micro-units from an exact 24-term integer
+    window sum; the detrended series is then pure integer arithmetic,
+    so the seasonal means aggregate EXACT integers and every output
+    column is a bigint — no double ever crosses a shuffle.
+
+    Scale shape: the heavy pass (events → hourly) is one map-side-
+    combinable aggregation; the decomposition then runs over the
+    720-row hourly aggregate, so its unpartitioned range window is a
+    dim-sized frame, not a data-path bottleneck (with many series,
+    partitionBy(series_id) restores full parallelism — the window is
+    per-series by construction). The RANGE frame on the hour index —
+    not ROWS — makes a missing hour shrink cnt24 below {STL_PERIOD}
+    and drop the edge rows instead of silently averaging a wider
+    time span."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"))
+        .withColumn(
+            "hr_idx", F.expr("unix_micros(CAST(hr AS TIMESTAMP)) div 3600000000")
+        )
+    )
+    w = Window.orderBy("hr_idx").rangeBetween(-11, 12)
+    tr = hourly.select(
+        "hr",
+        "s",
+        F.sum("s").over(w).alias("sum24"),
+        F.count(F.lit(1)).over(w).alias("cnt24"),
+    ).filter(F.col("cnt24") == STL_PERIOD)
+    trend_micro = F.round(1000000.0 * F.col("sum24") / float(STL_PERIOD)).cast(
+        "long"
+    )
+    det = tr.select(
+        "hr",
+        "s",
+        trend_micro.alias("trend_micro"),
+        (F.col("s") * 1000000 - trend_micro).alias("det_micro"),
+    )
+    sea = det.groupBy(F.hour("hr").alias("hod")).agg(
+        F.round(F.sum("det_micro").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("seasonal_micro")
+    )
+    return (
+        det.join(F.broadcast(sea), F.hour(det.hr) == sea.hod)
+        .select(
+            "hr",
+            F.col("s").alias("s_cents"),
+            "trend_micro",
+            "seasonal_micro",
+            (F.col("det_micro") - F.col("seasonal_micro")).alias("resid_micro"),
+        )
+        .orderBy("hr")
+    )
