@@ -444,3 +444,127 @@ def audit_referential_integrity(spark, sf_dir):
         .select(F.lit("dangling_custkey").alias("check_name"), "n_bad")
     )
     return orphan.unionAll(childless).unionAll(dangling).orderBy("check_name")
+
+
+# (name, min/max rendering) — cents for the double so the report never
+# prints an engine-formatted float; explicit date_format for the ts
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+@register(
+    "audit_null_profile",
+    oracle="""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 101 = 0 THEN NULL
+                      ELSE o_custkey END AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate,
+                 CASE WHEN o_orderkey % 103 = 0 THEN NULL
+                      ELSE o_orderpriority END AS o_orderpriority
+          FROM orders
+        )
+        SELECT 'o_orderkey' AS col_name,
+               count(*) - count(o_orderkey) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_str
+        FROM t
+        UNION ALL
+        SELECT 'o_custkey', count(*) - count(o_custkey),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR) FROM t
+        UNION ALL
+        SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus) FROM t
+        UNION ALL
+        SELECT 'o_totalprice', count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(CAST(round(min(o_totalprice)*100) AS BIGINT) AS VARCHAR),
+               CAST(CAST(round(max(o_totalprice)*100) AS BIGINT) AS VARCHAR)
+        FROM t
+        UNION ALL
+        SELECT 'o_orderdate', count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate),
+               strftime(min(o_orderdate), '%Y-%m-%d'),
+               strftime(max(o_orderdate), '%Y-%m-%d') FROM t
+        UNION ALL
+        SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority) FROM t
+        ORDER BY col_name
+    """,
+)
+def audit_null_profile(spark, sf_dir):
+    """Table profiling report — per-column null count, exact distinct
+    count, min, max — the publish-gate summary every pipeline emits
+    next to a snapshot (dbt/Deequ shape). ONE pass: a single
+    aggregation computes all 24 statistics, then a literal struct
+    explode pivots them to one row per column (Spark plans the
+    multi-distinct via Expand — still one scan, 6x intermediate rows;
+    at 100 TB swap count(DISTINCT) for approx_count_distinct and the
+    shape is unchanged). min/max render through type-stable
+    formatting (cents for doubles, explicit date_format) so no
+    engine-default float/timestamp formatting enters the report.
+
+    Fixture augmentation (structurally-empty differential): the TPC-H
+    fixture is fully dense, so the null-count path would never fire —
+    the profile runs over a simulated degraded feed (o_custkey nulled
+    every 101st key, o_orderpriority every 103rd), restated by the
+    oracle."""
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 101 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 103 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+
+    def render(col, kind, agg):
+        x = agg(F.col(col))
+        if kind == "cents":
+            return F.round(x * 100).cast("long").cast("string")
+        if kind == "ts":
+            return F.date_format(x, "yyyy-MM-dd")
+        return x.cast("string")
+
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"null__{col}"),
+            F.countDistinct(col).alias(f"dist__{col}"),
+            render(col, kind, F.min).alias(f"min__{col}"),
+            render(col, kind, F.max).alias(f"max__{col}"),
+        ]
+    wide = t.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col(f"null__{col}").alias("n_null"),
+                F.col(f"dist__{col}").alias("n_distinct"),
+                F.col(f"min__{col}").alias("min_str"),
+                F.col(f"max__{col}").alias("max_str"),
+            )
+            for col, _ in _PROFILE_COLS
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )

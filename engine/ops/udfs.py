@@ -301,3 +301,56 @@ def udf_grouped_map_arrow(spark, sf_dir):
     return e.groupBy("event_type").applyInArrow(
         per_group, "event_type string, n long, sum_value_e4 long"
     )
+
+
+@register(
+    "udf_pandas_window_agg",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS roll_cents
+        FROM events
+        ORDER BY user_id, event_id
+    """,
+)
+def udf_pandas_window_agg(spark, sf_dir):
+    """Pandas UDF as a WINDOW aggregate — the §2.K surface member the
+    scalar/grouped-agg/grouped-map demos don't cover: a
+    PandasUDFType-agg applied .over(a bounded rolling frame). Spark
+    evaluates it per-frame with Arrow transfer (WindowInPandas), so
+    the frame must be BOUNDED (rows between) — an unbounded frame
+    over a large partition would ship the whole partition per row.
+
+    The UDF sums exact integer cents (int64 — numpy integer summation
+    is exact, no fp-order hazard), so the result value-hashes against
+    the built-in SQL window sum; a production use replaces the sum
+    with what built-ins can't express (e.g. a per-frame model score).
+    """
+    from pyspark.sql import Window
+
+    @pandas_udf("long")
+    def roll_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "ts",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            roll_sum("cents").over(w).alias("roll_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
