@@ -1216,3 +1216,99 @@ def embed_mmr_diversify(spark, sf_dir, lam=MMR_LAMBDA):
     return shortlist.groupBy("q_id").applyInPandas(
         _mmr_rerank(lam), "q_id long, c_id long, mmr_rank long, rel6 double"
     )
+
+
+@register("sim_index_persist_probe")  # rows-only: persist≡rebuild property-tested
+def sim_index_persist_probe(spark, sf_dir):
+    """IVF index LIFECYCLE: build once, persist, serve many — the
+    production ANN shape at 100 TB (nobody re-runs Lloyd per query).
+    The index is two parquet tables: the NLIST centroids and the
+    inverted lists (cluster, c_id, c_emb) written partitionBy(cluster)
+    so a probe touches only its NPROBE cluster directories — the
+    partition layout IS the index. Probing the LOADED index re-ranks
+    exactly within the probed lists and must reproduce
+    sim_search_ivf's in-memory answer bit-for-bit
+    (tests/test_properties.py pins persist ≡ rebuild).
+
+    Serving note: with the small probe set broadcast, Spark can DPP-
+    prune the cluster partitions; at minimum the scan is limited to
+    the joined clusters' row groups by partition-key filtering in the
+    shuffle join. Centroids reload as float arrays unchanged (stored
+    as float32, same type dot6 sees in the in-memory build)."""
+    from ..registry import scratch_dir
+
+    em = table(spark, sf_dir, "embeddings")
+    c = em.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    seeds = em.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+
+    def assign(vectors, centroids):
+        w = Window.partitionBy("c_id").orderBy(F.desc("aff"), F.asc("cluster"))
+        return (
+            vectors.crossJoin(F.broadcast(centroids))
+            .select(
+                "c_id",
+                "c_emb",
+                "cluster",
+                dot6(F.col("c_emb"), F.col("centroid")).alias("aff"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_id", "c_emb", "cluster")
+        )
+
+    refined = (
+        assign(c, seeds)
+        .select("cluster", F.posexplode("c_emb").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cluster",
+            F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias(
+                "centroid"
+            ),
+        )
+    )
+    lists = assign(c, refined)
+
+    base = scratch_dir("sim_index_persist_probe")
+    cent_path, list_path = f"{base}/centroids", f"{base}/lists"
+    refined.write.mode("overwrite").parquet(cent_path)
+    lists.repartition("cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(list_path)
+
+    cent = spark.read.parquet(cent_path)
+    inv = spark.read.parquet(list_path)
+
+    q = em.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("aff"), F.asc("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "q_emb",
+            "cluster",
+            dot6(F.col("q_emb"), F.col("centroid")).alias("aff"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "q_emb", "cluster")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        probes.join(inv, "cluster")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id", dot6(F.col("q_emb"), F.col("c_emb")).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

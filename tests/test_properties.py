@@ -215,3 +215,21 @@ def test_mmr_rank1_is_cosine_argmax_and_lambda1_degenerates(spark):
         .apply(list)
     )
     assert (t5 == m5).all()
+
+
+def test_ivf_index_persist_equals_rebuild(spark):
+    """sim_index_persist_probe (parquet round-tripped index) must
+    reproduce sim_search_ivf (in-memory build) exactly — persistence
+    can't change the served answer."""
+    import engine
+
+    sf = "/root/testdata/sf0.01"
+    served = {
+        tuple(r)
+        for r in engine.QUERIES["sim_index_persist_probe"](spark, sf).collect()
+    }
+    rebuilt = {
+        tuple(r)
+        for r in engine.QUERIES["sim_search_ivf"](spark, sf).collect()
+    }
+    assert served == rebuilt
