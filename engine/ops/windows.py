@@ -1311,19 +1311,34 @@ def ts_stl_decompose(spark, sf_dir):
     det = tr.select(
         "hr",
         "s",
+        F.hour("hr").alias("hod"),
         trend_micro.alias("trend_micro"),
         (F.col("s") * 1000000 - trend_micro).alias("det_micro"),
     )
-    sea = det.groupBy(F.hour("hr").alias("hod")).agg(
-        F.round(F.sum("det_micro").cast("double") / F.count(F.lit(1)))
+    # seasonal mean as a whole-partition window over hour-of-day: the
+    # groupBy + join-back spelling re-derives the hourly aggregate on
+    # both sides (two event scans — plan-tested away); the window
+    # keeps one derivation and one scan
+    whod = Window.partitionBy("hod")
+    seasonal_micro = (
+        F.round(
+            F.sum("det_micro").over(whod).cast("double")
+            / F.count(F.lit(1)).over(whod)
+        )
         .cast("long")
         .alias("seasonal_micro")
     )
     return (
-        det.join(F.broadcast(sea), F.hour(det.hr) == sea.hod)
-        .select(
+        det.select(
             "hr",
             F.col("s").alias("s_cents"),
+            "trend_micro",
+            seasonal_micro,
+            "det_micro",
+        )
+        .select(
+            "hr",
+            "s_cents",
             "trend_micro",
             "seasonal_micro",
             (F.col("det_micro") - F.col("seasonal_micro")).alias("resid_micro"),

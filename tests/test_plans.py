@@ -499,3 +499,50 @@ def test_span_coverage_single_shingle_pass(spark):
     plan = _plan(spark, "dedup_span_coverage")
     assert plan.count("Generate posexplode") == 1, plan
     assert "Join" not in plan.replace("BroadcastHashJoin [doc_id", "DOCJOIN ["), plan
+
+
+def test_naive_bayes_model_tables_broadcast(spark):
+    """ml_naive_bayes_langid: every model-table join (token
+    conditionals, priors, lang dim) must broadcast — scoring is one
+    scan + map-side joins, never a corpus-wide SortMergeJoin."""
+    plan = _plan(spark, "ml_naive_bayes_langid")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 5-row lang-dim crossJoin
+
+
+def test_bigram_lm_model_tables_broadcast(spark):
+    """text_bigram_lm_score: bigram/unigram/vocab model tables ride
+    broadcast joins onto the scoring scan."""
+    plan = _plan(spark, "text_bigram_lm_score")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stl_windows_run_post_aggregation(spark):
+    """ts_stl_decompose: the unpartitioned range window must sit over
+    the 720-row hourly AGGREGATE (one Window node, one events scan) —
+    never over the raw event stream."""
+    plan = _plan(spark, "ts_stl_decompose")
+    n_window = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.lstrip("+-* ").startswith("Window ")
+    )
+    assert n_window == 2, plan  # trend range-frame + seasonal hod-frame
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_null_profile_single_scan_with_expand(spark):
+    """audit_null_profile: all 24 statistics from ONE scan of orders;
+    the multi-distinct plans via Expand, not repeated scans."""
+    plan = _plan(spark, "audit_null_profile")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_pandas_window_udf_plans_window_in_pandas(spark):
+    """udf_pandas_window_agg must evaluate through the Arrow window
+    evaluator (ArrowWindowPython — Spark 4's WindowInPandas), proving
+    it's a real window UDF, not a grouped-map rewrite."""
+    plan = _plan(spark, "udf_pandas_window_agg")
+    assert "ArrowWindowPython" in plan, plan
