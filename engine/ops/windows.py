@@ -1345,3 +1345,102 @@ def ts_stl_decompose(spark, sf_dir):
         )
         .orderBy("hr")
     )
+
+
+HAMPEL_HALF = 7  # frame = 7 preceding .. 7 following
+HAMPEL_K = 3  # flag beyond 3x MAD
+
+
+@register(
+    "win_hampel_outlier",
+    oracle=f"""
+        WITH base AS (
+          SELECT event_id, user_id, ts,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events
+        ),
+        framed AS (
+          SELECT event_id, user_id, cents,
+                 list_sort(list(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {HAMPEL_HALF} PRECEDING
+                            AND {HAMPEL_HALF} FOLLOWING)) AS arr
+          FROM base
+        ),
+        med AS (
+          SELECT event_id, user_id, cents, arr, len(arr) AS n,
+                 arr[(len(arr)+1)//2] + arr[len(arr)//2 + 1] AS med2
+          FROM framed
+        ),
+        mad AS (
+          SELECT event_id, user_id, cents, med2, n,
+                 list_sort(list_transform(arr, a -> abs(2*a - med2))) AS devs
+          FROM med
+        )
+        SELECT event_id, user_id, cents, med2,
+               devs[(n+1)//2] + devs[n//2 + 1] AS mad2x
+        FROM mad
+        WHERE 2 * abs(2*cents - med2)
+              > {HAMPEL_K} * (devs[(n+1)//2] + devs[n//2 + 1])
+        ORDER BY user_id, event_id
+    """,
+)
+def win_hampel_outlier(spark, sf_dir):
+    """Hampel filter: flag events deviating more than {HAMPEL_K}x the
+    rolling MAD from the rolling median — the robust outlier detector
+    (a mean/stddev z-score lets one spike inflate its own baseline;
+    median/MAD does not). Rolling median AND rolling MAD come from
+    ONE collect_list per frame plus array HOFs (sort, transform) over
+    the 15-element frame — no second window pass, no self-join.
+
+    Integer-exactness: medians are kept doubled (sum of the two mid
+    elements — equal for odd n), MAD quadrupled, and the flag
+    predicate cross-multiplied (2*dev2 > K*mad2x), so every compared
+    quantity is an exact bigint: no engine ever divides.
+
+    Scale: per-user partitions shuffle once; the frame array is
+    O(2*{HAMPEL_HALF}+1) per row regardless of data size."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-HAMPEL_HALF, HAMPEL_HALF)
+    )
+    framed = e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+    ).select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.sort_array(F.collect_list("cents").over(w)).alias("arr"),
+    )
+    n = F.size("arr")
+    med2 = F.element_at("arr", ((n + 1) / 2).cast("int")) + F.element_at(
+        "arr", (n / 2).cast("int") + 1
+    )
+    med = framed.select("event_id", "user_id", "cents", "arr", n.alias("n"), med2.alias("med2"))
+    devs = F.array_sort(
+        F.transform(F.col("arr"), lambda a: F.abs(2 * a - F.col("med2")))
+    )
+    mad = med.select(
+        "event_id",
+        "user_id",
+        "cents",
+        "med2",
+        "n",
+        devs.alias("devs"),
+    )
+    mad2x = F.element_at(
+        "devs", ((F.col("n") + 1) / 2).cast("int")
+    ) + F.element_at("devs", (F.col("n") / 2).cast("int") + 1)
+    return (
+        mad.select("event_id", "user_id", "cents", "med2", mad2x.alias("mad2x"))
+        .filter(
+            2 * F.abs(2 * F.col("cents") - F.col("med2"))
+            > HAMPEL_K * F.col("mad2x")
+        )
+        .orderBy("user_id", "event_id")
+    )
