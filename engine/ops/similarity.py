@@ -1312,3 +1312,55 @@ def sim_index_persist_probe(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register("sim_recall_report")  # rows-only: scores impl-defined ANN variants
+def sim_recall_report(spark, sf_dir):
+    """ANN quality gate as a query: recall@{k} of every approximate
+    search variant (LSH-blocked, IVF, PQ, persisted-IVF) against the
+    brute-force anchor, one row per method — the metric a production
+    vector pipeline recomputes after each index rebuild and alerts on
+    (tests pin floors; this op SERVES the number).
+
+    recall = |approx_top{k} ∩ brute_top{k}| / (|probes|*{k}), computed
+    as an inner join on (q_id, c_id) + exact integer counts; the one
+    division happens once per method at the end (recall_pct, 2 dp).
+    Composes the registered queries themselves, so the report can
+    never drift from what the engine actually serves."""
+    from ..registry import QUERIES
+
+    brute = (
+        QUERIES["sim_search_topk"](spark, sf_dir)
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id")
+    )
+    n_expected = brute.count()  # |probes| * k (scalar, drives the pct)
+    reports = []
+    for method in (
+        "sim_search_blocked",
+        "sim_search_ivf",
+        "sim_search_pq",
+        "sim_index_persist_probe",
+    ):
+        approx = (
+            QUERIES[method](spark, sf_dir)
+            .filter(F.col("rank") <= TOP_K)
+            .select("q_id", "c_id")
+        )
+        hits = approx.join(brute, ["q_id", "c_id"]).agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        reports.append(
+            hits.select(
+                F.lit(method).alias("method"),
+                F.col("n_hit"),
+                F.lit(n_expected).alias("n_expected"),
+                F.round(100.0 * F.col("n_hit") / n_expected, 2).alias(
+                    "recall_pct"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("method")
