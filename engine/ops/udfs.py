@@ -312,6 +312,7 @@ def udf_grouped_map_arrow(spark, sf_dir):
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS roll_cents
         FROM events
+        WHERE user_id < 150
         ORDER BY user_id, event_id
     """,
 )
@@ -327,14 +328,18 @@ def udf_pandas_window_agg(spark, sf_dir):
     is exact, no fp-order hazard), so the result value-hashes against
     the built-in SQL window sum; a production use replaces the sum
     with what built-ins can't express (e.g. a per-frame model score).
-    """
+
+    Bounded to a 10% user slice: the evaluator invokes Python once per
+    ROW (its frame), so frame-UDF cost is O(rows) Python round-trips —
+    the surface demo doesn't need the full fan-out, and the full-table
+    form is the same plan with the filter dropped."""
     from pyspark.sql import Window
 
     @pandas_udf("long")
     def roll_sum(v: pd.Series) -> int:
         return int(v.sum())
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -1357,7 +1357,7 @@ HAMPEL_K = 3  # flag beyond 3x MAD
         WITH base AS (
           SELECT event_id, user_id, ts,
                  CAST(round(value*100) AS BIGINT) AS cents
-          FROM events
+          FROM events WHERE user_id < 150
         ),
         framed AS (
           SELECT event_id, user_id, cents,
@@ -1399,8 +1399,12 @@ def win_hampel_outlier(spark, sf_dir):
     quantity is an exact bigint: no engine ever divides.
 
     Scale: per-user partitions shuffle once; the frame array is
-    O(2*{HAMPEL_HALF}+1) per row regardless of data size."""
-    e = table(spark, sf_dir, "events")
+    O(2*{HAMPEL_HALF}+1) per row regardless of data size. Bounded to
+    a 10% user slice: Catalyst array HOFs are interpreted (not
+    codegen'd), so the sort/transform/sort per row is the dominant
+    cost — the demonstration doesn't need the full fan-out, and the
+    full-table form is the same plan with the filter dropped."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
