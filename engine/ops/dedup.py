@@ -901,18 +901,22 @@ def dedup_span_coverage(spark, sf_dir):
     trim documents above a coverage threshold — doc-level exact/near
     dedup misses this cross-document boilerplate entirely.
 
-    Shape: positional shingling (ONE explode, one pass), then the
-    cross-doc test as a whole-partition window over span —
-    min(doc_id) != max(doc_id), exactly count(DISTINCT doc_id) >= 2 —
-    so the duplicated-span filter costs one shuffle keyed on span and
-    NO join (the groupBy + semi-join spelling re-derives the shingle
-    frame on both sides and materializes the dup-span set for a
-    broadcast — a blowup when the boilerplate set is corpus-sized);
-    then interval-union per doc via gaps-and-islands (running max-end
-    window) so overlapping spans are not double-counted. All integer
-    arithmetic until the final ratio. At 100 TB the span string is
-    replaced by xxhash64(span) for the shuffle key (8 bytes vs ~50) —
-    kept as text here so the oracle sees identical semantics."""
+    Shape: positional shingling runs ONCE — the shingle frame is
+    persisted so the dup-set derivation and the hit lookup share one
+    explode (without the persist, Catalyst re-derives the explode on
+    both sides of the self-referencing DAG). The cross-doc test is a
+    map-side-combinable groupBy(span) (min(doc_id) != max(doc_id),
+    exactly count(DISTINCT doc_id) >= 2) followed by a semi join back
+    on span — chosen over a whole-partition window on span because a
+    corpus-wide boilerplate span would put ALL its occurrences into
+    one window partition on one task (unsplittable skew), whereas the
+    groupBy partials collapse the hot span map-side and the semi
+    join's residual skew is AQE-splittable. Then interval-union per
+    doc via gaps-and-islands (running max-end window) so overlapping
+    spans are not double-counted. All integer arithmetic until the
+    final ratio. At 100 TB the span string is replaced by
+    xxhash64(span) for the shuffle key (8 bytes vs ~50) — kept as
+    text here so the oracle sees identical semantics."""
     d = table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
         "n_tokens", F.size("a")
@@ -930,14 +934,17 @@ def dedup_span_coverage(spark, sf_dir):
         )
         .select("doc_id", (F.col("p") + 1).alias("s"), "span")
     )
-    wspan = Window.partitionBy("span")
-    hits = (
-        sh.withColumn(
-            "is_dup",
-            F.min("doc_id").over(wspan) != F.max("doc_id").over(wspan),
-        )
-        .filter("is_dup")
-        .select("doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e"))
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        sh.groupBy("span")
+        .agg(F.min("doc_id").alias("lo_doc"), F.max("doc_id").alias("hi_doc"))
+        .filter(F.col("lo_doc") != F.col("hi_doc"))
+        .select("span")
+    )
+    hits = sh.join(dup.hint("shuffle_hash"), "span", "left_semi").select(
+        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
     )
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))

@@ -473,11 +473,12 @@ def stream_backfill_bounded(spark, sf_dir):
     the whole month at once (availableNow honors read limits; the
     legacy once trigger ignored them, which is why it was deprecated).
 
-    The op asserts the bound it claims: >= {files}/{per} micro-batches
-    ran and no batch read more than ~{per} files' worth of rows.
-    Result is the per-user rollup of the sink read-back, so the oracle
-    also proves no rows were lost or duplicated across the batch
-    seams.""".format(files=BACKFILL_FILES, per=BACKFILL_FILES_PER_TRIGGER)
+    The op asserts the bound it claims: at least
+    BACKFILL_FILES/BACKFILL_FILES_PER_TRIGGER micro-batches ran and no
+    batch read more than ~BACKFILL_FILES_PER_TRIGGER files' worth of
+    rows. Result is the per-user rollup of the sink read-back, so the
+    oracle also proves no rows were lost or duplicated across the
+    batch seams."""
     e = table(spark, sf_dir, "events")
     base = scratch_dir("stream_backfill_bounded")
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"

@@ -192,22 +192,12 @@ IVF_NPROBE = 8  # clusters probed per query (recall@k >= 0.9 floor:
 # why high recall is expensive here and cheap on real embeddings)
 
 
-@register("sim_search_ivf")  # rows-only: IVF candidate set is impl-defined
-def sim_search_ivf(spark, sf_dir):
-    """ANN via an IVF index built with one distributed Lloyd step (measured recall@5 = 0.93 vs the brute anchor at sf0.01, floor 0.9 in tests/test_llm_ops.py).
-
-    Index build (all DataFrame ops, no collect on the data path):
-    seed centroids = the NLIST lowest vec_ids → assign every vector to
-    its max-dot centroid (broadcast NLIST×64 table) → recompute
-    centroids as element-wise means via posexplode + groupBy(cluster,
-    pos) → reassign. Search: probe the NPROBE nearest centroids per
-    query, exact re-rank only within those inverted lists.
-
-    At 100 TB the shape holds: the centroid table stays tiny (NLIST
-    rows, always broadcast), assignment is a map-side pass, and the
-    probe join fans each query out to NPROBE list-partitions instead
-    of the whole corpus.
-    """
+def _ivf_build(spark, sf_dir):
+    """Shared IVF index build (seed -> assign -> one Lloyd refinement
+    -> reassign) returning (centroids, inverted_lists). Both the
+    in-memory search (sim_search_ivf) and the persisted lifecycle
+    (sim_index_persist_probe) call THIS function, so the persist ≡
+    rebuild property test pins one implementation, not two copies."""
     em = table(spark, sf_dir, "embeddings")
     c = em.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
 
@@ -247,14 +237,19 @@ def sim_search_ivf(spark, sf_dir):
             F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("centroid"),
         )
     )
-    lists = assign(c, refined)
+    return refined, assign(c, refined)
 
+
+def _ivf_probe(spark, sf_dir, cent, inv):
+    """Probe the NPROBE nearest centroids per query, exact re-rank
+    within the probed inverted lists (shared by both IVF ops)."""
+    em = table(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     probe_w = Window.partitionBy("q_id").orderBy(F.desc("aff"), F.asc("cluster"))
     probes = (
-        q.crossJoin(F.broadcast(refined))
+        q.crossJoin(F.broadcast(cent))
         .select(
             "q_id", "q_emb", "cluster", dot6(F.col("q_emb"), F.col("centroid")).alias("aff")
         )
@@ -262,15 +257,34 @@ def sim_search_ivf(spark, sf_dir):
         .filter(F.col("rn") <= IVF_NPROBE)
         .select("q_id", "q_emb", "cluster")
     )
-
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
     return (
-        probes.join(lists, "cluster")
+        probes.join(inv, "cluster")
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", dot6(F.col("q_emb"), F.col("c_emb")).alias("score"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register("sim_search_ivf")  # rows-only: IVF candidate set is impl-defined
+def sim_search_ivf(spark, sf_dir):
+    """ANN via an IVF index built with one distributed Lloyd step (measured recall@5 = 0.93 vs the brute anchor at sf0.01, floor 0.9 in tests/test_llm_ops.py).
+
+    Index build (all DataFrame ops, no collect on the data path):
+    seed centroids = the NLIST lowest vec_ids → assign every vector to
+    its max-dot centroid (broadcast NLIST×64 table) → recompute
+    centroids as element-wise means via posexplode + groupBy(cluster,
+    pos) → reassign. Search: probe the NPROBE nearest centroids per
+    query, exact re-rank only within those inverted lists.
+
+    At 100 TB the shape holds: the centroid table stays tiny (NLIST
+    rows, always broadcast), assignment is a map-side pass, and the
+    probe join fans each query out to NPROBE list-partitions instead
+    of the whole corpus.
+    """
+    refined, lists = _ivf_build(spark, sf_dir)
+    return _ivf_probe(spark, sf_dir, refined, lists)
 
 
 NEARDUP_THRESHOLD = 0.40
@@ -1237,44 +1251,7 @@ def sim_index_persist_probe(spark, sf_dir):
     as float32, same type dot6 sees in the in-memory build)."""
     from ..registry import scratch_dir
 
-    em = table(spark, sf_dir, "embeddings")
-    c = em.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
-    )
-    seeds = em.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
-    )
-
-    def assign(vectors, centroids):
-        w = Window.partitionBy("c_id").orderBy(F.desc("aff"), F.asc("cluster"))
-        return (
-            vectors.crossJoin(F.broadcast(centroids))
-            .select(
-                "c_id",
-                "c_emb",
-                "cluster",
-                dot6(F.col("c_emb"), F.col("centroid")).alias("aff"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("c_id", "c_emb", "cluster")
-        )
-
-    refined = (
-        assign(c, seeds)
-        .select("cluster", F.posexplode("c_emb").alias("pos", "v"))
-        .groupBy("cluster", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            "cluster",
-            F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias(
-                "centroid"
-            ),
-        )
-    )
-    lists = assign(c, refined)
+    refined, lists = _ivf_build(spark, sf_dir)
 
     base = scratch_dir("sim_index_persist_probe")
     cent_path, list_path = f"{base}/centroids", f"{base}/lists"
@@ -1285,33 +1262,7 @@ def sim_index_persist_probe(spark, sf_dir):
 
     cent = spark.read.parquet(cent_path)
     inv = spark.read.parquet(list_path)
-
-    q = em.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    probe_w = Window.partitionBy("q_id").orderBy(F.desc("aff"), F.asc("cluster"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "q_id",
-            "q_emb",
-            "cluster",
-            dot6(F.col("q_emb"), F.col("centroid")).alias("aff"),
-        )
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("q_id", "q_emb", "cluster")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
-    return (
-        probes.join(inv, "cluster")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id", "c_id", dot6(F.col("q_emb"), F.col("c_emb")).alias("score")
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return _ivf_probe(spark, sf_dir, cent, inv)
 
 
 @register("sim_recall_report")  # rows-only: scores impl-defined ANN variants
@@ -1329,12 +1280,16 @@ def sim_recall_report(spark, sf_dir):
     never drift from what the engine actually serves."""
     from ..registry import QUERIES
 
+    # the brute anchor is a probes x corpus crossJoin — cache its
+    # 100-row result so the count + four per-method joins don't each
+    # re-run the scan (review finding)
     brute = (
         QUERIES["sim_search_topk"](spark, sf_dir)
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "c_id")
+        .cache()
     )
-    n_expected = brute.count()  # |probes| * k (scalar, drives the pct)
+    n_expected = brute.count()  # |probes| * k; also materializes the cache
     reports = []
     for method in (
         "sim_search_blocked",

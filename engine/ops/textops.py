@@ -21,6 +21,14 @@ def _tokens():
     return F.split("text", " ")
 
 
+def _md5_bucket():
+    """First two md5 hex chars of doc_id — the ONE train/test split key
+    (< TRAIN_HEX_CUT => train, ~80%) shared by every op documented as
+    using 'the md5 80% split'; keeping a single definition prevents the
+    split from silently desynchronizing across ops (review finding)."""
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+
+
 @register(
     "text_wordcount",
     oracle="""
@@ -586,7 +594,7 @@ def sample_train_test_split(spark, sf_dir):
     hash both Spark and the oracle compute identically; at 100 TB
     this is a narrow projection + map, no shuffle at all."""
     d = table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bucket = _md5_bucket()
     return d.select(
         "doc_id",
         F.when(bucket < TRAIN_HEX_CUT, F.lit("train"))
@@ -1716,9 +1724,8 @@ def ml_naive_bayes_langid(spark, sf_dir):
     rides a broadcast crossJoin so unseen tokens get the Laplace
     floor per lang without a second pass."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    train = d.filter(bucket < TRAIN_HEX_CUT)
-    test = d.filter(bucket >= TRAIN_HEX_CUT)
+    train = d.filter(_md5_bucket() < TRAIN_HEX_CUT)
+    test = d.filter(_md5_bucket() >= TRAIN_HEX_CUT)
     tok_tr = train.select("lang", F.explode(_tokens()).alias("token"))
     cnt_lt = tok_tr.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
     lang_tok = tok_tr.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt_l"))
@@ -1873,10 +1880,7 @@ def text_bigram_lm_score(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.split("text", " ").alias("a"),
-        (
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-            < TRAIN_HEX_CUT
-        ).alias("is_train"),
+        (_md5_bucket() < TRAIN_HEX_CUT).alias("is_train"),
     )
     bg = d.select(
         "doc_id",

@@ -492,13 +492,20 @@ def test_bottom_k_sample_is_distributed_topk(spark):
 
 
 def test_span_coverage_single_shingle_pass(spark):
-    """dedup_span_coverage generates shingles ONCE (one explode, one
-    pass): the cross-doc duplicated-span filter is a whole-partition
-    window over span, not a groupBy + semi-join (which re-derives the
-    shingle frame on both sides and broadcasts the dup-span set)."""
+    """dedup_span_coverage shingles ONCE: the persisted shingle frame
+    feeds both the dup-set groupBy and the semi-join lookup, so the
+    executed plan reads the InMemoryRelation twice and contains at
+    most one posexplode (inside the cached plan) — and the dup filter
+    must be a skew-splittable semi join, never a whole-partition
+    window over span."""
     plan = _plan(spark, "dedup_span_coverage")
-    assert plan.count("Generate posexplode") == 1, plan
-    assert "Join" not in plan.replace("BroadcastHashJoin [doc_id", "DOCJOIN ["), plan
+    # the explode may PRINT once per InMemoryTableScan (each scan
+    # re-renders the cached plan) — what proves single computation is
+    # the InMemoryRelation both consumers read
+    assert "InMemoryRelation" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "LeftSemi" in plan, plan
+    assert "partial_min" in plan, plan  # dup detection is map-side combinable
 
 
 def test_naive_bayes_model_tables_broadcast(spark):
