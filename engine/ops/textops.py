@@ -1929,3 +1929,99 @@ def text_bigram_lm_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+SHARD_BYTES = 16384  # target shard size (bytes of text per output shard)
+SHARD_BUCKET = 50  # doc_id range per prefix-sum bucket (two-level cumsum)
+
+
+@register(
+    "corpus_shard_export",
+    oracle=f"""
+        WITH sized AS (
+          SELECT doc_id, strlen(text) AS nbytes FROM documents
+        ),
+        cum AS (
+          SELECT doc_id, nbytes,
+                 sum(nbytes) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - nbytes AS start_off
+          FROM sized
+        )
+        SELECT CAST(start_off // {SHARD_BYTES} AS BIGINT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc
+        FROM cum GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_shard_export(spark, sf_dir):
+    """Size-balanced training-shard export: assign documents (in
+    stable doc_id order) to ~SHARD_BYTES shards by their byte START
+    OFFSET in the concatenated corpus, write partitionBy(shard), and
+    report the read-back manifest (shard, n_docs, bytes, doc range) —
+    the exporter step that feeds a dataloader equal-sized files
+    instead of row-count shards that skew 10x by document length.
+
+    The global running total is computed as a TWO-LEVEL prefix sum —
+    per-bucket byte totals (distributed groupBy), bucket offsets via a
+    window over the dim-sized bucket table, then a within-bucket
+    prefix window — so no single-partition window ever sees the
+    corpus: the only unpartitioned window runs over |buckets| rows.
+    The oracle states the same assignment with one flat window (legal
+    at oracle scale). All integer arithmetic; shard boundaries are
+    exact in both engines."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.octet_length("text").alias("nbytes"),
+        (F.col("doc_id") / SHARD_BUCKET).cast("long").alias("bkt"),
+    )
+    bkt_tot = sized.groupBy("bkt").agg(F.sum("nbytes").alias("bkt_bytes"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bkt_off = bkt_tot.select(
+        "bkt", (F.sum("bkt_bytes").over(w_bkt) - F.col("bkt_bytes")).alias("bkt_off")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        sized.withColumn(
+            "in_off", F.sum("nbytes").over(w_in) - F.col("nbytes")
+        )
+        .join(F.broadcast(bkt_off), "bkt")
+        .select(
+            "doc_id",
+            "nbytes",
+            ((F.col("bkt_off") + F.col("in_off")) / SHARD_BYTES)
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+    out = scratch_dir("corpus_shard_export")
+    assigned.repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nbytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "shard_bytes",
+            "first_doc",
+            "last_doc",
+        )
+        .orderBy("shard")
+    )
