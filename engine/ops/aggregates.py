@@ -2022,3 +2022,87 @@ def agg_count_min_sketch(spark, sf_dir):
             merged.mergeInPlace(sk)
     probes = [(u, merged.estimateCount(u)) for u in range(20)]
     return spark.createDataFrame(probes, "user_id long, est_events long")
+
+
+CHURN_ACTIVE_DAYS = 7
+CHURN_LAPSED_DAYS = 21
+
+
+@register(
+    "events_churn_bands",
+    oracle=f"""
+        WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+        feed AS (
+          SELECT e.user_id, e.ts FROM events e, mx
+          WHERE NOT (e.user_id % 7 = 0
+                     AND e.ts > now_ts - INTERVAL 25 DAY)
+            AND NOT (e.user_id % 7 != 0 AND e.user_id % 5 = 0
+                     AND e.ts > now_ts - INTERVAL 14 DAY)
+        ),
+        last_seen AS (
+          SELECT user_id, max(ts) AS last_ts,
+                 count(*) AS lifetime_events
+          FROM feed GROUP BY user_id
+        )
+        SELECT CASE
+                 WHEN date_diff('day', last_ts, now_ts)
+                      < {CHURN_ACTIVE_DAYS} THEN 'active'
+                 WHEN date_diff('day', last_ts, now_ts)
+                      < {CHURN_LAPSED_DAYS} THEN 'lapsed'
+                 ELSE 'churned'
+               END AS band,
+               count(*) AS n_users,
+               CAST(sum(lifetime_events) AS BIGINT) AS n_events
+        FROM last_seen, mx
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_churn_bands(spark, sf_dir):
+    """Churn banding: users split into active / lapsed / churned by
+    days since last activity, measured against the corpus watermark
+    (max ts) so the report is reproducible rather than wall-clock
+    dependent — the retention snapshot every product pipeline emits.
+
+    Fixture augmentation (structurally-empty differential): every
+    fixture user is active through the last week, so only the
+    'active' branch could ever fire — the report runs over a
+    simulated lagged feed (every 7th user's last 25 days dropped →
+    churned; every 5th-not-7th user's last 14 days dropped → lapsed),
+    restated by the oracle, so all three CASE branches are genuinely
+    exercised.
+
+    One aggregation builds per-user last-seen + lifetime counts; the
+    watermark is a 1-row broadcast crossJoin (never a collect); the
+    banding is a scalar CASE and the final rollup is three rows.
+    date_diff on exact timestamps matches DuckDB's day arithmetic
+    (both truncate toward the floor of whole days)."""
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("now_ts"))
+    u7 = F.col("user_id") % 7 == 0
+    u5 = (F.col("user_id") % 7 != 0) & (F.col("user_id") % 5 == 0)
+    feed = (
+        e.crossJoin(F.broadcast(mx))
+        .filter(
+            ~(u7 & (F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 25 DAYS")))
+            & ~(u5 & (F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 14 DAYS")))
+        )
+    )
+    last_seen = feed.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("lifetime_events"),
+        F.first("now_ts").alias("now_ts"),
+    )
+    dd = F.datediff(F.col("now_ts"), F.col("last_ts"))
+    band = (
+        F.when(dd < CHURN_ACTIVE_DAYS, "active")
+        .when(dd < CHURN_LAPSED_DAYS, "lapsed")
+        .otherwise("churned")
+    )
+    return (
+        last_seen.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("lifetime_events").alias("n_events"),
+        )
+        .orderBy("band")
+    )

@@ -1448,3 +1448,81 @@ def win_hampel_outlier(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "win_interval_concurrency",
+    oracle="""
+        WITH iv AS (
+          SELECT user_id,
+                 epoch_ns(ts) // 1000 AS s_us,
+                 epoch_ns(ts) // 1000
+                   + CAST(round(value) AS BIGINT) * 1000000 AS e_us,
+                 event_id
+          FROM events
+        ),
+        pts AS (
+          SELECT user_id, s_us AS t, 1 AS delta, event_id FROM iv
+          UNION ALL
+          SELECT user_id, e_us AS t, -1 AS delta, event_id FROM iv
+        ),
+        run AS (
+          SELECT user_id,
+                 sum(delta) OVER (PARTITION BY user_id
+                                  ORDER BY t, delta, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS conc
+          FROM pts
+        )
+        SELECT user_id, CAST(max(conc) AS BIGINT) AS peak_concurrency
+        FROM run GROUP BY user_id ORDER BY user_id
+    """,
+)
+def win_interval_concurrency(spark, sf_dir):
+    """Peak interval concurrency per user (sweep line): each event
+    spans [ts, ts + value seconds]; explode every interval into a
+    +1 start / -1 end point, running-sum the deltas in time order,
+    take the max — the classic max-overlap question (peak concurrent
+    sessions/connections) that a self-join answers quadratically and
+    the sweep line answers in one window pass.
+
+    Tie discipline: points sort by (t, delta, event_id) so an
+    interval ENDING at instant t is closed before one STARTING at t
+    opens (delta -1 < +1 — touching intervals don't count as
+    concurrent), and event_id makes the running prefix bit-identical
+    across engines. All integer microseconds.
+
+    Scale: explode doubles the rows; one shuffle on user_id; the
+    running sum is a streaming frame (no buffering). Peak per key is
+    then a map-side-combinable max."""
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("s_us"),
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            + F.round("value").cast("long") * 1000000
+        ).alias("e_us"),
+        "event_id",
+    )
+    pts = iv.select(
+        "user_id", F.col("s_us").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(
+            "user_id",
+            F.col("e_us").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("conc", F.sum("delta").over(w))
+        .groupBy("user_id")
+        .agg(F.max("conc").alias("peak_concurrency"))
+        .orderBy("user_id")
+    )
