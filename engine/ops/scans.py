@@ -1094,3 +1094,65 @@ def sql_named_window(spark, sf_dir):
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """
     )
+
+
+@register(
+    "sql_function_surface",
+    oracle="""
+        WITH bands(band, lo, hi) AS (
+          VALUES ('budget', 0.0, 950.0),
+                 ('mid', 950.0, 1050.0),
+                 ('premium', 1050.0, 1000000.0)
+        )
+        SELECT band,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS disc_rev_cents
+        FROM lineitem JOIN bands
+          ON l_extendedprice / l_quantity >= lo
+         AND l_extendedprice / l_quantity < hi
+        GROUP BY band ORDER BY band
+    """,
+)
+def sql_function_surface(spark, sf_dir):
+    """Spark 4 SQL-defined functions (CREATE FUNCTION ... RETURN): a
+    SCALAR SQL UDF (discounted revenue in exact cents) and a
+    TABLE-VALUED SQL function (the price-band dimension as a function
+    body) used together in one query — business logic shared as
+    catalog objects instead of copy-pasted expressions, with none of
+    the Python-worker cost of a real UDF: Catalyst INLINES the SQL
+    body, so the plan is identical to writing the expression in place
+    (banding stays a broadcastable 3-row join, the revenue math stays
+    in whole-stage codegen).
+
+    The oracle restates both bodies inline, which is exactly the
+    inlining claim under test."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_sqlfn")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_rev_cents(
+          p DOUBLE, d DOUBLE) RETURNS BIGINT
+        RETURN CAST(round(p * (1 - d) * 100) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_bands()
+        RETURNS TABLE(band STRING, lo DOUBLE, hi DOUBLE)
+        RETURN VALUES ('budget', 0.0, 950.0),
+                      ('mid', 950.0, 1050.0),
+                      ('premium', 1050.0, 1000000.0)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT band,
+               count(*) AS n_items,
+               CAST(sum(disc_rev_cents(l_extendedprice, l_discount))
+                    AS BIGINT) AS disc_rev_cents
+        FROM v_li_sqlfn JOIN price_bands()
+          ON l_extendedprice / l_quantity >= lo
+         AND l_extendedprice / l_quantity < hi
+        GROUP BY band ORDER BY band
+        """
+    )
