@@ -1156,3 +1156,91 @@ def sql_function_surface(spark, sf_dir):
         GROUP BY band ORDER BY band
         """
     )
+
+
+@register(
+    "source_csv_multiline_quoted",
+    oracle="""
+        SELECT doc_id, replace(text, ' ', chr(10)) AS text_nl, lang
+        FROM documents WHERE doc_id < 200
+    """,
+)
+def source_csv_multiline_quoted(spark, sf_dir):
+    """CSV with embedded NEWLINES inside quoted fields — the classic
+    export format that breaks naive line-splitting readers. A slice of
+    documents is rewritten with real newlines in the text, written as
+    quoted CSV, and read back with multiLine=true; the round-trip must
+    reproduce the source exactly (oracle states the expected content
+    directly from the table).
+
+    THE SCALE CAVEAT IS THE POINT: multiLine CSV is NOT SPLITTABLE —
+    record boundaries can't be found mid-file, so each file reads as
+    ONE task regardless of size. At 100 TB this format forces
+    many-small-files parallelism (or a re-export to parquet, which is
+    what the engine's ingest path does); single-line CSV with escaped
+    newlines stays splittable. The demo keeps one small file and
+    documents the trade instead of pretending the reader parallelizes.
+    """
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", " ", "\n").alias("text_nl"),
+            "lang",
+        )
+    )
+    out = scratch_dir("csv_multiline")
+    (
+        d.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("doc_id long, text_nl string, lang string")
+        .csv(out)
+    )
+    return back.select("doc_id", "text_nl", "lang")
+
+
+@register(
+    "set_union_by_name_evolved",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_channel
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+        FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def set_union_by_name_evolved(spark, sf_dir):
+    """Schema-drift union: an old extract (no o_channel column) and a
+    new extract (adds o_channel, reorders columns) combined with
+    unionByName(allowMissingColumns=True) — position-based UNION
+    would silently misalign the reordered columns or fail on the
+    missing one; by-name union aligns on names and null-fills the
+    gap. This is the everyday operation when a source adds a field
+    mid-history and the pipeline must read both eras.
+
+    Map-only at any scale (no shuffle: union is a plan concatenation;
+    the null-fill is a projection)."""
+    o = table(spark, sf_dir, "orders")
+    old_era = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_era = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_orderkey") % 3 == 0, "web")
+        .otherwise("store")
+        .alias("o_channel"),
+        "o_totalprice",
+        "o_orderkey",
+        "o_custkey",
+    )
+    return old_era.unionByName(new_era, allowMissingColumns=True).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_channel"
+    )
