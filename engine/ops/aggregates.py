@@ -2106,3 +2106,199 @@ def events_churn_bands(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+@register(
+    "stat_ks_test",
+    oracle="""
+        WITH q AS (
+          SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+          FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        g AS (
+          SELECT v, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+          FROM q GROUP BY v
+        ),
+        c AS (
+          SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+                 sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+                 sum(ca) OVER () AS na,
+                 sum(cb) OVER () AS nb
+          FROM g
+        )
+        SELECT CAST(max(na) AS BIGINT) AS n_a,
+               CAST(max(nb) AS BIGINT) AS n_b,
+               CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+               round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+                     / (max(na) * max(nb)), 6) AS d_stat
+        FROM c
+    """,
+)
+def stat_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov D between the purchase and view
+    value distributions — the nonparametric distribution-shift test
+    A/B platforms and data-drift monitors run. D = max |ECDF_a −
+    ECDF_b| is computed EXACTLY: values quantized to 1e-4 units,
+    per-value counts for both arms in one hash aggregate, cumulative
+    counts over the distinct sorted values, and the sup taken on the
+    integer cross-product |cum_a·n_b − cum_b·n_a| — one BIGINT max,
+    bit-identical at any parallelism; the only double is the final
+    scalar division.
+
+    Plan: groupBy(v) is map-side combinable, so the sorted pass runs
+    over DISTINCT quantized values (bounded by value-domain
+    resolution, not row count). The single-partition window over that
+    distinct spine is the textbook ECDF shape; at 100 TB you'd
+    range-partition the spine and two-level prefix-sum the counts
+    (the corpus_shard_export op demonstrates exactly that), keeping
+    the global max a scalar combine."""
+    e = table(spark, sf_dir, "events")
+    q = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ib"),
+    )
+    g = q.groupBy("v").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    c = g.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    d_num = F.max(F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")))
+    return c.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        d_num.alias("d_num"),
+        F.round(
+            d_num.cast("double") / (F.max("na") * F.max("nb")), 6
+        ).alias("d_stat"),
+    )
+
+
+@register(
+    "orders_survival_km",
+    oracle="""
+        WITH o AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+          FROM orders
+        ),
+        mx AS (SELECT max(d) AS maxd FROM o),
+        dur AS (
+          SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', d, nxt)
+                      ELSE date_diff('day', d, maxd) END AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM (
+            SELECT o_custkey, d, o_orderkey,
+                   lead(d) OVER (PARTITION BY o_custkey
+                                 ORDER BY d, o_orderkey) AS nxt
+            FROM o
+          ), mx
+        ),
+        g AS (
+          SELECT t, count(*) AS c_all, CAST(sum(ev) AS BIGINT) AS d_events
+          FROM dur GROUP BY t
+        ),
+        r AS (
+          SELECT t, d_events,
+                 CAST(sum(c_all) OVER () AS BIGINT)
+                   - CAST(COALESCE(sum(c_all) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_risk
+          FROM g
+        ),
+        e AS (
+          SELECT t, n_risk, d_events,
+                 CASE WHEN n_risk = d_events THEN NULL
+                      ELSE CAST(round(1e6 * ln(CAST(n_risk - d_events AS DOUBLE)
+                                               / n_risk)) AS BIGINT)
+                 END AS term_mnat
+          FROM r WHERE d_events > 0
+        )
+        SELECT t AS t_day, n_risk, d_events,
+               CAST(sum(term_mnat) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS surv_mnat,
+               CASE WHEN max(CASE WHEN term_mnat IS NULL THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+                    ELSE round(exp(CAST(sum(term_mnat) OVER (ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6), 6)
+               END AS surv
+        FROM e
+    """,
+)
+def orders_survival_km(spark, sf_dir):
+    """Kaplan–Meier survival curve over inter-order gaps — the
+    time-to-repeat-purchase estimator, with the last order of each
+    customer right-censored at the fixture's max order date. Event
+    durations come from one lead() window per customer; the risk set
+    n(t) = N − #{durations < t} falls out of a prefix sum over the
+    grouped duration spine, so no per-time rescan of the fact table.
+
+    Determinism discipline: Π(1 − d/n) is taken in log space with
+    each factor quantized to integer micro-nats BEFORE the cumulative
+    sum (the engine-wide log-prob rule), so the curve is bit-stable
+    across engines and shuffle orders; the final exp/round is one
+    scalar per row. S(t) hits exact 0 iff the last risk set is all
+    events (term is NULL-guarded; the running had-null flag pins surv
+    to 0.0 from that point on). Scale: windows partition by customer
+    (millions of small groups); only the distinct-duration spine —
+    bounded by the date-range in days, not row count — is globally
+    ordered, the same two-level-prefix-sum shape as stat_ks_test."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    mx = o.agg(F.max("d").alias("maxd"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    dur = (
+        o.withColumn("nxt", F.lead("d").over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(), F.datediff("nxt", "d")
+            ).otherwise(F.datediff("maxd", "d")).cast("long").alias("t"),
+            F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    g = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("ev").alias("d_events")
+    )
+    wt = Window.orderBy("t")
+    before = F.coalesce(
+        F.sum("c_all").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    r = g.select(
+        "t",
+        "d_events",
+        (F.sum("c_all").over(Window.partitionBy()) - before).alias("n_risk"),
+    )
+    term = F.when(F.col("n_risk") == F.col("d_events"), F.lit(None)).otherwise(
+        F.round(
+            1e6
+            * F.log(
+                (F.col("n_risk") - F.col("d_events")).cast("double")
+                / F.col("n_risk")
+            )
+        ).cast("long")
+    )
+    e = r.filter(F.col("d_events") > 0).withColumn("term_mnat", term)
+    wcum = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    had_null = F.max(
+        F.when(F.col("term_mnat").isNull(), 1).otherwise(0)
+    ).over(wcum)
+    cum = F.sum("term_mnat").over(wcum)
+    return e.select(
+        F.col("t").alias("t_day"),
+        "n_risk",
+        "d_events",
+        cum.alias("surv_mnat"),
+        F.when(had_null == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(cum.cast("double") / 1e6), 6))
+        .alias("surv"),
+    )

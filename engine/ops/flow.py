@@ -824,3 +824,86 @@ def flow_exfil_asymmetry(spark, sf_dir):
             F.round(asym, 6).alias("asym"),
         )
     )
+
+
+# Idle gap that splits two flows of the same interface into separate
+# sessions. The fixture's per-user inter-flow median is ~7 h (sparse
+# synthetic month), so 12 h yields a real mix of single- and
+# multi-flow sessions; production VPC pipelines would use minutes.
+SESSION_GAP_S = 43200
+
+
+@register(
+    "flow_session_reassembly",
+    oracle=f"""
+        WITH f AS (
+          SELECT 'eni-' || CAST(user_id AS VARCHAR) AS interface_id,
+                 '10.1.' || CAST(({SQL_K}*3) % 256 AS VARCHAR) || '.'
+                         || CAST(({SQL_K}*11) % 256 AS VARCHAR) AS dstaddr,
+                 CAST({SQL_K} + 1024 AS INT) AS srcport,
+                 {SQL_EPOCH} AS t_start,
+                 {SQL_EPOCH} + 60 AS t_end,
+                 CAST(round(value*100) AS BIGINT) AS bytes,
+                 CAST(round(value) AS BIGINT) AS packets
+          FROM events
+        ),
+        g AS (
+          SELECT *, CASE WHEN t_start - lag(t_start) OVER w > {SESSION_GAP_S}
+                         THEN 1 ELSE 0 END AS new_s
+          FROM f
+          WINDOW w AS (PARTITION BY interface_id ORDER BY t_start, srcport)
+        ),
+        s AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY interface_id
+                                     ORDER BY t_start, srcport
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM g
+        )
+        SELECT interface_id,
+               min(t_start) AS session_start,
+               max(t_end) AS session_end,
+               count(*) AS n_flows,
+               count(DISTINCT dstaddr) AS n_peers,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(packets) AS BIGINT) AS total_packets
+        FROM s GROUP BY interface_id, sess
+    """,
+)
+def flow_session_reassembly(spark, sf_dir):
+    """Reassemble per-interface flow records into activity sessions
+    split on >12 h idle gaps — the gaps-and-islands shape every flow
+    analytics tier runs (NetFlow/VPC "conversation" rollups), fused
+    with the parse path so it is value-checked end to end.
+
+    Plan: one shuffle on interface_id serves BOTH window passes (lag
+    flag, then running-sum session id) and the final groupBy — the
+    session key (interface_id, sess) is a strict refinement of the
+    window partitioning, so Catalyst reuses the exchange instead of
+    reshuffling. At 100 TB the partition key is the interface (ENI)
+    id: millions of interfaces, bounded per-interface history, no
+    global ordering anywhere. Ties on t_start are broken by srcport
+    (unique per synthesized flow) so the running session id is
+    bit-deterministic across engines and retries."""
+    p = _parsed(spark, sf_dir)
+    w = Window.partitionBy("interface_id").orderBy("start", "srcport")
+    new_s = (
+        F.when(F.col("start") - F.lag("start").over(w) > SESSION_GAP_S, 1)
+        .otherwise(0)
+    )
+    sess = F.sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        p.withColumn("new_s", new_s)
+        .withColumn("sess", sess)
+        .groupBy("interface_id", "sess")
+        .agg(
+            F.min("start").alias("session_start"),
+            F.max("end").alias("session_end"),
+            F.count(F.lit(1)).alias("n_flows"),
+            F.countDistinct("dstaddr").alias("n_peers"),
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("packets").alias("total_packets"),
+        )
+        .drop("sess")
+    )

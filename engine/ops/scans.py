@@ -1244,3 +1244,52 @@ def set_union_by_name_evolved(spark, sf_dir):
     return old_era.unionByName(new_era, allowMissingColumns=True).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_channel"
     )
+
+
+# Point-lookup ids for the bloom-filter demo; present at every sf
+# (event_id is dense from 0) and scattered across row groups.
+BLOOM_LOOKUP_IDS = (11, 4099, 8191)
+
+
+@register(
+    "scan_parquet_bloom_write",
+    oracle=f"""
+        SELECT event_id, user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_id IN {BLOOM_LOOKUP_IDS}
+    """,
+)
+def scan_parquet_bloom_write(spark, sf_dir):
+    """Parquet FILE-level bloom filters: write with
+    ``parquet.bloom.filter.enabled#event_id`` and read back through a
+    point-lookup predicate. This is the storage-side complement to
+    the runtime bloom join (join_bloom_filtered): event_id arrives
+    hash-scattered, so min/max zone maps span the whole id range in
+    every row group and prune NOTHING — the per-row-group bloom is
+    what lets parquet-mr skip row groups whose filter misses the
+    probed keys. The IN predicate is pushed to the scan (plan-asserted
+    in tests/test_plans.py) where the reader consults footer stats,
+    dictionary AND bloom before decoding a page.
+
+    Scale: at 100 TB a needle-in-haystack id lookup touches only the
+    row groups whose bloom fires (~fp-rate of the rest); expected_ndv
+    sizes the filter (~1.2 MB/1M keys at 1% fp). The write itself is
+    one map-only pass — no shuffle, no sort required (that ordering
+    independence is the point vs. sink_sorted_clustered's zone-map
+    strategy)."""
+    out = scratch_dir("bloom_write")
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    (
+        e.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#event_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#event_id", "1048576")
+        .parquet(f"{out}/t")
+    )
+    back = spark.read.parquet(f"{out}/t")
+    return back.filter(F.col("event_id").isin(*BLOOM_LOOKUP_IDS))

@@ -1526,3 +1526,67 @@ def win_interval_concurrency(spark, sf_dir):
         .agg(F.max("conc").alias("peak_concurrency"))
         .orderBy("user_id")
     )
+
+
+# Target points per series for the LTTB downsampler.
+LTTB_N_OUT = 24
+
+
+@register("ts_downsample_lttb")
+def ts_downsample_lttb(spark, sf_dir, n_out: int = LTTB_N_OUT):
+    """Largest-Triangle-Three-Buckets downsampling of each user's
+    value series to ``n_out`` visually-representative points — the
+    standard dashboard/charting reduction (Steinarsson 2013). Per
+    bucket, keep the point that maximizes the triangle area with the
+    previously kept point and the NEXT bucket's centroid; endpoints
+    always survive, so spikes and trend reversals are preserved where
+    uniform striding would average them away.
+
+    LTTB is sequential within a series (each pick depends on the
+    previous), so it runs as applyInPandas per user_id — the
+    per-series-bounded stateful shape (like udf_grouped_map), with
+    the numpy inner loop over O(n_out) buckets, each an O(bucket)
+    vectorized argmax. No oracle: the pick set is implementation-
+    defined; tests/test_properties.py pins size, endpoint retention,
+    subset-of-input, and monotone timestamps. Scale: one shuffle on
+    user_id; series length is bounded per key (monthly activity), and
+    n_out caps the output at rows·n_out/len — the 100 TB use is
+    exactly this (downsample billions of device series for serving)."""
+    import numpy as np
+    import pandas as pd
+
+    def lttb(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t_us", "event_id"], kind="mergesort")
+        t = pdf["t_us"].to_numpy(dtype=np.int64)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(t)
+        if n <= n_out:
+            keep = np.arange(n)
+        else:
+            # bucket boundaries over the interior points [1, n-1)
+            edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            keep_list = [0]
+            prev = 0
+            for b in range(n_out - 2):
+                lo, hi = edges[b], edges[b + 1]
+                nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < n_out - 1 else n)
+                cx, cy = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+                area = np.abs(
+                    (t[prev] - cx) * (v[lo:hi] - v[prev])
+                    - (t[prev] - t[lo:hi]) * (cy - v[prev])
+                )
+                prev = lo + int(np.argmax(area))
+                keep_list.append(prev)
+            keep_list.append(n - 1)
+            keep = np.array(keep_list)
+        return pdf.iloc[keep][["user_id", "t_us", "value"]]
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+        "value",
+        "event_id",
+    )
+    return e.groupBy("user_id").applyInPandas(
+        lttb, schema="user_id bigint, t_us bigint, value double"
+    )

@@ -553,3 +553,26 @@ def test_pandas_window_udf_plans_window_in_pandas(spark):
     it's a real window UDF, not a grouped-map rewrite."""
     plan = _plan(spark, "udf_pandas_window_agg")
     assert "ArrowWindowPython" in plan, plan
+
+
+def test_bloom_write_pushes_point_lookup(spark):
+    """The bloom demo's IN-list must reach the parquet scan as a pushed
+    filter — that is the hook parquet-mr's row-group bloom pruning
+    hangs off (footer consult happens below the plan's visibility)."""
+    plan = _plan(spark, "scan_parquet_bloom_write")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "In(event_id" in pushed, plan
+
+
+def test_session_reassembly_reuses_one_hash_exchange(spark):
+    """flow_session_reassembly: lag window, running-sum window, and the
+    (interface_id, sess) groupBy are all served by ONE hash exchange on
+    interface_id — the session key refines the window partitioning, so
+    Catalyst must not reshuffle. (The round-robin fan-out of the raw
+    parse lines is a separate, deliberate exchange.)"""
+    plan = _plan(spark, "flow_session_reassembly")
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 1, plan

@@ -233,3 +233,62 @@ def test_ivf_index_persist_equals_rebuild(spark):
         for r in engine.QUERIES["sim_search_ivf"](spark, sf).collect()
     }
     assert served == rebuilt
+
+
+def test_lttb_downsample_properties(spark):
+    """LTTB pick set: exact size min(n, N_OUT), both endpoints kept,
+    every point a member of the original series, timestamps
+    non-decreasing within a series."""
+    import engine
+    from engine.ops.windows import LTTB_N_OUT
+    from engine.registry import table
+    from pyspark.sql import functions as F
+    from tests.conftest import T2_SF_DIR
+
+    out = engine.QUERIES["ts_downsample_lttb"](spark, T2_SF_DIR).toPandas()
+    src = (
+        table(spark, T2_SF_DIR, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+            "value",
+        )
+        .toPandas()
+    )
+    src_keys = set(map(tuple, src.to_numpy()))
+    for uid, grp in out.groupby("user_id"):
+        s = src[src.user_id == uid].sort_values("t_us")
+        assert len(grp) == min(len(s), LTTB_N_OUT)
+        g = grp.sort_values("t_us")
+        assert g.iloc[0].t_us == s.iloc[0].t_us
+        assert g.iloc[-1].t_us == s.iloc[-1].t_us
+        assert g.t_us.is_monotonic_increasing
+    assert set(map(tuple, out.to_numpy())) <= src_keys
+
+
+def test_bloom_filter_bytes_are_written(spark):
+    """The bloom-enabled write must carry the filter in the file: same
+    data written with and without parquet.bloom.filter.enabled differs
+    by roughly expected_ndv bits (~1 MB at ndv=1M, far above content
+    variance)."""
+    import glob
+    import os
+
+    from engine.registry import table
+    from pyspark.sql import functions as F
+    from tests.conftest import SMOKE_SF_DIR
+
+    e = table(spark, SMOKE_SF_DIR, "events").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    e.write.mode("overwrite").parquet("/tmp/engine_test_bloom_off")
+    (
+        e.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#event_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#event_id", "1048576")
+        .parquet("/tmp/engine_test_bloom_on")
+    )
+    sz = lambda d: sum(
+        os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+    )
+    assert sz("/tmp/engine_test_bloom_on") > sz("/tmp/engine_test_bloom_off") + 100_000
