@@ -2302,3 +2302,126 @@ def orders_survival_km(spark, sf_dir):
         .otherwise(F.round(F.exp(cum.cast("double") / 1e6), 6))
         .alias("surv"),
     )
+
+
+@register(
+    "ml_ols_normal_eq",
+    oracle="""
+        WITH q AS (
+          SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+                 CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        g AS (
+          SELECT count(*) AS n,
+                 CAST(sum(x1) AS BIGINT) AS s1,
+                 CAST(sum(x2) AS BIGINT) AS s2,
+                 CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                 CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                 CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                 CAST(sum(x2 * y) AS BIGINT) AS s2y
+          FROM q
+        ),
+        d AS (
+          SELECT n,
+                 CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b,
+                 CAST(s2 AS DOUBLE) AS c, CAST(s11 AS DOUBLE) AS dd,
+                 CAST(s12 AS DOUBLE) AS e, CAST(s22 AS DOUBLE) AS f,
+                 CAST(sy AS DOUBLE) AS p, CAST(s1y AS DOUBLE) AS q,
+                 CAST(s2y AS DOUBLE) AS s
+          FROM g
+        ),
+        cf AS (
+          SELECT n, p, q, s,
+                 dd * f - e * e AS cof11, c * e - b * f AS cof12,
+                 b * e - c * dd AS cof13, a * f - c * c AS cof22,
+                 b * c - a * e AS cof23, a * dd - b * b AS cof33,
+                 a * (dd * f - e * e) + b * (c * e - b * f)
+                   + c * (b * e - c * dd) AS det
+          FROM d
+        )
+        SELECT n,
+               round((p * cof11 + q * cof12 + s * cof13) / det, 6) AS b0,
+               round((p * cof12 + q * cof22 + s * cof23) / det, 6) AS b1,
+               round((p * cof13 + q * cof23 + s * cof33) / det, 6) AS b2
+        FROM cf
+    """,
+)
+def ml_ols_normal_eq(spark, sf_dir):
+    """Multi-feature OLS (extendedprice-cents ~ quantity + discount-pts)
+    solved in CLOSED FORM via the normal equations: one map-side-
+    combinable aggregate accumulates the exact integer Gram/moment
+    sums (n, Σx, ΣxxT, Σxy — 9 BIGINTs), then the 3×3 symmetric system
+    is inverted by cofactors in a single scalar double expression.
+    This is the distributed-OLS shape that needs ONE pass and ONE
+    scalar combine regardless of data size — no gradient iterations,
+    no per-row Python (contrast ml_logreg_train, the iterative
+    sibling). Bit-determinism: every sum is exact-integer before the
+    final identical-structure double arithmetic, the engine-wide rule;
+    the double cofactor expressions are written with the same shape in
+    both engines so IEEE evaluation matches bit-for-bit. At 100 TB the
+    feature count k bounds the state (k² sums), not rows — the same
+    partial-aggregation contract as agg_stats."""
+    li = table(spark, sf_dir, "lineitem")
+    x1 = F.round("l_quantity").cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    q = li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    g = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    d = g.select(
+        "n",
+        F.col("n").cast("double").alias("a"),
+        F.col("s1").cast("double").alias("b"),
+        F.col("s2").cast("double").alias("c"),
+        F.col("s11").cast("double").alias("dd"),
+        F.col("s12").cast("double").alias("e"),
+        F.col("s22").cast("double").alias("f"),
+        F.col("sy").cast("double").alias("p"),
+        F.col("s1y").cast("double").alias("q"),
+        F.col("s2y").cast("double").alias("s"),
+    )
+    cf = d.select(
+        "n",
+        "p",
+        "q",
+        "s",
+        (F.col("dd") * F.col("f") - F.col("e") * F.col("e")).alias("cof11"),
+        (F.col("c") * F.col("e") - F.col("b") * F.col("f")).alias("cof12"),
+        (F.col("b") * F.col("e") - F.col("c") * F.col("dd")).alias("cof13"),
+        (F.col("a") * F.col("f") - F.col("c") * F.col("c")).alias("cof22"),
+        (F.col("b") * F.col("c") - F.col("a") * F.col("e")).alias("cof23"),
+        (F.col("a") * F.col("dd") - F.col("b") * F.col("b")).alias("cof33"),
+        (
+            F.col("a") * (F.col("dd") * F.col("f") - F.col("e") * F.col("e"))
+            + F.col("b") * (F.col("c") * F.col("e") - F.col("b") * F.col("f"))
+            + F.col("c") * (F.col("b") * F.col("e") - F.col("c") * F.col("dd"))
+        ).alias("det"),
+    )
+    return cf.select(
+        "n",
+        F.round(
+            (F.col("p") * F.col("cof11") + F.col("q") * F.col("cof12")
+             + F.col("s") * F.col("cof13")) / F.col("det"), 6
+        ).alias("b0"),
+        F.round(
+            (F.col("p") * F.col("cof12") + F.col("q") * F.col("cof22")
+             + F.col("s") * F.col("cof23")) / F.col("det"), 6
+        ).alias("b1"),
+        F.round(
+            (F.col("p") * F.col("cof13") + F.col("q") * F.col("cof23")
+             + F.col("s") * F.col("cof33")) / F.col("det"), 6
+        ).alias("b2"),
+    )

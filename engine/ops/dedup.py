@@ -973,3 +973,59 @@ def dedup_span_coverage(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+LPA_ROUNDS = 5
+
+
+@register("graph_label_propagation")  # rows-only: iterative, not SQL-expressible
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation over the
+    near-dup pair graph: each round every node adopts its neighbors'
+    most frequent label (ties broken by smallest label), isolated
+    semantics preserved by keeping the own label when no message
+    arrives. Complements dedup_cluster_cc: CC answers "which docs are
+    transitively connected", LPA carves DENSE regions inside a
+    component into communities — the structure SemDeDup-style corpus
+    curation keys on.
+
+    Determinism: synchronous rounds (labels(t+1) from labels(t) only),
+    count-desc + label-asc row_number pick, fixed LPA_ROUNDS — the
+    result is a pure function of the edge list, pinned by a
+    double-run equality test. Scale shape: per round one join on
+    doc_id (graph partitioned by node), one (node,label) count
+    aggregate (map-side combinable), one per-node WindowGroupLimit
+    pick; localCheckpoint truncates lineage like the CC loop. 100 TB
+    graphs run the identical plan with the node id as the partition
+    key."""
+    edges = _neardup_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        msgs = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "label")
+        )
+        pick = (
+            msgs.groupBy("doc_id", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select("doc_id", F.col("label").alias("community"))

@@ -1293,3 +1293,37 @@ def scan_parquet_bloom_write(spark, sf_dir):
     )
     back = spark.read.parquet(f"{out}/t")
     return back.filter(F.col("event_id").isin(*BLOOM_LOOKUP_IDS))
+
+
+@register(
+    "sql_distribute_cluster_by",
+    oracle="""
+        SELECT user_id, CAST(ts AS VARCHAR) AS ts_s, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')
+    """,
+)
+def sql_distribute_cluster_by(spark, sf_dir):
+    """DISTRIBUTE BY / SORT BY — the SQL surface for explicit physical
+    layout control (the ETL idiom behind partitioned, per-partition-
+    sorted writes: hive-style INSERT ... DISTRIBUTE BY pk SORT BY ts).
+    DISTRIBUTE BY hash-exchanges on user_id WITHOUT a global sort
+    barrier; SORT BY orders only within partitions (plan shows
+    Exchange hashpartitioning + Sort [global=false] — both asserted in
+    tests/test_plans.py). Values are layout-invariant, so the oracle
+    is the plain selection; what this op pins is that the requested
+    physical properties actually appear. At 100 TB this exact pair is
+    how you co-locate a key's rows and make per-file sort order real
+    while avoiding the one-reducer trap of ORDER BY."""
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("engine_dcb_events")
+    return spark.sql(
+        """
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS STRING) AS ts_s,
+               event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM engine_dcb_events
+        WHERE event_type IN ('purchase', 'click')
+        DISTRIBUTE BY user_id SORT BY user_id, ts_s
+        """
+    )

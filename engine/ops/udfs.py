@@ -13,6 +13,8 @@ bit-identical with the DuckDB window-average oracle.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -359,3 +361,31 @@ def udf_pandas_window_agg(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "udf_pandas_scalar_iter",
+    oracle="""
+        SELECT doc_id,
+               CAST(n_chars * 3 + 7 AS BIGINT) AS scored
+        FROM documents
+    """,
+)
+def udf_pandas_scalar_iter(spark, sf_dir):
+    """Iterator[pd.Series] → Iterator[pd.Series] pandas UDF — the §2.K
+    surface member built for expensive per-worker initialization: the
+    "model" (here a trivial (scale, bias) pair) is constructed ONCE per
+    Python worker, then streamed over every Arrow batch of the
+    partition, instead of per batch like the plain Series→Series form.
+    That amortization is the production pattern for tokenizers /
+    ONNX sessions at 100 TB; the arithmetic stays exact-integer so the
+    oracle is a one-line restatement."""
+
+    @pandas_udf("long")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        scale, bias = 3, 7  # stands in for a once-per-worker model load
+        for v in batches:
+            yield v * scale + bias
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", score("n_chars").alias("scored"))

@@ -576,3 +576,26 @@ def test_session_reassembly_reuses_one_hash_exchange(spark):
         1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     )
     assert n_hash == 1, plan
+
+
+def test_distribute_sort_by_requests_layout(spark):
+    """DISTRIBUTE BY must produce a hash exchange on user_id and SORT BY
+    a NON-global sort — the layout-control contract, with no global
+    sort barrier anywhere in the plan."""
+    plan = _plan(spark, "sql_distribute_cluster_by")
+    assert "Exchange hashpartitioning(user_id" in plan, plan
+    sorts = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if ln.strip().lstrip("+-* ").startswith("Sort ")
+    ]
+    assert sorts and all(", false, 0" in s for s in sorts), plan
+
+
+def test_ols_single_partial_aggregate_pass(spark):
+    """ml_ols_normal_eq: one scan of lineitem, partial (map-side)
+    aggregation present, and no Exchange other than the single-row
+    final combine."""
+    plan = _plan(spark, "ml_ols_normal_eq")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan

@@ -292,3 +292,34 @@ def test_bloom_filter_bytes_are_written(spark):
         os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
     )
     assert sz("/tmp/engine_test_bloom_on") > sz("/tmp/engine_test_bloom_off") + 100_000
+
+
+def test_label_propagation_is_deterministic_component_refinement(spark):
+    """LPA invariants: double-run equality (pure function of the edge
+    list), every community label is a node of the SAME connected
+    component (labels only travel along edges), labels drawn from the
+    node id set."""
+    import engine
+    from tests.conftest import T2_SF_DIR
+
+    a = (
+        engine.QUERIES["graph_label_propagation"](spark, T2_SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        engine.QUERIES["graph_label_propagation"](spark, T2_SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    nodes = set(a.doc_id)
+    assert set(a.community) <= nodes
+    cc = engine.QUERIES["dedup_cluster_cc"](spark, T2_SF_DIR).toPandas()
+    comp = cc.set_index("doc_id").cluster_id.to_dict()
+    merged = a.merge(cc, on="doc_id")
+    assert all(
+        comp[r.community] == r.cluster_id for r in merged.itertuples()
+    )
