@@ -2425,3 +2425,102 @@ def ml_ols_normal_eq(spark, sf_dir):
              + F.col("s") * F.col("cof33")) / F.col("det"), 6
         ).alias("b2"),
     )
+
+
+BOOT_REPS = 32
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+        WITH base AS (
+          SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        rep AS (
+          SELECT r.r AS r, event_id, cents
+          FROM base, unnest(range({BOOT_REPS})) r(r)
+        ),
+        mem AS (
+          SELECT r, cents,
+                 ((event_id * 1103515245 + r * 12345) % 2147483648)
+                   AS h1
+          FROM rep
+        ),
+        sel AS (
+          SELECT r, cents
+          FROM mem
+          WHERE ((h1 * 1103515245 + 12345) % 2147483648) % 2 = 0
+        ),
+        means AS (
+          SELECT r, CAST(sum(cents) AS BIGINT) AS s, count(*) AS n,
+                 CAST(sum(cents) AS DOUBLE) / count(*) AS m
+          FROM sel GROUP BY r
+        ),
+        ranked AS (
+          SELECT m, row_number() OVER (ORDER BY m, r) AS rn FROM means
+        ),
+        ci AS (
+          SELECT round(max(CASE WHEN rn = 2 THEN m END), 6) AS lo_mean,
+                 round(max(CASE WHEN rn = {BOOT_REPS - 1} THEN m END), 6)
+                   AS hi_mean
+          FROM ranked
+        ),
+        pt AS (
+          SELECT count(*) AS n_total,
+                 round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS point_mean
+          FROM base
+        )
+        SELECT n_total, point_mean, lo_mean, hi_mean FROM pt, ci
+    """,
+)
+def agg_bootstrap_ci(spark, sf_dir):
+    """Bootstrap confidence interval for the mean purchase value via
+    DETERMINISTIC half-sampling: 32 replicates, each keeping the rows
+    whose two-step LCG hash of (event_id, replicate) is even — a
+    derandomized subsample bootstrap whose replicate membership is a
+    pure integer function both engines evaluate identically (no RNG
+    state, no sampleBy nondeterminism). Replicate means are exact
+    BIGINT sums over the selected cents; the 90% CI takes the 2nd and
+    31st order statistics of the 32 means (row_number with an (m, r)
+    tiebreak).
+
+    Scale: the replicate fan-out is a row-local explode (32×, map
+    side), the per-replicate aggregation is one map-side-combinable
+    groupBy(r) — state is B partial sums regardless of data size, the
+    classic Poisson/subsample-bootstrap layout for distributed
+    inference. No data-sized shuffle, no collect."""
+    e = table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    rep = base.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("r"),
+    )
+    h1 = (F.col("event_id") * 1103515245 + F.col("r") * 12345) % 2147483648
+    sel = rep.withColumn("h1", h1).filter(
+        ((F.col("h1") * 1103515245 + 12345) % 2147483648) % 2 == 0
+    )
+    means = sel.groupBy("r").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "r"))
+    )
+    ci = ranked.agg(
+        F.round(F.max(F.when(F.col("rn") == 2, F.col("m"))), 6).alias(
+            "lo_mean"
+        ),
+        F.round(
+            F.max(F.when(F.col("rn") == BOOT_REPS - 1, F.col("m"))), 6
+        ).alias("hi_mean"),
+    )
+    pt = base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(F.sum("cents").cast("double") / F.count(F.lit(1)), 6).alias(
+            "point_mean"
+        ),
+    )
+    return pt.crossJoin(ci)

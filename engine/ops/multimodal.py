@@ -406,3 +406,98 @@ def multimodal_wav_decode(spark, sf_dir):
         "doc_id long, n_samples long, sample_rate long, "
         "sum_samples long, peak_abs long",
     )
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+          FROM documents
+        ),
+        cell AS (
+          SELECT doc_id, w, h, c.i AS ci
+          FROM dims, unnest(range(64)) c(i)
+        ),
+        gr AS (
+          SELECT doc_id, ci,
+                 ((doc_id * 31 + (((ci // 8) * h // 8) * w + ((ci % 8) * w // 8)) * 3) % 256
+                  + (doc_id * 31 + (((ci // 8) * h // 8) * w + ((ci % 8) * w // 8)) * 3 + 1) % 256
+                  + (doc_id * 31 + (((ci // 8) * h // 8) * w + ((ci % 8) * w // 8)) * 3 + 2) % 256
+                 ) // 3 AS gray
+          FROM cell
+        ),
+        b AS (
+          SELECT doc_id, ci, gray,
+                 sum(gray) OVER (PARTITION BY doc_id) AS sg
+          FROM gr
+        ),
+        bits AS (
+          SELECT doc_id, ci,
+                 CASE WHEN gray * 64 >= sg THEN 1 ELSE 0 END AS bit
+          FROM b
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN ci < 32
+                             THEN bit * (2 ** (31 - ci)) ELSE 0 END) AS BIGINT)
+                 AS hash_hi,
+               CAST(sum(CASE WHEN ci >= 32
+                             THEN bit * (2 ** (63 - ci)) ELSE 0 END) AS BIGINT)
+                 AS hash_lo
+        FROM bits GROUP BY doc_id
+    """,
+)
+def multimodal_image_ahash(spark, sf_dir):
+    """Perceptual average-hash (aHash) over the REAL P6 decode path:
+    each doc's binary PPM payload is parsed byte-for-byte
+    (_ppm_decode), nearest-neighbor-resampled to an 8×8 grayscale
+    grid, and thresholded against the grid mean into a 64-bit
+    fingerprint (emitted as two 32-bit halves to stay inside signed
+    BIGINT). Because the raster is closed-form in doc_id, the oracle
+    restates every BIT arithmetically in SQL — a one-pixel misread,
+    resample off-by-one, or channel swap flips the value hash. This
+    is the image near-dup primitive (hamming distance over aHash) the
+    multimodal dedup tier needs, value-checked without any codec
+    library.
+
+    Scale: pure mapInPandas — one Python stage, no shuffle at all;
+    the downstream pair-join over hamming bands would reuse
+    dedup_simhash's 16-bit band bucketing unchanged."""
+    d = table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_ppm_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.select("doc_id").mapInPandas(encode, "doc_id long, payload binary")
+
+    def ahash(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "hash_hi": [], "hash_lo": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = _ppm_decode(bytes(payload))
+                grays = []
+                for i in range(8):
+                    for j in range(8):
+                        k = (i * h // 8) * w + (j * w // 8)
+                        grays.append(
+                            (raster[3 * k] + raster[3 * k + 1] + raster[3 * k + 2])
+                            // 3
+                        )
+                sg = sum(grays)
+                bits = [1 if g * 64 >= sg else 0 for g in grays]
+                hi = sum(b << (31 - ci) for ci, b in enumerate(bits[:32]))
+                lo = sum(b << (31 - ci) for ci, b in enumerate(bits[32:]))
+                out["doc_id"].append(doc_id)
+                out["hash_hi"].append(hi)
+                out["hash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        ahash, "doc_id long, hash_hi long, hash_lo long"
+    )

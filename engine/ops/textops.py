@@ -2025,3 +2025,123 @@ def corpus_shard_export(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+RAKE_STOPWORDS = ("a", "the")
+RAKE_TOP_K = 3
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, term, pos,
+                 CASE WHEN term IN {RAKE_STOPWORDS} THEN 1 ELSE 0 END AS is_stop
+          FROM tok
+        ),
+        g AS (
+          SELECT *, sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS grp
+          FROM m
+        ),
+        ph AS (
+          SELECT doc_id, grp,
+                 string_agg(term, ' ' ORDER BY pos) AS phrase,
+                 count(*) AS plen
+          FROM g WHERE is_stop = 0
+          GROUP BY doc_id, grp
+        ),
+        pw AS (
+          SELECT g.doc_id, g.term, g.grp, ph.plen, ph.phrase
+          FROM g JOIN ph ON g.doc_id = ph.doc_id AND g.grp = ph.grp
+          WHERE g.is_stop = 0
+        ),
+        ws AS (
+          SELECT doc_id, term, count(*) AS freq,
+                 CAST(sum(plen) AS BIGINT) AS deg
+          FROM pw GROUP BY doc_id, term
+        ),
+        psc AS (
+          SELECT pw.doc_id, pw.grp, pw.phrase,
+                 CAST(sum(CAST(round(1e6 * CAST(ws.deg AS DOUBLE) / ws.freq)
+                               AS BIGINT)) AS BIGINT) AS score_u
+          FROM pw JOIN ws ON pw.doc_id = ws.doc_id AND pw.term = ws.term
+          GROUP BY pw.doc_id, pw.grp, pw.phrase
+        ),
+        dp AS (SELECT DISTINCT doc_id, phrase, score_u FROM psc)
+        SELECT doc_id, phrase, score_u, rnk FROM (
+          SELECT doc_id, phrase, score_u,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_u DESC, phrase) AS rnk
+          FROM dp
+        ) WHERE rnk <= {RAKE_TOP_K}
+    """,
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010), fully oracled:
+    candidate phrases are maximal stopword-free token runs (the
+    gaps-and-islands split on the running stopword count), per-doc
+    word scores are degree/frequency where degree(w) = Σ phrase-length
+    over w's phrases, and a phrase scores the sum of its words' scores
+    — quantized to integer micro-units per WORD before the phrase sum,
+    so the rank order is shuffle-proof and bit-identical to DuckDB.
+    Top-3 per doc, ties broken lexicographically.
+
+    Scale shape: everything is doc-local — tokenize/flag/island with
+    one window per doc, two doc-keyed joins (phrase length, word
+    score), no corpus-global state at all; the whole pipeline
+    partitions on doc_id and would run unchanged at 100 TB. The
+    phrase string itself is rebuilt from a per-island sort_array of
+    (pos, term) structs — islands are a few tokens, so the HOF cost
+    is bounded."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    m = tok.withColumn(
+        "is_stop",
+        F.when(F.col("term").isin(*RAKE_STOPWORDS), 1).otherwise(0),
+    )
+    wg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = m.withColumn("grp", F.sum("is_stop").over(wg)).filter(
+        F.col("is_stop") == 0
+    )
+    ph = g.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s.term,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    pw = g.select("doc_id", "grp", "term").join(ph, ["doc_id", "grp"])
+    ws = pw.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    score_u = F.round(
+        F.lit(1e6) * F.col("deg").cast("double") / F.col("freq")
+    ).cast("long")
+    psc = (
+        pw.join(ws, ["doc_id", "term"])
+        .withColumn("wscore_u", score_u)
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum("wscore_u").alias("score_u"))
+    )
+    dp = psc.select("doc_id", "phrase", "score_u").distinct()
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_u"), F.asc("phrase")
+    )
+    return (
+        dp.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= RAKE_TOP_K)
+    )
