@@ -1543,22 +1543,25 @@ def ts_downsample_lttb(spark, sf_dir, n_out: int = LTTB_N_OUT):
     uniform striding would average them away.
 
     LTTB is sequential within a series (each pick depends on the
-    previous), so it runs as applyInPandas per user_id — the
-    per-series-bounded stateful shape (like udf_grouped_map), with
-    the numpy inner loop over O(n_out) buckets, each an O(bucket)
-    vectorized argmax. No oracle: the pick set is implementation-
-    defined; tests/test_properties.py pins size, endpoint retention,
+    previous), so the per-series loop runs in pandas — but grouped by
+    a bounded hash BUCKET of user_id (the udf_grouped_map
+    high-cardinality fix: ~2 ms applyInPandas machinery per group
+    makes 1500 tiny user-groups cost ~7× more than 64 buckets with a
+    pandas sub-groupby inside). The numpy inner loop is O(n_out)
+    buckets per series, each an O(bucket) vectorized argmax. No
+    oracle: the pick set is implementation-defined;
+    tests/test_properties.py pins size, endpoint retention,
     subset-of-input, and monotone timestamps. Scale: one shuffle on
-    user_id; series length is bounded per key (monthly activity), and
-    n_out caps the output at rows·n_out/len — the 100 TB use is
-    exactly this (downsample billions of device series for serving)."""
+    the bucket key; series length is bounded per key (monthly
+    activity), and n_out caps the output at rows·n_out/len — the
+    100 TB use is exactly this (downsample billions of device series
+    for serving)."""
     import numpy as np
     import pandas as pd
 
-    def lttb(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t_us", "event_id"], kind="mergesort")
-        t = pdf["t_us"].to_numpy(dtype=np.int64)
-        v = pdf["value"].to_numpy(dtype=np.float64)
+    def lttb_series(grp: pd.DataFrame) -> pd.DataFrame:
+        t = grp["t_us"].to_numpy(dtype=np.int64)
+        v = grp["value"].to_numpy(dtype=np.float64)
         n = len(t)
         if n <= n_out:
             keep = np.arange(n)
@@ -1579,7 +1582,14 @@ def ts_downsample_lttb(spark, sf_dir, n_out: int = LTTB_N_OUT):
                 keep_list.append(prev)
             keep_list.append(n - 1)
             keep = np.array(keep_list)
-        return pdf.iloc[keep][["user_id", "t_us", "value"]]
+        return grp.iloc[keep][["user_id", "t_us", "value"]]
+
+    def lttb_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "t_us", "event_id"], kind="mergesort")
+        return pd.concat(
+            [lttb_series(g) for _, g in pdf.groupby("user_id", sort=False)],
+            ignore_index=True,
+        )
 
     e = table(spark, sf_dir, "events").select(
         "user_id",
@@ -1587,6 +1597,6 @@ def ts_downsample_lttb(spark, sf_dir, n_out: int = LTTB_N_OUT):
         "value",
         "event_id",
     )
-    return e.groupBy("user_id").applyInPandas(
-        lttb, schema="user_id bigint, t_us bigint, value double"
-    )
+    return e.groupBy(
+        F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("bucket")
+    ).applyInPandas(lttb_bucket, schema="user_id bigint, t_us bigint, value double")
