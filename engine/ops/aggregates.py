@@ -2524,3 +2524,67 @@ def agg_bootstrap_ci(spark, sf_dir):
         ),
     )
     return pt.crossJoin(ci)
+
+
+@register(
+    "events_seasonal_naive_forecast",
+    oracle="""
+        WITH c AS (
+          SELECT date_trunc('hour', ts) AS h, count(*) AS n
+          FROM events GROUP BY 1
+        ),
+        mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+        j AS (
+          SELECT a.h, a.n AS actual, p.n AS pred
+          FROM c a JOIN c p ON p.h = a.h - INTERVAL 24 HOURS
+        )
+        SELECT CAST(CAST(h AS DATE) AS VARCHAR) AS day,
+               count(*) AS n_hours,
+               CAST(sum(abs(actual - pred)) AS BIGINT) AS mae_num,
+               round(CAST(sum(abs(actual - pred)) AS DOUBLE) / count(*), 6)
+                 AS mae
+        FROM j, mx
+        WHERE CAST(h AS DATE) > maxd - 7
+        GROUP BY day
+    """,
+)
+def events_seasonal_naive_forecast(spark, sf_dir):
+    """Seasonal-naive forecast backtest — the baseline every capacity
+    forecast is judged against: predict each hour's event count with
+    the SAME HOUR YESTERDAY, score the last 7 days by daily MAE.
+    Counts come from one hash aggregate on the hour bucket; the
+    prediction is a self-equi-join of that (tiny, dim-sized) hourly
+    series shifted 24 h; MAE is an exact integer |Δ| sum with one
+    final division. Inner join = hours observed in both — the honest
+    convention for sparse fixtures, stated here so the oracle matches
+    by construction.
+
+    Scale: the fact-table scan reduces immediately to the hourly
+    rollup (map-side combinable, time-bounded cardinality); the
+    shifted self-join and the 7-day filter run on that rollup, so
+    the whole backtest is O(hours) after one pass over events — at
+    100 TB you'd land the rollup once and backtest any horizon
+    against it."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    a = c.select(F.col("h"), F.col("n").alias("actual"))
+    p = c.select(
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("n").alias("pred"),
+    )
+    j = a.join(p, "h").crossJoin(F.broadcast(mx))
+    err = F.abs(F.col("actual") - F.col("pred"))
+    return (
+        j.filter(F.col("h").cast("date") > F.date_sub("maxd", 7))
+        .groupBy(F.col("h").cast("date").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(err).alias("mae_num"),
+            F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mae"
+            ),
+        )
+    )

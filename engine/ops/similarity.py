@@ -1319,3 +1319,87 @@ def sim_recall_report(spark, sf_dir):
     for r in reports[1:]:
         out = out.unionAll(r)
     return out.orderBy("method")
+
+
+MATRYOSHKA_DIM = 16
+
+
+@register(
+    "embed_matryoshka_recall",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < {N_PROBES}),
+        c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+        s AS (
+          SELECT q_id, c_id,
+                 {SQL_DOT.format(a='q_emb', b='c_emb')} AS score_full,
+                 {SQL_DOT.format(a=f'q_emb[1:{MATRYOSHKA_DIM}]',
+                                 b=f'c_emb[1:{MATRYOSHKA_DIM}]')} AS score_trunc
+          FROM q, c WHERE q_id <> c_id
+        ),
+        r AS (
+          SELECT q_id, c_id,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score_full DESC, c_id) AS rf,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score_trunc DESC, c_id) AS rt
+          FROM s
+        )
+        SELECT count(DISTINCT q_id) AS n_probes,
+               CAST(count(*) FILTER (WHERE rf <= {TOP_K} AND rt <= {TOP_K})
+                 AS BIGINT) AS hits,
+               round(CAST(count(*) FILTER (WHERE rf <= {TOP_K} AND rt <= {TOP_K})
+                     AS DOUBLE) / ({TOP_K} * count(DISTINCT q_id)), 6) AS recall
+        FROM r
+    """,
+)
+def embed_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation retrieval audit: recall@5 of the FIRST-16-
+    dims ranking against the full-64-dim cosine ranking — the eval a
+    corpus pipeline runs before shipping truncated (MRL) embeddings to
+    cut index memory 4×. ONE broadcast crossJoin computes both scores
+    per candidate pair (the sliced dot reuses the same fold), two
+    row_number windows rank them, and the final aggregate counts
+    top-5 agreements exactly; scores are 6dp-rounded like every other
+    similarity op so the two engines rank identically.
+
+    Scale: identical shape to sim_search_topk (declared brute anchor:
+    probes broadcast, candidates partition-parallel); the marginal
+    cost of auditing a second dimensionality is one extra fold per
+    pair, not a second scan — at 100 TB this is how truncation-recall
+    is measured on a sample before committing the index build."""
+    em = table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = em.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            dot6(F.col("q_emb"), F.col("c_emb")).alias("score_full"),
+            dot6(
+                F.slice(F.col("q_emb"), 1, MATRYOSHKA_DIM),
+                F.slice(F.col("c_emb"), 1, MATRYOSHKA_DIM),
+            ).alias("score_trunc"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("score_full"), F.asc("c_id"))
+    wt = Window.partitionBy("q_id").orderBy(F.desc("score_trunc"), F.asc("c_id"))
+    r = s.select(
+        "q_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    both = (F.col("rf") <= TOP_K) & (F.col("rt") <= TOP_K)
+    return r.agg(
+        F.countDistinct("q_id").alias("n_probes"),
+        F.count_if(both).alias("hits"),
+        F.round(
+            F.count_if(both).cast("double")
+            / (F.lit(TOP_K) * F.countDistinct("q_id")),
+            6,
+        ).alias("recall"),
+    )

@@ -2145,3 +2145,89 @@ def text_rake_keywords(spark, sf_dir):
         dp.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= RAKE_TOP_K)
     )
+
+
+PMI_MIN_COUNT = 20
+PMI_TOP_K = 20
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents
+        ),
+        bi AS (
+          SELECT doc_id, term AS w1,
+                 lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM tok
+        ),
+        b2 AS (SELECT w1, w2 FROM bi WHERE w2 IS NOT NULL),
+        cb AS (SELECT w1, w2, count(*) AS c_ab FROM b2 GROUP BY w1, w2),
+        cu AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+        tot AS (
+          SELECT (SELECT count(*) FROM tok) AS n_uni,
+                 (SELECT count(*) FROM b2) AS n_bi
+        )
+        SELECT w1, w2, c_ab,
+               CAST(round(1e6 * ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni)
+                                   / (CAST(n_bi AS DOUBLE) * u1.c * u2.c)))
+                 AS BIGINT) AS pmi_mnat
+        FROM cb, tot
+        JOIN cu u1 ON cb.w1 = u1.term
+        JOIN cu u2 ON cb.w2 = u2.term
+        WHERE c_ab >= {PMI_MIN_COUNT}
+        ORDER BY pmi_mnat DESC, w1, w2 LIMIT {PMI_TOP_K}
+    """,
+)
+def text_collocation_pmi(spark, sf_dir):
+    """PMI-ranked bigram collocations — the corpus-linguistics measure
+    behind phrase mining (word2vec's phrase pass, quality-signal
+    n-grams): PMI(a,b) = ln(p(ab) / p(a)p(b)) over adjacent token
+    pairs, computed from exact integer counts (bigram, two unigrams,
+    two corpus totals) and quantized to integer micro-nats via ONE
+    identical-structure double expression — rank order is therefore
+    engine-exact; ties break lexicographically. Support floor c_ab ≥
+    20 drops the unstable tail, top-20 emitted.
+
+    Scale: two map-side-combinable counts (unigram, bigram — the
+    bigram from a per-doc lead window, so no cross-doc pairs), corpus
+    totals broadcast as a 1-row cross join, then a join of the bigram
+    table to the (small, vocabulary-sized) unigram table twice —
+    broadcastable at any corpus size since vocab ≪ corpus."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    b2 = (
+        tok.withColumn("w2", F.lead("term").over(wd))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("term").alias("w1"), "w2")
+    )
+    cb = b2.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    cu = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        b2.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    u1 = cu.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = cu.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.lit(1e6)
+        * F.log(
+            (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_bi").cast("double") * F.col("c1") * F.col("c2"))
+        )
+    ).cast("long")
+    return (
+        cb.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .select("w1", "w2", "c_ab", pmi.alias("pmi_mnat"))
+        .orderBy(F.desc("pmi_mnat"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
