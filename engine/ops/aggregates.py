@@ -2588,3 +2588,85 @@ def events_seasonal_naive_forecast(spark, sf_dir):
             ),
         )
     )
+
+
+ACF_MAX_LAG = 6
+
+
+@register(
+    "ts_acf_lags",
+    oracle=f"""
+        WITH c AS (
+          SELECT date_trunc('hour', ts) AS h, count(*) AS x
+          FROM events GROUP BY 1
+        ),
+        tot0 AS (
+          SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM c
+        ),
+        tot AS (
+          SELECT n, s,
+                 CAST(sum((n * x - s) * (n * x - s)) AS BIGINT) AS den
+          FROM c, tot0 GROUP BY n, s
+        ),
+        lags AS (SELECT l.l + 1 AS lag FROM unnest(range({ACF_MAX_LAG})) l(l)),
+        p AS (
+          SELECT lag, a.x AS xa, b.x AS xb
+          FROM lags, c a JOIN c b
+            ON b.h = a.h - to_hours(CAST(lag AS BIGINT))
+        )
+        SELECT lag, count(*) AS n_pairs,
+               round(CAST(sum((n * xa - s) * (n * xb - s)) AS DOUBLE)
+                     / max(den), 6) AS acf
+        FROM p, tot
+        GROUP BY lag
+    """,
+)
+def ts_acf_lags(spark, sf_dir):
+    """Autocorrelation function of the hourly event-count series at
+    lags 1–6 — the seasonality diagnostic that justifies (or refutes)
+    the seasonal-naive model: r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)².
+    Both sums are computed EXACTLY by clearing denominators — with
+    N hours and S total events, (x−x̄) scales to the integer (N·x−S),
+    so numerator and denominator are BIGINT sums and only the final
+    ratio is double. Lag pairing is a true time-shift join (h−k
+    hours), not a row shift, so calendar gaps can't misalign lags.
+
+    Scale: the fact scan reduces to the hourly rollup immediately;
+    the lag fan-out (6×) and shifted self-join run on that dim-sized
+    series; the (N, S, den) scalars broadcast. Same O(hours)
+    post-rollup contract as the seasonal-naive backtest."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wall = Window.partitionBy()
+    tot = c.select(
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("s"),
+        (
+            (F.count(F.lit(1)).over(wall) * F.col("x") - F.sum("x").over(wall))
+            * (F.count(F.lit(1)).over(wall) * F.col("x") - F.sum("x").over(wall))
+        ).alias("dsq"),
+    ).groupBy("n", "s").agg(F.sum("dsq").alias("den"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = c.crossJoin(F.broadcast(lags)).select(
+        "lag", "h", F.col("x").alias("xa")
+    )
+    b = c.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    p = a.join(
+        b,
+        b.hb
+        == F.col("h") - F.col("lag") * F.expr("INTERVAL 1 HOUR"),
+    )
+    num = F.sum(
+        (F.col("n") * F.col("xa") - F.col("s"))
+        * (F.col("n") * F.col("xb") - F.col("s"))
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(num.cast("double") / F.max("den"), 6).alias("acf"),
+        )
+    )

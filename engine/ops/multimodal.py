@@ -461,8 +461,14 @@ def multimodal_image_ahash(spark, sf_dir):
     library.
 
     Scale: pure mapInPandas — one Python stage, no shuffle at all;
-    the downstream pair-join over hamming bands would reuse
-    dedup_simhash's 16-bit band bucketing unchanged."""
+    multimodal_phash_neardup consumes this exact frame through
+    16-bit band bucketing."""
+    return _ahash_df(spark, sf_dir)
+
+
+def _ahash_df(spark, sf_dir):
+    """Shared aHash pipeline: encode each doc's deterministic PPM,
+    REALLY decode it, emit (doc_id, hash_hi, hash_lo)."""
     d = table(spark, sf_dir, "documents")
 
     def encode(batches):
@@ -500,4 +506,109 @@ def multimodal_image_ahash(spark, sf_dir):
 
     return assets.mapInPandas(
         ahash, "doc_id long, hash_hi long, hash_lo long"
+    )
+
+
+PHASH_MAX_HAMMING = 3  # lossless with 4 bands: ≤3 flips can't touch all 4
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+          FROM documents
+        ),
+        cell AS (
+          SELECT doc_id, w, h, c.i AS ci
+          FROM dims, unnest(range(64)) c(i)
+        ),
+        gr AS (
+          SELECT doc_id, ci,
+                 ((doc_id * 31 + (((ci // 8) * h // 8) * w + ((ci % 8) * w // 8)) * 3) % 256
+                  + (doc_id * 31 + (((ci // 8) * h // 8) * w + ((ci % 8) * w // 8)) * 3 + 1) % 256
+                  + (doc_id * 31 + (((ci // 8) * h // 8) * w + ((ci % 8) * w // 8)) * 3 + 2) % 256
+                 ) // 3 AS gray
+          FROM cell
+        ),
+        b AS (
+          SELECT doc_id, ci, gray,
+                 sum(gray) OVER (PARTITION BY doc_id) AS sg
+          FROM gr
+        ),
+        bits AS (
+          SELECT doc_id, ci,
+                 CASE WHEN gray * 64 >= sg THEN 1 ELSE 0 END AS bit
+          FROM b
+        ),
+        hh AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN ci < 32
+                               THEN bit * (2 ** (31 - ci)) ELSE 0 END) AS BIGINT)
+                   AS hi,
+                 CAST(sum(CASE WHEN ci >= 32
+                               THEN bit * (2 ** (63 - ci)) ELSE 0 END) AS BIGINT)
+                   AS lo
+          FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                 AS BIGINT) AS hamming
+        FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+)
+def multimodal_phash_neardup(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual-hash hamming distance —
+    and a LOSSLESS banding proof: the 64-bit aHash splits into four
+    16-bit bands, candidates are pairs agreeing on AT LEAST ONE band
+    (self-join per band bucket), and by pigeonhole any pair within
+    hamming ≤ 3 must match some band exactly, so the banded candidate
+    set provably contains every true pair. The verify step then
+    computes the exact distance with bit_count(xor) and keeps ≤ 3.
+    The ORACLE is the brute-force all-pairs scan — so the value hash
+    proves band-join + verify ≡ brute force, pair for pair (11k pairs
+    on this fixture: the mod-cycle rasters repeat, exactly what
+    near-dup detection exists to catch).
+
+    Scale: this is dedup_simhash's shape on binary media — band
+    buckets shuffle-partition the self-join so cost follows bucket
+    occupancy, not N²; the brute anchor lives only in the oracle."""
+    hh = _ahash_df(spark, sf_dir)
+    bands = hh.select(
+        "doc_id",
+        "hash_hi",
+        "hash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.shiftright("hash_hi", 16).alias("val")),
+                F.struct(F.lit(1).alias("band"), (F.col("hash_hi").bitwiseAND(F.lit(0xFFFF))).alias("val")),
+                F.struct(F.lit(2).alias("band"), F.shiftright("hash_lo", 16).alias("val")),
+                F.struct(F.lit(3).alias("band"), (F.col("hash_lo").bitwiseAND(F.lit(0xFFFF))).alias("val")),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "hash_hi", "hash_lo", "bk.band", "bk.val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_hi").alias("a_hi"),
+        F.col("hash_lo").alias("a_lo"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_hi").alias("b_hi"),
+        F.col("hash_lo").alias("b_lo"),
+        "band",
+        "val",
+    )
+    ham = F.bit_count(
+        F.col("a_hi").bitwiseXOR(F.col("b_hi"))
+    ) + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
     )
