@@ -2670,3 +2670,81 @@ def ts_acf_lags(spark, sf_dir):
             F.round(num.cast("double") / F.max("den"), 6).alias("acf"),
         )
     )
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle="""
+        WITH c AS (
+          SELECT date_trunc('hour', ts) AS h, count(*) AS x
+          FROM events GROUP BY 1
+        ),
+        p AS (
+          SELECT (epoch_ns(b.h) - epoch_ns(a.h)) // 3600000000000 AS dt,
+                 b.x - a.x AS dx
+          FROM c a JOIN c b ON a.h < b.h
+        ),
+        s AS (
+          SELECT CAST(dx AS DOUBLE) / dt AS slope, dx, dt,
+                 count(*) OVER () AS n_pairs
+          FROM p
+        ),
+        r AS (
+          SELECT slope, n_pairs,
+                 row_number() OVER (ORDER BY slope, dx, dt) AS rn
+          FROM s
+        )
+        SELECT CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+               round(max(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope END), 6)
+                 AS slope_per_hour
+        FROM r
+    """,
+)
+def ts_theil_sen_slope(spark, sf_dir):
+    """Theil–Sen robust trend estimate of the hourly event-rate: the
+    (lower) median over ALL pairwise slopes (x_j−x_i)/(t_j−t_i) of the
+    hourly rollup — breakdown point 29%, immune to the outlier hours
+    that wreck an OLS trend (agg_linreg_trend is the fragile sibling).
+    Slopes are doubles from exact integer (Δx, Δt-hours) pairs; the
+    median is selected by row_number with a (slope, dx, dt) tiebreak,
+    so both engines pick the identical order statistic.
+
+    Scale: the O(H²) pair join runs on the HOURLY ROLLUP (dim-sized,
+    time-bounded — 720 hours/month → 259k pairs regardless of row
+    count); at 100 TB the fact scan still reduces first, and a
+    longer horizon would switch to the per-window repeated-median
+    variant. The global median spine is the same bounded single-
+    partition shape as stat_ks_test."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    a = c.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = c.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    p = a.join(b, F.col("ha") < F.col("hb")).select(
+        (
+            (F.unix_timestamp("hb") - F.unix_timestamp("ha")) / F.lit(3600)
+        ).cast("long").alias("dt"),
+        (F.col("xb") - F.col("xa")).alias("dx"),
+    )
+    s = p.select(
+        (F.col("dx").cast("double") / F.col("dt")).alias("slope"),
+        "dx",
+        "dt",
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_pairs"),
+    )
+    r = s.withColumn(
+        "rn", F.row_number().over(Window.orderBy("slope", "dx", "dt"))
+    )
+    return r.agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2),
+                    F.col("slope"),
+                )
+            ),
+            6,
+        ).alias("slope_per_hour"),
+    )

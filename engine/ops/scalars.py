@@ -825,3 +825,61 @@ def str_collation_ci(spark, sf_dir):
         F.countDistinct(ci).alias("n_ci"),
         F.sum((ci == F.lit("building")).cast("long")).alias("n_building_ci"),
     )
+
+
+@register(
+    "struct_field_surgery",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey AS cust,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(round(o_totalprice * 100) AS BIGINT) / 10 AS tax_cents,
+               o_orderpriority AS priority
+        FROM orders
+    """,
+)
+def struct_field_surgery(spark, sf_dir):
+    """Nested-struct column surgery — Column.withField / dropFields
+    (Spark 3.1+ surface the other scalar ops don't touch): build a
+    nested order struct, ADD a derived nested field (tax), REPLACE an
+    existing one in place, DROP a stale one, then star-expand. All of
+    it is Catalyst expression rewriting (UpdateFields) — zero shuffle,
+    zero Python — and the optimizer collapses the add/replace/drop
+    chain into a single named_struct projection, so the surgery is
+    free at any scale. The oracle restates the surviving fields flat.
+    """
+    o = table(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.struct(
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+                F.lit("USD").alias("currency"),
+            ).alias("money"),
+            F.col("o_orderstatus").alias("stale_status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("ord"),
+    )
+    surgered = (
+        nested.withColumn(
+            "ord",
+            F.col("ord").withField(
+                "money.tax_cents", F.col("ord.money.cents") / 10
+            ),
+        )
+        .withColumn(
+            "ord",
+            F.col("ord").withField(
+                "money.currency", F.upper(F.col("ord.money.currency"))
+            ),
+        )
+        .withColumn("ord", F.col("ord").dropFields("stale_status"))
+    )
+    return surgered.select(
+        "o_orderkey",
+        "ord.cust",
+        "ord.money.cents",
+        "ord.money.tax_cents",
+        "ord.priority",
+    )

@@ -1327,3 +1327,47 @@ def sql_distribute_cluster_by(spark, sf_dir):
         DISTRIBUTE BY user_id SORT BY user_id, ts_s
         """
     )
+
+
+@register(
+    "scan_ignore_corrupt_files",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    """,
+)
+def scan_ignore_corrupt_files(spark, sf_dir):
+    """File-level fault tolerance: a landing directory holding the good
+    parquet files PLUS a truncated-garbage '.parquet' (the half-written
+    upload every large ingest eventually sees) reads cleanly under
+    ``spark.sql.files.ignoreCorruptFiles=true`` — the corrupt member is
+    skipped at scan time, the good rows come back complete, and the
+    conf is restored afterwards so no other op inherits it. Complements
+    ingest_flowlog_malformed (row-level quarantine) at the granularity
+    where production actually breaks first.
+
+    Scale: the skip happens per-split during the scan — no pre-pass
+    over the directory, no driver-side listing beyond normal planning;
+    a 100 TB lake with a handful of torn files loses those splits
+    only."""
+    import os
+
+    out = scratch_dir("ignore_corrupt")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o.write.mode("overwrite").parquet(f"{out}/t")
+    with open(f"{out}/t/part-corrupt-00099.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet footer either")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        back = spark.read.parquet(f"{out}/t")
+        # materialize under the conf; the returned frame re-reads lazily,
+        # so keep the conf scoped to the op via a localCheckpoint
+        return back.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
