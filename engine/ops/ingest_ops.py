@@ -517,3 +517,70 @@ def stream_backfill_bounded(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
+
+
+RATE_TARGET_ROWS = 5000
+
+
+@register(
+    "stream_source_rate_micro_batch",
+    oracle=f"""
+        SELECT r % 8 AS bucket, count(*) AS n, CAST(sum(r) AS BIGINT) AS sum_v
+        FROM (SELECT unnest(range({RATE_TARGET_ROWS})) AS r)
+        GROUP BY bucket
+    """,
+)
+def stream_source_rate_micro_batch(spark, sf_dir):
+    """The built-in ``rate-micro-batch`` streaming source — the
+    deterministic load-generator Spark ships for soak/throughput
+    tests: value is a dense monotone counter advanced rowsPerBatch
+    per micro-batch, so the FIRST N values are closed-form and the
+    oracle needs no table at all. The op drains batches through a
+    checkpointed parquet sink until ≥ N values landed, stops the
+    query, and aggregates values < N (the prefix is exact regardless
+    of how many extra batches raced in). Exercises the fourth source
+    family (file, Python batch, Python stream, rate) plus
+    mid-stream stop + prefix-determinism reasoning.
+
+    Scale note: rate sources fan out numPartitions-wide per batch;
+    the wall-clock-dependent `timestamp` column is deliberately
+    dropped so results stay value-checkable."""
+    import os
+    import time
+
+    out = scratch_dir("rate_mb")
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .option("numPartitions", 4)
+        .load()
+        .select("value")
+        .writeStream.format("parquet")
+        .option("path", f"{out}/out")
+        .option("checkpointLocation", f"{out}/ck")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            try:
+                if (
+                    spark.read.parquet(f"{out}/out").count()
+                    >= RATE_TARGET_ROWS
+                ):
+                    break
+            except Exception:
+                pass  # sink dir not materialized yet
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("rate-micro-batch never reached target rows")
+    finally:
+        q.stop()
+    back = spark.read.parquet(f"{out}/out").filter(
+        F.col("value") < RATE_TARGET_ROWS
+    )
+    return back.groupBy((F.col("value") % 8).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+    )

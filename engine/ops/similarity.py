@@ -1403,3 +1403,109 @@ def embed_matryoshka_recall(spark, sf_dir):
             6,
         ).alias("recall"),
     )
+
+
+@register(
+    "ml_confusion_matrix",
+    oracle=f"""
+        WITH r AS ({TOPK_SQL}),
+        votes AS (
+          SELECT r.q_id, e.label, count(*) AS votes
+          FROM r JOIN embeddings e ON r.c_id = e.vec_id
+          GROUP BY 1, 2
+        ),
+        pred AS (
+          SELECT q_id, label AS predicted FROM (
+            SELECT q_id, label,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY votes DESC, label) AS rn
+            FROM votes
+          ) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT p.q_id, p.predicted, e.label AS truth
+          FROM pred p JOIN embeddings e ON p.q_id = e.vec_id
+        ),
+        labs AS (
+          SELECT DISTINCT predicted AS label FROM pairs
+          UNION SELECT DISTINCT truth FROM pairs
+        ),
+        m AS (
+          SELECT l.label,
+                 CAST(count(*) FILTER (WHERE truth = l.label
+                                         AND predicted = l.label) AS BIGINT) AS tp,
+                 CAST(count(*) FILTER (WHERE predicted = l.label
+                                         AND truth <> l.label) AS BIGINT) AS fp,
+                 CAST(count(*) FILTER (WHERE truth = l.label
+                                         AND predicted <> l.label) AS BIGINT) AS fn
+          FROM labs l, pairs GROUP BY l.label
+        )
+        SELECT label, tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN NULL
+                    ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+               CASE WHEN tp + fn = 0 THEN NULL
+                    ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                    ELSE round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+               END AS f1
+        FROM m
+    """,
+)
+def ml_confusion_matrix(spark, sf_dir):
+    """Classifier evaluation over the k-NN predictor: per-label
+    confusion counts (tp / fp / fn) and precision / recall / F1 —
+    the ML-eval surface that turns the registered predictor into a
+    measured one. Counts come from ONE conditional aggregate over the
+    (probe, truth, predicted) pairs crossed with the (tiny) label
+    universe; the three metrics are single identical-structure double
+    expressions over exact integers, NULL-guarded for empty
+    denominators the same way in both engines.
+
+    Scale: the pair table is probe-sized (the predictor's output),
+    the label universe is a broadcast dim, so evaluation cost is
+    O(predictions), never O(corpus) — the standard eval-tier shape."""
+    em = table(spark, sf_dir, "embeddings")
+    pred = knn_label_vote(spark, sf_dir).select(
+        "q_id", F.col("predicted_label").alias("predicted")
+    )
+    truth = em.select(F.col("vec_id").alias("q_id"), F.col("label").alias("truth"))
+    pairs = pred.join(truth, "q_id")
+    labs = (
+        pairs.select(F.col("predicted").alias("label"))
+        .union(pairs.select(F.col("truth").alias("label")))
+        .distinct()
+    )
+    m = (
+        labs.crossJoin(pairs)
+        .groupBy("label")
+        .agg(
+            F.count_if(
+                (F.col("truth") == F.col("label"))
+                & (F.col("predicted") == F.col("label"))
+            ).alias("tp"),
+            F.count_if(
+                (F.col("predicted") == F.col("label"))
+                & (F.col("truth") != F.col("label"))
+            ).alias("fp"),
+            F.count_if(
+                (F.col("truth") == F.col("label"))
+                & (F.col("predicted") != F.col("label"))
+            ).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return m.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp == 0, F.lit(None))
+        .otherwise(F.round(tp.cast("double") / (tp + fp), 6))
+        .alias("precision"),
+        F.when(tp + fn == 0, F.lit(None))
+        .otherwise(F.round(tp.cast("double") / (tp + fn), 6))
+        .alias("recall"),
+        F.when(2 * tp + fp + fn == 0, F.lit(None))
+        .otherwise(F.round((2 * tp).cast("double") / (2 * tp + fp + fn), 6))
+        .alias("f1"),
+    )

@@ -2231,3 +2231,74 @@ def text_collocation_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi_mnat"), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+HEAPS_CHECKPOINT = 50
+
+
+@register(
+    "text_heaps_law",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+        ),
+        first_doc AS (
+          SELECT min(doc_id) AS fd FROM tok GROUP BY term
+        ),
+        new_terms AS (
+          SELECT fd AS doc_id, count(*) AS n_new FROM first_doc GROUP BY fd
+        ),
+        cum AS (
+          SELECT p.doc_id,
+                 CAST(sum(p.n_tok) OVER (ORDER BY p.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_seen,
+                 CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY p.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+          FROM per_doc p LEFT JOIN new_terms n ON p.doc_id = n.doc_id
+        )
+        SELECT doc_id, tokens_seen, vocab_size
+        FROM cum WHERE doc_id % {HEAPS_CHECKPOINT} = {HEAPS_CHECKPOINT - 1}
+    """,
+)
+def text_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve: cumulative distinct terms
+    vs cumulative tokens in doc_id ingestion order, sampled every 50
+    docs — the curve that sizes tokenizer vocabularies and predicts
+    novel-type rates for a growing corpus. "Running distinct" is
+    rewritten exactly (no sketch): a term contributes at its FIRST
+    document (one min() aggregate per term), so the curve is two
+    prefix sums over the per-doc spine — new-term counts and token
+    counts — left-joined and filtered to checkpoints.
+
+    Scale: both aggregates are map-side combinable; only the per-doc
+    spine (bounded by doc count, tiny vs tokens) is prefix-summed —
+    at 100 TB that spine gets the corpus_shard_export two-level
+    treatment and the min-per-term agg IS the standard first-seen
+    attribution shape."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    new_terms = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        per_doc.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("tokens_seen"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("vocab_size"),
+        )
+    )
+    return cum.filter(
+        F.col("doc_id") % HEAPS_CHECKPOINT == HEAPS_CHECKPOINT - 1
+    )
