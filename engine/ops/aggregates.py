@@ -2748,3 +2748,68 @@ def ts_theil_sen_slope(spark, sf_dir):
             6,
         ).alias("slope_per_hour"),
     )
+
+
+@register(
+    "orders_gini_concentration",
+    oracle="""
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+          SELECT cents,
+                 row_number() OVER (ORDER BY cents, o_custkey) AS i,
+                 count(*) OVER () AS n,
+                 CAST(sum(cents) OVER () AS BIGINT) AS s
+          FROM rev
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_customers,
+               CAST(max(s) AS BIGINT) AS total_cents,
+               CAST(2 * sum(i * cents) - (max(n) + 1) * max(s) AS BIGINT)
+                 AS gini_num,
+               round(CAST(2 * sum(i * cents) - (max(n) + 1) * max(s) AS DOUBLE)
+                     / (max(n) * max(s)), 6) AS gini
+        FROM r
+    """,
+)
+def orders_gini_concentration(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration — the
+    inequality scalar behind every "top-X% of customers" narrative
+    (orders_pareto_customers charts the curve; this is its summary
+    statistic). Uses the rank formula G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) /
+    (n·Σx) over revenue sorted ascending: the numerator is an EXACT
+    BIGINT (ties contribute a fixed rank-sum regardless of internal
+    order, so the custkey tiebreak is belt-and-braces), and only the
+    final ratio is double.
+
+    Scale: per-customer revenue is one map-side-combinable groupBy;
+    the ranked spine is customer-sized, and the rank weighting is the
+    same bounded global-order shape as stat_ks_test (two-level prefix
+    sum at 100 TB)."""
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    wall = Window.partitionBy()
+    r = rev.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("s"),
+    )
+    num = 2 * F.sum(F.col("i") * F.col("cents")) - (
+        F.max("n") + 1
+    ) * F.max("s")
+    return r.agg(
+        F.max("n").alias("n_customers"),
+        F.max("s").alias("total_cents"),
+        num.cast("long").alias("gini_num"),
+        F.round(num.cast("double") / (F.max("n") * F.max("s")), 6).alias(
+            "gini"
+        ),
+    )

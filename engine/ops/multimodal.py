@@ -612,3 +612,81 @@ def multimodal_phash_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+WAV_FRAME = 64
+
+
+@register(
+    "multimodal_wav_framefeats",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, {WAV_N_BASE} + doc_id % {WAV_N_MOD} AS n
+          FROM documents
+        ),
+        k AS (
+          SELECT doc_id, n, kk.k AS k FROM d, unnest(range(n)) kk(k)
+        ),
+        s AS (
+          SELECT doc_id, n, k, k // {WAV_FRAME} AS frame,
+                 ((doc_id * 37 + k * 11) % 4096) - 2048 AS sv,
+                 ((doc_id * 37 + (k + 1) * 11) % 4096) - 2048 AS sv_next
+          FROM k
+        )
+        SELECT doc_id, frame, count(*) AS n_samples,
+               CAST(sum(CASE WHEN k + 1 < n AND (k + 1) % {WAV_FRAME} != 0
+                              AND ((sv < 0) <> (sv_next < 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+               CAST(sum(sv * sv) AS BIGINT) AS energy
+        FROM s GROUP BY doc_id, frame
+    """,
+)
+def multimodal_wav_framefeats(spark, sf_dir):
+    """Per-frame audio features over the REAL RIFF/WAVE decode path:
+    each doc's PCM payload is chunk-walked and decoded
+    (_wav_decode), split into 64-sample frames, and reduced to the
+    two classic VAD features — zero-crossing count (sign changes
+    within the frame) and exact integer energy Σs². The PCM is
+    closed-form in doc_id, so the oracle restates every frame's
+    features arithmetically — a byte-order slip, off-by-one frame
+    boundary, or sign convention change breaks the value hash. This
+    is the audio sibling of multimodal_image_ahash: feature
+    extraction on genuinely decoded bytes, no codec library.
+
+    Scale: pure mapInPandas, no shuffle until the (tiny) per-frame
+    aggregate — the shape of a 100 TB audio-featurization pass."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_wav_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.select("doc_id").mapInPandas(encode, "doc_id long, payload binary")
+
+    def feats(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame": [], "n_samples": [], "zcr": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = _wav_decode(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                for f in range(0, (len(s) + WAV_FRAME - 1) // WAV_FRAME):
+                    fr = s[f * WAV_FRAME : (f + 1) * WAV_FRAME]
+                    out["doc_id"].append(doc_id)
+                    out["frame"].append(f)
+                    out["n_samples"].append(len(fr))
+                    out["zcr"].append(
+                        int(np.count_nonzero((fr[:-1] < 0) != (fr[1:] < 0)))
+                    )
+                    out["energy"].append(int(np.sum(fr * fr)))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        feats, "doc_id long, frame long, n_samples long, zcr long, energy long"
+    )
