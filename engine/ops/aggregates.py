@@ -2813,3 +2813,80 @@ def orders_gini_concentration(spark, sf_dir):
             "gini"
         ),
     )
+
+
+@register(
+    "orders_cohort_ltv_curve",
+    oracle="""
+        WITH f AS (
+          SELECT o_custkey,
+                 min(year(o_orderdate)) OVER (PARTITION BY o_custkey)
+                   AS cohort_year,
+                 year(o_orderdate) AS order_year,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        per_age AS (
+          SELECT cohort_year, order_year - cohort_year AS age,
+                 CAST(sum(cents) AS BIGINT) AS rev,
+                 count(DISTINCT o_custkey) AS active_customers
+          FROM f GROUP BY 1, 2
+        ),
+        sized AS (
+          SELECT cohort_year, count(DISTINCT o_custkey) AS cohort_size
+          FROM f GROUP BY 1
+        )
+        SELECT p.cohort_year, p.age, p.active_customers, s.cohort_size,
+               CAST(sum(p.rev) OVER (PARTITION BY p.cohort_year ORDER BY p.age
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents,
+               round(CAST(sum(p.rev) OVER (PARTITION BY p.cohort_year
+                     ORDER BY p.age ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / s.cohort_size / 100, 6) AS ltv_per_customer
+        FROM per_age p JOIN sized s ON p.cohort_year = s.cohort_year
+    """,
+)
+def orders_cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    year, revenue accumulated by cohort age — the curve that answers
+    "how much is a Y-cohort customer worth after k years" (the revenue
+    sibling of agg_retention_cohort's activity counts). Cohort
+    assignment is one min() window per customer, per-(cohort, age)
+    revenue one exact-cents aggregate, and the running LTV a prefix
+    sum over the tiny (cohort × age) grid; per-customer LTV divides by
+    the cohort's distinct-customer size only in the final projection.
+
+    Scale: windows partition by customer (small groups), the cumsum
+    runs on a years×years grid — constant-sized regardless of fact
+    rows. Map-side-combinable aggregates throughout."""
+    o = table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey")
+    f = o.select(
+        "o_custkey",
+        F.min(F.year("o_orderdate")).over(wc).alias("cohort_year"),
+        F.year("o_orderdate").alias("order_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_age = f.groupBy(
+        "cohort_year", (F.col("order_year") - F.col("cohort_year")).alias("age")
+    ).agg(
+        F.sum("cents").alias("rev"),
+        F.countDistinct("o_custkey").alias("active_customers"),
+    )
+    sized = f.groupBy("cohort_year").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    wa = Window.partitionBy("cohort_year").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    j = per_age.join(F.broadcast(sized), "cohort_year")
+    cum = F.sum("rev").over(wa)
+    return j.select(
+        "cohort_year",
+        "age",
+        "active_customers",
+        "cohort_size",
+        cum.alias("cum_rev_cents"),
+        F.round(
+            cum.cast("double") / F.col("cohort_size") / 100, 6
+        ).alias("ltv_per_customer"),
+    )

@@ -1029,3 +1029,127 @@ def graph_label_propagation(spark, sf_dir):
             .localCheckpoint()
         )
     return labels.select("doc_id", F.col("label").alias("community"))
+
+
+@register("dedup_minhash_error_audit")  # rows-only: xxhash64 sketch not SQL-restatable
+def dedup_minhash_error_audit(spark, sf_dir):
+    """Sketch-quality audit for the MinHash estimator: for every LSH
+    candidate pair, the 16-signature match fraction (the MinHash
+    jaccard ESTIMATE) is compared against the EXACT shingle-set
+    jaccard, and the op reports the error distribution (n_pairs, mean
+    |err|, max |err|, worst pair) in 1e-6 units. This is the
+    completeness-critic op for the dedup tier: dedup_near_minhash
+    asserts its candidates are real (exact re-verify); this op
+    MEASURES how trustworthy the sketch itself is — the number you
+    need before raising the band threshold at 100 TB. E[|err|] for a
+    16-perm sketch is ≈ √(j(1−j)/16) ≤ 0.125; the property test pins
+    MAE ≤ 0.25 with slack.
+
+    Scale: identical plan skeleton to dedup_near_minhash (one wide
+    sig aggregate, bucket join, array-intersect verify) plus one
+    zip_with over the 16-long sig arrays per candidate — no new
+    shuffle shape."""
+    d = table(spark, sf_dir, "documents")
+    doc_sh = d.repartition(32, "doc_id").select(
+        "doc_id", _shingle_array(_tokens()).alias("sh")
+    )
+    sh = doc_sh.select("doc_id", F.explode("sh").alias("shingle"))
+    mh = sh.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64("shingle", F.lit(s)))
+                for s in range(N_MINHASH)
+            ]
+        ).alias("sig")
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", band * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("band_key"),
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    cands = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice("ids", i + 2, F.size("ids")),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    siga = mh.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
+    sigb = mh.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
+    sha = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    shb = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "siga", "sigb", lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / N_MINHASH
+    )
+    n_common = F.size(F.array_intersect("sha", "shb"))
+    exact = n_common.cast("double") / (
+        F.size("sha") + F.size("shb") - n_common
+    )
+    pairs = (
+        cands.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.abs(est - exact) * 1e6).cast("long").alias("err_u"),
+        )
+    )
+    w = Window.partitionBy().orderBy(
+        F.desc("err_u"), F.asc("doc_a"), F.asc("doc_b")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_pairs"),
+            (
+                F.sum("err_u").over(Window.partitionBy())
+                / F.count(F.lit(1)).over(Window.partitionBy())
+            ).cast("long").alias("mae_u"),
+            F.max("err_u").over(Window.partitionBy()).alias("max_err_u"),
+            "doc_a",
+            "doc_b",
+            "rn",
+        )
+        .filter(F.col("rn") == 1)
+        .select("n_pairs", "mae_u", "max_err_u",
+                F.col("doc_a").alias("worst_a"), F.col("doc_b").alias("worst_b"))
+    )

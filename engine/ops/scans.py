@@ -1371,3 +1371,39 @@ def scan_ignore_corrupt_files(spark, sf_dir):
         return back.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+@register(
+    "sql_star_except",
+    oracle="""
+        SELECT * EXCLUDE (o_comment_free, o_orderstatus)
+        FROM (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 o_orderpriority,
+                 'x' AS o_comment_free
+          FROM orders
+        )
+    """,
+)
+def sql_star_except(spark, sf_dir):
+    """``SELECT * EXCEPT (...)`` — the wide-table ergonomics surface
+    (Spark 4 / BigQuery spelling; DuckDB calls it EXCLUDE, which the
+    oracle deliberately uses, pinning cross-dialect equivalence).
+    Resolves entirely at analysis time to an explicit projection, so
+    the scan still prunes to exactly the surviving columns — the
+    anti-`SELECT *` tool for 1000-column feature tables where
+    enumerating keep-columns is the error-prone direction."""
+    o = table(spark, sf_dir, "orders")
+    o.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        "o_orderpriority",
+        "'x' AS o_comment_free",
+    ).createOrReplaceTempView("engine_star_except_orders")
+    return spark.sql(
+        "SELECT * EXCEPT (o_comment_free, o_orderstatus) "
+        "FROM engine_star_except_orders"
+    )

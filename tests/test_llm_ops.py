@@ -556,3 +556,20 @@ def test_cdc_chunks_irregular_whitespace(spark):
         for r in _cdc_pairs(df).collect()
     }
     assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_minhash_error_audit_within_theory(spark):
+    """16-perm MinHash: per-pair |estimate − exact jaccard| MAE should
+    sit near √(j(1−j)/16) ≤ 0.125; pin MAE ≤ 0.25 and max ≤ 0.6 with
+    slack, plus double-run determinism of the audit row."""
+    import engine
+    from tests.conftest import T2_SF_DIR
+
+    a = engine.QUERIES["dedup_minhash_error_audit"](spark, T2_SF_DIR).toPandas()
+    assert len(a) == 1
+    row = a.iloc[0]
+    assert row.n_pairs > 0
+    assert row.mae_u <= 250_000, row.to_dict()
+    assert row.max_err_u <= 600_000, row.to_dict()
+    b = engine.QUERIES["dedup_minhash_error_audit"](spark, T2_SF_DIR).toPandas()
+    assert a.equals(b)
