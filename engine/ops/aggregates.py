@@ -2890,3 +2890,106 @@ def orders_cohort_ltv_curve(spark, sf_dir):
             cum.cast("double") / F.col("cohort_size") / 100, 6
         ).alias("ltv_per_customer"),
     )
+
+
+@register(
+    "events_wilcoxon_rank_sum",
+    oracle="""
+        WITH q AS (
+          SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+          FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        g AS (
+          SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+                 CAST(count(*) AS BIGINT) AS t
+          FROM q GROUP BY v
+        ),
+        c AS (
+          SELECT ca, t,
+                 CAST(COALESCE(sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before,
+                 CAST(sum(ca) OVER () AS BIGINT) AS na,
+                 CAST(sum(t - ca) OVER () AS BIGINT) AS nb,
+                 CAST(sum(t * t * t - t) OVER () AS BIGINT) AS tie3
+          FROM g
+        ),
+        s AS (
+          SELECT max(na) AS na, max(nb) AS nb, max(tie3) AS tie3,
+                 CAST(sum(ca * (2 * cum_before + t + 1)) AS BIGINT) AS r2a
+          FROM c
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+               round((CAST(r2a - na * (na + 1) AS DOUBLE) - CAST(na AS DOUBLE) * nb)
+                     / (2 * sqrt(CAST(na AS DOUBLE) * nb / 12
+                        * ((na + nb + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((na + nb) * (na + nb - 1))))), 6) AS z
+        FROM s
+    """,
+)
+def events_wilcoxon_rank_sum(spark, sf_dir):
+    """Wilcoxon–Mann–Whitney rank-sum test (purchase vs view values)
+    with tie correction — the nonparametric LOCATION test completing
+    the inference family (Welch = parametric mean, KS = full
+    distribution, this = rank shift). All rank arithmetic is EXACT:
+    average ranks are carried doubled (2·r̄ = 2·cum_before + t + 1,
+    an integer), so the rank-sum R, the U statistic, and the tie term
+    Σ(t³−t) are BIGINTs; the normal-approximation z is one
+    identical-structure double expression at the end.
+
+    Scale: one hash aggregate to per-value (count, group-count), one
+    prefix sum over the distinct quantized-value spine (bounded by
+    value resolution — the stat_ks_test shape), and a scalar combine."""
+    e = table(spark, sf_dir, "events")
+    q = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ia"),
+    )
+    g = q.groupBy("v").agg(
+        F.sum("ia").alias("ca"), F.count(F.lit(1)).alias("t")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    c = g.select(
+        "ca",
+        "t",
+        F.coalesce(F.sum("t").over(wv), F.lit(0)).alias("cum_before"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum(F.col("t") - F.col("ca")).over(wall).alias("nb"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .over(wall)
+        .alias("tie3"),
+    )
+    s = c.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max("tie3").alias("tie3"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("r2a"),
+    )
+    na, nb, tie3, r2a = (
+        F.col("na"),
+        F.col("nb"),
+        F.col("tie3"),
+        F.col("r2a"),
+    )
+    u2 = r2a - na * (na + 1)
+    z = (u2.cast("double") - na.cast("double") * nb) / (
+        2
+        * F.sqrt(
+            na.cast("double")
+            * nb
+            / 12
+            * ((na + nb + 1) - tie3.cast("double") / ((na + nb) * (na + nb - 1)))
+        )
+    )
+    return s.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        F.round(z, 6).alias("z"),
+    )

@@ -1407,3 +1407,40 @@ def sql_star_except(spark, sf_dir):
         "SELECT * EXCEPT (o_comment_free, o_orderstatus) "
         "FROM engine_star_except_orders"
     )
+
+
+@register(
+    "scan_nested_schema_pruning",
+    oracle="""
+        SELECT o_orderkey AS okey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def scan_nested_schema_pruning(spark, sf_dir):
+    """Nested-field pruning + pushdown: a parquet table whose payload
+    is a STRUCT gets filtered on one nested leaf and projected to
+    another — Catalyst's nested-schema pruning
+    (spark.sql.optimizer.nestedSchemaPruning.enabled, default on)
+    must rewrite the scan to read ONLY the two leaves, not the whole
+    struct, and push the nested-field equality into the parquet
+    reader. tests/test_plans.py asserts the pruned ReadSchema; the
+    oracle restates the surviving leaves flat. At 100 TB with
+    1000-leaf event payloads this is the difference between scanning
+    2 columns and scanning 1000."""
+    out = scratch_dir("nested_prune")
+    o = table(spark, sf_dir, "orders")
+    nested = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_custkey").alias("cust"),
+        ).alias("payload"),
+    )
+    nested.write.mode("overwrite").parquet(f"{out}/t")
+    back = spark.read.parquet(f"{out}/t")
+    return back.filter(
+        F.col("payload.priority") == "1-URGENT"
+    ).select("okey", F.col("payload.cents").alias("cents"))

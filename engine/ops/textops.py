@@ -2302,3 +2302,56 @@ def text_heaps_law(spark, sf_dir):
     return cum.filter(
         F.col("doc_id") % HEAPS_CHECKPOINT == HEAPS_CHECKPOINT - 1
     )
+
+
+PHRASE_W1, PHRASE_W2 = "table", "hash"
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents
+        ),
+        a AS (SELECT doc_id, pos FROM tok WHERE term = '{PHRASE_W1}'),
+        b AS (SELECT doc_id, pos FROM tok WHERE term = '{PHRASE_W2}')
+        SELECT a.doc_id, count(*) AS n_hits,
+               CAST(min(a.pos) AS BIGINT) AS first_pos
+        FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.doc_id
+    """,
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact phrase query ("table hash") over a POSITIONAL inverted
+    index — the IR primitive full-text engines run: postings are
+    (doc, position) lists per term, and phrase matching is an
+    adjacency self-join (pos_b = pos_a + 1 within the document),
+    never a substring scan of raw text. Returns per-doc hit count and
+    first occurrence.
+
+    Scale: the index build is one tokenize pass; each term's postings
+    are a selective slice of it (the filter pushes onto the term
+    column), and the adjacency join shuffles only the two postings
+    lists on doc_id — at 100 TB the postings table is the
+    materialized asset and every phrase query is this same bounded
+    join, the reason search engines store positions at all."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a = tok.filter(F.col("term") == PHRASE_W1).select("doc_id", "pos")
+    b = tok.filter(F.col("term") == PHRASE_W2).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, ["doc_id"])
+        .filter(F.col("pos_b") == F.col("pos") + 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+    )

@@ -599,3 +599,15 @@ def test_ols_single_partial_aggregate_pass(spark):
     plan = _plan(spark, "ml_ols_normal_eq")
     assert plan.count("lineitem.parquet") == 1, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_nested_schema_pruning_reads_two_leaves(spark):
+    """scan_nested_schema_pruning: the scan must read only the two
+    surviving struct leaves (priority for the filter, cents for the
+    projection) and push the nested equality — not the whole payload."""
+    plan = _plan(spark, "scan_nested_schema_pruning")
+    rs = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "priority" in rs and "cents" in rs, rs
+    assert "status" not in rs and "cust" not in rs, rs
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "payload.priority" in pushed, plan
