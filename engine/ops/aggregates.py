@@ -2993,3 +2993,77 @@ def events_wilcoxon_rank_sum(spark, sf_dir):
         u2.cast("long").alias("u2_a"),
         F.round(z, 6).alias("z"),
     )
+
+
+PVM_Y0, PVM_Y1 = 1997, 1998
+
+
+@register(
+    "orders_price_volume_mix",
+    oracle=f"""
+        WITH s AS (
+          SELECT o_orderpriority AS segment,
+                 CAST(count(*) FILTER (WHERE year(o_orderdate) = {PVM_Y0})
+                   AS BIGINT) AS n0,
+                 CAST(count(*) FILTER (WHERE year(o_orderdate) = {PVM_Y1})
+                   AS BIGINT) AS n1,
+                 CAST(COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FILTER (WHERE year(o_orderdate) = {PVM_Y0}), 0)
+                   AS BIGINT) AS s0,
+                 CAST(COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FILTER (WHERE year(o_orderdate) = {PVM_Y1}), 0)
+                   AS BIGINT) AS s1
+          FROM orders
+          WHERE year(o_orderdate) IN ({PVM_Y0}, {PVM_Y1})
+          GROUP BY o_orderpriority
+        )
+        SELECT segment, n0, n1, s0, s1,
+               CAST(s1 - s0 AS BIGINT) AS delta_cents,
+               round((n1 - n0) * (CAST(s0 AS DOUBLE) / n0), 6) AS volume_eff,
+               round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) * n0,
+                     6) AS price_eff,
+               round((n1 - n0) * (CAST(s1 AS DOUBLE) / n1
+                                  - CAST(s0 AS DOUBLE) / n0), 6) AS cross_eff
+        FROM s WHERE n0 > 0 AND n1 > 0
+    """,
+)
+def orders_price_volume_mix(spark, sf_dir):
+    """Price–volume–mix bridge between two years, per priority
+    segment — the FP&A decomposition ΔRev = Δn·p₀ + Δp·n₀ + Δn·Δp
+    (volume, price, cross terms sum EXACTLY to Δcents by algebra, a
+    property the test asserts to 1e-4 cents). Both years are
+    accumulated in ONE conditional aggregate over the filtered fact
+    scan (no self-join of year slices); counts and cents are exact
+    BIGINTs, average order values appear only inside the three final
+    identical-structure double expressions.
+
+    Scale: single scan with the year-pair predicate pushed, map-side
+    combinable FILTER aggregates, segment-sized output — the shape
+    survives any fact-table size."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    y = F.year("o_orderdate")
+    s = (
+        o.filter(y.isin(PVM_Y0, PVM_Y1))
+        .groupBy(F.col("o_orderpriority").alias("segment"))
+        .agg(
+            F.count_if(y == PVM_Y0).alias("n0"),
+            F.count_if(y == PVM_Y1).alias("n1"),
+            F.coalesce(F.sum(F.when(y == PVM_Y0, cents)), F.lit(0)).alias("s0"),
+            F.coalesce(F.sum(F.when(y == PVM_Y1, cents)), F.lit(0)).alias("s1"),
+        )
+    )
+    n0, n1, s0, s1 = F.col("n0"), F.col("n1"), F.col("s0"), F.col("s1")
+    p0 = s0.cast("double") / n0
+    p1 = s1.cast("double") / n1
+    return s.filter((n0 > 0) & (n1 > 0)).select(
+        "segment",
+        "n0",
+        "n1",
+        "s0",
+        "s1",
+        (s1 - s0).cast("long").alias("delta_cents"),
+        F.round((n1 - n0) * p0, 6).alias("volume_eff"),
+        F.round((p1 - p0) * n0, 6).alias("price_eff"),
+        F.round((n1 - n0) * (p1 - p0), 6).alias("cross_eff"),
+    )

@@ -2355,3 +2355,71 @@ def text_phrase_search(spark, sf_dir):
             F.min("pos").alias("first_pos"),
         )
     )
+
+
+BLOOM_M = 16384  # bits in the eval-shingle bloom
+BLOOM_SEEDS = (101, 202, 303)  # k = 3 hash functions
+
+
+@register("text_contamination_bloom")  # rows-only: xxhash64 bit positions not SQL-restatable
+def text_contamination_bloom(spark, sf_dir):
+    """Decontamination SCREEN via an explicit bloom filter of the
+    eval-set shingles, spelled in DataFrame ops (Spark's
+    bloom_filter_agg is optimizer-internal, not a SQL-callable
+    surface): each eval shingle sets k=3 bit positions
+    (pmod(xxhash64(shingle, seed), m)); the bit SET (distinct
+    positions, ≤ m rows — filter-sized, never corpus-sized) broadcasts
+    onto the training scan, where an occurrence passes the screen iff
+    ALL k of its positions hit (explode → broadcast join → count==k).
+    Output = per-doc screened occurrence counts. One-sided by
+    construction: tests/test_llm_ops.py asserts per-doc screened ≥
+    the exact join's contaminated count, with a bounded corpus-level
+    overshoot (fp rate ≈ (1−e^{−kn/m})^k).
+
+    Scale: this is the two-tier shape decontamination runs at 100 TB —
+    the broadcast relation is the BIT SET (bounded by m regardless of
+    eval size), the corpus is scanned once, and only screen survivors
+    would flow to the exact verify."""
+    from .dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d)
+
+    def positions(col):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(col, F.lit(s)), F.lit(BLOOM_M))
+                for s in BLOOM_SEEDS
+            ]
+        )
+
+    eval_bits = (
+        sh.filter(F.col("doc_id") < EVAL_MAX_ID)
+        .select(F.explode(positions(F.col("shingle"))).alias("bit"))
+        .distinct()
+    )
+    train = (
+        sh.filter(F.col("doc_id") >= EVAL_MAX_ID)
+        .select("doc_id", "shingle")
+        .withColumn("occ", F.monotonically_increasing_id())
+        .select(
+            "doc_id", "occ", F.explode(positions(F.col("shingle"))).alias("bit")
+        )
+    )
+    screened_occ = (
+        train.join(F.broadcast(eval_bits), "bit")
+        .groupBy("doc_id", "occ")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == len(BLOOM_SEEDS))
+    )
+    tot = (
+        sh.filter(F.col("doc_id") >= EVAL_MAX_ID)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    return (
+        screened_occ.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_screened"))
+        .join(tot, "doc_id")
+        .select("doc_id", "n_screened", "n_shingles")
+    )

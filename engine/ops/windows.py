@@ -1600,3 +1600,90 @@ def ts_downsample_lttb(spark, sf_dir, n_out: int = LTTB_N_OUT):
     return e.groupBy(
         F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("bucket")
     ).applyInPandas(lttb_bucket, schema="user_id bigint, t_us bigint, value double")
+
+
+@register(
+    "win_allen_interval_relations",
+    oracle="""
+        WITH iv AS (
+          SELECT user_id,
+                 (epoch_ns(ts) // 1000000000) AS s,
+                 (epoch_ns(ts) // 1000000000)
+                   + (CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 + 1)
+                     * 600 AS e,
+                 event_id
+          FROM events
+        ),
+        pair AS (
+          SELECT user_id, s, e,
+                 lead(s) OVER w AS s2, lead(e) OVER w AS e2
+          FROM iv
+          WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id)
+        ),
+        rel AS (
+          SELECT CASE
+                   WHEN s = s2 AND e = e2 THEN 'equals'
+                   WHEN e < s2 THEN 'before'
+                   WHEN e = s2 THEN 'meets'
+                   WHEN s = s2 AND e < e2 THEN 'starts'
+                   WHEN s > s2 AND e < e2 THEN 'during'
+                   WHEN s > s2 AND e = e2 THEN 'finishes'
+                   WHEN s < s2 AND e > e2 THEN 'contains'
+                   WHEN s = s2 AND e > e2 THEN 'started_by'
+                   WHEN s < s2 AND e = e2 THEN 'finished_by'
+                   ELSE 'overlaps'
+                 END AS relation
+          FROM pair WHERE s2 IS NOT NULL
+        )
+        SELECT relation, count(*) AS n FROM rel GROUP BY relation
+    """,
+)
+def win_allen_interval_relations(spark, sf_dir):
+    """Allen's interval-algebra classification of each user's
+    consecutive event intervals — the temporal-logic vocabulary
+    (before / meets / overlaps / starts / during / finishes /
+    contains / equals ...) that interval reasoning, conflict detection
+    and timeline QA are written in. Intervals get deterministic varied
+    durations ((k%7+1)·10 min) so multiple relation classes actually
+    fire; consecutive pairing is one lead() window per user ordered by
+    (start, end, event_id) — fully tie-deterministic — and the
+    classification is a single exhaustive CASE both engines state
+    identically (integer epoch seconds, no float anywhere).
+
+    Scale: one window pass partitioned by user, one map-side
+    combinable count — the gaps-and-islands cost envelope. A full
+    pairwise Allen matrix would be the interval self-join
+    (join_theta_range's shape); consecutive-pair classification is
+    the linear-cost production variant."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    s = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+    iv = e.select(
+        "user_id",
+        s.alias("s"),
+        (s + (k % 7 + 1) * 600).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    pair = iv.select(
+        "s",
+        "e",
+        F.lead("s").over(w).alias("s2"),
+        F.lead("e").over(w).alias("e2"),
+    ).filter(F.col("s2").isNotNull())
+    s1, e1, s2, e2 = F.col("s"), F.col("e"), F.col("s2"), F.col("e2")
+    relation = (
+        F.when((s1 == s2) & (e1 == e2), "equals")
+        .when(e1 < s2, "before")
+        .when(e1 == s2, "meets")
+        .when((s1 == s2) & (e1 < e2), "starts")
+        .when((s1 > s2) & (e1 < e2), "during")
+        .when((s1 > s2) & (e1 == e2), "finishes")
+        .when((s1 < s2) & (e1 > e2), "contains")
+        .when((s1 == s2) & (e1 > e2), "started_by")
+        .when((s1 < s2) & (e1 == e2), "finished_by")
+        .otherwise("overlaps")
+    )
+    return pair.groupBy(relation.alias("relation")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -573,3 +573,17 @@ def test_minhash_error_audit_within_theory(spark):
     assert row.max_err_u <= 600_000, row.to_dict()
     b = engine.QUERIES["dedup_minhash_error_audit"](spark, T2_SF_DIR).toPandas()
     assert a.equals(b)
+
+
+def test_bloom_screen_is_one_sided_superset(spark):
+    """text_contamination_bloom must screen a SUPERSET of
+    text_decontaminate's exact hits, per doc (bloom has no false
+    negatives), with bounded corpus-level overshoot (fp-driven)."""
+    import engine
+    from tests.conftest import T2_SF_DIR
+
+    scr = engine.QUERIES["text_contamination_bloom"](spark, T2_SF_DIR).toPandas()
+    ex = engine.QUERIES["text_decontaminate"](spark, T2_SF_DIR).toPandas()
+    m = ex.merge(scr, on="doc_id", how="left")
+    assert (m.n_screened.fillna(0) >= m.n_contaminated).all()
+    assert scr.n_screened.sum() <= 3 * max(ex.n_contaminated.sum(), 1)

@@ -323,3 +323,17 @@ def test_label_propagation_is_deterministic_component_refinement(spark):
     assert all(
         comp[r.community] == r.cluster_id for r in merged.itertuples()
     )
+
+
+def test_price_volume_mix_bridge_identity(spark):
+    """Algebraic bridge: volume + price + cross must equal delta_cents
+    for every segment (the decomposition's defining identity)."""
+    import engine
+    from tests.conftest import T2_SF_DIR
+
+    pdf = engine.QUERIES["orders_price_volume_mix"](spark, T2_SF_DIR).toPandas()
+    assert len(pdf) > 0
+    resid = (
+        pdf.volume_eff + pdf.price_eff + pdf.cross_eff - pdf.delta_cents
+    ).abs().max()
+    assert resid < 1e-4, resid
