@@ -3067,3 +3067,58 @@ def orders_price_volume_mix(spark, sf_dir):
         F.round((p1 - p0) * n0, 6).alias("price_eff"),
         F.round((n1 - n0) * (p1 - p0), 6).alias("cross_eff"),
     )
+
+
+@register(
+    "agg_benford_digit_test",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders WHERE o_totalprice >= 1
+        ),
+        c AS (
+          SELECT digit, count(*) AS n_obs,
+                 CAST(sum(count(*)) OVER () AS BIGINT) AS n
+          FROM d GROUP BY digit
+        )
+        SELECT digit, n_obs,
+               round(n * log10(1 + 1.0 / digit), 6) AS expected,
+               round((n_obs - n * log10(1 + 1.0 / digit))
+                     * (n_obs - n * log10(1 + 1.0 / digit))
+                     / (n * log10(1 + 1.0 / digit)), 6) AS chi2_contrib
+        FROM c
+    """,
+)
+def agg_benford_digit_test(spark, sf_dir):
+    """Benford's-law first-digit test on order totals — the
+    fraud/forensic-accounting screen: observed leading-digit counts vs
+    the log10(1+1/d) expectation, with per-digit χ² contributions.
+    Counts are exact (digit from the rounded integer's first
+    character — same spelling both engines); expectation and χ² are
+    one identical-structure double expression per digit. On TPC-H-like
+    synthetic totals the χ² is deliberately large — the op's job is
+    to MEASURE conformance, not assume it.
+
+    Scale: one map-side-combinable count by digit (9 groups), one
+    windowed total — O(1) state; the fact scan is the entire cost."""
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .withColumn("n", F.sum("n_obs").over(Window.partitionBy()))
+    )
+    expected = F.col("n") * F.log10(1 + 1.0 / F.col("digit"))
+    return c.select(
+        "digit",
+        "n_obs",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected,
+            6,
+        ).alias("chi2_contrib"),
+    )

@@ -584,3 +584,83 @@ def stream_source_rate_micro_batch(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("value").alias("sum_v"),
     )
+
+
+@register(
+    "stream_union_two_sources",
+    oracle="""
+        WITH wm AS (
+          SELECT least(
+            (SELECT max(ts) FROM events WHERE event_id % 2 = 0)
+              - INTERVAL 1 HOUR,
+            (SELECT max(ts) FROM events WHERE event_id % 2 = 1)
+              - INTERVAL 2 HOURS
+          ) AS w
+        )
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+               count(*) AS n
+        FROM events, wm
+        WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+        GROUP BY 1, 2
+    """,
+)
+def stream_union_two_sources(spark, sf_dir):
+    """TWO independent streaming sources unioned into ONE watermarked
+    aggregation — the multi-feed topology every regional/sharded
+    ingest runs (Kinesis stream per region → union → one rollup).
+    The events table is split by event_id parity into two file-stream
+    sources, each gets its own watermark, and Spark aligns them (the
+    query's effective watermark is the MINIMUM across sources, so one
+    lagging feed correctly holds back state eviction for both). One
+    availableNow drain through a checkpointed parquet sink; the
+    read-back daily rollup must equal the batch aggregate over the
+    WHOLE table — loss or duplication at the union seam breaks the
+    value hash.
+
+    Scale: union of streams is plan-level (no extra shuffle before
+    the aggregation's own exchange); per-source file listing
+    parallelizes; the min-watermark rule is what makes the topology
+    safe when one region lags."""
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("stream_union_two")
+    src_a, src_b = f"{base}/src_a", f"{base}/src_b"
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src_a)
+    e.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(src_b)
+
+    # watermarks need TIMESTAMP (LTZ); session tz is UTC so the cast
+    # is wall-clock exact (engine.session discipline)
+    sa = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(src_a)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    sb = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(src_b)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")  # deliberately different lag
+    )
+    agg = (
+        sa.unionByName(sb)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("day"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_union_two_sources: drain exceeded 300s")
+    return spark.read.parquet(sink)
