@@ -3122,3 +3122,104 @@ def agg_benford_digit_test(spark, sf_dir):
             6,
         ).alias("chi2_contrib"),
     )
+
+
+CCF_MAX_LAG = 3
+
+
+@register(
+    "events_cross_correlation",
+    oracle=f"""
+        WITH c AS (
+          SELECT date_trunc('hour', ts) AS h,
+                 CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                   AS BIGINT) AS xa,
+                 CAST(count(*) FILTER (WHERE event_type = 'error')
+                   AS BIGINT) AS xb
+          FROM events GROUP BY 1
+        ),
+        tot AS (
+          SELECT count(*) AS n, CAST(sum(xa) AS BIGINT) AS sa,
+                 CAST(sum(xb) AS BIGINT) AS sb FROM c
+        ),
+        dens AS (
+          SELECT CAST(sum((n * xa - sa) * (n * xa - sa)) AS BIGINT) AS da,
+                 CAST(sum((n * xb - sb) * (n * xb - sb)) AS BIGINT) AS db
+          FROM c, tot
+        ),
+        lags AS (
+          SELECT l.l - {CCF_MAX_LAG} AS lag
+          FROM unnest(range({2 * CCF_MAX_LAG + 1})) l(l)
+        ),
+        p AS (
+          SELECT lag, a.xa AS xa, b.xb AS xb
+          FROM lags, c a JOIN c b
+            ON b.h = a.h + to_hours(CAST(lag AS BIGINT))
+        )
+        SELECT lag, count(*) AS n_pairs,
+               round(CAST(sum((n * xa - sa) * (n * xb - sb)) AS DOUBLE)
+                     / sqrt(CAST(max(da) AS DOUBLE) * max(db)), 6) AS ccf
+        FROM p, tot, dens
+        GROUP BY lag
+    """,
+)
+def events_cross_correlation(spark, sf_dir):
+    """Cross-correlation between the purchase-rate and error-rate
+    hourly series at lags −3…+3 — the "which series LEADS" diagnostic
+    (a peak at positive lag = errors follow purchases by that many
+    hours). Same exact-integer discipline as ts_acf_lags: both series
+    come from ONE conditional hourly aggregate, deviations are cleared
+    to integers (N·x−S), numerators are BIGINT sums per lag, and the
+    two variance denominators are computed once and broadcast; lag
+    pairing is a true time-shift join, gap-safe.
+
+    Scale: O(hours) after the single fact-scan rollup; the 7-lag
+    fan-out is a broadcast dim. The same shape extends to any metric
+    pair at 100 TB because the rollup, not the fact table, carries
+    every downstream step."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count_if(F.col("event_type") == "purchase").alias("xa"),
+        F.count_if(F.col("event_type") == "error").alias("xb"),
+    )
+    wall = Window.partitionBy()
+    tot = c.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sa"),
+        F.sum("xb").alias("sb"),
+    )
+    dens = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            ((F.col("n") * F.col("xa") - F.col("sa"))
+             * (F.col("n") * F.col("xa") - F.col("sa"))).alias("dxa"),
+            ((F.col("n") * F.col("xb") - F.col("sb"))
+             * (F.col("n") * F.col("xb") - F.col("sb"))).alias("dxb"),
+        )
+        .agg(F.sum("dxa").alias("da"), F.sum("dxb").alias("db"))
+    )
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = c.crossJoin(F.broadcast(lags)).select("lag", "h", "xa")
+    b = c.select(F.col("h").alias("hb"), "xb")
+    p = a.join(
+        b, b.hb == F.col("h") + F.col("lag") * F.expr("INTERVAL 1 HOUR")
+    )
+    num = F.sum(
+        (F.col("n") * F.col("xa") - F.col("sa"))
+        * (F.col("n") * F.col("xb") - F.col("sb"))
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dens))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                num.cast("double")
+                / F.sqrt(F.max("da").cast("double") * F.max("db")),
+                6,
+            ).alias("ccf"),
+        )
+    )

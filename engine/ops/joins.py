@@ -920,3 +920,122 @@ def join_null_safe_eq(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("n_name")
     )
+
+
+SCD2_LOW, SCD2_MID = 15_000_000, 40_000_000  # yearly-spend cents bands
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle=f"""
+        WITH yr AS (
+          SELECT o_custkey AS cust, year(o_orderdate) AS y,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2
+        ),
+        banded AS (
+          SELECT cust, y,
+                 CASE WHEN cents < {SCD2_LOW} THEN 'low'
+                      WHEN cents < {SCD2_MID} THEN 'mid'
+                      ELSE 'high' END AS band
+          FROM yr
+        ),
+        flagged AS (
+          SELECT *, CASE WHEN band = lag(band) OVER w THEN 0 ELSE 1 END
+                      AS chg
+          FROM banded WINDOW w AS (PARTITION BY cust ORDER BY y)
+        ),
+        isl AS (
+          SELECT *, sum(chg) OVER (PARTITION BY cust ORDER BY y
+                                   ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ),
+        ver AS (
+          SELECT cust, band, make_date(min(y), 1, 1) AS valid_from
+          FROM isl GROUP BY cust, band, island
+        ),
+        scd2 AS (
+          SELECT cust, band, valid_from,
+                 COALESCE(lead(valid_from) OVER (PARTITION BY cust
+                   ORDER BY valid_from), DATE '9999-01-01') AS valid_to
+          FROM ver
+        )
+        SELECT s.band AS segment, count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS revenue_cents
+        FROM orders o JOIN scd2 s
+          ON o.o_custkey = s.cust
+         AND CAST(o.o_orderdate AS DATE) >= s.valid_from
+         AND CAST(o.o_orderdate AS DATE) < s.valid_to
+        GROUP BY s.band
+    """,
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    """SCD2 build + point-in-time join — the warehouse pattern asked
+    for by name: yearly spend bands become TYPE-2 dimension versions
+    (consecutive same-band years merged by gaps-and-islands,
+    valid_from/valid_to chained with lead(), open version capped at
+    9999-01-01), then every fact row joins THE version valid at its
+    order date (custkey equality + half-open date-range predicate).
+    Every order matches exactly one version by construction — a dup
+    or gap in the validity chain breaks the value hash.
+
+    Scale: the dim build is windows over per-customer years (tiny
+    groups); the PIT join is an equi-join on custkey with the range
+    predicate evaluated post-match — Spark executes it as a hash join
+    with a residual filter, NOT a theta join, because the equality
+    carries the matching. The classic alternative (as-of join on
+    version start) is join_asof; this op pins the half-open-interval
+    contract SCD2 consumers rely on."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    yr = (
+        o.groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    band = (
+        F.when(F.col("cents") < SCD2_LOW, "low")
+        .when(F.col("cents") < SCD2_MID, "mid")
+        .otherwise("high")
+    )
+    wy = Window.partitionBy("cust").orderBy("y")
+    flagged = yr.select("cust", "y", band.alias("band")).withColumn(
+        "chg",
+        F.when(F.col("band") == F.lag("band").over(wy), 0).otherwise(1),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("chg").over(
+            wy.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ver = isl.groupBy("cust", "band", "island").agg(
+        F.make_date(F.min("y"), F.lit(1), F.lit(1)).alias("valid_from")
+    )
+    wv = Window.partitionBy("cust").orderBy("valid_from")
+    scd2 = ver.select(
+        "cust",
+        "band",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(wv), F.lit("9999-01-01").cast("date")
+        ).alias("valid_to"),
+    )
+    od = F.col("o_orderdate").cast("date")
+    return (
+        o.join(
+            scd2,
+            (F.col("o_custkey") == F.col("cust"))
+            & (od >= F.col("valid_from"))
+            & (od < F.col("valid_to")),
+        )
+        .groupBy(F.col("band").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
