@@ -2755,22 +2755,22 @@ def ts_theil_sen_slope(spark, sf_dir):
     oracle="""
         WITH rev AS (
           SELECT o_custkey,
-                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                   AS BIGINT) AS cents
+                 CAST(sum(CAST(round(o_totalprice) AS BIGINT))
+                   AS BIGINT) AS dollars
           FROM orders GROUP BY o_custkey
         ),
         r AS (
-          SELECT cents,
-                 row_number() OVER (ORDER BY cents, o_custkey) AS i,
+          SELECT dollars,
+                 row_number() OVER (ORDER BY dollars, o_custkey) AS i,
                  count(*) OVER () AS n,
-                 CAST(sum(cents) OVER () AS BIGINT) AS s
+                 CAST(sum(dollars) OVER () AS BIGINT) AS s
           FROM rev
         )
         SELECT CAST(max(n) AS BIGINT) AS n_customers,
-               CAST(max(s) AS BIGINT) AS total_cents,
-               CAST(2 * sum(i * cents) - (max(n) + 1) * max(s) AS BIGINT)
+               CAST(max(s) AS BIGINT) AS total_dollars,
+               CAST(2 * sum(i * dollars) - (max(n) + 1) * max(s) AS BIGINT)
                  AS gini_num,
-               round(CAST(2 * sum(i * cents) - (max(n) + 1) * max(s) AS DOUBLE)
+               round(CAST(2 * sum(i * dollars) - (max(n) + 1) * max(s) AS DOUBLE)
                      / (max(n) * max(s)), 6) AS gini
         FROM r
     """,
@@ -2783,7 +2783,10 @@ def orders_gini_concentration(spark, sf_dir):
     (n·Σx) over revenue sorted ascending: the numerator is an EXACT
     BIGINT (ties contribute a fixed rank-sum regardless of internal
     order, so the custkey tiebreak is belt-and-braces), and only the
-    final ratio is double.
+    final ratio is double. Revenue is quantized to whole DOLLARS, not
+    cents: Σi·xᵢ grows ~ rank·value·customers, and dollar units keep
+    the BIGINT headroom to ~sf100 where cents would overflow near
+    sf0.5 — Gini is invariant to the unit up to rounding.
 
     Scale: per-customer revenue is one map-side-combinable groupBy;
     the ranked spine is customer-sized, and the rank weighting is the
@@ -2791,23 +2794,23 @@ def orders_gini_concentration(spark, sf_dir):
     sum at 100 TB)."""
     o = table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        F.sum(F.round("o_totalprice").cast("long")).alias("dollars")
     )
     wall = Window.partitionBy()
     r = rev.select(
-        "cents",
+        "dollars",
         F.row_number()
-        .over(Window.orderBy("cents", "o_custkey"))
+        .over(Window.orderBy("dollars", "o_custkey"))
         .alias("i"),
         F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("cents").over(wall).alias("s"),
+        F.sum("dollars").over(wall).alias("s"),
     )
-    num = 2 * F.sum(F.col("i") * F.col("cents")) - (
+    num = 2 * F.sum(F.col("i") * F.col("dollars")) - (
         F.max("n") + 1
     ) * F.max("s")
     return r.agg(
         F.max("n").alias("n_customers"),
-        F.max("s").alias("total_cents"),
+        F.max("s").alias("total_dollars"),
         num.cast("long").alias("gini_num"),
         F.round(num.cast("double") / (F.max("n") * F.max("s")), 6).alias(
             "gini"
