@@ -3226,3 +3226,33 @@ def events_cross_correlation(spark, sf_dir):
             ).alias("ccf"),
         )
     )
+
+
+@register("agg_hll_error_audit")  # rows-only: HLL estimate is impl-defined
+def agg_hll_error_audit(spark, sf_dir):
+    """Sketch-quality audit for HyperLogLog: per event_type,
+    approx_count_distinct(user_id) vs the EXACT distinct count, with
+    the signed relative error in 1e-4 units — the dedup_minhash_
+    error_audit sibling for the cardinality sketch. The default rsd
+    is 5%; tests pin |err| ≤ 15% (3σ) per group plus double-run
+    determinism (Spark's HLL is deterministic for fixed data: no RNG,
+    just hashing).
+
+    Scale: both aggregates are map-side combinable in the SAME
+    groupBy pass — auditing the sketch costs one extra exact
+    count-distinct at fixture scale; at 100 TB you audit on a sample
+    or a small key slice, which this plan shape makes a filter."""
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("estimate"),
+    )
+    err = (
+        (F.col("estimate") - F.col("exact")).cast("double") / F.col("exact")
+    )
+    return g.select(
+        "event_type",
+        "exact",
+        "estimate",
+        F.round(err * 10000).cast("long").alias("rel_err_bp"),
+    )

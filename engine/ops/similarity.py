@@ -1509,3 +1509,87 @@ def ml_confusion_matrix(spark, sf_dir):
         .otherwise(F.round((2 * tp).cast("double") / (2 * tp + fp + fn), 6))
         .alias("f1"),
     )
+
+
+@register("embed_procrustes_align")  # rows-only: SVD basis signs are impl-defined
+def embed_procrustes_align(spark, sf_dir):
+    """Orthogonal Procrustes alignment of two embedding spaces — the
+    standard recipe for reconciling embeddings from two model
+    versions (or languages): given X and a target space Y (here a
+    deterministic coordinate roll + sign-flip of X, so ground truth
+    exists), recover R = argmin‖XR − Y‖F over orthogonal R via
+    SVD(XᵀY) → R = UVᵀ. The d×d cross-Gram is accumulated
+    DISTRIBUTED — one mapInPandas pass emits per-batch partial outer
+    products (64×64 ≈ 32 KB each, the ml_logreg/pca partial-state
+    shape), summed by a tiny keyed aggregate; only the 64×64 SVD runs
+    on the driver (model-sized, the declared centroid/Gram
+    precedent). Output: n_vectors and Frobenius alignment error
+    before/after in 1e-6 units — after ≈ 0 proves the rotation was
+    recovered. tests/test_llm_ops.py pins recovery and double-run
+    determinism.
+
+    Scale: one corpus scan, fixed d² state per task — alignment cost
+    is independent of corpus size; at 100 TB you'd subsample anyway
+    (Gram concentrates), which this shape makes trivial."""
+    import numpy as np
+    import pandas as pd
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if len(X) == 0:
+                continue
+            # target space: roll coordinates by 7, flip sign of odd dims
+            Y = np.roll(X, 7, axis=1)
+            Y[:, 1::2] *= -1.0
+            G = X.T @ Y  # d x d cross-Gram partial
+            n = np.int64(len(X))
+            bxx = float(np.sum(X * X))
+            byy = float(np.sum(Y * Y))
+            yield pd.DataFrame(
+                {
+                    "k": [0],
+                    "n": [n],
+                    "gram": [G.ravel().tolist()],
+                    "xx": [bxx],
+                    "yy": [byy],
+                }
+            )
+
+    agg = (
+        em.mapInPandas(
+            partials, "k int, n long, gram array<double>, xx double, yy double"
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("n").alias("n"),
+            F.aggregate(
+                F.collect_list("gram"),
+                F.array_repeat(F.lit(0.0), 64 * 64),
+                lambda acc, g: F.zip_with(acc, g, lambda a, b: a + b),
+            ).alias("gram"),
+            F.sum("xx").alias("xx"),
+            F.sum("yy").alias("yy"),
+        )
+        .collect()[0]
+    )
+    import numpy as np
+
+    G = np.array(agg["gram"]).reshape(64, 64)
+    U, s, Vt = np.linalg.svd(G)
+    R = U @ Vt
+    # residual identity: ||XR - Y||^2 = ||X||^2 + ||Y||^2 - 2*tr(R^T G)
+    before = agg["xx"] + agg["yy"] - 2.0 * float(np.trace(G))
+    after = agg["xx"] + agg["yy"] - 2.0 * float(np.trace(R.T @ G))
+    out = [
+        (
+            int(agg["n"]),
+            int(round(1e6 * max(before, 0.0))),
+            int(round(1e6 * max(after, 0.0))),
+        )
+    ]
+    return table(spark, sf_dir, "embeddings").sparkSession.createDataFrame(
+        out, "n_vectors long, frob2_before_u long, frob2_after_u long"
+    )

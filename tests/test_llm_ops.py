@@ -587,3 +587,35 @@ def test_bloom_screen_is_one_sided_superset(spark):
     m = ex.merge(scr, on="doc_id", how="left")
     assert (m.n_screened.fillna(0) >= m.n_contaminated).all()
     assert scr.n_screened.sum() <= 3 * max(ex.n_contaminated.sum(), 1)
+
+
+def test_procrustes_recovers_rotation(spark):
+    """embed_procrustes_align: the target space is an exact orthogonal
+    transform of X, so the recovered R must drive the Frobenius
+    residual to ~0; double-run deterministic."""
+    import engine
+    from tests.conftest import T2_SF_DIR
+
+    a = engine.QUERIES["embed_procrustes_align"](spark, T2_SF_DIR).toPandas()
+    assert len(a) == 1
+    row = a.iloc[0]
+    assert row.n_vectors > 0
+    assert row.frob2_before_u > 1000 * row.n_vectors  # misaligned to start
+    assert row.frob2_after_u <= 1000, row.to_dict()  # ~0 after alignment
+    b = engine.QUERIES["embed_procrustes_align"](spark, T2_SF_DIR).toPandas()
+    assert a.equals(b)
+
+
+def test_hll_audit_within_3_sigma(spark):
+    """agg_hll_error_audit: every group's HLL estimate within 15%
+    (3x the default 5% rsd) of exact; deterministic."""
+    import engine
+    from tests.conftest import T2_SF_DIR
+
+    a = engine.QUERIES["agg_hll_error_audit"](spark, T2_SF_DIR).toPandas()
+    assert len(a) > 0
+    assert (a.rel_err_bp.abs() <= 1500).all(), a.to_string()
+    b = engine.QUERIES["agg_hll_error_audit"](spark, T2_SF_DIR).toPandas()
+    assert a.sort_values("event_type").reset_index(drop=True).equals(
+        b.sort_values("event_type").reset_index(drop=True)
+    )
