@@ -3256,3 +3256,87 @@ def agg_hll_error_audit(spark, sf_dir):
         "estimate",
         F.round(err * 10000).cast("long").alias("rel_err_bp"),
     )
+
+
+MARKOV_SPLIT = "2024-01-25"
+
+
+@register(
+    "events_markov_next_accuracy",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id, ts, event_type,
+                 lead(event_type) OVER w AS next_type,
+                 lead(ts) OVER w AS next_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tr AS (
+          SELECT event_type AS prev, next_type AS nxt, next_ts
+          FROM seq WHERE next_type IS NOT NULL
+        ),
+        model AS (
+          SELECT prev, nxt AS predicted FROM (
+            SELECT prev, nxt, count(*) AS c,
+                   row_number() OVER (PARTITION BY prev
+                                      ORDER BY count(*) DESC, nxt) AS rn
+            FROM tr WHERE next_ts < TIMESTAMP '{MARKOV_SPLIT}'
+            GROUP BY prev, nxt
+          ) WHERE rn = 1
+        ),
+        ev AS (
+          SELECT t.prev, t.nxt, m.predicted
+          FROM tr t JOIN model m ON t.prev = m.prev
+          WHERE t.next_ts >= TIMESTAMP '{MARKOV_SPLIT}'
+        )
+        SELECT count(*) AS n_eval,
+               CAST(count(*) FILTER (WHERE nxt = predicted) AS BIGINT)
+                 AS n_correct,
+               round(CAST(count(*) FILTER (WHERE nxt = predicted) AS DOUBLE)
+                     / count(*), 6) AS accuracy
+        FROM ev
+    """,
+)
+def events_markov_next_accuracy(spark, sf_dir):
+    """First-order Markov next-event baseline with a TEMPORAL
+    train/eval split — the sequence-model sanity floor every session
+    recommender is judged against: train = transitions completing
+    before Jan 25 (most-frequent next state per previous state, ties
+    alphabetical), eval = later transitions, metric = exact top-1
+    accuracy. Transitions come from one lead() window per user
+    (event_id tiebreak), the model is a 5×5 count table picked by
+    row_number, and the eval join broadcasts the 5-row model.
+
+    Scale: the model is |states|²-sized regardless of data; the only
+    data-sized work is the per-user window and two conditional
+    aggregates — the canonical baseline-eval shape."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("nxt").isNotNull())
+    split = F.lit(MARKOV_SPLIT).cast("timestamp_ntz")
+    wm = Window.partitionBy("prev").orderBy(F.desc("c"), F.asc("nxt"))
+    model = (
+        seq.filter(F.col("next_ts") < split)
+        .groupBy(F.col("event_type").alias("prev"), "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    ev = (
+        seq.filter(F.col("next_ts") >= split)
+        .select(F.col("event_type").alias("prev"), "nxt")
+        .join(F.broadcast(model), "prev")
+    )
+    correct = F.count_if(F.col("nxt") == F.col("predicted"))
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        correct.alias("n_correct"),
+        F.round(correct.cast("double") / F.count(F.lit(1)), 6).alias(
+            "accuracy"
+        ),
+    )

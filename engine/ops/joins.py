@@ -1039,3 +1039,93 @@ def join_scd2_point_in_time(spark, sf_dir):
             F.sum(cents).alias("revenue_cents"),
         )
     )
+
+
+DUP_PAY_WINDOW_DAYS = 7
+
+
+@register(
+    "join_duplicate_payment_detect",
+    oracle=f"""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(o_orderdate AS DATE) AS d
+          FROM orders
+        ),
+        o AS (  -- every 100th order re-submitted 2 days later (new key)
+          SELECT * FROM base
+          UNION ALL
+          SELECT o_orderkey + 1000000000, o_custkey, cents, d + 2
+          FROM base WHERE o_orderkey % 100 = 0
+        )
+        SELECT a.o_custkey AS custkey,
+               a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+               a.cents AS cents,
+               CAST(date_diff('day', a.d, b.d) AS BIGINT) AS days_apart
+        FROM o a JOIN o b
+          ON a.o_custkey = b.o_custkey
+         AND a.cents = b.cents
+         AND a.o_orderkey < b.o_orderkey
+         AND b.d >= a.d
+         AND date_diff('day', a.d, b.d) <= {DUP_PAY_WINDOW_DAYS}
+    """,
+)
+def join_duplicate_payment_detect(spark, sf_dir):
+    """Duplicate-payment screen — the accounts-payable control: pairs
+    of orders by the SAME customer for the EXACT same amount within 7
+    days. The join is equi on (custkey, cents) — the selective keys
+    carry the matching so Spark plans a hash join, with the date
+    window as a residual predicate — never a theta join over the fact
+    table. Orderkey ordering emits each pair once.
+
+    Scale: the (custkey, amount) equi-key makes bucket occupancy tiny
+    (duplicate amounts per customer are rare by construction), so the
+    candidate space is the collision set, not N² — the same inverted-
+    index principle as the dedup tier, in pure relational form. The
+    fixture's continuous amounts produce no organic duplicates, so the
+    feed is augmented with a deterministic resubmission slice (every
+    100th order re-keyed +1e9, two days later) — the oracle states the
+    same augmentation, and the detector must find exactly those
+    pairs."""
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    resub = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        "o_custkey",
+        "cents",
+        F.date_add("d", 2).alias("d"),
+    )
+    o = base.unionByName(resub)
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_a"),
+        "cents",
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, ["custkey"])
+        .filter(
+            (F.col("cents") == F.col("cents_b"))
+            & (F.col("order_a") < F.col("order_b"))
+            & (F.col("db") >= F.col("da"))
+            & (F.datediff("db", "da") <= DUP_PAY_WINDOW_DAYS)
+        )
+        .select(
+            "custkey",
+            "order_a",
+            "order_b",
+            "cents",
+            F.datediff("db", "da").cast("long").alias("days_apart"),
+        )
+    )
