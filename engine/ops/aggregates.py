@@ -3340,3 +3340,136 @@ def events_markov_next_accuracy(spark, sf_dir):
             "accuracy"
         ),
     )
+
+
+@register(
+    "stat_anova_f",
+    oracle="""
+        WITH x AS (
+          SELECT o_orderpriority AS grp,
+                 CAST(round(o_totalprice) AS BIGINT) AS v
+          FROM orders
+        ),
+        g AS (
+          SELECT grp, count(*) AS n_g,
+                 CAST(sum(v) AS BIGINT) AS s_g,
+                 CAST(sum(v * v) AS BIGINT) AS ss_g
+          FROM x GROUP BY grp
+        ),
+        t AS (
+          SELECT count(*) AS k,
+                 CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(s_g) AS BIGINT) AS s,
+                 CAST(sum(ss_g) AS BIGINT) AS ss,
+                 CAST(sum(CAST(round(
+                   CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g
+                 ) AS BIGINT)) AS BIGINT) AS tt
+          FROM g
+        )
+        SELECT k, n,
+               tt - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                         AS BIGINT) AS ssb_u,
+               ss - tt AS ssw_u,
+               round(
+                 (CAST(tt - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                       / n) AS BIGINT) AS DOUBLE) / (k - 1))
+                 / (CAST(ss - tt AS DOUBLE) / (n - k)), 6) AS f_stat
+        FROM t
+    """,
+)
+def stat_anova_f(spark, sf_dir):
+    """One-way ANOVA F statistic of order totals across the 5 order
+    priorities, on dollar-rounded prices in BOTH engines so every sum
+    of squares stays inside int64 (cents-squared would overflow at
+    bench scale; same quantization as orders_gini_concentration). The
+    between/within decomposition uses the computational form
+    ``SSB = sum(S_g^2/n_g) - S^2/N`` with each per-group term rounded
+    to an exact int64 BEFORE the cross-group sum, so the reported sums
+    of squares are shuffle-order-proof; F is one identical-structure
+    double expression over those ints, rounded to 6 dp.
+
+    Scale: a single map-side-combinable groupBy over 5 keys followed
+    by a scalar fold — scan-bound at any size."""
+    o = table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice")).cast("long").alias("v"),
+    )
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("v").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).alias("ss_g"),
+    )
+    term = F.round(
+        F.col("s_g").cast("double") * F.col("s_g").cast("double")
+        / F.col("n_g")
+    ).cast("long")
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(term).alias("tt"),
+    )
+    grand = F.round(
+        F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ).cast("long")
+    ssb = F.col("tt") - grand
+    ssw = F.col("ss") - F.col("tt")
+    return t.select(
+        "k",
+        "n",
+        ssb.alias("ssb_u"),
+        ssw.alias("ssw_u"),
+        F.round(
+            (ssb.cast("double") / (F.col("k") - 1))
+            / (ssw.cast("double") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+        WITH du AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM du)
+        SELECT CAST(g.d AS VARCHAR) AS day,
+               count(DISTINCT du.user_id) AS wau,
+               count(*) AS n_user_days
+        FROM days g JOIN du
+          ON du.d BETWEEN g.d - 6 AND g.d
+        GROUP BY g.d
+    """,
+)
+def events_rolling_wau(spark, sf_dir):
+    """Trailing-7-day rolling distinct active users (WAU) per calendar
+    day — the rolling-distinct metric plain window frames cannot
+    express (no COUNT(DISTINCT) over a frame in either engine). Exact
+    spelling: collapse events to the DISTINCT (day, user) activity
+    table first, then range-join the (tiny, broadcast) day spine
+    against it over a 7-day band and COUNT(DISTINCT user) per spine
+    day.
+
+    Scale: the activity table is days x active-users (orders of
+    magnitude below raw events) and the band join duplicates each
+    activity row at most 7x against a broadcast spine — cost stays
+    O(7 * |activity|) with no row-level global sort; the classic exact
+    shape before switching to per-day HLL-sketch unions when even the
+    activity table is too big."""
+    e = table(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("d").alias("g_d")).distinct()
+    j = F.broadcast(days).join(
+        du,
+        (F.col("d") >= F.date_sub(F.col("g_d"), 6))
+        & (F.col("d") <= F.col("g_d")),
+    )
+    return j.groupBy(F.col("g_d").cast("string").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau"),
+        F.count(F.lit(1)).alias("n_user_days"),
+    )

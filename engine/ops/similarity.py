@@ -1593,3 +1593,146 @@ def embed_procrustes_align(spark, sf_dir):
     return table(spark, sf_dir, "embeddings").sparkSession.createDataFrame(
         out, "n_vectors long, frob2_before_u long, frob2_after_u long"
     )
+
+
+@register(
+    "ml_auc_roc",
+    oracle="""
+        WITH s AS (
+          SELECT list_extract(embedding, 1) AS s,
+                 CAST(label < 5 AS BIGINT) AS pos
+          FROM embeddings
+        ),
+        g AS (
+          SELECT s, count(*) AS n_g, CAST(sum(pos) AS BIGINT) AS np_g
+          FROM s GROUP BY s
+        ),
+        c AS (
+          SELECT n_g, np_g,
+                 CAST(coalesce(sum(n_g) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cum_b
+          FROM g
+        ),
+        t AS (
+          SELECT CAST(sum(np_g * (2 * cum_b + n_g + 1)) AS BIGINT) AS r2,
+                 CAST(sum(np_g) AS BIGINT) AS np,
+                 CAST(sum(n_g) AS BIGINT) AS n
+          FROM c
+        )
+        SELECT np AS n_pos, n - np AS n_neg,
+               r2 - np * (np + 1) AS u2_stat,
+               CAST(r2 - np * (np + 1) AS DOUBLE)
+                 / (2.0 * np * (n - np)) AS auc
+        FROM t
+    """,
+)
+def ml_auc_roc(spark, sf_dir):
+    """Exact ROC-AUC of a scalar score (embedding dim-0) for the binary
+    task ``label < 5`` via the Mann-Whitney rank statistic — the
+    feature-screening / model-eval primitive. Average-rank tie handling
+    is kept EXACT by working in 2x rank units: with per-distinct-score
+    group sizes ``n_g`` and positive counts ``np_g``,
+    ``2*R_pos = sum(np_g * (2*cum_before + n_g + 1))`` is an integer,
+    and ``AUC = (2*R_pos - n_pos*(n_pos+1)) / (2*n_pos*n_neg)`` is ONE
+    double division over exact int64s — bit-identical cross-engine.
+
+    Scale: the only ordered pass is a prefix sum over the
+    DISTINCT-SCORE table, not the corpus — production scores are
+    quantized model outputs, so that spine is bins-sized; everything
+    upstream is a map-side-combinable groupBy. No row-level global
+    sort, no Python."""
+    em = table(spark, sf_dir, "embeddings")
+    s = em.select(
+        F.element_at("embedding", 1).alias("s"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    g = s.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("pos").alias("np_g")
+    )
+    w = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "n_g",
+        "np_g",
+        F.coalesce(F.sum("n_g").over(w), F.lit(0)).alias("cum_b"),
+    )
+    t = c.agg(
+        F.sum(
+            F.col("np_g") * (2 * F.col("cum_b") + F.col("n_g") + 1)
+        ).alias("r2"),
+        F.sum("np_g").alias("np"),
+        F.sum("n_g").alias("n"),
+    )
+    np_, n_ = F.col("np"), F.col("n")
+    u2 = F.col("r2") - np_ * (np_ + 1)
+    return t.select(
+        np_.alias("n_pos"),
+        (n_ - np_).alias("n_neg"),
+        u2.alias("u2_stat"),
+        (u2.cast("double") / (2.0 * np_ * (n_ - np_))).alias("auc"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle="""
+        WITH s AS (
+          SELECT CAST(list_extract(embedding, 1) AS DOUBLE) AS x,
+                 CAST(label < 5 AS BIGINT) AS pos
+          FROM embeddings
+        ),
+        mm AS (SELECT min(x) AS lo, max(x) AS hi FROM s),
+        b AS (
+          SELECT least(9, CAST(floor((x - lo) / (hi - lo) * 10)
+                               AS BIGINT)) AS bin,
+                 pos,
+                 (x - lo) / (hi - lo) AS norm
+          FROM s, mm
+        )
+        SELECT bin,
+               count(*) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(pos) AS DOUBLE) / count(*) AS frac_pos,
+               CAST(sum(CAST(round(norm * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_norm_u
+        FROM b
+        GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins for a scalar score against the binary
+    task ``label < 5``: min-max-normalize the score to [0,1], bucket
+    into 10 fixed-width bins, report per-bin count, positive count,
+    positive fraction, and the micro-quantized normalized-score sum
+    (the calibration curve's x coordinate, kept as an exact int so the
+    hash is shuffle-order-proof). Normalization is forced to DOUBLE in
+    both engines before any arithmetic so the bin edges and the
+    rounding are computed on identical bit patterns.
+
+    Scale: two passes — a scalar min/max agg broadcast into a map-only
+    binning pass, then one map-side-combinable groupBy over 10 keys.
+    No window, no Python, no sort."""
+    em = table(spark, sf_dir, "embeddings")
+    s = em.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    mm = s.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    norm = (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    b = s.crossJoin(F.broadcast(mm)).select(
+        F.least(F.lit(9), F.floor(norm * 10).cast("long")).alias("bin"),
+        "pos",
+        norm.alias("norm"),
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("frac_pos"),
+        F.sum(F.round(F.col("norm") * 1000000).cast("long")).alias(
+            "sum_norm_u"
+        ),
+    )
