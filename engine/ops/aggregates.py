@@ -3473,3 +3473,80 @@ def events_rolling_wau(spark, sf_dir):
         F.countDistinct("user_id").alias("wau"),
         F.count(F.lit(1)).alias("n_user_days"),
     )
+
+
+MV_SPLIT = "2001-01-01"
+
+
+@register(
+    "agg_incremental_mv_merge",
+    oracle="""
+        SELECT o_orderpriority AS prio,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               (CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS DOUBLE) / count(*)) / 100.0
+                 AS avg_price
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def agg_incremental_mv_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance: the accumulated MV
+    state is a table of RE-AGGREGATABLE partials (count + exact cent
+    sum per (priority, year)) persisted to parquet; a new batch
+    (orders on/after MV_SPLIT) is partially aggregated the same way
+    and MERGED into the state with one sum-of-partials groupBy. The
+    oracle is the full recompute over all of orders — passing the hash
+    proves merge(state, batch) == recompute(all), the algebraic
+    property incremental MVs rely on.
+
+    Scale: maintenance cost is O(new batch) + O(|MV| keys), never
+    O(history) — the only way rolling aggregates stay cheap at 100 TB.
+    Both passes are map-side-combinable; the merge shuffles |MV| rows
+    (35 here). Finals (avg) are derived AFTER the merge, from exact
+    int partials, so they are shuffle-order-proof."""
+    import os
+
+    from ..registry import scratch_dir
+
+    o = table(spark, sf_dir, "orders")
+    split = F.lit(MV_SPLIT).cast("timestamp_ntz")
+
+    def partial(df):
+        return df.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.year("o_orderdate").alias("yr"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("sum_cents"),
+        )
+
+    base = scratch_dir("agg_incremental_mv_merge")
+    state_path = os.path.join(base, "mv_state")
+    partial(o.filter(F.col("o_orderdate") < split)).write.mode(
+        "overwrite"
+    ).parquet(state_path)
+    state = spark.read.parquet(state_path)
+    batch = partial(o.filter(F.col("o_orderdate") >= split))
+    merged = (
+        state.unionByName(batch)
+        .groupBy("prio", "yr")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    return merged.select(
+        "prio",
+        "yr",
+        "n_orders",
+        "sum_cents",
+        (
+            (F.col("sum_cents").cast("double") / F.col("n_orders")) / 100.0
+        ).alias("avg_price"),
+    )

@@ -1736,3 +1736,121 @@ def ml_calibration_bins(spark, sf_dir):
             "sum_norm_u"
         ),
     )
+
+
+@register(
+    "ml_silhouette_by_label",
+    oracle="""
+        WITH ex AS (
+          SELECT vec_id, label, CAST(i AS INT) AS pos,
+                 CAST(list_extract(embedding, i) AS DOUBLE) AS val
+          FROM embeddings, range(1, 65) AS t(i)
+        ),
+        cent AS (
+          SELECT label AS c_label, pos,
+                 (CAST(CAST(sum(CAST(round(val * 1000000) AS BIGINT))
+                            AS BIGINT) AS DOUBLE) / count(*)) / 1000000.0
+                   AS c
+          FROM ex GROUP BY label, pos
+        ),
+        d AS (
+          SELECT ex.vec_id, ex.label, cent.c_label,
+                 CAST(sum(CAST(round((ex.val - cent.c) * (ex.val - cent.c)
+                                     * 1000000000) AS BIGINT))
+                      AS BIGINT) AS d2_nano
+          FROM ex JOIN cent ON ex.pos = cent.pos
+          GROUP BY ex.vec_id, ex.label, cent.c_label
+        ),
+        ab AS (
+          SELECT vec_id, label,
+                 CAST(max(CASE WHEN label = c_label THEN d2_nano END)
+                      AS BIGINT) AS a,
+                 CAST(min(CASE WHEN label <> c_label THEN d2_nano END)
+                      AS BIGINT) AS b
+          FROM d GROUP BY vec_id, label
+        ),
+        s AS (
+          SELECT label,
+                 CASE WHEN greatest(a, b) = 0 THEN 0.0
+                      ELSE CAST(b - a AS DOUBLE) / greatest(a, b)
+                 END AS sil
+          FROM ab
+        )
+        SELECT label,
+               count(*) AS n_vectors,
+               CAST(sum(CAST(round(sil * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_sil_micro,
+               (CAST(CAST(sum(CAST(round(sil * 1000000) AS BIGINT))
+                          AS BIGINT) AS DOUBLE) / count(*)) / 1000000.0
+                 AS mean_sil
+        FROM s GROUP BY label
+    """,
+)
+def ml_silhouette_by_label(spark, sf_dir):
+    """Centroid-form silhouette score per label — the clustering/label
+    quality metric: a = squared distance to the OWN label centroid,
+    b = min squared distance to any OTHER label centroid,
+    sil = (b-a)/max(a,b). The true pairwise silhouette is O(N^2); the
+    centroid form is the O(N*d*k) evaluation production pipelines run,
+    and here it is EXACT cross-engine: centroids come from
+    micro-quantized integer dimension sums (one division at the end),
+    per-(vector,centroid) distances are nano-quantized int64 term sums
+    (shuffle-order-proof), and sil is one identical double expression
+    over those ints.
+
+    Scale: dims are exploded to (vec, pos, val) rows, centroids are a
+    k*d=640-row broadcast dim, and every aggregation is
+    map-side-combinable — no pairwise join, no Python, no global
+    sort."""
+    em = table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "val_raw"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_raw").cast("double").alias("val"),
+    )
+    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            (
+                F.sum(F.round(F.col("val") * 1000000).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            )
+            / 1000000.0
+        ).alias("c")
+    )
+    diff = F.col("val") - F.col("c")
+    d = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                F.round(diff * diff * 1000000000).cast("long")
+            ).alias("d2_nano")
+        )
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("label") == F.col("c_label"), F.col("d2_nano"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("label") != F.col("c_label"), F.col("d2_nano"))
+        ).alias("b"),
+    )
+    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")).cast("double") / F.greatest("a", "b")
+    )
+    s = ab.select("label", sil.alias("sil"))
+    sum_micro = F.sum(F.round(F.col("sil") * 1000000).cast("long"))
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        sum_micro.alias("sum_sil_micro"),
+        ((sum_micro.cast("double") / F.count(F.lit(1))) / 1000000.0).alias(
+            "mean_sil"
+        ),
+    )
