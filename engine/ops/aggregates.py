@@ -3550,3 +3550,90 @@ def agg_incremental_mv_merge(spark, sf_dir):
             (F.col("sum_cents").cast("double") / F.col("n_orders")) / 100.0
         ).alias("avg_price"),
     )
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+        WITH RECURSIVE
+        d AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        i AS (
+          SELECT event_type, y,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS BIGINT) AS idx
+          FROM d
+        ),
+        nn AS (SELECT event_type, max(idx) AS n_days FROM i GROUP BY 1),
+        r AS (
+          SELECT event_type, idx, CAST(y AS DOUBLE) AS l,
+                 CAST(0 AS DOUBLE) AS b
+          FROM i WHERE idx = 1
+          UNION ALL
+          SELECT i.event_type, i.idx,
+                 0.5 * i.y + 0.5 * (r.l + r.b),
+                 0.5 * ((0.5 * i.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+          FROM r JOIN i ON i.event_type = r.event_type
+                       AND i.idx = r.idx + 1
+        )
+        SELECT r.event_type, nn.n_days,
+               round(r.l, 6) AS level,
+               round(r.b, 6) AS trend,
+               round(r.l + 7 * r.b, 6) AS forecast_7d
+        FROM r JOIN nn ON r.event_type = nn.event_type
+                      AND r.idx = nn.n_days
+    """,
+)
+def ts_holt_linear(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing over each
+    event type's daily count series (alpha = beta = 1/2, level seeded
+    with the first observation, trend with 0), reporting the final
+    level/trend state and the 7-day-ahead forecast. The recurrence is
+    a JVM-side sequential fold: sort_array(collect_list(struct(day,y)))
+    builds each ~30-element series, then ONE F.aggregate lambda carries
+    the (level, trend) struct — no Python workers, unlike the
+    applyInPandas spelling ts_ewma_smooth demonstrates. The DuckDB
+    twin is a recursive CTE walking the identical step expression, so
+    every intermediate is the same IEEE double in the same order
+    (alpha = 1/2 keeps values exact binary fractions; 6 dp half-away
+    rounding on both sides).
+
+    Scale: events collapse to group-cardinality series in one
+    map-side-combinable pass; the fold is O(series length) per key
+    with parallelism = number of series — the shape that holds for
+    millions of independent series, which is where Holt forecasting
+    actually runs at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    ser = d.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    ys = F.expr("transform(s, p -> CAST(p.y AS DOUBLE))")
+    arr = ser.select(
+        "event_type", F.size("s").alias("n_days"), ys.alias("ys")
+    )
+    fold = F.aggregate(
+        F.expr("slice(ys, 2, size(ys) - 1)"),
+        F.struct(
+            F.element_at("ys", 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        lambda acc, y: F.struct(
+            (0.5 * y + 0.5 * (acc["l"] + acc["b"])).alias("l"),
+            (
+                0.5 * ((0.5 * y + 0.5 * (acc["l"] + acc["b"])) - acc["l"])
+                + 0.5 * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    out = arr.select("event_type", "n_days", fold.alias("st"))
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7d"),
+    )

@@ -1444,3 +1444,77 @@ def scan_nested_schema_pruning(spark, sf_dir):
     return back.filter(
         F.col("payload.priority") == "1-URGENT"
     ).select("okey", F.col("payload.cents").alias("cents"))
+
+
+@register(
+    "scan_zone_map_audit",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INT) AS yr,
+               count(*) AS n_rows,
+               CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS min_ship,
+               CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS max_ship,
+               max(l_shipdate) < TIMESTAMP '1999-01-01' AS skippable
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def scan_zone_map_audit(spark, sf_dir):
+    """Zone-map (parquet footer statistics) audit: cluster lineitem one
+    file per ship YEAR (repartition on the cluster key so each
+    partitionBy directory holds exactly one file, sorted within), then
+    read back ONLY the parquet footers and report each zone's physical
+    min/max statistics and whether a scan with the predicate
+    ``l_shipdate >= 1999-01-01`` may skip it entirely. The oracle
+    restates the zones from the DATA (per-year min/max/count), so the
+    hash proves the footer statistics the engine would prune on are
+    exactly the logical zone boundaries — the missing measurement
+    behind sink_sorted_clustered's clustering claim.
+
+    Scale: the write is a distributed clustered sink; the audit reads
+    footer METADATA only (a few KB per file, never the data), which is
+    exactly how query planners prune — zone count is bounded by the
+    cluster-key cardinality, not data volume."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    li = table(spark, sf_dir, "lineitem").select("l_shipdate").withColumn(
+        "yr", F.year("l_shipdate")
+    )
+    out = scratch_dir("scan_zone_map_audit")
+    (
+        li.repartition("yr")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .partitionBy("yr")
+        .parquet(out)
+    )
+    bound = __import__("datetime").datetime(1999, 1, 1)
+    rows = []
+    for d in sorted(_glob.glob(os.path.join(out, "yr=*"))):
+        yr = int(d.rsplit("=", 1)[1])
+        n_rows = 0
+        mins, maxs = [], []
+        for f in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+            md = _pq.ParquetFile(f).metadata
+            n_rows += md.num_rows
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(0).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+        lo, hi = min(mins), max(maxs)
+        rows.append(
+            (
+                yr,
+                n_rows,
+                lo.date().isoformat(),
+                hi.date().isoformat(),
+                hi < bound,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "yr int, n_rows long, min_ship string, max_ship string, "
+        "skippable boolean",
+    )

@@ -1687,3 +1687,83 @@ def win_allen_interval_relations(spark, sf_dir):
     return pair.groupBy(relation.alias("relation")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "win_rolling_corr",
+    oracle="""
+        WITH h AS (
+          SELECT date_trunc('hour', ts) AS hr,
+                 CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                      AS BIGINT) AS x,
+                 CAST(count(*) FILTER (WHERE event_type = 'view')
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1
+        ),
+        w AS (
+          SELECT hr,
+                 CAST(count(*) OVER fr AS BIGINT) AS n,
+                 CAST(sum(x) OVER fr AS BIGINT) AS sx,
+                 CAST(sum(y) OVER fr AS BIGINT) AS sy,
+                 CAST(sum(x * y) OVER fr AS BIGINT) AS sxy,
+                 CAST(sum(x * x) OVER fr AS BIGINT) AS sxx,
+                 CAST(sum(y * y) OVER fr AS BIGINT) AS syy
+          FROM h
+          WINDOW fr AS (ORDER BY hr
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(hr AS VARCHAR) AS hr, n AS n_hours,
+               CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                    THEN NULL
+                    ELSE round(
+                      CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy) AS DOUBLE)), 6)
+               END AS corr_24h
+        FROM w
+    """,
+)
+def win_rolling_corr(spark, sf_dir):
+    """Trailing-24-hour rolling Pearson correlation between the hourly
+    purchase and view counts — the co-movement diagnostic behind
+    "are these two metrics still coupled?". All five co-moment sums
+    over the frame are EXACT int64 window sums (counts are integers);
+    the correlation is one identical double expression over them —
+    numerator and a single sqrt of the integer variance product — so
+    only the final 6 dp rounding is needed for bit parity, with a
+    NULL guard for zero-variance frames.
+
+    Scale: the frame runs over the HOURLY spine (720 rows here; always
+    tiny relative to events), produced by one map-side-combinable
+    rollup. The unpartitioned ORDER BY hr window is single-task on the
+    spine only — at 100 TB the same op runs per metric-pair key with
+    partitionBy, keeping every task spine-sized."""
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count_if(F.col("event_type") == "purchase").alias("x"),
+        F.count_if(F.col("event_type") == "view").alias("y"),
+    )
+    fr = Window.orderBy("hr").rowsBetween(-23, 0)
+    w = h.select(
+        "hr",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    varprod = (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    corr = F.when(varprod == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            (n * F.col("sxy") - sx * sy).cast("double")
+            / F.sqrt(varprod.cast("double")),
+            6,
+        )
+    )
+    return w.select(
+        F.col("hr").cast("string").alias("hr"),
+        F.col("n").alias("n_hours"),
+        corr.alias("corr_24h"),
+    )
