@@ -3637,3 +3637,50 @@ def ts_holt_linear(spark, sf_dir):
         F.round(F.col("st.b"), 6).alias("trend"),
         F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7d"),
     )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+        SELECT o_orderpriority AS prio,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                 AS sum_price_dec,
+               CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                 AS min_price_dec,
+               CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                 AS max_price_dec,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(*), 6) AS avg_price
+        FROM orders GROUP BY 1
+    """,
+)
+def agg_decimal_exact(spark, sf_dir):
+    """Native DecimalType aggregation — the PRODUCTION answer to
+    order-dependent money sums that the engine's dsum() integer trick
+    emulates: cast the fixed-2-decimal price to DECIMAL(18,2) and let
+    the engine sum exactly (decimal addition is associative and
+    commutative, so shuffle-merge order cannot change the result —
+    no quantization gymnastics needed). Sum/min/max stay decimal end
+    to end; the average is derived from the exact decimal sum with a
+    single double division. Both engines recover the same decimal
+    from the same double bit pattern (the money columns are exact
+    2-decimal values, FIXTURES.md), and both widen the sum's
+    precision so it cannot overflow.
+
+    Scale: a plain map-side-combinable hash aggregate; decimal
+    arithmetic costs ~2x long arithmetic JVM-side but removes the
+    int64-headroom ceiling the quantized-sum spelling hits at very
+    large row counts — at 100 TB this spelling is the default and
+    dsum() is the micro-optimization, not the other way around."""
+    o = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("string").alias("sum_price_dec"),
+        F.min(dec).cast("string").alias("min_price_dec"),
+        F.max(dec).cast("string").alias("max_price_dec"),
+        F.round(
+            F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_price"),
+    )

@@ -1361,3 +1361,108 @@ def scan_snapshot_time_travel(spark, sf_dir):
     return spark.read.schema(SCD1_SNAP_SCHEMA).parquet(gen1).select(
         "user_id", "last_event_id", "last_value"
     )
+
+
+MV_STATE_SCHEMA = "event_type string, day string, n_events long, sum_cents long"
+
+
+@register(
+    "stream_foreachbatch_incremental_mv",
+    oracle="""
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events GROUP BY 1, 2
+    """,
+)
+def stream_foreachbatch_incremental_mv(spark, sf_dir):
+    """STREAMING incremental materialized-view maintenance — the
+    foreachBatch twin of agg_incremental_mv_merge: each micro-batch is
+    reduced to re-aggregatable partials (count + exact cent sum per
+    (event_type, day)) and ADDITIVELY merged into the accumulated MV
+    state with one sum-of-partials groupBy, written as a new
+    generation + atomic pointer advance (same reader-isolation
+    protocol as the SCD1 sink). Additive merges are NOT naturally
+    idempotent, so — unlike latest-wins upserts — replay safety needs
+    an explicit applied-batch ledger: a marker file per batchId,
+    checked before merging, makes a re-delivered batch a no-op. The
+    oracle is the full recompute over all of events, so a dropped
+    batch, a double-applied batch, or a stale-generation read all
+    break the value hash.
+
+    Scale: per batch one map-side-combinable partial agg + a merge
+    shuffle of |MV| keys (150 here) — O(batch) + O(|MV|), never
+    O(history); the ledger is one empty marker per batch. This is the
+    production shape for streaming rollups when no ACID table format
+    is available."""
+    import os
+
+    from ..registry import scratch_dir
+    from ..schemas import EVENTS_STREAM_SCHEMA
+
+    base = scratch_dir("stream_foreachbatch_incremental_mv")
+    src = os.path.join(base, "src")
+    snaps = os.path.join(base, "snaps")
+    ckpt = os.path.join(base, "ckpt")
+    applied = os.path.join(base, "applied")
+    for d in (src, snaps, applied):
+        os.makedirs(d, exist_ok=True)
+    ptr = os.path.join(base, "POINTER")
+    _chunked_stream_feed(spark, sf_dir, src)
+
+    def partial(df):
+        return df.groupBy(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+
+    def merge_batch(batch_df, batch_id):
+        marker = os.path.join(applied, f"batch-{batch_id:05d}")
+        if os.path.exists(marker):
+            return  # replayed batch: additive merge must be a no-op
+        p = partial(batch_df)
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = spark.read.schema(MV_STATE_SCHEMA).parquet(
+                    f.read().strip()
+                )
+            p = cur.unionByName(p)
+        merged = p.groupBy("event_type", "day").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        gen_dir = os.path.join(snaps, f"gen-{batch_id:05d}")
+        merged.write.mode("overwrite").parquet(gen_dir)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(gen_dir)
+        os.replace(tmp, ptr)
+        with open(marker, "w") as f:
+            f.write("applied")
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_foreachbatch_incremental_mv: availableNow query "
+            "exceeded 300s"
+        )
+    with open(ptr) as f:
+        return spark.read.schema(MV_STATE_SCHEMA).parquet(f.read().strip())
