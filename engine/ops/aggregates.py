@@ -3684,3 +3684,94 @@ def agg_decimal_exact(spark, sf_dir):
             F.sum(dec).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_price"),
     )
+
+
+DID_SPLIT = "2024-01-16"
+
+
+@register(
+    "events_uplift_did",
+    oracle=f"""
+        WITH cell AS (
+          SELECT CAST(user_id % 2 = 0 AS INT) AS treat,
+                 CAST(ts >= TIMESTAMP '{DID_SPLIT}' AS INT) AS post,
+                 count(*) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT
+            CAST(max(CASE WHEN treat = 1 AND post = 1 THEN cents END)
+                 AS DOUBLE)
+              / max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS tp,
+            CAST(max(CASE WHEN treat = 1 AND post = 0 THEN cents END)
+                 AS DOUBLE)
+              / max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS tb,
+            CAST(max(CASE WHEN treat = 0 AND post = 1 THEN cents END)
+                 AS DOUBLE)
+              / max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS cp,
+            CAST(max(CASE WHEN treat = 0 AND post = 0 THEN cents END)
+                 AS DOUBLE)
+              / max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS cb,
+            CAST(sum(n) AS BIGINT) AS n_events
+          FROM cell
+        )
+        SELECT n_events,
+               round(tp, 6) AS treat_post_mean_cents,
+               round(tb, 6) AS treat_pre_mean_cents,
+               round(cp, 6) AS control_post_mean_cents,
+               round(cb, 6) AS control_pre_mean_cents,
+               round((tp - tb) - (cp - cb), 6) AS did_cents
+        FROM m
+    """,
+)
+def events_uplift_did(spark, sf_dir):
+    """Difference-in-differences uplift estimate over a synthetic
+    assignment (treat = even user_id, documented as the A/B hash split
+    production experiments use; post = on/after DID_SPLIT):
+    DiD = (treated post − pre) − (control post − pre) on mean event
+    value in cents. The four cell means come from ONE conditional
+    rollup of exact integer cent sums and counts; every mean and the
+    DiD contrast are identical-structure double expressions over those
+    ints, rounded to 6 dp.
+
+    Scale: a single map-side-combinable pass producing a 4-row cell
+    table, then a scalar fold — the causal-inference primitive at
+    scan-bound cost."""
+    e = table(spark, sf_dir, "events")
+    split = F.lit(DID_SPLIT).cast("timestamp_ntz")
+    cell = e.groupBy(
+        (F.col("user_id") % 2 == 0).cast("int").alias("treat"),
+        (F.col("ts") >= split).cast("int").alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+    def mean_of(t, p):
+        cents = F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col("cents"))
+        )
+        n = F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col("n"))
+        )
+        return cents.cast("double") / n
+
+    m = cell.agg(
+        mean_of(1, 1).alias("tp"),
+        mean_of(1, 0).alias("tb"),
+        mean_of(0, 1).alias("cp"),
+        mean_of(0, 0).alias("cb"),
+        F.sum("n").alias("n_events"),
+    )
+    return m.select(
+        "n_events",
+        F.round(F.col("tp"), 6).alias("treat_post_mean_cents"),
+        F.round(F.col("tb"), 6).alias("treat_pre_mean_cents"),
+        F.round(F.col("cp"), 6).alias("control_post_mean_cents"),
+        F.round(F.col("cb"), 6).alias("control_pre_mean_cents"),
+        F.round(
+            (F.col("tp") - F.col("tb")) - (F.col("cp") - F.col("cb")), 6
+        ).alias("did_cents"),
+    )

@@ -1518,3 +1518,38 @@ def scan_zone_map_audit(spark, sf_dir):
         "yr int, n_rows long, min_ship string, max_ship string, "
         "skippable boolean",
     )
+
+
+@register(
+    "sql_identifier_dynamic",
+    oracle="""
+        SELECT o_orderpriority AS prio, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS price_cents
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_identifier_dynamic(spark, sf_dir):
+    """IDENTIFIER() dynamic-name binding (Spark 3.5+/4): table and
+    column names arrive as PARAMETERS, not string-spliced SQL — the
+    injection-safe way a catalog service routes the same template
+    across tables/columns. The identifier resolves at analysis time,
+    so the plan is indistinguishable from the hardcoded spelling
+    (same pushdown, same partial aggregation)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("engine_ident_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS prio, count(*) AS n,
+               CAST(sum(CAST(round(IDENTIFIER(:val)*100) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={
+            "tbl": "engine_ident_orders",
+            "grp": "o_orderpriority",
+            "val": "o_totalprice",
+        },
+    )

@@ -1854,3 +1854,120 @@ def ml_silhouette_by_label(spark, sf_dir):
             "mean_sil"
         ),
     )
+
+
+@register(
+    "ml_gains_lift_deciles",
+    oracle="""
+        WITH s AS (
+          SELECT list_extract(embedding, 1) AS s,
+                 CAST(label < 5 AS BIGINT) AS pos
+          FROM embeddings
+        ),
+        g AS (
+          SELECT s, count(*) AS n_g, CAST(sum(pos) AS BIGINT) AS np_g
+          FROM s GROUP BY s
+        ),
+        c AS (
+          SELECT n_g, np_g,
+                 CAST(coalesce(sum(n_g) OVER (
+                   ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cum_b
+          FROM g
+        ),
+        tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(np_g) AS BIGINT) AS np
+          FROM g
+        ),
+        dec AS (
+          SELECT CAST(10 * cum_b // tot.n AS BIGINT) AS decile,
+                 n_g, np_g
+          FROM c, tot
+        ),
+        d AS (
+          SELECT decile,
+                 CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(np_g) AS BIGINT) AS n_pos
+          FROM dec GROUP BY decile
+        ),
+        r AS (
+          SELECT decile, n, n_pos,
+                 CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+                 CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                   AS cum_pos
+          FROM d
+        )
+        SELECT r.decile, r.n, r.n_pos, r.cum_n, r.cum_pos,
+               round(CAST(r.cum_pos AS DOUBLE) / tot.np, 6) AS gain,
+               round(CAST(r.cum_pos * tot.n AS DOUBLE)
+                     / (r.cum_n * tot.np), 6) AS lift
+        FROM r, tot
+    """,
+)
+def ml_gains_lift_deciles(spark, sf_dir):
+    """Cumulative gains / lift table by score decile — the targeting
+    curve behind "contact the top 10% by model score": rank the
+    corpus by score descending, cut into 10 deciles, and report how
+    much of the positive class each cumulative prefix captures (gain)
+    and its precision relative to the base rate (lift). Decile
+    assignment is GROUP-granular on the distinct-score spine
+    (decile = floor(10 * cum_before / N), every tied score lands in
+    one decile — deterministic and identical in both engines); all
+    counts are exact int64 prefix sums, gains/lift one identical
+    double expression each.
+
+    Scale: same shape as ml_auc_roc — map-side-combinable groupBy to
+    the distinct-score spine, ordered prefix sums only on that
+    bins-sized spine, never a corpus-wide sort."""
+    em = table(spark, sf_dir, "embeddings")
+    s = em.select(
+        F.element_at("embedding", 1).alias("s"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    g = s.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("pos").alias("np_g")
+    )
+    wdesc = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.select(
+        "n_g",
+        "np_g",
+        F.coalesce(F.sum("n_g").over(wdesc), F.lit(0)).alias("cum_b"),
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n_tot"), F.sum("np_g").alias("np_tot")
+    )
+    dec = c.crossJoin(F.broadcast(tot)).select(
+        (10 * F.col("cum_b") / F.col("n_tot")).cast("long").alias("decile"),
+        "n_g",
+        "np_g",
+    )
+    d = dec.groupBy("decile").agg(
+        F.sum("n_g").alias("n"), F.sum("np_g").alias("n_pos")
+    )
+    wcum = Window.orderBy("decile")
+    r = d.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n_pos").over(wcum).alias("cum_pos"),
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("np_tot"), 6
+        ).alias("gain"),
+        F.round(
+            (F.col("cum_pos") * F.col("n_tot")).cast("double")
+            / (F.col("cum_n") * F.col("np_tot")),
+            6,
+        ).alias("lift"),
+    )

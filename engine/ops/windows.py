@@ -1767,3 +1767,63 @@ def win_rolling_corr(spark, sf_dir):
         F.col("n").alias("n_hours"),
         corr.alias("corr_24h"),
     )
+
+
+@register(
+    "win_skyline_frontier",
+    oracle="""
+        WITH pts AS (
+          SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS spend_cents,
+                 count(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        ),
+        d AS (
+          SELECT spend_cents, n_orders,
+                 count(*) AS n_customers
+          FROM pts GROUP BY 1, 2
+        )
+        SELECT a.spend_cents, a.n_orders, a.n_customers
+        FROM d a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM d b
+          WHERE b.spend_cents >= a.spend_cents
+            AND b.n_orders <= a.n_orders
+            AND (b.spend_cents > a.spend_cents
+                 OR b.n_orders < a.n_orders)
+        )
+    """,
+)
+def win_skyline_frontier(spark, sf_dir):
+    """2-D skyline (Pareto frontier) of customers on (maximize total
+    spend, minimize order count): a point survives iff no other point
+    weakly beats it on both axes and strictly on one. The DataFrame
+    spelling is the O(n log n) SORT-AND-SWEEP: order distinct points
+    by spend descending (orders ascending as tiebreak) and keep a
+    point iff its order count is STRICTLY below the running minimum of
+    everything before it — each kept point is undominated by
+    construction. The oracle is the textbook NOT EXISTS dominator
+    anti-join, a genuinely different derivation, so the hash
+    cross-checks the sweep against the quadratic definition.
+
+    Scale: points collapse to the distinct (spend, orders) spine
+    first (map-side-combinable); the sweep is one ordered window over
+    that spine — at 100 TB the spine is grid-quantized or the sweep
+    runs per partition key, versus the anti-join's O(n^2) blow-up."""
+    o = table(spark, sf_dir, "orders")
+    pts = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "spend_cents"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    d = pts.groupBy("spend_cents", "n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sweep = Window.orderBy(
+        F.desc("spend_cents"), F.asc("n_orders")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    flagged = d.withColumn("rmin", F.min("n_orders").over(sweep))
+    return flagged.filter(
+        F.col("rmin").isNull() | (F.col("n_orders") < F.col("rmin"))
+    ).select("spend_cents", "n_orders", "n_customers")
