@@ -690,3 +690,110 @@ def multimodal_wav_framefeats(spark, sf_dir):
     return assets.mapInPandas(
         feats, "doc_id long, frame long, n_samples long, zcr long, energy long"
     )
+
+
+@register(
+    "multimodal_ppm_sobel_energy",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, w, h, r.k % w AS x, r.k // w AS y,
+                 (((doc_id*31 + r.k*3 + 0) % 256)
+                  + ((doc_id*31 + r.k*3 + 1) % 256)
+                  + ((doc_id*31 + r.k*3 + 2) % 256)) // 3 AS gray
+          FROM dims, unnest(range(w*h)) r(k)
+        ),
+        off(dx, dy, wx, wy) AS (VALUES
+          (-1,-1,-1,-1), (0,-1,0,-2), (1,-1,1,-1),
+          (-1,0,-2,0), (0,0,0,0), (1,0,2,0),
+          (-1,1,-1,1), (0,1,0,2), (1,1,1,1)),
+        conv AS (
+          SELECT a.doc_id, a.w, a.h, a.x, a.y,
+                 CAST(sum(b.gray * o.wx) AS BIGINT) AS gx,
+                 CAST(sum(b.gray * o.wy) AS BIGINT) AS gy
+          FROM px a
+          JOIN off o ON true
+          JOIN px b ON b.doc_id = a.doc_id
+                   AND b.x = a.x + o.dx AND b.y = a.y + o.dy
+          WHERE a.x >= 1 AND a.x <= a.w - 2
+            AND a.y >= 1 AND a.y <= a.h - 2
+          GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               count(*) AS n_interior,
+               CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS grad_energy
+        FROM conv GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_ppm_sobel_energy(spark, sf_dir):
+    """REAL image convolution over the decoded rasters: Sobel 3x3
+    gradient energy (sum of |Gx|+|Gy| over interior pixels of the
+    integer-grayscale image) computed per document from the genuine P6
+    bytes — decode, channel-average to gray with integer division,
+    then the classic edge-detector stencil in vectorized numpy inside
+    ONE mapInPandas pass. The oracle restates the whole pipeline
+    closed-form in SQL (pixel grid + 9-offset stencil join), so a
+    decoder slip, a kernel transpose, or an off-by-one interior crop
+    breaks the value hash. Everything is integer arithmetic end to
+    end — no float tolerance anywhere.
+
+    Scale: one Arrow-batched pass over the corpus, per-image work
+    O(w*h) with a ~9-op vectorized stencil — the feature-extraction
+    shape of a multimodal training pipeline (images are independent;
+    parallelism = partitions)."""
+    d = table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_ppm_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+    def sobel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "n_interior": [],
+                "grad_energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = _ppm_decode(bytes(payload))
+                a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                rgb = a.reshape(h, w, 3)
+                g = (rgb[:, :, 0] + rgb[:, :, 1] + rgb[:, :, 2]) // 3
+                gx = (
+                    g[0:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]
+                ) - (g[0:-2, 0:-2] + 2 * g[1:-1, 0:-2] + g[2:, 0:-2])
+                gy = (
+                    g[2:, 0:-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
+                ) - (g[0:-2, 0:-2] + 2 * g[0:-2, 1:-1] + g[0:-2, 2:])
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_interior"].append(int(gx.size))
+                out["grad_energy"].append(
+                    int(np.abs(gx).sum() + np.abs(gy).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        sobel,
+        "doc_id long, width long, height long, n_interior long, "
+        "grad_energy long",
+    )

@@ -1553,3 +1553,33 @@ def sql_identifier_dynamic(spark, sf_dir):
             "val": "o_totalprice",
         },
     )
+
+
+@register(
+    "sql_exec_immediate",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                 AS bal_cents
+        FROM customer
+        WHERE c_nationkey < 10
+        GROUP BY c_mktsegment
+    """,
+)
+def sql_exec_immediate(spark, sf_dir):
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL): a query arrives as a
+    runtime STRING and binds positional ? parameters via USING — the
+    stored-procedure-style dispatch surface SQL scripting builds on
+    (sql_scripting_control_flow covers the control-flow half). The
+    inner statement goes through the same analyzer/optimizer as
+    static SQL, so pushdown and partial aggregation are unchanged."""
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("engine_exec_customer")
+    inner = (
+        "SELECT c_mktsegment, count(*) AS n, "
+        "CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) "
+        "AS bal_cents FROM engine_exec_customer "
+        "WHERE c_nationkey < ? GROUP BY c_mktsegment"
+    )
+    esc = inner.replace("'", "''")
+    return spark.sql(f"EXECUTE IMMEDIATE '{esc}' USING 10")

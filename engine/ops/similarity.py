@@ -1971,3 +1971,151 @@ def ml_gains_lift_deciles(spark, sf_dir):
             6,
         ).alias("lift"),
     )
+
+
+@register(
+    "ml_kfold_cv_centroid",
+    oracle="""
+        WITH ex AS (
+          SELECT vec_id, label, vec_id % 5 AS fold, CAST(i AS INT) AS pos,
+                 CAST(list_extract(embedding, i) AS DOUBLE) AS val
+          FROM embeddings, range(1, 65) AS t(i)
+        ),
+        tot AS (
+          SELECT label, pos,
+                 CAST(sum(CAST(round(val * 1000000) AS BIGINT))
+                      AS BIGINT) AS st,
+                 count(*) AS nt
+          FROM ex GROUP BY 1, 2
+        ),
+        fsum AS (
+          SELECT fold, label, pos,
+                 CAST(sum(CAST(round(val * 1000000) AS BIGINT))
+                      AS BIGINT) AS sf,
+                 count(*) AS nf
+          FROM ex GROUP BY 1, 2, 3
+        ),
+        folds AS (SELECT DISTINCT fold FROM ex),
+        cent AS (
+          SELECT folds.fold, tot.label AS c_label, tot.pos,
+                 (CAST(tot.st - coalesce(fsum.sf, 0) AS DOUBLE)
+                  / (tot.nt - coalesce(fsum.nf, 0))) / 1000000.0 AS c
+          FROM folds
+          JOIN tot ON true
+          LEFT JOIN fsum ON fsum.fold = folds.fold
+                        AND fsum.label = tot.label
+                        AND fsum.pos = tot.pos
+        ),
+        d AS (
+          SELECT ex.vec_id, ex.label, ex.fold, cent.c_label,
+                 CAST(sum(CAST(round((ex.val - cent.c) * (ex.val - cent.c)
+                                     * 1000000000) AS BIGINT))
+                      AS BIGINT) AS d2_nano
+          FROM ex JOIN cent ON cent.pos = ex.pos AND cent.fold = ex.fold
+          GROUP BY 1, 2, 3, 4
+        ),
+        pred AS (
+          SELECT vec_id, label, fold, c_label AS predicted
+          FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d2_nano, c_label
+                   ) AS rn
+            FROM d
+          ) WHERE rn = 1
+        )
+        SELECT fold AS test_fold,
+               count(*) AS n_test,
+               CAST(count(*) FILTER (WHERE predicted = label) AS BIGINT)
+                 AS n_correct,
+               round(CAST(count(*) FILTER (WHERE predicted = label)
+                          AS DOUBLE) / count(*), 6) AS accuracy
+        FROM pred GROUP BY 1
+    """,
+)
+def ml_kfold_cv_centroid(spark, sf_dir):
+    """5-fold cross-validated nearest-centroid classifier — the
+    model-selection primitive, made EXACT and one-pass: instead of
+    training 5 models, the leave-fold-out centroids come from sum
+    algebra (total per-(label,dim) integer sums MINUS the held-out
+    fold's sums, one division at the end), so every fold's "training
+    run" is a broadcast-sized subtraction. Test vectors score against
+    their own fold's centroids via nano-quantized integer distance
+    sums; argmin ties break on smaller label via an explicit
+    row_number, and per-fold accuracy is exact.
+
+    Scale: two map-side-combinable sum passes over the exploded
+    (vec, dim) rows, a k*labels*d = 3200-row broadcast centroid dim,
+    and one scoring aggregation — O(N*d*k) total, no per-fold
+    retraining scans, the pattern that makes CV affordable on a
+    100 TB corpus."""
+    em = table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 5).alias("fold"),
+        F.posexplode("embedding").alias("pos0", "val_raw"),
+    ).select(
+        "vec_id",
+        "label",
+        "fold",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_raw").cast("double").alias("val"),
+    )
+    micro = F.sum(F.round(F.col("val") * 1000000).cast("long"))
+    tot = ex.groupBy("label", "pos").agg(
+        micro.alias("st"), F.count(F.lit(1)).alias("nt")
+    )
+    fsum = ex.groupBy("fold", "label", "pos").agg(
+        micro.alias("sf"), F.count(F.lit(1)).alias("nf")
+    )
+    folds = ex.select("fold").distinct()
+    cent = (
+        folds.crossJoin(tot)
+        .join(
+            fsum.withColumnsRenamed(
+                {"fold": "f2", "label": "l2", "pos": "p2"}
+            ),
+            (F.col("f2") == F.col("fold"))
+            & (F.col("l2") == F.col("label"))
+            & (F.col("p2") == F.col("pos")),
+            "left",
+        )
+        .select(
+            "fold",
+            F.col("label").alias("c_label"),
+            "pos",
+            (
+                (
+                    (F.col("st") - F.coalesce(F.col("sf"), F.lit(0))).cast(
+                        "double"
+                    )
+                    / (F.col("nt") - F.coalesce(F.col("nf"), F.lit(0)))
+                )
+                / 1000000.0
+            ).alias("c"),
+        )
+    )
+    diff = F.col("val") - F.col("c")
+    d = (
+        ex.join(F.broadcast(cent), ["pos", "fold"])
+        .groupBy("vec_id", "label", "fold", "c_label")
+        .agg(
+            F.sum(
+                F.round(diff * diff * 1000000000).cast("long")
+            ).alias("d2_nano")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2_nano", "c_label")
+    pred = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "fold", F.col("c_label").alias("predicted"))
+    )
+    correct = F.count_if(F.col("predicted") == F.col("label"))
+    return pred.groupBy(F.col("fold").alias("test_fold")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        correct.alias("n_correct"),
+        F.round(
+            correct.cast("double") / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )
