@@ -3775,3 +3775,98 @@ def events_uplift_did(spark, sf_dir):
             (F.col("tp") - F.col("tb")) - (F.col("cp") - F.col("cb")), 6
         ).alias("did_cents"),
     )
+
+
+@register(
+    "events_markov_entropy_rate",
+    oracle="""
+        WITH seq AS (
+          SELECT event_type AS prev,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS nxt
+          FROM events
+        ),
+        c AS (
+          SELECT prev, nxt, count(*) AS c_ij
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT prev, CAST(sum(c_ij) AS BIGINT) AS c_i
+          FROM c GROUP BY 1
+        ),
+        t AS (
+          SELECT CAST(sum(c_ij) AS BIGINT) AS n,
+                 count(DISTINCT prev) AS k
+          FROM c
+        ),
+        terms AS (
+          SELECT CAST(round(
+                   1000000.0 * (CAST(c.c_ij AS DOUBLE) / t.n)
+                   * ln(CAST(c.c_ij AS DOUBLE) / r.c_i)
+                 ) AS BIGINT) AS u
+          FROM c JOIN r ON c.prev = r.prev, t
+        )
+        SELECT t.n AS n_transitions,
+               CAST(t.k AS BIGINT) AS n_states,
+               round(-CAST(sum(terms.u) AS DOUBLE) / 1000000.0, 6)
+                 AS entropy_rate_nats,
+               round(ln(t.k), 6) AS max_entropy_nats
+        FROM terms, t
+        GROUP BY t.n, t.k
+    """,
+)
+def events_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the first-order event-type Markov chain:
+    H = -sum_ij (c_ij/N) * ln(c_ij/c_i) over per-user transition
+    counts — how predictable the NEXT event is given the current one
+    (the information-theoretic summary the Markov baseline op's
+    accuracy approximates). Every summand is micro-nat-quantized to
+    int64 before the cross-cell sum (shuffle-order-proof; the memory
+    discipline that has held cross-engine for every ln-based op), and
+    the max-entropy bound ln(k) is reported for calibration.
+
+    Scale: transition counts are one window pass per user partition
+    followed by a map-side-combinable groupBy to a k*k cell table
+    (25 here) — the chain statistics are tiny regardless of corpus
+    size."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c_ij"))
+    r = c.groupBy("prev").agg(F.sum("c_ij").alias("c_i"))
+    t = c.agg(
+        F.sum("c_ij").alias("n"),
+        F.countDistinct("prev").alias("k"),
+    )
+    terms = (
+        c.join(F.broadcast(r), "prev")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.round(
+                1000000.0
+                * (F.col("c_ij").cast("double") / F.col("n"))
+                * F.log(F.col("c_ij").cast("double") / F.col("c_i"))
+            )
+            .cast("long")
+            .alias("u"),
+            "n",
+            "k",
+        )
+    )
+    return terms.groupBy("n", "k").agg(
+        F.round(-F.sum("u").cast("double") / 1000000.0, 6).alias(
+            "entropy_rate_nats"
+        ),
+        F.round(F.log(F.col("k").cast("double")), 6).alias(
+            "max_entropy_nats"
+        ),
+    ).select(
+        F.col("n").alias("n_transitions"),
+        F.col("k").cast("long").alias("n_states"),
+        "entropy_rate_nats",
+        "max_entropy_nats",
+    )

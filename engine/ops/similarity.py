@@ -2119,3 +2119,85 @@ def ml_kfold_cv_centroid(spark, sf_dir):
             correct.cast("double") / F.count(F.lit(1)), 6
         ).alias("accuracy"),
     )
+
+
+@register(
+    "ml_average_precision",
+    oracle="""
+        WITH s AS (
+          SELECT list_extract(embedding, 1) AS s,
+                 CAST(label < 5 AS BIGINT) AS pos
+          FROM embeddings
+        ),
+        g AS (
+          SELECT s, count(*) AS n_g, CAST(sum(pos) AS BIGINT) AS np_g
+          FROM s GROUP BY s
+        ),
+        c AS (
+          SELECT np_g,
+                 CAST(sum(n_g) OVER (
+                   ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_n,
+                 CAST(sum(np_g) OVER (
+                   ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_pos
+          FROM g
+        ),
+        t AS (
+          SELECT CAST(sum(CAST(round(
+                   1000000.0 * np_g * cum_pos / cum_n
+                 ) AS BIGINT)) AS BIGINT) AS ap_num_u,
+                 CAST(sum(np_g) AS BIGINT) AS np
+          FROM c
+        )
+        SELECT np AS n_pos, ap_num_u,
+               round(CAST(ap_num_u AS DOUBLE) / np / 1000000.0, 6)
+                 AS average_precision
+        FROM t
+    """,
+)
+def ml_average_precision(spark, sf_dir):
+    """Average precision (area under the precision-recall curve, step
+    interpolation) for the score/task pair shared with ml_auc_roc:
+    AP = sum over descending-score groups of
+    (recall increment) * (precision at that cut)
+       = (1/P) * sum( np_g * cum_pos/cum_n ).
+    Each group's term is micro-quantized to int64 BEFORE the
+    cross-group sum, so the accumulation is shuffle-order-proof; the
+    final AP is one double division. PR-AUC complements ROC-AUC where
+    positives are rare — the usual case in retrieval and safety
+    filtering.
+
+    Scale: identical shape to ml_auc_roc — spine-sized ordered prefix
+    sums after a map-side-combinable groupBy; no corpus sort."""
+    em = table(spark, sf_dir, "embeddings")
+    s = em.select(
+        F.element_at("embedding", 1).alias("s"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    g = s.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("pos").alias("np_g")
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select(
+        "np_g",
+        F.sum("n_g").over(w).alias("cum_n"),
+        F.sum("np_g").over(w).alias("cum_pos"),
+    )
+    term = F.round(
+        1000000.0 * F.col("np_g") * F.col("cum_pos") / F.col("cum_n")
+    ).cast("long")
+    t = c.agg(
+        F.sum(term).alias("ap_num_u"), F.sum("np_g").alias("np")
+    )
+    return t.select(
+        F.col("np").alias("n_pos"),
+        "ap_num_u",
+        F.round(
+            F.col("ap_num_u").cast("double") / F.col("np") / 1000000.0, 6
+        ).alias("average_precision"),
+    )

@@ -2423,3 +2423,40 @@ def text_contamination_bloom(spark, sf_dir):
         .join(tot, "doc_id")
         .select("doc_id", "n_screened", "n_shingles")
     )
+
+
+@register("text_compression_ratio")  # rows-only: no zlib in SQL; replica-tested
+def text_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (the Gopher/RefinedWeb-style
+    repetitiveness filter): deflate each document at a FIXED zlib
+    level and report compressed/raw bytes — highly repetitive or
+    templated text compresses far below the corpus norm and gets
+    filtered before training. zlib with pinned level is
+    bit-deterministic, so the op is exactly replayable; there is no
+    SQL-side deflate, so the differential is a pure-Python replica
+    test (tests/test_llm_ops.py) asserting byte-equal ratios on the
+    fixture corpus plus the doubling property (text+text compresses
+    strictly better than text).
+
+    Scale: one Arrow-batched map-only pass, ~MB/s-per-core deflate —
+    the standard cheap quality feature computed alongside language ID
+    in a single corpus scan."""
+    import zlib
+
+    d = table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("long")
+    def comp_bytes(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        )
+
+    raw_bytes = F.octet_length("text").cast("long")
+    return d.select(
+        "doc_id",
+        raw_bytes.alias("raw_bytes"),
+        comp_bytes("text").alias("comp_bytes"),
+    ).withColumn(
+        "ratio",
+        F.round(F.col("comp_bytes").cast("double") / F.col("raw_bytes"), 6),
+    )

@@ -619,3 +619,32 @@ def test_hll_audit_within_3_sigma(spark):
     assert a.sort_values("event_type").reset_index(drop=True).equals(
         b.sort_values("event_type").reset_index(drop=True)
     )
+
+
+def test_compression_ratio_matches_python_replica(spark):
+    """text_compression_ratio must equal a byte-for-byte zlib replica
+    at the same pinned level, and the doubling property must hold:
+    text+text deflates to a strictly smaller ratio than text alone
+    (the repetitiveness signal the filter exists to detect)."""
+    import zlib
+
+    from engine.ops.textops import text_compression_ratio
+
+    got = {
+        r["doc_id"]: (r["raw_bytes"], r["comp_bytes"])
+        for r in text_compression_ratio(spark, T2_SF_DIR).collect()
+    }
+    rows = (
+        table(spark, T2_SF_DIR, "documents")
+        .select("doc_id", "text")
+        .limit(50)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        raw = r["text"].encode("utf-8")
+        assert got[r["doc_id"]] == (len(raw), len(zlib.compress(raw, 6)))
+        doubled = len(zlib.compress(raw + b" " + raw, 6)) / (
+            2 * len(raw) + 1
+        )
+        assert doubled < len(zlib.compress(raw, 6)) / len(raw)
