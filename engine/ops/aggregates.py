@@ -3870,3 +3870,115 @@ def events_markov_entropy_rate(spark, sf_dir):
         "entropy_rate_nats",
         "max_entropy_nats",
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+        WITH seq AS (
+          SELECT event_type, value,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS chan
+          FROM events
+        )
+        SELECT coalesce(chan, 'direct') AS channel,
+               count(*) AS n_purchases,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS attributed_cents
+        FROM seq WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the user's most recent PRECEDING non-purchase event
+    type (the "channel"), falling back to 'direct' when the purchase
+    is the user's first touch. One IGNORE-NULLS last_value window per
+    user plus a conditional rollup of exact cent sums — the revenue
+    attribution report every growth team runs.
+
+    Scale: the window is per-user partitioned (no global sort), the
+    rollup map-side-combinable over |channels| keys; at 100 TB this
+    is one shuffle keyed user_id then a tiny aggregation."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chan = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    seq = e.select("event_type", "value", chan.alias("chan"))
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("chan"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "attributed_cents"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+        WITH v AS (
+          SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(l_quantity AS BIGINT) AS w
+          FROM lineitem
+        ),
+        g AS (SELECT cents, CAST(sum(w) AS BIGINT) AS wg FROM v GROUP BY 1),
+        c AS (
+          SELECT cents, wg,
+                 CAST(sum(wg) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumw
+          FROM g
+        ),
+        t AS (SELECT CAST(sum(wg) AS BIGINT) AS totw FROM g)
+        SELECT t.totw AS total_weight,
+               CAST(min(c.cents) AS BIGINT) AS weighted_median_cents
+        FROM c, t
+        WHERE 2 * c.cumw >= t.totw
+        GROUP BY t.totw
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact quantity-weighted median price — the 'typical transacted
+    price' that an unweighted median misstates when big orders cluster
+    at one end. Spelling: collapse to the distinct-price spine with
+    integer weight sums (quantities are integral, FIXTURES-exact),
+    one ordered prefix sum over the spine, then the smallest price
+    whose doubled cumulative weight reaches the total (2*cumw >= totw
+    keeps the midpoint test in exact integers — no fractional
+    comparison anywhere).
+
+    Scale: same discipline as the other spine ops — the ordered pass
+    runs over DISTINCT prices, everything else is map-side
+    combinable."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = v.groupBy("cents").agg(F.sum("w").alias("wg"))
+    wspine = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select(
+        "cents", F.sum("wg").over(wspine).alias("cumw")
+    )
+    t = g.agg(F.sum("wg").alias("totw"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy(F.col("totw").alias("total_weight"))
+        .agg(F.min("cents").alias("weighted_median_cents"))
+    )

@@ -2460,3 +2460,98 @@ def text_compression_ratio(spark, sf_dir):
         "ratio",
         F.round(F.col("comp_bytes").cast("double") / F.col("raw_bytes"), 6),
     )
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY 1),
+        gt AS (SELECT token, CAST(sum(c) AS BIGINT) AS cg FROM st GROUP BY 1),
+        n AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM gt),
+        grid AS (
+          SELECT sn.source, sn.ns, gt.token, gt.cg,
+                 coalesce(st.c, 0) AS cs
+          FROM sn
+          JOIN gt ON true
+          LEFT JOIN st ON st.source = sn.source AND st.token = gt.token
+        ),
+        terms AS (
+          SELECT source,
+                 CAST(round(1000000.0 * (
+                   CASE WHEN cs = 0 THEN 0.0
+                        ELSE (CAST(cs AS DOUBLE) / ns)
+                             * ln((CAST(cs AS DOUBLE) / ns)
+                                  / ((CAST(cs AS DOUBLE) / ns
+                                      + CAST(cg AS DOUBLE) / n.ng) / 2.0))
+                   END
+                   + (CAST(cg AS DOUBLE) / n.ng)
+                     * ln((CAST(cg AS DOUBLE) / n.ng)
+                          / ((CAST(cs AS DOUBLE) / ns
+                              + CAST(cg AS DOUBLE) / n.ng) / 2.0))
+                 )) AS BIGINT) AS u
+          FROM grid, n
+        )
+        SELECT source,
+               round(CAST(sum(u) AS DOUBLE) / 2.0 / 1000000.0, 6)
+                 AS jsd_nats
+        FROM terms GROUP BY source
+    """,
+)
+def text_js_divergence_sources(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the GLOBAL corpus distribution — the corpus-drift
+    diagnostic mix curation runs before reweighting (a source whose
+    JSD spikes is off-distribution). JSD(P_s, Q) =
+    (KL(P_s||M) + KL(Q||M))/2 with M the midpoint; tokens missing
+    from a source contribute only the Q-side term (p=0 branch), and
+    every per-token summand is micro-nat-quantized to int64 before
+    the per-source sum, so the accumulation is shuffle-order-proof.
+
+    Scale: token counts are map-side-combinable; the (source x vocab)
+    grid is |sources| * |vocab| rows built from a broadcast source
+    spine — at 100 TB vocab is capped to top-K tokens (the standard
+    practice) and the shape is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_tokens()).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    sn = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    gt = st.groupBy("token").agg(F.sum("c").alias("cg"))
+    ng_row = gt.agg(F.sum("cg").alias("ng"))
+    grid = (
+        F.broadcast(sn)
+        .crossJoin(gt)
+        .join(
+            st.withColumnsRenamed({"source": "s2", "token": "t2"}),
+            (F.col("s2") == F.col("source")) & (F.col("t2") == F.col("token")),
+            "left",
+        )
+        .select(
+            "source",
+            "ns",
+            "token",
+            "cg",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cs"),
+        )
+        .crossJoin(F.broadcast(ng_row))
+    )
+    p = F.col("cs").cast("double") / F.col("ns")
+    q = F.col("cg").cast("double") / F.col("ng")
+    m = (p + q) / 2.0
+    term = (
+        F.when(F.col("cs") == 0, F.lit(0.0)).otherwise(p * F.log(p / m))
+        + q * F.log(q / m)
+    )
+    terms = grid.select(
+        "source",
+        F.round(1000000.0 * term).cast("long").alias("u"),
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum("u").cast("double") / 2.0 / 1000000.0, 6).alias(
+            "jsd_nats"
+        )
+    )
