@@ -3982,3 +3982,80 @@ def agg_weighted_median(spark, sf_dir):
         .groupBy(F.col("totw").alias("total_weight"))
         .agg(F.min("cents").alias("weighted_median_cents"))
     )
+
+
+@register(
+    "orders_interpurchase_median",
+    oracle="""
+        WITH seq AS (
+          SELECT o_custkey,
+                 CAST(CAST(o_orderdate AS DATE)
+                      - lag(CAST(o_orderdate AS DATE)) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                        ) AS BIGINT) AS gap_days
+          FROM orders
+        ),
+        v AS (SELECT gap_days FROM seq WHERE gap_days IS NOT NULL),
+        g AS (SELECT gap_days, count(*) AS n_g FROM v GROUP BY 1),
+        c AS (
+          SELECT gap_days,
+                 CAST(sum(n_g) OVER (ORDER BY gap_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumn
+          FROM g
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+        SELECT t.n AS n_gaps,
+               CAST(min(c.gap_days) AS BIGINT) AS median_gap_days,
+               (SELECT CAST(min(gap_days) AS BIGINT) FROM v)
+                 AS min_gap_days,
+               (SELECT CAST(max(gap_days) AS BIGINT) FROM v)
+                 AS max_gap_days
+        FROM c, t
+        WHERE 2 * c.cumn >= t.n
+        GROUP BY t.n
+    """,
+)
+def orders_interpurchase_median(spark, sf_dir):
+    """Median days between a customer's consecutive orders — the
+    repeat-purchase cadence that drives replenishment and churn
+    models. Per-customer gaps come from one lag window (integer day
+    differences, exact); the median uses the doubled-cumulative-count
+    integer midpoint test on the distinct-gap spine, with exact
+    min/max for the range.
+
+    Scale: the lag window is per-customer partitioned; the spine
+    prefix-sum runs over distinct gap values (bounded by the date
+    range, not the row count)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.col("o_orderdate").cast("date")
+    seq = o.select(
+        (
+            F.datediff(day, F.lag(day).over(w))
+        ).cast("long").alias("gap_days")
+    )
+    v = seq.filter(F.col("gap_days").isNotNull())
+    g = v.groupBy("gap_days").agg(F.count(F.lit(1)).alias("n_g"))
+    wc = Window.orderBy("gap_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select("gap_days", F.sum("n_g").over(wc).alias("cumn"))
+    t = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_days").alias("mn"),
+        F.max("gap_days").alias("mx"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(2 * F.col("cumn") >= F.col("n"))
+        .groupBy(F.col("n").alias("n_gaps"), "mn", "mx")
+        .agg(F.min("gap_days").alias("median_gap_days"))
+        .select(
+            "n_gaps",
+            "median_gap_days",
+            F.col("mn").alias("min_gap_days"),
+            F.col("mx").alias("max_gap_days"),
+        )
+    )

@@ -2201,3 +2201,104 @@ def ml_average_precision(spark, sf_dir):
             F.col("ap_num_u").cast("double") / F.col("np") / 1000000.0, 6
         ).alias("average_precision"),
     )
+
+
+@register(
+    "ml_mcc_threshold",
+    oracle="""
+        WITH s AS (
+          SELECT list_extract(embedding, 1) AS s,
+                 CAST(label < 5 AS BIGINT) AS pos
+          FROM embeddings
+        ),
+        g AS (SELECT s, count(*) AS n_g FROM s GROUP BY s),
+        c AS (
+          SELECT s,
+                 CAST(sum(n_g) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumn
+          FROM g
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        thr AS (
+          SELECT min(c.s) AS thr FROM c, t WHERE 2 * c.cumn >= t.n
+        ),
+        m AS (
+          SELECT
+            CAST(count(*) FILTER (WHERE s.s > thr.thr AND pos = 1)
+                 AS BIGINT) AS tp,
+            CAST(count(*) FILTER (WHERE s.s > thr.thr AND pos = 0)
+                 AS BIGINT) AS fp,
+            CAST(count(*) FILTER (WHERE s.s <= thr.thr AND pos = 1)
+                 AS BIGINT) AS fn,
+            CAST(count(*) FILTER (WHERE s.s <= thr.thr AND pos = 0)
+                 AS BIGINT) AS tn
+          FROM s, thr
+        )
+        SELECT tp, fp, fn, tn,
+               CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) = 0 THEN NULL
+                    ELSE round(
+                      CAST(tp*tn - fp*fn AS DOUBLE)
+                      / sqrt(CAST((tp+fp)*(tp+fn) AS DOUBLE)
+                             * CAST((tn+fp)*(tn+fn) AS DOUBLE)), 6)
+               END AS mcc
+        FROM m
+    """,
+)
+def ml_mcc_threshold(spark, sf_dir):
+    """Matthews correlation coefficient of the thresholded scalar
+    score on the shared binary task, at the EXACT median-score
+    threshold (smallest score whose doubled cumulative count reaches
+    N — the integer midpoint test, same discipline as
+    agg_weighted_median). Confusion counts are one conditional
+    aggregate; MCC is a single double expression with the variance
+    product split into two exact int64 factors before the sqrt (the
+    four-factor product can overflow int64 at corpus scale — the
+    split keeps each factor N^2-bounded), NULL-guarded for degenerate
+    margins. MCC is the balanced single-number summary P/R/F1 miss
+    when classes are skewed.
+
+    Scale: a spine prefix-sum for the threshold + one
+    map-side-combinable conditional aggregate — two scan-bound
+    passes."""
+    em = table(spark, sf_dir, "embeddings")
+    s = em.select(
+        F.element_at("embedding", 1).alias("s"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    g = s.groupBy("s").agg(F.count(F.lit(1)).alias("n_g"))
+    wc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select("s", F.sum("n_g").over(wc).alias("cumn"))
+    t = s.agg(F.count(F.lit(1)).alias("n"))
+    thr = (
+        c.crossJoin(F.broadcast(t))
+        .filter(2 * F.col("cumn") >= F.col("n"))
+        .agg(F.min("s").alias("thr"))
+    )
+    m = s.crossJoin(F.broadcast(thr)).agg(
+        F.count_if((F.col("s") > F.col("thr")) & (F.col("pos") == 1)).alias(
+            "tp"
+        ),
+        F.count_if((F.col("s") > F.col("thr")) & (F.col("pos") == 0)).alias(
+            "fp"
+        ),
+        F.count_if((F.col("s") <= F.col("thr")) & (F.col("pos") == 1)).alias(
+            "fn"
+        ),
+        F.count_if((F.col("s") <= F.col("thr")) & (F.col("pos") == 0)).alias(
+            "tn"
+        ),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    denom_zero = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) == 0
+    mcc = F.when(denom_zero, F.lit(None).cast("double")).otherwise(
+        F.round(
+            (tp * tn - fp * fn).cast("double")
+            / F.sqrt(
+                ((tp + fp) * (tp + fn)).cast("double")
+                * ((tn + fp) * (tn + fn)).cast("double")
+            ),
+            6,
+        )
+    )
+    return m.select("tp", "fp", "fn", "tn", mcc.alias("mcc"))

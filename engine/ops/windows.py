@@ -1827,3 +1827,63 @@ def win_skyline_frontier(spark, sf_dir):
     return flagged.filter(
         F.col("rmin").isNull() | (F.col("n_orders") < F.col("rmin"))
     ).select("spend_cents", "n_orders", "n_customers")
+
+
+@register(
+    "win_vwap",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+                 CAST(l_shipdate AS DATE) AS day,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               qty AS day_qty,
+               CAST(sum(cents) OVER w AS BIGINT) AS mtd_cents,
+               CAST(sum(qty) OVER w AS BIGINT) AS mtd_qty,
+               round(CAST(sum(cents) OVER w AS DOUBLE)
+                     / CAST(sum(qty) OVER w AS BIGINT) / 100.0, 6)
+                 AS mtd_vwap
+        FROM d
+        WINDOW w AS (PARTITION BY mon ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_vwap(spark, sf_dir):
+    """Month-to-date running volume-weighted average price: collapse
+    lineitem to a (month, day) spine of exact integer cent and
+    quantity sums, then one cumulative window per month partition and
+    a single double division — the finance-desk VWAP shape, exact by
+    construction (cumulative numerator and denominator are int64; no
+    running division drift).
+
+    Scale: the windowed pass runs on the day spine (≤31 rows per
+    month partition), everything upstream map-side-combinable — the
+    same two-tier shape as the other spine windows."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("mon"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("cents"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    w = (
+        Window.partitionBy("mon")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mtd_c = F.sum("cents").over(w)
+    mtd_q = F.sum("qty").over(w)
+    return d.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("qty").alias("day_qty"),
+        mtd_c.alias("mtd_cents"),
+        mtd_q.alias("mtd_qty"),
+        F.round(mtd_c.cast("double") / mtd_q / 100.0, 6).alias("mtd_vwap"),
+    )
