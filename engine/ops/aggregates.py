@@ -4059,3 +4059,69 @@ def orders_interpurchase_median(spark, sf_dir):
             F.col("mx").alias("max_gap_days"),
         )
     )
+
+
+@register(
+    "stat_powerlaw_alpha_mle",
+    oracle="""
+        WITH x AS (
+          SELECT user_id, count(*) AS c FROM events GROUP BY 1
+        ),
+        mn AS (SELECT CAST(min(c) AS BIGINT) AS xmin FROM x),
+        g AS (SELECT c, count(*) AS n_c FROM x GROUP BY 1),
+        terms AS (
+          SELECT g.n_c,
+                 CAST(round(1000000.0
+                       * ln(CAST(g.c AS DOUBLE) / mn.xmin))
+                      AS BIGINT) AS u
+          FROM g, mn
+        ),
+        t AS (
+          SELECT CAST(sum(n_c) AS BIGINT) AS n,
+                 CAST(sum(n_c * u) AS BIGINT) AS su
+          FROM terms
+        )
+        SELECT t.n AS n_users, mn.xmin,
+               round(1.0 + CAST(t.n AS DOUBLE) * 1000000.0 / t.su, 6)
+                 AS alpha_mle
+        FROM t, mn
+    """,
+)
+def stat_powerlaw_alpha_mle(spark, sf_dir):
+    """Continuous-approximation power-law exponent MLE (Clauset et
+    al.) for the per-user activity distribution:
+    alpha = 1 + n / sum(ln(x_i / xmin)) with xmin the observed
+    minimum. The log terms are computed once per DISTINCT count value
+    and micro-nat-quantized to int64 before the weighted sum
+    (shuffle-order-proof), so the only doubles are the final
+    expression — the heavy-tail diagnostic that tells you whether
+    top-user truncation or per-key salting will be needed downstream.
+
+    Scale: activity counts are one map-side-combinable groupBy; the
+    spine of distinct counts is bounded by the activity range, so the
+    MLE fold is tiny at any corpus size."""
+    e = table(spark, sf_dir, "events")
+    x = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    mn = x.agg(F.min("c").alias("xmin"))
+    g = x.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    terms = g.crossJoin(F.broadcast(mn)).select(
+        "n_c",
+        F.round(
+            1000000.0
+            * F.log(F.col("c").cast("double") / F.col("xmin"))
+        )
+        .cast("long")
+        .alias("u"),
+        "xmin",
+    )
+    t = terms.groupBy("xmin").agg(
+        F.sum("n_c").alias("n"),
+        F.sum(F.col("n_c") * F.col("u")).alias("su"),
+    )
+    return t.select(
+        F.col("n").alias("n_users"),
+        "xmin",
+        F.round(
+            1.0 + F.col("n").cast("double") * 1000000.0 / F.col("su"), 6
+        ).alias("alpha_mle"),
+    )

@@ -2302,3 +2302,103 @@ def ml_mcc_threshold(spark, sf_dir):
         )
     )
     return m.select("tp", "fp", "fn", "tn", mcc.alias("mcc"))
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle=f"""
+        WITH r AS ({{TOPK}}),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        rel AS (
+          SELECT r.q_id, r.rank,
+                 CAST(lq.label = lc.label AS BIGINT) AS rel
+          FROM r
+          JOIN lab lq ON r.q_id = lq.vec_id
+          JOIN lab lc ON r.c_id = lc.vec_id
+        ),
+        wt AS (
+          SELECT CAST(i AS BIGINT) AS rank,
+                 CAST(round(1000000.0 * ln(2) / ln(i + 1.0)) AS BIGINT)
+                   AS w
+          FROM range(1, {TOP_K} + 1) t(i)
+        ),
+        dcg AS (
+          SELECT q_id,
+                 CAST(sum(rel * wt.w) AS BIGINT) AS dcg_u,
+                 CAST(sum(rel) AS BIGINT) AS n_rel
+          FROM rel JOIN wt ON rel.rank = wt.rank GROUP BY 1
+        ),
+        idcg AS (
+          SELECT d.q_id, CAST(sum(wt.w) AS BIGINT) AS idcg_u
+          FROM dcg d JOIN wt ON wt.rank <= d.n_rel GROUP BY 1
+        )
+        SELECT d.q_id, d.n_rel, d.dcg_u,
+               coalesce(i.idcg_u, 0) AS idcg_u,
+               CASE WHEN d.n_rel = 0 THEN NULL
+                    ELSE round(CAST(d.dcg_u AS DOUBLE) / i.idcg_u, 6)
+               END AS ndcg
+        FROM dcg d LEFT JOIN idcg i ON d.q_id = i.q_id
+    """.replace("{TOPK}", TOPK_SQL),
+)
+def ml_ndcg_at_k(spark, sf_dir):
+    """NDCG@k of the exact top-k retrieval against same-label
+    relevance — the ranking-quality metric that rewards putting
+    relevant neighbors EARLY, which recall@k cannot see. Both DCG and
+    the ideal DCG use the SAME micro-quantized int64 discount table
+    (w_rank = round(1e6 * ln2/ln(rank+1)), so rank 1 is exactly 1e6),
+    making numerator and denominator exact integer sums; NDCG is one
+    double division, NULL when a probe has no relevant neighbor in
+    the top k.
+
+    Scale: rides the registered top-k output (O(probes * k) rows)
+    plus a k-row broadcast discount table — evaluation cost is
+    O(retrieval output), never O(corpus)."""
+    em = table(spark, sf_dir, "embeddings")
+    lab = em.select("vec_id", "label")
+    r = sim_search_topk(spark, sf_dir)
+    rel = (
+        r.join(
+            lab.withColumnsRenamed({"vec_id": "q_id", "label": "q_lab"}),
+            "q_id",
+        )
+        .join(
+            lab.withColumnsRenamed({"vec_id": "c_id", "label": "c_lab"}),
+            "c_id",
+        )
+        .select(
+            "q_id",
+            "rank",
+            (F.col("q_lab") == F.col("c_lab")).cast("long").alias("rel"),
+        )
+    )
+    wt = spark.range(1, TOP_K + 1).select(
+        F.col("id").alias("rank"),
+        F.round(1000000.0 * F.log(F.lit(2.0)) / F.log(F.col("id") + 1.0))
+        .cast("long")
+        .alias("w"),
+    )
+    dcg = (
+        rel.join(F.broadcast(wt), "rank")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.col("rel") * F.col("w")).alias("dcg_u"),
+            F.sum("rel").alias("n_rel"),
+        )
+    )
+    idcg = (
+        dcg.join(F.broadcast(wt), wt.rank <= dcg.n_rel)
+        .groupBy("q_id")
+        .agg(F.sum("w").alias("idcg_u"))
+    )
+    out = dcg.join(idcg, "q_id", "left")
+    return out.select(
+        "q_id",
+        "n_rel",
+        "dcg_u",
+        F.coalesce(F.col("idcg_u"), F.lit(0)).alias("idcg_u"),
+        F.when(F.col("n_rel") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("dcg_u").cast("double") / F.col("idcg_u"), 6)
+        )
+        .alias("ndcg"),
+    )
