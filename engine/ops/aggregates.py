@@ -4125,3 +4125,99 @@ def stat_powerlaw_alpha_mle(spark, sf_dir):
             1.0 + F.col("n").cast("double") * 1000000.0 / F.col("su"), 6
         ).alias("alpha_mle"),
     )
+
+
+@register(
+    "stat_runs_test",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS c
+          FROM events GROUP BY 1
+        ),
+        s AS (
+          SELECT day,
+                 c - lag(c) OVER (ORDER BY day) AS diff
+          FROM d
+        ),
+        sg AS (
+          SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+          FROM s WHERE diff IS NOT NULL AND diff <> 0
+        ),
+        r AS (
+          SELECT sgn,
+                 CASE WHEN sgn = lag(sgn) OVER (ORDER BY day)
+                      THEN 0 ELSE 1 END AS is_new_run
+          FROM sg
+        ),
+        t AS (
+          SELECT CAST(count(*) FILTER (WHERE sgn = 1) AS BIGINT) AS n_up,
+                 CAST(count(*) FILTER (WHERE sgn = -1) AS BIGINT)
+                   AS n_down,
+                 CAST(sum(coalesce(is_new_run, 1)) AS BIGINT) AS n_runs
+          FROM r
+        )
+        SELECT n_up, n_down, n_runs,
+               round(1.0 + 2.0 * n_up * n_down / (n_up + n_down), 6)
+                 AS expected_runs,
+               round((n_runs - (1.0 + 2.0 * n_up * n_down
+                                / (n_up + n_down)))
+                     / sqrt(
+                         (2.0 * n_up * n_down
+                          * (2.0 * n_up * n_down - n_up - n_down))
+                         / ((n_up + n_down) * (n_up + n_down)
+                            * (n_up + n_down - 1.0))
+                       ), 6) AS z_score
+        FROM t
+    """,
+)
+def stat_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test for randomness of the daily
+    event-count direction series: sign the day-over-day differences
+    (zeros dropped), count maximal same-sign runs with one lag
+    window, and compare to the null expectation
+    E[R] = 1 + 2*n+*n−/n with the classical variance — too few runs
+    means trending, too many means oscillation. Counts are exact
+    int64; the expectation and z-score are one identical double
+    expression each.
+
+    Scale: the sign series lives on the day spine (30 rows here);
+    everything upstream is a map-side-combinable daily rollup."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wday = Window.orderBy("day")
+    s = d.select(
+        "day", (F.col("c") - F.lag("c").over(wday)).alias("diff")
+    )
+    sg = s.filter(
+        F.col("diff").isNotNull() & (F.col("diff") != 0)
+    ).select(
+        "day",
+        F.when(F.col("diff") > 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+            "sgn"
+        ),
+    )
+    r = sg.select(
+        "sgn",
+        F.when(
+            F.col("sgn") == F.lag("sgn").over(wday), F.lit(0)
+        ).otherwise(F.lit(1)).alias("is_new_run"),
+    )
+    t = r.agg(
+        F.count_if(F.col("sgn") == 1).alias("n_up"),
+        F.count_if(F.col("sgn") == -1).alias("n_down"),
+        F.sum(F.coalesce(F.col("is_new_run"), F.lit(1))).alias("n_runs"),
+    )
+    nu, nd, nr = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    er = 1.0 + 2.0 * nu * nd / (nu + nd)
+    var = (2.0 * nu * nd * (2.0 * nu * nd - nu - nd)) / (
+        (nu + nd) * (nu + nd) * (nu + nd - 1.0)
+    )
+    return t.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(er, 6).alias("expected_runs"),
+        F.round((nr - er) / F.sqrt(var), 6).alias("z_score"),
+    )

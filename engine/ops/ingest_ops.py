@@ -664,3 +664,42 @@ def stream_union_two_sources(spark, sf_dir):
         q.stop()
         raise TimeoutError("stream_union_two_sources: drain exceeded 300s")
     return spark.read.parquet(sink)
+
+
+@register(
+    "ingest_fixed_width_parse",
+    oracle="""
+        SELECT event_id, user_id AS uid,
+               event_type AS etype,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    """,
+)
+def ingest_fixed_width_parse(spark, sf_dir):
+    """Fixed-width record parsing — the fourth text wire format next
+    to CSV, JSON, and XML, still the lingua franca of mainframe and
+    financial feeds: records are synthesized deterministically from
+    events into a 40-byte layout (event_id %010d | user_id %08d |
+    event_type left-justified 10 | cents %012d) and then parsed back
+    with pure column arithmetic (substring + trim + cast, no regex).
+    The oracle restates the expected fields directly from events, so
+    any off-by-one in the column map, a padding slip, or a sign shift
+    breaks the value hash.
+
+    Scale: both build and parse are map-only narrow projections —
+    whole-stage-codegen string ops, no Python."""
+    e = table(spark, sf_dir, "events")
+    line = F.format_string(
+        "%010d%08d%-10s%012d",
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    raw = e.select(line.alias("line"))
+    return raw.select(
+        F.substring("line", 1, 10).cast("long").alias("event_id"),
+        F.substring("line", 11, 8).cast("long").alias("uid"),
+        F.trim(F.substring("line", 19, 10)).alias("etype"),
+        F.substring("line", 29, 12).cast("long").alias("cents"),
+    )

@@ -2402,3 +2402,135 @@ def ml_ndcg_at_k(spark, sf_dir):
         )
         .alias("ndcg"),
     )
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle="""
+        WITH s0 AS (
+          SELECT CAST(list_extract(embedding, 1) AS DOUBLE) AS x,
+                 CAST(label < 5 AS BIGINT) AS y
+          FROM embeddings
+        ),
+        mm AS (SELECT min(x) AS lo, max(x) AS hi FROM s0),
+        s AS (
+          SELECT (x - lo) / (hi - lo) AS sc, y,
+                 least(9, CAST(floor((x - lo) / (hi - lo) * 10)
+                               AS BIGINT)) AS bin
+          FROM s0, mm
+        ),
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS np,
+                 CAST(sum(CAST(round(1000000.0 * (sc - y) * (sc - y))
+                               AS BIGINT)) AS BIGINT) AS brier_u
+          FROM s
+        ),
+        b AS (
+          SELECT bin, count(*) AS nk,
+                 CAST(sum(y) AS BIGINT) AS npk,
+                 CAST(sum(CAST(round(sc * 1000000) AS BIGINT)) AS BIGINT)
+                   AS ssum_u
+          FROM s GROUP BY bin
+        ),
+        d AS (
+          SELECT
+            CAST(sum(CAST(round(1000000.0 * nk
+              * ((CAST(ssum_u AS DOUBLE) / nk / 1000000.0)
+                 - (CAST(npk AS DOUBLE) / nk))
+              * ((CAST(ssum_u AS DOUBLE) / nk / 1000000.0)
+                 - (CAST(npk AS DOUBLE) / nk))) AS BIGINT))
+              AS BIGINT) AS rel_u,
+            CAST(sum(CAST(round(1000000.0 * nk
+              * ((CAST(npk AS DOUBLE) / nk)
+                 - (CAST(t.np AS DOUBLE) / t.n))
+              * ((CAST(npk AS DOUBLE) / nk)
+                 - (CAST(t.np AS DOUBLE) / t.n))) AS BIGINT))
+              AS BIGINT) AS res_u
+          FROM b, t
+          GROUP BY t.n, t.np
+        )
+        SELECT t.n AS n_rows,
+               round(CAST(t.brier_u AS DOUBLE) / t.n / 1000000.0, 6)
+                 AS brier,
+               round(CAST(d.rel_u AS DOUBLE) / t.n / 1000000.0, 6)
+                 AS reliability,
+               round(CAST(d.res_u AS DOUBLE) / t.n / 1000000.0, 6)
+                 AS resolution,
+               round((CAST(t.np AS DOUBLE) / t.n)
+                     * (1.0 - CAST(t.np AS DOUBLE) / t.n), 6)
+                 AS uncertainty
+        FROM t, d
+    """,
+)
+def ml_brier_decomposition(spark, sf_dir):
+    """Brier score with the Murphy decomposition
+    (reliability − resolution + uncertainty) over the same normalized
+    score, task, and 10-bin cut as ml_calibration_bins — the proper
+    scoring rule that says WHY a probability forecast is bad
+    (miscalibrated vs uninformative). Every squared-error and per-bin
+    term is micro-quantized to int64 before its cross-row/cross-bin
+    sum; bin means are derived from exact integer sums so both
+    engines square identical doubles.
+
+    Scale: one pass for the global terms, one 10-key map-side rollup
+    for the bins — scan-bound like the other eval ops."""
+    em = table(spark, sf_dir, "embeddings")
+    s0 = em.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        (F.col("label") < 5).cast("long").alias("y"),
+    )
+    mm = s0.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    sc = (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    s = s0.crossJoin(F.broadcast(mm)).select(
+        sc.alias("sc"),
+        "y",
+        F.least(F.lit(9), F.floor(sc * 10).cast("long")).alias("bin"),
+    )
+    t = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("np"),
+        F.sum(
+            F.round(
+                1000000.0 * (F.col("sc") - F.col("y"))
+                * (F.col("sc") - F.col("y"))
+            ).cast("long")
+        ).alias("brier_u"),
+    )
+    b = s.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("y").alias("npk"),
+        F.sum(F.round(F.col("sc") * 1000000).cast("long")).alias("ssum_u"),
+    )
+    sbar = F.col("ssum_u").cast("double") / F.col("nk") / 1000000.0
+    ybar_k = F.col("npk").cast("double") / F.col("nk")
+    ybar = F.col("np").cast("double") / F.col("n")
+    d = (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("n", "np", "brier_u")
+        .agg(
+            F.sum(
+                F.round(
+                    1000000.0 * F.col("nk") * (sbar - ybar_k) * (sbar - ybar_k)
+                ).cast("long")
+            ).alias("rel_u"),
+            F.sum(
+                F.round(
+                    1000000.0 * F.col("nk") * (ybar_k - ybar) * (ybar_k - ybar)
+                ).cast("long")
+            ).alias("res_u"),
+        )
+    )
+    return d.select(
+        F.col("n").alias("n_rows"),
+        F.round(
+            F.col("brier_u").cast("double") / F.col("n") / 1000000.0, 6
+        ).alias("brier"),
+        F.round(
+            F.col("rel_u").cast("double") / F.col("n") / 1000000.0, 6
+        ).alias("reliability"),
+        F.round(
+            F.col("res_u").cast("double") / F.col("n") / 1000000.0, 6
+        ).alias("resolution"),
+        F.round(ybar * (1.0 - ybar), 6).alias("uncertainty"),
+    )
