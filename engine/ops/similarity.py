@@ -2534,3 +2534,154 @@ def ml_brier_decomposition(spark, sf_dir):
         ).alias("resolution"),
         F.round(ybar * (1.0 - ybar), 6).alias("uncertainty"),
     )
+
+
+@register(
+    "ml_cohens_kappa",
+    oracle=f"""
+        WITH r AS ({{TOPK}}),
+        votes AS (
+          SELECT r.q_id, e.label, count(*) AS votes
+          FROM r JOIN embeddings e ON r.c_id = e.vec_id
+          GROUP BY 1, 2
+        ),
+        preda AS (
+          SELECT q_id, label AS pa FROM (
+            SELECT q_id, label,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY votes DESC, label) AS rn
+            FROM votes
+          ) WHERE rn = 1
+        ),
+        ex AS (
+          SELECT vec_id, label, CAST(i AS INT) AS pos,
+                 CAST(list_extract(embedding, i) AS DOUBLE) AS val
+          FROM embeddings, range(1, 65) AS t(i)
+        ),
+        cent AS (
+          SELECT label AS c_label, pos,
+                 (CAST(CAST(sum(CAST(round(val * 1000000) AS BIGINT))
+                            AS BIGINT) AS DOUBLE) / count(*)) / 1000000.0
+                   AS c
+          FROM ex GROUP BY 1, 2
+        ),
+        q AS (SELECT * FROM ex WHERE vec_id < {N_PROBES}),
+        dist AS (
+          SELECT q.vec_id, cent.c_label,
+                 CAST(sum(CAST(round((q.val - cent.c) * (q.val - cent.c)
+                                     * 1000000000) AS BIGINT))
+                      AS BIGINT) AS d2
+          FROM q JOIN cent ON q.pos = cent.pos
+          GROUP BY 1, 2
+        ),
+        predb AS (
+          SELECT vec_id, c_label AS pb FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, c_label) AS rn
+            FROM dist
+          ) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT a.q_id, a.pa, b.pb
+          FROM preda a JOIN predb b ON a.q_id = b.vec_id
+        ),
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) FILTER (WHERE pa = pb) AS BIGINT) AS agree
+          FROM pairs
+        ),
+        ma AS (SELECT pa AS lab, count(*) AS na FROM pairs GROUP BY 1),
+        mb AS (SELECT pb AS lab, count(*) AS nb FROM pairs GROUP BY 1),
+        pe AS (
+          SELECT CAST(coalesce(sum(ma.na * mb.nb), 0) AS BIGINT)
+                   AS pe_num
+          FROM ma JOIN mb ON ma.lab = mb.lab
+        )
+        SELECT t.n, t.agree, pe.pe_num,
+               CASE WHEN t.n * t.n = pe.pe_num THEN NULL
+                    ELSE round(CAST(t.agree * t.n - pe.pe_num AS DOUBLE)
+                               / (t.n * t.n - pe.pe_num), 6)
+               END AS kappa
+        FROM t, pe
+    """.replace("{TOPK}", TOPK_SQL),
+)
+def ml_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between the engine's TWO registered
+    deterministic classifiers on the probe set — the k-NN majority
+    vote (knn_label_vote) and the nearest-whole-data-centroid
+    assignment — correcting raw agreement for chance:
+    kappa = (agree*n − Σ_c nA_c*nB_c) / (n² − Σ_c nA_c*nB_c), which
+    stays an EXACT integer ratio until one final double division.
+    The inter-rater-reliability measure for comparing labelers or
+    model generations, NULL-guarded for the degenerate both-constant
+    case.
+
+    Scale: rides the registered top-k output plus a broadcast
+    centroid dim; the kappa fold is marginal-counts-sized."""
+    em = table(spark, sf_dir, "embeddings")
+    preda = knn_label_vote(spark, sf_dir).select(
+        "q_id", F.col("predicted_label").alias("pa")
+    )
+    ex = em.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "val_raw"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_raw").cast("double").alias("val"),
+    )
+    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            (
+                F.sum(F.round(F.col("val") * 1000000).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            )
+            / 1000000.0
+        ).alias("c")
+    )
+    qx = ex.filter(F.col("vec_id") < N_PROBES)
+    diff = F.col("val") - F.col("c")
+    dist = (
+        qx.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum(
+                F.round(diff * diff * 1000000000).cast("long")
+            ).alias("d2")
+        )
+    )
+    wmin = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    predb = (
+        dist.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("q_id"), F.col("c_label").alias("pb"))
+    )
+    pairs = preda.join(predb, "q_id")
+    t = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("pa") == F.col("pb")).alias("agree"),
+    )
+    ma = pairs.groupBy(F.col("pa").alias("lab")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    mb = pairs.groupBy(F.col("pb").alias("lab")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    pe = (
+        ma.join(mb, "lab")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("na") * F.col("nb")), F.lit(0)
+            ).alias("pe_num")
+        )
+    )
+    out = t.crossJoin(F.broadcast(pe))
+    n, agree, pen = F.col("n"), F.col("agree"), F.col("pe_num")
+    kappa = F.when(n * n == pen, F.lit(None).cast("double")).otherwise(
+        F.round((agree * n - pen).cast("double") / (n * n - pen), 6)
+    )
+    return out.select("n", "agree", "pe_num", kappa.alias("kappa"))
