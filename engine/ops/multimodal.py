@@ -797,3 +797,110 @@ def multimodal_ppm_sobel_energy(spark, sf_dir):
         "doc_id long, width long, height long, n_interior long, "
         "grad_energy long",
     )
+
+
+@register(
+    "multimodal_ppm_box_downsample",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+          FROM documents
+        ),
+        grid AS (
+          SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh,
+                 gx.x AS ox, gy.y AS oy, ch.c AS c
+          FROM dims,
+               unnest(range(w // 2)) gx(x),
+               unnest(range(h // 2)) gy(y),
+               unnest(range(3)) ch(c)
+        ),
+        dv AS (
+          SELECT doc_id, ow, oh, ox, oy, c,
+                 ((doc_id*31 + ((2*oy)*w + 2*ox)*3 + c) % 256
+                  + (doc_id*31 + ((2*oy)*w + 2*ox + 1)*3 + c) % 256
+                  + (doc_id*31 + ((2*oy + 1)*w + 2*ox)*3 + c) % 256
+                  + (doc_id*31 + ((2*oy + 1)*w + 2*ox + 1)*3 + c) % 256
+                 ) // 4 AS v
+          FROM grid
+        )
+        SELECT doc_id,
+               CAST(ow AS BIGINT) AS out_w,
+               CAST(oh AS BIGINT) AS out_h,
+               CAST(sum(v) AS BIGINT) AS checksum,
+               CAST(sum(v * (ox + 1) * (oy + 1)) AS BIGINT)
+                 AS weighted_sum
+        FROM dv GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_ppm_box_downsample(spark, sf_dir):
+    """REAL 2x box-filter image downsample over the decoded P6
+    rasters — the resize multimodal_resize_stub declares but cannot
+    execute without a codec, done here on the codec-free format: each
+    output pixel is the floor-average of its 2x2 input block per RGB
+    channel (odd edge rows/cols dropped), vectorized with strided
+    numpy slicing in one mapInPandas pass. The oracle restates the
+    downsampled raster closed-form and checks BOTH the plain pixel
+    checksum and a position-weighted sum, so an axis transpose, a
+    stride slip, or wrong edge handling breaks the hash even when the
+    plain sum collides.
+
+    Scale: map-only, O(w*h) per image — the thumbnail/preprocess
+    stage of a multimodal ingest pipeline."""
+    d = table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_ppm_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+    def downsample(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "out_w": [],
+                "out_h": [],
+                "checksum": [],
+                "weighted_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = _ppm_decode(bytes(payload))
+                a = (
+                    np.frombuffer(raster, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                oh, ow = h // 2, w // 2
+                crop = a[: 2 * oh, : 2 * ow, :]
+                dv = (
+                    crop[0::2, 0::2, :]
+                    + crop[0::2, 1::2, :]
+                    + crop[1::2, 0::2, :]
+                    + crop[1::2, 1::2, :]
+                ) // 4
+                wx = np.arange(1, ow + 1, dtype=np.int64)
+                wy = np.arange(1, oh + 1, dtype=np.int64)
+                wgrid = np.outer(wy, wx)
+                out["doc_id"].append(int(doc_id))
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["checksum"].append(int(dv.sum()))
+                out["weighted_sum"].append(
+                    int((dv.sum(axis=2) * wgrid).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        downsample,
+        "doc_id long, out_w long, out_h long, checksum long, "
+        "weighted_sum long",
+    )

@@ -1583,3 +1583,48 @@ def sql_exec_immediate(spark, sf_dir):
     )
     esc = inner.replace("'", "''")
     return spark.sql(f"EXECUTE IMMEDIATE '{esc}' USING 10")
+
+
+@register(
+    "scan_parquet_merge_schema",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                    THEN o_orderpriority END AS prio
+        FROM orders
+    """,
+)
+def scan_parquet_merge_schema(spark, sf_dir):
+    """Schema-merged parquet read (mergeSchema=true): two generations
+    of the same dataset land with DIFFERENT physical schemas — the old
+    half wrote (o_orderkey, cents), the new half added a prio column —
+    and one read reconciles them, null-filling the column the old
+    files never had. This is the reader-side half of schema evolution
+    (source_schema_evolution covers the unionByName writer side); the
+    oracle restates the merged result with the generation rule
+    inlined, so a column misalignment or a dropped null-fill breaks
+    the hash.
+
+    Scale: mergeSchema costs one footer read per FILE at planning
+    time (not a data scan) — viable per-partition, the reason
+    evolving lakehouse tables remain queryable without rewrites."""
+    import os
+
+    o = table(spark, sf_dir, "orders")
+    split = F.lit("1999-01-01").cast("timestamp_ntz")
+    base = scratch_dir("scan_parquet_merge_schema")
+    old_dir = os.path.join(base, "gen=0")
+    new_dir = os.path.join(base, "gen=1")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    o.filter(F.col("o_orderdate") < split).select(
+        "o_orderkey", cents
+    ).write.mode("overwrite").parquet(old_dir)
+    o.filter(F.col("o_orderdate") >= split).select(
+        "o_orderkey", cents, F.col("o_orderpriority").alias("prio")
+    ).write.mode("overwrite").parquet(new_dir)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(old_dir, new_dir)
+        .select("o_orderkey", "cents", "prio")
+    )

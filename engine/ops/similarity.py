@@ -2685,3 +2685,91 @@ def ml_cohens_kappa(spark, sf_dir):
         F.round((agree * n - pen).cast("double") / (n * n - pen), 6)
     )
     return out.select("n", "agree", "pe_num", kappa.alias("kappa"))
+
+
+@register(
+    "ml_psi_score_drift",
+    oracle="""
+        WITH s0 AS (
+          SELECT CAST(list_extract(embedding, 1) AS DOUBLE) AS x,
+                 CAST(vec_id % 5 = 0 AS BIGINT) AS is_test
+          FROM embeddings
+        ),
+        mm AS (SELECT min(x) AS lo, max(x) AS hi FROM s0),
+        b AS (
+          SELECT least(9, CAST(floor((x - lo) / (hi - lo) * 10)
+                               AS BIGINT)) AS bin,
+                 is_test
+          FROM s0, mm
+        ),
+        cnt AS (
+          SELECT bin,
+                 CAST(count(*) FILTER (WHERE is_test = 0) AS BIGINT)
+                   AS n_train,
+                 CAST(count(*) FILTER (WHERE is_test = 1) AS BIGINT)
+                   AS n_test
+          FROM b GROUP BY bin
+        ),
+        t AS (
+          SELECT CAST(sum(n_train) AS BIGINT) AS nt,
+                 CAST(sum(n_test) AS BIGINT) AS ns
+          FROM cnt
+        ),
+        terms AS (
+          SELECT bin, n_train, n_test,
+                 CAST(round(1000000.0
+                   * ((CAST(n_train AS DOUBLE) + 0.5) / (t.nt + 5.0)
+                      - (CAST(n_test AS DOUBLE) + 0.5) / (t.ns + 5.0))
+                   * ln(((CAST(n_train AS DOUBLE) + 0.5) / (t.nt + 5.0))
+                        / ((CAST(n_test AS DOUBLE) + 0.5)
+                           / (t.ns + 5.0)))) AS BIGINT) AS u
+          FROM cnt, t
+        )
+        SELECT CAST(sum(n_train) AS BIGINT) AS n_train,
+               CAST(sum(n_test) AS BIGINT) AS n_test,
+               round(CAST(sum(u) AS DOUBLE) / 1000000.0, 6) AS psi
+        FROM terms
+    """,
+)
+def ml_psi_score_drift(spark, sf_dir):
+    """Population Stability Index between the train and held-out score
+    distributions (split = vec_id % 5, the same hash-split family the
+    CV op uses): PSI = sum over bins of (p_i − q_i) ln(p_i/q_i) with
+    additive (+0.5 per bin) smoothing so empty bins stay finite — the
+    model-monitoring drift alarm (rule of thumb: PSI > 0.2 means the
+    scoring population has shifted). Bin terms are micro-nat-quantized
+    to int64 before the sum; smoothing constants are identical
+    literals in both engines.
+
+    Scale: one global min/max, one 10-key conditional rollup, one
+    10-row fold — scan-bound."""
+    em = table(spark, sf_dir, "embeddings")
+    s0 = em.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        (F.col("vec_id") % 5 == 0).cast("long").alias("is_test"),
+    )
+    mm = s0.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    norm = (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    b = s0.crossJoin(F.broadcast(mm)).select(
+        F.least(F.lit(9), F.floor(norm * 10).cast("long")).alias("bin"),
+        "is_test",
+    )
+    cnt = b.groupBy("bin").agg(
+        F.count_if(F.col("is_test") == 0).alias("n_train"),
+        F.count_if(F.col("is_test") == 1).alias("n_test"),
+    )
+    t = cnt.agg(
+        F.sum("n_train").alias("nt"), F.sum("n_test").alias("ns")
+    )
+    p = (F.col("n_train").cast("double") + 0.5) / (F.col("nt") + 5.0)
+    q = (F.col("n_test").cast("double") + 0.5) / (F.col("ns") + 5.0)
+    terms = cnt.crossJoin(F.broadcast(t)).select(
+        "n_train",
+        "n_test",
+        F.round(1000000.0 * (p - q) * F.log(p / q)).cast("long").alias("u"),
+    )
+    return terms.agg(
+        F.sum("n_train").alias("n_train"),
+        F.sum("n_test").alias("n_test"),
+        F.round(F.sum("u").cast("double") / 1000000.0, 6).alias("psi"),
+    )
