@@ -4221,3 +4221,84 @@ def stat_runs_test(spark, sf_dir):
         F.round(er, 6).alias("expected_runs"),
         F.round((nr - er) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '{DID_SPLIT}'
+                          THEN CAST(round(value) AS BIGINT) ELSE 0 END)
+                      AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN ts >= TIMESTAMP '{DID_SPLIT}'
+                          THEN CAST(round(value) AS BIGINT) ELSE 0 END)
+                      AS BIGINT) AS y
+          FROM events GROUP BY user_id
+        ),
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM u
+        )
+        SELECT n AS n_users,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx), 6) AS theta,
+               round(
+                 ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6)
+                 AS var_reduction
+        FROM t
+    """,
+)
+def events_cuped_adjustment(spark, sf_dir):
+    """CUPED (controlled-experiment using pre-experiment data): the
+    variance-reduction workhorse of modern A/B platforms. Per user,
+    X = pre-period and Y = post-period dollar totals (same DID_SPLIT
+    as the uplift op); theta = cov(X,Y)/var(X) is the optimal linear
+    adjustment, and the achievable variance reduction equals rho² —
+    both computed from ONE pass of exact int64 user-level sums, with
+    the n-scaled cross products cast to double BEFORE multiplying
+    (cents-level sums of squares would overflow int64 at bench scale;
+    dollars hold — same unit discipline as stat_anova_f).
+
+    Scale: one keyed rollup to users, one scalar co-moment fold —
+    scan-bound, the cheapest variance win an experimentation platform
+    ever gets."""
+    e = table(spark, sf_dir, "events")
+    split = F.lit(DID_SPLIT).cast("timestamp_ntz")
+    dollars = F.round(F.col("value")).cast("long")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, dollars).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= split, dollars).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    t = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = n * F.col("sxy") - sx * F.col("sy")
+    varx_n = n * F.col("sxx") - sx * F.col("sx")
+    vary_n = n * F.col("syy") - sy * F.col("sy")
+    return t.select(
+        F.col("n").alias("n_users"),
+        F.round(cov_n / varx_n, 6).alias("theta"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias(
+            "var_reduction"
+        ),
+    )

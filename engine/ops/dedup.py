@@ -1254,3 +1254,55 @@ def graph_adamic_adar(spark, sf_dir):
     return aa.orderBy(
         F.desc("aa_micro"), F.asc("doc_a"), F.asc("doc_b")
     ).limit(20)
+
+
+KCORE_K = 2
+KCORE_MAX_ITERS = 20
+
+
+@register("graph_kcore")  # rows-only: iterative peeling; replica-tested
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (k=2) of the near-dup document graph:
+    iteratively peel nodes with degree < k until the fixpoint — the
+    remaining maximal subgraph where every node keeps >= k neighbors,
+    the standard dense-region extractor (spam rings, tight duplicate
+    communities) that degree centrality alone cannot find. Each round
+    recomputes induced degrees with one join + groupBy and
+    localCheckpoints the shrinking node set; convergence is detected
+    by node-count stability (peeling is monotone decreasing).
+    tests/test_llm_ops.py recomputes the peel in pure Python from the
+    exact pair list and compares node-by-node.
+
+    Scale: the iterative-join family shape shared with
+    dedup_cluster_cc — O(diameter-ish) rounds, each one keyed shuffle
+    of the surviving edge set; production variant peels all k
+    simultaneously (core-number propagation), same per-round cost."""
+    edges = _neardup_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_n = None
+    for _ in range(KCORE_MAX_ITERS):
+        alive = edges.join(
+            nodes.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a"
+        ).join(nodes.withColumnsRenamed({"doc_id": "doc_b"}), "doc_b")
+        deg = alive.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+        nodes = (
+            deg.filter(F.col("deg") >= KCORE_K)
+            .select(F.col("doc_a").alias("doc_id"))
+            .localCheckpoint()
+        )
+        n = nodes.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    alive = edges.join(
+        nodes.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a"
+    ).join(nodes.withColumnsRenamed({"doc_id": "doc_b"}), "doc_b")
+    return (
+        alive.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("doc_id")
+    )

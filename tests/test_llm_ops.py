@@ -648,3 +648,36 @@ def test_compression_ratio_matches_python_replica(spark):
             2 * len(raw) + 1
         )
         assert doubled < len(zlib.compress(raw, 6)) / len(raw)
+
+
+def test_kcore_matches_python_replica(spark):
+    """graph_kcore must equal a pure-Python peel of the exact
+    near-dup pair list: same surviving node set AND same induced
+    degrees at the fixpoint."""
+    from collections import defaultdict
+
+    from engine.ops.dedup import KCORE_K, graph_kcore
+    from engine.ops.dedup import dedup_ngram_jaccard
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, T2_SF_DIR)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = set(adj)
+    while True:
+        drop = {v for v in nodes if len(adj[v] & nodes) < KCORE_K}
+        if not drop:
+            break
+        nodes -= drop
+    want = {v: len(adj[v] & nodes) for v in sorted(nodes)}
+    got = {
+        r["doc_id"]: r["core_degree"]
+        for r in graph_kcore(spark, T2_SF_DIR).collect()
+    }
+    assert got == want
