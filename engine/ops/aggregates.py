@@ -4302,3 +4302,81 @@ def events_cuped_adjustment(spark, sf_dir):
             "var_reduction"
         ),
     )
+
+
+@register(
+    "stat_ratio_delta_method",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(user_id % 2 = 0 AS INT) AS treat,
+                 count(*) AS x,
+                 CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT treat,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM u GROUP BY treat
+        )
+        SELECT treat, n,
+               round(CAST(sy AS DOUBLE) / sx, 6) AS ratio,
+               round(sqrt(greatest(0.0,
+                 (CAST(n AS DOUBLE) / ((n - 1.0) * sx * sx))
+                 * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                    - 2.0 * (CAST(sy AS DOUBLE) / sx)
+                      * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+                      * (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+               )), 6) AS se_delta
+        FROM t
+    """,
+)
+def stat_ratio_delta_method(spark, sf_dir):
+    """Delta-method standard error for a RATIO metric (dollars per
+    event) per experiment arm — the correction every experimentation
+    platform needs because users, not events, are the randomization
+    unit, so naive per-event SEs are wrong. With user-level (x =
+    events, y = dollars): ratio = sum(y)/sum(x) and
+    Var ≈ n/((n−1)·sx²) · (Syy − 2R·Sxy + R²·Sxx) over user-level
+    centered co-moments — all derived from ONE pass of exact int64
+    sums, squared/centered in identical double expressions (dollar
+    units for int64 headroom, as in events_cuped_adjustment).
+
+    Scale: one keyed rollup to users + a 2-row fold — scan-bound."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id",
+        (F.col("user_id") % 2 == 0).cast("int").alias("treat"),
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("value")).cast("long")).alias("y"),
+    )
+    t = u.groupBy("treat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = sy_d / F.col("sx")
+    syy_c = F.col("syy").cast("double") - sy_d * F.col("sy") / F.col("n")
+    sxy_c = F.col("sxy").cast("double") - sx_d * F.col("sy") / F.col("n")
+    sxx_c = F.col("sxx").cast("double") - sx_d * F.col("sx") / F.col("n")
+    var = (n / ((F.col("n") - 1.0) * F.col("sx") * F.col("sx"))) * (
+        syy_c - 2.0 * r * sxy_c + r * r * sxx_c
+    )
+    return t.select(
+        "treat",
+        "n",
+        F.round(r, 6).alias("ratio"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), var)), 6).alias("se_delta"),
+    )

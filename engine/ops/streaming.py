@@ -1466,3 +1466,113 @@ def stream_foreachbatch_incremental_mv(spark, sf_dir):
         )
     with open(ptr) as f:
         return spark.read.schema(MV_STATE_SCHEMA).parquet(f.read().strip())
+
+
+@register(
+    "stream_dead_letter_split",
+    oracle="""
+        SELECT 'ok' AS kind, event_id AS rec_id, user_id AS uid,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 13 <> 0
+        UNION ALL
+        SELECT 'dlq' AS kind, event_id AS rec_id,
+               CAST(NULL AS BIGINT) AS uid, CAST(NULL AS BIGINT) AS cents
+        FROM events WHERE event_id % 13 = 0
+    """,
+)
+def stream_dead_letter_split(spark, sf_dir):
+    """Dead-letter-queue routing in ONE streaming query: a text feed
+    where every 13th record is malformed ("corrupt_<id>", missing
+    fields) is parsed per micro-batch inside foreachBatch; rows that
+    parse land in the MAIN parquet sink, rows that don't land in the
+    DLQ sink with their record id recovered from the raw line — no
+    record is dropped and no bad record poisons the main table, the
+    invariant every production ingest pipeline needs. The oracle
+    restates BOTH sinks closed-form from events (valid rows parsed
+    field-for-field, corrupt rows as dlq with NULL fields), so a
+    swallowed record, a mis-routed row, or a double-write on either
+    sink breaks the value hash.
+
+    Scale: the split is one filter per batch (no second parse pass);
+    both sinks append — O(batch) per trigger with the DLQ normally
+    near-empty."""
+    import os
+
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_dead_letter_split")
+    src = os.path.join(base, "src")
+    main_dir = os.path.join(base, "main")
+    dlq_dir = os.path.join(base, "dlq")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    e = table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 13 == 0,
+        F.concat(F.lit("corrupt_"), F.col("event_id").cast("string")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        )
+    )
+    pdf = e.orderBy("event_id").select(line.alias("value")).toPandas()
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        with open(os.path.join(src, f"chunk_{i}.txt"), "w") as f:
+            f.write("\n".join(pdf["value"][i * step : (i + 1) * step]) + "\n")
+
+    schema = "kind string, rec_id long, uid long, cents long"
+
+    def route(batch_df, batch_id):
+        parts = F.split(F.col("value"), ",")
+        parsed = batch_df.select(
+            F.col("value"),
+            parts.getItem(0).try_cast("long").alias("rec_id"),
+            F.when(
+                F.size(parts) == 3, parts.getItem(1).try_cast("long")
+            ).alias("uid"),
+            F.when(
+                F.size(parts) == 3, parts.getItem(2).try_cast("long")
+            ).alias("cents"),
+        )
+        ok = parsed.filter(
+            F.col("rec_id").isNotNull()
+            & F.col("uid").isNotNull()
+            & F.col("cents").isNotNull()
+        ).select(F.lit("ok").alias("kind"), "rec_id", "uid", "cents")
+        dlq = parsed.filter(
+            F.col("rec_id").isNull()
+            | F.col("uid").isNull()
+            | F.col("cents").isNull()
+        ).select(
+            F.lit("dlq").alias("kind"),
+            F.regexp_extract("value", r"corrupt_(\d+)", 1)
+            .cast("long")
+            .alias("rec_id"),
+            F.lit(None).cast("long").alias("uid"),
+            F.lit(None).cast("long").alias("cents"),
+        )
+        ok.write.mode("append").parquet(main_dir)
+        dlq.write.mode("append").parquet(dlq_dir)
+
+    q = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_dead_letter_split: availableNow query exceeded 300s"
+        )
+    main = spark.read.schema(schema).parquet(main_dir)
+    dlq = spark.read.schema(schema).parquet(dlq_dir)
+    return main.unionByName(dlq)
