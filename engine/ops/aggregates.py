@@ -4380,3 +4380,81 @@ def stat_ratio_delta_method(spark, sf_dir):
         F.round(r, 6).alias("ratio"),
         F.round(F.sqrt(F.greatest(F.lit(0.0), var)), 6).alias("se_delta"),
     )
+
+
+MIGRATION_SPLIT = "1999-01-01"
+SEG_LO_CENTS = 50000000  # $500k
+SEG_HI_CENTS = 120000000  # $1.2M
+
+
+@register(
+    "orders_customer_migration_matrix",
+    oracle=f"""
+        WITH s AS (
+          SELECT o_custkey,
+                 CAST(o_orderdate >= TIMESTAMP '{MIGRATION_SPLIT}' AS INT)
+                   AS p,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2
+        ),
+        seg AS (
+          SELECT o_custkey, p,
+                 CASE WHEN cents >= {SEG_HI_CENTS} THEN 'high'
+                      WHEN cents >= {SEG_LO_CENTS} THEN 'mid'
+                      ELSE 'low' END AS segment
+          FROM s
+        ),
+        m AS (
+          SELECT coalesce(a.segment, 'absent') AS seg_pre,
+                 coalesce(b.segment, 'absent') AS seg_post
+          FROM (SELECT o_custkey, segment FROM seg WHERE p = 0) a
+          FULL JOIN (SELECT o_custkey, segment FROM seg WHERE p = 1) b
+            ON a.o_custkey = b.o_custkey
+        )
+        SELECT seg_pre, seg_post, count(*) AS n_customers
+        FROM m GROUP BY 1, 2
+    """,
+)
+def orders_customer_migration_matrix(spark, sf_dir):
+    """Customer value-segment migration matrix across two periods —
+    the retention/upgrade report behind "are our high-value customers
+    downgrading?": per period each customer lands in a fixed-cutoff
+    spend band (documented dollar thresholds; fixed cutoffs keep the
+    matrix comparable period over period, unlike quantile bands that
+    move with the distribution), a FULL outer join aligns the
+    periods, and absences map to an explicit 'absent' state so churn
+    and acquisition appear as matrix rows/columns rather than
+    vanishing.
+
+    Scale: two keyed rollups + one customer-keyed full join + a
+    16-cell rollup — all map-side-combinable or key-partitioned."""
+    o = table(spark, sf_dir, "orders")
+    split = F.lit(MIGRATION_SPLIT).cast("timestamp_ntz")
+    s = o.groupBy(
+        "o_custkey",
+        (F.col("o_orderdate") >= split).cast("int").alias("p"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    seg = s.select(
+        "o_custkey",
+        "p",
+        F.when(F.col("cents") >= SEG_HI_CENTS, "high")
+        .when(F.col("cents") >= SEG_LO_CENTS, "mid")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("p") == 0).select(
+        "o_custkey", F.col("segment").alias("sa")
+    )
+    b = seg.filter(F.col("p") == 1).select(
+        "o_custkey", F.col("segment").alias("sb")
+    )
+    m = a.join(b, "o_custkey", "full")
+    return m.groupBy(
+        F.coalesce(F.col("sa"), F.lit("absent")).alias("seg_pre"),
+        F.coalesce(F.col("sb"), F.lit("absent")).alias("seg_post"),
+    ).agg(F.count(F.lit(1)).alias("n_customers"))

@@ -904,3 +904,94 @@ def multimodal_ppm_box_downsample(spark, sf_dir):
         "doc_id long, out_w long, out_h long, checksum long, "
         "weighted_sum long",
     )
+
+
+@register(
+    "multimodal_ppm_histogram_entropy",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, w * h AS n,
+                 (((doc_id*31 + r.k*3 + 0) % 256)
+                  + ((doc_id*31 + r.k*3 + 1) % 256)
+                  + ((doc_id*31 + r.k*3 + 2) % 256)) // 3 AS gray
+          FROM dims, unnest(range(w*h)) r(k)
+        ),
+        hist AS (
+          SELECT doc_id, n, gray, count(*) AS c
+          FROM px GROUP BY 1, 2, 3
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_levels,
+               round(-CAST(sum(CAST(round(1000000.0
+                       * (CAST(c AS DOUBLE) / n)
+                       * ln(CAST(c AS DOUBLE) / n)) AS BIGINT))
+                     AS DOUBLE) / 1000000.0, 6) AS entropy_nats
+        FROM hist GROUP BY doc_id
+    """,
+)
+def multimodal_ppm_histogram_entropy(spark, sf_dir):
+    """Grayscale histogram entropy per image over the REAL decoder —
+    the texture/contrast feature (flat images score low, noisy ones
+    approach ln(levels)) computed from the genuine P6 bytes: decode,
+    integer-grayscale, per-image level histogram via numpy bincount,
+    then micro-nat-quantized -sum(p ln p). The oracle restates the
+    histogram closed-form from doc_id, so a decode slip or an
+    off-by-one in the level binning breaks the hash.
+
+    Scale: one Arrow-batched map-only pass, O(w*h) per image plus a
+    256-bin fold — the cheap image-quality screen of a multimodal
+    ingest tier."""
+    import math
+
+    d = table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_ppm_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+    def entropy(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_levels": [], "entropy_nats": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = _ppm_decode(bytes(payload))
+                a = (
+                    np.frombuffer(raster, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h * w, 3)
+                )
+                gray = (a[:, 0] + a[:, 1] + a[:, 2]) // 3
+                counts = np.bincount(gray)
+                counts = counts[counts > 0]
+                n = float(h * w)
+                u = 0
+                for c in counts:
+                    p = float(c) / n
+                    t = 1000000.0 * p * math.log(p)
+                    # DuckDB round() is half-away-from-zero; terms are
+                    # negative, so mirror it explicitly
+                    u += -int(math.floor(abs(t) + 0.5))
+                out["doc_id"].append(int(doc_id))
+                out["n_levels"].append(int(len(counts)))
+                out["entropy_nats"].append(
+                    math.floor((-u / 1000000.0) * 1e6 + 0.5) / 1e6
+                )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        entropy, "doc_id long, n_levels long, entropy_nats double"
+    )

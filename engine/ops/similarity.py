@@ -2773,3 +2773,138 @@ def ml_psi_score_drift(spark, sf_dir):
         F.sum("n_test").alias("n_test"),
         F.round(F.sum("u").cast("double") / 1000000.0, 6).alias("psi"),
     )
+
+
+@register(
+    "ml_learning_curve_subsample",
+    oracle="""
+        WITH ex AS (
+          SELECT vec_id, label, vec_id % 5 AS fold, CAST(i AS INT) AS pos,
+                 CAST(list_extract(embedding, i) AS DOUBLE) AS val
+          FROM embeddings, range(1, 65) AS t(i)
+        ),
+        ks AS (SELECT CAST(k AS BIGINT) AS k FROM range(1, 5) t(k)),
+        fsum AS (
+          SELECT fold, label, pos,
+                 CAST(sum(CAST(round(val * 1000000) AS BIGINT))
+                      AS BIGINT) AS sf,
+                 count(*) AS nf
+          FROM ex GROUP BY 1, 2, 3
+        ),
+        cent AS (
+          SELECT ks.k, fsum.label AS c_label, fsum.pos,
+                 (CAST(CAST(sum(sf) AS BIGINT) AS DOUBLE)
+                  / CAST(sum(nf) AS BIGINT)) / 1000000.0 AS c,
+                 CAST(sum(nf) AS BIGINT) AS n_dim_rows
+          FROM ks JOIN fsum ON fsum.fold < ks.k
+          GROUP BY 1, 2, 3
+        ),
+        q AS (SELECT * FROM ex WHERE fold = 4),
+        d AS (
+          SELECT cent.k, q.vec_id, q.label, cent.c_label,
+                 CAST(sum(CAST(round((q.val - cent.c) * (q.val - cent.c)
+                                     * 1000000000) AS BIGINT))
+                      AS BIGINT) AS d2
+          FROM q JOIN cent ON cent.pos = q.pos
+          GROUP BY 1, 2, 3, 4
+        ),
+        pred AS (
+          SELECT k, vec_id, label, c_label AS predicted FROM (
+            SELECT *, row_number() OVER (PARTITION BY k, vec_id
+                                         ORDER BY d2, c_label) AS rn
+            FROM d
+          ) WHERE rn = 1
+        ),
+        tr AS (
+          SELECT ks.k, CAST(count(DISTINCT e.vec_id) AS BIGINT)
+                   AS n_train
+          FROM ks JOIN (SELECT DISTINCT vec_id, fold FROM ex) e
+            ON e.fold < ks.k
+          GROUP BY 1
+        )
+        SELECT pred.k AS k_folds_train, tr.n_train,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(count(*) FILTER (WHERE predicted = label) AS BIGINT)
+                 AS n_correct,
+               round(CAST(count(*) FILTER (WHERE predicted = label)
+                          AS DOUBLE) / count(*), 6) AS accuracy
+        FROM pred JOIN tr ON pred.k = tr.k
+        GROUP BY 1, 2
+    """,
+)
+def ml_learning_curve_subsample(spark, sf_dir):
+    """Learning curve for the nearest-centroid classifier: train on a
+    growing prefix of folds (k = 1..4 of the vec_id %% 5 split),
+    always evaluate on the held-out fold 4, and report accuracy vs
+    training-set size — the "do we need more data?" diagnostic. As
+    with the CV op, no model is retrained per point: centroids for
+    every k come from ONE fold-level integer sum table aggregated
+    cumulatively (fold < k), so the whole curve costs two
+    map-side-combinable passes plus a broadcast-dim scoring join.
+
+    Scale: O(N*d) for the sums + O(|test|*d*k*points) scoring — the
+    curve is nearly free relative to a single training epoch."""
+    em = table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 5).alias("fold"),
+        F.posexplode("embedding").alias("pos0", "val_raw"),
+    ).select(
+        "vec_id",
+        "label",
+        "fold",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_raw").cast("double").alias("val"),
+    )
+    ks = spark.range(1, 5).select(F.col("id").alias("k"))
+    fsum = ex.groupBy("fold", "label", "pos").agg(
+        F.sum(F.round(F.col("val") * 1000000).cast("long")).alias("sf"),
+        F.count(F.lit(1)).alias("nf"),
+    )
+    cent = (
+        F.broadcast(ks)
+        .join(fsum, fsum.fold < ks.k)
+        .groupBy("k", F.col("label").alias("c_label"), "pos")
+        .agg(
+            (
+                (F.sum("sf").cast("double") / F.sum("nf")) / 1000000.0
+            ).alias("c")
+        )
+    )
+    q = ex.filter(F.col("fold") == 4)
+    diff = F.col("val") - F.col("c")
+    d = (
+        q.join(F.broadcast(cent), "pos")
+        .groupBy("k", "vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                F.round(diff * diff * 1000000000).cast("long")
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("k", "vec_id").orderBy("d2", "c_label")
+    pred = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "vec_id", "label", F.col("c_label").alias("predicted"))
+    )
+    folds = ex.select("vec_id", "fold").distinct()
+    tr = (
+        F.broadcast(ks.withColumnsRenamed({"k": "k2"}))
+        .join(folds, folds.fold < F.col("k2"))
+        .groupBy(F.col("k2").alias("k"))
+        .agg(F.countDistinct("vec_id").alias("n_train"))
+    )
+    correct = F.count_if(F.col("predicted") == F.col("label"))
+    return (
+        pred.join(tr, "k")
+        .groupBy(F.col("k").alias("k_folds_train"), "n_train")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            correct.alias("n_correct"),
+            F.round(
+                correct.cast("double") / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+        )
+    )
