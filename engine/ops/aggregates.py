@@ -4458,3 +4458,69 @@ def orders_customer_migration_matrix(spark, sf_dir):
         F.coalesce(F.col("sa"), F.lit("absent")).alias("seg_pre"),
         F.coalesce(F.col("sb"), F.lit("absent")).alias("seg_post"),
     ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "events_seasonal_zscore",
+    oracle="""
+        WITH h AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(hour(ts) AS INT) AS hod,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT hod,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(sum(c * c) AS BIGINT) AS ss
+          FROM h GROUP BY hod
+        )
+        SELECT CAST(h.day AS VARCHAR) AS day, h.hod, h.c AS n_events,
+               CASE WHEN base.n * base.ss - base.s * base.s = 0 THEN NULL
+                    ELSE round(
+                      (CAST(h.c AS DOUBLE) * base.n - base.s)
+                      / sqrt(CAST(base.n * base.ss - base.s * base.s
+                                  AS DOUBLE)), 6)
+               END AS seasonal_z
+        FROM h JOIN base ON h.hod = base.hod
+    """,
+)
+def events_seasonal_zscore(spark, sf_dir):
+    """Seasonally-conditioned anomaly score: each (day, hour) count is
+    z-scored against the SAME-HOUR-OF-DAY baseline across all days —
+    3 AM traffic is judged against other 3 AMs, not the daily mean,
+    which is what makes nightly spikes visible and lunchtime peaks
+    unremarkable. Spelled shuffle-order-proof: per-hour-of-day
+    baseline moments are exact int64 sums, and the z-score is one
+    identical double expression (numerator and variance both scaled
+    by n so no intermediate mean is materialized), NULL-guarded for
+    zero-variance hours.
+
+    Scale: hourly rollup (map-side-combinable) + a 24-row broadcast
+    baseline join — scan-bound."""
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    base = h.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = h.join(F.broadcast(base), "hod")
+    varn = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z = F.when(varn == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            (F.col("c").cast("double") * F.col("n") - F.col("s"))
+            / F.sqrt(varn.cast("double")),
+            6,
+        )
+    )
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        "hod",
+        F.col("c").alias("n_events"),
+        z.alias("seasonal_z"),
+    )

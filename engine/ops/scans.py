@@ -1628,3 +1628,82 @@ def scan_parquet_merge_schema(spark, sf_dir):
         .parquet(old_dir, new_dir)
         .select("o_orderkey", "cents", "prio")
     )
+
+
+@register(
+    "sql_session_variable",
+    oracle="""
+        SELECT o_orderpriority AS prio, count(*) AS n
+        FROM orders
+        WHERE o_totalprice >= (
+          SELECT round(avg(o_totalprice)) FROM orders
+        )
+        GROUP BY 1
+    """,
+)
+def sql_session_variable(spark, sf_dir):
+    """SQL session variables (Spark 4 DECLARE / SET VAR): a scalar
+    computed once is bound to a typed session variable and referenced
+    by later statements — the multi-statement scripting state
+    mechanism (procedural cousin of sql_scripting_control_flow). The
+    variable is folded as a literal at analysis time, so the
+    consuming query plans exactly like a constant predicate.
+
+    Scale: the binding SELECT is a scalar aggregate; the consumer is
+    an ordinary pushdown-eligible scan."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("engine_var_orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE engine_avg_price DOUBLE"
+    )
+    spark.sql(
+        "SET VAR engine_avg_price = "
+        "(SELECT round(avg(o_totalprice)) FROM engine_var_orders)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS prio, count(*) AS n
+        FROM engine_var_orders
+        WHERE o_totalprice >= engine_avg_price
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "sql_try_arithmetic",
+    oracle="""
+        SELECT l_linenumber,
+               count(*) AS n,
+               CAST(sum(CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                        ELSE CAST(l_quantity AS BIGINT)
+                             // (l_linenumber - 1) END) AS BIGINT)
+                 AS sum_div,
+               CAST(count(*) FILTER (WHERE l_linenumber - 1 = 0)
+                    AS BIGINT) AS n_nulled
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def sql_try_arithmetic(spark, sf_dir):
+    """try_* arithmetic under ANSI mode (Spark 4 default): ANSI makes
+    x/0 and overflow THROW mid-job — correct for catching bugs,
+    fatal for a 100 TB batch job that dies at hour three on one bad
+    row. try_divide returns NULL instead, turning poison rows into
+    auditable NULL counts (same philosophy as cast_try_safe for
+    casts and the DLQ sink for records). The divisor l_linenumber−1
+    hits zero on every first-line row, so the NULL path is genuinely
+    exercised (and stays non-negative — floor and truncation agree); the oracle restates NULL-on-zero with an explicit
+    CASE.
+
+    Scale: map-only codegen arithmetic — zero overhead over plain
+    division."""
+    li = table(spark, sf_dir, "lineitem")
+    div = F.expr(
+        "try_divide(CAST(l_quantity AS BIGINT), l_linenumber - 1)"
+    )
+    return li.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(div)).cast("long").alias("sum_div"),
+        F.count_if(F.col("l_linenumber") - 1 == 0).alias("n_nulled"),
+    )

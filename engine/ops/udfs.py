@@ -389,3 +389,72 @@ def udf_pandas_scalar_iter(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", score("n_chars").alias("scored"))
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+        WITH p AS (
+          SELECT user_id, count(*) AS n_purchases, min(ts) AS first_p
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        v AS (
+          SELECT user_id, count(*) AS n_views, min(ts) AS first_v
+          FROM events WHERE event_type = 'view' GROUP BY 1
+        )
+        SELECT coalesce(p.user_id, v.user_id) AS user_id,
+               CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+               CAST(coalesce(v.n_views, 0) AS BIGINT) AS n_views,
+               CASE WHEN p.user_id IS NULL OR v.user_id IS NULL THEN NULL
+                    ELSE p.first_p <= v.first_v END AS purchased_first
+        FROM p FULL JOIN v ON p.user_id = v.user_id
+    """,
+)
+def udf_cogrouped_map(spark, sf_dir):
+    """Cogrouped-map pandas UDF — the LAST applyInPandas family member
+    (groupBy().cogroup().applyInPandas): two DataFrames grouped on the
+    same key arrive as a PAIR of pandas frames per key, the shape for
+    per-key custom merges (as-of alignment, feature joins with
+    imperative logic) that a SQL join cannot express row-wise. Here
+    each user's purchase and view frames are merged into counts plus
+    a which-came-first flag, with one side legitimately EMPTY for
+    users missing from it — the cogroup contract the oracle's FULL
+    JOIN restates closed-form.
+
+    Scale: one co-shuffle on the key, then Arrow-batched per-key
+    Python; cost is the same keyed exchange a join would pay plus the
+    Python boundary — the mandated-surface demonstration, with the
+    all-JVM spelling in the oracle."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+
+    def merge(pk, pdf_a, pdf_b):
+        import pandas as _pd
+
+        uid = int(pk[0])
+        n_a, n_b = len(pdf_a), len(pdf_b)
+        if n_a and n_b:
+            first = bool(pdf_a["ts"].min() <= pdf_b["ts"].min())
+        else:
+            first = None
+        return _pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [n_a],
+                "n_views": [n_b],
+                "purchased_first": [first],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_purchases long, n_views long, "
+            "purchased_first boolean",
+        )
+    )
