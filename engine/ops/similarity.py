@@ -2908,3 +2908,70 @@ def ml_learning_curve_subsample(spark, sf_dir):
             ).alias("accuracy"),
         )
     )
+
+
+@register(
+    "ml_mrr_at_k",
+    oracle=f"""
+        WITH r AS ({{TOPK}}),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        rel AS (
+          SELECT r.q_id, r.rank
+          FROM r
+          JOIN lab lq ON r.q_id = lq.vec_id
+          JOIN lab lc ON r.c_id = lc.vec_id
+          WHERE lq.label = lc.label
+        ),
+        fr AS (
+          SELECT q_id, CAST(min(rank) AS BIGINT) AS first_rank
+          FROM rel GROUP BY 1
+        ),
+        allq AS (SELECT DISTINCT q_id FROM r)
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(count(fr.first_rank) AS BIGINT) AS n_hit,
+               round(CAST(sum(CASE WHEN fr.first_rank IS NULL THEN 0
+                          ELSE CAST(round(1000000.0 / fr.first_rank)
+                                    AS BIGINT) END) AS DOUBLE)
+                     / count(*) / 1000000.0, 6) AS mrr
+        FROM allq LEFT JOIN fr ON allq.q_id = fr.q_id
+    """.replace("{TOPK}", TOPK_SQL),
+)
+def ml_mrr_at_k(spark, sf_dir):
+    """Mean reciprocal rank @ k of the exact retrieval against
+    same-label relevance — the metric for "how far down is the FIRST
+    right answer", the standard for known-item search and RAG
+    retrieval. Reciprocal ranks are micro-quantized to int64 before
+    the mean (k is tiny so 1/rank has few distinct values; quantizing
+    keeps the sum shuffle-order-proof), probes with no relevant
+    neighbor in the top k contribute 0, and every probe stays in the
+    denominator via the probe-spine LEFT join.
+
+    Scale: O(retrieval output) like the other rank metrics."""
+    em = table(spark, sf_dir, "embeddings")
+    lab = em.select("vec_id", "label")
+    r = sim_search_topk(spark, sf_dir)
+    rel = (
+        r.join(
+            lab.withColumnsRenamed({"vec_id": "q_id", "label": "q_lab"}),
+            "q_id",
+        )
+        .join(
+            lab.withColumnsRenamed({"vec_id": "c_id", "label": "c_lab"}),
+            "c_id",
+        )
+        .filter(F.col("q_lab") == F.col("c_lab"))
+        .select("q_id", "rank")
+    )
+    fr = rel.groupBy("q_id").agg(F.min("rank").alias("first_rank"))
+    allq = r.select("q_id").distinct()
+    j = allq.join(fr, "q_id", "left")
+    rr_u = F.when(F.col("first_rank").isNull(), F.lit(0)).otherwise(
+        F.round(1000000.0 / F.col("first_rank")).cast("long")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count("first_rank").alias("n_hit"),
+        F.round(
+            F.sum(rr_u).cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mrr"),
+    )

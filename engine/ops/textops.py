@@ -2621,3 +2621,149 @@ def text_msttr_diversity(spark, sf_dir):
             F.sum("n_types").cast("double") / F.count(F.lit(1)) / 50.0, 6
         ).alias("msttr"),
     )
+
+
+@register(
+    "text_bleu_pair_overlap",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        AS shingle
+               FROM t, unnest(range(1, len(toks)-1)) r(i)),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM prs JOIN sz sa ON doc_a = sa.doc_id
+                  JOIN sz sb ON doc_b = sb.doc_id
+          WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
+        ),
+        uni AS (SELECT doc_id, unnest(toks) AS g FROM t),
+        u1 AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+        len1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+                 FROM u1 GROUP BY 1),
+        bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+               FROM t, unnest(range(1, len(toks))) r(i)),
+        u2 AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+        len2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+                 FROM u2 GROUP BY 1),
+        clip1 AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+          FROM pairs p
+          JOIN u1 a ON a.doc_id = p.doc_a
+          JOIN u1 b ON b.doc_id = p.doc_b AND b.g = a.g
+          GROUP BY 1, 2
+        ),
+        clip2 AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+          FROM pairs p
+          JOIN u2 a ON a.doc_id = p.doc_a
+          JOIN u2 b ON b.doc_id = p.doc_b AND b.g = a.g
+          GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b,
+               round(CAST(coalesce(c1.m, 0) AS DOUBLE) / l1a.n, 6) AS p1,
+               round(CAST(coalesce(c2.m, 0) AS DOUBLE) / l2a.n, 6) AS p2,
+               round(CASE WHEN l1a.n >= l1b.n THEN 1.0
+                          ELSE exp(1.0 - CAST(l1b.n AS DOUBLE) / l1a.n)
+                     END, 6) AS brevity_penalty,
+               round(CASE WHEN l1a.n >= l1b.n THEN 1.0
+                          ELSE exp(1.0 - CAST(l1b.n AS DOUBLE) / l1a.n)
+                     END
+                     * sqrt((CAST(coalesce(c1.m, 0) AS DOUBLE) / l1a.n)
+                            * (CAST(coalesce(c2.m, 0) AS DOUBLE)
+                               / l2a.n)), 6) AS bleu2
+        FROM pairs p
+        JOIN len1 l1a ON l1a.doc_id = p.doc_a
+        JOIN len1 l1b ON l1b.doc_id = p.doc_b
+        JOIN len2 l2a ON l2a.doc_id = p.doc_a
+        LEFT JOIN clip1 c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b
+        LEFT JOIN clip2 c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b
+    """,
+)
+def text_bleu_pair_overlap(spark, sf_dir):
+    """BLEU-2 between each near-duplicate pair (lower doc_id as
+    candidate, higher as reference) — the generation-eval metric
+    family applied to the dedup pipeline's own pairs: clipped unigram
+    and bigram precision (counts clipped at the reference's count,
+    the anti-gaming core of BLEU), the brevity penalty for short
+    candidates, and their geometric mean via sqrt (no ln round-trip).
+    All counts are exact int64; only the final precision ratios, the
+    BP exponential, and the sqrt are doubles — identical expressions
+    both engines, 6 dp.
+
+    Scale: n-gram count tables are map-side-combinable; the clipped
+    intersection is a pairs-driven join on (gram), so cost is
+    O(pairs * shared-vocab), never corpus-quadratic — the pair list
+    is the (already-bucketed) dedup output."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    toks = F.split("text", " ")
+    uni = d.select("doc_id", F.explode(toks).alias("g"))
+    u1 = uni.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    len1 = u1.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, "
+                "size(split(text, ' ')) - 1), "
+                "(x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    u2 = big.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    len2 = u2.groupBy("doc_id").agg(F.sum("c").alias("n"))
+
+    def clipped(u):
+        a = u.withColumnsRenamed({"doc_id": "doc_a", "c": "ca"})
+        b = u.withColumnsRenamed({"doc_id": "doc_b", "c": "cb"})
+        return (
+            pairs.join(a, "doc_a")
+            .join(b, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).alias("m"))
+        )
+
+    c1 = clipped(u1).withColumnsRenamed({"m": "m1"})
+    c2 = clipped(u2).withColumnsRenamed({"m": "m2"})
+    l1a = len1.withColumnsRenamed({"doc_id": "doc_a", "n": "n1a"})
+    l1b = len1.withColumnsRenamed({"doc_id": "doc_b", "n": "n1b"})
+    l2a = len2.withColumnsRenamed({"doc_id": "doc_a", "n": "n2a"})
+    j = (
+        pairs.join(F.broadcast(l1a), "doc_a")
+        .join(F.broadcast(l1b), "doc_b")
+        .join(F.broadcast(l2a), "doc_a")
+        .join(c1, ["doc_a", "doc_b"], "left")
+        .join(c2, ["doc_a", "doc_b"], "left")
+    )
+    p1 = F.coalesce(F.col("m1"), F.lit(0)).cast("double") / F.col("n1a")
+    p2 = F.coalesce(F.col("m2"), F.lit(0)).cast("double") / F.col("n2a")
+    bp = F.when(F.col("n1a") >= F.col("n1b"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("n1b").cast("double") / F.col("n1a"))
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(bp, 6).alias("brevity_penalty"),
+        F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
+    )
+
+
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """Shared (doc_a, doc_b) near-dup pair list at the base 0.2
+    threshold, imported lazily from the dedup module to avoid a
+    circular import at package load."""
+    from .dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
