@@ -4524,3 +4524,68 @@ def events_seasonal_zscore(spark, sf_dir):
         F.col("c").alias("n_events"),
         z.alias("seasonal_z"),
     )
+
+
+@register(
+    "events_ab_srm_check",
+    oracle="""
+        WITH u AS (
+          SELECT user_id, CAST(user_id % 2 = 0 AS INT) AS treat
+          FROM events GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) FILTER (WHERE treat = 1) AS BIGINT) AS nt
+          FROM u
+        )
+        SELECT n AS n_users, nt AS n_treat, n - nt AS n_control,
+               round(
+                 (CAST(nt AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 * (CAST(nt AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 / (CAST(n AS DOUBLE) / 2)
+                 + (CAST(n - nt AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                   * (CAST(n - nt AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                   / (CAST(n AS DOUBLE) / 2), 6) AS chi2,
+               ((CAST(nt AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                * (CAST(nt AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                / (CAST(n AS DOUBLE) / 2)
+                + (CAST(n - nt AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                  * (CAST(n - nt AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                  / (CAST(n AS DOUBLE) / 2)) > 3.841459 AS srm_alarm
+        FROM t
+    """,
+)
+def events_ab_srm_check(spark, sf_dir):
+    """Sample Ratio Mismatch guardrail — the FIRST check every
+    experiment readout must pass: do the observed arm sizes match the
+    designed 50/50 split? A 1-df chi-square against the expected
+    halves, alarming above the 95% critical value (3.841459; a firing
+    SRM invalidates the experiment regardless of its metric
+    movements, usually exposing assignment or logging bugs). Counts
+    are exact; chi2 is one identical double expression against
+    literal expectations.
+
+    Scale: one distinct-user rollup + a scalar fold — the cheapest
+    guardrail in the experimentation suite (complements
+    events_uplift_did / events_cuped_adjustment /
+    stat_ratio_delta_method)."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id", (F.col("user_id") % 2 == 0).cast("int").alias("treat")
+    ).agg(F.lit(1).alias("one"))
+    t = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("treat") == 1).alias("nt"),
+    )
+    n = F.col("n").cast("double")
+    nt = F.col("nt").cast("double")
+    nc = (F.col("n") - F.col("nt")).cast("double")
+    half = n / 2
+    chi2 = (nt - half) * (nt - half) / half + (nc - half) * (nc - half) / half
+    return t.select(
+        F.col("n").alias("n_users"),
+        F.col("nt").alias("n_treat"),
+        (F.col("n") - F.col("nt")).alias("n_control"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm_alarm"),
+    )

@@ -703,3 +703,97 @@ def ingest_fixed_width_parse(spark, sf_dir):
         F.trim(F.substring("line", 19, 10)).alias("etype"),
         F.substring("line", 29, 12).cast("long").alias("cents"),
     )
+
+
+@register(
+    "source_json_multiline",
+    oracle="""
+        SELECT event_id, user_id AS uid, event_type AS etype,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    """,
+)
+def source_json_multiline(spark, sf_dir):
+    """Multi-line JSON source (multiLine=true): the feed is ONE
+    pretty-printed JSON ARRAY per file — the shape REST exports and
+    config dumps actually have — which the default JSONL reader
+    cannot split by newline; multiLine mode parses whole-file
+    documents instead. Records are synthesized from events and read
+    back field-for-field against the oracle.
+
+    Scale note (and the honest cost): multiLine files are NOT
+    line-splittable — one file = one task — so at 100 TB the feed
+    must arrive as many files; the op writes 8 array files to keep
+    the read parallel, exactly the guidance a platform gives its
+    producers."""
+    import json
+    import os
+
+    from ..registry import scratch_dir
+
+    e = table(spark, sf_dir, "events")
+    base = scratch_dir("source_json_multiline")
+    pdf = e.select(
+        "event_id",
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("etype"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).toPandas()
+    step = (len(pdf) + 7) // 8
+    for i in range(8):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        with open(os.path.join(base, f"part_{i}.json"), "w") as f:
+            json.dump(chunk.to_dict(orient="records"), f, indent=2)
+    return (
+        spark.read.option("multiLine", "true")
+        .schema("event_id long, uid long, etype string, cents long")
+        .json(base)
+        .select("event_id", "uid", "etype", "cents")
+    )
+
+
+@register(
+    "scan_recursive_file_lookup",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    """,
+)
+def scan_recursive_file_lookup(spark, sf_dir):
+    """recursiveFileLookup=true: read a parquet tree whose files live
+    at ARBITRARY nesting depths (vendor drops, manual backfills —
+    layouts that are neither flat nor hive-partitioned). Partition
+    discovery is disabled in this mode by contract, so directory
+    names carry no columns; the op proves no file at any depth is
+    missed by round-tripping events split across three differently
+    nested subtrees.
+
+    Scale: file listing is the only extra cost (driver-side tree
+    walk, parallelized by Spark's InMemoryFileIndex above a
+    threshold); the scan itself is ordinary splittable parquet."""
+    import os
+
+    from ..registry import scratch_dir
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = scratch_dir("scan_recursive_file_lookup")
+    paths = [
+        os.path.join(base, "a"),
+        os.path.join(base, "b", "deep"),
+        os.path.join(base, "c", "deeper", "still"),
+    ]
+    for i, p in enumerate(paths):
+        e.filter(F.col("event_id") % 3 == i).write.mode(
+            "overwrite"
+        ).parquet(p)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("event_id long, user_id long, event_type string, cents long")
+        .parquet(base)
+    )
