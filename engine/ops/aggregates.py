@@ -4589,3 +4589,95 @@ def events_ab_srm_check(spark, sf_dir):
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841459).alias("srm_alarm"),
     )
+
+
+@register(
+    "stat_iqr_outlier_fences",
+    oracle="""
+        WITH v AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        g AS (SELECT cents, count(*) AS n_g FROM v GROUP BY 1),
+        c AS (
+          SELECT cents,
+                 CAST(sum(n_g) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumn
+          FROM g
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        q1 AS (SELECT min(cents) AS q1 FROM c, t WHERE 4 * cumn >= t.n),
+        q3 AS (SELECT min(cents) AS q3 FROM c, t
+               WHERE 4 * cumn >= 3 * t.n),
+        f AS (
+          SELECT q1.q1, q3.q3,
+                 q1.q1 - 3 * (q3.q3 - q1.q1) // 2 AS lo_fence,
+                 q3.q3 + 3 * (q3.q3 - q1.q1) // 2 AS hi_fence
+          FROM q1, q3
+        )
+        SELECT t.n AS n_rows, f.q1 AS q1_cents, f.q3 AS q3_cents,
+               f.lo_fence, f.hi_fence,
+               CAST((SELECT count(*) FROM v
+                     WHERE cents < f.lo_fence) AS BIGINT) AS n_low,
+               CAST((SELECT count(*) FROM v
+                     WHERE cents > f.hi_fence) AS BIGINT) AS n_high
+        FROM t, f
+    """,
+)
+def stat_iqr_outlier_fences(spark, sf_dir):
+    """Tukey box-plot outlier screen on order totals: exact Q1/Q3 via
+    the integer midpoint test on the distinct-price spine
+    (4·cum ≥ n and 4·cum ≥ 3n — the same doubled-comparison trick as
+    the medians, no fractional arithmetic), fences at ±1.5 IQR kept
+    in integer cents (3·IQR/2 with integer floor division in BOTH
+    engines), and exact counts beyond each fence. The
+    distribution-free screen that needs no normality assumption,
+    complementing the z-score/MAD family.
+
+    Scale: spine prefix-sum + two broadcast-scalar filters — two
+    scan-bound passes."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    g = v.groupBy("cents").agg(F.count(F.lit(1)).alias("n_g"))
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select("cents", F.sum("n_g").over(wc).alias("cumn"))
+    t = v.agg(F.count(F.lit(1)).alias("n"))
+    ct = c.crossJoin(F.broadcast(t))
+    q1 = ct.filter(4 * F.col("cumn") >= F.col("n")).agg(
+        F.min("cents").alias("q1")
+    )
+    q3 = ct.filter(4 * F.col("cumn") >= 3 * F.col("n")).agg(
+        F.min("cents").alias("q3")
+    )
+    f = (
+        q1.crossJoin(q3)
+        .select(
+            "q1",
+            "q3",
+            (
+                F.col("q1")
+                - F.floor(3 * (F.col("q3") - F.col("q1")) / 2).cast("long")
+            ).alias("lo_fence"),
+            (
+                F.col("q3")
+                + F.floor(3 * (F.col("q3") - F.col("q1")) / 2).cast("long")
+            ).alias("hi_fence"),
+        )
+    )
+    j = v.crossJoin(F.broadcast(f))
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("q1").alias("q1_cents"),
+            F.first("q3").alias("q3_cents"),
+            F.first("lo_fence").alias("lo_fence"),
+            F.first("hi_fence").alias("hi_fence"),
+            F.count_if(F.col("cents") < F.col("lo_fence")).alias("n_low"),
+            F.count_if(F.col("cents") > F.col("hi_fence")).alias("n_high"),
+        )
+    )

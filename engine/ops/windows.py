@@ -1887,3 +1887,54 @@ def win_vwap(spark, sf_dir):
         mtd_q.alias("mtd_qty"),
         F.round(mtd_c.cast("double") / mtd_q / 100.0, 6).alias("mtd_vwap"),
     )
+
+
+@register(
+    "win_topk_with_ties",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+                 CAST(o_orderdate AS DATE) AS day,
+                 count(*) AS n_orders
+          FROM orders GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT mon, day, n_orders,
+                 rank() OVER (PARTITION BY mon
+                              ORDER BY n_orders DESC) AS rnk
+          FROM d
+        )
+        SELECT CAST(mon AS VARCHAR) AS mon, CAST(day AS VARCHAR) AS day,
+               n_orders, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3
+    """,
+)
+def win_topk_with_ties(spark, sf_dir):
+    """Top-k per group WITH TIES (rank() <= k), the semantic sibling
+    of win_topk_per_group's row_number() spelling: when the k-th and
+    (k+1)-th rows tie, BOTH survive — the correct contract for
+    leaderboards and "busiest day" reports where an arbitrary
+    tiebreak would silently drop a co-winner: the top-3 busiest days
+    per month keep every day tied at rank 3, so months can
+    legitimately return more than 3 rows.
+
+    Scale: Spark plans rank()-filter with the same map-side
+    WindowGroupLimit pushdown as row_number — only candidate rows
+    cross the per-group shuffle; variable output size per group is
+    the semantic cost the consumer opted into."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("mon").orderBy(F.desc("n_orders"))
+    return (
+        d.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("mon").cast("string").alias("mon"),
+            F.col("day").cast("string").alias("day"),
+            "n_orders",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
