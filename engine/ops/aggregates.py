@@ -4681,3 +4681,181 @@ def stat_iqr_outlier_fences(spark, sf_dir):
             F.count_if(F.col("cents") > F.col("hi_fence")).alias("n_high"),
         )
     )
+
+
+@register(
+    "stat_mann_kendall_trend",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS c
+          FROM events GROUP BY 1
+        ),
+        prs AS (
+          SELECT CASE WHEN b.c > a.c THEN 1
+                      WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+          FROM d a JOIN d b ON a.day < b.day
+        ),
+        s AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM prs),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        ties AS (
+          SELECT CAST(coalesce(sum(tj * (tj - 1) * (2 * tj + 5)), 0)
+                      AS BIGINT) AS tie_term
+          FROM (SELECT count(*) AS tj FROM d GROUP BY c HAVING count(*) > 1)
+        )
+        SELECT nn.n AS n_days, s.s_stat,
+               round((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+                      - ties.tie_term) / 18.0, 6) AS var_s,
+               round(CASE
+                 WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                   / sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1)
+                           * (2 * nn.n + 5) - ties.tie_term) / 18.0)
+                 WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                   / sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1)
+                           * (2 * nn.n + 5) - ties.tie_term) / 18.0)
+                 ELSE 0.0 END, 6) AS z_score
+        FROM s, nn, ties
+    """,
+)
+def stat_mann_kendall_trend(spark, sf_dir):
+    """Mann–Kendall trend test on the daily event-count series — the
+    distribution-free "is this metric drifting?" test monitoring
+    systems run when normality can't be assumed: S = sum of pairwise
+    signs over all day pairs (exact int64), tie-corrected variance
+    per the classical formula, and the continuity-corrected z. The
+    pair join runs on the DAY SPINE (n² of 30, not of the corpus),
+    which is exactly why the test stays exact instead of sampled.
+
+    Scale: one daily rollup, one spine self-join (bounded by the
+    date range squared), three scalar folds."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = d.withColumnsRenamed({"day": "day_a", "c": "ca"})
+    b = d.withColumnsRenamed({"day": "day_b", "c": "cb"})
+    prs = a.join(b, F.col("day_a") < F.col("day_b")).select(
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s = prs.agg(
+        F.sum("sgn").alias("s_stat"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    tie_groups = (
+        d.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("tj"))
+        .filter(F.col("tj") > 1)
+    )
+    ties = tie_groups.agg(
+        F.coalesce(
+            F.sum(
+                F.col("tj") * (F.col("tj") - 1) * (2 * F.col("tj") + 5)
+            ),
+            F.lit(0),
+        ).alias("tie_term")
+    )
+    j = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    var_s = (n * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col(
+        "tie_term"
+    )) / 18.0
+    sstat = F.col("s_stat")
+    z = (
+        F.when(sstat > 0, (sstat - 1) / F.sqrt(var_s))
+        .when(sstat < 0, (sstat + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "stat_cohens_d_effect_size",
+    oracle="""
+        WITH u AS (
+          SELECT user_id, CAST(user_id % 2 = 0 AS INT) AS treat,
+                 CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT treat, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s,
+                 CAST(sum(y * y) AS BIGINT) AS ss
+          FROM u GROUP BY treat
+        ),
+        w AS (
+          SELECT
+            max(CASE WHEN treat = 1 THEN n END) AS n1,
+            max(CASE WHEN treat = 1 THEN s END) AS s1,
+            max(CASE WHEN treat = 1 THEN ss END) AS ss1,
+            max(CASE WHEN treat = 0 THEN n END) AS n0,
+            max(CASE WHEN treat = 0 THEN s END) AS s0,
+            max(CASE WHEN treat = 0 THEN ss END) AS ss0
+          FROM g
+        )
+        SELECT n1 AS n_treat, n0 AS n_control,
+               round((CAST(s1 AS DOUBLE) / n1)
+                     - (CAST(s0 AS DOUBLE) / n0), 6) AS mean_diff,
+               round(((CAST(s1 AS DOUBLE) / n1) - (CAST(s0 AS DOUBLE) / n0))
+                 / sqrt(
+                     ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                      + (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0))
+                     / (n1 + n0 - 2.0)
+                   ), 6) AS cohens_d
+        FROM w
+    """,
+)
+def stat_cohens_d_effect_size(spark, sf_dir):
+    """Cohen's d standardized effect size between experiment arms on
+    user-level dollar totals — the magnitude measure that travels
+    across experiments where raw mean differences (and p-values)
+    don't: pooled-SD-standardized mean difference from ONE pass of
+    exact int64 per-arm sums, centered sums of squares and the pooled
+    variance as identical double expressions (dollar units for int64
+    headroom, matching the rest of the experimentation suite).
+
+    Scale: one keyed rollup + a 2-row pivot fold — scan-bound."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id", (F.col("user_id") % 2 == 0).cast("int").alias("treat")
+    ).agg(F.sum(F.round(F.col("value")).cast("long")).alias("y"))
+    g = u.groupBy("treat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+
+    def pick(t, col):
+        return F.max(F.when(F.col("treat") == t, F.col(col)))
+
+    w = g.agg(
+        pick(1, "n").alias("n1"),
+        pick(1, "s").alias("s1"),
+        pick(1, "ss").alias("ss1"),
+        pick(0, "n").alias("n0"),
+        pick(0, "s").alias("s0"),
+        pick(0, "ss").alias("ss0"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    css1 = F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ) / F.col("n1")
+    css0 = F.col("ss0").cast("double") - F.col("s0").cast("double") * F.col(
+        "s0"
+    ) / F.col("n0")
+    pooled = (css1 + css0) / (F.col("n1") + F.col("n0") - 2.0)
+    return w.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_control"),
+        F.round(m1 - m0, 6).alias("mean_diff"),
+        F.round((m1 - m0) / F.sqrt(pooled), 6).alias("cohens_d"),
+    )
