@@ -2975,3 +2975,67 @@ def ml_mrr_at_k(spark, sf_dir):
             F.sum(rr_u).cast("double") / F.count(F.lit(1)) / 1000000.0, 6
         ).alias("mrr"),
     )
+
+
+@register(
+    "ml_target_encoding_loo",
+    oracle="""
+        WITH x AS (
+          SELECT o_orderpriority AS prio,
+                 CAST(round(o_totalprice) AS BIGINT) AS v
+          FROM orders
+        ),
+        g AS (
+          SELECT prio, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s
+          FROM x GROUP BY prio
+        ),
+        enc AS (
+          SELECT x.prio, g.n,
+                 CAST(round(1000000.0 * (g.s - x.v) / (g.n - 1))
+                      AS BIGINT) AS loo_u
+          FROM x JOIN g ON x.prio = g.prio
+        )
+        SELECT prio, max(n) AS n,
+               CAST(sum(loo_u) AS BIGINT) AS sum_loo_u,
+               round(CAST(sum(loo_u) AS DOUBLE) / max(n) / 1000000.0, 6)
+                 AS mean_loo
+        FROM enc GROUP BY prio
+    """,
+)
+def ml_target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding — the categorical feature
+    engineering that replaces a category with the mean target of the
+    OTHER rows in its category, preventing the self-leakage naive
+    mean encoding has: per row, (group_sum − own_value)/(group_n − 1)
+    derived from a broadcast of per-category exact int64 sums (no
+    per-row recomputation). Each row's encoding is micro-quantized to
+    int64 and the per-category sums/means of the encodings are
+    reported, so every per-row value participates in the hash.
+
+    Scale: one map-side-combinable group sum + a broadcast join back
+    — two scan-bound passes; the per-row arithmetic is codegen'd."""
+    o = table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice")).cast("long").alias("v"),
+    )
+    g = x.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    enc = x.join(F.broadcast(g), "prio").select(
+        "prio",
+        "n",
+        F.round(
+            1000000.0 * (F.col("s") - F.col("v")) / (F.col("n") - 1)
+        )
+        .cast("long")
+        .alias("loo_u"),
+    )
+    return enc.groupBy("prio").agg(
+        F.max("n").alias("n"),
+        F.sum("loo_u").alias("sum_loo_u"),
+        F.round(
+            F.sum("loo_u").cast("double") / F.max("n") / 1000000.0, 6
+        ).alias("mean_loo"),
+    )

@@ -1938,3 +1938,76 @@ def win_topk_with_ties(spark, sf_dir):
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "ts_alert_debounce",
+    oracle="""
+        WITH RECURSIVE
+        d AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n FROM d),
+        alerts AS (
+          SELECT day,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+          FROM d, t WHERE d.c * t.n * 10 > 11 * t.s
+        ),
+        rec AS (
+          SELECT i, day, day AS last_kept, true AS kept
+          FROM alerts WHERE i = 1
+          UNION ALL
+          SELECT a.i, a.day,
+                 CASE WHEN a.day > rec.last_kept + 3 THEN a.day
+                      ELSE rec.last_kept END,
+                 a.day > rec.last_kept + 3
+          FROM rec JOIN alerts a ON a.i = rec.i + 1
+        )
+        SELECT CAST(day AS VARCHAR) AS day FROM rec WHERE kept
+    """,
+)
+def ts_alert_debounce(spark, sf_dir):
+    """Alert debouncing with a cooldown — the pager-dedup rule every
+    alerting system needs: among spike days (daily purchase count
+    more than 10% above the mean, tested in EXACT integers:
+    c*n*10 > 11*sum), keep an alert only if more than 3 days have
+    passed since the LAST KEPT alert. This is genuinely sequential —
+    suppression depends on which alerts were kept, not just on
+    neighbors — so no window frame expresses it; the spelling is a
+    JVM-side F.aggregate fold carrying (last_kept, kept[]) over the
+    sorted spike days, and the oracle is a recursive CTE walking the
+    identical rule.
+
+    Scale: the fold runs over the ALERT-DAY spine (tiny by
+    construction); everything upstream is a daily rollup. Per-key
+    debouncing partitions the same fold by alert key."""
+    e = table(spark, sf_dir, "events")
+    d = e.filter(F.col("event_type") == "purchase").groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = d.agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    alerts = (
+        d.crossJoin(F.broadcast(t))
+        .filter(F.col("c") * F.col("n") * 10 > 11 * F.col("s"))
+        .select("day")
+    )
+    ser = alerts.agg(F.sort_array(F.collect_list("day")).alias("days"))
+    kept = F.expr(
+        """
+        aggregate(
+          days,
+          struct(CAST(NULL AS DATE) AS last, CAST(array() AS ARRAY<DATE>) AS kept),
+          (acc, d) -> IF(acc.last IS NULL OR d > date_add(acc.last, 3),
+                         struct(d AS last, array_append(acc.kept, d) AS kept),
+                         acc),
+          acc -> acc.kept
+        )
+        """
+    )
+    return ser.select(F.explode(kept).alias("day")).select(
+        F.col("day").cast("string").alias("day")
+    )
