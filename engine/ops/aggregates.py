@@ -4859,3 +4859,193 @@ def stat_cohens_d_effect_size(spark, sf_dir):
         F.round(m1 - m0, 6).alias("mean_diff"),
         F.round((m1 - m0) / F.sqrt(pooled), 6).alias("cohens_d"),
     )
+
+
+@register(
+    "events_attribution_time_decay",
+    oracle="""
+        WITH p AS (
+          SELECT user_id, ts AS p_ts, event_id AS p_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        tch AS (
+          SELECT user_id, ts AS t_ts, event_type AS channel
+          FROM events WHERE event_type <> 'purchase'
+        ),
+        j AS (
+          SELECT p.p_id, p.cents, tch.channel,
+                 CASE CAST(floor((epoch(p.p_ts) - epoch(tch.t_ts))
+                                 / 86400) AS BIGINT)
+                      WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25
+                 END AS w
+          FROM p JOIN tch
+            ON p.user_id = tch.user_id
+           AND tch.t_ts < p.p_ts
+           AND epoch(p.p_ts) - epoch(tch.t_ts) < 259200
+        ),
+        tot AS (
+          SELECT p_id, sum(w) AS tw FROM j GROUP BY 1
+        ),
+        credit AS (
+          SELECT j.channel,
+                 CAST(round(1000000.0 * j.cents * j.w / tot.tw)
+                      AS BIGINT) AS credit_u
+          FROM j JOIN tot ON j.p_id = tot.p_id
+        )
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_credited_touches,
+               CAST(sum(credit_u) AS BIGINT) AS credit_u,
+               round(CAST(sum(credit_u) AS DOUBLE) / 1000000.0 / 100.0, 4)
+                 AS credited_dollars
+        FROM credit GROUP BY channel
+    """,
+)
+def events_attribution_time_decay(spark, sf_dir):
+    """Multi-touch time-decay attribution — the fractional-credit
+    model beyond events_attribution_last_touch's winner-take-all:
+    every non-purchase touch within a 3-day lookback shares each
+    purchase's revenue, weighted 1 / 0.5 / 0.25 by whole days of age
+    (EXACT dyadic weights — no pow(), so per-purchase weight totals
+    are exact binary fractions) and normalized per purchase. Each
+    touch's credited micro-cents are rounded to int64 before the
+    per-channel sum, so fan-out order can't move the hash. Purchases
+    with no in-window touch drop out (the 'direct' bucket
+    last-touch already reports).
+
+    Scale: the purchase x touch join is per-user keyed with a 3-day
+    band — O(purchases * touches-in-window) per user, the bounded
+    fan-out every MTA pipeline accepts; both aggregations are
+    map-side-combinable."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tch = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_type").alias("channel")
+    )
+    age = F.unix_timestamp("p_ts") - F.unix_timestamp("t_ts")
+    j = p.join(
+        tch,
+        (p.user_id == tch.user_id)
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (age < 259200),
+    ).select(
+        "p_id",
+        "cents",
+        "channel",
+        F.when(F.floor(age / 86400) == 0, F.lit(1.0))
+        .when(F.floor(age / 86400) == 1, F.lit(0.5))
+        .otherwise(F.lit(0.25))
+        .alias("w"),
+    )
+    tot = j.groupBy("p_id").agg(F.sum("w").alias("tw"))
+    credit = j.join(tot, "p_id").select(
+        "channel",
+        F.round(1000000.0 * F.col("cents") * F.col("w") / F.col("tw"))
+        .cast("long")
+        .alias("credit_u"),
+    )
+    return credit.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credited_touches"),
+        F.sum("credit_u").alias("credit_u"),
+        F.round(
+            F.sum("credit_u").cast("double") / 1000000.0 / 100.0, 4
+        ).alias("credited_dollars"),
+    )
+
+
+@register(
+    "orders_ship_leadtime_stats",
+    oracle="""
+        WITH lt AS (
+          SELECT o.o_orderpriority AS prio,
+                 CAST(CAST(l.l_shipdate AS DATE)
+                      - CAST(o.o_orderdate AS DATE) AS BIGINT) AS days
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        g AS (SELECT prio, days, count(*) AS n_g FROM lt GROUP BY 1, 2),
+        c AS (
+          SELECT prio, days,
+                 CAST(sum(n_g) OVER (PARTITION BY prio ORDER BY days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumn
+          FROM g
+        ),
+        t AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+                     CAST(min(days) AS BIGINT) AS min_days,
+                     CAST(max(days) AS BIGINT) AS max_days
+              FROM lt GROUP BY 1),
+        med AS (
+          SELECT c.prio, CAST(min(c.days) AS BIGINT) AS median_days
+          FROM c JOIN t ON c.prio = t.prio
+          WHERE 2 * c.cumn >= t.n GROUP BY 1
+        ),
+        p90 AS (
+          SELECT c.prio, CAST(min(c.days) AS BIGINT) AS p90_days
+          FROM c JOIN t ON c.prio = t.prio
+          WHERE 10 * c.cumn >= 9 * t.n GROUP BY 1
+        )
+        SELECT t.prio, t.n AS n_lines, t.min_days, t.max_days,
+               med.median_days, p90.p90_days
+        FROM t JOIN med ON t.prio = med.prio
+               JOIN p90 ON t.prio = p90.prio
+    """,
+)
+def orders_ship_leadtime_stats(spark, sf_dir):
+    """Order-to-ship lead time by priority — the supply-chain SLA
+    report: integer day gaps from the orders x lineitem join,
+    with exact median and p90 per priority via the integer midpoint
+    tests (2·cum ≥ n and 10·cum ≥ 9n) on each priority's distinct-gap
+    spine — checking whether URGENT actually ships faster.
+
+    Scale: the fact join is key-partitioned; the spine window is
+    per-priority partitioned over distinct day values (bounded by
+    the calendar, not row count)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lt = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).cast("long").alias("days"),
+    )
+    g = lt.groupBy("prio", "days").agg(F.count(F.lit(1)).alias("n_g"))
+    wc = (
+        Window.partitionBy("prio")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select("prio", "days", F.sum("n_g").over(wc).alias("cumn"))
+    t = lt.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("days").alias("min_days"),
+        F.max("days").alias("max_days"),
+    )
+    ct = c.join(F.broadcast(t.select("prio", "n")), "prio")
+    med = (
+        ct.filter(2 * F.col("cumn") >= F.col("n"))
+        .groupBy("prio")
+        .agg(F.min("days").alias("median_days"))
+    )
+    p90 = (
+        ct.filter(10 * F.col("cumn") >= 9 * F.col("n"))
+        .groupBy("prio")
+        .agg(F.min("days").alias("p90_days"))
+    )
+    return (
+        t.join(med, "prio")
+        .join(p90, "prio")
+        .select(
+            "prio",
+            F.col("n").alias("n_lines"),
+            "min_days",
+            "max_days",
+            "median_days",
+            "p90_days",
+        )
+    )
