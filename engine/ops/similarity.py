@@ -3039,3 +3039,173 @@ def ml_target_encoding_loo(spark, sf_dir):
             F.sum("loo_u").cast("double") / F.max("n") / 1000000.0, 6
         ).alias("mean_loo"),
     )
+
+
+@register(
+    "embed_norm_outlier_screen",
+    oracle="""
+        WITH ex AS (
+          SELECT vec_id,
+                 CAST(list_extract(embedding, i) AS DOUBLE) AS val
+          FROM embeddings, range(1, 65) AS t(i)
+        ),
+        nrm AS (
+          SELECT vec_id,
+                 CAST(sum(CAST(round(val * val * 1000000000) AS BIGINT))
+                      AS BIGINT) AS n2
+          FROM ex GROUP BY 1
+        ),
+        g1 AS (SELECT n2, count(*) AS c FROM nrm GROUP BY 1),
+        c1 AS (SELECT n2, CAST(sum(c) OVER (ORDER BY n2
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumn FROM g1),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nrm),
+        med AS (SELECT CAST(min(n2) AS BIGINT) AS m
+                FROM c1, t WHERE 2 * cumn >= t.n),
+        dev AS (SELECT nrm.vec_id, abs(nrm.n2 - med.m) AS d
+                FROM nrm, med),
+        g2 AS (SELECT d, count(*) AS c FROM dev GROUP BY 1),
+        c2 AS (SELECT d, CAST(sum(c) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumn FROM g2),
+        mad AS (SELECT CAST(min(d) AS BIGINT) AS mad
+                FROM c2, t WHERE 2 * cumn >= t.n)
+        SELECT t.n AS n_vectors, med.m AS median_norm2_nano,
+               mad.mad AS mad_nano,
+               CAST((SELECT count(*) FROM dev, mad
+                     WHERE dev.d > 5 * mad.mad) AS BIGINT) AS n_outliers
+        FROM t, med, mad
+    """,
+)
+def embed_norm_outlier_screen(spark, sf_dir):
+    """Embedding-norm outlier screen — the cheap bad-vector detector
+    every embedding pipeline runs before indexing (collapsed or
+    exploded norms signal truncated inputs, NaN-ish upstream bugs, or
+    adversarial rows): per-vector squared norms are nano-quantized
+    int64 sums, the median and the MAD come from integer midpoint
+    tests on the distinct-value spines, and the 5-MAD fence count is
+    an exact integer comparison — no float anywhere after the
+    per-dimension quantization.
+
+    Scale: one exploded-sum pass, two spine prefix-sums, one
+    broadcast-scalar filter — all scan-bound."""
+    em = table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id",
+        F.explode("embedding").alias("val_raw"),
+    ).select("vec_id", F.col("val_raw").cast("double").alias("val"))
+    nrm = ex.groupBy("vec_id").agg(
+        F.sum(
+            F.round(F.col("val") * F.col("val") * 1000000000).cast("long")
+        ).alias("n2")
+    )
+    t = nrm.agg(F.count(F.lit(1)).alias("n"))
+
+    def spine_median(df, col):
+        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        c = g.select(col, F.sum("c").over(w).alias("cumn"))
+        return (
+            c.crossJoin(F.broadcast(t))
+            .filter(2 * F.col("cumn") >= F.col("n"))
+            .agg(F.min(col).alias("m"))
+        )
+
+    med = spine_median(nrm, "n2")
+    dev = nrm.crossJoin(F.broadcast(med)).select(
+        "vec_id", F.abs(F.col("n2") - F.col("m")).alias("d")
+    )
+    mad = spine_median(dev, "d").withColumnsRenamed({"m": "mad"})
+    out = (
+        dev.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count_if(F.col("d") > 5 * F.col("mad")).alias("n_outliers"),
+            F.first("mad").alias("mad_nano"),
+        )
+    )
+    return (
+        t.crossJoin(F.broadcast(med))
+        .crossJoin(out)
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("m").alias("median_norm2_nano"),
+            "mad_nano",
+            "n_outliers",
+        )
+    )
+
+
+@register("ml_cka_alignment")  # rows-only: float Gram partial merge order
+def ml_cka_alignment(spark, sf_dir):
+    """Linear Centered Kernel Alignment (CKA) between the full 64-dim
+    embedding space and its 16-dim Matryoshka truncation — the
+    representation-similarity score (Kornblith et al.) used to ask
+    "how much of the geometry survives truncation / a model swap?":
+    CKA = ||Xc'Yc||F² / (||Xc'Xc||F · ||Yc'Yc||F) over column-centered
+    features. Feature means and the three small Grams (64×16, 64×64,
+    16×16) are accumulated in ONE distributed mapInPandas pass as
+    fixed-size partials (the procrustes/logreg/pca state shape);
+    centering is applied algebraically at the driver
+    (Xc'Yc = X'Y − n·mx·my'), so no second scan. Rows-only (float
+    partial merge order); tests pin CKA(X,X)=1, the (0,1] range, and
+    double-run determinism.
+
+    Scale: one scan, ≤ (64·64+64·16+16·16+80)·8 B ≈ 42 KB of state
+    per task — corpus-size-independent alignment cost."""
+    import numpy as np
+    import pandas as pd
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    D, K = 64, 16
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(X) == 0:
+                continue
+            Y = X[:, :K]
+            yield pd.DataFrame(
+                {
+                    "k": [0],
+                    "n": [np.int64(len(X))],
+                    "bmin": [np.int64(pdf["vec_id"].min())],
+                    "sx": [X.sum(axis=0).tolist()],
+                    "sy": [Y.sum(axis=0).tolist()],
+                    "gxy": [(X.T @ Y).ravel().tolist()],
+                    "gxx": [(X.T @ X).ravel().tolist()],
+                    "gyy": [(Y.T @ Y).ravel().tolist()],
+                }
+            )
+
+    pdf = (
+        em.mapInPandas(
+            partials,
+            "k int, n long, bmin long, sx array<double>, sy array<double>, "
+            "gxy array<double>, gxx array<double>, gyy array<double>",
+        )
+        .toPandas()
+        .sort_values("bmin")  # deterministic partial merge order
+    )
+    import numpy as np
+
+    n = int(pdf["n"].sum())
+    sx = np.sum(np.stack(pdf["sx"].map(np.asarray)), axis=0)
+    sy = np.sum(np.stack(pdf["sy"].map(np.asarray)), axis=0)
+    gxy = np.sum(np.stack(pdf["gxy"].map(np.asarray)), axis=0).reshape(D, K)
+    gxx = np.sum(np.stack(pdf["gxx"].map(np.asarray)), axis=0).reshape(D, D)
+    gyy = np.sum(np.stack(pdf["gyy"].map(np.asarray)), axis=0).reshape(K, K)
+    mx, my = sx / n, sy / n
+    cxy = gxy - n * np.outer(mx, my)
+    cxx = gxx - n * np.outer(mx, mx)
+    cyy = gyy - n * np.outer(my, my)
+    num = float(np.sum(cxy * cxy))
+    den = float(np.sqrt(np.sum(cxx * cxx)) * np.sqrt(np.sum(cyy * cyy)))
+    cka = num / den if den > 0 else float("nan")
+    out = [(n, K, int(round(1e6 * cka)))]
+    return em.sparkSession.createDataFrame(
+        out, "n_vectors long, k_dims long, cka_micro long"
+    )

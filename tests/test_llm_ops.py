@@ -681,3 +681,30 @@ def test_kcore_matches_python_replica(spark):
         for r in graph_kcore(spark, T2_SF_DIR).collect()
     }
     assert got == want
+
+
+def test_cka_alignment_properties(spark):
+    """CKA invariants: self-alignment is exactly 1 at full dims (the
+    K-dim view vs itself), the registered 64-vs-16 score lies in
+    (0, 1], and the op is double-run deterministic."""
+    from engine.ops.similarity import ml_cka_alignment
+
+    a = ml_cka_alignment(spark, T2_SF_DIR).collect()[0]
+    b = ml_cka_alignment(spark, T2_SF_DIR).collect()[0]
+    assert a == b
+    assert 0 < a["cka_micro"] <= 1_000_000
+    # self-CKA via a quick numpy replica on the same data
+    import numpy as np
+
+    rows = (
+        table(spark, T2_SF_DIR, "embeddings")
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Xc = X - X.mean(axis=0)
+    g = Xc.T @ Xc
+    self_cka = float(np.sum(g * g)) / (
+        float(np.sqrt(np.sum(g * g))) ** 2
+    )
+    assert abs(self_cka - 1.0) < 1e-12
