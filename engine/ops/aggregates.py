@@ -5049,3 +5049,60 @@ def orders_ship_leadtime_stats(spark, sf_dir):
             "p90_days",
         )
     )
+
+
+@register(
+    "events_motif_sequence_detect",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        hits AS (
+          SELECT user_id, count(*) AS n_motifs
+          FROM seq
+          WHERE e1 = 'view' AND e2 = 'click' AND e3 = 'purchase'
+          GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users_with_motif,
+               CAST(sum(n_motifs) AS BIGINT) AS n_motifs_total,
+               CAST(max(n_motifs) AS BIGINT) AS max_per_user
+        FROM hits
+    """,
+)
+def events_motif_sequence_detect(spark, sf_dir):
+    """Consecutive-motif detection: count strictly consecutive
+    view→click→purchase triples per user — the sequence-pattern
+    primitive behind funnels with NO intervening events (the
+    MATCH_RECOGNIZE-style contract, stricter than win_event_funnel's
+    subsequence semantics). Two lead() columns over each user's
+    ordered stream turn the motif into a row predicate; counts are
+    exact.
+
+    Scale: one per-user window pass — pattern length k costs k-1
+    lead columns, no joins, no state machine."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    hits = (
+        seq.filter(
+            (F.col("e1") == "view")
+            & (F.col("e2") == "click")
+            & (F.col("e3") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_motifs"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_users_with_motif"),
+        F.sum("n_motifs").alias("n_motifs_total"),
+        F.max("n_motifs").alias("max_per_user"),
+    )

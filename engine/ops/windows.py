@@ -2011,3 +2011,95 @@ def ts_alert_debounce(spark, sf_dir):
     return ser.select(F.explode(kept).alias("day")).select(
         F.col("day").cast("string").alias("day")
     )
+
+
+@register(
+    "win_max_subarray_kadane",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n FROM d),
+        dev AS (
+          SELECT day, CAST(d.c * t.n - t.s AS BIGINT) AS dev
+          FROM d, t
+        ),
+        pre AS (
+          SELECT day, dev,
+                 CAST(sum(dev) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS pfx
+          FROM dev
+        ),
+        m AS (
+          SELECT day, pfx,
+                 CAST(coalesce(min(pfx) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS minpre
+          FROM pre
+        ),
+        best AS (
+          SELECT day AS end_day, pfx - minpre AS best_sum
+          FROM m
+        ),
+        mx AS (SELECT CAST(max(best_sum) AS BIGINT) AS bs FROM best)
+        SELECT mx.bs AS best_sum_scaled,
+               CAST(min(best.end_day) AS VARCHAR) AS best_end_day,
+               t.n AS n_days
+        FROM best, mx, t
+        WHERE best.best_sum = mx.bs
+        GROUP BY mx.bs, t.n
+    """,
+)
+def win_max_subarray_kadane(spark, sf_dir):
+    """Maximum-sum contiguous stretch of above-average purchase days
+    (Kadane's problem) WITHOUT the sequential fold: max subarray sum
+    equals max over t of (prefix[t] − min prefix before t), so two
+    ordered window passes over the day spine solve what looks like an
+    inherently iterative algorithm — the hottest sales streak, in
+    exact integers (deviations are scaled by n: dev = c·n − S, so no
+    division touches the data). Earliest end-day breaks ties
+    deterministically.
+
+    Scale: both windows run on the day spine; the identity is the
+    standard trick for turning sequential scan algorithms into
+    distributed prefix aggregations."""
+    e = table(spark, sf_dir, "events")
+    d = e.filter(F.col("event_type") == "purchase").groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = d.agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+    dev = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        (F.col("c") * F.col("n") - F.col("s")).alias("dev"),
+        "n",
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wpre = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = dev.select(
+        "day", "n", F.sum("dev").over(wcum).alias("pfx")
+    )
+    m = pre.select(
+        "day",
+        "n",
+        (
+            F.col("pfx")
+            - F.coalesce(F.min("pfx").over(wpre), F.lit(0))
+        ).alias("best_sum"),
+    )
+    mx = m.agg(F.max("best_sum").alias("bs"))
+    return (
+        m.crossJoin(F.broadcast(mx))
+        .filter(F.col("best_sum") == F.col("bs"))
+        .agg(
+            F.max("best_sum").alias("best_sum_scaled"),
+            F.min(F.col("day").cast("string")).alias("best_end_day"),
+            F.first("n").alias("n_days"),
+        )
+    )
