@@ -426,32 +426,43 @@ def udf_cogrouped_map(spark, sf_dir):
     Python boundary — the mandated-surface demonstration, with the
     all-JVM spelling in the oracle."""
     e = table(spark, sf_dir, "events")
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("bucket")
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts"
+        bucket, "user_id", "ts"
     )
-    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select(
+        bucket, "user_id", "ts"
+    )
 
     def merge(pk, pdf_a, pdf_b):
         import pandas as _pd
 
-        uid = int(pk[0])
-        n_a, n_b = len(pdf_a), len(pdf_b)
-        if n_a and n_b:
-            first = bool(pdf_a["ts"].min() <= pdf_b["ts"].min())
-        else:
-            first = None
-        return _pd.DataFrame(
+        # cogroup arrives per BUCKET (64 of them), not per user — the
+        # ~2 ms/group Python machinery cost is amortized across every
+        # user in the bucket, and the per-user merge runs as two
+        # vectorized pandas groupbys (same trick as udf_grouped_map /
+        # ts_downsample_lttb).
+        ga = pdf_a.groupby("user_id")["ts"].agg(["size", "min"])
+        gb = pdf_b.groupby("user_id")["ts"].agg(["size", "min"])
+        m = ga.join(gb, how="outer", lsuffix="_a", rsuffix="_b")
+        out = _pd.DataFrame(
             {
-                "user_id": [uid],
-                "n_purchases": [n_a],
-                "n_views": [n_b],
-                "purchased_first": [first],
+                "user_id": m.index.astype("int64"),
+                "n_purchases": m["size_a"].fillna(0).astype("int64"),
+                "n_views": m["size_b"].fillna(0).astype("int64"),
+                "purchased_first": [
+                    bool(x <= y)
+                    if _pd.notna(x) and _pd.notna(y)
+                    else None
+                    for x, y in zip(m["min_a"], m["min_b"])
+                ],
             }
         )
+        return out
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(views.groupBy("bucket"))
         .applyInPandas(
             merge,
             "user_id long, n_purchases long, n_views long, "
