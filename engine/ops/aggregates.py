@@ -5106,3 +5106,174 @@ def events_motif_sequence_detect(spark, sf_dir):
         F.sum("n_motifs").alias("n_motifs_total"),
         F.max("n_motifs").alias("max_per_user"),
     )
+
+
+QINI_RESP_CENTS = 165000
+
+
+@register(
+    "ml_qini_uplift_curve",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(user_id % 2 = 0 AS BIGINT) AS treat,
+                 count(*) FILTER (WHERE ts < TIMESTAMP '{DID_SPLIT}')
+                   AS score,
+                 CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                        FILTER (WHERE ts >= TIMESTAMP '{DID_SPLIT}'), 0)
+                      > {QINI_RESP_CENTS} AS BIGINT) AS pos
+          FROM events GROUP BY 1
+        ),
+        g AS (
+          SELECT score, count(*) AS n,
+                 CAST(sum(treat) AS BIGINT) AS n_t,
+                 CAST(sum(CASE WHEN treat = 1 THEN pos ELSE 0 END)
+                      AS BIGINT) AS pos_t,
+                 CAST(sum(1 - treat) AS BIGINT) AS n_c,
+                 CAST(sum(CASE WHEN treat = 0 THEN pos ELSE 0 END)
+                      AS BIGINT) AS pos_c
+          FROM u GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nu FROM g),
+        c AS (
+          SELECT g.*, CAST(coalesce(sum(n) OVER (
+                   ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cum_b
+          FROM g
+        ),
+        dec AS (
+          SELECT CAST(10 * cum_b // tot.nu AS BIGINT) AS decile,
+                 n_t, pos_t, n_c, pos_c
+          FROM c, tot
+        ),
+        d AS (
+          SELECT decile,
+                 CAST(sum(n_t) AS BIGINT) AS n_t,
+                 CAST(sum(pos_t) AS BIGINT) AS pos_t,
+                 CAST(sum(n_c) AS BIGINT) AS n_c,
+                 CAST(sum(pos_c) AS BIGINT) AS pos_c
+          FROM dec GROUP BY 1
+        ),
+        r AS (
+          SELECT decile,
+                 CAST(sum(n_t) OVER (ORDER BY decile) AS BIGINT)
+                   AS cum_n_treat,
+                 CAST(sum(pos_t) OVER (ORDER BY decile) AS BIGINT)
+                   AS cum_pos_treat,
+                 CAST(sum(n_c) OVER (ORDER BY decile) AS BIGINT)
+                   AS cum_n_ctrl,
+                 CAST(sum(pos_c) OVER (ORDER BY decile) AS BIGINT)
+                   AS cum_pos_ctrl
+          FROM d
+        )
+        SELECT decile, cum_n_treat, cum_pos_treat, cum_n_ctrl,
+               cum_pos_ctrl,
+               round(cum_pos_treat
+                     - CAST(cum_pos_ctrl AS DOUBLE) * cum_n_treat
+                       / nullif(cum_n_ctrl, 0), 6) AS qini
+        FROM r
+    """,
+)
+def ml_qini_uplift_curve(spark, sf_dir):
+    """Qini uplift curve by score decile — the uplift-modeling
+    acceptance plot: rank users by a targeting score (here the
+    pre-split activity count, a deterministic integer proxy for a
+    model score), cut into ten group-granular deciles on the
+    distinct-score spine, and report per cumulative prefix the
+    treated/control incremental responders
+    qini = cum_pos_treat - cum_pos_ctrl * cum_n_treat / cum_n_ctrl.
+    Treatment is the documented A/B hash split (even user_id, as in
+    events_uplift_did); response is a fixed post-split spend
+    threshold so both arms' outcomes are exact int64 counts, and the
+    only doubles are the final identical-expression qini cells.
+
+    Scale: one map-side-combinable pass collapses events to a
+    per-user row, a second collapses users to the distinct-score
+    spine; all ordered prefix sums run on that spine (~tens of rows),
+    never on the fact table — the same scan-bound shape as
+    ml_gains_lift_deciles."""
+    e = table(spark, sf_dir, "events")
+    split = F.lit(DID_SPLIT).cast("timestamp_ntz")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("score"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") >= split,
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            )
+            > QINI_RESP_CENTS
+        )
+        .cast("long")
+        .alias("pos"),
+    ).select(
+        (F.col("user_id") % 2 == 0).cast("long").alias("treat"),
+        "score",
+        "pos",
+    )
+    g = u.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("treat").alias("n_t"),
+        F.sum(F.when(F.col("treat") == 1, F.col("pos")).otherwise(0)).alias(
+            "pos_t"
+        ),
+        F.sum(1 - F.col("treat")).alias("n_c"),
+        F.sum(F.when(F.col("treat") == 0, F.col("pos")).otherwise(0)).alias(
+            "pos_c"
+        ),
+    )
+    tot = g.agg(F.sum("n").alias("nu"))
+    wdesc = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.select(
+        "n_t",
+        "pos_t",
+        "n_c",
+        "pos_c",
+        F.coalesce(F.sum("n").over(wdesc), F.lit(0)).alias("cum_b"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            (10 * F.col("cum_b") / F.col("nu")).cast("long").alias("decile"),
+            "n_t",
+            "pos_t",
+            "n_c",
+            "pos_c",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("n_t").alias("n_t"),
+            F.sum("pos_t").alias("pos_t"),
+            F.sum("n_c").alias("n_c"),
+            F.sum("pos_c").alias("pos_c"),
+        )
+    )
+    wcum = Window.orderBy("decile")
+    r = d.select(
+        "decile",
+        F.sum("n_t").over(wcum).alias("cum_n_treat"),
+        F.sum("pos_t").over(wcum).alias("cum_pos_treat"),
+        F.sum("n_c").over(wcum).alias("cum_n_ctrl"),
+        F.sum("pos_c").over(wcum).alias("cum_pos_ctrl"),
+    )
+    return r.select(
+        "decile",
+        "cum_n_treat",
+        "cum_pos_treat",
+        "cum_n_ctrl",
+        "cum_pos_ctrl",
+        F.round(
+            F.col("cum_pos_treat")
+            - F.col("cum_pos_ctrl").cast("double")
+            * F.col("cum_n_treat")
+            / F.nullif(F.col("cum_n_ctrl"), F.lit(0)),
+            6,
+        ).alias("qini"),
+    )

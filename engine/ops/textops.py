@@ -9,6 +9,8 @@ sides (libm vs JVM ulp), integer/integer divisions are exact.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inspection
 
 from pyspark.sql import Window
@@ -2767,3 +2769,88 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
     from .dedup import dedup_ngram_jaccard
 
     return dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+        WITH ch AS (
+          SELECT lang, unnest(string_split(text, '')) AS ch
+          FROM documents
+        ),
+        c AS (
+          SELECT lang, ch, count(*) AS cnt
+          FROM ch WHERE ch <> '' GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_chars,
+                 count(*) AS n_distinct_chars
+          FROM c GROUP BY 1
+        ),
+        q AS (
+          SELECT c.lang,
+                 CAST(sum(CAST(round(
+                   1000000.0 * (CAST(cnt AS DOUBLE) / n_chars)
+                   * ln(CAST(n_chars AS DOUBLE) / cnt)
+                 ) AS BIGINT)) AS BIGINT) AS entropy_micro_nats
+          FROM c JOIN t USING (lang) GROUP BY 1
+        )
+        SELECT t.lang, t.n_chars, t.n_distinct_chars,
+               q.entropy_micro_nats,
+               round(CAST(q.entropy_micro_nats AS DOUBLE)
+                     / 1000000.0 / ln(2), 6) AS entropy_bits
+        FROM t JOIN q ON t.lang = q.lang
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per language — the corpus
+    screen that separates natural text (~4 bits/char for English)
+    from base64 blobs, minified code, or repeated-boilerplate spam.
+    Chars are exploded once and reduced to a (lang, char) count
+    spine; each char's -p*ln(p) contribution is quantized to integer
+    micro-nats BEFORE the per-lang sum (shuffle-order-proof), and the
+    bits conversion is one identical double expression at the end.
+
+    Scale: the explode is a map-only 1->n_chars expansion feeding a
+    map-side-combinable groupBy, so the shuffle carries only the
+    (lang, char) spine (~hundreds of rows per language, regardless of
+    corpus size); the entropy fold then runs on that spine. At 100 TB
+    this is scan-bound with a trivially small state."""
+    d = table(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("lang", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = c.groupBy("lang").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    )
+    q = (
+        c.join(F.broadcast(t.select("lang", "n_chars")), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.round(
+                    1000000.0
+                    * (F.col("cnt").cast("double") / F.col("n_chars"))
+                    * F.log(
+                        F.col("n_chars").cast("double") / F.col("cnt")
+                    )
+                ).cast("long")
+            ).alias("entropy_micro_nats")
+        )
+    )
+    return t.join(q, "lang").select(
+        "lang",
+        "n_chars",
+        "n_distinct_chars",
+        "entropy_micro_nats",
+        F.round(
+            F.col("entropy_micro_nats").cast("double")
+            / 1000000.0
+            / math.log(2),
+            6,
+        ).alias("entropy_bits"),
+    )

@@ -2103,3 +2103,52 @@ def win_max_subarray_kadane(spark, sf_dir):
             F.first("n").alias("n_days"),
         )
     )
+
+
+@register(
+    "win_yoy_growth",
+    oracle="""
+        WITH m AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1
+        )
+        SELECT month, rev_cents,
+               lag(rev_cents, 12) OVER (ORDER BY month) AS prev_year_cents,
+               round(
+                 100.0 * (rev_cents - lag(rev_cents, 12) OVER (ORDER BY month))
+                 / lag(rev_cents, 12) OVER (ORDER BY month), 6
+               ) AS yoy_pct
+        FROM m
+    """,
+)
+def win_yoy_growth(spark, sf_dir):
+    """Year-over-year growth of monthly revenue: collapse orders to a
+    month spine of exact cent sums, then lag(12) over the month order
+    gives the same calendar month one year earlier; yoy_pct is one
+    identical double expression over two exact int64 cells (NULL for
+    the first twelve months, matching both engines' lag semantics).
+
+    Scale: the classic two-level finance rollup — a map-side-combinable
+    groupBy reduces the full fact table to a ~dozens-of-rows month
+    spine, and the unpartitioned window runs on that spine only (never
+    on the fact table), so the single-task window is a non-issue."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents", 12).over(w)
+    return m.select(
+        "month",
+        "rev_cents",
+        prev.alias("prev_year_cents"),
+        F.round(
+            100.0 * (F.col("rev_cents") - prev) / prev, 6
+        ).alias("yoy_pct"),
+    )
