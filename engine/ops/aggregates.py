@@ -5277,3 +5277,114 @@ def ml_qini_uplift_curve(spark, sf_dir):
             6,
         ).alias("qini"),
     )
+
+
+@register(
+    "stat_spearman_rho",
+    oracle="""
+        WITH u AS (
+          SELECT user_id, count(*) AS x,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+          FROM events GROUP BY 1
+        ),
+        gx AS (SELECT x, count(*) AS n_v FROM u GROUP BY 1),
+        rx AS (
+          SELECT x,
+                 2 * CAST(coalesce(sum(n_v) OVER (
+                   ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) + n_v + 1 AS r2x
+          FROM gx
+        ),
+        gy AS (SELECT y, count(*) AS n_v FROM u GROUP BY 1),
+        ry AS (
+          SELECT y,
+                 2 * CAST(coalesce(sum(n_v) OVER (
+                   ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) + n_v + 1 AS r2y
+          FROM gy
+        ),
+        j AS (
+          SELECT r2x, r2y FROM u
+          JOIN rx USING (x) JOIN ry USING (y)
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r2x) AS BIGINT) AS sx,
+                 CAST(sum(r2y) AS BIGINT) AS sy,
+                 CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+                 CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+                 CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+          FROM j
+        )
+        SELECT n AS n_users,
+               round(
+                 (n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6
+               ) AS rho_spearman
+        FROM m
+    """,
+)
+def stat_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation between per-user activity (event
+    count) and spend (exact cents) — the distribution-free
+    monotone-association test analysts reach for when outliers make
+    Pearson lie. Tied values get textbook AVERAGE ranks, computed
+    without any row-level sort: rank(v) = cum_count_before + (n_v+1)/2
+    on the distinct-value spine, carried as doubled integers (2·rank)
+    so every moment (Sx, Sxx, Sxy, ...) is an exact int64 sum; rho is
+    Pearson over those integer ranks — one identical double expression
+    at the end (the 2× factors cancel).
+
+    Scale: no global sort of the fact table — events collapse
+    map-side to a per-user row, ranks come from the two
+    distinct-value spines (tiny for discrete metrics; for continuous
+    metrics bucket the value first, which is standard practice for
+    rank stats at corpus scale), and the spine-to-user rank
+    assignment is a broadcast join. The final fold is one
+    map-side-combinable aggregate."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+    )
+
+    def rank2(col):
+        g = u.groupBy(col).agg(F.count(F.lit(1)).alias("n_v"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return g.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("n_v").over(w), F.lit(0))
+                + F.col("n_v")
+                + 1
+            ).alias(f"r2{col}"),
+        )
+
+    j = u.join(F.broadcast(rank2("x")), "x").join(
+        F.broadcast(rank2("y")), "y"
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            ),
+            6,
+        ).alias("rho_spearman"),
+    )

@@ -3209,3 +3209,89 @@ def ml_cka_alignment(spark, sf_dir):
     return em.sparkSession.createDataFrame(
         out, "n_vectors long, k_dims long, cka_micro long"
     )
+
+
+@register(
+    "ml_precision_recall_curve",
+    oracle="""
+        WITH s AS (
+          SELECT list_extract(embedding, 1) AS s,
+                 CAST(label < 5 AS BIGINT) AS pos
+          FROM embeddings
+        ),
+        g AS (
+          SELECT s, count(*) AS n_g, CAST(sum(pos) AS BIGINT) AS np_g
+          FROM s GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(np_g) AS BIGINT) AS np FROM g),
+        c AS (
+          SELECT CAST(row_number() OVER (ORDER BY s DESC) AS BIGINT)
+                   AS thr_rank,
+                 CAST(round(1000000 * CAST(s AS DOUBLE)) AS BIGINT)
+                   AS score_micro,
+                 CAST(sum(n_g) OVER (ORDER BY s DESC) AS BIGINT)
+                   AS cum_n,
+                 CAST(sum(np_g) OVER (ORDER BY s DESC) AS BIGINT)
+                   AS cum_pos
+          FROM g
+        )
+        SELECT thr_rank, score_micro, cum_n, cum_pos,
+               round(CAST(cum_pos AS DOUBLE) / cum_n, 6) AS precision,
+               round(CAST(cum_pos AS DOUBLE) / tot.np, 6) AS recall,
+               round(2.0 * cum_pos / (cum_n + tot.np), 6) AS f1
+        FROM c, tot
+    """,
+)
+def ml_precision_recall_curve(spark, sf_dir):
+    """Full precision/recall curve at every distinct score threshold —
+    the imbalanced-class companion to ml_auc_roc (ROC flatters
+    skewed-positive problems; PR curves do not). Ties are merged on
+    the distinct-score spine first, so both engines see identical
+    threshold steps; cum counts are exact int64 prefix sums and
+    precision/recall/F1 are identical double expressions (F1 uses the
+    integer identity 2·TP/(pred_pos + actual_pos) — no intermediate
+    P·R rounding). Scores surface as micro-quantized ints, never raw
+    floats, keeping the hash comparison byte-stable.
+
+    Scale: map-side-combinable groupBy to the distinct-score spine;
+    prefix sums only on that spine. For a 100 TB score table the
+    spine is bucketed to a fixed grid first (same move as
+    ml_calibration_bins) — the curve consumer never needs more than
+    ~1e4 threshold points."""
+    em = table(spark, sf_dir, "embeddings")
+    s = em.select(
+        F.element_at("embedding", 1).alias("s"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    g = s.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("pos").alias("np_g")
+    )
+    tot = g.agg(F.sum("np_g").alias("np"))
+    wdesc = Window.orderBy(F.desc("s"))
+    c = g.select(
+        F.row_number().over(wdesc).cast("long").alias("thr_rank"),
+        F.round(1000000 * F.col("s").cast("double"))
+        .cast("long")
+        .alias("score_micro"),
+        F.sum("n_g")
+        .over(wdesc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+        F.sum("np_g")
+        .over(wdesc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_pos"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "thr_rank",
+        "score_micro",
+        "cum_n",
+        "cum_pos",
+        F.round(F.col("cum_pos").cast("double") / F.col("cum_n"), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("cum_pos").cast("double") / F.col("np"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            2.0 * F.col("cum_pos") / (F.col("cum_n") + F.col("np")), 6
+        ).alias("f1"),
+    )

@@ -2152,3 +2152,95 @@ def win_yoy_growth(spark, sf_dir):
             100.0 * (F.col("rev_cents") - prev) / prev, 6
         ).alias("yoy_pct"),
     )
+
+
+@register(
+    "win_bollinger_bands",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(round(
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0
+                 ) AS BIGINT) AS rev_usd
+          FROM orders GROUP BY 1
+        ),
+        w AS (
+          SELECT day, rev_usd,
+                 CAST(count(*) OVER fr AS BIGINT) AS n_w,
+                 CAST(sum(rev_usd) OVER fr AS BIGINT) AS s1,
+                 CAST(sum(rev_usd * rev_usd) OVER fr AS BIGINT) AS s2
+          FROM d
+          WINDOW fr AS (
+            ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+          )
+        ),
+        b AS (
+          SELECT day, rev_usd,
+                 CAST(s1 AS DOUBLE) / n_w AS mid,
+                 sqrt(CAST(n_w * s2 - s1 * s1 AS DOUBLE)
+                      / (CAST(n_w AS BIGINT) * (n_w - 1))) AS sd
+          FROM w WHERE n_w = 20
+        )
+        SELECT CAST(day AS VARCHAR) AS day, rev_usd,
+               round(mid, 6) AS mid,
+               round(mid + 2 * sd, 6) AS upper_band,
+               round(mid - 2 * sd, 6) AS lower_band,
+               CAST(rev_usd > mid + 2 * sd OR rev_usd < mid - 2 * sd
+                    AS BIGINT) AS breach
+        FROM b
+    """,
+)
+def win_bollinger_bands(spark, sf_dir):
+    """Bollinger bands over daily revenue — the rolling mean ± 2σ
+    volatility envelope with breach flags, the anomaly screen ops
+    dashboards run on every business metric. Daily revenue is
+    quantized to whole dollars (exact cents first, then one
+    half-away-from-zero rounding) so the 20-day rolling sum AND sum
+    of squares stay exact int64 even at 100 TB revenue magnitudes;
+    mean, sample-σ, bands, and the breach comparison are identical
+    double expressions over those ints in both engines — including
+    the breach inequality, which therefore resolves identically.
+
+    Scale: the fact table collapses map-side to the ~few-thousand-row
+    day spine; the single-partition rolling window runs on the spine
+    only, never on orders. Frames shorter than 20 days are excluded
+    (warm-up period), matching the trading-convention definition."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / 100.0
+        )
+        .cast("long")
+        .alias("rev_usd")
+    )
+    fr = Window.orderBy("day").rowsBetween(-19, 0)
+    w = d.select(
+        "day",
+        "rev_usd",
+        F.count(F.lit(1)).over(fr).alias("n_w"),
+        F.sum("rev_usd").over(fr).alias("s1"),
+        F.sum(F.col("rev_usd") * F.col("rev_usd")).over(fr).alias("s2"),
+    ).filter(F.col("n_w") == 20)
+    mid = F.col("s1").cast("double") / F.col("n_w")
+    sd = F.sqrt(
+        (F.col("n_w") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+            "double"
+        )
+        / (F.col("n_w") * (F.col("n_w") - 1))
+    )
+    b = w.select("day", "rev_usd", mid.alias("mid"), sd.alias("sd"))
+    return b.select(
+        F.col("day").cast("string").alias("day"),
+        "rev_usd",
+        F.round("mid", 6).alias("mid"),
+        F.round(F.col("mid") + 2 * F.col("sd"), 6).alias("upper_band"),
+        F.round(F.col("mid") - 2 * F.col("sd"), 6).alias("lower_band"),
+        (
+            (F.col("rev_usd") > F.col("mid") + 2 * F.col("sd"))
+            | (F.col("rev_usd") < F.col("mid") - 2 * F.col("sd"))
+        )
+        .cast("long")
+        .alias("breach"),
+    )
