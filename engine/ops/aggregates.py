@@ -5388,3 +5388,206 @@ def stat_spearman_rho(spark, sf_dir):
             6,
         ).alias("rho_spearman"),
     )
+
+
+@register(
+    "orders_abc_classification",
+    oracle="""
+        WITH p AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM p),
+        c AS (
+          SELECT rev_cents,
+                 CAST(coalesce(sum(rev_cents) OVER (
+                   ORDER BY rev_cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cum_b
+          FROM p
+        ),
+        k AS (
+          SELECT CASE WHEN cum_b * 100 < 80 * tot.t THEN 'A'
+                      WHEN cum_b * 100 < 95 * tot.t THEN 'B'
+                      ELSE 'C' END AS abc_class,
+                 rev_cents
+          FROM c, tot
+        )
+        SELECT abc_class,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+               round(CAST(sum(rev_cents) AS DOUBLE) / max(tot.t), 6)
+                 AS rev_share
+        FROM k, tot GROUP BY 1
+    """,
+)
+def orders_abc_classification(spark, sf_dir):
+    """ABC (Pareto) inventory classification of parts by revenue:
+    rank parts by exact cent revenue descending (partkey tiebreak, so
+    both engines agree on equal-revenue parts), class A = parts whose
+    cumulative-revenue-before is under 80% of total, B under 95%, C
+    the tail. The class boundaries are pure int64 comparisons
+    (cum_b·100 < 80·total — no percentage doubles anywhere near the
+    cut), so boundary parts land identically in both engines; only
+    the reported share is a final rounded double.
+
+    Scale: lineitem collapses map-side to the part spine; the ordered
+    prefix sum runs on that spine (20k rows at sf1 — and at 100 TB a
+    range-partitioned two-pass prefix sum swaps in without changing
+    the query shape); output is 3 rows."""
+    li = table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    tot = p.agg(F.sum("rev_cents").alias("t"))
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = p.select(
+        "rev_cents",
+        F.coalesce(F.sum("rev_cents").over(w), F.lit(0)).alias("cum_b"),
+    )
+    k = c.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum_b") * 100 < 80 * F.col("t"), "A")
+        .when(F.col("cum_b") * 100 < 95 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_cents",
+        "t",
+    )
+    return k.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_cents").alias("rev_cents"),
+        F.round(
+            F.sum("rev_cents").cast("double") / F.max("t"), 6
+        ).alias("rev_share"),
+    )
+
+
+LB_CRIT_6DF_95 = 12.591587
+
+
+@register(
+    "ts_ljung_box",
+    oracle=f"""
+        WITH c AS (
+          SELECT date_trunc('hour', ts) AS h, count(*) AS x
+          FROM events GROUP BY 1
+        ),
+        tot0 AS (
+          SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM c
+        ),
+        tot AS (
+          SELECT n, s,
+                 CAST(sum((n * x - s) * (n * x - s)) AS BIGINT) AS den
+          FROM c, tot0 GROUP BY n, s
+        ),
+        lags AS (SELECT l.l + 1 AS lag FROM unnest(range({ACF_MAX_LAG})) l(l)),
+        p AS (
+          SELECT lag, a.x AS xa, b.x AS xb
+          FROM lags, c a JOIN c b
+            ON b.h = a.h - to_hours(CAST(lag AS BIGINT))
+        ),
+        r AS (
+          SELECT lag,
+                 CAST(sum((n * xa - s) * (n * xb - s)) AS BIGINT) AS num,
+                 max(den) AS den, max(n) AS n
+          FROM p, tot GROUP BY lag
+        ),
+        t AS (
+          SELECT n,
+                 CAST(round(1000000000.0
+                   * (CAST(num AS DOUBLE) / den)
+                   * (CAST(num AS DOUBLE) / den)
+                   / (n - lag)) AS BIGINT) AS term_nano
+          FROM r
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_obs,
+               CAST(count(*) AS BIGINT) AS m_lags,
+               round(max(n) * (max(n) + 2.0)
+                     * CAST(sum(term_nano) AS DOUBLE) / 1000000000.0, 6)
+                 AS q_ljung_box,
+               CAST(max(n) * (max(n) + 2.0)
+                    * CAST(sum(term_nano) AS DOUBLE) / 1000000000.0
+                    > {LB_CRIT_6DF_95} AS BIGINT) AS reject_white_noise
+        FROM t GROUP BY n
+    """,
+)
+def ts_ljung_box(spark, sf_dir):
+    """Ljung–Box portmanteau test on the hourly event-count series:
+    Q = n(n+2) Σ_{k=1..6} r_k²/(n−k), the whiteness test that decides
+    whether the ACF's wiggles are structure or noise (rejects white
+    noise when Q exceeds the χ²(6) 95% critical value 12.5916).
+    Autocorrelations reuse ts_acf_lags' exact-integer spelling
+    (denominator-cleared (n·x−s) products, true time-shift joins);
+    each r_k²/(n−k) term is quantized to integer nano-units BEFORE
+    the cross-lag sum, so the 6-term reduction is shuffle-order-proof
+    and Q is one identical double expression in both engines.
+
+    Scale: identical contract to ts_acf_lags — fact scan reduces
+    map-side to the hourly rollup, all joins and folds run on that
+    dim-sized series; output is a single row."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wall = Window.partitionBy()
+    tot = c.select(
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("s"),
+        (
+            (F.count(F.lit(1)).over(wall) * F.col("x") - F.sum("x").over(wall))
+            * (F.count(F.lit(1)).over(wall) * F.col("x") - F.sum("x").over(wall))
+        ).alias("dsq"),
+    ).groupBy("n", "s").agg(F.sum("dsq").alias("den"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = c.crossJoin(F.broadcast(lags)).select(
+        "lag", "h", F.col("x").alias("xa")
+    )
+    b = c.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    p = a.join(
+        b,
+        b.hb == F.col("h") - F.col("lag") * F.expr("INTERVAL 1 HOUR"),
+    )
+    r = (
+        p.crossJoin(F.broadcast(tot))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("s"))
+                * (F.col("n") * F.col("xb") - F.col("s"))
+            ).alias("num"),
+            F.max("den").alias("den"),
+            F.max("n").alias("n"),
+        )
+    )
+    rr = F.col("num").cast("double") / F.col("den")
+    t = r.select(
+        "n",
+        F.round(1000000000.0 * rr * rr / (F.col("n") - F.col("lag")))
+        .cast("long")
+        .alias("term_nano"),
+    )
+    q = (
+        F.col("n")
+        * (F.col("n") + F.lit(2.0))
+        * F.col("sum_nano").cast("double")
+        / 1000000000.0
+    )
+    return (
+        t.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("m_lags"),
+            F.sum("term_nano").alias("sum_nano"),
+        )
+        .select(
+            F.col("n").alias("n_obs"),
+            "m_lags",
+            F.round(q, 6).alias("q_ljung_box"),
+            (q > LB_CRIT_6DF_95).cast("long").alias("reject_white_noise"),
+        )
+    )

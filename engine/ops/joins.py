@@ -1129,3 +1129,105 @@ def join_duplicate_payment_detect(spark, sf_dir):
             F.datediff("db", "da").cast("long").alias("days_apart"),
         )
     )
+
+
+BASKET_MIN_PAIR = 2
+
+
+@register(
+    "orders_market_basket_lift",
+    oracle=f"""
+        WITH d AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        tot AS (
+          SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM d
+        ),
+        s AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p
+          FROM d GROUP BY 1
+        ),
+        pr AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS n_pair
+          FROM d a JOIN d b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= {BASKET_MIN_PAIR}
+        )
+        SELECT part_a, part_b, n_pair,
+               sa.n_p AS n_a, sb.n_p AS n_b,
+               round(CAST(n_pair AS DOUBLE) * tot.n_orders
+                     / (sa.n_p * sb.n_p), 6) AS lift,
+               round(CAST(n_pair AS DOUBLE) / tot.n_orders, 6)
+                 AS support
+        FROM pr
+        JOIN s sa ON sa.l_partkey = part_a
+        JOIN s sb ON sb.l_partkey = part_b
+        CROSS JOIN tot
+    """,
+)
+def orders_market_basket_lift(spark, sf_dir):
+    """Market-basket association mining: for every part pair
+    co-ordered at least BASKET_MIN_PAIR (=2) times, support
+    (pair orders / all orders) and lift
+    (P(a,b) / P(a)P(b) = n_pair·N / (n_a·n_b)) — the recommender /
+    cross-sell primitive. Baskets dedup to distinct (order, part)
+    first so a part ordered twice in one order can't inflate a pair;
+    all counts are exact int64 and lift/support are identical double
+    expressions.
+
+    Scale: the pair fan-out is a SELF-JOIN WITHIN THE ORDER KEY —
+    co-partitioned on l_orderkey, bounded by the per-order line count
+    (≤17 in this fixture, so ≤136 pairs/order regardless of table size), never
+    a cross join; the HAVING prunes the long unit-count tail before
+    the two broadcast-sized support joins (part spine) and the scalar
+    order count."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    tot = d.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    s = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = d.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = d.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    pr = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= BASKET_MIN_PAIR)
+    )
+    sa = s.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a")
+    )
+    sb = s.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b")
+    )
+    return (
+        pr.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+        )
+    )
