@@ -1179,27 +1179,29 @@ def orders_market_basket_lift(spark, sf_dir):
     all counts are exact int64 and lift/support are identical double
     expressions.
 
-    Scale: the pair fan-out is a SELF-JOIN WITHIN THE ORDER KEY —
-    co-partitioned on l_orderkey, bounded by the per-order line count
-    (≤17 in this fixture, so ≤136 pairs/order regardless of table size), never
-    a cross join; the HAVING prunes the long unit-count tail before
-    the two broadcast-sized support joins (part spine) and the scalar
-    order count."""
+    Scale: ONE groupBy collapses lineitem to per-order sorted basket
+    arrays (persisted — supports, order count, and pairs all read it);
+    the pair fan-out is then a map-side double-explode bounded by the
+    per-order line count (≤17 in this fixture, so ≤136 pairs/order
+    regardless of table size) — no self-join, no second shuffle of the
+    fact table; the count>=2 filter prunes the long unit-count tail
+    before the two broadcast-sized support joins (part spine)."""
     li = table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    tot = d.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    s = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
-    a = d.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = d.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
-    )
+    baskets = baskets.persist()
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    s = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("n_p"))
     pr = (
-        a.join(
-            b,
-            (F.col("l_orderkey") == F.col("ok_b"))
-            & (F.col("part_a") < F.col("part_b")),
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select(
+            "part_a",
+            F.explode(
+                F.filter("parts", lambda x: x > F.col("part_a"))
+            ).alias("part_b"),
         )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
