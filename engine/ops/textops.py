@@ -2854,3 +2854,53 @@ def text_char_entropy(spark, sf_dir):
             6,
         ).alias("entropy_bits"),
     )
+
+
+@register(
+    "text_hapax_legomena_ratio",
+    oracle="""
+        WITH tok AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        c AS (
+          SELECT lang, token, count(*) AS n
+          FROM tok GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(CAST(n = 1 AS BIGINT)) AS BIGINT) AS hapax_count,
+               CAST(sum(CAST(n = 2 AS BIGINT)) AS BIGINT) AS dis_count,
+               round(CAST(sum(CAST(n = 1 AS BIGINT)) AS DOUBLE)
+                     / count(*), 6) AS hapax_ratio
+        FROM c GROUP BY 1
+    """,
+)
+def text_hapax_legomena_ratio(spark, sf_dir):
+    """Hapax legomena ratio per language — the fraction of the
+    vocabulary occurring exactly once (plus dis legomena, twice), the
+    lexical-richness screen that flags OCR noise and boilerplate
+    corpora (natural corpora sit near ~0.4-0.6 hapax by Zipf; spam
+    and template text crater it). Pure integer counting on the
+    (lang, token) spine; the only double is the final ratio.
+
+    Scale: tokenization is a map-only explode into a
+    map-side-combinable (lang, token) groupBy — same contract as
+    text_wordcount; the second aggregation runs on the vocab spine
+    (sublinear in corpus size by Heaps' law)."""
+    d = table(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.explode(_tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("n") == 1).cast("long")).alias("hapax_count"),
+        F.sum((F.col("n") == 2).cast("long")).alias("dis_count"),
+        F.round(
+            F.sum((F.col("n") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )
