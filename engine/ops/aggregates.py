@@ -5591,3 +5591,208 @@ def ts_ljung_box(spark, sf_dir):
             (q > LB_CRIT_6DF_95).cast("long").alias("reject_white_noise"),
         )
     )
+
+
+@register(
+    "stat_gini_impurity_split",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 count(*) FILTER (WHERE ts < TIMESTAMP '{DID_SPLIT}')
+                   AS x,
+                 CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                        FILTER (WHERE ts >= TIMESTAMP '{DID_SPLIT}'), 0)
+                      > {QINI_RESP_CENTS} AS BIGINT) AS pos
+          FROM events GROUP BY 1
+        ),
+        g AS (
+          SELECT x, CAST(count(*) AS BIGINT) AS n_v,
+                 CAST(sum(pos) AS BIGINT) AS p_v
+          FROM u GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n_v) AS BIGINT) AS n,
+                 CAST(sum(p_v) AS BIGINT) AS p
+          FROM g
+        ),
+        c AS (
+          SELECT x AS thr,
+                 CAST(sum(n_v) OVER (ORDER BY x) AS BIGINT) AS n_l,
+                 CAST(sum(p_v) OVER (ORDER BY x) AS BIGINT) AS p_l
+          FROM g
+        )
+        SELECT thr, n_l, p_l,
+               tot.n - n_l AS n_r, tot.p - p_l AS p_r,
+               round(
+                 (CASE WHEN n_l = 0 THEN 0.0 ELSE
+                   CAST(n_l AS DOUBLE) / tot.n
+                   * (1.0 - (CAST(p_l AS DOUBLE) / n_l)
+                           * (CAST(p_l AS DOUBLE) / n_l)
+                         - (CAST(n_l - p_l AS DOUBLE) / n_l)
+                           * (CAST(n_l - p_l AS DOUBLE) / n_l)) END)
+                 + (CASE WHEN tot.n - n_l = 0 THEN 0.0 ELSE
+                   CAST(tot.n - n_l AS DOUBLE) / tot.n
+                   * (1.0 - (CAST(tot.p - p_l AS DOUBLE) / (tot.n - n_l))
+                           * (CAST(tot.p - p_l AS DOUBLE) / (tot.n - n_l))
+                         - (CAST((tot.n - n_l) - (tot.p - p_l) AS DOUBLE)
+                            / (tot.n - n_l))
+                           * (CAST((tot.n - n_l) - (tot.p - p_l) AS DOUBLE)
+                              / (tot.n - n_l))) END), 6)
+                 AS gini_weighted
+        FROM c, tot
+    """,
+)
+def stat_gini_impurity_split(spark, sf_dir):
+    """Decision-tree split scoring — the inner loop of distributed
+    tree training (Spark MLlib's chief aggregation pattern): for
+    EVERY candidate threshold on a feature (pre-split activity
+    count), the weighted Gini impurity of the binary outcome split
+    x<=thr / x>thr. One histogram aggregation to the distinct-value
+    spine gives (n_v, pos_v) per value; ascending prefix sums turn it
+    into left/right class counts for ALL thresholds simultaneously
+    (never one pass per candidate); impurity is an identical double
+    expression over exact int64 counts, zero-guarded at both edges.
+    The argmin row is the best split; the full curve is returned so
+    the consumer also sees the margin.
+
+    Scale: this is exactly how tree libraries scale — sufficient
+    statistics per candidate bin from ONE map-side-combinable pass
+    over the data, all split evaluation on the bins-sized spine.
+    100 TB changes the histogram pass, not the evaluation."""
+    e = table(spark, sf_dir, "events")
+    split = F.lit(DID_SPLIT).cast("timestamp_ntz")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("x"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") >= split,
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            )
+            > QINI_RESP_CENTS
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+    g = u.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("pos").alias("p_v")
+    )
+    tot = g.agg(F.sum("n_v").alias("n"), F.sum("p_v").alias("p"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.col("x").alias("thr"),
+        F.sum("n_v").over(w).alias("n_l"),
+        F.sum("p_v").over(w).alias("p_l"),
+    )
+    j = c.crossJoin(F.broadcast(tot)).select(
+        "thr",
+        "n_l",
+        "p_l",
+        (F.col("n") - F.col("n_l")).alias("n_r"),
+        (F.col("p") - F.col("p_l")).alias("p_r"),
+        "n",
+    )
+
+    def side_gini(nn, pp):
+        frac = nn.cast("double") / F.col("n")
+        pr = pp.cast("double") / nn
+        qr = (nn - pp).cast("double") / nn
+        return F.when(nn == 0, F.lit(0.0)).otherwise(
+            frac * (F.lit(1.0) - pr * pr - qr * qr)
+        )
+
+    return j.select(
+        "thr",
+        "n_l",
+        "p_l",
+        "n_r",
+        "p_r",
+        F.round(
+            side_gini(F.col("n_l"), F.col("p_l"))
+            + side_gini(F.col("n_r"), F.col("p_r")),
+            6,
+        ).alias("gini_weighted"),
+    )
+
+
+@register(
+    "events_interarrival_exp_fit",
+    oracle="""
+        WITH s AS (
+          SELECT event_type,
+                 (epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id
+                  ))) // 1000000 AS gap_ms
+          FROM events
+        ),
+        g AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(sum(gap_ms) AS BIGINT) AS sum_ms,
+                 CAST(sum(gap_ms * gap_ms) AS BIGINT) AS sum_ms2
+          FROM s WHERE gap_ms IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, n_gaps,
+               round(CAST(sum_ms AS DOUBLE) / n_gaps / 1000.0, 6)
+                 AS mean_gap_sec,
+               round(3600000.0 * n_gaps / sum_ms, 6) AS lambda_per_hour,
+               round(
+                 (CAST(n_gaps AS DOUBLE) * sum_ms2 - CAST(sum_ms AS DOUBLE) * sum_ms)
+                 / (CAST(sum_ms AS DOUBLE) * sum_ms), 6
+               ) AS cv_squared
+        FROM g
+    """,
+)
+def events_interarrival_exp_fit(spark, sf_dir):
+    """Exponential inter-arrival fit per event type — the Poisson-ness
+    diagnostic behind capacity planning and anomaly baselines: MLE
+    rate λ̂ = n/Σgap, mean gap, and the squared coefficient of
+    variation CV² = n·Σg²/(Σg)² − 1 (restated n·S2−S1² over S1² so
+    every term is exact before one division). CV² ≈ 1 means memoryless
+    Poisson arrivals; CV² ≫ 1 means bursty traffic where naive
+    rate-based alerting misfires. Gaps are exact integer milliseconds
+    from a (type)-partitioned lag with event_id tiebreak; the moment
+    sums are exact int64 (ms² keeps 20k×3.6e9 « 2^63).
+
+    Scale: the per-type sort for lag() partitions by event_type —
+    at 100 TB the same spelling partitions by (type, day) with a
+    first-gap-per-day correction or rides the ingest-time ordering;
+    the moment fold is one map-side-combinable aggregation."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.floor(
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+        )
+        / 1000
+    ).alias("gap_ms")
+    s = e.select("event_type", gap)
+    g = s.filter(F.col("gap_ms").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_ms").alias("sum_ms"),
+        F.sum(F.col("gap_ms") * F.col("gap_ms")).alias("sum_ms2"),
+    )
+    return g.select(
+        "event_type",
+        "n_gaps",
+        F.round(
+            F.col("sum_ms").cast("double") / F.col("n_gaps") / 1000.0, 6
+        ).alias("mean_gap_sec"),
+        F.round(
+            3600000.0 * F.col("n_gaps") / F.col("sum_ms"), 6
+        ).alias("lambda_per_hour"),
+        F.round(
+            (
+                F.col("n_gaps").cast("double") * F.col("sum_ms2")
+                - F.col("sum_ms").cast("double") * F.col("sum_ms")
+            )
+            / (F.col("sum_ms").cast("double") * F.col("sum_ms")),
+            6,
+        ).alias("cv_squared"),
+    )

@@ -1306,3 +1306,57 @@ def graph_kcore(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_token_sort_exact",
+    oracle="""
+        WITH c AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(string_split(text, ' ')),
+                     ' ')) AS canon
+          FROM documents
+        ),
+        g AS (
+          SELECT canon, CAST(count(*) AS BIGINT) AS group_size,
+                 CAST(min(doc_id) AS BIGINT) AS keeper
+          FROM c GROUP BY 1
+        )
+        SELECT c.doc_id, substr(c.canon, 1, 16) AS canon_prefix,
+               g.group_size,
+               CAST(c.doc_id = g.keeper AS BIGINT) AS is_keeper
+        FROM c JOIN g USING (canon)
+    """,
+)
+def dedup_token_sort_exact(spark, sf_dir):
+    """Token-sort canonical dedup — fuzzywuzzy's token_sort_ratio at
+    exact-match strength: sort each document's whitespace tokens,
+    rejoin, and hash, so word-order-shuffled near-duplicates ("the
+    cat sat" vs "sat the cat") collapse into one group that plain
+    exact dedup (dedup_exact) misses. Every doc gets its canonical
+    signature, group size, and a deterministic min-doc_id keeper
+    flag — the production output a dedup pipeline feeds into its
+    filter stage.
+
+    Scale: canonicalization is map-only (token sort is per-row,
+    bounded by doc length); grouping is a hash groupBy on the digest
+    (map-side combinable) and the join back to docs co-shuffles on
+    the same digest key — the same O(corpus) contract as dedup_exact,
+    one extra sort per row."""
+    d = table(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.sort_array(F.split("text", " ")), " ")
+        ).alias("canon"),
+    )
+    g = c.groupBy("canon").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return c.join(g, "canon").select(
+        "doc_id",
+        F.substring("canon", 1, 16).alias("canon_prefix"),
+        "group_size",
+        (F.col("doc_id") == F.col("keeper")).cast("long").alias("is_keeper"),
+    )

@@ -2244,3 +2244,79 @@ def win_bollinger_bands(spark, sf_dir):
         .cast("long")
         .alias("breach"),
     )
+
+
+@register(
+    "win_high_water_mark",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1
+        ),
+        h1 AS (
+          SELECT day, rev_cents,
+                 CAST(max(rev_cents) OVER cum AS BIGINT) AS ath_cents
+          FROM d
+          WINDOW cum AS (
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          )
+        ),
+        h AS (
+          SELECT day, rev_cents, ath_cents,
+                 max(CASE WHEN rev_cents = ath_cents THEN day END)
+                   OVER cum AS ath_day
+          FROM h1
+          WINDOW cum AS (
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          )
+        )
+        SELECT CAST(day AS VARCHAR) AS day, rev_cents, ath_cents,
+               CAST(day - ath_day AS BIGINT) AS days_since_ath,
+               round(CAST(rev_cents AS DOUBLE) / ath_cents, 6)
+                 AS pct_of_ath
+        FROM h
+    """,
+)
+def win_high_water_mark(spark, sf_dir):
+    """High-water-mark tracking over daily revenue — for every day,
+    the all-time-high so far, how many days since it was set, and
+    today's level as a fraction of it: the drawdown-monitoring view
+    every metrics dashboard keeps ("revenue has been below peak for
+    N days"). The ATH day is recovered without a self-join: a
+    conditional MAX over a second cumulative pass picks the latest
+    day whose revenue equals its running max (re-touching the high
+    resets the clock, matching the business definition). All values
+    are exact cent int64s; the only double is the final ratio.
+
+    Scale: orders collapse map-side to the day spine; both cumulative
+    windows run on the spine only. Two sequential cumulative
+    window passes over the spine — O(spine), not O(spine²)."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    h1 = d.select(
+        "day", "rev_cents", F.max("rev_cents").over(cum).alias("ath_cents")
+    )
+    h = h1.select(
+        "day",
+        "rev_cents",
+        "ath_cents",
+        F.max(
+            F.when(F.col("rev_cents") == F.col("ath_cents"), F.col("day"))
+        ).over(cum).alias("ath_day"),
+    )
+    return h.select(
+        F.col("day").cast("string").alias("day"),
+        "rev_cents",
+        "ath_cents",
+        F.datediff("day", "ath_day").cast("long").alias("days_since_ath"),
+        F.round(
+            F.col("rev_cents").cast("double") / F.col("ath_cents"), 6
+        ).alias("pct_of_ath"),
+    )
