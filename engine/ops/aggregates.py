@@ -5796,3 +5796,263 @@ def events_interarrival_exp_fit(spark, sf_dir):
             6,
         ).alias("cv_squared"),
     )
+
+
+@register(
+    "stat_theil_index",
+    oracle="""
+        WITH x AS (
+          SELECT c.c_nationkey AS nk,
+                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY o.o_custkey, c.c_nationkey
+        ),
+        g AS (
+          SELECT nk, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(cents) AS BIGINT) AS x_g
+          FROM x GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(x_g) AS BIGINT) AS xt
+          FROM g
+        ),
+        w AS (
+          SELECT x.nk,
+                 CAST(sum(CAST(round(1000000.0
+                   * (CAST(x.cents AS DOUBLE) / g.x_g)
+                   * ln(CAST(x.cents AS DOUBLE) * g.n_g / g.x_g))
+                   AS BIGINT)) AS BIGINT) AS within_micro
+          FROM x JOIN g USING (nk) GROUP BY x.nk
+        )
+        SELECT g.nk AS nationkey, g.n_g AS n_customers,
+               g.x_g AS rev_cents,
+               round(CAST(w.within_micro AS DOUBLE) / 1000000.0, 6)
+                 AS theil_within,
+               round((CAST(g.x_g AS DOUBLE) / tot.xt)
+                     * ln((CAST(g.x_g AS DOUBLE) / tot.xt)
+                          / (CAST(g.n_g AS DOUBLE) / tot.n)), 6)
+                 AS theil_between_term,
+               round((CAST(g.x_g AS DOUBLE) / tot.xt)
+                     * (CAST(w.within_micro AS DOUBLE) / 1000000.0), 6)
+                 AS within_contribution
+        FROM g JOIN w ON g.nk = w.nk, tot
+    """,
+)
+def stat_theil_index(spark, sf_dir):
+    """Theil-T inequality decomposition of customer revenue by nation
+    — the inequality measure Gini can't give you: T splits EXACTLY
+    into between-group + share-weighted within-group components, so
+    "how much of revenue concentration is across nations vs inside
+    them" is one query. Per nation: the within-group Theil
+    T_g = Σ_i (x_i/X_g)·ln(x_i·n_g/X_g) (each customer's term is a
+    double from exact int64 cents + two group scalars, quantized to
+    integer micro-nats BEFORE the group sum — shuffle-order-proof),
+    the between-term s_g·ln(s_g/p_g), and the share-weighted
+    contribution; total T = Σ between_term + Σ within_contribution.
+
+    Scale: orders collapse map-side to per-customer cents; group
+    scalars come from one nation-spine aggregate joined back
+    broadcast; the final fold is map-side-combinable. Same contract
+    as orders_gini_concentration but decomposable."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    x = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("o_custkey", F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    g = x.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("cents").alias("x_g")
+    )
+    tot = g.agg(F.sum("n_g").alias("n"), F.sum("x_g").alias("xt"))
+    term = F.round(
+        1000000.0
+        * (F.col("cents").cast("double") / F.col("x_g"))
+        * F.log(
+            F.col("cents").cast("double") * F.col("n_g") / F.col("x_g")
+        )
+    ).cast("long")
+    w = (
+        x.join(F.broadcast(g), "nk")
+        .groupBy("nk")
+        .agg(F.sum(term).alias("within_micro"))
+    )
+    sg = F.col("x_g").cast("double") / F.col("xt")
+    pg = F.col("n_g").cast("double") / F.col("n")
+    tw = F.col("within_micro").cast("double") / 1000000.0
+    return (
+        g.join(w, "nk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("n_g").alias("n_customers"),
+            F.col("x_g").alias("rev_cents"),
+            F.round(tw, 6).alias("theil_within"),
+            F.round(sg * F.log(sg / pg), 6).alias("theil_between_term"),
+            F.round(sg * tw, 6).alias("within_contribution"),
+        )
+    )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+        WITH c AS (
+          SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+                 count(*) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+        SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+               CAST(n AS BIGINT) AS n, cents,
+               round(CAST(n AS DOUBLE) / tot.nt, 6) AS share,
+               round(CAST(n AS DOUBLE) * 168 / tot.nt, 6)
+                 AS load_vs_uniform
+        FROM c, tot
+    """,
+)
+def events_dow_hour_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap — the capacity-
+    planning matrix behind every on-call staffing and autoscaling
+    policy: event count and exact cent value per (dow, hour) cell,
+    each cell's share of total traffic, and its load relative to a
+    uniform 168-cell week (load_vs_uniform > 1 = hot cell). Engines
+    disagree on week anchors, so dow is pinned to Spark's Sunday=1
+    convention and the oracle shifts DuckDB's Sunday=0 to match.
+
+    Scale: one map-side-combinable groupBy to a ≤168-row matrix —
+    scan-bound at any size; the share join broadcasts a scalar."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    tot = c.agg(F.sum("n").alias("nt"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hr",
+        "n",
+        "cents",
+        F.round(F.col("n").cast("double") / F.col("nt"), 6).alias("share"),
+        F.round(F.col("n").cast("double") * 168 / F.col("nt"), 6).alias(
+            "load_vs_uniform"
+        ),
+    )
+
+
+
+_CORR_FEATS = ["qty", "usd", "disc_bp", "tax_bp"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_FEATS)
+    for b in _CORR_FEATS[i + 1:]
+]
+
+
+def _corr_sql() -> str:
+    sums = ", ".join(
+        [f"CAST(sum({f}) AS BIGINT) AS s_{f}" for f in _CORR_FEATS]
+        + [
+            f"CAST(sum({a} * {b}) AS BIGINT) AS s_{a}_{b}"
+            for i, a in enumerate(_CORR_FEATS)
+            for b in _CORR_FEATS[i:]
+        ]
+    )
+    def corr(a, b):
+        return (
+            f"round((CAST(n AS DOUBLE) * s_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})"
+            f" / sqrt((CAST(n AS DOUBLE) * s_{a}_{a} - CAST(s_{a} AS DOUBLE) * s_{a})"
+            f" * (CAST(n AS DOUBLE) * s_{b}_{b} - CAST(s_{b} AS DOUBLE) * s_{b})), 6)"
+        )
+    pairs = " UNION ALL ".join(
+        f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, n, {corr(a, b)} AS corr FROM m"
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+        WITH q AS (
+          SELECT CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice) AS BIGINT) AS usd,
+                 CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp,
+                 CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
+          FROM lineitem
+        ),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n, {sums} FROM q)
+        {pairs}
+    """
+
+
+@register("ml_feature_correlation_matrix", oracle=_corr_sql())
+def ml_feature_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over four lineitem
+    features (quantity, price-in-dollars, discount/tax in basis
+    points) — the feature-selection screen run before any model
+    training, computed the ONLY way it scales: every co-moment
+    (4 sums, 4 squares, 6 cross products) accumulates as an exact
+    int64 in ONE map-side-combinable pass (features are quantized to
+    integer units first so the sums are shuffle-order-proof), and
+    all 6 correlations are identical double expressions over that
+    single 15-cell row. Never k² passes, never a row-pair join.
+
+    Scale: one scan, one 15-column partial-agg reduce to a single
+    row; the pair fan-out is a 6-element inline explode of that row.
+    At sf1's magnitudes the largest co-moment (price², ~6e16) still
+    clears int64 with 100× headroom."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round("l_extendedprice").cast("long").alias("usd"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
+        F.round(F.col("l_tax") * 10000).cast("long").alias("tax_bp"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(f).alias(f"s_{f}") for f in _CORR_FEATS
+    ] + [
+        F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}")
+        for i, a in enumerate(_CORR_FEATS)
+        for b in _CORR_FEATS[i:]
+    ]
+    m = q.agg(*aggs)
+
+    def corr(a, b):
+        num = (
+            F.col("n").cast("double") * F.col(f"s_{a}_{b}")
+            - F.col(f"s_{a}").cast("double") * F.col(f"s_{b}")
+        )
+        den = F.sqrt(
+            (
+                F.col("n").cast("double") * F.col(f"s_{a}_{a}")
+                - F.col(f"s_{a}").cast("double") * F.col(f"s_{a}")
+            )
+            * (
+                F.col("n").cast("double") * F.col(f"s_{b}_{b}")
+                - F.col(f"s_{b}").cast("double") * F.col(f"s_{b}")
+            )
+        )
+        return F.round(num / den, 6)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("feat_a"),
+                F.lit(b).alias("feat_b"),
+                F.col("n").alias("n"),
+                corr(a, b).alias("corr"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return m.select(F.inline(pairs))
