@@ -6056,3 +6056,74 @@ def ml_feature_correlation_matrix(spark, sf_dir):
         ]
     )
     return m.select(F.inline(pairs))
+
+
+@register(
+    "events_abandoned_cart_rate",
+    oracle="""
+        WITH k AS (
+          SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day
+          FROM events WHERE event_type = 'click'
+        ),
+        hit AS (
+          SELECT k.event_id,
+                 max(CASE WHEN p.ts > k.ts
+                            AND p.ts <= k.ts + INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END) AS converted
+          FROM k LEFT JOIN events p
+            ON p.user_id = k.user_id AND p.event_type = 'purchase'
+           AND p.ts > k.ts AND p.ts <= k.ts + INTERVAL 1 HOUR
+          GROUP BY k.event_id
+        )
+        SELECT CAST(k.day AS VARCHAR) AS day,
+               CAST(count(*) AS BIGINT) AS n_clicks,
+               CAST(sum(1 - coalesce(hit.converted, 0)) AS BIGINT)
+                 AS n_abandoned,
+               round(CAST(sum(1 - coalesce(hit.converted, 0)) AS DOUBLE)
+                     / count(*), 6) AS abandon_rate
+        FROM k JOIN hit ON k.event_id = hit.event_id
+        GROUP BY k.day
+    """,
+)
+def events_abandoned_cart_rate(spark, sf_dir):
+    """Abandoned-cart rate per day — the NEGATION funnel pattern
+    (clicked but did NOT purchase within the next hour), which plain
+    funnel counting can't express without an anti-join: each click
+    LEFT-joins the user's purchases over a 1-hour forward band, a
+    conditional max collapses the matches to a converted flag, and
+    the daily rollup reports the abandonment share. All counts exact
+    int64; the rate is the only double.
+
+    Scale: the band join is co-partitioned on user_id and bounded by
+    the 1-hour window (each click meets only that user's purchases in
+    one hour — at 100 TB the same join adds a day-bucket equi-key to
+    cap the band), and the per-click collapse is map-side-combinable
+    on the join output."""
+    e = table(spark, sf_dir, "events")
+    k = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.to_date("ts").alias("day")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    j = k.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    hit = j.groupBy("event_id", "day").agg(
+        F.max(
+            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)
+        ).alias("converted")
+    )
+    return hit.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(1 - F.col("converted")).alias("n_abandoned"),
+        F.round(
+            F.sum(1 - F.col("converted")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("abandon_rate"),
+    )

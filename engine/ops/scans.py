@@ -1707,3 +1707,4 @@ def sql_try_arithmetic(spark, sf_dir):
         F.sum(F.floor(div)).cast("long").alias("sum_div"),
         F.count_if(F.col("l_linenumber") - 1 == 0).alias("n_nulled"),
     )
+

@@ -3295,3 +3295,98 @@ def ml_precision_recall_curve(spark, sf_dir):
             2.0 * F.col("cum_pos") / (F.col("cum_n") + F.col("np")), 6
         ).alias("f1"),
     )
+
+
+@register(
+    "ml_threshold_youden_j",
+    oracle="""
+        WITH s AS (
+          SELECT list_extract(embedding, 1) AS s,
+                 CAST(label < 5 AS BIGINT) AS pos
+          FROM embeddings
+        ),
+        g AS (
+          SELECT s, count(*) AS n_g, CAST(sum(pos) AS BIGINT) AS np_g
+          FROM s GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(np_g) AS BIGINT) AS np
+          FROM g
+        ),
+        c AS (
+          SELECT CAST(round(1000000 * CAST(s AS DOUBLE)) AS BIGINT)
+                   AS score_micro,
+                 CAST(sum(np_g) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+                 CAST(sum(n_g - np_g) OVER (ORDER BY s DESC) AS BIGINT)
+                   AS fp
+          FROM g
+        ),
+        j AS (
+          SELECT score_micro, tp, fp,
+                 round(CAST(tp AS DOUBLE) / tot.np, 6) AS tpr,
+                 round(CAST(fp AS DOUBLE) / (tot.n - tot.np), 6) AS fpr,
+                 tp * (tot.n - tot.np) - fp * tot.np AS j_scaled
+          FROM c, tot
+        ),
+        best AS (SELECT max(j_scaled) AS bj FROM j)
+        SELECT score_micro, tp, fp, tpr, fpr,
+               round(tpr - fpr, 6) AS youden_j,
+               CAST(j_scaled = best.bj AS BIGINT) AS is_best
+        FROM j, best
+    """,
+)
+def ml_threshold_youden_j(spark, sf_dir):
+    """Youden's J threshold selection — the standard way to pick a
+    classifier's operating point from the ROC spine: J = TPR − FPR
+    per distinct-score threshold, with the argmax flagged. The argmax
+    comparison runs on the INTEGER cross-multiplied form
+    tp·N_neg − fp·N_pos (exactly monotone in J), so tie-breaking and
+    the best-row flag are pure int64 equality — no double compare
+    anywhere near the decision; TPR/FPR/J surface as rounded doubles.
+
+    Scale: identical contract to ml_precision_recall_curve — one
+    map-side-combinable pass to the distinct-score spine, prefix sums
+    and the scalar max on the spine only."""
+    em = table(spark, sf_dir, "embeddings")
+    s = em.select(
+        F.element_at("embedding", 1).alias("s"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    g = s.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("pos").alias("np_g")
+    )
+    tot = g.agg(F.sum("n_g").alias("n"), F.sum("np_g").alias("np"))
+    wcum = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select(
+        F.round(1000000 * F.col("s").cast("double"))
+        .cast("long")
+        .alias("score_micro"),
+        F.sum("np_g").over(wcum).alias("tp"),
+        F.sum(F.col("n_g") - F.col("np_g")).over(wcum).alias("fp"),
+    )
+    j = c.crossJoin(F.broadcast(tot)).select(
+        "score_micro",
+        "tp",
+        "fp",
+        F.round(F.col("tp").cast("double") / F.col("np"), 6).alias("tpr"),
+        F.round(
+            F.col("fp").cast("double") / (F.col("n") - F.col("np")), 6
+        ).alias("fpr"),
+        (
+            F.col("tp") * (F.col("n") - F.col("np"))
+            - F.col("fp") * F.col("np")
+        ).alias("j_scaled"),
+    )
+    best = j.agg(F.max("j_scaled").alias("bj"))
+    return j.crossJoin(F.broadcast(best)).select(
+        "score_micro",
+        "tp",
+        "fp",
+        "tpr",
+        "fpr",
+        F.round(F.col("tpr") - F.col("fpr"), 6).alias("youden_j"),
+        (F.col("j_scaled") == F.col("bj")).cast("long").alias("is_best"),
+    )

@@ -2320,3 +2320,80 @@ def win_high_water_mark(spark, sf_dir):
             F.col("rev_cents").cast("double") / F.col("ath_cents"), 6
         ).alias("pct_of_ath"),
     )
+
+
+@register(
+    "events_active_streaks",
+    oracle="""
+        WITH d AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        mx AS (SELECT max(day) AS last_day FROM d),
+        i AS (
+          SELECT user_id, day,
+                 day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day
+                 ) AS INT) AS island
+          FROM d
+        ),
+        s AS (
+          SELECT user_id, island,
+                 CAST(count(*) AS BIGINT) AS len,
+                 max(day) AS streak_end
+          FROM i GROUP BY 1, 2
+        )
+        SELECT s.user_id,
+               CAST(sum(len) AS BIGINT) AS n_active_days,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(max(len) AS BIGINT) AS longest_streak,
+               CAST(coalesce(max(CASE WHEN s.streak_end = mx.last_day
+                                      THEN len END), 0) AS BIGINT)
+                 AS current_streak
+        FROM s, mx GROUP BY s.user_id
+    """,
+)
+def events_active_streaks(spark, sf_dir):
+    """Consecutive-active-day streaks per user — the engagement
+    metric behind "7-day streak" product mechanics: gaps-and-islands
+    (day minus per-user row_number is constant within a consecutive
+    run) over the distinct (user, day) activity table, rolled up to
+    each user's active-day total, streak count, longest streak, and
+    the streak still alive on the dataset's last day (0 if broken).
+    All pure integer date arithmetic — no doubles anywhere.
+
+    Scale: events collapse map-side to the user-day activity table
+    (orders of magnitude below raw events); the row_number window
+    partitions per user over that user's OWN days (≤ calendar
+    length), so no global sort and no skewable single partition; both
+    rollups are map-side-combinable."""
+    e = table(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    mx = d.agg(F.max("day").alias("last_day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = d.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("island"),
+    )
+    s = i.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.max("day").alias("streak_end"),
+    )
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("streak_end") == F.col("last_day"),
+                        F.col("len"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("current_streak"),
+        )
+    )
