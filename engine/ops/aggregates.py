@@ -6127,3 +6127,69 @@ def events_abandoned_cart_rate(spark, sf_dir):
             6,
         ).alias("abandon_rate"),
     )
+
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+        WITH ym AS (
+          SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT mo, CAST(count(*) AS BIGINT) AS n_years,
+                 CAST(sum(cents) AS BIGINT) AS cents
+          FROM ym GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_all,
+                 CAST(sum(cents) AS BIGINT) AS c_all
+          FROM ym
+        )
+        SELECT CAST(m.mo AS BIGINT) AS month_of_year, m.n_years,
+               m.cents AS rev_cents,
+               round((CAST(m.cents AS DOUBLE) / m.n_years)
+                     / (CAST(tot.c_all AS DOUBLE) / tot.n_all), 6)
+                 AS seasonal_index
+        FROM m, tot
+    """,
+)
+def orders_seasonality_index(spark, sf_dir):
+    """Classical monthly seasonality index — each calendar month's
+    average revenue across all observed years divided by the overall
+    monthly average (index > 1 = seasonally strong month), the
+    multiplicative-decomposition companion to win_yoy_growth (which
+    differences; this one profiles). Exact cent sums per (year,
+    month) cell, exact cell counts, and one identical double ratio —
+    robust to partially-observed first/last years because each month
+    divides by ITS OWN observation count.
+
+    Scale: one map-side-combinable rollup to the ≤12×years cell
+    table; everything downstream is 12 rows + a broadcast scalar."""
+    o = table(spark, sf_dir, "orders")
+    ym = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    m = ym.groupBy("mo").agg(
+        F.count(F.lit(1)).alias("n_years"), F.sum("cents").alias("cents")
+    )
+    tot = ym.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("cents").alias("c_all")
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        F.col("mo").cast("long").alias("month_of_year"),
+        "n_years",
+        F.col("cents").alias("rev_cents"),
+        F.round(
+            (F.col("cents").cast("double") / F.col("n_years"))
+            / (F.col("c_all").cast("double") / F.col("n_all")),
+            6,
+        ).alias("seasonal_index"),
+    )

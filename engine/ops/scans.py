@@ -1708,3 +1708,4 @@ def sql_try_arithmetic(spark, sf_dir):
         F.count_if(F.col("l_linenumber") - 1 == 0).alias("n_nulled"),
     )
 
+

@@ -3390,3 +3390,87 @@ def ml_threshold_youden_j(spark, sf_dir):
         F.round(F.col("tpr") - F.col("fpr"), 6).alias("youden_j"),
         (F.col("j_scaled") == F.col("bj")).cast("long").alias("is_best"),
     )
+
+
+@register(
+    "embed_isotropy_score",
+    oracle="""
+        WITH ex AS (
+          SELECT vec_id, CAST(i AS INT) AS pos,
+                 CAST(round(1000000 * CAST(list_extract(embedding, i)
+                      AS DOUBLE)) AS BIGINT) AS u
+          FROM embeddings, range(1, 65) AS t(i)
+        ),
+        dims AS (
+          SELECT pos, CAST(sum(u) AS BIGINT) AS s FROM ex GROUP BY 1
+        ),
+        top AS (
+          SELECT CAST(sum(CAST(round(CAST(s AS DOUBLE) * s / 1000000.0)
+                   AS BIGINT)) AS BIGINT) AS t_mega
+          FROM dims
+        ),
+        rw AS (
+          SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+                 CAST(sum(u * u) AS BIGINT) AS ss
+          FROM ex
+        )
+        SELECT rw.n AS n_vectors,
+               round(CAST(rw.ss AS DOUBLE) / rw.n / 1e12, 6)
+                 AS mean_norm_sq,
+               round((CAST(top.t_mega AS DOUBLE) * 1000000.0 - rw.ss)
+                     / (CAST(rw.n AS DOUBLE) * (rw.n - 1)) / 1e12, 6)
+                 AS mean_pairwise_cosine
+        FROM rw, top
+    """,
+)
+def embed_isotropy_score(spark, sf_dir):
+    """Embedding-space isotropy score — the representation-collapse
+    screen (Ethayarajh-style): the mean pairwise cosine over ALL n²
+    vector pairs, computed WITHOUT any pair join via the exact
+    identity Σ_{i≠j} v_i·v_j = ||Σv||² − Σ||v_i||². Near 0 = isotropic
+    (healthy spread); near 1 = collapsed embeddings that wreck every
+    downstream cosine ranking. Components quantize to integer
+    micro-units first, so the per-dimension sums and the Σ||u||² total
+    are exact int64; each dimension's squared sum is mega-quantized
+    before the 64-term fold (shuffle-order-proof), and the final
+    expression is one identical double in both engines. The fixture's
+    vectors are pre-normalized (embed_normalize proves it), so dot is
+    cosine.
+
+    Scale: ONE map-side-combinable pass — the shuffle carries 64
+    dimension sums plus two scalars, never a pair. The O(n²)
+    semantics at O(n) cost is the whole trick; contrast with the
+    declared-brute embed_cosine_neardup anchor."""
+    em = table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(1000000 * x.cast("double")).cast("long"),
+            )
+        ).alias("pos", "u"),
+    )
+    dims = ex.groupBy("pos").agg(F.sum("u").alias("s"))
+    top = dims.agg(
+        F.sum(
+            F.round(F.col("s").cast("double") * F.col("s") / 1000000.0)
+            .cast("long")
+        ).alias("t_mega")
+    )
+    rw = ex.agg(
+        F.countDistinct("vec_id").alias("n"),
+        F.sum(F.col("u") * F.col("u")).alias("ss"),
+    )
+    return rw.crossJoin(F.broadcast(top)).select(
+        F.col("n").alias("n_vectors"),
+        F.round(
+            F.col("ss").cast("double") / F.col("n") / 1e12, 6
+        ).alias("mean_norm_sq"),
+        F.round(
+            (F.col("t_mega").cast("double") * 1000000.0 - F.col("ss"))
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+            / 1e12,
+            6,
+        ).alias("mean_pairwise_cosine"),
+    )

@@ -2397,3 +2397,98 @@ def events_active_streaks(spark, sf_dir):
             ).alias("current_streak"),
         )
     )
+
+
+@register(
+    "win_rolling_beta",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(count(*) FILTER (WHERE event_type = 'view')
+                      AS BIGINT) AS x,
+                 CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                      FILTER (WHERE event_type = 'purchase'), 0)
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1
+        ),
+        w AS (
+          SELECT day, x, y,
+                 CAST(count(*) OVER fr AS BIGINT) AS n_w,
+                 CAST(sum(x) OVER fr AS BIGINT) AS sx,
+                 CAST(sum(y) OVER fr AS BIGINT) AS sy,
+                 CAST(sum(x * x) OVER fr AS BIGINT) AS sxx,
+                 CAST(sum(x * y) OVER fr AS BIGINT) AS sxy
+          FROM d
+          WINDOW fr AS (
+            ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+          )
+        )
+        SELECT CAST(day AS VARCHAR) AS day, x, y,
+               round((CAST(n_w AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n_w AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx), 6) AS beta,
+               round((sy - (CAST(n_w AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n_w AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * sx) * sx)
+                     / n_w, 6) AS alpha
+        FROM w WHERE n_w = 7
+    """,
+)
+def win_rolling_beta(spark, sf_dir):
+    """Rolling 7-day OLS beta of purchase revenue on view traffic —
+    the moving sensitivity ("cents of purchases per extra view") that
+    marketing-mix dashboards track for regime changes. Both daily
+    series come from ONE conditional rollup of the fact table (views
+    counted, purchase cents summed exactly); the four rolling
+    co-moments are exact int64 window sums over the day spine, and
+    beta/alpha are identical closed-form double expressions — the
+    same denominator-cleared OLS normal equations as ml_ols_normal_eq,
+    windowed. Warm-up frames (<7 days) are excluded.
+
+    Scale: fact scan → day spine map-side; the rolling window runs on
+    the spine only. The co-moment trick means NO per-window
+    re-aggregation — rolling regression at rolling-sum cost."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    )
+    fr = Window.orderBy("day").rowsBetween(-6, 0)
+    w = d.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(fr).alias("n_w"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+    ).filter(F.col("n_w") == 7)
+    beta = (
+        F.col("n_w").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n_w").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return w.select(
+        F.col("day").cast("string").alias("day"),
+        "x",
+        "y",
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            (F.col("sy") - beta * F.col("sx")) / F.col("n_w"), 6
+        ).alias("alpha"),
+    )
