@@ -611,3 +611,40 @@ def test_nested_schema_pruning_reads_two_leaves(spark):
     assert "status" not in rs and "cust" not in rs, rs
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "payload.priority" in pushed, plan
+
+
+def test_basket_lift_single_fact_pass(spark):
+    """orders_market_basket_lift must read lineitem once into the
+    persisted basket table (InMemoryRelation) and generate pairs via
+    map-side explode — never a fact-table self-join."""
+    plan = _plan(spark, "orders_market_basket_lift")
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corr_matrix_one_pass(spark):
+    """ml_feature_correlation_matrix: all 15 co-moments in ONE
+    partial+final aggregate over a single scan — exactly one shuffle."""
+    plan = _plan(spark, "ml_feature_correlation_matrix")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+
+
+def test_isotropy_no_pair_join(spark):
+    """embed_isotropy_score computes the O(n^2) mean pairwise cosine
+    without any join of embeddings against themselves."""
+    plan = _plan(spark, "embed_isotropy_score")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only join is the broadcast of the 1-row dims fold
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_spearman_broadcasts_rank_spines(spark):
+    """stat_spearman_rho assigns ranks via broadcast joins of the two
+    distinct-value spines — no fact-table sort, no shuffle join."""
+    plan = _plan(spark, "stat_spearman_rho")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
