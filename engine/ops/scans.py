@@ -1709,3 +1709,40 @@ def sql_try_arithmetic(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "sql_limit_offset_pagination",
+    oracle="""
+        SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 50 OFFSET 100
+    """,
+)
+def sql_limit_offset_pagination(spark, sf_dir):
+    """LIMIT ... OFFSET pagination (Spark 3.4+) — page 3 of a
+    keyset-ordered listing. The ORDER BY is a TOTAL order
+    (date + unique key tiebreak), which is the only way OFFSET
+    pagination is deterministic in ANY engine; without the tiebreak
+    both Spark and DuckDB may legally return different page contents.
+    Spark plans this as a global TakeOrderedAndProject-style limit of
+    offset+limit rows, not a full sort — the scan stops early.
+
+    Scale: OFFSET pagination is O(offset+limit) per page and
+    documented here as the demo surface; at 100 TB depth the
+    production form is keyset pagination (WHERE (date, key) >
+    last_seen ORDER BY ... LIMIT n), which this query's total order
+    makes directly available."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("page_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING) AS odate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM page_orders
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 50 OFFSET 100
+        """
+    )

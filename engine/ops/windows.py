@@ -2492,3 +2492,84 @@ def win_rolling_beta(spark, sf_dir):
             (F.col("sy") - beta * F.col("sx")) / F.col("n_w"), 6
         ).alias("alpha"),
     )
+
+
+@register(
+    "events_session_bounce_rate",
+    oracle="""
+        WITH f AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f
+        ),
+        sess AS (
+          SELECT user_id, sid, CAST(min(ts) AS DATE) AS day,
+                 count(*) AS n_events
+          FROM s GROUP BY 1, 2
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CAST(n_events = 1 AS BIGINT)) AS BIGINT)
+                 AS n_bounces,
+               round(CAST(sum(CAST(n_events = 1 AS BIGINT)) AS DOUBLE)
+                     / count(*), 6) AS bounce_rate
+        FROM sess GROUP BY 1
+    """,
+)
+def events_session_bounce_rate(spark, sf_dir):
+    """Daily session bounce rate — single-event sessions over total
+    sessions, the engagement-quality headline every web analytics
+    suite leads with. Sessions are the registry's standard 30-minute
+    gap islands (lag + running flag-sum per user, event_id tiebreak);
+    a session's day is its START day, so sessions crossing midnight
+    count once. Integer counting throughout; the rate is the only
+    double.
+
+    Scale: the sessionizing windows partition per user (no global
+    sort, AQE-splittable), the session rollup is map-side-combinable
+    on (user, sid), and the daily rollup is spine-sized — same
+    contract as stream_tws_timers' batch twin."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = f.select("user_id", "ts", F.sum("new_s").over(wc).alias("sid"))
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sess.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )
