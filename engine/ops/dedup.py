@@ -1360,3 +1360,62 @@ def dedup_token_sort_exact(spark, sf_dir):
         "group_size",
         (F.col("doc_id") == F.col("keeper")).cast("long").alias("is_keeper"),
     )
+
+
+BP_MIN_DF = 3
+
+
+@register(
+    "text_boilerplate_coverage",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM t, unnest(range(1, len(toks)-1)) r(i)
+        ),
+        df AS (
+          SELECT shingle, CAST(count(*) AS BIGINT) AS df
+          FROM sh GROUP BY 1
+        )
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CAST(df.df >= {BP_MIN_DF} AS BIGINT)) AS BIGINT)
+                 AS n_boilerplate,
+               round(CAST(sum(CAST(df.df >= {BP_MIN_DF} AS BIGINT))
+                     AS DOUBLE) / count(*), 6) AS bp_share
+        FROM sh JOIN df USING (shingle)
+        GROUP BY sh.doc_id
+    """,
+)
+def text_boilerplate_coverage(spark, sf_dir):
+    """Boilerplate coverage per document — the share of a doc's
+    distinct 3-token shingles that are corpus-repeated (document
+    frequency >= 3): the cleaning signal that catches license headers,
+    navigation chrome, and template text which near-dup pair mining
+    (dedup_ngram_jaccard) deliberately ignores because no single pair
+    crosses its threshold. High-bp_share docs are dropped or stripped
+    before pretraining; integer counting throughout.
+
+    Scale: reuses the registry's shingle relation (map-only explode);
+    the document-frequency table is a map-side-combinable groupBy on
+    the shingle key and joins back co-shuffled on that same key — the
+    inverted-index contract, never a doc×doc pair. The df table is
+    Heaps-sublinear in corpus size."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = (F.col("df") >= BP_MIN_DF).cast("long")
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hot).alias("n_boilerplate"),
+            F.round(
+                F.sum(hot).cast("double") / F.count(F.lit(1)), 6
+            ).alias("bp_share"),
+        )
+    )

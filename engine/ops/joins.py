@@ -1233,3 +1233,60 @@ def orders_market_basket_lift(spark, sf_dir):
             ).alias("support"),
         )
     )
+
+
+@register(
+    "orders_part_reorder_rate",
+    oracle="""
+        WITH cp AS (
+          SELECT l.l_partkey AS pk, o.o_custkey AS ck,
+                 CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_ord
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT pk, CAST(count(*) AS BIGINT) AS n_custs,
+                 CAST(sum(CAST(n_ord >= 2 AS BIGINT)) AS BIGINT)
+                   AS n_repeat
+          FROM cp GROUP BY 1
+        )
+        SELECT pk AS partkey, n_custs, n_repeat,
+               round(CAST(n_repeat AS DOUBLE) / n_custs, 6)
+                 AS reorder_rate
+        FROM p WHERE n_custs >= 5
+    """,
+)
+def orders_part_reorder_rate(spark, sf_dir):
+    """Part-level reorder rate — of the customers who ever bought a
+    part, the share who bought it in 2+ DISTINCT orders: the retail
+    repeat-purchase signal that separates staples from one-off buys
+    (and the feature a replenishment recommender trains on). Counting
+    distinct orders (not lines) means a multi-line order can't fake a
+    reorder. The n_custs >= 5 support floor keeps the long tail of
+    single-buyer parts out of the report.
+
+    Scale: the fact join is key-partitioned on orderkey; the
+    (part, customer) rollup is map-side-combinable with a distinct
+    inside (Spark plans it as a two-level aggregate, partial distinct
+    first); the part rollup runs on the part spine."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck")
+        )
+        .agg(F.countDistinct("o_orderkey").alias("n_ord"))
+    )
+    p = cp.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum((F.col("n_ord") >= 2).cast("long")).alias("n_repeat"),
+    )
+    return p.filter(F.col("n_custs") >= 5).select(
+        F.col("pk").alias("partkey"),
+        "n_custs",
+        "n_repeat",
+        F.round(
+            F.col("n_repeat").cast("double") / F.col("n_custs"), 6
+        ).alias("reorder_rate"),
+    )

@@ -2573,3 +2573,62 @@ def events_session_bounce_rate(spark, sf_dir):
             6,
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "win_leaderboard_rank_delta",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT day, event_type, n,
+                 CAST(rank() OVER (PARTITION BY day
+                   ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+          FROM d
+        )
+        SELECT CAST(day AS VARCHAR) AS day, event_type, n, rnk,
+               CAST(lag(rnk) OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS prev_rnk,
+               CAST(coalesce(lag(rnk) OVER (PARTITION BY event_type
+                      ORDER BY day), rnk) - rnk AS BIGINT) AS rank_delta
+        FROM r
+    """,
+)
+def win_leaderboard_rank_delta(spark, sf_dir):
+    """Leaderboard movement — each event type's daily volume rank and
+    its day-over-day rank change (positive = climbed), the "movers
+    and shakers" view trend dashboards lead with. Two orthogonal
+    windows: rank-within-day (event_type tiebreak so tied volumes
+    rank identically in both engines), then lag-across-days within
+    each type; a type's first day shows delta 0, not NULL, matching
+    the dashboard convention. Pure integer ranks and deltas.
+
+    Scale: the fact table collapses map-side to the
+    days × types spine; both windows run on that spine, each
+    partitioned (by day, then by type), so no single-task global
+    sort anywhere."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("day").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    r = d.select(
+        "day", "event_type", "n", F.rank().over(wr).cast("long").alias("rnk")
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("rnk").over(wl)
+    return r.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n",
+        "rnk",
+        prev.cast("long").alias("prev_rnk"),
+        (F.coalesce(prev, F.col("rnk")) - F.col("rnk"))
+        .cast("long")
+        .alias("rank_delta"),
+    )
