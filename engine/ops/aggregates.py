@@ -6193,3 +6193,91 @@ def orders_seasonality_index(spark, sf_dir):
             6,
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "stat_icc_intraclass",
+    oracle="""
+        WITH x AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        g AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(cents) AS BIGINT) AS s_g
+          FROM x GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(s_g) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM g
+        ),
+        ss AS (
+          SELECT CAST(sum(cents * cents) AS BIGINT) AS s2 FROM x
+        ),
+        sb AS (
+          SELECT CAST(sum(CAST(round(
+                   (CAST(s_g AS DOUBLE) * s_g) / n_g) AS BIGINT))
+                 AS BIGINT) AS sb_g
+          FROM g
+        )
+        SELECT tot.k AS n_users, tot.n AS n_events,
+               round((CAST(sb.sb_g AS DOUBLE)
+                      - CAST(tot.s AS DOUBLE) * tot.s / tot.n)
+                     / (CAST(ss.s2 AS DOUBLE)
+                        - CAST(tot.s AS DOUBLE) * tot.s / tot.n), 6)
+                 AS between_user_share
+        FROM tot, ss, sb
+    """,
+)
+def stat_icc_intraclass(spark, sf_dir):
+    """Between-user variance share (SSB/SST, the intraclass-
+    correlation proxy) of event value — the number that decides
+    whether an A/B test can randomize by EVENT or must randomize by
+    USER: when user identity explains a material share of metric
+    variance, event-level randomization leaks treatment across the
+    clusters and the delta-method/CUPED machinery becomes mandatory.
+    SST = Σx² − (Σx)²/N and SSB = Σ_g s_g²/n_g − (Σx)²/N from ONE
+    pass of exact int64 cent sums; each group's s_g²/n_g is rounded
+    to an integer before the cross-group sum (shuffle-order-proof),
+    and the final ratio is one identical double expression.
+
+    Scale: the classic two-level sufficient-statistics shape — one
+    map-side-combinable groupBy to the user spine plus one scalar
+    moment pass; nothing downstream exceeds the spine."""
+    e = table(spark, sf_dir, "events")
+    x = e.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("cents").alias("s_g")
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ss = x.agg(F.sum(F.col("cents") * F.col("cents")).alias("s2"))
+    sb = g.agg(
+        F.sum(
+            F.round(
+                (F.col("s_g").cast("double") * F.col("s_g")) / F.col("n_g")
+            ).cast("long")
+        ).alias("sb_g")
+    )
+    cm = F.col("s").cast("double") * F.col("s") / F.col("n")
+    return (
+        tot.crossJoin(F.broadcast(ss))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            F.col("k").alias("n_users"),
+            F.col("n").alias("n_events"),
+            F.round(
+                (F.col("sb_g").cast("double") - cm)
+                / (F.col("s2").cast("double") - cm),
+                6,
+            ).alias("between_user_share"),
+        )
+    )

@@ -1419,3 +1419,86 @@ def text_boilerplate_coverage(spark, sf_dir):
             ).alias("bp_share"),
         )
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+        WITH edges AS (SELECT doc_a, doc_b FROM ({JACCARD_SQL}) j),
+        und AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ),
+        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+        tri AS (
+          SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+          FROM edges e1
+          JOIN edges e2 ON e2.doc_a = e1.doc_b
+          JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        ),
+        tn AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+          FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+          GROUP BY 1
+        )
+        SELECT deg.u AS doc_id, deg.d AS degree,
+               CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_triangles,
+               round(CASE WHEN deg.d < 2 THEN 0.0
+                     ELSE 2.0 * coalesce(tn.n_tri, 0)
+                          / (deg.d * (deg.d - 1)) END, 6)
+                 AS clustering_coef
+        FROM deg LEFT JOIN tn ON deg.u = tn.doc_id
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per node of the near-dup graph —
+    closed wedges over possible wedges, C(v) = 2·tri(v)/(deg·(deg−1)):
+    C ≈ 1 marks template FAMILIES (every neighbor also similar to
+    each other — safe to keep one exemplar), C ≈ 0 marks hub docs
+    that merely chain-link distinct clusters (collapsing those loses
+    real content). Triangle counts ride the registry's oriented
+    wedge-join (a<b<c, no all-pairs product); degrees come from the
+    undirected edge expansion; the ratio is one zero-guarded double
+    over exact ints.
+
+    Scale: same contract as graph_triangle_count (hash-partitioned
+    equi-joins bounded by per-vertex degree, edge list
+    localCheckpointed so the Jaccard pipeline runs once); the degree
+    table is node-spine sized."""
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    und = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tn = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tn, deg.u == tn.doc_id, "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.when(F.col("d") < 2, F.lit(0.0)).otherwise(
+                    2.0
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1))
+                ),
+                6,
+            ).alias("clustering_coef"),
+        )
+    )

@@ -3474,3 +3474,72 @@ def embed_isotropy_score(spark, sf_dir):
             6,
         ).alias("mean_pairwise_cosine"),
     )
+
+
+@register(
+    "ml_log_loss",
+    oracle="""
+        WITH s AS (
+          SELECT 1.0 / (1.0 + exp(-4.0 * CAST(list_extract(embedding, 1)
+                   AS DOUBLE))) AS p,
+                 CAST(label < 5 AS BIGINT) AS y
+          FROM embeddings
+        ),
+        q AS (
+          SELECT y,
+                 CAST(round(-1000000.0 *
+                   (y * ln(p) + (1 - y) * ln(1.0 - p))) AS BIGINT)
+                   AS loss_micro
+          FROM s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(loss_micro) AS BIGINT) AS sum_loss_micro,
+               round(CAST(sum(loss_micro) AS DOUBLE) / count(*)
+                     / 1000000.0, 6) AS mean_log_loss
+        FROM q
+    """,
+)
+def ml_log_loss(spark, sf_dir):
+    """Cross-entropy (log loss) of a sigmoid-calibrated score — the
+    proper scoring rule that punishes CONFIDENT wrong predictions
+    where accuracy and even Brier stay polite; the metric gradient-
+    trained classifiers actually optimize, evaluated here the
+    distributed way: the raw score is squashed through a fixed
+    sigmoid p = σ(4s), each row's −[y·ln p + (1−y)·ln(1−p)] is an
+    identical double expression quantized to integer micro-nats
+    BEFORE the fold, so the corpus sum is exact int64 and
+    shuffle-order-proof; the mean divides once at the end.
+
+    Scale: map-only per-row math feeding one map-side-combinable
+    aggregate — scan-bound, no spine, no join; the same shape at
+    100 TB with the per-partition partial sums doing all the work."""
+    em = table(spark, sf_dir, "embeddings")
+    p = 1.0 / (
+        1.0 + F.exp(-4.0 * F.element_at("embedding", 1).cast("double"))
+    )
+    y = (F.col("label") < 5).cast("long")
+    s = em.select(p.alias("p"), y.alias("y"))
+    q = s.select(
+        "y",
+        F.round(
+            -1000000.0
+            * (
+                F.col("y") * F.log(F.col("p"))
+                + (1 - F.col("y")) * F.log(1.0 - F.col("p"))
+            )
+        )
+        .cast("long")
+        .alias("loss_micro"),
+    )
+    return q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("loss_micro").alias("sum_loss_micro"),
+        F.round(
+            F.sum("loss_micro").cast("double")
+            / F.count(F.lit(1))
+            / 1000000.0,
+            6,
+        ).alias("mean_log_loss"),
+    )
