@@ -6281,3 +6281,136 @@ def stat_icc_intraclass(spark, sf_dir):
             ).alias("between_user_share"),
         )
     )
+
+
+@register(
+    "events_hhi_concentration",
+    oracle="""
+        WITH c AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT day, CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(n * n) AS BIGINT) AS nsq,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM c GROUP BY 1
+        )
+        SELECT CAST(day AS VARCHAR) AS day, nt AS n_events, k AS n_types,
+               round(CAST(nsq AS DOUBLE) / (CAST(nt AS DOUBLE) * nt), 6)
+                 AS hhi,
+               round((CAST(nsq AS DOUBLE) / (CAST(nt AS DOUBLE) * nt)
+                      - 1.0 / k) / (1.0 - 1.0 / k), 6)
+                 AS hhi_normalized
+        FROM t
+    """,
+)
+def events_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of the daily event-type mix
+    — HHI = Σ share², the antitrust-grade concentration index ops
+    teams use to spot traffic-mix collapse (one event type suddenly
+    dominating = instrumentation bug or bot flood). Computed without
+    materializing shares: HHI = Σn²/N² from two exact int64 sums, and
+    the normalized form rescales by the k-type floor 1/k so days with
+    different active-type counts compare fairly. One identical double
+    expression per row.
+
+    Scale: one map-side-combinable rollup to the days × types spine,
+    one more to the day spine — scan-bound with tiny state."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("day").agg(
+        F.sum("n").alias("nt"),
+        F.sum(F.col("n") * F.col("n")).alias("nsq"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    hhi = F.col("nsq").cast("double") / (
+        F.col("nt").cast("double") * F.col("nt")
+    )
+    return t.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("nt").alias("n_events"),
+        F.col("k").alias("n_types"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(
+            (hhi - 1.0 / F.col("k")) / (1.0 - 1.0 / F.col("k")), 6
+        ).alias("hhi_normalized"),
+    )
+
+
+@register(
+    "agg_percent_of_parent_rollup",
+    oracle="""
+        WITH leaf AS (
+          SELECT c.c_nationkey AS nk, o.o_orderpriority AS prio,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ),
+        nat AS (
+          SELECT nk, CAST(sum(cents) AS BIGINT) AS nat_cents
+          FROM leaf GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM leaf)
+        SELECT leaf.nk AS nationkey, leaf.prio, leaf.n,
+               leaf.cents AS rev_cents,
+               round(CAST(leaf.cents AS DOUBLE) / nat.nat_cents, 6)
+                 AS pct_of_nation,
+               round(CAST(nat.nat_cents AS DOUBLE) / tot.t, 6)
+                 AS nation_pct_of_total
+        FROM leaf JOIN nat USING (nk), tot
+    """,
+)
+def agg_percent_of_parent_rollup(spark, sf_dir):
+    """Percent-of-parent report — the drill-down table every BI tool
+    renders: each (nation, priority) leaf with its share of ITS
+    nation and each nation's share of the grand total, so subtotals
+    read correctly at every level. Unlike a ROLLUP (which emits mixed
+    grains in one relation), this keeps one grain per column: exact
+    cent sums at the leaf, parent totals joined back from the nation
+    spine, shares as identical double expressions.
+
+    Scale: one map-side-combinable leaf rollup; the parent spine
+    (25 nations) and the grand-total scalar broadcast — the fact
+    table is scanned exactly once."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    leaf = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+    )
+    nat = leaf.groupBy("nk").agg(F.sum("cents").alias("nat_cents"))
+    tot = leaf.agg(F.sum("cents").alias("t"))
+    return (
+        leaf.join(F.broadcast(nat), "nk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nk").alias("nationkey"),
+            "prio",
+            "n",
+            F.col("cents").alias("rev_cents"),
+            F.round(
+                F.col("cents").cast("double") / F.col("nat_cents"), 6
+            ).alias("pct_of_nation"),
+            F.round(
+                F.col("nat_cents").cast("double") / F.col("t"), 6
+            ).alias("nation_pct_of_total"),
+        )
+    )

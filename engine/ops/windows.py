@@ -2632,3 +2632,73 @@ def win_leaderboard_rank_delta(spark, sf_dir):
         .cast("long")
         .alias("rank_delta"),
     )
+
+
+@register(
+    "win_range_interval_frame",
+    oracle="""
+        WITH d AS (
+          SELECT o_orderpriority AS prio,
+                 CAST(CAST(o_orderdate AS DATE)
+                      - DATE '1995-01-01' AS BIGINT) AS day_num,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT prio, day_num, rev_cents,
+               CAST(sum(rev_cents) OVER (
+                 PARTITION BY prio ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS sum_7cal_days,
+               CAST(sum(rev_cents) OVER (
+                 PARTITION BY prio ORDER BY day_num
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS sum_7rows,
+               CAST(count(*) OVER (
+                 PARTITION BY prio ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_days_in_range
+        FROM d
+    """,
+)
+def win_range_interval_frame(spark, sf_dir):
+    """RANGE frames vs ROWS frames — the window-semantics distinction
+    that silently corrupts trailing metrics on gappy series: a RANGE
+    BETWEEN 6 PRECEDING frame covers the last 7 CALENDAR days
+    (whatever rows exist there), while ROWS BETWEEN 6 PRECEDING
+    covers the last 7 OBSERVED days regardless of how far back they
+    reach. Both are emitted side by side per priority (per-priority
+    day spines have real calendar gaps, so the two sums genuinely
+    diverge — n_days_in_range shows where). Exact cent int64 sums
+    throughout.
+
+    Scale: orders collapse map-side to the per-priority day spine;
+    both frames run partitioned on that spine. The integer day_num
+    order key is what makes RANGE frames portable (Spark's
+    rangeBetween requires a numeric/long order column)."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).cast("long").alias("day_num"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    rng = (
+        Window.partitionBy("prio").orderBy("day_num").rangeBetween(-6, 0)
+    )
+    rows = (
+        Window.partitionBy("prio").orderBy("day_num").rowsBetween(-6, 0)
+    )
+    return d.select(
+        "prio",
+        "day_num",
+        "rev_cents",
+        F.sum("rev_cents").over(rng).alias("sum_7cal_days"),
+        F.sum("rev_cents").over(rows).alias("sum_7rows"),
+        F.count(F.lit(1)).over(rng).alias("n_days_in_range"),
+    )
