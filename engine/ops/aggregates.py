@@ -6414,3 +6414,180 @@ def agg_percent_of_parent_rollup(spark, sf_dir):
             ).alias("nation_pct_of_total"),
         )
     )
+
+
+DFT_MAX_K = 36
+
+
+@register(
+    "ts_dft_periodogram",
+    oracle=f"""
+        WITH c AS (
+          SELECT date_trunc('hour', ts) AS h, count(*) AS x
+          FROM events GROUP BY 1
+        ),
+        idx AS (
+          SELECT CAST((epoch_ns(h) - (SELECT min(epoch_ns(h)) FROM c))
+                      // 3600000000000 AS BIGINT) AS t,
+                 CAST(x AS BIGINT) AS x
+          FROM c
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+        terms AS (
+          SELECT k.k,
+                 CAST(sum(CAST(round(1000.0 * x *
+                   cos(2 * pi() * k.k * t / n.n)) AS BIGINT))
+                   AS BIGINT) AS re_milli,
+                 CAST(sum(CAST(round(1000.0 * x *
+                   sin(2 * pi() * k.k * t / n.n)) AS BIGINT))
+                   AS BIGINT) AS im_milli
+          FROM idx, n, (SELECT l.l + 1 AS k
+                        FROM unnest(range({DFT_MAX_K})) l(l)) k
+          GROUP BY k.k
+        ),
+        pw AS (
+          SELECT k,
+                 (CAST(re_milli AS DOUBLE) * re_milli
+                  + CAST(im_milli AS DOUBLE) * im_milli) / 1000000.0
+                   AS power
+          FROM terms
+        ),
+        best AS (SELECT max(power) AS bp FROM pw)
+        SELECT CAST(pw.k AS BIGINT) AS k,
+               round(CAST(n.n AS DOUBLE) / pw.k, 6) AS period_hours,
+               round(pw.power / (CAST(n.n AS DOUBLE) * n.n), 6)
+                 AS power_norm,
+               CAST(pw.power = best.bp AS BIGINT) AS is_peak
+        FROM pw, n, best
+    """,
+)
+def ts_dft_periodogram(spark, sf_dir):
+    """DFT periodogram of the hourly event series — the frequency-
+    domain seasonality detector that finds the dominant cycle WITHOUT
+    guessing candidate lags (the ACF's blind spot): per frequency k,
+    the Fourier power |Σ x·e^(-2πikt/N)|² over k = 1..36, peak
+    flagged (the fixture's 24-hour cycle lands at k = N/24). Each
+    cos/sin term is quantized to integer milli-units BEFORE the
+    per-frequency sum, so the folds are exact int64 and shuffle-
+    order-proof; power and the peak comparison are identical double
+    expressions over those ints.
+
+    Scale: the fact scan reduces map-side to the hourly rollup; the
+    36× frequency fan-out and trig are map-only arithmetic on that
+    spine (36·|hours| rows), and each frequency folds independently —
+    embarrassingly parallel, the textbook distributed periodogram."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    t0 = c.agg(F.min("h").alias("h0"))
+    idx = c.crossJoin(F.broadcast(t0)).select(
+        F.floor(
+            (F.unix_micros("h") - F.unix_micros("h0")) / 3600000000
+        ).alias("t"),
+        F.col("x").cast("long").alias("x"),
+    )
+    n = idx.agg(F.count(F.lit(1)).alias("n"))
+    ks = spark.range(1, DFT_MAX_K + 1).select(F.col("id").alias("k"))
+    ang = (
+        2 * F.lit(3.141592653589793) * F.col("k") * F.col("t") / F.col("n")
+    )
+    terms = (
+        idx.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.round(1000.0 * F.col("x") * F.cos(ang)).cast("long")
+            ).alias("re_milli"),
+            F.sum(
+                F.round(1000.0 * F.col("x") * F.sin(ang)).cast("long")
+            ).alias("im_milli"),
+        )
+    )
+    pw = terms.select(
+        "k",
+        (
+            (
+                F.col("re_milli").cast("double") * F.col("re_milli")
+                + F.col("im_milli").cast("double") * F.col("im_milli")
+            )
+            / 1000000.0
+        ).alias("power"),
+    )
+    best = pw.agg(F.max("power").alias("bp"))
+    return (
+        pw.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(best))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.round(F.col("n").cast("double") / F.col("k"), 6).alias(
+                "period_hours"
+            ),
+            F.round(
+                F.col("power") / (F.col("n").cast("double") * F.col("n")),
+                6,
+            ).alias("power_norm"),
+            (F.col("power") == F.col("bp")).cast("long").alias("is_peak"),
+        )
+    )
+
+
+BOT_RATE_PER_MIN = 5
+
+
+@register(
+    "events_bot_rate_screen",
+    oracle=f"""
+        WITH pm AS (
+          SELECT user_id, date_trunc('minute', ts) AS m,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        u AS (
+          SELECT user_id,
+                 CAST(max(n) AS BIGINT) AS peak_per_min,
+                 CAST(sum(n) AS BIGINT) AS n_events,
+                 CAST(count(*) AS BIGINT) AS n_minutes
+          FROM pm GROUP BY 1
+        )
+        SELECT user_id, n_events, peak_per_min,
+               round(CAST(n_events AS DOUBLE) / n_minutes, 6)
+                 AS mean_per_active_min,
+               CAST(peak_per_min >= {BOT_RATE_PER_MIN} AS BIGINT)
+                 AS bot_flag
+        FROM u
+    """,
+)
+def events_bot_rate_screen(spark, sf_dir):
+    """Bot-rate screen per user — peak events in any single minute
+    plus the mean rate over ACTIVE minutes (idle gaps excluded, so a
+    bursty human isn't diluted into looking calm): the first-line
+    abuse filter every event pipeline runs before analytics, here
+    with a fixed superhuman threshold on the per-minute peak. Pure
+    integer counting; the mean is the only double.
+
+    Scale: one map-side-combinable rollup to (user, minute) — the
+    cardinality cap that makes per-user peak rates computable at
+    100 TB without windowing raw events — then a user-spine rollup.
+    Both shuffles carry pre-combined partials."""
+    e = table(spark, sf_dir, "events")
+    pm = e.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    u = pm.groupBy("user_id").agg(
+        F.max("n").alias("peak_per_min"),
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_minutes"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "peak_per_min",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_minutes"), 6
+        ).alias("mean_per_active_min"),
+        (F.col("peak_per_min") >= BOT_RATE_PER_MIN)
+        .cast("long")
+        .alias("bot_flag"),
+    )
