@@ -6591,3 +6591,203 @@ def events_bot_rate_screen(spark, sf_dir):
         .cast("long")
         .alias("bot_flag"),
     )
+
+
+@register(
+    "agg_percentile_disc_vs_cont",
+    oracle="""
+        WITH x AS (
+          SELECT o_orderpriority AS prio,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        g AS (SELECT prio, cents, count(*) AS n_g FROM x GROUP BY 1, 2),
+        c AS (
+          SELECT prio, cents,
+                 CAST(sum(n_g) OVER (PARTITION BY prio ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumn
+          FROM g
+        ),
+        t AS (SELECT prio, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1),
+        disc AS (
+          SELECT c.prio, CAST(min(c.cents) AS BIGINT) AS p50_disc
+          FROM c JOIN t ON c.prio = t.prio
+          WHERE 2 * c.cumn >= t.n GROUP BY 1
+        ),
+        lo AS (
+          SELECT c.prio, CAST(min(c.cents) AS BIGINT) AS v_lo
+          FROM c JOIN t ON c.prio = t.prio
+          WHERE c.cumn >= (t.n + 1) // 2 GROUP BY 1
+        ),
+        hi AS (
+          SELECT c.prio, CAST(min(c.cents) AS BIGINT) AS v_hi
+          FROM c JOIN t ON c.prio = t.prio
+          WHERE c.cumn >= t.n // 2 + 1 GROUP BY 1
+        )
+        SELECT t.prio, t.n, disc.p50_disc,
+               round((v_lo + v_hi) / 2.0, 6) AS p50_cont,
+               CAST(disc.p50_disc <> (v_lo + v_hi) / 2.0 AS BIGINT)
+                 AS diverges
+        FROM t JOIN disc ON t.prio = disc.prio
+               JOIN lo ON t.prio = lo.prio
+               JOIN hi ON t.prio = hi.prio
+    """,
+)
+def agg_percentile_disc_vs_cont(spark, sf_dir):
+    """percentile_disc vs percentile_cont — the median-definition trap:
+    with an even row count the discrete median is a VALUE FROM THE
+    DATA while the continuous one is the midpoint of the two central
+    values, and reports silently disagree depending on which the
+    engine defaults to. Both are computed from the same distinct-value
+    spine with integer midpoint tests (disc: first value with
+    2·cum >= n; cont: average of the ceil(n/2)-th and (n/2+1)-th order
+    statistics), so no interpolation doubles enter until the one final
+    midpoint division; a per-priority diverges flag marks where the
+    two definitions actually differ.
+
+    Scale: the registry's standard exact-order-statistic contract —
+    one combinable rollup to the value spine, prefix sums and the
+    selections on that spine only."""
+    o = table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = x.groupBy("prio", "cents").agg(F.count(F.lit(1)).alias("n_g"))
+    wc = (
+        Window.partitionBy("prio")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select("prio", "cents", F.sum("n_g").over(wc).alias("cumn"))
+    t = x.groupBy("prio").agg(F.count(F.lit(1)).alias("n"))
+    ct = c.join(F.broadcast(t), "prio")
+    disc = (
+        ct.filter(2 * F.col("cumn") >= F.col("n"))
+        .groupBy("prio")
+        .agg(F.min("cents").alias("p50_disc"))
+    )
+    lo = (
+        ct.filter(F.col("cumn") >= F.floor((F.col("n") + 1) / 2))
+        .groupBy("prio")
+        .agg(F.min("cents").alias("v_lo"))
+    )
+    hi = (
+        ct.filter(F.col("cumn") >= F.floor(F.col("n") / 2) + 1)
+        .groupBy("prio")
+        .agg(F.min("cents").alias("v_hi"))
+    )
+    return (
+        t.join(disc, "prio")
+        .join(lo, "prio")
+        .join(hi, "prio")
+        .select(
+            "prio",
+            "n",
+            "p50_disc",
+            F.round((F.col("v_lo") + F.col("v_hi")) / 2.0, 6).alias(
+                "p50_cont"
+            ),
+            (
+                F.col("p50_disc").cast("double")
+                != (F.col("v_lo") + F.col("v_hi")) / 2.0
+            )
+            .cast("long")
+            .alias("diverges"),
+        )
+    )
+
+
+# Poisson(1) inverse-CDF cumulative thresholds for k = 0..5 (k=6 tail)
+POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < {c!r} THEN {k}"
+        for k, c in enumerate(POIS1_CDF)
+    )
+    return f"CASE{branches} ELSE 6 END"
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+        WITH r AS (SELECT l.l + 1 AS rep FROM unnest(range(5)) l(l)),
+        w AS (
+          SELECT r.rep,
+                 CAST(round(e.value * 100) AS BIGINT) AS cents,
+                 {_pois_case_sql(
+                   "(CAST(('0x' || substr(md5(r.rep || ':' || e.event_id), 1, 8)) AS BIGINT) / 4294967296.0)"
+                 )} AS k
+          FROM events e, r
+        )
+        SELECT CAST(rep AS BIGINT) AS rep,
+               CAST(sum(k) AS BIGINT) AS n_resampled,
+               CAST(sum(k * cents) AS BIGINT) AS sum_cents,
+               round(CAST(sum(k * cents) AS DOUBLE) / sum(k) / 100.0, 6)
+                 AS mean_value
+        FROM w GROUP BY 1
+    """,
+)
+def sample_poisson_bootstrap(spark, sf_dir):
+    """Online (Poisson) bootstrap — the distributed bootstrap that
+    needs NO resampling pass: each row independently receives a
+    Poisson(1) replication weight per replicate, giving replicate
+    means whose spread estimates the sampling error of the mean. The
+    Poisson draw is DETERMINISTIC (md5 of replicate:event_id → uniform
+    in [0,1) → inverse-CDF lookup against fixed thresholds), so both
+    engines draw byte-identical weights and the whole op value-hashes
+    — the trick that also makes production bootstraps reproducible
+    across retries. Weighted sums are exact int64 cents.
+
+    Scale: THE way to bootstrap 100 TB — map-only weight assignment
+    fused into one combinable aggregate per replicate; 5 replicates =
+    5-row output, zero data movement beyond the partial sums. A
+    resample-by-copy bootstrap would shuffle the corpus 5×."""
+    e = table(spark, sf_dir, "events")
+    reps = spark.range(1, 6).select(F.col("id").alias("rep"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 4294967296.0
+    )
+    k = F.lit(6)
+    for kk in range(len(POIS1_CDF) - 1, -1, -1):
+        k = F.when(u < POIS1_CDF[kk], F.lit(kk)).otherwise(k)
+    w = e.crossJoin(F.broadcast(reps)).select(
+        "rep",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        k.alias("k"),
+    )
+    return w.groupBy(F.col("rep").cast("long").alias("rep")).agg(
+        F.sum("k").alias("n_resampled"),
+        F.sum(F.col("k") * F.col("cents")).alias("sum_cents"),
+        F.round(
+            F.sum(F.col("k") * F.col("cents")).cast("double")
+            / F.sum("k")
+            / 100.0,
+            6,
+        ).alias("mean_value"),
+    )
