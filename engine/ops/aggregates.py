@@ -6791,3 +6791,132 @@ def sample_poisson_bootstrap(spark, sf_dir):
             6,
         ).alias("mean_value"),
     )
+
+
+PERM_K = 20
+
+
+@register(
+    "stat_permutation_test",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+                 CAST(user_id % 2 = 0 AS BIGINT) AS treat
+          FROM events GROUP BY 1
+        ),
+        obs AS (
+          SELECT CAST(sum(CASE WHEN treat = 1 THEN cents END) AS DOUBLE)
+                   / sum(treat)
+                 - CAST(sum(CASE WHEN treat = 0 THEN cents END) AS DOUBLE)
+                   / sum(1 - treat) AS d
+          FROM u
+        ),
+        perms AS (SELECT l.l + 1 AS r FROM unnest(range({PERM_K})) l(l)),
+        pl AS (
+          SELECT perms.r,
+                 CAST(CAST(('0x' || substr(md5(perms.r || ':' || u.user_id),
+                   1, 8)) AS BIGINT) % 2 = 0 AS BIGINT) AS pt,
+                 u.cents
+          FROM u, perms
+        ),
+        pd AS (
+          SELECT r,
+                 CAST(sum(CASE WHEN pt = 1 THEN cents END) AS DOUBLE)
+                   / sum(pt)
+                 - CAST(sum(CASE WHEN pt = 0 THEN cents END) AS DOUBLE)
+                   / sum(1 - pt) AS d
+          FROM pl GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS k_perms,
+               round(max(obs.d), 6) AS observed_diff_cents,
+               CAST(sum(CAST(abs(pd.d) >= abs(obs.d) AS BIGINT))
+                    AS BIGINT) AS n_extreme,
+               round((1.0 + sum(CAST(abs(pd.d) >= abs(obs.d) AS BIGINT)))
+                     / (count(*) + 1.0), 6) AS p_value
+        FROM pd, obs
+    """,
+)
+def stat_permutation_test(spark, sf_dir):
+    """Permutation test of the treatment effect on per-user spend —
+    the assumption-free inference backstop when t-test normality is
+    doubtful: re-randomize the treatment label K=20 times, recompute
+    the mean difference, and report the share of permutations at
+    least as extreme as observed (add-one p-value, the standard
+    finite-K correction). Permutations are DETERMINISTIC — each
+    user's relabeling is a parity bit of md5(perm:user), the same
+    reproducible-randomness trick as sample_poisson_bootstrap — so
+    both engines draw identical permutations and the test
+    value-hashes end to end. User sums are exact int64 cents; each
+    difference is one identical double expression.
+
+    Scale: one combinable pass to the user spine, a K× map-only
+    fan-out of that spine (never of raw events), K combinable folds.
+    At 100 TB the spine fan-out is the entire cost — the reference
+    permutation-test shape."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    ).select(
+        "user_id",
+        "cents",
+        (F.col("user_id") % 2 == 0).cast("long").alias("treat"),
+    )
+
+    def mean_diff(flag):
+        t = F.sum(F.when(flag == 1, F.col("cents"))).cast("double") / F.sum(
+            flag
+        )
+        c = F.sum(F.when(flag == 0, F.col("cents"))).cast("double") / F.sum(
+            1 - flag
+        )
+        return t - c
+
+    obs = u.agg(mean_diff(F.col("treat")).alias("d"))
+    perms = spark.range(1, PERM_K + 1).select(F.col("id").alias("r"))
+    pt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    ).cast("long")
+    pl = u.crossJoin(F.broadcast(perms)).select(
+        "r", pt.alias("pt"), "cents"
+    )
+    pd_ = pl.groupBy("r").agg(mean_diff(F.col("pt")).alias("d"))
+    return (
+        pd_.crossJoin(F.broadcast(obs.select(F.col("d").alias("obs_d"))))
+        .agg(
+            F.count(F.lit(1)).alias("k_perms"),
+            F.round(F.max("obs_d"), 6).alias("observed_diff_cents"),
+            F.sum(
+                (F.abs(F.col("d")) >= F.abs(F.col("obs_d"))).cast("long")
+            ).alias("n_extreme"),
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        (
+                            F.abs(F.col("d")) >= F.abs(F.col("obs_d"))
+                        ).cast("long")
+                    )
+                )
+                / (F.count(F.lit(1)) + 1.0),
+                6,
+            ).alias("p_value"),
+        )
+    )

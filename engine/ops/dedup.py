@@ -1502,3 +1502,87 @@ def graph_clustering_coefficient(spark, sf_dir):
             ).alias("clustering_coef"),
         )
     )
+
+
+BFS_MAX_HOPS = 4
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=f"""
+        WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM ({JACCARD_SQL}) j),
+        und AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ),
+        deg0 AS (
+          SELECT u, count(*) AS d FROM und GROUP BY 1
+        ),
+        src AS (
+          SELECT u AS s FROM deg0
+          ORDER BY d DESC, u LIMIT 1
+        ),
+        walk(node, dist) AS (
+          SELECT s, 0 FROM src
+          UNION ALL
+          SELECT und.v, walk.dist + 1
+          FROM walk JOIN und ON und.u = walk.node
+          WHERE walk.dist < {BFS_MAX_HOPS}
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY 1
+    """,
+)
+def graph_bfs_distance(spark, sf_dir):
+    """Bounded BFS shortest-path distances over the near-dup graph
+    from its highest-degree vertex (min-id tiebreak) — "how many
+    similarity hops away is this
+    doc from the seed": the contamination-spread primitive (a known-
+    bad doc's 2-hop neighborhood is the quarantine set). Distances
+    are EXACT integers, so unlike pagerank/label-propagation this
+    iterative op value-hashes against a recursive-CTE oracle — the
+    registry's only fully-oracled iterative graph algorithm. Spark
+    side runs frontier BFS: each hop joins the frontier to the
+    undirected edge list, anti-joins already-settled nodes, and
+    localCheckpoints (bounded lineage, the same discipline as
+    dedup_cluster_cc).
+
+    Scale: frontier BFS is THE distributed BFS — per-hop cost is
+    |frontier|·avg-degree with hash-partitioned joins, and the hop
+    bound caps total work; settled-set anti-join keeps each node
+    processed once."""
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    und = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).localCheckpoint()
+    deg0 = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    src = (
+        deg0.orderBy(F.desc("d"), F.asc("u"))
+        .limit(1)
+        .select(F.col("u").alias("node"), F.lit(0).alias("dist"))
+    )
+    dist = src.localCheckpoint()
+    frontier = dist
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier.node == und.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(dist.select("node"), "node", "left_anti").select(
+            "node", F.lit(hop).alias("dist")
+        )
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new
+    return dist.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("dist").cast("long").alias("dist"),
+    )
