@@ -907,3 +907,73 @@ def flow_session_reassembly(spark, sf_dir):
         )
         .drop("sess")
     )
+
+
+@register(
+    "flow_analytics_report_e2e",
+    oracle="""
+        WITH f AS (
+          SELECT 'eni-' || CAST(user_id AS VARCHAR) AS interface_id,
+                 CAST(round(value * 100) AS BIGINT) AS bytes,
+                 CAST(event_type = 'error' AS BIGINT) AS is_reject
+          FROM events
+        ),
+        g AS (
+          SELECT interface_id,
+                 CAST(count(*) AS BIGINT) AS n_flows,
+                 CAST(sum(bytes) AS BIGINT) AS total_bytes,
+                 CAST(sum(is_reject) AS BIGINT) AS n_rejects
+          FROM f GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(total_bytes) AS BIGINT) AS tb FROM g)
+        SELECT interface_id, n_flows, total_bytes, n_rejects,
+               round(CAST(n_rejects AS DOUBLE) / n_flows, 6)
+                 AS reject_ratio,
+               round(CAST(total_bytes AS DOUBLE) / tot.tb, 6)
+                 AS bytes_share,
+               CAST(rank() OVER (ORDER BY total_bytes DESC, interface_id)
+                    AS BIGINT) AS bytes_rank,
+               CAST(rank() OVER (ORDER BY total_bytes DESC, interface_id)
+                    <= 10 AS BIGINT) AS heavy_hitter
+        FROM g, tot
+    """,
+)
+def flow_analytics_report_e2e(spark, sf_dir):
+    """Consolidated per-interface flow-log analytics report — the
+    whole batch tier of the reference pipeline in ONE relation:
+    synthesize → PARSE (from_csv over real v2 lines, the same
+    JVM-side path every flow_* op exercises) → per-ENI rollup →
+    reject ratio, traffic share, byte rank, heavy-hitter flag. One
+    query answers "which interfaces carry the traffic, which are
+    being firewalled, and who makes the top-10 watchlist" — the
+    dashboard a flow-log pipeline ships first, value-checked end to
+    end against the synthesis twins.
+
+    Scale: the parse is map-only (fanned across the cluster by the
+    shared _parsed repartition); the rollup is map-side-combinable to
+    the interface spine (one row per ENI — bounded by fleet size, not
+    traffic), and the ranking window runs on that spine only."""
+    p = _parsed(spark, sf_dir)
+    g = p.groupBy("interface_id").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("bytes").alias("total_bytes"),
+        F.sum((F.col("action") == "REJECT").cast("long")).alias(
+            "n_rejects"
+        ),
+    )
+    tot = g.agg(F.sum("total_bytes").alias("tb"))
+    w = Window.orderBy(F.desc("total_bytes"), F.asc("interface_id"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "interface_id",
+        "n_flows",
+        "total_bytes",
+        "n_rejects",
+        F.round(
+            F.col("n_rejects").cast("double") / F.col("n_flows"), 6
+        ).alias("reject_ratio"),
+        F.round(
+            F.col("total_bytes").cast("double") / F.col("tb"), 6
+        ).alias("bytes_share"),
+        F.rank().over(w).cast("long").alias("bytes_rank"),
+        (F.rank().over(w) <= 10).cast("long").alias("heavy_hitter"),
+    )
