@@ -14,6 +14,7 @@ import hashlib
 
 import pandas as pd
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register, table
@@ -994,4 +995,157 @@ def multimodal_ppm_histogram_entropy(spark, sf_dir):
 
     return assets.mapInPandas(
         entropy, "doc_id long, n_levels long, entropy_nats double"
+    )
+
+
+@register(
+    "multimodal_ppm_otsu_threshold",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id,
+                 (((doc_id*31 + r.k*3 + 0) % 256)
+                  + ((doc_id*31 + r.k*3 + 1) % 256)
+                  + ((doc_id*31 + r.k*3 + 2) % 256)) // 3 AS gray
+          FROM dims, unnest(range(w*h)) r(k)
+        ),
+        hist AS (
+          SELECT doc_id, gray, CAST(count(*) AS BIGINT) AS c
+          FROM px GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot_c,
+                 CAST(sum(gray * c) AS BIGINT) AS tot_s
+          FROM hist GROUP BY 1
+        ),
+        cum AS (
+          SELECT doc_id, gray,
+                 CAST(sum(c) OVER pw AS BIGINT) AS cum_c,
+                 CAST(sum(gray * c) OVER pw AS BIGINT) AS cum_s
+          FROM hist
+          WINDOW pw AS (PARTITION BY doc_id ORDER BY gray
+                        ROWS UNBOUNDED PRECEDING)
+        ),
+        sb AS (
+          SELECT cum.doc_id, cum.gray, cum.cum_c,
+                 tot.tot_c,
+                 (CAST(cum.cum_s AS DOUBLE) * tot.tot_c
+                  - CAST(cum.cum_c AS DOUBLE) * tot.tot_s)
+                 * (CAST(cum.cum_s AS DOUBLE) * tot.tot_c
+                    - CAST(cum.cum_c AS DOUBLE) * tot.tot_s)
+                 / (CAST(cum.cum_c AS DOUBLE)
+                    * (tot.tot_c - cum.cum_c)) AS sbv
+          FROM cum JOIN tot ON cum.doc_id = tot.doc_id
+          WHERE cum.cum_c < tot.tot_c
+        ),
+        pick AS (
+          SELECT doc_id, gray, cum_c, tot_c, sbv,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY sbv DESC, gray) AS rn
+          FROM sb
+        )
+        SELECT doc_id, CAST(gray AS BIGINT) AS otsu_threshold,
+               round(sbv, 6) AS between_var_scaled,
+               round(CAST(tot_c - cum_c AS DOUBLE) / tot_c, 6)
+                 AS fg_share
+        FROM pick WHERE rn = 1
+    """,
+)
+def multimodal_ppm_otsu_threshold(spark, sf_dir):
+    """Otsu's binarization threshold per image over the REAL P6
+    decoder — the classic foreground/background segmentation prep
+    (document scans, masks): pick the gray level maximizing
+    between-class variance. The decoder emits each image's exact
+    (gray, count) histogram rows; all Otsu math then runs ENGINE-SIDE
+    on that spine — integer cumulative class counts/sums, the
+    variance ratio as one identical double expression, argmax by
+    (σ² desc, gray asc) row_number — so Spark and the closed-form
+    DuckDB twin agree bit-for-bit and a decode slip breaks the hash.
+    Flat single-level images have no valid split and drop out
+    identically in both engines.
+
+    Scale: Arrow-batched map-only decode to ≤256 histogram rows per
+    image; the threshold search is spine-sized window math
+    partitioned per image. This histogram-then-argmax split is
+    exactly how you'd Otsu a billion thumbnails."""
+    d = table(spark, sf_dir, "documents")
+
+    def hist_rows(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "gray": [], "c": []}
+            for doc_id in pdf["doc_id"]:
+                w, h, raster = _ppm_decode(_ppm_bytes(int(doc_id)))
+                a = (
+                    np.frombuffer(raster, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h * w, 3)
+                )
+                gray = (a[:, 0] + a[:, 1] + a[:, 2]) // 3
+                vals, counts = np.unique(gray, return_counts=True)
+                out["doc_id"].extend([int(doc_id)] * len(vals))
+                out["gray"].extend(int(v) for v in vals)
+                out["c"].extend(int(c) for c in counts)
+            yield pd.DataFrame(out)
+
+    hist = d.select("doc_id").mapInPandas(
+        hist_rows, "doc_id long, gray long, c long"
+    )
+    tot = hist.groupBy("doc_id").agg(
+        F.sum("c").alias("tot_c"),
+        F.sum(F.col("gray") * F.col("c")).alias("tot_s"),
+    )
+    pw = (
+        Window.partitionBy("doc_id")
+        .orderBy("gray")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "doc_id",
+        "gray",
+        F.sum("c").over(pw).alias("cum_c"),
+        F.sum(F.col("gray") * F.col("c")).over(pw).alias("cum_s"),
+    )
+    num = (
+        F.col("cum_s").cast("double") * F.col("tot_c")
+        - F.col("cum_c").cast("double") * F.col("tot_s")
+    )
+    sb = (
+        cum.join(tot, "doc_id")
+        .filter(F.col("cum_c") < F.col("tot_c"))
+        .select(
+            "doc_id",
+            "gray",
+            "cum_c",
+            "tot_c",
+            (
+                num
+                * num
+                / (
+                    F.col("cum_c").cast("double")
+                    * (F.col("tot_c") - F.col("cum_c"))
+                )
+            ).alias("sbv"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("sbv"), F.asc("gray")
+    )
+    return (
+        sb.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gray").cast("long").alias("otsu_threshold"),
+            F.round("sbv", 6).alias("between_var_scaled"),
+            F.round(
+                (F.col("tot_c") - F.col("cum_c")).cast("double")
+                / F.col("tot_c"),
+                6,
+            ).alias("fg_share"),
+        )
     )
