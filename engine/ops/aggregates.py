@@ -6920,3 +6920,64 @@ def stat_permutation_test(spark, sf_dir):
             ).alias("p_value"),
         )
     )
+
+
+@register(
+    "orders_return_rate_trend",
+    oracle="""
+        WITH m AS (
+          SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(CAST(l_returnflag = 'R' AS BIGINT)) AS BIGINT)
+                   AS n_returned,
+                 CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS returned_cents,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS total_cents
+          FROM lineitem GROUP BY 1
+        )
+        SELECT month, n_lines, n_returned,
+               round(CAST(n_returned AS DOUBLE) / n_lines, 6)
+                 AS return_rate,
+               round(CAST(returned_cents AS DOUBLE) / total_cents, 6)
+                 AS returned_value_share
+        FROM m
+    """,
+)
+def orders_return_rate_trend(spark, sf_dir):
+    """Monthly return-rate trend — share of shipped lines (and of
+    shipped VALUE) flagged returned, the merchandising-quality
+    headline that catches a bad product batch or a fraud ring months
+    before margin reports do. Line-count rate and value-weighted rate
+    move differently when expensive items return disproportionately —
+    both are reported. One conditional rollup of exact int64 counts
+    and cent sums; rates are the only doubles.
+
+    Scale: single map-side-combinable pass to the month spine —
+    scan-bound at any size."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    m = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(ret).alias("n_returned"),
+        F.sum(F.when(F.col("l_returnflag") == "R", cents).otherwise(0)).alias(
+            "returned_cents"
+        ),
+        F.sum(cents).alias("total_cents"),
+    )
+    return m.select(
+        "month",
+        "n_lines",
+        "n_returned",
+        F.round(
+            F.col("n_returned").cast("double") / F.col("n_lines"), 6
+        ).alias("return_rate"),
+        F.round(
+            F.col("returned_cents").cast("double") / F.col("total_cents"),
+            6,
+        ).alias("returned_value_share"),
+    )

@@ -3543,3 +3543,87 @@ def ml_log_loss(spark, sf_dir):
             6,
         ).alias("mean_log_loss"),
     )
+
+
+@register(
+    "ml_calibration_ece",
+    oracle="""
+        WITH s AS (
+          SELECT CAST(list_extract(embedding, 1) AS DOUBLE) AS x,
+                 CAST(label < 5 AS BIGINT) AS pos
+          FROM embeddings
+        ),
+        mm AS (SELECT min(x) AS lo, max(x) AS hi FROM s),
+        b AS (
+          SELECT least(9, CAST(floor((x - lo) / (hi - lo) * 10)
+                               AS BIGINT)) AS bin,
+                 pos,
+                 CAST(round((x - lo) / (hi - lo) * 1000000) AS BIGINT)
+                   AS conf_u
+          FROM s, mm
+        ),
+        g AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(conf_u) AS BIGINT) AS sum_conf_u
+          FROM b GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+        SELECT CAST(count(*) AS BIGINT) AS n_bins,
+               max(tot.nt) AS n_scored,
+               round(sum(
+                 (CAST(n AS DOUBLE) / tot.nt)
+                 * abs(CAST(n_pos AS DOUBLE) / n
+                       - CAST(sum_conf_u AS DOUBLE) / n / 1000000.0)
+               ), 6) AS ece,
+               round(max(
+                 abs(CAST(n_pos AS DOUBLE) / n
+                     - CAST(sum_conf_u AS DOUBLE) / n / 1000000.0)
+               ), 6) AS mce
+        FROM g, tot
+    """,
+)
+def ml_calibration_ece(spark, sf_dir):
+    """Expected / Maximum Calibration Error — the scalar verdict on
+    ml_calibration_bins' reliability diagram: per bin, |empirical
+    positive rate − mean predicted confidence|, weighted by bin mass
+    (ECE) and taken at worst (MCE) — the acceptance gate before
+    anyone treats a model score as a probability. Confidences are the
+    same min-max-normalized micro-quantized ints as the bins op, so
+    every per-bin statistic is exact int64 and the error terms are
+    identical double expressions; the ≤10-term final fold runs on the
+    bin spine where ordering cannot bite (sum of ≤10 identical
+    doubles after a groupBy on a 10-row relation in one partition).
+
+    Scale: identical contract to ml_calibration_bins — scalar min/max
+    broadcast, one combinable pass to 10 bins, constant-size fold."""
+    em = table(spark, sf_dir, "embeddings")
+    s = em.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    mm = s.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    norm = (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    b = s.crossJoin(F.broadcast(mm)).select(
+        F.least(F.lit(9), F.floor(norm * 10).cast("long")).alias("bin"),
+        "pos",
+        F.round(norm * 1000000).cast("long").alias("conf_u"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("conf_u").alias("sum_conf_u"),
+    ).coalesce(1)
+    tot = g.agg(F.sum("n").alias("nt"))
+    gap = F.abs(
+        F.col("n_pos").cast("double") / F.col("n")
+        - F.col("sum_conf_u").cast("double") / F.col("n") / 1000000.0
+    )
+    return g.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("nt").alias("n_scored"),
+        F.round(
+            F.sum((F.col("n").cast("double") / F.col("nt")) * gap), 6
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )

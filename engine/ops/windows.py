@@ -2702,3 +2702,82 @@ def win_range_interval_frame(spark, sf_dir):
         F.sum("rev_cents").over(rows).alias("sum_7rows"),
         F.count(F.lit(1)).over(rng).alias("n_days_in_range"),
     )
+
+
+@register(
+    "win_weighted_moving_avg",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1
+        ),
+        l AS (
+          SELECT day, rev_cents,
+                 lag(rev_cents, 1) OVER w AS x1,
+                 lag(rev_cents, 2) OVER w AS x2,
+                 lag(rev_cents, 3) OVER w AS x3,
+                 lag(rev_cents, 4) OVER w AS x4,
+                 lag(rev_cents, 5) OVER w AS x5,
+                 lag(rev_cents, 6) OVER w AS x6
+          FROM d WINDOW w AS (ORDER BY day)
+        )
+        SELECT CAST(day AS VARCHAR) AS day, rev_cents,
+               round((7.0 * rev_cents + 6 * x1 + 5 * x2 + 4 * x3
+                      + 3 * x4 + 2 * x5 + 1 * x6) / 28.0, 6) AS wma7,
+               round((CAST(rev_cents AS DOUBLE) + x1 + x2 + x3
+                      + x4 + x5 + x6) / 7.0, 6) AS sma7
+        FROM l WHERE x6 IS NOT NULL
+    """,
+)
+def win_weighted_moving_avg(spark, sf_dir):
+    """Linearly-weighted 7-day moving average (WMA, weights 7..1 over
+    the trailing week, newest heaviest) next to the plain SMA — the
+    responsiveness/smoothness trade every TA and ops dashboard
+    exposes: WMA tracks turns ~2 days sooner, SMA rejects noise
+    better. Plain window frames can't weight by recency, so the WMA
+    is spelled as a closed-form combination of six lag() columns —
+    all exact int64 cents until the two final divisions (identical
+    double expressions). Warm-up rows drop identically in both
+    engines.
+
+    Scale: orders collapse map-side to the day spine; the single
+    window pass (lags share one sort) runs on the spine only. For
+    large windows the same pattern switches to two running-sum
+    identities (WMA_t from cumulative sums), still O(spine)."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy("day")
+    lags = [F.lag("rev_cents", i).over(w).alias(f"x{i}") for i in range(1, 7)]
+    l = d.select("day", "rev_cents", *lags).filter(
+        F.col("x6").isNotNull()
+    )
+    wma = (
+        7.0 * F.col("rev_cents")
+        + 6 * F.col("x1")
+        + 5 * F.col("x2")
+        + 4 * F.col("x3")
+        + 3 * F.col("x4")
+        + 2 * F.col("x5")
+        + 1 * F.col("x6")
+    ) / 28.0
+    sma = (
+        F.col("rev_cents").cast("double")
+        + F.col("x1")
+        + F.col("x2")
+        + F.col("x3")
+        + F.col("x4")
+        + F.col("x5")
+        + F.col("x6")
+    ) / 7.0
+    return l.select(
+        F.col("day").cast("string").alias("day"),
+        "rev_cents",
+        F.round(wma, 6).alias("wma7"),
+        F.round(sma, 6).alias("sma7"),
+    )
