@@ -6981,3 +6981,146 @@ def orders_return_rate_trend(spark, sf_dir):
             6,
         ).alias("returned_value_share"),
     )
+
+
+@register(
+    "orders_supplier_hhi",
+    oracle="""
+        WITH ps AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM lineitem GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT pk, CAST(count(*) AS BIGINT) AS n_suppliers,
+                 CAST(sum(cents) AS BIGINT) AS tot,
+                 CAST(sum(cents * cents) AS BIGINT) AS sq
+          FROM ps GROUP BY 1
+        )
+        SELECT pk AS partkey, n_suppliers, tot AS spend_cents,
+               round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot), 6)
+                 AS supplier_hhi,
+               CAST(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot)
+                    > 0.5 AS BIGINT) AS single_source_risk
+        FROM p WHERE n_suppliers >= 2
+    """,
+)
+def orders_supplier_hhi(spark, sf_dir):
+    """Supplier-concentration HHI per part — the supply-risk screen
+    procurement runs before a shortage does: each part's spend shares
+    across its suppliers folded as Σcents²/(Σcents)² (no share
+    materialization, same trick as events_hhi_concentration), with an
+    HHI > 0.5 single-source-risk flag. Multi-supplier parts only —
+    sole-sourced parts are a different (known) list.
+
+    Scale: one combinable rollup to the (part, supplier) spine, one
+    to the part spine; the squared-cents sum stays in int64 because
+    the per-(part,supplier) cents are bounded by part-level spend,
+    not corpus revenue."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    p = ps.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+    )
+    hhi = F.col("sq").cast("double") / (
+        F.col("tot").cast("double") * F.col("tot")
+    )
+    return p.filter(F.col("n_suppliers") >= 2).select(
+        F.col("pk").alias("partkey"),
+        "n_suppliers",
+        F.col("tot").alias("spend_cents"),
+        F.round(hhi, 6).alias("supplier_hhi"),
+        (hhi > 0.5).cast("long").alias("single_source_risk"),
+    )
+
+
+@register(
+    "stat_cramers_v",
+    oracle="""
+        WITH c AS (
+          SELECT o_orderpriority AS a, o_orderstatus AS b,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM c GROUP BY 1),
+        rb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM c GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nt,
+                 CAST((SELECT count(*) FROM ra) AS BIGINT) AS r,
+                 CAST((SELECT count(*) FROM rb) AS BIGINT) AS k
+          FROM c
+        ),
+        chi AS (
+          SELECT CAST(sum(CAST(round(1000000.0 *
+                   (c.n - CAST(ra.na AS DOUBLE) * rb.nb / tot.nt)
+                   * (c.n - CAST(ra.na AS DOUBLE) * rb.nb / tot.nt)
+                   / (CAST(ra.na AS DOUBLE) * rb.nb / tot.nt))
+                   AS BIGINT)) AS BIGINT) AS chi_micro
+          FROM c JOIN ra USING (a) JOIN rb USING (b), tot
+        )
+        SELECT tot.nt AS n, tot.r AS n_rows_levels, tot.k AS n_col_levels,
+               round(CAST(chi.chi_micro AS DOUBLE) / 1000000.0, 6)
+                 AS chi_square,
+               round(sqrt(CAST(chi.chi_micro AS DOUBLE) / 1000000.0
+                     / (tot.nt * (least(tot.r, tot.k) - 1))), 6)
+                 AS cramers_v
+        FROM tot, chi
+    """,
+)
+def stat_cramers_v(spark, sf_dir):
+    """Cramér's V — the normalized effect size for categorical
+    association that the raw chi-square (stat_chi_square) can't give
+    you: χ² grows with N, V ∈ [0,1] answers "is priority actually
+    related to order status, and how strongly". Cell, row, and column
+    counts are exact int64; each cell's (O−E)²/E term is an identical
+    double expression micro-quantized BEFORE the cross-cell sum
+    (shuffle-order-proof); V is one final sqrt over those ints.
+
+    Scale: one combinable pass to the contingency cells (r×k,
+    constant-sized), broadcast margins, constant-size fold — the
+    categorical-association screen at scan-bound cost."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ra = c.groupBy("a").agg(F.sum("n").alias("na"))
+    rb = c.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = c.agg(F.sum("n").alias("nt")).crossJoin(
+        F.broadcast(ra.agg(F.count(F.lit(1)).alias("r")))
+    ).crossJoin(F.broadcast(rb.agg(F.count(F.lit(1)).alias("k"))))
+    e = F.col("na").cast("double") * F.col("nb") / F.col("nt")
+    term = F.round(
+        1000000.0 * (F.col("n") - e) * (F.col("n") - e) / e
+    ).cast("long")
+    chi = (
+        c.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).alias("chi_micro"))
+    )
+    return tot.crossJoin(F.broadcast(chi)).select(
+        F.col("nt").alias("n"),
+        F.col("r").alias("n_rows_levels"),
+        F.col("k").alias("n_col_levels"),
+        F.round(F.col("chi_micro").cast("double") / 1000000.0, 6).alias(
+            "chi_square"
+        ),
+        F.round(
+            F.sqrt(
+                F.col("chi_micro").cast("double")
+                / 1000000.0
+                / (F.col("nt") * (F.least("r", "k") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
