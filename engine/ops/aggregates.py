@@ -7124,3 +7124,76 @@ def stat_cramers_v(spark, sf_dir):
             6,
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "stat_power_mde",
+    oracle="""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s,
+                 CAST(sum(cents * cents) AS BIGINT) AS s2
+          FROM u
+        )
+        SELECT n AS n_users,
+               round(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_value,
+               round(sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                     / (n - 1)) / 100.0, 6) AS sd_value,
+               round((1.959964 + 0.841621)
+                     * sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                            / (n - 1))
+                     * sqrt(4.0 / n) / 100.0, 6) AS mde_abs,
+               round((1.959964 + 0.841621)
+                     * sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                            / (n - 1))
+                     * sqrt(4.0 / n)
+                     / (CAST(s AS DOUBLE) / n), 6) AS mde_rel
+        FROM m
+    """,
+)
+def stat_power_mde(spark, sf_dir):
+    """Experiment power analysis — the minimum detectable effect a
+    50/50 split of THIS population can resolve at α=0.05, power=0.8:
+    MDE = (z_{0.975}+z_{0.8})·σ·sqrt(2/(n/2)), the number every A/B
+    test should publish BEFORE launch (an underpowered test's null is
+    meaningless). σ comes from exact int64 cent moments over the
+    per-user spine (the correct randomization unit per
+    stat_icc_intraclass); the z constants are fixed literals, so the
+    whole row is identical double expressions over exact ints.
+
+    Scale: one combinable pass to the user spine + a 3-cell scalar
+    fold — free at any size, which is the point: there is no excuse
+    not to run it."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    sd = F.sqrt(var)
+    zsum = F.lit(1.959964) + F.lit(0.841621)
+    mde = zsum * sd * F.sqrt(4.0 / F.col("n"))
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 6).alias(
+            "mean_value"
+        ),
+        F.round(sd / 100.0, 6).alias("sd_value"),
+        F.round(mde / 100.0, 6).alias("mde_abs"),
+        F.round(
+            mde / (F.col("s").cast("double") / F.col("n")), 6
+        ).alias("mde_rel"),
+    )

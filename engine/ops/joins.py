@@ -1290,3 +1290,105 @@ def orders_part_reorder_rate(spark, sf_dir):
             F.col("n_repeat").cast("double") / F.col("n_custs"), 6
         ).alias("reorder_rate"),
     )
+
+
+@register(
+    "join_ledger_recon_tolerance",
+    oracle="""
+        WITH o AS (
+          SELECT o_orderkey AS ok, o_custkey AS ck,
+                 CAST(o_orderdate AS DATE) AS d,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        led AS (
+          SELECT ok AS lk, ck,
+                 d + CAST(CAST(('0x' || substr(md5('d:' || ok), 1, 4))
+                     AS BIGINT) % 3 AS INT) AS ld,
+                 cents + CAST(('0x' || substr(md5('c:' || ok), 1, 4))
+                     AS BIGINT) % 5 - 2 AS lcents
+          FROM o
+          WHERE CAST(('0x' || substr(md5('m:' || ok), 1, 4)) AS BIGINT)
+                % 10 <> 0
+        ),
+        matched AS (
+          SELECT o.ok,
+                 max(CASE WHEN led.lk IS NOT NULL THEN 1 ELSE 0 END)
+                   AS hit
+          FROM o LEFT JOIN led
+            ON led.ck = o.ck
+           AND abs(led.lcents - o.cents) <= 2
+           AND led.ld BETWEEN o.d AND o.d + 2
+          GROUP BY o.ok
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(hit) AS BIGINT) AS n_matched,
+               round(CAST(sum(hit) AS DOUBLE) / count(*), 6)
+                 AS match_rate,
+               (SELECT CAST(count(*) AS BIGINT) FROM led) AS n_ledger
+        FROM matched
+    """,
+)
+def join_ledger_recon_tolerance(spark, sf_dir):
+    """Payment reconciliation with tolerance — match the order book
+    against an external settlement ledger whose rows arrive a few
+    cents off (fees/rounding) and 0–2 days late, with ~10% missing:
+    the month-end finance-ops job that no exact equi-join can do. The
+    ledger is synthesized DETERMINISTICALLY from orders (md5-derived
+    jitter and drop mask — the registry's reproducible-randomness
+    discipline), the match is an equi-join on customer plus
+    cents-within-±2 and date-within-2-days band predicates, and a
+    conditional max collapses multi-candidates into a matched flag.
+
+    Scale: the band join stays co-partitioned on the customer equi-
+    key (the bands are post-join filters on that key's candidates,
+    each customer's orders × their ledger rows — bounded fan-out);
+    both rollups combine map-side."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def h(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("ok").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    led = (
+        o.filter(h("m:") % 10 != 0)
+        .select(
+            F.col("ok").alias("lk"),
+            F.col("ck").alias("lck"),
+            F.date_add("d", (h("d:") % 3).cast("int")).alias("ld"),
+            (F.col("cents") + h("c:") % 5 - 2).alias("lcents"),
+        )
+    )
+    j = o.join(
+        led,
+        (F.col("lck") == F.col("ck"))
+        & (F.abs(F.col("lcents") - F.col("cents")) <= 2)
+        & (F.col("ld") >= F.col("d"))
+        & (F.col("ld") <= F.date_add("d", 2)),
+        "left",
+    )
+    matched = j.groupBy("ok").agg(
+        F.max(
+            F.when(F.col("lk").isNotNull(), 1).otherwise(0)
+        ).alias("hit")
+    )
+    nled = led.agg(F.count(F.lit(1)).alias("n_ledger"))
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("hit").alias("n_matched"),
+        F.round(
+            F.sum("hit").cast("double") / F.count(F.lit(1)), 6
+        ).alias("match_rate"),
+    ).crossJoin(F.broadcast(nled))
