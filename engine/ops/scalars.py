@@ -970,3 +970,64 @@ def date_business_days(spark, sf_dir):
             F.sum("bus_days").cast("double") / F.sum("cal_days"), 6
         ).alias("bus_ratio"),
     )
+
+
+@register(
+    "date_fiscal_quarter_rollup",
+    oracle="""
+        WITH f AS (
+          SELECT CASE WHEN month(o_orderdate) >= 2
+                      THEN year(o_orderdate) + 1
+                      ELSE year(o_orderdate) END AS fy,
+                 ((month(o_orderdate) + 10) % 12) // 3 + 1 AS fq,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        g AS (
+          SELECT fy, fq, CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS rev_cents
+          FROM f GROUP BY 1, 2
+        ),
+        y AS (SELECT fy, CAST(sum(rev_cents) AS BIGINT) AS fy_cents
+              FROM g GROUP BY 1)
+        SELECT CAST(g.fy AS BIGINT) AS fiscal_year,
+               CAST(g.fq AS BIGINT) AS fiscal_quarter,
+               g.n_orders, g.rev_cents,
+               round(CAST(g.rev_cents AS DOUBLE) / y.fy_cents, 6)
+                 AS share_of_fy
+        FROM g JOIN y USING (fy)
+    """,
+)
+def date_fiscal_quarter_rollup(spark, sf_dir):
+    """Fiscal-calendar rollup for a February-start fiscal year (the
+    retail/AWS-style FY): FY = calendar year + 1 once February
+    starts, FQ = ((month+10) mod 12)/3 + 1, so Feb–Apr is Q1. Every
+    BI stack trips on this mapping at least once — here it is pure
+    integer month arithmetic, identical in both engines, with exact
+    cent sums and each quarter's share of its fiscal year.
+
+    Scale: map-only fiscal tagging into one combinable rollup; the
+    FY spine join broadcasts."""
+    o = table(spark, sf_dir, "orders")
+    mo = F.month("o_orderdate")
+    f = o.select(
+        F.when(mo >= 2, F.year("o_orderdate") + 1)
+        .otherwise(F.year("o_orderdate"))
+        .alias("fy"),
+        (F.floor(((mo + 10) % 12) / 3) + 1).alias("fq"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = f.groupBy("fy", "fq").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    y = g.groupBy("fy").agg(F.sum("rev_cents").alias("fy_cents"))
+    return g.join(F.broadcast(y), "fy").select(
+        F.col("fy").cast("long").alias("fiscal_year"),
+        F.col("fq").cast("long").alias("fiscal_quarter"),
+        "n_orders",
+        "rev_cents",
+        F.round(
+            F.col("rev_cents").cast("double") / F.col("fy_cents"), 6
+        ).alias("share_of_fy"),
+    )

@@ -3627,3 +3627,78 @@ def ml_calibration_ece(spark, sf_dir):
         ).alias("ece"),
         F.round(F.max(gap), 6).alias("mce"),
     )
+
+
+@register(
+    "embed_dim_variance_rank",
+    oracle="""
+        WITH ex AS (
+          SELECT CAST(i AS INT) AS dim,
+                 CAST(round(1000000 * CAST(list_extract(embedding, i)
+                      AS DOUBLE)) AS BIGINT) AS u
+          FROM embeddings, range(1, 65) AS t(i)
+        ),
+        d AS (
+          SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(u) AS BIGINT) AS s,
+                 CAST(sum(u * u) AS BIGINT) AS s2
+          FROM ex GROUP BY 1
+        ),
+        v AS (
+          SELECT dim, n,
+                 (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                 / (n - 1) / 1e12 AS var
+          FROM d
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               round(var, 6) AS variance,
+               CAST(rank() OVER (ORDER BY var DESC, dim) AS BIGINT)
+                 AS var_rank,
+               CAST(rank() OVER (ORDER BY var DESC, dim) <= 16 AS BIGINT)
+                 AS in_top16
+        FROM v
+    """,
+)
+def embed_dim_variance_rank(spark, sf_dir):
+    """Per-dimension variance ranking of the embedding space — the
+    feature-selection screen behind Matryoshka-style truncation
+    (embed_matryoshka_recall assumes the FIRST 16 dims carry the
+    signal; this op measures which dims actually do): sample variance
+    per dimension from micro-quantized exact int64 moments, ranked
+    descending with a top-16 membership flag. A healthy trained
+    embedding concentrates variance in leading dims; uniform variance
+    says truncation will cost recall.
+
+    Scale: one map-only explode to (dim, component) feeding a
+    64-group combinable aggregate; the ranking window runs on the
+    64-row dim spine."""
+    em = table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(1000000 * x.cast("double")).cast("long"),
+            )
+        ).alias("dim0", "u")
+    ).select((F.col("dim0") + 1).alias("dim"), "u")
+    d = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("s"),
+        F.sum(F.col("u") * F.col("u")).alias("s2"),
+    )
+    var = (
+        (
+            F.col("s2").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        / 1e12
+    )
+    v = d.select("dim", var.alias("var"))
+    w = Window.orderBy(F.desc("var"), F.asc("dim"))
+    return v.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round("var", 6).alias("variance"),
+        F.rank().over(w).cast("long").alias("var_rank"),
+        (F.rank().over(w) <= 16).cast("long").alias("in_top16"),
+    )
