@@ -7197,3 +7197,85 @@ def stat_power_mde(spark, sf_dir):
             mde / (F.col("s").cast("double") / F.col("n")), 6
         ).alias("mde_rel"),
     )
+
+
+SLO_TARGET_PPM = 990000  # 99.0% success objective
+
+
+@register(
+    "events_error_budget_burn",
+    oracle=f"""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(event_type = 'error' AS BIGINT))
+                      AS BIGINT) AS errs
+          FROM events GROUP BY 1
+        ),
+        c AS (
+          SELECT day, n, errs,
+                 CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+                 CAST(sum(errs) OVER w AS BIGINT) AS cum_errs
+          FROM d
+          WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT CAST(day AS VARCHAR) AS day, n, errs,
+               round(CAST(errs AS DOUBLE) / n, 6) AS error_rate,
+               round(CAST(errs AS DOUBLE) / n
+                     / (1.0 - {SLO_TARGET_PPM} / 1000000.0), 6)
+                 AS burn_rate,
+               round(CAST(cum_errs AS DOUBLE)
+                     / (cum_n * (1.0 - {SLO_TARGET_PPM} / 1000000.0)), 6)
+                 AS budget_consumed,
+               CAST(cum_errs * 1000000 > cum_n
+                    * (1000000 - {SLO_TARGET_PPM}) AS BIGINT)
+                 AS budget_exhausted
+        FROM c
+    """,
+)
+def events_error_budget_burn(spark, sf_dir):
+    """SRE error-budget burn-down against a 99% success SLO — daily
+    error rate, burn rate (rate ÷ budget; >1 means the budget
+    depletes before the window ends), cumulative budget consumed, and
+    an exhaustion flag. The exhaustion comparison is PURE INTEGER
+    (cum_errs·1e6 > cum_n·allowed_ppm) so the alert fires identically
+    in both engines — paging decisions never ride a double. This is
+    the error-budget policy table from the SRE workbook as one query.
+
+    Scale: combinable rollup to the day spine; the cumulative window
+    runs on the spine. The integer-ppm SLO encoding is also what a
+    streaming version would carry in state."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errs"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "day",
+        "n",
+        "errs",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("errs").over(w).alias("cum_errs"),
+    )
+    budget = 1.0 - SLO_TARGET_PPM / 1000000.0
+    return c.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "errs",
+        F.round(F.col("errs").cast("double") / F.col("n"), 6).alias(
+            "error_rate"
+        ),
+        F.round(
+            F.col("errs").cast("double") / F.col("n") / budget, 6
+        ).alias("burn_rate"),
+        F.round(
+            F.col("cum_errs").cast("double") / (F.col("cum_n") * budget), 6
+        ).alias("budget_consumed"),
+        (
+            F.col("cum_errs") * 1000000
+            > F.col("cum_n") * (1000000 - SLO_TARGET_PPM)
+        )
+        .cast("long")
+        .alias("budget_exhausted"),
+    )

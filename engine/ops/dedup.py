@@ -1586,3 +1586,92 @@ def graph_bfs_distance(spark, sf_dir):
         F.col("node").cast("long").alias("doc_id"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+        WITH edges AS (SELECT doc_a, doc_b FROM ({JACCARD_SQL}) j),
+        und AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ),
+        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+        de AS (
+          SELECT da.d AS x, db.d AS y
+          FROM und
+          JOIN deg da ON da.u = und.u
+          JOIN deg db ON db.u = und.v
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM de
+        )
+        SELECT n AS n_directed_edges,
+               round((n * sxy - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((n * sxx - CAST(sx AS DOUBLE) * sx)
+                            * (n * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                 AS assortativity
+        FROM m
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the near-dup graph — the Pearson
+    correlation of endpoint degrees over every (directed) edge:
+    positive means duplicate-heavy docs link to each other (template
+    families, collapse-safe), negative means hub-and-spoke (one
+    canonical doc with many one-off variants — collapse the spokes,
+    keep the hub). Endpoint degrees join from the node spine; all six
+    moments are exact int64 sums over the edge list and the
+    coefficient is one identical double expression.
+
+    Scale: degree spine is node-sized and broadcast; the moment pass
+    is one combinable fold over edges — O(E), the graph-level scalar
+    at scan cost."""
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    und = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("u").alias("ju"), F.col("d").alias("x"))
+    db = deg.select(F.col("u").alias("jv"), F.col("d").alias("y"))
+    de = und.join(F.broadcast(da), und.u == da.ju).join(
+        F.broadcast(db), und.v == db.jv
+    )
+    m = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * (
+                    F.col("n") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )

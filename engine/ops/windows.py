@@ -2781,3 +2781,90 @@ def win_weighted_moving_avg(spark, sf_dir):
         F.round(wma, 6).alias("wma7"),
         F.round(sma, 6).alias("sma7"),
     )
+
+
+@register(
+    "win_rsi_momentum",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1
+        ),
+        m AS (
+          SELECT day, rev_cents,
+                 rev_cents - lag(rev_cents) OVER (ORDER BY day) AS chg
+          FROM d
+        ),
+        ud AS (
+          SELECT day, rev_cents,
+                 CAST(greatest(chg, 0) AS BIGINT) AS up,
+                 CAST(greatest(-chg, 0) AS BIGINT) AS dn
+          FROM m WHERE chg IS NOT NULL
+        ),
+        r AS (
+          SELECT day, rev_cents,
+                 CAST(count(*) OVER fr AS BIGINT) AS n_w,
+                 CAST(sum(up) OVER fr AS BIGINT) AS sum_up,
+                 CAST(sum(dn) OVER fr AS BIGINT) AS sum_dn
+          FROM ud
+          WINDOW fr AS (ORDER BY day
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(day AS VARCHAR) AS day, rev_cents,
+               round(100.0 * sum_up / (sum_up + sum_dn), 6) AS rsi14,
+               CAST(100 * sum_up > 70 * (sum_up + sum_dn) AS BIGINT)
+                 AS overbought,
+               CAST(100 * sum_up < 30 * (sum_up + sum_dn) AS BIGINT)
+                 AS oversold
+        FROM r WHERE n_w = 14
+    """,
+)
+def win_rsi_momentum(spark, sf_dir):
+    """14-day RSI (cutler's SMA form) over daily revenue — the
+    mean-reversion oscillator: RSI = 100·gains/(gains+losses) over
+    the trailing window, with the textbook 70/30 overbought/oversold
+    bands. Up/down moves are exact int64 cent deltas, the band flags
+    are PURE INTEGER cross-multiplied comparisons (100·up > 70·total)
+    so signal days match bit-for-bit across engines, and only the
+    displayed RSI is a double. Warm-up rows (<14 deltas) drop
+    identically.
+
+    Scale: day-spine rolling sums after a map-side fact collapse —
+    same contract as win_bollinger_bands; Wilder's exponential
+    variant would ride the ts_ewma_smooth fold instead."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy("day")
+    m = d.select(
+        "day",
+        "rev_cents",
+        (F.col("rev_cents") - F.lag("rev_cents").over(w)).alias("chg"),
+    ).filter(F.col("chg").isNotNull())
+    ud = m.select(
+        "day",
+        "rev_cents",
+        F.greatest(F.col("chg"), F.lit(0)).alias("up"),
+        F.greatest(-F.col("chg"), F.lit(0)).alias("dn"),
+    )
+    fr = Window.orderBy("day").rowsBetween(-13, 0)
+    r = ud.select(
+        "day",
+        "rev_cents",
+        F.count(F.lit(1)).over(fr).alias("n_w"),
+        F.sum("up").over(fr).alias("sum_up"),
+        F.sum("dn").over(fr).alias("sum_dn"),
+    ).filter(F.col("n_w") == 14)
+    tot = F.col("sum_up") + F.col("sum_dn")
+    return r.select(
+        F.col("day").cast("string").alias("day"),
+        "rev_cents",
+        F.round(100.0 * F.col("sum_up") / tot, 6).alias("rsi14"),
+        (100 * F.col("sum_up") > 70 * tot).cast("long").alias("overbought"),
+        (100 * F.col("sum_up") < 30 * tot).cast("long").alias("oversold"),
+    )
