@@ -7279,3 +7279,177 @@ def events_error_budget_burn(spark, sf_dir):
         .cast("long")
         .alias("budget_exhausted"),
     )
+
+
+HOLIDAYS_2024_JAN = ["2024-01-01", "2024-01-15"]
+
+
+@register(
+    "events_holiday_calendar_lift",
+    oracle=f"""
+        WITH hol AS (
+          SELECT CAST(x AS DATE) AS day
+          FROM unnest(['{HOLIDAYS_2024_JAN[0]}',
+                       '{HOLIDAYS_2024_JAN[1]}']) t(x)
+        ),
+        d AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1
+        ),
+        f AS (
+          SELECT d.*, CAST(hol.day IS NOT NULL AS BIGINT) AS is_holiday
+          FROM d LEFT JOIN hol ON d.day = hol.day
+        ),
+        g AS (
+          SELECT is_holiday,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(n) AS BIGINT) AS n_events,
+                 CAST(sum(cents) AS BIGINT) AS cents
+          FROM f GROUP BY 1
+        )
+        SELECT g.is_holiday, g.n_days, g.n_events, g.cents,
+               round(CAST(g.n_events AS DOUBLE) / g.n_days, 6)
+                 AS events_per_day,
+               round((CAST(g.n_events AS DOUBLE) / g.n_days)
+                     / ((SELECT CAST(sum(n_events) AS DOUBLE)
+                         FROM g) / (SELECT sum(n_days) FROM g)), 6)
+                 AS lift_vs_overall
+        FROM g
+    """,
+)
+def events_holiday_calendar_lift(spark, sf_dir):
+    """Holiday-calendar enrichment and lift — the inline-dimension
+    pattern every analytics team uses before a real calendar service
+    exists: a two-row holiday table (New Year's Day, MLK Day)
+    broadcast-joined onto the day spine, then events-per-day on
+    holidays vs the overall baseline as a lift ratio. Demonstrates
+    calendar enrichment as a BROADCAST join against a literal dim
+    (never a UDF date lookup); exact integer counting, ratios last.
+
+    Scale: fact collapses to the day spine; the holiday dim is
+    literal-sized and broadcast; two-row output."""
+    e = table(spark, sf_dir, "events")
+    hol = spark.createDataFrame(
+        [(d,) for d in HOLIDAYS_2024_JAN], "day_s string"
+    ).select(F.col("day_s").cast("date").alias("hday"))
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    f = d.join(F.broadcast(hol), d.day == hol.hday, "left").select(
+        "day",
+        "n",
+        "cents",
+        F.col("hday").isNotNull().cast("long").alias("is_holiday"),
+    )
+    g = f.groupBy("is_holiday").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("n_events"),
+        F.sum("cents").alias("cents"),
+    )
+    tot = g.agg(
+        F.sum("n_events").alias("te"), F.sum("n_days").alias("td")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "is_holiday",
+        "n_days",
+        "n_events",
+        "cents",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_days"), 6
+        ).alias("events_per_day"),
+        F.round(
+            (F.col("n_events").cast("double") / F.col("n_days"))
+            / (F.col("te").cast("double") / F.col("td")),
+            6,
+        ).alias("lift_vs_overall"),
+    )
+
+
+@register(
+    "events_wow_significance",
+    oracle="""
+        WITH w AS (
+          SELECT CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7
+                      AS BIGINT) AS week,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(event_type = 'purchase' AS BIGINT))
+                      AS BIGINT) AS conv
+          FROM events GROUP BY 1
+        ),
+        l AS (
+          SELECT week, n, conv,
+                 lag(n) OVER (ORDER BY week) AS pn,
+                 lag(conv) OVER (ORDER BY week) AS pconv
+          FROM w
+        )
+        SELECT week, n, conv,
+               round(CAST(conv AS DOUBLE) / n, 6) AS conv_rate,
+               round(CAST(conv AS DOUBLE) / n
+                     - CAST(pconv AS DOUBLE) / pn, 6) AS wow_delta,
+               round((CAST(conv AS DOUBLE) / n - CAST(pconv AS DOUBLE) / pn)
+                     / sqrt((CAST(conv + pconv AS DOUBLE) / (n + pn))
+                            * (1 - CAST(conv + pconv AS DOUBLE) / (n + pn))
+                            * (1.0 / n + 1.0 / pn)), 6) AS z_score,
+               CAST(abs((CAST(conv AS DOUBLE) / n
+                         - CAST(pconv AS DOUBLE) / pn)
+                    / sqrt((CAST(conv + pconv AS DOUBLE) / (n + pn))
+                           * (1 - CAST(conv + pconv AS DOUBLE) / (n + pn))
+                           * (1.0 / n + 1.0 / pn))) > 1.959964 AS BIGINT)
+                 AS significant
+        FROM l WHERE pn IS NOT NULL
+    """,
+)
+def events_wow_significance(spark, sf_dir):
+    """Week-over-week conversion movement WITH significance — the
+    guardrail that stops dashboards from narrating noise: each week's
+    purchase-conversion rate, its delta vs last week, and the pooled
+    two-proportion z-test verdict at α=0.05. Weeks are integer
+    day-bucket arithmetic from a fixed anchor (no ISO-week
+    cross-engine trap); counts are exact int64 and every rate/z term
+    is one identical double expression, so the significant flag
+    agrees bit-for-bit.
+
+    Scale: combinable rollup to the week spine, lag on the spine —
+    scan-bound. The pooled z is the same formula a streaming weekly
+    job would emit from its state row."""
+    e = table(spark, sf_dir, "events")
+    w = e.groupBy(
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            / 7
+        ).alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "conv"
+        ),
+    )
+    ww = Window.orderBy("week")
+    l = w.select(
+        "week",
+        "n",
+        "conv",
+        F.lag("n").over(ww).alias("pn"),
+        F.lag("conv").over(ww).alias("pconv"),
+    ).filter(F.col("pn").isNotNull())
+    rate = F.col("conv").cast("double") / F.col("n")
+    prate = F.col("pconv").cast("double") / F.col("pn")
+    pool = (F.col("conv") + F.col("pconv")).cast("double") / (
+        F.col("n") + F.col("pn")
+    )
+    z = (rate - prate) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n") + 1.0 / F.col("pn"))
+    )
+    return l.select(
+        "week",
+        "n",
+        "conv",
+        F.round(rate, 6).alias("conv_rate"),
+        F.round(rate - prate, 6).alias("wow_delta"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.959964).cast("long").alias("significant"),
+    )

@@ -1031,3 +1031,44 @@ def date_fiscal_quarter_rollup(spark, sf_dir):
             F.col("rev_cents").cast("double") / F.col("fy_cents"), 6
         ).alias("share_of_fy"),
     )
+
+
+@register(
+    "str_slugify",
+    oracle="""
+        SELECT p_partkey,
+               p_name,
+               trim(regexp_replace(regexp_replace(lower(p_name),
+                    '[^a-z0-9]+', '-', 'g'), '(^-+)|(-+$)', '', 'g'))
+                 AS slug,
+               length(trim(regexp_replace(regexp_replace(lower(p_name),
+                    '[^a-z0-9]+', '-', 'g'), '(^-+)|(-+$)', '', 'g')))
+                 AS slug_len
+        FROM part
+    """,
+)
+def str_slugify(spark, sf_dir):
+    """URL-slug normalization of part names — the ETL string
+    canonicalization every catalog/CMS pipeline runs: lowercase,
+    collapse every non-alphanumeric run to one dash, strip edge
+    dashes. Spelled as two codegen'd regexp_replace passes (never a
+    per-row UDF); DuckDB's 'g' flag mirrors Spark's replace-all
+    default, and the edge-strip uses an alternation anchored at both
+    ends so a single pass suffices in both engines.
+
+    Scale: map-only string kernels inside whole-stage codegen —
+    scan-bound."""
+    p = table(spark, sf_dir, "part")
+    slug = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("p_name"), "[^a-z0-9]+", "-"),
+            "(^-+)|(-+$)",
+            "",
+        )
+    )
+    return p.select(
+        "p_partkey",
+        "p_name",
+        slug.alias("slug"),
+        F.length(slug).alias("slug_len"),
+    )
