@@ -7453,3 +7453,51 @@ def events_wow_significance(spark, sf_dir):
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.959964).cast("long").alias("significant"),
     )
+
+
+@register(
+    "orders_basket_size_histogram",
+    oracle="""
+        WITH b AS (
+          SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem GROUP BY 1
+        ),
+        h AS (
+          SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+          FROM b GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM h)
+        SELECT h.n_lines, h.n_orders,
+               round(CAST(h.n_orders AS DOUBLE) / tot.t, 6) AS share,
+               round(CAST(sum(h.n_orders) OVER (ORDER BY h.n_lines)
+                     AS DOUBLE) / tot.t, 6) AS cum_share
+        FROM h, tot
+    """,
+)
+def orders_basket_size_histogram(spark, sf_dir):
+    """Basket-size distribution — lines per order as an exact
+    histogram with shares and the cumulative curve ("90% of orders
+    have ≤7 lines" drives packing, picking, and UI pagination
+    decisions alike). Two combinable rollups (order spine → size
+    spine); the cumulative window runs on the ≤max-basket-size spine.
+
+    Scale: the second rollup's key cardinality is the max basket
+    size (double digits), so the final stage is constant-sized no
+    matter the fact volume."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    h = b.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = h.agg(F.sum("n_orders").alias("t"))
+    w = Window.orderBy("n_lines").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return h.crossJoin(F.broadcast(tot)).select(
+        "n_lines",
+        "n_orders",
+        F.round(F.col("n_orders").cast("double") / F.col("t"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.sum("n_orders").over(w).cast("double") / F.col("t"), 6
+        ).alias("cum_share"),
+    )

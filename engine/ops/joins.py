@@ -1392,3 +1392,100 @@ def join_ledger_recon_tolerance(spark, sf_dir):
             F.sum("hit").cast("double") / F.count(F.lit(1)), 6
         ).alias("match_rate"),
     ).crossJoin(F.broadcast(nled))
+
+
+@register(
+    "join_drill_across_facts",
+    oracle="""
+        WITH rev AS (
+          SELECT c.c_nationkey AS nk,
+                 strftime(o.o_orderdate, '%Y') AS yr,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ),
+        units AS (
+          SELECT c.c_nationkey AS nk,
+                 strftime(l.l_shipdate, '%Y') AS yr,
+                 CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                   AS units_shipped
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        )
+        SELECT coalesce(rev.nk, units.nk) AS nationkey,
+               coalesce(rev.yr, units.yr) AS yr,
+               CAST(coalesce(rev.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(rev.rev_cents, 0) AS BIGINT) AS rev_cents,
+               CAST(coalesce(units.units_shipped, 0) AS BIGINT)
+                 AS units_shipped
+        FROM rev FULL JOIN units
+          ON rev.nk = units.nk AND rev.yr = units.yr
+    """,
+)
+def join_drill_across_facts(spark, sf_dir):
+    """Drill-across over two fact tables — the dimensional-modeling
+    pattern Kimball insists on: aggregate EACH fact (order revenue;
+    shipped units) to the conformed (nation, year) grain SEPARATELY,
+    then FULL-join the two summaries — never join raw fact tables to
+    each other (that fans out line×order rows and silently double-
+    counts revenue). The FULL join keeps grain cells that exist in
+    only one fact (ship years lag order years), zero-filled
+    explicitly.
+
+    Scale: each fact takes exactly one combinable rollup (dims
+    broadcast); the drill-across join runs on two conformed-grain
+    summaries (≤ nations × years rows), not on facts — the whole
+    point of the pattern at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    rev = (
+        o.join(c, o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_format("o_orderdate", "yyyy").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev_cents"),
+        )
+    )
+    units = (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_format("l_shipdate", "yyyy").alias("yr"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("units_shipped"))
+    )
+    r = rev.select(
+        F.col("nk").alias("r_nk"), F.col("yr").alias("r_yr"),
+        "n_orders", "rev_cents",
+    )
+    u = units.select(
+        F.col("nk").alias("u_nk"), F.col("yr").alias("u_yr"),
+        "units_shipped",
+    )
+    return r.join(
+        u,
+        (F.col("r_nk") == F.col("u_nk")) & (F.col("r_yr") == F.col("u_yr")),
+        "full",
+    ).select(
+        F.coalesce(F.col("r_nk"), F.col("u_nk")).alias("nationkey"),
+        F.coalesce(F.col("r_yr"), F.col("u_yr")).alias("yr"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("rev_cents"), F.lit(0)).alias("rev_cents"),
+        F.coalesce(F.col("units_shipped"), F.lit(0)).alias("units_shipped"),
+    )

@@ -2868,3 +2868,128 @@ def win_rsi_momentum(spark, sf_dir):
         (100 * F.col("sum_up") > 70 * tot).cast("long").alias("overbought"),
         (100 * F.col("sum_up") < 30 * tot).cast("long").alias("oversold"),
     )
+
+
+@register(
+    "ts_seasonal_strength",
+    oracle=f"""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hr,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s
+          FROM events GROUP BY 1
+        ),
+        idx AS (
+          SELECT hr, s, epoch_ns(hr) // 3600000000000 AS hr_idx FROM hourly
+        ),
+        tr AS (
+          SELECT hr, s, hr_idx,
+                 CAST(sum(s) OVER w AS BIGINT) AS sum24,
+                 count(*) OVER w AS cnt24
+          FROM idx
+          WINDOW w AS (ORDER BY hr_idx
+                       RANGE BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+        ),
+        det AS (
+          SELECT hr, s,
+                 CAST(round(1000000.0 * sum24 / {STL_PERIOD}.0) AS BIGINT)
+                   AS trend_micro,
+                 s * 1000000
+                   - CAST(round(1000000.0 * sum24 / {STL_PERIOD}.0) AS BIGINT)
+                   AS det_micro
+          FROM tr WHERE cnt24 = {STL_PERIOD}
+        ),
+        sea AS (
+          SELECT hour(hr) AS hod,
+                 CAST(round(CAST(sum(det_micro) AS DOUBLE) / count(*))
+                      AS BIGINT) AS seasonal_micro
+          FROM det GROUP BY 1
+        ),
+        comp AS (
+          SELECT d.det_micro - sea.seasonal_micro AS r,
+                 (d.det_micro - sea.seasonal_micro) + sea.seasonal_micro
+                   AS sr,
+                 (d.det_micro - sea.seasonal_micro) + d.trend_micro AS tr2
+          FROM det d JOIN sea ON hour(d.hr) = sea.hod
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r) AS BIGINT) AS mr,
+                 CAST(sum(sr) AS BIGINT) AS msr,
+                 CAST(sum(tr2) AS BIGINT) AS mtr
+          FROM comp
+        ),
+        q AS (
+          SELECT m.n,
+                 CAST(sum(CAST(round(
+                   (r - CAST(mr AS DOUBLE)/n) * (r - CAST(mr AS DOUBLE)/n)
+                   / 1e12) AS BIGINT)) AS BIGINT) AS vr,
+                 CAST(sum(CAST(round(
+                   (sr - CAST(msr AS DOUBLE)/n) * (sr - CAST(msr AS DOUBLE)/n)
+                   / 1e12) AS BIGINT)) AS BIGINT) AS vsr,
+                 CAST(sum(CAST(round(
+                   (tr2 - CAST(mtr AS DOUBLE)/n) * (tr2 - CAST(mtr AS DOUBLE)/n)
+                   / 1e12) AS BIGINT)) AS BIGINT) AS vtr
+          FROM comp, m GROUP BY m.n
+        )
+        SELECT n AS n_hours,
+               round(greatest(0.0, 1.0 - CAST(vr AS DOUBLE) / vsr), 6)
+                 AS f_seasonal,
+               round(greatest(0.0, 1.0 - CAST(vr AS DOUBLE) / vtr), 6)
+                 AS f_trend
+        FROM q
+    """,
+)
+def ts_seasonal_strength(spark, sf_dir):
+    """Seasonal and trend STRENGTH (Hyndman's tsfeatures F-stats) of
+    the hourly revenue series — the scalars that decide which
+    forecasting model a series deserves: F_seasonal = max(0,
+    1 − Var(resid)/Var(seasonal+resid)) and the trend analogue,
+    computed over the registry's STL components (ts_stl_decompose's
+    exact micro-int trend/seasonal/residual columns). The variance
+    folds are two-pass: exact int64 component sums give the means,
+    then each squared deviation — an identical double expression — is
+    quantized to tera-units BEFORE the cross-row sum, so the fold is
+    shuffle-order-proof and the F ratios are final identical doubles.
+
+    Scale: everything after the events→hourly collapse runs on the
+    ≤720-row component spine; with many series the same fold
+    partitions by series_id."""
+    stl = ts_stl_decompose(spark, sf_dir)
+    comp = stl.select(
+        F.col("resid_micro").alias("r"),
+        (F.col("resid_micro") + F.col("seasonal_micro")).alias("sr"),
+        (F.col("resid_micro") + F.col("trend_micro")).alias("tr2"),
+    )
+    m = comp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("mr"),
+        F.sum("sr").alias("msr"),
+        F.sum("tr2").alias("mtr"),
+    )
+
+    def vfold(col, mean_col):
+        dev = F.col(col) - F.col(mean_col).cast("double") / F.col("n")
+        return F.sum(F.round(dev * dev / 1e12).cast("long"))
+
+    q = comp.crossJoin(F.broadcast(m)).groupBy("n").agg(
+        vfold("r", "mr").alias("vr"),
+        vfold("sr", "msr").alias("vsr"),
+        vfold("tr2", "mtr").alias("vtr"),
+    )
+    return q.select(
+        F.col("n").alias("n_hours"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.col("vr").cast("double") / F.col("vsr"),
+            ),
+            6,
+        ).alias("f_seasonal"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.col("vr").cast("double") / F.col("vtr"),
+            ),
+            6,
+        ).alias("f_trend"),
+    )
