@@ -7501,3 +7501,81 @@ def orders_basket_size_histogram(spark, sf_dir):
             F.sum("n_orders").over(w).cast("double") / F.col("t"), 6
         ).alias("cum_share"),
     )
+
+
+LIFECYCLE_ASOF = "2024-01-31"
+
+
+@register(
+    "events_lifecycle_stages",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(DATE '{LIFECYCLE_ASOF}' - max(CAST(ts AS DATE))
+                      AS BIGINT) AS recency_days,
+                 CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days
+          FROM events GROUP BY 1
+        ),
+        s AS (
+          SELECT user_id, recency_days, active_days,
+                 CASE WHEN recency_days <= 1 AND active_days >= 29
+                        THEN 'power'
+                      WHEN recency_days <= 1 AND active_days >= 26
+                        THEN 'active'
+                      WHEN recency_days <= 2 THEN 'casual'
+                      ELSE 'lapsing' END AS stage
+          FROM u
+        )
+        SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+               round(CAST(sum(recency_days) AS DOUBLE) / count(*), 6)
+                 AS avg_recency_days,
+               round(CAST(sum(active_days) AS DOUBLE) / count(*), 6)
+                 AS avg_active_days
+        FROM s GROUP BY 1
+    """,
+)
+def events_lifecycle_stages(spark, sf_dir):
+    """User-lifecycle segmentation as of a fixed snapshot date —
+    power / active / casual / lapsing by recency and activity-day
+    rules, the stage table every retention team keys campaigns off.
+    (Thresholds are tuned to this fixture's dense January traffic so
+    every stage is populated; production swaps the constants.)
+    Rule thresholds are pure integer day comparisons (bit-identical
+    staging in both engines); per-stage averages are the only
+    doubles. Complements orders_rfm_segmentation (quantile bands on
+    spend) with the rule-based engagement view.
+
+    Scale: one combinable pass with an embedded distinct-day count
+    (two-tier aggregate) to the user spine; the stage rollup is
+    4 rows."""
+    e = table(spark, sf_dir, "events")
+    asof = F.lit(LIFECYCLE_ASOF).cast("date")
+    u = e.groupBy("user_id").agg(
+        F.datediff(asof, F.max(F.to_date("ts"))).cast("long").alias(
+            "recency_days"
+        ),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+    )
+    stage = (
+        F.when(
+            (F.col("recency_days") <= 1) & (F.col("active_days") >= 29),
+            "power",
+        )
+        .when(
+            (F.col("recency_days") <= 1) & (F.col("active_days") >= 26),
+            "active",
+        )
+        .when(F.col("recency_days") <= 2, "casual")
+        .otherwise("lapsing")
+    )
+    s = u.select("recency_days", "active_days", stage.alias("stage"))
+    return s.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum("recency_days").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_recency_days"),
+        F.round(
+            F.sum("active_days").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_active_days"),
+    )

@@ -1675,3 +1675,62 @@ def graph_degree_assortativity(spark, sf_dir):
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "dedup_cluster_canonical_pick",
+    oracle=f"""
+        WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM ({JACCARD_SQL}) j),
+        und AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ),
+        reach(node, r) AS (
+          SELECT DISTINCT u, u FROM und
+          UNION
+          SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY 1
+        ),
+        scored AS (
+          SELECT comp.doc_id, comp.cluster_id, d.n_chars,
+                 row_number() OVER (PARTITION BY comp.cluster_id
+                   ORDER BY d.n_chars DESC, comp.doc_id) AS rn
+          FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+        )
+        SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(rn = 1 AS BIGINT) AS is_canonical
+        FROM scored
+    """,
+)
+def dedup_cluster_canonical_pick(spark, sf_dir):
+    """Canonical-survivor selection per duplicate cluster — the
+    finishing step every dedup pipeline needs after clustering: for
+    each near-dup connected component, keep the LONGEST document
+    (min-doc_id tiebreak) and mark the rest for dropping. Clusters
+    come from the registry's iterative min-label CC
+    (dedup_cluster_cc's exact shape — labels are the deterministic
+    min doc_id of each component), which lets this op carry a FULL
+    recursive-transitive-closure oracle: the first value-hashed proof
+    that the distributed CC loop computes the same components SQL
+    does. Quality-based survivor choice (not min-id) is what keeps
+    the best copy when near-dups differ by truncation.
+
+    Scale: CC as in dedup_cluster_cc (O(diameter) rounds, checkpointed);
+    the pick is one per-cluster window over the component-sized
+    spine joined broadcast-free on doc_id."""
+    labels = dedup_cluster_cc(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = labels.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.row_number().over(w) == 1).cast("long").alias("is_canonical"),
+    )
