@@ -424,7 +424,24 @@ def _neardup_edges(spark, sf_dir):
     return _EDGE_CACHE[key]
 
 
-@register("dedup_cluster_cc")  # rows-only: iterative, not SQL-expressible
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+        WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM ({JACCARD_SQL}) j),
+        und AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ),
+        reach(node, r) AS (
+          SELECT DISTINCT u, u FROM und
+          UNION
+          SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node
+        )
+        SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY 1
+    """,
+)
 def dedup_cluster_cc(spark, sf_dir):
     """Duplicate-cluster assignment: connected components over the
     exact-Jaccard near-dup pair graph by iterative min-label
@@ -432,7 +449,11 @@ def dedup_cluster_cc(spark, sf_dir):
     its component (the canonical survivor).
 
     This is the genuinely iterative operator class (driver-side loop,
-    one distributed join per round, O(graph diameter) rounds).
+    one distributed join per round, O(graph diameter) rounds) — and
+    since round 5 it is fully VALUE-HASHED against a recursive
+    transitive-closure oracle (min-label CC is deterministic: every
+    node converges to its component's smallest doc_id), upgrading it
+    from the rows-only tier.
     localCheckpoint() each round truncates the lineage so round N's
     plan doesn't re-derive rounds 1..N-1. Convergence is detected via
     sum(label): min-label propagation is monotone non-increasing per
