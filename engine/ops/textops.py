@@ -367,19 +367,40 @@ def text_langid_ngram(spark, sf_dir):
     )
 
 
-@register("text_fingerprint")  # rows-only: xxhash64 seed differs from DuckDB's hash
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                     t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                          % 2147483647)),
+                 (h, t) -> (h * 1000003 + t) % 2147483647
+               ) AS fingerprint
+        FROM documents
+    """,
+)
 def text_fingerprint(spark, sf_dir):
     """Order-sensitive document fingerprint: polynomial rolling hash
-    over token xxhash64s, mod the Mersenne prime 2^31-1 (a
+    over per-token digests, mod the Mersenne prime 2^31-1 (a
     distributed-friendly stand-in for winnowing/rabin fingerprints).
+    Round 5 upgraded it from rows-only to fully value-hashed by
+    swapping the engine-private xxhash64 token hash for a PORTABLE
+    md5-prefix digest (the registry's reproducible-randomness trick),
+    so DuckDB's in-order list_reduce fold restates the identical
+    integer sequence.
 
     The modulus keeps every intermediate < 2^52, so the fold never
     overflows a long under ANSI arithmetic: h < 2^31, multiplier
     1000003 < 2^20, token term < 2^31."""
     d = table(spark, sf_dir, "documents")
     p = F.lit(2147483647).cast("long")
+    tok_h = lambda t: F.pmod(
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), p
+    )
     fp = F.aggregate(
-        F.transform(_tokens(), lambda t: F.pmod(F.xxhash64(t), p)),
+        F.transform(_tokens(), tok_h),
         F.lit(0).cast("long"),
         lambda h, t: F.pmod(h * F.lit(1000003) + t, p),
     )
