@@ -495,7 +495,122 @@ PR_ITERS = 10
 PR_DAMPING = 0.85
 
 
-@register("graph_pagerank")  # rows-only: iterative, not SQL-expressible
+@register(
+    "graph_pagerank",
+    oracle=f"""
+        WITH edges AS MATERIALIZED (SELECT doc_a, doc_b FROM ({JACCARD_SQL}) j),
+        und AS MATERIALIZED (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ),
+        deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+        p0 AS MATERIALIZED (SELECT u AS node, d, CAST(1000000 AS BIGINT) AS r FROM deg),
+        p1 AS MATERIALIZED (
+          SELECT b.node, b.d,
+                 CAST(round(150000 + 0.85 * coalesce(m.s, 0)) AS BIGINT)
+                   AS r
+          FROM p0 b LEFT JOIN (
+            SELECT und.v AS node,
+                   CAST(sum(p0.r // p0.d) AS BIGINT) AS s
+            FROM p0 JOIN und ON und.u = p0.node GROUP BY 1
+          ) m ON m.node = b.node
+        ),
+        p2 AS MATERIALIZED (
+          SELECT b.node, b.d,
+                 CAST(round(150000 + 0.85 * coalesce(m.s, 0)) AS BIGINT)
+                   AS r
+          FROM p1 b LEFT JOIN (
+            SELECT und.v AS node,
+                   CAST(sum(p1.r // p1.d) AS BIGINT) AS s
+            FROM p1 JOIN und ON und.u = p1.node GROUP BY 1
+          ) m ON m.node = b.node
+        ),
+        p3 AS MATERIALIZED (
+          SELECT b.node, b.d,
+                 CAST(round(150000 + 0.85 * coalesce(m.s, 0)) AS BIGINT)
+                   AS r
+          FROM p2 b LEFT JOIN (
+            SELECT und.v AS node,
+                   CAST(sum(p2.r // p2.d) AS BIGINT) AS s
+            FROM p2 JOIN und ON und.u = p2.node GROUP BY 1
+          ) m ON m.node = b.node
+        ),
+        p4 AS MATERIALIZED (
+          SELECT b.node, b.d,
+                 CAST(round(150000 + 0.85 * coalesce(m.s, 0)) AS BIGINT)
+                   AS r
+          FROM p3 b LEFT JOIN (
+            SELECT und.v AS node,
+                   CAST(sum(p3.r // p3.d) AS BIGINT) AS s
+            FROM p3 JOIN und ON und.u = p3.node GROUP BY 1
+          ) m ON m.node = b.node
+        ),
+        p5 AS MATERIALIZED (
+          SELECT b.node, b.d,
+                 CAST(round(150000 + 0.85 * coalesce(m.s, 0)) AS BIGINT)
+                   AS r
+          FROM p4 b LEFT JOIN (
+            SELECT und.v AS node,
+                   CAST(sum(p4.r // p4.d) AS BIGINT) AS s
+            FROM p4 JOIN und ON und.u = p4.node GROUP BY 1
+          ) m ON m.node = b.node
+        ),
+        p6 AS MATERIALIZED (
+          SELECT b.node, b.d,
+                 CAST(round(150000 + 0.85 * coalesce(m.s, 0)) AS BIGINT)
+                   AS r
+          FROM p5 b LEFT JOIN (
+            SELECT und.v AS node,
+                   CAST(sum(p5.r // p5.d) AS BIGINT) AS s
+            FROM p5 JOIN und ON und.u = p5.node GROUP BY 1
+          ) m ON m.node = b.node
+        ),
+        p7 AS MATERIALIZED (
+          SELECT b.node, b.d,
+                 CAST(round(150000 + 0.85 * coalesce(m.s, 0)) AS BIGINT)
+                   AS r
+          FROM p6 b LEFT JOIN (
+            SELECT und.v AS node,
+                   CAST(sum(p6.r // p6.d) AS BIGINT) AS s
+            FROM p6 JOIN und ON und.u = p6.node GROUP BY 1
+          ) m ON m.node = b.node
+        ),
+        p8 AS MATERIALIZED (
+          SELECT b.node, b.d,
+                 CAST(round(150000 + 0.85 * coalesce(m.s, 0)) AS BIGINT)
+                   AS r
+          FROM p7 b LEFT JOIN (
+            SELECT und.v AS node,
+                   CAST(sum(p7.r // p7.d) AS BIGINT) AS s
+            FROM p7 JOIN und ON und.u = p7.node GROUP BY 1
+          ) m ON m.node = b.node
+        ),
+        p9 AS MATERIALIZED (
+          SELECT b.node, b.d,
+                 CAST(round(150000 + 0.85 * coalesce(m.s, 0)) AS BIGINT)
+                   AS r
+          FROM p8 b LEFT JOIN (
+            SELECT und.v AS node,
+                   CAST(sum(p8.r // p8.d) AS BIGINT) AS s
+            FROM p8 JOIN und ON und.u = p8.node GROUP BY 1
+          ) m ON m.node = b.node
+        ),
+        p10 AS MATERIALIZED (
+          SELECT b.node, b.d,
+                 CAST(round(150000 + 0.85 * coalesce(m.s, 0)) AS BIGINT)
+                   AS r
+          FROM p9 b LEFT JOIN (
+            SELECT und.v AS node,
+                   CAST(sum(p9.r // p9.d) AS BIGINT) AS s
+            FROM p9 JOIN und ON und.u = p9.node GROUP BY 1
+          ) m ON m.node = b.node
+        )
+        SELECT node AS doc_id, r AS rank_micro,
+               round(r / 1000000.0, 6) AS rank
+        FROM p10
+    """,
+)
 def graph_pagerank(spark, sf_dir):
     """PageRank over the near-dup pair graph (undirected → both edge
     directions): rank = (1-d) + d·Σ rank_in/deg_out, PR_ITERS rounds.
@@ -503,23 +618,29 @@ def graph_pagerank(spark, sf_dir):
     fractional mass propagation instead of min-label — with the same
     scale discipline: one join + one aggregation per round,
     localCheckpoint lineage truncation, only scalars to the driver.
-    Ranks are rounded to 6 dp for cross-run determinism (the per-round
-    double sums are order-dependent; rounding absorbs the ulps)."""
+    Round 5 upgraded the op from rows-only to FULLY VALUE-HASHED: rank
+    mass is carried as integer micro-units every round (per-edge
+    contribution = floor(r/deg), an exact int64 sum; the damped update
+    re-quantizes once per round), so the 10-round trajectory is
+    bit-identical in both engines and the oracle restates it as ten
+    unrolled SQL stages over the same edge list. The truncation loses
+    <deg micro-units per node per round — mass conservation still
+    property-tested within 1%."""
     edges = _neardup_edges(spark, sf_dir)
     deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("doc_a").alias("doc_id"), "deg")
-    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    ranks = nodes.withColumn(
+        "r", F.lit(1000000).cast("long")
+    ).localCheckpoint()
     for _ in range(PR_ITERS):
         contribs = (
             edges.join(
-                ranks.select(
-                    F.col("doc_id").alias("doc_a"), "deg", "rank"
-                ),
+                ranks.select(F.col("doc_id").alias("doc_a"), "deg", "r"),
                 "doc_a",
             )
             .select(
                 F.col("doc_b").alias("doc_id"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+                F.floor(F.col("r") / F.col("deg")).cast("long").alias("c"),
             )
             .groupBy("doc_id")
             .agg(F.sum("c").alias("mass"))
@@ -529,14 +650,21 @@ def graph_pagerank(spark, sf_dir):
             .select(
                 "doc_id",
                 "deg",
-                (
-                    F.lit(1.0 - PR_DAMPING)
-                    + F.lit(PR_DAMPING) * F.coalesce("mass", F.lit(0.0))
-                ).alias("rank"),
+                F.round(
+                    F.lit((1.0 - PR_DAMPING) * 1000000)
+                    + F.lit(PR_DAMPING)
+                    * F.coalesce("mass", F.lit(0)).cast("double")
+                )
+                .cast("long")
+                .alias("r"),
             )
             .localCheckpoint()
         )
-    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+    return ranks.select(
+        "doc_id",
+        F.col("r").alias("rank_micro"),
+        F.round(F.col("r") / 1000000.0, 6).alias("rank"),
+    )
 
 
 @register(
