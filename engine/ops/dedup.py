@@ -1127,7 +1127,84 @@ def dedup_span_coverage(spark, sf_dir):
 LPA_ROUNDS = 5
 
 
-@register("graph_label_propagation")  # rows-only: iterative, not SQL-expressible
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+        WITH edges AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({JACCARD_SQL}) j
+          UNION ALL
+          SELECT doc_b, doc_a FROM ({JACCARD_SQL}) j2
+        ),
+        und AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM edges),
+        l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS node, doc_a AS label FROM edges),
+        l1 AS MATERIALIZED (
+          SELECT n.node, CAST(coalesce(p.new_label, n.label) AS BIGINT)
+                 AS label
+          FROM l0 n LEFT JOIN (
+            SELECT node, label AS new_label FROM (
+              SELECT und.v AS node, l0.label,
+                     row_number() OVER (PARTITION BY und.v
+                       ORDER BY count(*) DESC, l0.label) AS rn
+              FROM l0 JOIN und ON und.u = l0.node
+              GROUP BY 1, 2
+            ) WHERE rn = 1
+          ) p ON p.node = n.node
+        ),
+        l2 AS MATERIALIZED (
+          SELECT n.node, CAST(coalesce(p.new_label, n.label) AS BIGINT)
+                 AS label
+          FROM l1 n LEFT JOIN (
+            SELECT node, label AS new_label FROM (
+              SELECT und.v AS node, l1.label,
+                     row_number() OVER (PARTITION BY und.v
+                       ORDER BY count(*) DESC, l1.label) AS rn
+              FROM l1 JOIN und ON und.u = l1.node
+              GROUP BY 1, 2
+            ) WHERE rn = 1
+          ) p ON p.node = n.node
+        ),
+        l3 AS MATERIALIZED (
+          SELECT n.node, CAST(coalesce(p.new_label, n.label) AS BIGINT)
+                 AS label
+          FROM l2 n LEFT JOIN (
+            SELECT node, label AS new_label FROM (
+              SELECT und.v AS node, l2.label,
+                     row_number() OVER (PARTITION BY und.v
+                       ORDER BY count(*) DESC, l2.label) AS rn
+              FROM l2 JOIN und ON und.u = l2.node
+              GROUP BY 1, 2
+            ) WHERE rn = 1
+          ) p ON p.node = n.node
+        ),
+        l4 AS MATERIALIZED (
+          SELECT n.node, CAST(coalesce(p.new_label, n.label) AS BIGINT)
+                 AS label
+          FROM l3 n LEFT JOIN (
+            SELECT node, label AS new_label FROM (
+              SELECT und.v AS node, l3.label,
+                     row_number() OVER (PARTITION BY und.v
+                       ORDER BY count(*) DESC, l3.label) AS rn
+              FROM l3 JOIN und ON und.u = l3.node
+              GROUP BY 1, 2
+            ) WHERE rn = 1
+          ) p ON p.node = n.node
+        ),
+        l5 AS MATERIALIZED (
+          SELECT n.node, CAST(coalesce(p.new_label, n.label) AS BIGINT)
+                 AS label
+          FROM l4 n LEFT JOIN (
+            SELECT node, label AS new_label FROM (
+              SELECT und.v AS node, l4.label,
+                     row_number() OVER (PARTITION BY und.v
+                       ORDER BY count(*) DESC, l4.label) AS rn
+              FROM l4 JOIN und ON und.u = l4.node
+              GROUP BY 1, 2
+            ) WHERE rn = 1
+          ) p ON p.node = n.node
+        )
+        SELECT node AS doc_id, label AS community FROM l5
+    """,
+)
 def graph_label_propagation(spark, sf_dir):
     """Community detection by synchronous label propagation over the
     near-dup pair graph: each round every node adopts its neighbors'
@@ -1141,7 +1218,9 @@ def graph_label_propagation(spark, sf_dir):
     Determinism: synchronous rounds (labels(t+1) from labels(t) only),
     count-desc + label-asc row_number pick, fixed LPA_ROUNDS — the
     result is a pure function of the edge list, pinned by a
-    double-run equality test. Scale shape: per round one join on
+    double-run equality test AND (since round 5) value-hashed against
+    a five-stage unrolled SQL oracle restating the identical mode-
+    with-tiebreak rounds. Scale shape: per round one join on
     doc_id (graph partitioned by node), one (node,label) count
     aggregate (map-side combinable), one per-node WindowGroupLimit
     pick; localCheckpoint truncates lineage like the CC loop. 100 TB
