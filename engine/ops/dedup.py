@@ -1488,7 +1488,143 @@ KCORE_K = 2
 KCORE_MAX_ITERS = 20
 
 
-@register("graph_kcore")  # rows-only: iterative peeling; replica-tested
+@register(
+    "graph_kcore",
+    oracle=f"""
+        WITH edges AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({JACCARD_SQL}) j
+          UNION ALL
+          SELECT doc_b, doc_a FROM ({JACCARD_SQL}) j2
+        ),
+        n0 AS MATERIALIZED (SELECT DISTINCT doc_a AS id FROM edges),
+        n1 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n0 a ON a.id = edges.doc_a
+          JOIN n0 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n2 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n1 a ON a.id = edges.doc_a
+          JOIN n1 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n3 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n2 a ON a.id = edges.doc_a
+          JOIN n2 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n4 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n3 a ON a.id = edges.doc_a
+          JOIN n3 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n5 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n4 a ON a.id = edges.doc_a
+          JOIN n4 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n6 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n5 a ON a.id = edges.doc_a
+          JOIN n5 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n7 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n6 a ON a.id = edges.doc_a
+          JOIN n6 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n8 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n7 a ON a.id = edges.doc_a
+          JOIN n7 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n9 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n8 a ON a.id = edges.doc_a
+          JOIN n8 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n10 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n9 a ON a.id = edges.doc_a
+          JOIN n9 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n11 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n10 a ON a.id = edges.doc_a
+          JOIN n10 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n12 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n11 a ON a.id = edges.doc_a
+          JOIN n11 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n13 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n12 a ON a.id = edges.doc_a
+          JOIN n12 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n14 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n13 a ON a.id = edges.doc_a
+          JOIN n13 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n15 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n14 a ON a.id = edges.doc_a
+          JOIN n14 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n16 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n15 a ON a.id = edges.doc_a
+          JOIN n15 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n17 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n16 a ON a.id = edges.doc_a
+          JOIN n16 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n18 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n17 a ON a.id = edges.doc_a
+          JOIN n17 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n19 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n18 a ON a.id = edges.doc_a
+          JOIN n18 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        n20 AS MATERIALIZED (
+          SELECT edges.doc_a AS id FROM edges
+          JOIN n19 a ON a.id = edges.doc_a
+          JOIN n19 b ON b.id = edges.doc_b
+          GROUP BY 1 HAVING count(*) >= 2
+        )
+        SELECT edges.doc_a AS doc_id,
+               CAST(count(*) AS BIGINT) AS core_degree
+        FROM edges
+        JOIN n20 a ON a.id = edges.doc_a
+        JOIN n20 b ON b.id = edges.doc_b
+        GROUP BY 1
+    """,
+)
 def graph_kcore(spark, sf_dir):
     """k-core decomposition (k=2) of the near-dup document graph:
     iteratively peel nodes with degree < k until the fixpoint — the
@@ -1499,7 +1635,11 @@ def graph_kcore(spark, sf_dir):
     localCheckpoints the shrinking node set; convergence is detected
     by node-count stability (peeling is monotone decreasing).
     tests/test_llm_ops.py recomputes the peel in pure Python from the
-    exact pair list and compares node-by-node.
+    exact pair list and compares node-by-node; since round 5 the op is
+    also VALUE-HASHED against a 20-stage unrolled peeling oracle —
+    sound because peeling is idempotent at the fixpoint, so a fixed
+    stage count computes the same maximal subgraph the convergence
+    loop does.
 
     Scale: the iterative-join family shape shared with
     dedup_cluster_cc — O(diameter-ish) rounds, each one keyed shuffle
