@@ -6,6 +6,7 @@ same readStream contract).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..ingest import (
@@ -934,4 +935,92 @@ def sink_zorder_clustered(spark, sf_dir):
         rows,
         "bucket long, n_rows long, min_p long, max_p long, "
         "min_s long, max_s long, prunable_box long",
+    )
+
+
+@register(
+    "ingest_multiline_log_reassembly",
+    oracle=f"""
+        WITH k AS (
+          SELECT user_id, {SQL_K} AS k FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_records,
+               CAST(sum(1 + k % 3) AS BIGINT) AS n_lines,
+               CAST(max(k % 3) AS BIGINT) AS max_continuations,
+               round(CAST(sum(k % 3) AS DOUBLE) / count(*), 6)
+                 AS avg_continuations
+        FROM k GROUP BY 1
+    """,
+)
+def ingest_multiline_log_reassembly(spark, sf_dir):
+    """Multiline log-record reassembly — the classic ingest problem
+    (stack traces, wrapped messages): a log file is a LINE stream
+    where only header lines carry a timestamp and continuation lines
+    ("  at ...") belong to the record above. The op synthesizes each
+    user's log file deterministically (one header + k%3 continuation
+    lines per event), explodes it back to raw lines, re-detects
+    headers with a timestamp-prefix regex, assigns record ids by a
+    cumulative header count per file (the gaps-and-islands move —
+    order by line number WITHIN the file), and rolls the reassembled
+    records up per user. The oracle restates the record/line counts
+    closed-form from the synthesis parameters, so a mis-grouped
+    continuation breaks the hash.
+
+    Scale: the running-flag-sum window partitions per FILE (user) —
+    log reassembly is embarrassingly parallel across files and never
+    needs a global sort; at 100 TB the same window keys on
+    (file, split) with boundary stitching."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    # line ordering key within the file: event order then line order
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        k.alias("k"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.posexplode(
+            F.concat(
+                F.array(F.lit("H")),
+                F.slice(F.array(F.lit("C"), F.lit("C")), 1, (F.col("k") % 3).cast("int")),
+            )
+        ).alias("j", "kind"),
+    ).select(
+        "user_id",
+        (F.col("event_id") * 4 + F.col("j")).alias("line_no"),
+        F.when(
+            F.col("kind") == "H",
+            F.concat(
+                F.lit("2024-01-01T00:00:00 ERROR event "),
+                F.col("event_id").cast("string"),
+            ),
+        )
+        .otherwise(F.lit("  at frame"))
+        .alias("line"),
+    )
+    is_header = F.col("line").rlike(r"^\d{4}-\d{2}-\d{2}T").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rec = ordered.select(
+        "user_id",
+        is_header.alias("is_header"),
+        F.sum(is_header).over(w).alias("record_id"),
+    )
+    per_rec = rec.groupBy("user_id", "record_id").agg(
+        F.count(F.lit(1)).alias("n_lines_rec")
+    )
+    return per_rec.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_lines_rec").alias("n_lines"),
+        F.max(F.col("n_lines_rec") - 1).alias("max_continuations"),
+        F.round(
+            F.sum(F.col("n_lines_rec") - 1).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_continuations"),
     )
