@@ -7579,3 +7579,61 @@ def events_lifecycle_stages(spark, sf_dir):
             F.sum("active_days").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_active_days"),
     )
+
+
+@register(
+    "orders_discount_response_curve",
+    oracle="""
+        WITH b AS (
+          SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+                 CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+        ),
+        g AS (
+          SELECT disc_pct, CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(qty) AS BIGINT) AS units,
+                 CAST(sum(cents) AS BIGINT) AS cents
+          FROM b GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM g)
+        SELECT disc_pct, n_lines, units,
+               round(CAST(units AS DOUBLE) / n_lines, 6)
+                 AS avg_units_per_line,
+               round(CAST(g.cents AS DOUBLE) / tot.t, 6)
+                 AS revenue_share
+        FROM g, tot
+    """,
+)
+def orders_discount_response_curve(spark, sf_dir):
+    """Discount response curve — average units per line and revenue
+    share at each whole-percent discount level, the first chart any
+    pricing analysis draws ("do deeper discounts actually move more
+    units, and how much revenue rides each band?"). Discount
+    percentages are exact integers (round(d·100)); all masses are
+    exact int64 with the two ratios as final doubles.
+
+    Scale: one combinable rollup to the ≤11-row discount spine —
+    scan-bound; the share join broadcasts a scalar."""
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("units"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    tot = g.agg(F.sum("cents").alias("t"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "disc_pct",
+        "n_lines",
+        "units",
+        F.round(F.col("units").cast("double") / F.col("n_lines"), 6).alias(
+            "avg_units_per_line"
+        ),
+        F.round(F.col("cents").cast("double") / F.col("t"), 6).alias(
+            "revenue_share"
+        ),
+    )
