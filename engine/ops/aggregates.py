@@ -7637,3 +7637,58 @@ def orders_discount_response_curve(spark, sf_dir):
             "revenue_share"
         ),
     )
+
+
+@register(
+    "orders_shipment_consolidation",
+    oracle="""
+        WITH sh AS (
+          SELECT l_orderkey,
+                 CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+                   AS n_ship_days,
+                 CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(n_ship_days) AS DOUBLE) / count(*), 6)
+                 AS avg_shipments_per_order,
+               round(CAST(sum(CAST(n_ship_days = 1 AS BIGINT)) AS DOUBLE)
+                     / count(*), 6) AS single_shipment_share,
+               round(CAST(sum(n_lines) AS DOUBLE) / sum(n_ship_days), 6)
+                 AS avg_lines_per_shipment
+        FROM sh
+    """,
+)
+def orders_shipment_consolidation(spark, sf_dir):
+    """Shipment consolidation report — distinct ship dates per order
+    as a proxy for physical shipments: average shipments per order,
+    the share of orders fulfilled in ONE shipment (the customer-
+    experience number), and lines per shipment (the packing-density
+    number logistics optimizes). One two-tier aggregate (distinct
+    dates inside the order rollup) plus a scalar fold — all exact
+    int64 until the three final ratios.
+
+    Scale: the distinct-inside-groupBy plans as a two-level partial
+    aggregate on the order key; the final fold is a single
+    combinable pass over the order spine."""
+    li = table(spark, sf_dir, "lineitem")
+    sh = li.groupBy("l_orderkey").agg(
+        F.countDistinct(F.col("l_shipdate").cast("date")).alias(
+            "n_ship_days"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return sh.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum("n_ship_days").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_shipments_per_order"),
+        F.round(
+            F.sum((F.col("n_ship_days") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("single_shipment_share"),
+        F.round(
+            F.sum("n_lines").cast("double") / F.sum("n_ship_days"), 6
+        ).alias("avg_lines_per_shipment"),
+    )
