@@ -173,52 +173,129 @@ def dedup_ngram_jaccard(spark, sf_dir, max_doc_freq=None):
 N_MINHASH = 16
 N_BANDS = 8  # 8 bands x 2 rows: P(candidate | j) = 1-(1-j^2)^8
 
+# Portable MinHash permutation family: one md5 per shingle gives a
+# 32-bit base b, then h_s(b) = (A_s*b + B_s) mod P with P = 2^31-1.
+# A_s*b < 2^31 * 2^31 = 2^62 never overflows signed 64-bit, so the
+# whole family is exact BIGINT arithmetic that DuckDB restates
+# verbatim — which is what upgrades the LSH candidate set from
+# "impl-defined" to fully value-hash-oracled. Constants are fixed
+# (Knuth multiplicative stride) so both engines see literals.
+MINHASH_P = 2147483647
+MINHASH_A = [(s * 2654435761 + 40503) % MINHASH_P for s in range(N_MINHASH)]
+MINHASH_B = [(s * 97 + 7) % MINHASH_P for s in range(N_MINHASH)]
 
-@register("dedup_near_minhash")  # rows-only: LSH candidate set is impl-defined
+
+def _mh_base(col="shingle"):
+    """Portable 31-bit shingle hash: conv(md5 prefix) mod P."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+
+
+def _mh_sig_aggs():
+    """16 min-hash agg expressions over the per-row base hash `hb`."""
+    return [
+        F.min(
+            (F.lit(MINHASH_A[s]) * F.col("hb") + F.lit(MINHASH_B[s]))
+            % F.lit(MINHASH_P)
+        ).alias(f"mh{s}")
+        for s in range(N_MINHASH)
+    ]
+
+
+def _mh_band_structs():
+    """8 (band, band_key) structs; band_key = mh_even*P + mh_odd is
+    injective since each mh < P — no re-hash needed, so DuckDB can
+    reproduce the bucket ids exactly."""
+    return [
+        F.struct(
+            F.lit(band).alias("band"),
+            (
+                F.col(f"mh{2 * band}") * F.lit(MINHASH_P)
+                + F.col(f"mh{2 * band + 1}")
+            ).alias("band_key"),
+        )
+        for band in range(N_BANDS)
+    ]
+
+
+_MH_SIG_SQL = ",\n           ".join(
+    f"min(({MINHASH_A[s]}*hb + {MINHASH_B[s]}) % {MINHASH_P}) AS mh{s}"
+    for s in range(N_MINHASH)
+)
+_MH_BAND_CASE_SQL = (
+    "CASE band "
+    + " ".join(
+        f"WHEN {b} THEN mh{2 * b}*{MINHASH_P}+mh{2 * b + 1}"
+        for b in range(N_BANDS)
+    )
+    + " END"
+)
+_MH_COMMON_CTES = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM t, unnest(range(1, len(toks)-1)) r(i)),
+    hb AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % {MINHASH_P} AS hb
+           FROM sh),
+    mh AS MATERIALIZED (
+        SELECT doc_id,
+           {_MH_SIG_SQL}
+        FROM hb GROUP BY doc_id),
+    bands AS (SELECT doc_id, band, {_MH_BAND_CASE_SQL} AS band_key
+              FROM mh, unnest(range(0, {N_BANDS})) r(band)),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+MINHASH_SQL = f"""{_MH_COMMON_CTES},
+    common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+               FROM cand c
+               JOIN sh x ON x.doc_id = c.doc_a
+               JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common / (sa.n + sb.n - n_common) AS jaccard
+    FROM common JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_near_minhash", oracle=MINHASH_SQL)
 def dedup_near_minhash(spark, sf_dir):
     """MinHash + banded LSH near-dup detection, pure DataFrame ops.
 
-    shingle → 16 minhashes (seeded xxhash64) → 8 bands of 2 → bucket
-    join on (band, band_key) → exact jaccard re-verification of
-    candidates only. Property-tested against the exact-jaccard anchor
-    in tests/test_llm_ops.py (output ⊆ exact pairs).
+    shingle → 16 minhashes (portable affine family over a md5-derived
+    31-bit base, mod 2^31-1) → 8 bands of 2 → bucket join on (band,
+    band_key) → exact jaccard re-verification of candidates only.
+    Because the permutation family is exact BIGINT arithmetic, the
+    LSH candidate set itself is engine-independent and the op carries
+    a FULL value-hash oracle (upgraded from rows-only); the
+    output ⊆ exact-jaccard-pairs property test in tests/test_llm_ops.py
+    still holds on top.
 
     Scale shape: the 16 signatures are 16 agg expressions in ONE
     map-side-combinable pass over the shingle rows (not a 16× row
-    fan-out), and verification intersects per-doc shingle *arrays*
-    carried to the candidate pairs — no shingle-level self-join, so
-    the only quadratic work is inside LSH buckets.
+    fan-out) — one md5 per shingle, 16 cheap affine mods, all
+    whole-stage codegen — and verification intersects per-doc shingle
+    *arrays* carried to the candidate pairs — no shingle-level
+    self-join, so the only quadratic work is inside LSH buckets.
     """
     d = table(spark, sf_dir, "documents")
     doc_sh = d.repartition(32, "doc_id").select(
         "doc_id", _shingle_array(_tokens()).alias("sh")
     )
-    sh = doc_sh.select("doc_id", F.explode("sh").alias("shingle"))
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("shingle", F.lit(s))).alias(f"mh{s}")
-            for s in range(N_MINHASH)
-        ]
-    )
-    rows_per_band = N_MINHASH // N_BANDS
+    sh = doc_sh.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).withColumn("hb", _mh_base())
+    mh = sh.groupBy("doc_id").agg(*_mh_sig_aggs())
     bands = mh.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh{band * rows_per_band + j}")
-                                for j in range(rows_per_band)
-                            ]
-                        ).alias("band_key"),
-                    )
-                    for band in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*_mh_band_structs())).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
     # candidate pairs per (band, band_key) bucket via the same
     # grouped-inverted-index shape as dedup_ngram_jaccard: one shuffle
@@ -266,44 +343,117 @@ def dedup_near_minhash(spark, sf_dir):
     )
 
 
-@register("dedup_simhash")  # rows-only: signature/banding is impl-defined
+# SimHash portable spelling: the 64 signature bits come from a md5
+# token digest split into two 32-bit halves (lo = hex 9..16, hi =
+# hex 1..8); bit i reads lo for i<32, hi for i>=32. The signature is
+# materialized as FOUR 16-bit band values (b0..b3) instead of one
+# 64-bit long — b3 would need bit 63 (1<<63 overflows signed BIGINT
+# in DuckDB), and the bands are what the LSH bucketing keys on
+# anyway. hamming(a, b) = sum of bit_count(xor) over the 4 bands.
+_SIMHASH_VOTE_SQL = ",\n           ".join(
+    f"sum(CASE WHEN (({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) = 1"
+    f" THEN cnt ELSE -cnt END) AS v{i}"
+    for i in range(64)
+)
+_SIMHASH_BANDVAL_SQL = ",\n           ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN v{16 * b + j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(16)
+    )
+    + f") AS b{b}"
+    for b in range(4)
+)
+SIMHASH_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, t AS token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY 1, 2),
+    th AS (SELECT doc_id, cnt,
+                  CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS hi,
+                  CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS lo
+           FROM tok),
+    votes AS (SELECT doc_id,
+           {_SIMHASH_VOTE_SQL}
+        FROM th GROUP BY doc_id),
+    sig AS MATERIALIZED (SELECT doc_id,
+           {_SIMHASH_BANDVAL_SQL}
+        FROM votes),
+    bands AS (SELECT doc_id, band,
+                     CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+                               WHEN 2 THEN b2 ELSE b3 END AS band_val,
+                     b0, b1, b2, b3
+              FROM sig, unnest(range(0, 4)) r(band))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 8
+"""
+
+
+@register("dedup_simhash", oracle=SIMHASH_SQL)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates: 64-bit signature from weighted
     token-hash bit votes; candidate pairs share a 16-bit band and have
-    hamming distance <= 8."""
+    hamming distance <= 8.
+
+    The token hash is a md5 digest split into two 32-bit BIGINT
+    halves, so every bit vote — and therefore the signature, the
+    bucket ids, and the candidate set — is exact integer arithmetic
+    DuckDB restates verbatim: full value-hash oracle (upgraded from
+    rows-only). The signature lives as four 16-bit band values (the
+    LSH keys), never as one 64-bit long, which also sidesteps the
+    1<<63 signed-overflow edge both engines would hit."""
     d = table(spark, sf_dir, "documents")
     tok = (
         d.repartition(32, "doc_id")
         .select("doc_id", F.explode(_tokens()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("th", F.xxhash64("token"))
+        .withColumn(
+            "hi", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "lo", F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
+        )
     )
     # 64 per-bit vote sums as ONE wide aggregation (map-side
     # combinable) instead of a 64× row explosion + second shuffle
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"getbit(th, {i})") == 1, F.col("cnt")).otherwise(
-                    -F.col("cnt")
-                )
+                F.when(
+                    F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    F.col("cnt"),
+                ).otherwise(-F.col("cnt"))
             ).alias(f"v{i}")
             for i in range(64)
         ]
     )
-    sig_col = F.lit(0).cast("long")
-    for i in range(64):
-        sig_col = sig_col + F.when(
-            F.col(f"v{i}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})")
-        ).otherwise(F.lit(0).cast("long"))
-    sig = votes.select("doc_id", sig_col.alias("simhash"))
+    def _band_val(b):
+        col = F.lit(0)
+        for j in range(16):
+            col = col + F.when(F.col(f"v{16 * b + j}") > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        return col.alias(f"b{b}")
+
+    sig = votes.select("doc_id", *[_band_val(b) for b in range(4)])
     bands = sig.select(
         "doc_id",
-        "simhash",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).withColumn(
         "band_val",
-        F.expr("(simhash >> (16 * band)) & 65535"),
+        F.element_at(F.array("b0", "b1", "b2", "b3"), F.col("band") + 1),
     )
     # candidate pairs per (band, band_val) bucket via grouped inverted
     # index (one shuffle, in-array i<j pair emission) — same shape as
@@ -313,10 +463,16 @@ def dedup_simhash(spark, sf_dir):
         bands.groupBy("band", "band_val")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("doc_id", "simhash"))
+                F.collect_list(F.struct("doc_id", "b0", "b1", "b2", "b3"))
             ).alias("ds")
         )
         .filter(F.size("ds") >= 2)
+    )
+    ham = lambda x, y: (  # noqa: E731
+        F.bit_count(x["b0"].bitwiseXOR(y["b0"]))
+        + F.bit_count(x["b1"].bitwiseXOR(y["b1"]))
+        + F.bit_count(x["b2"].bitwiseXOR(y["b2"]))
+        + F.bit_count(x["b3"].bitwiseXOR(y["b3"]))
     )
     return (
         grouped.select(
@@ -329,11 +485,7 @@ def dedup_simhash(spark, sf_dir):
                             lambda y: F.struct(
                                 x["doc_id"].alias("doc_a"),
                                 y["doc_id"].alias("doc_b"),
-                                F.bit_count(
-                                    x["simhash"].bitwiseXOR(y["simhash"])
-                                )
-                                .cast("long")
-                                .alias("hamming"),
+                                ham(x, y).cast("long").alias("hamming"),
                             ),
                         ),
                     )
@@ -1259,7 +1411,41 @@ def graph_label_propagation(spark, sf_dir):
     return labels.select("doc_id", F.col("label").alias("community"))
 
 
-@register("dedup_minhash_error_audit")  # rows-only: xxhash64 sketch not SQL-restatable
+_MH_EST_SQL = (
+    "("
+    + " + ".join(
+        f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END"
+        for s in range(N_MINHASH)
+    )
+    + f") / {N_MINHASH}.0"
+)
+
+MINHASH_AUDIT_SQL = f"""{_MH_COMMON_CTES},
+    common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+               FROM cand c
+               JOIN sh x ON x.doc_id = c.doc_a
+               JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+               GROUP BY 1, 2),
+    perr AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b,
+               CAST(round(abs({_MH_EST_SQL}
+                     - coalesce(cm.n_common, 0) / (sa.n + sb.n - coalesce(cm.n_common, 0))
+                    ) * 1e6) AS BIGINT) AS err_u
+        FROM cand c
+        JOIN mh a ON a.doc_id = c.doc_a
+        JOIN mh b ON b.doc_id = c.doc_b
+        JOIN sz sa ON sa.doc_id = c.doc_a
+        JOIN sz sb ON sb.doc_id = c.doc_b
+        LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b)
+    SELECT (SELECT count(*) FROM perr) AS n_pairs,
+           (SELECT CAST(floor(sum(err_u) / count(*)) AS BIGINT) FROM perr) AS mae_u,
+           (SELECT max(err_u) FROM perr) AS max_err_u,
+           doc_a AS worst_a, doc_b AS worst_b
+    FROM perr ORDER BY err_u DESC, doc_a, doc_b LIMIT 1
+"""
+
+
+@register("dedup_minhash_error_audit", oracle=MINHASH_AUDIT_SQL)
 def dedup_minhash_error_audit(spark, sf_dir):
     """Sketch-quality audit for the MinHash estimator: for every LSH
     candidate pair, the 16-signature match fraction (the MinHash
@@ -1276,39 +1462,25 @@ def dedup_minhash_error_audit(spark, sf_dir):
     Scale: identical plan skeleton to dedup_near_minhash (one wide
     sig aggregate, bucket join, array-intersect verify) plus one
     zip_with over the 16-long sig arrays per candidate — no new
-    shuffle shape."""
+    shuffle shape. Uses the same portable affine permutation family
+    as dedup_near_minhash, so the whole audit — candidate set,
+    estimates, error stats — carries a full value-hash oracle
+    (upgraded from rows-only)."""
     d = table(spark, sf_dir, "documents")
     doc_sh = d.repartition(32, "doc_id").select(
         "doc_id", _shingle_array(_tokens()).alias("sh")
     )
-    sh = doc_sh.select("doc_id", F.explode("sh").alias("shingle"))
-    mh = sh.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min(F.xxhash64("shingle", F.lit(s)))
-                for s in range(N_MINHASH)
-            ]
-        ).alias("sig")
-    )
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = mh.select(
+    sh = doc_sh.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).withColumn("hb", _mh_base())
+    mh_cols = sh.groupBy("doc_id").agg(*_mh_sig_aggs())
+    mh = mh_cols.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", band * rows_per_band + j + 1)
-                                for j in range(rows_per_band)
-                            ]
-                        ).alias("band_key"),
-                    )
-                    for band in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        F.array(*[F.col(f"mh{s}") for s in range(N_MINHASH)]).alias("sig"),
+    )
+    bands = mh_cols.select(
+        "doc_id",
+        F.explode(F.array(*_mh_band_structs())).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
     cands = (
         bands.groupBy("band", "band_key")
