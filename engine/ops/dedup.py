@@ -1064,9 +1064,38 @@ CDC_SHINGLE = 3  # rolling-hash window (tokens)
 CDC_MOD = 8  # boundary when crc32(window) % MOD == 0 → ~MOD-token chunks
 
 
-@register("dedup_cdc_chunks")  # rows-only: chunking is param-defined; an
-# exact pure-Python replica (zlib.crc32 / hashlib.sha256 match Spark's
-# crc32 / sha2 bit-for-bit) is asserted in tests/test_llm_ops.py
+CDC_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(range(1, len(toks) + 1)) r(i)
+        WHERE len(toks[i]) > 0),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN lag(tok, {CDC_SHINGLE - 1}) OVER w IS NOT NULL
+                     AND CAST(('0x' || substr(md5(concat_ws(' ',
+                           lag(tok, 2) OVER w, lag(tok, 1) OVER w, tok)), 1, 8))
+                         AS BIGINT) % {CDC_MOD} = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    chunked AS (
+        SELECT doc_id, pos, tok,
+               coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        FROM flagged),
+    chunks AS (
+        SELECT DISTINCT doc_id,
+               sha256(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        FROM chunked GROUP BY doc_id, chunk_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_chunks
+    FROM chunks a JOIN chunks b
+      ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+@register("dedup_cdc_chunks", oracle=CDC_SQL)
 def dedup_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (CDC) dedup — the block-level family
     member (exact: dedup_exact; shingle: dedup_ngram_jaccard;
@@ -1079,15 +1108,18 @@ def dedup_cdc_chunks(spark, sf_dir):
     partially-overlapping documents that whole-doc hashing misses and
     jaccard underweights.
 
-    All JVM: posexplode → two lag()s build the rolling window,
-    crc32 % MOD flags boundaries, a prefix-sum assigns chunk ids,
-    listagg WITHIN GROUP rebuilds chunk text, sha2 fingerprints it,
-    and the pair search is the grouped inverted index on chunk_hash
-    (bucketed by construction — no all-pairs). crc32/sha2 were chosen
-    over xxhash64 deliberately: zlib.crc32 and hashlib.sha256
-    reproduce them exactly, so the test replica is bit-for-bit, not
-    structural. Scale: one shuffle to tokens' doc partition (window),
-    one to (doc, chunk), one index join keyed chunk_hash."""
+    All JVM: posexplode → two lag()s build the rolling window, a
+    portable md5-prefix hash % MOD flags boundaries, a prefix-sum
+    assigns chunk ids, listagg WITHIN GROUP rebuilds chunk text, sha2
+    fingerprints it, and the pair search is the grouped inverted
+    index on chunk_hash (bucketed by construction — no all-pairs).
+    md5/sha2 were chosen over xxhash64 deliberately: hashlib.md5 and
+    hashlib.sha256 reproduce them exactly (bit-for-bit test replica
+    in tests/test_llm_ops.py), and DuckDB computes the same digests —
+    so the whole chunking carries a full value-hash oracle (upgraded
+    from rows-only in round 5). Scale: one shuffle to tokens' doc
+    partition (window), one to (doc, chunk), one index join keyed
+    chunk_hash."""
     return _cdc_pairs(table(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
@@ -1113,7 +1145,11 @@ def _cdc_pairs(d):
             # never sees (round-5 third-review finding; latent on the
             # single-spaced fixture, real on arbitrary input)
             F.lag("tok", CDC_SHINGLE - 1).over(w).isNotNull()
-            & (F.crc32(sh) % CDC_MOD == 0),
+            & (
+                F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
+                % CDC_MOD
+                == 0
+            ),
             1,
         ).otherwise(0),
     )

@@ -456,11 +456,10 @@ def test_wav_decoder_rejects_malformed():
 
 def test_cdc_chunks_match_python_replica(spark):
     """dedup_cdc_chunks must equal a bit-for-bit pure-Python replica:
-    zlib.crc32 and hashlib.sha256 are the same functions Spark's
-    crc32()/sha2() compute, so boundaries, chunk hashes, and the final
+    hashlib.md5 and hashlib.sha256 are the same digests Spark's
+    md5()/sha2() compute, so boundaries, chunk hashes, and the final
     shared-chunk pairs reproduce exactly (not just structurally)."""
     import hashlib
-    import zlib
     from collections import defaultdict
 
     from engine.ops.dedup import CDC_MOD, CDC_SHINGLE, dedup_cdc_chunks
@@ -476,7 +475,7 @@ def test_cdc_chunks_match_python_replica(spark):
             cur.append(t)
             if i >= CDC_SHINGLE - 1:
                 win = " ".join(toks[i - CDC_SHINGLE + 1 : i + 1])
-                if zlib.crc32(win.encode()) % CDC_MOD == 0:
+                if int(hashlib.md5(win.encode()).hexdigest()[:8], 16) % CDC_MOD == 0:
                     chunks.append(" ".join(cur))
                     cur = []
         if cur:
@@ -509,7 +508,6 @@ def test_cdc_chunks_irregular_whitespace(spark):
     identically to the replica (round-5 review: a raw-pos guard tested
     sub-3-token windows the replica never sees)."""
     import hashlib
-    import zlib
     from collections import defaultdict
 
     from engine.ops.dedup import CDC_MOD, CDC_SHINGLE, _cdc_pairs
@@ -530,7 +528,7 @@ def test_cdc_chunks_irregular_whitespace(spark):
             cur.append(t)
             if i >= CDC_SHINGLE - 1:
                 win = " ".join(toks[i - CDC_SHINGLE + 1 : i + 1])
-                if zlib.crc32(win.encode()) % CDC_MOD == 0:
+                if int(hashlib.md5(win.encode()).hexdigest()[:8], 16) % CDC_MOD == 0:
                     chunks.append(" ".join(cur))
                     cur = []
         if cur:
