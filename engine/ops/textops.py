@@ -2381,23 +2381,59 @@ def text_phrase_search(spark, sf_dir):
 
 
 BLOOM_M = 16384  # bits in the eval-shingle bloom
-BLOOM_SEEDS = (101, 202, 303)  # k = 3 hash functions
+# k = 3 portable hash functions: h_s(b) = ((A*b + B) mod P) mod M over
+# the md5-prefix base b — the same exact-BIGINT affine family as the
+# MinHash permutations (dedup.py), so DuckDB reproduces every bit
+# position and the bloom's false positives are engine-independent.
+BLOOM_P = 2147483647
+BLOOM_AB = ((793517, 1001), (1676971, 2002), (2435463, 3003))
+
+_BLOOM_POS_SQL = ", ".join(
+    f"(({a}*hb + {b}) % {BLOOM_P}) % {BLOOM_M}" for a, b in BLOOM_AB
+)
+BLOOM_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM t, unnest(range(1, len(toks)-1)) r(i)),
+    hb AS (SELECT doc_id, shingle,
+                  CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % {BLOOM_P} AS hb
+           FROM sh),
+    eval_bits AS MATERIALIZED (
+        SELECT DISTINCT p
+        FROM (SELECT unnest([{_BLOOM_POS_SQL}]) AS p
+              FROM hb WHERE doc_id < {EVAL_MAX_ID})),
+    train AS (SELECT doc_id, shingle,
+                     unnest([{_BLOOM_POS_SQL}]) AS p
+              FROM hb WHERE doc_id >= {EVAL_MAX_ID}),
+    screened AS (SELECT tr.doc_id, tr.shingle
+                 FROM train tr JOIN eval_bits e ON tr.p = e.p
+                 GROUP BY 1, 2 HAVING count(*) = {len(BLOOM_AB)}),
+    tot AS (SELECT doc_id, count(*) AS n_shingles
+            FROM sh WHERE doc_id >= {EVAL_MAX_ID} GROUP BY doc_id)
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_screened, tot.n_shingles
+    FROM screened s JOIN tot ON s.doc_id = tot.doc_id
+    GROUP BY s.doc_id, tot.n_shingles
+"""
 
 
-@register("text_contamination_bloom")  # rows-only: xxhash64 bit positions not SQL-restatable
+@register("text_contamination_bloom", oracle=BLOOM_SQL)
 def text_contamination_bloom(spark, sf_dir):
     """Decontamination SCREEN via an explicit bloom filter of the
     eval-set shingles, spelled in DataFrame ops (Spark's
     bloom_filter_agg is optimizer-internal, not a SQL-callable
-    surface): each eval shingle sets k=3 bit positions
-    (pmod(xxhash64(shingle, seed), m)); the bit SET (distinct
-    positions, ≤ m rows — filter-sized, never corpus-sized) broadcasts
-    onto the training scan, where an occurrence passes the screen iff
-    ALL k of its positions hit (explode → broadcast join → count==k).
-    Output = per-doc screened occurrence counts. One-sided by
-    construction: tests/test_llm_ops.py asserts per-doc screened ≥
-    the exact join's contaminated count, with a bounded corpus-level
-    overshoot (fp rate ≈ (1−e^{−kn/m})^k).
+    surface): each eval shingle sets k=3 bit positions via the
+    portable md5-affine family (((A*hb + B) mod P) mod m); the bit
+    SET (distinct positions, ≤ m rows — filter-sized, never
+    corpus-sized) broadcasts onto the training scan, where a shingle
+    passes the screen iff ALL k of its positions hit (explode →
+    broadcast join → count==k). Output = per-doc screened shingle
+    counts. One-sided by construction: tests/test_llm_ops.py asserts
+    per-doc screened ≥ the exact join's contaminated count, with a
+    bounded corpus-level overshoot (fp rate ≈ (1−e^{−kn/m})^k). The
+    portable hashes make every bit position — and hence every false
+    positive — engine-independent: full value-hash oracle (upgraded
+    from rows-only in round 5).
 
     Scale: this is the two-tier shape decontamination runs at 100 TB —
     the broadcast relation is the BIT SET (bounded by m regardless of
@@ -2406,34 +2442,34 @@ def text_contamination_bloom(spark, sf_dir):
     from .dedup import shingles
 
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d)
+    sh = shingles(d).withColumn(
+        "hb",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        % F.lit(BLOOM_P),
+    )
 
-    def positions(col):
+    def positions():
         return F.array(
             *[
-                F.pmod(F.xxhash64(col, F.lit(s)), F.lit(BLOOM_M))
-                for s in BLOOM_SEEDS
+                ((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(BLOOM_P))
+                % F.lit(BLOOM_M)
+                for a, b in BLOOM_AB
             ]
         )
 
     eval_bits = (
         sh.filter(F.col("doc_id") < EVAL_MAX_ID)
-        .select(F.explode(positions(F.col("shingle"))).alias("bit"))
+        .select(F.explode(positions()).alias("bit"))
         .distinct()
     )
-    train = (
-        sh.filter(F.col("doc_id") >= EVAL_MAX_ID)
-        .select("doc_id", "shingle")
-        .withColumn("occ", F.monotonically_increasing_id())
-        .select(
-            "doc_id", "occ", F.explode(positions(F.col("shingle"))).alias("bit")
-        )
+    train = sh.filter(F.col("doc_id") >= EVAL_MAX_ID).select(
+        "doc_id", "shingle", F.explode(positions()).alias("bit")
     )
     screened_occ = (
         train.join(F.broadcast(eval_bits), "bit")
-        .groupBy("doc_id", "occ")
+        .groupBy("doc_id", "shingle")
         .agg(F.count(F.lit(1)).alias("k_hits"))
-        .filter(F.col("k_hits") == len(BLOOM_SEEDS))
+        .filter(F.col("k_hits") == len(BLOOM_AB))
     )
     tot = (
         sh.filter(F.col("doc_id") >= EVAL_MAX_ID)
