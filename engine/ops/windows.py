@@ -1532,7 +1532,92 @@ def win_interval_concurrency(spark, sf_dir):
 LTTB_N_OUT = 24
 
 
-@register("ts_downsample_lttb")
+def _lttb_area_sql(point_alias):
+    """Exact-BIGINT m-scaled triangle area for one candidate point
+    alias, against prev point `pp` and centroid sums `c`."""
+    x = point_alias
+    return (
+        f"abs((pp.t_rel * c.mm - c.sum_t) * ({x}.v_u - pp.v_u)"
+        f" - (pp.t_rel - {x}.t_rel) * (c.sum_v - pp.v_u * c.mm))"
+    )
+
+
+def _lttb_edge_sql(j):
+    """Integer bucket edge j over the interior [1, n-1): exact at both
+    ends (j=0 -> 1, j=n_out-2 -> n-1) with no float step anywhere."""
+    return f"(1 + ({j} * (m.n - 2)) // {LTTB_N_OUT - 2})"
+
+
+def _lttb_oracle_sql():
+    """22-stage unrolled argmax chain: stage b picks bucket b's
+    max-area point given stage b-1's pick (LTTB's sequential
+    dependency), spelled as a NOT-EXISTS anti-join so no aggregate
+    sits in the chain. Centroid sums are selection-independent, so
+    they precompute in ONE grouped CTE."""
+    n_out = LTTB_N_OUT
+    stages = []
+    for b in range(n_out - 2):
+        lo, hi = _lttb_edge_sql(b), _lttb_edge_sql(b + 1)
+        stages.append(f"""
+    sel{b + 1} AS MATERIALIZED (
+        SELECT s.user_id, p.idx AS prev
+        FROM sel{b} s
+        JOIN meta m ON m.user_id = s.user_id
+        JOIN pts pp ON pp.user_id = s.user_id AND pp.idx = s.prev
+        JOIN cent c ON c.user_id = s.user_id AND c.b = {b}
+        JOIN pts p ON p.user_id = s.user_id
+                  AND p.idx >= {lo} AND p.idx < {hi}
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.user_id = s.user_id
+              AND q.idx >= {lo} AND q.idx < {hi}
+              AND ({_lttb_area_sql('q')} > {_lttb_area_sql('p')}
+                   OR ({_lttb_area_sql('q')} = {_lttb_area_sql('p')}
+                       AND q.idx < p.idx))))""")
+    sel_union = "\n        UNION ALL ".join(
+        f"SELECT user_id, prev AS idx FROM sel{b + 1}" for b in range(n_out - 2)
+    )
+    # centroid bucket of stage b is [edge(b+1), edge(b+2)) with the
+    # LAST stage's upper end open to n (mirrors the pandas loop)
+    return f"""
+    WITH raw AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS t_us, value, event_id
+        FROM events),
+    pts AS MATERIALIZED (
+        SELECT user_id, t_us, value,
+               row_number() OVER w - 1 AS idx,
+               (t_us - min(t_us) OVER (PARTITION BY user_id)) // 1000000 AS t_rel,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_u
+        FROM raw WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+    meta AS MATERIALIZED (
+        SELECT user_id, count(*) AS n FROM pts GROUP BY user_id),
+    cent AS MATERIALIZED (
+        SELECT m.user_id, r.b,
+               count(*) AS mm,
+               CAST(sum(p.t_rel) AS BIGINT) AS sum_t,
+               CAST(sum(p.v_u) AS BIGINT) AS sum_v
+        FROM meta m
+        CROSS JOIN unnest(range(0, {n_out - 2})) r(b)
+        JOIN pts p ON p.user_id = m.user_id
+                  AND p.idx >= (1 + ((r.b + 1) * (m.n - 2)) // {n_out - 2})
+                  AND p.idx < (CASE WHEN r.b = {n_out - 3} THEN m.n
+                               ELSE (1 + ((r.b + 2) * (m.n - 2)) // {n_out - 2}) END)
+        WHERE m.n > {n_out}
+        GROUP BY 1, 2),
+    sel0 AS (SELECT user_id, CAST(0 AS BIGINT) AS prev
+             FROM meta WHERE n > {n_out}),{",".join(stages)},
+    picks AS (
+        SELECT user_id, CAST(0 AS BIGINT) AS idx FROM meta WHERE n > {n_out}
+        UNION ALL {sel_union}
+        UNION ALL SELECT user_id, n - 1 AS idx FROM meta WHERE n > {n_out}
+        UNION ALL SELECT p.user_id, p.idx FROM meta m
+                  JOIN pts p ON p.user_id = m.user_id WHERE m.n <= {n_out})
+    SELECT p.user_id, p.t_us, p.value
+    FROM picks k JOIN pts p ON p.user_id = k.user_id AND p.idx = k.idx
+"""
+
+
+@register("ts_downsample_lttb", oracle=_lttb_oracle_sql())
 def ts_downsample_lttb(spark, sf_dir, n_out: int = LTTB_N_OUT):
     """Largest-Triangle-Three-Buckets downsampling of each user's
     value series to ``n_out`` visually-representative points — the
@@ -1542,41 +1627,61 @@ def ts_downsample_lttb(spark, sf_dir, n_out: int = LTTB_N_OUT):
     always survive, so spikes and trend reversals are preserved where
     uniform striding would average them away.
 
+    Engine-exact by construction (upgraded from rows-only in round
+    5): bucket edges are integer (1 + j*(n-2)//(n_out-2) — exact at
+    both ends, no float step), time is second-resolution RELATIVE to
+    the series start, values are milli-quantized BIGINTs, and the
+    triangle area comparison is the m-scaled integer form
+    |(t_prev*m − Σt)(v − v_prev) − (t_prev − t)(Σv − v_prev*m)| —
+    worst-case ~5e16 at sf1, well inside int64 — so the pick set is
+    identical in numpy and in the oracle's 22-stage unrolled argmax
+    chain (LTTB's sequential dependency, one MATERIALIZED CTE per
+    bucket, NOT-EXISTS argmax; centroid sums are
+    selection-independent and precompute in one grouped CTE).
+
     LTTB is sequential within a series (each pick depends on the
     previous), so the per-series loop runs in pandas — but grouped by
     a bounded hash BUCKET of user_id (the udf_grouped_map
     high-cardinality fix: ~2 ms applyInPandas machinery per group
     makes 1500 tiny user-groups cost ~7× more than 64 buckets with a
     pandas sub-groupby inside). The numpy inner loop is O(n_out)
-    buckets per series, each an O(bucket) vectorized argmax. No
-    oracle: the pick set is implementation-defined;
-    tests/test_properties.py pins size, endpoint retention,
-    subset-of-input, and monotone timestamps. Scale: one shuffle on
-    the bucket key; series length is bounded per key (monthly
-    activity), and n_out caps the output at rows·n_out/len — the
-    100 TB use is exactly this (downsample billions of device series
-    for serving)."""
+    buckets per series, each an O(bucket) vectorized argmax.
+    tests/test_properties.py additionally pins size, endpoint
+    retention, subset-of-input, and monotone timestamps. Scale: one
+    shuffle on the bucket key; series length is bounded per key
+    (monthly activity), and n_out caps the output at rows·n_out/len —
+    the 100 TB use is exactly this (downsample billions of device
+    series for serving)."""
     import numpy as np
     import pandas as pd
 
     def lttb_series(grp: pd.DataFrame) -> pd.DataFrame:
         t = grp["t_us"].to_numpy(dtype=np.int64)
-        v = grp["value"].to_numpy(dtype=np.float64)
         n = len(t)
         if n <= n_out:
             keep = np.arange(n)
         else:
-            # bucket boundaries over the interior points [1, n-1)
-            edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            t_rel = (t - t[0]) // 1_000_000
+            v_u = np.floor(
+                grp["value"].to_numpy(dtype=np.float64) * 1000 + 0.5
+            ).astype(np.int64)
+            # integer bucket edges over the interior [1, n-1):
+            # edge(j) = 1 + j*(n-2)//(n_out-2); j=n_out-2 lands on
+            # n-1 exactly, so no float linspace and no special case
+            edges = 1 + (
+                np.arange(n_out - 1, dtype=np.int64) * (n - 2)
+            ) // (n_out - 2)
             keep_list = [0]
             prev = 0
             for b in range(n_out - 2):
                 lo, hi = edges[b], edges[b + 1]
                 nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < n_out - 1 else n)
-                cx, cy = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+                m = nhi - nlo
+                sum_t = int(t_rel[nlo:nhi].sum())
+                sum_v = int(v_u[nlo:nhi].sum())
                 area = np.abs(
-                    (t[prev] - cx) * (v[lo:hi] - v[prev])
-                    - (t[prev] - t[lo:hi]) * (cy - v[prev])
+                    (int(t_rel[prev]) * m - sum_t) * (v_u[lo:hi] - v_u[prev])
+                    - (t_rel[prev] - t_rel[lo:hi]) * (sum_v - int(v_u[prev]) * m)
                 )
                 prev = lo + int(np.argmax(area))
                 keep_list.append(prev)
