@@ -1418,8 +1418,79 @@ def text_quality_classifier(spark, sf_dir):
 N_BPE_MERGES = 10
 
 
-@register("text_bpe_train")  # rows-only: iterative merge training (exact-
-# match tested vs a pure-Python reference in tests/test_llm_ops.py)
+def _bpe_train_oracle_sql():
+    """10-round unrolled BPE-merge oracle. Each round r: count pairs
+    over w{r}, pick top-1 (freq desc, then (l, r) asc), merge, build
+    w{r+1}. The Spark side's greedy left-to-right fold is restated
+    POSITIONALLY: occurrences of the pair never overlap when l≠r
+    (an overlap needs syms[i+1] = r = l), and within a consecutive
+    run of occurrences (the l=r case, e.g. 'aaaa') greedy keeps the
+    odd-ranked ones — so 'merge iff row_number within the
+    consecutive-occurrence block is odd' is exactly the fold, with
+    no list fold needed in SQL."""
+    rounds = []
+    for r in range(N_BPE_MERGES):
+        rounds.append(f"""
+    p{r} AS (SELECT syms[i] AS l, syms[i+1] AS r,
+                    CAST(sum(freq) AS BIGINT) AS pair_freq
+             FROM w{r}, unnest(range(1, len(syms))) u(i)
+             GROUP BY 1, 2),
+    t{r} AS MATERIALIZED (
+        SELECT l, r, l || r AS m, pair_freq
+        FROM p{r} ORDER BY pair_freq DESC, l, r LIMIT 1),
+    occ{r} AS (SELECT w.word, u.i
+               FROM w{r} w CROSS JOIN t{r} t, unnest(range(1, len(w.syms))) u(i)
+               WHERE w.syms[i] = t.l AND w.syms[i+1] = t.r),
+    mg{r} AS MATERIALIZED (
+        SELECT word, i FROM (
+            SELECT word, i,
+                   row_number() OVER (PARTITION BY word, blk ORDER BY i) AS rn
+            FROM (SELECT word, i,
+                         i - row_number() OVER (PARTITION BY word ORDER BY i) AS blk
+                  FROM occ{r}))
+        WHERE rn % 2 = 1),
+    w{r + 1} AS MATERIALIZED (
+        SELECT e.word, e.freq, list(
+                   CASE WHEN m.i IS NOT NULL THEN t.m ELSE e.sym END
+                   ORDER BY e.i) AS syms
+        FROM (SELECT w.word, w.freq, u.i, w.syms[i] AS sym
+              FROM w{r} w, unnest(range(1, len(w.syms) + 1)) u(i)) e
+        CROSS JOIN t{r} t
+        LEFT JOIN mg{r} m ON m.word = e.word AND m.i = e.i
+        LEFT JOIN mg{r} m2 ON m2.word = e.word AND m2.i = e.i - 1
+        WHERE m2.i IS NULL
+        GROUP BY e.word, e.freq)""")
+    prefix = f"""
+    WITH w0 AS MATERIALIZED (
+        SELECT w AS word, freq,
+               list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
+        FROM (SELECT t AS w, CAST(count(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE len(t) > 0 GROUP BY t)),{",".join(rounds)}"""
+    out = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, l AS \"left\","
+        f" r AS \"right\", m AS merged, pair_freq FROM t{r}"
+        for r in range(N_BPE_MERGES)
+    )
+    train = f"""{prefix}
+    SELECT * FROM ({out}) ORDER BY merge_rank
+"""
+    encode = f"""{prefix}
+    SELECT dw.doc_id,
+           CAST(sum(length(e.word)) AS BIGINT) AS n_chars,
+           CAST(sum(len(e.syms)) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) dw
+    JOIN w{N_BPE_MERGES} e ON dw.w = e.word
+    WHERE len(dw.w) > 0
+    GROUP BY dw.doc_id
+"""
+    return train, encode
+
+
+_BPE_TRAIN_SQL, _BPE_ENCODE_SQL = _bpe_train_oracle_sql()
+
+
+@register("text_bpe_train", oracle=_BPE_TRAIN_SQL)
 def text_bpe_train(spark, sf_dir):
     """TRUE BPE merge training (Sennrich et al. 2016) as DataFrame ops
     — upgrades the "BPE-ish" regex counter (text_token_bpe) to the
@@ -1511,8 +1582,7 @@ def text_bpe_train(spark, sf_dir):
     )
 
 
-@register("text_bpe_encode")  # rows-only: depends on trained merges (exact-
-# match tested vs the same pure-Python reference as text_bpe_train)
+@register("text_bpe_encode", oracle=_BPE_ENCODE_SQL)
 def text_bpe_encode(spark, sf_dir):
     """BPE ENCODE with the merges text_bpe_train learns — the apply
     half of the tokenizer loop: re-train the 10 merges (cheap: the
