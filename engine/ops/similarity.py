@@ -693,22 +693,43 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
+# Micro-quantization scale for the exact-integer Lloyd loop: vector
+# components become floor(x*1e6 + 0.5) BIGINTs, so dot products
+# (≤ 64·1e12 ≈ 6.4e13 — inside int64 AND 2^53), centroid floor-mean
+# updates, and argmax ties are all exact integer arithmetic that a
+# SQL oracle restates bit-for-bit.
+EMB_Q = 1_000_000
+
+
+def _emb_u():
+    """Embedding as a micro-quantized BIGINT array."""
+    return F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * EMB_Q + F.lit(0.5)).cast("long"),
+    )
+
+
 def _kmeans_fit(em, k: int, iters: int):
     """Shared Lloyd's loop (embed_kmeans_iterate, dedup_semantic_cluster):
     deterministic init = the k lowest vec_ids; per iteration a map-only
     argmax assignment against broadcast centroid literals, then ONE
-    (cluster, dim) shuffle for the mean update. Returns the fitted
-    centroids and the assignment function."""
+    (cluster, dim) shuffle for the centroid update. All arithmetic is
+    exact-integer over micro-quantized components (EMB_Q): assignment
+    dots are BIGINT folds, the update is floor(sum/count) computed
+    from exact sum+count partials — so the whole trajectory is
+    engine-independent (the oracle unrolls it). Returns the fitted
+    integer centroids and the assignment function."""
 
     def assign(centroids):
+        eu = _emb_u()
         dots = [
             F.aggregate(
                 F.zip_with(
-                    "embedding",
-                    F.array(*[F.lit(float(v)) for v in c]),
-                    lambda x, y: x.cast("double") * y,
+                    eu,
+                    F.array(*[F.lit(int(v)) for v in c]),
+                    lambda x, y: x * y,
                 ),
-                F.lit(0.0),
+                F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             )
             for c in centroids
@@ -719,31 +740,102 @@ def _kmeans_fit(em, k: int, iters: int):
         cluster = F.coalesce(
             *[F.when(dots[j] == best, F.lit(j)) for j in range(len(dots))]
         )
+        # round-half-up of dot/Q^2 at 6 dp in exact form:
+        # floor((dot + Q/2) / Q) / Q — deterministic in both engines
+        sim6 = (
+            F.floor((best + F.lit(EMB_Q // 2)) / F.lit(float(EMB_Q)))
+            / F.lit(float(EMB_Q))
+        )
         return em.select(
             "vec_id",
             "embedding",
             cluster.alias("cluster"),
-            best.alias("sim_to_centroid"),
+            sim6.alias("sim_to_centroid"),
         )
 
+    import math
+
     init = em.orderBy("vec_id").limit(k).collect()
-    centroids = [list(r["embedding"]) for r in init]
+    centroids = [
+        [math.floor(float(v) * EMB_Q + 0.5) for v in r["embedding"]]
+        for r in init
+    ]
     for _ in range(iters):
-        means = (
+        partials = (
             assign(centroids)
-            .select("cluster", F.posexplode("embedding"))
+            .select("cluster", F.posexplode(_emb_u()))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .agg(
+                F.sum("col").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
-        upd: dict[int, list[float]] = {}
-        for r in means:
-            upd.setdefault(r["cluster"], [0.0] * EMB_DIM)[r["pos"]] = r["m"]
+        upd: dict[int, list[int]] = {}
+        for r in partials:
+            # Python // floors like DuckDB's // — exact on negatives
+            upd.setdefault(r["cluster"], [0] * EMB_DIM)[r["pos"]] = (
+                int(r["s"]) // int(r["n"])
+            )
         centroids = [upd.get(j, centroids[j]) for j in range(k)]
     return centroids, assign
 
 
-@register("embed_kmeans_iterate")  # rows-only: iterative, not SQL-expressible
+def _kmeans_oracle_sql():
+    """3-round unrolled Lloyd oracle over the micro-quantized integer
+    arithmetic: argmax assignment = window top-1 (dot desc, j asc —
+    the coalesce-first-match tie rule), floor-mean centroid update
+    with empty clusters keeping their previous centroid via LEFT JOIN
+    + coalesce."""
+    rounds = []
+    for r in range(KMEANS_ITERS):
+        rounds.append(f"""
+    dot{r} AS (SELECT p.vec_id, c.j, CAST(sum(p.e_u * c.c_u) AS BIGINT) AS dot
+               FROM pts p JOIN cent{r} c USING (pos) GROUP BY 1, 2),
+    asg{r} AS MATERIALIZED (
+        SELECT vec_id, j, dot FROM (
+            SELECT vec_id, j, dot,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, j) AS rn
+            FROM dot{r}) WHERE rn = 1),
+    cent{r + 1} AS MATERIALIZED (
+        SELECT c.j, c.pos, coalesce(u.m, c.c_u) AS c_u
+        FROM cent{r} c LEFT JOIN (
+            -- NOT `//`: DuckDB's integer // TRUNCATES toward zero
+            -- (-7//2 = -3) where Python's floors (-4); the sums go
+            -- negative, so spell floor explicitly (sum ≤ 5e8 — exact
+            -- in double)
+            SELECT a.j, p.pos,
+                   CAST(floor(CAST(sum(p.e_u) AS DOUBLE) / count(*))
+                        AS BIGINT) AS m
+            FROM asg{r} a JOIN pts p USING (vec_id) GROUP BY 1, 2) u
+        ON u.j = c.j AND u.pos = c.pos)""")
+    R = KMEANS_ITERS
+    return f"""
+    WITH pts AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * {EMB_Q} + 0.5)
+                    AS BIGINT) AS e_u
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    cent0 AS MATERIALIZED (
+        SELECT ini.j, p.pos, p.e_u AS c_u
+        FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+              FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}) ini
+        JOIN pts p USING (vec_id)),{",".join(rounds)},
+    fin AS (SELECT p.vec_id, c.j,
+                   CAST(sum(p.e_u * c.c_u) AS BIGINT) AS dot
+            FROM pts p JOIN cent{R} c USING (pos) GROUP BY 1, 2)
+    SELECT vec_id, CAST(j AS INT) AS cluster,
+           floor((dot + {EMB_Q // 2}) / {float(EMB_Q)}) / {float(EMB_Q)}
+               AS sim_to_centroid
+    FROM (SELECT vec_id, j, dot,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dot DESC, j) AS rn
+          FROM fin) WHERE rn = 1
+"""
+
+
+@register("embed_kmeans_iterate", oracle=_kmeans_oracle_sql())
 def embed_kmeans_iterate(spark, sf_dir):
     """Full Lloyd's k-means over the embedding corpus (k=8, 3 fixed
     iterations, deterministic init = the k lowest vec_ids) — the
@@ -754,16 +846,21 @@ def embed_kmeans_iterate(spark, sf_dir):
     broadcast into a map-only argmax assignment (vectors normalized ⇒
     nearest centroid = max dot product, computed as a per-centroid
     zip_with fold); the update is ONE shuffle keyed (cluster, dim)
-    after a posexplode — map-side partial avg compresses each task to
-    ≤ k×dim rows — and only the k×dim centroid matrix ever reaches
-    the driver. Empty clusters keep their previous centroid. Returns
-    the final assignment plus each vector's similarity to its
-    centroid (the IVF residual)."""
+    after a posexplode — map-side partial sum/count compresses each
+    task to ≤ k×dim rows — and only the k×dim centroid matrix ever
+    reaches the driver. Empty clusters keep their previous centroid.
+    Returns the final assignment plus each vector's similarity to its
+    centroid (the IVF residual).
+
+    Upgraded from rows-only in round 5: the loop runs in exact
+    micro-quantized integer arithmetic (EMB_Q) — BIGINT dot folds,
+    floor-mean updates, first-match argmax ties — so the full 3-round
+    trajectory is engine-independent and the oracle unrolls it
+    (assignment = window top-1 per round, update = floor(sum/count)
+    with LEFT-JOIN-coalesce empty-cluster carryover)."""
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids, assign = _kmeans_fit(em, KMEANS_K, KMEANS_ITERS)
-    return assign(centroids).select(
-        "vec_id", "cluster", F.round("sim_to_centroid", 6).alias("sim_to_centroid")
-    )
+    return assign(centroids).select("vec_id", "cluster", "sim_to_centroid")
 
 
 @register("dedup_semantic_cluster")  # rows-only: iterative clustering inside
