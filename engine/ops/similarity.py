@@ -811,7 +811,7 @@ def _kmeans_oracle_sql():
             FROM asg{r} a JOIN pts p USING (vec_id) GROUP BY 1, 2) u
         ON u.j = c.j AND u.pos = c.pos)""")
     R = KMEANS_ITERS
-    return f"""
+    prefix = f"""
     WITH pts AS MATERIALIZED (
         SELECT vec_id, u.i - 1 AS pos,
                CAST(floor(CAST(embedding[u.i] AS DOUBLE) * {EMB_Q} + 0.5)
@@ -824,18 +824,47 @@ def _kmeans_oracle_sql():
         JOIN pts p USING (vec_id)),{",".join(rounds)},
     fin AS (SELECT p.vec_id, c.j,
                    CAST(sum(p.e_u * c.c_u) AS BIGINT) AS dot
-            FROM pts p JOIN cent{R} c USING (pos) GROUP BY 1, 2)
+            FROM pts p JOIN cent{R} c USING (pos) GROUP BY 1, 2),
+    asgf AS MATERIALIZED (
+        SELECT vec_id, j, dot FROM (
+            SELECT vec_id, j, dot,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, j) AS rn
+            FROM fin) WHERE rn = 1)"""
+    kmeans = f"""{prefix}
     SELECT vec_id, CAST(j AS INT) AS cluster,
            floor((dot + {EMB_Q // 2}) / {float(EMB_Q)}) / {float(EMB_Q)}
                AS sim_to_centroid
-    FROM (SELECT vec_id, j, dot,
-                 row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY dot DESC, j) AS rn
-          FROM fin) WHERE rn = 1
+    FROM asgf
 """
+    # SemDeDup on top of the SAME fitted clusters: within-cluster
+    # lower-id cosine >= threshold marks a dup; the cosine is the raw
+    # sequential list sum (the anchor's accumulation order) rounded
+    # half-up at 6 dp exactly as the pandas mark() does
+    raw_dot = (
+        "list_aggregate(list_transform(list_zip(ea.embedding, eb.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    )
+    semantic = f"""{prefix},
+    close AS (
+        SELECT b.vec_id
+        FROM asgf a JOIN asgf b ON a.j = b.j AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE floor({raw_dot} * 1000000 + 0.5) / 1000000 >= {NEARDUP_THRESHOLD})
+    SELECT a.vec_id, CAST(a.j AS BIGINT) AS cluster,
+           CAST(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_dup
+    FROM asgf a LEFT JOIN (SELECT DISTINCT vec_id FROM close) c
+    ON a.vec_id = c.vec_id
+"""
+    return kmeans, semantic
 
 
-@register("embed_kmeans_iterate", oracle=_kmeans_oracle_sql())
+_KMEANS_SQL, _SEMANTIC_SQL = _kmeans_oracle_sql()
+
+
+@register("embed_kmeans_iterate", oracle=_KMEANS_SQL)
 def embed_kmeans_iterate(spark, sf_dir):
     """Full Lloyd's k-means over the embedding corpus (k=8, 3 fixed
     iterations, deterministic init = the k lowest vec_ids) — the
@@ -863,7 +892,7 @@ def embed_kmeans_iterate(spark, sf_dir):
     return assign(centroids).select("vec_id", "cluster", "sim_to_centroid")
 
 
-@register("dedup_semantic_cluster")  # rows-only: iterative clustering inside
+@register("dedup_semantic_cluster", oracle=_SEMANTIC_SQL)
 def dedup_semantic_cluster(spark, sf_dir, k: int = KMEANS_K):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — VERDICT r4 item 8): cluster the embedding
