@@ -1276,47 +1276,127 @@ MMR_PICKS = 5
 
 
 def _mmr_rerank(lam):
-    """Per-probe greedy MMR over the candidate pandas frame. Float64
-    numpy with the same left-to-right dot as dot6; ties broken on
-    c_id so the pick sequence is fully deterministic."""
+    """Per-probe greedy MMR over the candidate pandas frame, in exact
+    integer arithmetic so the pick sequence is engine-independent:
+    rel is the 6-dp-rounded cosine recovered as a micro BIGINT
+    (floor(rel*1e6+0.5) — exact for |ulp error| < 0.4), candidate-
+    candidate penalties are micro-quantized int64 dots (numpy integer
+    matmul is exact, unlike the BLAS float path whose summation order
+    is unspecified), and the score comparison is the ×1e13-scaled
+    integer form lam10·1e6·rel_u − (10−lam10)·pen_int (λ in tenths —
+    both registered values, 0.7 and the λ=1 test, are). Ties broken
+    on c_id via the strict-> ascending scan."""
+    lam10 = int(round(lam * 10))
 
     def rerank(pdf):
         import numpy as np
         import pandas as pd
 
         pdf = pdf.sort_values("c_id").reset_index(drop=True)
-        X = np.array(pdf["c_emb"].tolist(), dtype=np.float64)
+        X_u = np.floor(
+            np.array(pdf["c_emb"].tolist(), dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
         rel = pdf["rel"].to_numpy(dtype=np.float64)
+        rel_u = np.floor(rel * 1e6 + 0.5).astype(np.int64)
         n = len(pdf)
         picked: list[int] = []
-        max_sim = np.full(n, -np.inf)
+        max_sim = np.zeros(n, dtype=np.int64)
         for rank in range(min(MMR_PICKS, n)):
-            best, best_score = -1, -np.inf
+            best, best_score = -1, None
             for i in range(n):
                 if i in picked:
                     continue
-                penalty = 0.0 if rank == 0 else max_sim[i]
-                s = lam * rel[i] - (1.0 - lam) * penalty
+                penalty = 0 if rank == 0 else int(max_sim[i])
+                s = lam10 * 1_000_000 * int(rel_u[i]) - (10 - lam10) * penalty
                 # strict > with c_id-ascending scan order = lowest
                 # c_id wins ties
-                if s > best_score:
+                if best_score is None or s > best_score:
                     best, best_score = i, s
             picked.append(best)
-            sims = X @ X[best]
-            max_sim = np.maximum(max_sim, sims)
+            sims = X_u @ X_u[best]
+            max_sim = sims if rank == 0 else np.maximum(max_sim, sims)
         return pd.DataFrame(
             {
                 "q_id": pdf["q_id"].iloc[:1].repeat(len(picked)).values,
                 "c_id": pdf["c_id"].iloc[picked].values,
                 "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int64),
-                "rel6": np.round(rel[picked], 6),
+                "rel6": rel[picked],
             }
         )
 
     return rerank
 
 
-@register("embed_mmr_diversify")  # rows-only: iterative greedy, no SQL form
+def _mmr_oracle_sql():
+    """{MMR_PICKS}-stage unrolled greedy MMR: stage 1 is the cosine
+    argmax; each later stage maxes the integer score over unpicked
+    shortlist members, with penalties from exact micro-int pair dots
+    against the accumulated picked set."""
+    lam10 = int(round(MMR_LAMBDA * 10))
+    stages = []
+    for r in range(2, MMR_PICKS + 1):
+        stages.append(f"""
+    pk{r} AS MATERIALIZED (
+        SELECT q_id, c_id, rel FROM (
+            SELECT sl.q_id, sl.c_id, sl.rel,
+                   row_number() OVER (PARTITION BY sl.q_id
+                       ORDER BY {lam10} * 1000000 * sl.rel_u
+                                - {10 - lam10} * pen.mx DESC,
+                                sl.c_id) AS rn
+            FROM sl
+            JOIN (SELECT ps.q_id, ps.ca AS c_id, max(ps.simint) AS mx
+                  FROM pairsim ps
+                  JOIN all{r - 1} k ON ps.q_id = k.q_id AND ps.cb = k.c_id
+                  GROUP BY 1, 2) pen
+              ON pen.q_id = sl.q_id AND pen.c_id = sl.c_id
+            LEFT JOIN all{r - 1} k2
+              ON k2.q_id = sl.q_id AND k2.c_id = sl.c_id
+            WHERE k2.c_id IS NULL) WHERE rn = 1),
+    all{r} AS (SELECT q_id, c_id FROM all{r - 1}
+               UNION ALL SELECT q_id, c_id FROM pk{r})""")
+    out = "\n        UNION ALL ".join(
+        f"SELECT q_id, c_id, CAST({r} AS BIGINT) AS mmr_rank, rel AS rel6"
+        f" FROM pk{r}"
+        for r in range(1, MMR_PICKS + 1)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < {N_PROBES}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+    sl AS MATERIALIZED (
+        SELECT q_id, c_id, rel,
+               CAST(floor(rel * 1000000 + 0.5) AS BIGINT) AS rel_u
+        FROM (SELECT q_id, c_id, rel,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY rel DESC, c_id) AS rnk
+              FROM (SELECT q_id, c_id,
+                           {SQL_DOT.format(a='q_emb', b='c_emb')} AS rel
+                    FROM q, c WHERE q_id <> c_id))
+        WHERE rnk <= {MMR_CANDIDATES}),
+    eu AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS e_u
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    pairsim AS MATERIALIZED (
+        SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+               CAST(sum(ea.e_u * eb.e_u) AS BIGINT) AS simint
+        FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+        JOIN eu ea ON ea.vec_id = a.c_id
+        JOIN eu eb ON eb.vec_id = b.c_id AND eb.pos = ea.pos
+        GROUP BY 1, 2, 3),
+    pk1 AS MATERIALIZED (
+        SELECT q_id, c_id, rel FROM (
+            SELECT q_id, c_id, rel,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY rel_u DESC, c_id) AS rn
+            FROM sl) WHERE rn = 1),
+    all1 AS (SELECT q_id, c_id FROM pk1),{",".join(stages)}
+    SELECT * FROM ({out})
+"""
+
+
+@register("embed_mmr_diversify", oracle=_mmr_oracle_sql())
 def embed_mmr_diversify(spark, sf_dir, lam=MMR_LAMBDA):
     """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
     for each probe, pick {MMR_PICKS} of the top-{MMR_CANDIDATES}
