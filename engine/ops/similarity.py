@@ -222,12 +222,25 @@ def _ivf_build(spark, sf_dir):
             .select("c_id", "c_emb", "cluster")
         )
 
-    # one Lloyd refinement: element-wise mean of each cluster's members
+    # one Lloyd refinement: element-wise FLOOR-MEAN of each cluster's
+    # members over micro-quantized ints (floor(v*1e6+0.5) BIGINTs,
+    # exact sum+count, floor(sum/count) — sums ≤ 5e8, exact in
+    # double), NOT F.avg: float avg is shuffle-order-dependent, and
+    # the exact-integer form makes the whole index engine-independent
+    # (sim_search_ivf's full value-hash oracle restates it)
     assigned0 = assign(c, seeds)
     refined = (
         assigned0.select("cluster", F.posexplode("c_emb").alias("pos", "v"))
+        .withColumn(
+            "vu", F.floor(F.col("v").cast("double") * 1_000_000 + F.lit(0.5)).cast("long")
+        )
         .groupBy("cluster", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(
+            (
+                F.floor(F.sum("vu") / F.count(F.lit(1)).cast("double"))
+                / F.lit(1_000_000.0)
+            ).alias("m")
+        )
         .groupBy("cluster")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
@@ -267,7 +280,57 @@ def _ivf_probe(spark, sf_dir, cent, inv):
     )
 
 
-@register("sim_search_ivf")  # rows-only: IVF candidate set is impl-defined
+IVF_SQL = f"""
+    WITH seeds AS (SELECT vec_id AS cluster, embedding AS centroid
+                   FROM embeddings WHERE vec_id < {IVF_NLIST}),
+    a0 AS MATERIALIZED (
+        SELECT c_id, cluster FROM (
+            SELECT e.vec_id AS c_id, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {SQL_DOT.format(a='e.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+    eu AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS e_u
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    cent AS MATERIALIZED (
+        SELECT cluster,
+               list(CAST(m / 1000000.0 AS FLOAT) ORDER BY pos) AS centroid
+        FROM (SELECT a.cluster, eu.pos,
+                     floor(CAST(sum(eu.e_u) AS DOUBLE) / count(*)) AS m
+              FROM a0 a JOIN eu ON eu.vec_id = a.c_id
+              GROUP BY 1, 2)
+        GROUP BY cluster),
+    a1 AS MATERIALIZED (
+        SELECT c_id, c_emb, cluster FROM (
+            SELECT e.vec_id AS c_id, e.embedding AS c_emb, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {SQL_DOT.format(a='e.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM embeddings e CROSS JOIN cent s) WHERE rn = 1),
+    probes AS MATERIALIZED (
+        SELECT q_id, q_emb, cluster FROM (
+            SELECT q.vec_id AS q_id, q.embedding AS q_emb, s.cluster,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {SQL_DOT.format(a='q.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM embeddings q CROSS JOIN cent s
+            WHERE q.vec_id < {N_PROBES}) WHERE rn <= {IVF_NPROBE})
+    SELECT q_id, c_id, score, rank FROM (
+        SELECT p.q_id, v.c_id,
+               {SQL_DOT.format(a='p.q_emb', b='v.c_emb')} AS score,
+               row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY {SQL_DOT.format(a='p.q_emb', b='v.c_emb')} DESC,
+                            v.c_id) AS rank
+        FROM probes p JOIN a1 v ON v.cluster = p.cluster
+        WHERE p.q_id <> v.c_id)
+    WHERE rank <= {TOP_K}
+"""
+
+
+@register("sim_search_ivf", oracle=IVF_SQL)
 def sim_search_ivf(spark, sf_dir):
     """ANN via an IVF index built with one distributed Lloyd step (measured recall@5 = 0.93 vs the brute anchor at sf0.01, floor 0.9 in tests/test_llm_ops.py).
 
@@ -1438,7 +1501,8 @@ def embed_mmr_diversify(spark, sf_dir, lam=MMR_LAMBDA):
     )
 
 
-@register("sim_index_persist_probe")  # rows-only: persist≡rebuild property-tested
+@register("sim_index_persist_probe", oracle=IVF_SQL)  # persist ≡ rebuild
+# property-tested, so the persisted probe shares sim_search_ivf's oracle
 def sim_index_persist_probe(spark, sf_dir):
     """IVF index LIFECYCLE: build once, persist, serve many — the
     production ANN shape at 100 TB (nobody re-runs Lloyd per query).
