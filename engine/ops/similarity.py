@@ -93,11 +93,31 @@ LSH_BITS = 3
 LSH_BANDS = N_PLANES // LSH_BITS  # 12 bands x 3 sign bits
 
 
+_IH_CENTER = 6 * (2**32 - 1)  # exact center of 12 summed 32-bit uniforms
+
+
 def _hyperplanes():
-    """Deterministic random hyperplanes (seeded; public knowledge —
-    Charikar random-projection LSH)."""
-    rng = random.Random(42)
-    return [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(N_PLANES)]
+    """Deterministic PORTABLE random hyperplanes (Charikar
+    random-projection LSH): each entry is an Irwin–Hall approximate
+    Gaussian — the sum of 12 md5-derived 32-bit uniforms, centered —
+    as an exact INTEGER. hashlib.md5 here, md5() in the SQL oracle,
+    and the micro-quantized sign dots (|Σ e_u·h| ≤ 64·1e6·1.3e10 ≈
+    8e17 < 2^63) are all bit-identical across engines, which is what
+    lets the LSH candidate set carry a full value-hash oracle."""
+    import hashlib
+
+    def u32(p, d, k):
+        return int(
+            hashlib.md5(f"{p}:{d}:{k}".encode()).hexdigest()[:8], 16
+        )
+
+    return [
+        [
+            sum(u32(p, d, k) for k in range(12)) - _IH_CENTER
+            for d in range(64)
+        ]
+        for p in range(N_PLANES)
+    ]
 
 
 def lsh_bands(df, emb_col="embedding"):
@@ -125,8 +145,10 @@ def lsh_bands(df, emb_col="embedding"):
     def band_keys(s: pd.Series) -> pd.Series:
         import numpy as np
 
-        P = np.array(planes, dtype=np.float64)
-        X = np.array(s.tolist(), dtype=np.float64)
+        P = np.array(planes, dtype=np.int64)
+        X = np.floor(
+            np.array(s.tolist(), dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
         B = (X @ P.T) > 0
         cols = []
         for b in range(LSH_BANDS):
@@ -142,13 +164,60 @@ def lsh_bands(df, emb_col="embedding"):
     )
 
 
-@register("sim_search_blocked")  # rows-only: LSH candidate set is impl-defined
+BLOCKED_SQL = f"""
+    WITH eu AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS e_u
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    planes AS MATERIALIZED (
+        SELECT p.p, d.d,
+               CAST(sum(CAST(('0x' || substr(md5(p.p || ':' || d.d || ':' || k.k), 1, 8))
+                        AS BIGINT)) AS BIGINT) - {_IH_CENTER} AS h
+        FROM unnest(range(0, {N_PLANES})) p(p),
+             unnest(range(0, 64)) d(d),
+             unnest(range(0, 12)) k(k)
+        GROUP BY 1, 2),
+    bits AS (
+        SELECT e.vec_id, pl.p,
+               CASE WHEN CAST(sum(e.e_u * pl.h) AS BIGINT) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM eu e JOIN planes pl ON pl.d = e.pos
+        GROUP BY 1, 2),
+    bands AS MATERIALIZED (
+        SELECT vec_id, p // {LSH_BITS} AS band,
+               CAST(sum(bit << ({LSH_BITS - 1} - (p % {LSH_BITS}))) AS BIGINT)
+                   AS band_key
+        FROM bits GROUP BY 1, 2),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM bands q JOIN bands c
+          ON q.band = c.band AND q.band_key = c.band_key
+        WHERE q.vec_id < {N_PROBES} AND q.vec_id <> c.vec_id)
+    SELECT q_id, c_id, score, rank FROM (
+        SELECT cd.q_id, cd.c_id,
+               {SQL_DOT.format(a='a.embedding', b='b.embedding')} AS score,
+               row_number() OVER (PARTITION BY cd.q_id
+                   ORDER BY {SQL_DOT.format(a='a.embedding', b='b.embedding')} DESC,
+                            cd.c_id) AS rank
+        FROM cand cd
+        JOIN embeddings a ON a.vec_id = cd.q_id
+        JOIN embeddings b ON b.vec_id = cd.c_id)
+    WHERE rank <= {TOP_K}
+"""
+
+
+@register("sim_search_blocked", oracle=BLOCKED_SQL)
 def sim_search_blocked(spark, sf_dir):
-    """ANN via random-hyperplane LSH (measured recall@5 = 0.92 vs the brute anchor at sf0.01, floor 0.9 in tests/test_llm_ops.py).
+    """ANN via random-hyperplane LSH (recall@5 ≥ 0.9 floor vs the
+    brute anchor pinned in tests/test_llm_ops.py).
 
     Candidates = any shared (band, band_key); exact re-rank within
     candidates. See lsh_bands for the recall/candidate-fraction
-    tradeoff on this deliberately structureless corpus."""
+    tradeoff on this deliberately structureless corpus. With the
+    portable Irwin–Hall integer hyperplanes and micro-quantized sign
+    dots, the candidate set is engine-independent and the op carries
+    a full value-hash oracle (upgraded from rows-only in round 5)."""
     em = table(spark, sf_dir, "embeddings")
     q = lsh_bands(
         em.filter(F.col("vec_id") < N_PROBES).select(
@@ -1100,9 +1169,88 @@ def embed_pca_project(spark, sf_dir):
 PQ_M = 8  # subspaces (64 dims / 8 = 8 dims each)
 PQ_K = 16  # centroids per subspace -> 4-bit codes, 8 bytes per vector
 PQ_CAND = 128  # ADC candidates re-ranked exactly per probe
+PQ_ITERS = 5  # Lloyd iterations per subspace codebook
 
 
-@register("sim_search_pq")  # rows-only: candidate set is ADC-approximate
+def _pq_oracle_sql():
+    """Full PQ pipeline oracle: 5 unrolled integer-Lloyd iterations
+    over all 8 subspaces at once (centroids keyed (j, k, pos)),
+    encode-by-argmin, exact integer ADC via the codebook join, global
+    top-PQ_CAND pool, exact dot6 re-rank. Subspace of a dimension is
+    pos // sub; argmin ties go to the lowest k (numpy first-min)."""
+    sub = EMB_DIM // PQ_M
+    iters = []
+    for t in range(PQ_ITERS):
+        iters.append(f"""
+    asg{t} AS MATERIALIZED (
+        SELECT vec_id, j, k FROM (
+            SELECT s.vec_id, cb.j, cb.k,
+                   row_number() OVER (PARTITION BY s.vec_id, cb.j
+                       ORDER BY sum((s.e_u - cb.c_u) * (s.e_u - cb.c_u)),
+                                cb.k) AS rn
+            FROM seu s JOIN cb{t} cb ON cb.pos = s.pos
+            GROUP BY s.vec_id, cb.j, cb.k) WHERE rn = 1),
+    cb{t + 1} AS MATERIALIZED (
+        SELECT c.j, c.k, c.pos, coalesce(u.m, c.c_u) AS c_u
+        FROM cb{t} c LEFT JOIN (
+            SELECT a.j, a.k, s.pos,
+                   CAST(floor(CAST(sum(s.e_u) AS DOUBLE) / count(*))
+                        AS BIGINT) AS m
+            FROM asg{t} a
+            JOIN seu s ON s.vec_id = a.vec_id AND s.pos // {sub} = a.j
+            GROUP BY 1, 2, 3) u
+        ON u.j = c.j AND u.k = c.k AND u.pos = c.pos)""")
+    R = PQ_ITERS
+    return f"""
+    WITH eu AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS e_u
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    samp AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS srn
+             FROM embeddings WHERE vec_id % 4 = 0
+             ORDER BY vec_id LIMIT 4096),
+    seu AS MATERIALIZED (
+        SELECT e.vec_id, e.pos, e.e_u FROM eu e JOIN samp USING (vec_id)),
+    cb0 AS MATERIALIZED (
+        SELECT e.pos // {sub} AS j, s.srn - 1 AS k, e.pos, e.e_u AS c_u
+        FROM samp s JOIN eu e USING (vec_id) WHERE s.srn <= {PQ_K}),{",".join(iters)},
+    enc AS MATERIALIZED (
+        SELECT vec_id, j, k AS code FROM (
+            SELECT e.vec_id, cb.j, cb.k,
+                   row_number() OVER (PARTITION BY e.vec_id, cb.j
+                       ORDER BY sum((e.e_u - cb.c_u) * (e.e_u - cb.c_u)),
+                                cb.k) AS rn
+            FROM eu e JOIN cb{R} cb ON cb.pos = e.pos
+            GROUP BY e.vec_id, cb.j, cb.k) WHERE rn = 1),
+    adc AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, en.vec_id AS c_id,
+               CAST(sum(qq.e_u * cb.c_u) AS BIGINT) AS adc
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < {N_PROBES}) q
+        CROSS JOIN enc en
+        JOIN cb{R} cb ON cb.j = en.j AND cb.k = en.code
+        JOIN eu qq ON qq.vec_id = q.vec_id AND qq.pos = cb.pos
+        WHERE q.vec_id <> en.vec_id
+        GROUP BY 1, 2),
+    pool AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc DESC, c_id) AS arn
+        FROM adc) WHERE arn <= {PQ_CAND})
+    SELECT q_id, c_id, score, rank FROM (
+        SELECT p.q_id, p.c_id,
+               {SQL_DOT.format(a='a.embedding', b='b.embedding')} AS score,
+               row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY {SQL_DOT.format(a='a.embedding', b='b.embedding')} DESC,
+                            p.c_id) AS rank
+        FROM pool p
+        JOIN embeddings a ON a.vec_id = p.q_id
+        JOIN embeddings b ON b.vec_id = p.c_id)
+    WHERE rank <= {TOP_K}
+"""
+
+
+@register("sim_search_pq", oracle=_pq_oracle_sql())
 def sim_search_pq(spark, sf_dir):
     """Product-quantization ANN — the memory-compression scale path of
     the family (brute anchor → LSH buckets → IVF lists → PQ codes):
@@ -1153,18 +1301,26 @@ def sim_search_pq(spark, sf_dir):
         .limit(4096)
         .collect()
     )
-    X = np.vstack([r["embedding"] for r in sample]).astype("float64")
-    books = []  # m arrays of (PQ_K, sub)
+    # micro-quantized integer codebook training: exact int64 squared
+    # distances (≤ 8·(2e6)² ≈ 3.2e13), first-min argmin, floor-mean
+    # updates — the same engine-exact discipline as the Lloyd ops, so
+    # the codebooks, codes, and ADC scores all restate in the oracle
+    X = np.floor(
+        np.vstack([r["embedding"] for r in sample]).astype("float64") * 1e6
+        + 0.5
+    ).astype(np.int64)
+    books = []  # m int arrays of (PQ_K, sub)
     for j in range(m):
         S = X[:, j * sub : (j + 1) * sub]
         C = S[:PQ_K].copy()
-        for _ in range(5):
+        for _ in range(PQ_ITERS):
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
             for k in range(PQ_K):
                 mask = assign == k
                 if mask.any():
-                    C[k] = S[mask].mean(axis=0)
+                    # numpy int // floors like DuckDB's explicit floor
+                    C[k] = S[mask].sum(axis=0) // int(mask.sum())
         books.append(C)
     bks = spark.sparkContext.broadcast([b.tolist() for b in books])
 
@@ -1172,11 +1328,15 @@ def sim_search_pq(spark, sf_dir):
         import numpy as _np
         import pandas as _pd
 
-        B = [_np.asarray(b) for b in bks.value]
+        B = [_np.asarray(b, dtype=_np.int64) for b in bks.value]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = _np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            V = _np.floor(
+                _np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+                * 1e6
+                + 0.5
+            ).astype(_np.int64)
             codes = _np.empty((len(V), m), dtype="int64")
             for j in range(m):
                 S = V[:, j * sub : (j + 1) * sub]
@@ -1191,9 +1351,11 @@ def sim_search_pq(spark, sf_dir):
     probes = (
         em.filter(F.col("vec_id") < N_PROBES).orderBy("vec_id").collect()
     )
-    luts = np.empty((len(probes), m, PQ_K))
+    luts = np.empty((len(probes), m, PQ_K), dtype=np.int64)
     for i, r in enumerate(probes):
-        qv = np.asarray(r["embedding"], dtype="float64")
+        qv = np.floor(
+            np.asarray(r["embedding"], dtype="float64") * 1e6 + 0.5
+        ).astype(np.int64)
         for j in range(m):
             luts[i, j] = books[j] @ qv[j * sub : (j + 1) * sub]
     lut_b = spark.sparkContext.broadcast(luts.tolist())
@@ -1203,14 +1365,14 @@ def sim_search_pq(spark, sf_dir):
         import numpy as _np
         import pandas as _pd
 
-        L = _np.asarray(lut_b.value)  # (P, m, K)
+        L = _np.asarray(lut_b.value, dtype=_np.int64)  # (P, m, K)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             codes = _np.vstack(pdf["code"].to_numpy())  # (n, m)
             vids = pdf["vec_id"].to_numpy()
-            # scores[p, n] = sum_j L[p, j, codes[n, j]]
-            scores = _np.zeros((len(probe_ids), len(codes)))
+            # scores[p, n] = sum_j L[p, j, codes[n, j]] — exact int64
+            scores = _np.zeros((len(probe_ids), len(codes)), dtype=_np.int64)
             for j in range(m):
                 scores += L[:, j, codes[:, j]]
             out_q, out_c, out_s = [], [], []
@@ -1226,7 +1388,7 @@ def sim_search_pq(spark, sf_dir):
                 {"q_id": out_q, "c_id": out_c, "adc": out_s}
             )
 
-    cand = encoded.mapInPandas(adc_score, "q_id long, c_id long, adc double")
+    cand = encoded.mapInPandas(adc_score, "q_id long, c_id long, adc long")
     w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
     cand = cand.withColumn("arn", F.row_number().over(w)).filter(
         F.col("arn") <= PQ_CAND
@@ -1535,7 +1697,38 @@ def sim_index_persist_probe(spark, sf_dir):
     return _ivf_probe(spark, sf_dir, cent, inv)
 
 
-@register("sim_recall_report")  # rows-only: scores impl-defined ANN variants
+RECALL_REPORT_SQL = None  # assembled below once the method oracles exist
+
+
+def _recall_report_sql():
+    """Composes the four method oracles (blocked / ivf / pq; the
+    persisted probe shares IVF's) against the brute anchor — recall
+    counts are exact integer joins, so the report is value-hashed."""
+    methods = [
+        ("sim_search_blocked", "blk"),
+        ("sim_search_ivf", "ivf"),
+        ("sim_search_pq", "pq"),
+        ("sim_index_persist_probe", "ivf"),
+    ]
+    sel = "\n        UNION ALL ".join(
+        f"SELECT '{name}' AS method,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM {cte} a"
+        f" JOIN brute r ON a.q_id = r.q_id AND a.c_id = r.c_id) AS n_hit"
+        for name, cte in methods
+    )
+    return f"""
+    WITH brute AS MATERIALIZED ({TOPK_SQL}),
+    blk AS MATERIALIZED ({BLOCKED_SQL}),
+    ivf AS MATERIALIZED ({IVF_SQL}),
+    pq AS MATERIALIZED ({_pq_oracle_sql()})
+    SELECT method, n_hit,
+           (SELECT CAST(count(*) AS BIGINT) FROM brute) AS n_expected,
+           round(100.0 * n_hit / (SELECT count(*) FROM brute), 2) AS recall_pct
+    FROM ({sel}) ORDER BY method
+"""
+
+
+@register("sim_recall_report", oracle=_recall_report_sql())
 def sim_recall_report(spark, sf_dir):
     """ANN quality gate as a query: recall@{k} of every approximate
     search variant (LSH-blocked, IVF, PQ, persisted-IVF) against the
