@@ -7692,3 +7692,217 @@ def orders_shipment_consolidation(spark, sf_dir):
             F.sum("n_lines").cast("double") / F.sum("n_ship_days"), 6
         ).alias("avg_lines_per_shipment"),
     )
+
+
+KMV_K = 64  # bottom-k sketch size: RSE ~ 1/sqrt(K-2) ~ 12.7%
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS hv
+            FROM events),
+        scoped AS (
+            SELECT event_type AS scope, hv FROM h
+            UNION ALL
+            SELECT 'TOTAL' AS scope, hv FROM (SELECT DISTINCT hv FROM h)),
+        ranked AS (
+            SELECT scope, hv,
+                   row_number() OVER (PARTITION BY scope ORDER BY hv) AS rn,
+                   count(*) OVER (PARTITION BY scope) AS n_hashes
+            FROM scoped),
+        kth AS (
+            SELECT scope, max(hv) AS hk, max(n_hashes) AS n_hashes
+            FROM ranked WHERE rn <= {KMV_K} GROUP BY scope),
+        ex AS (
+            SELECT event_type AS scope,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'TOTAL', CAST(count(DISTINCT user_id) AS BIGINT)
+            FROM events)
+        SELECT k.scope,
+               CASE WHEN k.n_hashes < {KMV_K} THEN k.n_hashes
+                    ELSE ({KMV_K - 1} * 4294967296) // k.hk END AS est_users,
+               ex.exact_users
+        FROM kth k JOIN ex ON ex.scope = k.scope
+        ORDER BY k.scope
+    """,
+)
+def agg_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch — the
+    fourth sketch family member (HLL: agg_hll_sketch_merge, CMS:
+    agg_count_min_sketch, top-k: agg_approx_top_k) and, unlike
+    Spark's internal HLL bytes, fully value-hash-oracled: the sketch
+    IS the K smallest portable md5 hashes, so both engines compute
+    the identical estimate (K-1)·2^32 // h_(K) (Bar-Yossef et al.
+    2002), with the exact count answered directly when fewer than K
+    distinct hashes exist.
+
+    Scale shape: bottom-K per group is a per-key window limit —
+    Spark plans WindowGroupLimit, which prunes to K rows map-side
+    before the shuffle — and the TOTAL sketch is the bottom-K of the
+    UNION of per-type sketches (mergeability, the property that lets
+    per-day sketches roll up to any grain without rescanning). The
+    integer floor-div estimate is portable (positive operands, where
+    DuckDB's // equals Spark's div)."""
+    e = table(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    scoped = h.select(F.col("event_type").alias("scope"), "hv").unionByName(
+        h.select("hv").distinct().select(F.lit("TOTAL").alias("scope"), "hv")
+    )
+    w = Window.partitionBy("scope").orderBy("hv")
+    wc = Window.partitionBy("scope")
+    kth = (
+        scoped.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_hashes", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("scope")
+        .agg(F.max("hv").alias("hk"), F.max("n_hashes").alias("n_hashes"))
+    )
+    ex = (
+        e.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .unionByName(
+            e.agg(F.countDistinct("user_id").alias("exact_users")).select(
+                F.lit("TOTAL").alias("scope"), "exact_users"
+            )
+        )
+    )
+    est = F.when(F.col("n_hashes") < KMV_K, F.col("n_hashes")).otherwise(
+        F.expr(f"({KMV_K - 1} * 4294967296) div hk")
+    )
+    return (
+        kth.join(ex, "scope")
+        .select("scope", est.alias("est_users"), "exact_users")
+        .orderBy("scope")
+    )
+
+
+HLLP_B = 4  # register-index bits -> m = 16 registers
+HLLP_M = 1 << HLLP_B
+HLLP_ALPHA_M2 = 0.673 * HLLP_M * HLLP_M  # alpha_16 * m^2, one double literal
+
+
+def _hllp_rho_sql(col):
+    """Leading-zero rank of the 28-bit hash remainder as a CASE chain
+    of pure integer comparisons — no log2/bit_length, so both engines
+    agree bit-for-bit."""
+    arms = " ".join(
+        f"WHEN {col} >= {1 << (27 - r)} THEN {r + 1}" for r in range(28)
+    )
+    return f"CASE {arms} ELSE 29 END"
+
+
+@register(
+    "agg_hll_portable",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS hv
+            FROM events),
+        reg0 AS (
+            SELECT event_type, hv >> 28 AS bucket,
+                   {_hllp_rho_sql("(hv & 268435455)")} AS rho
+            FROM h),
+        regs AS (
+            SELECT event_type AS scope, bucket, max(rho) AS m
+            FROM reg0 GROUP BY 1, 2
+            UNION ALL
+            SELECT 'TOTAL', bucket, max(rho) FROM reg0 GROUP BY 2),
+        s AS (
+            SELECT scope,
+                   sum(1.0 / (1::BIGINT << m)) + ({HLLP_M} - count(*)) * 1.0 AS ssum
+            FROM regs GROUP BY scope),
+        ex AS (
+            SELECT event_type AS scope,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'TOTAL', CAST(count(DISTINCT user_id) AS BIGINT)
+            FROM events)
+        SELECT s.scope,
+               CAST({HLLP_ALPHA_M2!r} AS DOUBLE) / s.ssum AS est_users,
+               ex.exact_users
+        FROM s JOIN ex ON ex.scope = s.scope
+        ORDER BY s.scope
+    """,
+)
+def agg_hll_portable(spark, sf_dir):
+    """Explicit PORTABLE HyperLogLog (Flajolet et al. 2007) — the
+    white-box twin of agg_hll_sketch_merge: registers are max
+    leading-zero ranks of md5-hash remainders (bucket = top 4 hash
+    bits, m=16), the TOTAL sketch is the per-bucket MAX across the
+    per-type sketches (the HLL merge), and the raw estimate
+    alpha_m·m²/S is a deterministic double because S = Σ2^(−M_j) is
+    a sum of single-bit binary fractions (M ≤ 29 spans < 52 mantissa
+    bits — EXACT in IEEE double in any summation order) and the rho
+    rank is a pure integer CASE chain, no log2. So unlike Spark's
+    internal sketch bytes, every register and the estimate itself
+    value-hash against the oracle.
+
+    Scale shape: one map-side-combinable (scope, bucket) max-agg —
+    registers are the only state (m rows per group), the merge is
+    associative, and nothing but the 16-register table leaves the
+    aggregation. n=150–1500 here sits in the raw-HLL regime for m=16
+    (n > 2.5m), so no small-range correction branch is exercised."""
+    e = table(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    reg0 = h.select(
+        "event_type",
+        F.shiftright("hv", 28).alias("bucket"),
+        F.expr(_hllp_rho_sql("(hv & 268435455)")).alias("rho"),
+    )
+    regs = (
+        reg0.groupBy(F.col("event_type").alias("scope"), "bucket")
+        .agg(F.max("rho").alias("m"))
+        .unionByName(
+            reg0.groupBy("bucket")
+            .agg(F.max("rho").alias("m"))
+            .select(F.lit("TOTAL").alias("scope"), "bucket", "m")
+        )
+    )
+    s = regs.groupBy("scope").agg(
+        (
+            F.sum(F.lit(1.0) / F.expr("1L << m"))
+            + (F.lit(HLLP_M) - F.count(F.lit(1))) * F.lit(1.0)
+        ).alias("ssum")
+    )
+    ex = (
+        e.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .unionByName(
+            e.agg(F.countDistinct("user_id").alias("exact_users")).select(
+                F.lit("TOTAL").alias("scope"), "exact_users"
+            )
+        )
+    )
+    return (
+        s.join(ex, "scope")
+        .select(
+            "scope",
+            (F.lit(HLLP_ALPHA_M2) / F.col("ssum")).alias("est_users"),
+            "exact_users",
+        )
+        .orderBy("scope")
+    )

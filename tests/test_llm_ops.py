@@ -706,3 +706,20 @@ def test_cka_alignment_properties(spark):
         float(np.sqrt(np.sum(g * g))) ** 2
     )
     assert abs(self_cka - 1.0) < 1e-12
+
+
+def test_portable_sketches_within_error_bounds(spark):
+    """agg_kmv_distinct (K=64, RSE ~13%) and agg_hll_portable (m=16,
+    RSE ~26%) must land within 3x their theoretical relative standard
+    error of the exact distinct count on every scope row — the bound
+    that makes a deterministic sketch still an honest ESTIMATOR, not
+    a lookup of the answer."""
+    import engine
+    from tests.conftest import T2_SF_DIR
+
+    for name, rse in [("agg_kmv_distinct", 0.13), ("agg_hll_portable", 0.26)]:
+        out = engine.QUERIES[name](spark, T2_SF_DIR).collect()
+        assert len(out) == 6  # 5 event types + TOTAL
+        for r in out:
+            rel = abs(float(r["est_users"]) / r["exact_users"] - 1.0)
+            assert rel <= 3 * rse, (name, r["scope"], rel)
