@@ -1503,13 +1503,19 @@ def dedup_minhash_error_audit(spark, sf_dir):
     estimates, error stats — carries a full value-hash oracle
     (upgraded from rows-only)."""
     d = table(spark, sf_dir, "documents")
-    doc_sh = d.repartition(32, "doc_id").select(
-        "doc_id", _shingle_array(_tokens()).alias("sh")
+    # persist both shared frames: doc_sh feeds the sig aggregation AND
+    # two verification joins, mh_cols feeds sigs AND bands — without
+    # the pins Catalyst re-derives the shingle scan+agg subtree per
+    # consumer (measured 2.6x the whole-op time at sf0.1)
+    doc_sh = (
+        d.repartition(32, "doc_id")
+        .select("doc_id", _shingle_array(_tokens()).alias("sh"))
+        .persist()
     )
     sh = doc_sh.select(
         "doc_id", F.explode("sh").alias("shingle")
     ).withColumn("hb", _mh_base())
-    mh_cols = sh.groupBy("doc_id").agg(*_mh_sig_aggs())
+    mh_cols = sh.groupBy("doc_id").agg(*_mh_sig_aggs()).persist()
     mh = mh_cols.select(
         "doc_id",
         F.array(*[F.col(f"mh{s}") for s in range(N_MINHASH)]).alias("sig"),
