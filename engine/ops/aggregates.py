@@ -7763,13 +7763,19 @@ def agg_kmv_distinct(spark, sf_dir):
         h.select("hv").distinct().select(F.lit("TOTAL").alias("scope"), "hv")
     )
     w = Window.partitionBy("scope").orderBy("hv")
-    wc = Window.partitionBy("scope")
+    # rank filter directly above a SINGLE window function so Spark's
+    # InferWindowGroupLimit fires (plan-asserted): each map task keeps
+    # only its local bottom-K before the shuffle — the property that
+    # makes a bottom-K sketch O(K) per task at 100 TB. The per-scope
+    # hash count rides a separate map-side-combinable agg instead of
+    # a second window function (which would block the rewrite).
+    counts = scoped.groupBy("scope").agg(F.count(F.lit(1)).alias("n_hashes"))
     kth = (
         scoped.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_hashes", F.count(F.lit(1)).over(wc))
         .filter(F.col("rn") <= KMV_K)
         .groupBy("scope")
-        .agg(F.max("hv").alias("hk"), F.max("n_hashes").alias("n_hashes"))
+        .agg(F.max("hv").alias("hk"))
+        .join(counts, "scope")
     )
     ex = (
         e.groupBy(F.col("event_type").alias("scope"))

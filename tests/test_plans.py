@@ -648,3 +648,13 @@ def test_spearman_broadcasts_rank_spines(spark):
     plan = _plan(spark, "stat_spearman_rho")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_kmv_bottom_k_uses_window_group_limit(spark):
+    """agg_kmv_distinct's rank filter must plan as WindowGroupLimit:
+    each map task keeps only its local bottom-K rows before the
+    shuffle — the property that makes the sketch O(K) per task. A
+    second window function in the same frame silently blocks the
+    rewrite (found in review), so this pin guards the regression."""
+    plan = _plan(spark, "agg_kmv_distinct")
+    assert "WindowGroupLimit" in plan
