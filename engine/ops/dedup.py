@@ -1668,9 +1668,13 @@ def graph_adamic_adar(spark, sf_dir):
     pairs = dedup_ngram_jaccard(spark, sf_dir).filter(
         F.col("jaccard") >= AA_EDGE_THRESHOLD
     ).select("doc_a", "doc_b")
+    # persist: edges feeds FOUR consumers (degrees, both wedge sides,
+    # the adjacency anti-join) and each would otherwise re-derive the
+    # whole shingle-jaccard subtree (measured ~4x the op's total time
+    # at sf0.1); the thinned near-dup edge list is tiny
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).persist()
     deg = edges.groupBy(F.col("doc_a").alias("z")).agg(
         F.count(F.lit(1)).alias("d")
     )
