@@ -1576,3 +1576,136 @@ def stream_dead_letter_split(spark, sf_dir):
     main = spark.read.schema(schema).parquet(main_dir)
     dlq = spark.read.schema(schema).parquet(dlq_dir)
     return main.unionByName(dlq)
+
+
+KMV_STATE_SCHEMA = "scope string, hv long"
+
+
+@register(
+    "stream_kmv_distinct",
+    oracle="""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS hv
+            FROM events),
+        scoped AS (
+            SELECT event_type AS scope, hv FROM h
+            UNION ALL
+            SELECT 'TOTAL' AS scope, hv FROM (SELECT DISTINCT hv FROM h)),
+        ranked AS (
+            SELECT scope, hv,
+                   row_number() OVER (PARTITION BY scope ORDER BY hv) AS rn
+            FROM scoped),
+        kth AS (
+            SELECT scope, max(hv) AS hk,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM ranked WHERE rn <= 64 GROUP BY scope)
+        SELECT scope,
+               CASE WHEN n_kept < 64 THEN n_kept
+                    ELSE (63 * 4294967296) // hk END AS est_users,
+               n_kept
+        FROM kth ORDER BY scope
+    """,
+)
+def stream_kmv_distinct(spark, sf_dir):
+    """STREAMING distinct-count sketch maintenance — the foreachBatch
+    twin of agg_kmv_distinct: each micro-batch's distinct (scope,
+    md5-hash) pairs union into the accumulated bottom-K state, which
+    is re-trimmed to K per scope and written as a new generation +
+    atomic pointer advance. Because bottom-K-of-distinct-union is
+    IDEMPOTENT (re-merging a delivered batch changes nothing), replay
+    safety needs NO applied-batch ledger — the structural contrast
+    with stream_foreachbatch_incremental_mv's additive merge, whose
+    ledger exists precisely because addition is not idempotent. The
+    oracle is the batch KMV over all of events: sketch mergeability
+    (bottom-K of a union = bottom-K of bottom-Ks) makes
+    incremental ≡ batch exactly, so a dropped batch or stale
+    generation breaks the value hash.
+
+    Scale: state is O(K) rows per scope FOREVER (the sketch property
+    that makes streaming distinct-count viable at 100 TB where exact
+    per-key state grows unboundedly); per batch one distinct + one
+    windowed trim over |state| + |batch-distinct| rows."""
+    import os
+
+    from ..registry import scratch_dir
+    from ..schemas import EVENTS_STREAM_SCHEMA
+    from .aggregates import KMV_K
+
+    base = scratch_dir("stream_kmv_distinct")
+    src = os.path.join(base, "src")
+    snaps = os.path.join(base, "snaps")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (src, snaps):
+        os.makedirs(d, exist_ok=True)
+    ptr = os.path.join(base, "POINTER")
+    _chunked_stream_feed(spark, sf_dir, src)
+
+    def scoped_hashes(df):
+        h = df.select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+        ).distinct()
+        return h.select(F.col("event_type").alias("scope"), "hv").unionByName(
+            h.select("hv").distinct().select(
+                F.lit("TOTAL").alias("scope"), "hv"
+            )
+        )
+
+    def merge_batch(batch_df, batch_id):
+        from pyspark.sql import Window
+
+        p = scoped_hashes(batch_df)
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = spark.read.schema(KMV_STATE_SCHEMA).parquet(
+                    f.read().strip()
+                )
+            p = cur.unionByName(p).distinct()
+        w = Window.partitionBy("scope").orderBy("hv")
+        trimmed = (
+            p.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)
+            .select("scope", "hv")
+        )
+        gen_dir = os.path.join(snaps, f"gen-{batch_id:05d}")
+        trimmed.write.mode("overwrite").parquet(gen_dir)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(gen_dir)
+        os.replace(tmp, ptr)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_kmv_distinct: availableNow query exceeded 300s"
+        )
+    with open(ptr) as f:
+        state = spark.read.schema(KMV_STATE_SCHEMA).parquet(f.read().strip())
+    kth = state.groupBy("scope").agg(
+        F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n_kept")
+    )
+    est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+        F.expr(f"({KMV_K - 1} * 4294967296) div hk")
+    )
+    return kth.select("scope", est.alias("est_users"), "n_kept").orderBy(
+        "scope"
+    )
