@@ -856,7 +856,9 @@ def graph_degree_centrality(spark, sf_dir):
     (jaccard itself is an int/int division, so round(j*1e6) is
     engine-identical); count/sum are one map-side-combinable
     aggregation over the symmetrized edge list."""
-    edges = dedup_ngram_jaccard(spark, sf_dir)
+    # localCheckpoint: both union branches consume the edge list —
+    # without the pin each re-derives the shingle→jaccard pipeline
+    edges = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint()
     directed = edges.select("doc_a", "jaccard").withColumnsRenamed(
         {"doc_a": "doc_id"}
     ).unionByName(

@@ -2834,7 +2834,11 @@ def text_bleu_pair_overlap(spark, sf_dir):
     O(pairs * shared-vocab), never corpus-quadratic — the pair list
     is the (already-bucketed) dedup output."""
     d = table(spark, sf_dir, "documents")
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    # persist: the pair list feeds BOTH clipped joins and the final
+    # assembly — without the pin each consumer re-derives the whole
+    # shingle-jaccard subtree (the dominant cost; measured ~3x the
+    # useful work at sf0.1)
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).persist()
     toks = F.split("text", " ")
     uni = d.select("doc_id", F.explode(toks).alias("g"))
     u1 = uni.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
