@@ -7912,3 +7912,190 @@ def agg_hll_portable(spark, sf_dir):
         )
         .orderBy("scope")
     )
+
+
+@register(
+    "agg_kmv_set_ops",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS hv
+            FROM events),
+        sk AS MATERIALIZED (
+            SELECT event_type, hv FROM (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hv) AS rn
+                FROM h) WHERE rn <= {KMV_K}),
+        pd AS (SELECT a.event_type AS ta, b.event_type AS tb
+               FROM (SELECT DISTINCT event_type FROM events) a
+               JOIN (SELECT DISTINCT event_type FROM events) b
+                 ON a.event_type < b.event_type),
+        pu AS (SELECT DISTINCT ta, tb, hv FROM (
+                   SELECT p.ta, p.tb, s.hv FROM pd p
+                   JOIN sk s ON s.event_type = p.ta
+                   UNION ALL
+                   SELECT p.ta, p.tb, s.hv FROM pd p
+                   JOIN sk s ON s.event_type = p.tb)),
+        m AS MATERIALIZED (
+            SELECT ta, tb, hv FROM (
+                SELECT ta, tb, hv,
+                       row_number() OVER (PARTITION BY ta, tb
+                                          ORDER BY hv) AS rn
+                FROM pu) WHERE rn <= {KMV_K}),
+        mstats AS (
+            SELECT m.ta, m.tb,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   max(m.hv) AS hk,
+                   CAST(sum(CASE WHEN sa.hv IS NOT NULL
+                                  AND sb.hv IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+            FROM m
+            LEFT JOIN sk sa ON sa.event_type = m.ta AND sa.hv = m.hv
+            LEFT JOIN sk sb ON sb.event_type = m.tb AND sb.hv = m.hv
+            GROUP BY 1, 2),
+        est AS (
+            SELECT ta, tb, n_both, n_kept,
+                   CASE WHEN n_kept < {KMV_K} THEN n_kept
+                        ELSE ({KMV_K - 1} * 4294967296) // hk END AS est_union
+            FROM mstats),
+        ex AS (
+            SELECT p.ta, p.tb,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_union,
+                   CAST(count(DISTINCT CASE WHEN ea.user_id IS NOT NULL
+                                             AND eb.user_id IS NOT NULL
+                                        THEN e.user_id END) AS BIGINT)
+                       AS exact_inter
+            FROM pd p
+            JOIN events e ON e.event_type IN (p.ta, p.tb)
+            LEFT JOIN (SELECT DISTINCT event_type, user_id FROM events) ea
+              ON ea.event_type = p.ta AND ea.user_id = e.user_id
+            LEFT JOIN (SELECT DISTINCT event_type, user_id FROM events) eb
+              ON eb.event_type = p.tb AND eb.user_id = e.user_id
+            GROUP BY 1, 2)
+        SELECT e.ta AS type_a, e.tb AS type_b,
+               e.est_union,
+               (e.n_both * e.est_union) // e.n_kept AS est_inter,
+               x.exact_union, x.exact_inter
+        FROM est e JOIN ex x ON x.ta = e.ta AND x.tb = e.tb
+        ORDER BY type_a, type_b
+    """,
+)
+def agg_kmv_set_ops(spark, sf_dir):
+    """KMV sketch SET ALGEBRA (the theta-sketch pattern): for every
+    event-type pair, the union's distinct-user count is estimated
+    from the bottom-K of the MERGED sketches, and the intersection
+    via the inclusion fraction — the share of the union's K-mins
+    present in BOTH per-type sketches, scaled by the union estimate
+    (Beyer et al. 2007). This is the query sketches exist for at
+    100 TB: per-segment sketches are built once, then ANY pair's
+    union/intersection/Jaccard is answered from 2×K integers without
+    rescanning — the audience-overlap query shape. Everything is
+    exact integer arithmetic over portable md5 hashes, so the
+    estimates (not just the exacts) value-hash against the oracle.
+
+    Scale: per-type sketches are the same WindowGroupLimit bottom-K
+    as agg_kmv_distinct; the pair fan-out joins the 10-row type-pair
+    dim to K-row sketches — O(pairs·K), corpus-independent. Exact
+    comparison columns ride separate distinct joins (fixture-sized
+    here; at scale you would NOT compute them — that is the point)."""
+    e = table(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "hv")
+        .persist()  # consumed by the union build AND two membership joins
+    )
+    types = e.select("event_type").distinct()
+    pd_ = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(
+            types.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    pu = (
+        pd_.join(sk.withColumnsRenamed({"event_type": "ta"}), "ta")
+        .select("ta", "tb", "hv")
+        .unionByName(
+            pd_.join(sk.withColumnsRenamed({"event_type": "tb"}), "tb")
+            .select("ta", "tb", "hv")
+        )
+        .distinct()
+    )
+    wm = Window.partitionBy("ta", "tb").orderBy("hv")
+    m = (
+        pu.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+        .select("ta", "tb", "hv")
+    )
+    sa = sk.select(F.col("event_type").alias("ta"), F.col("hv").alias("ha"))
+    sb = sk.select(F.col("event_type").alias("tb"), F.col("hv").alias("hb"))
+    mstats = (
+        m.join(sa, (sa.ta == m.ta) & (sa.ha == m.hv), "left")
+        .join(sb, (sb.tb == m.tb) & (sb.hb == m.hv), "left")
+        .groupBy(m.ta, m.tb)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max(m.hv).alias("hk"),
+            F.sum(
+                (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("long")
+            ).alias("n_both"),
+        )
+    )
+    est_union = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+        F.expr(f"({KMV_K - 1} * 4294967296) div hk")
+    )
+    est = mstats.select(
+        "ta",
+        "tb",
+        est_union.alias("est_union"),
+        "n_both",
+        "n_kept",
+    )
+    # exact comparison columns: per pair, union = distinct users in
+    # either type, intersection = distinct users in both
+    tu = e.select("event_type", "user_id").distinct().persist()
+    ua = tu.withColumnsRenamed({"event_type": "ta"})
+    ub = tu.withColumnsRenamed({"event_type": "tb"})
+    ue = (
+        pd_.join(ua, "ta").select("ta", "tb", "user_id")
+        .unionByName(pd_.join(ub, "tb").select("ta", "tb", "user_id"))
+        .distinct()
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    ie = (
+        pd_.join(ua, "ta")
+        .join(ub.select("tb", F.col("user_id").alias("u2")),
+              "tb")
+        .filter(F.col("user_id") == F.col("u2"))
+        .select("ta", "tb", "user_id")
+        .distinct()
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        est.join(ue, ["ta", "tb"])
+        .join(ie, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "est_union",
+            F.expr("(n_both * est_union) div n_kept").alias("est_inter"),
+            "exact_union",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )
