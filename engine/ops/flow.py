@@ -977,3 +977,103 @@ def flow_analytics_report_e2e(spark, sf_dir):
         F.rank().over(w).cast("long").alias("bytes_rank"),
         (F.rank().over(w) <= 10).cast("long").alias("heavy_hitter"),
     )
+
+
+PORT_KMV_K = 64  # same bottom-K size as the agg-tier KMV sketches
+PORT_ALARM = 50  # estimated concurrent ports that trips the alarm
+
+
+@register(
+    "flow_port_cardinality_kmv",
+    oracle=f"""
+        WITH f AS (
+            SELECT '10.0.' || CAST({SQL_K} % 256 AS VARCHAR) || '.'
+                   || CAST(({SQL_K}*7) % 256 AS VARCHAR) AS srcaddr,
+                   {SQL_K} + 1024 AS srcport
+            FROM events),
+        h AS (
+            SELECT DISTINCT srcaddr,
+                   CAST(('0x' || substr(md5(CAST(srcport AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS hv
+            FROM f),
+        kth AS (
+            SELECT srcaddr, max(hv) AS hk,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM (SELECT srcaddr, hv,
+                         row_number() OVER (PARTITION BY srcaddr
+                                            ORDER BY hv) AS rn
+                  FROM h) WHERE rn <= {PORT_KMV_K}
+            GROUP BY srcaddr),
+        est AS (
+            SELECT srcaddr,
+                   CASE WHEN n_kept < {PORT_KMV_K} THEN n_kept
+                        ELSE ({PORT_KMV_K - 1} * 4294967296) // hk
+                   END AS est_ports
+            FROM kth),
+        ex AS (
+            SELECT srcaddr,
+                   CAST(count(DISTINCT srcport) AS BIGINT) AS exact_ports
+            FROM f GROUP BY srcaddr)
+        SELECT e.srcaddr, e.est_ports, x.exact_ports,
+               CAST(CASE WHEN e.est_ports >= {PORT_ALARM}
+                         THEN 1 ELSE 0 END AS BIGINT) AS port_alarm
+        FROM est e JOIN ex x ON x.srcaddr = e.srcaddr
+        ORDER BY e.est_ports DESC, e.srcaddr LIMIT 20
+    """,
+)
+def flow_port_cardinality_kmv(spark, sf_dir):
+    """Per-source source-port cardinality via the KMV sketch — the
+    NAT port-exhaustion / connection-count monitor a flow-log
+    pipeline alarms on: a talker's distinct ephemeral ports
+    approximate its concurrent connections, and at 100 TB the exact
+    per-source distinct state is unbounded while the sketch is O(K)
+    per source forever. Runs over the PARSED flow lines, so the
+    synth → parse → sketch path is value-checked end to end against
+    the oracle's direct restatement from events; exact counts ride
+    alongside for the report (at scale you would drop them — that is
+    the point of the sketch). Top-20 by estimate under the
+    deterministic (est desc, srcaddr) order.
+
+    Scale: same WindowGroupLimit bottom-K shape as agg_kmv_distinct
+    (single rank filter over a single window function — a second
+    window expression would silently block the map-side prune);
+    the exact column is one distinct-agg over the same scan."""
+    p = _parsed(spark, sf_dir)
+    h = (
+        p.select(
+            "srcaddr",
+            F.conv(
+                F.substring(F.md5(F.col("srcport").cast("string")), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("srcaddr").orderBy("hv")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PORT_KMV_K)
+        .groupBy("srcaddr")
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    est = F.when(F.col("n_kept") < PORT_KMV_K, F.col("n_kept")).otherwise(
+        F.expr(f"({PORT_KMV_K - 1} * 4294967296) div hk")
+    )
+    ex = p.groupBy("srcaddr").agg(
+        F.countDistinct("srcport").alias("exact_ports")
+    )
+    return (
+        kth.select("srcaddr", est.alias("est_ports"))
+        .join(ex, "srcaddr")
+        .select(
+            "srcaddr",
+            "est_ports",
+            "exact_ports",
+            (F.col("est_ports") >= PORT_ALARM).cast("long").alias("port_alarm"),
+        )
+        .orderBy(F.desc("est_ports"), F.asc("srcaddr"))
+        .limit(20)
+    )
