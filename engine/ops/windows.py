@@ -3098,3 +3098,102 @@ def ts_seasonal_strength(spark, sf_dir):
             6,
         ).alias("f_trend"),
     )
+
+
+@register(
+    "ts_changepoint_binseg",
+    oracle="""
+        WITH pts AS (
+            SELECT user_id,
+                   epoch_ns(ts) // 1000 AS t_us,
+                   CAST(round(value) AS BIGINT) AS x,
+                   row_number() OVER w AS k,
+                   CAST(sum(CAST(round(value) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS sl,
+                   count(*) OVER (PARTITION BY user_id) AS n,
+                   CAST(sum(CAST(round(value) AS BIGINT))
+                        OVER (PARTITION BY user_id) AS BIGINT) AS s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        scored AS (
+            SELECT user_id, k, t_us, n, s, sl,
+                   CAST(sl * sl AS DOUBLE) / k
+                     + CAST((s - sl) * (s - sl) AS DOUBLE) / (n - k)
+                     - CAST(s * s AS DOUBLE) / n AS gain
+            FROM pts WHERE k < n),
+        best AS (
+            SELECT user_id, k AS cp_pos, gain,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY gain DESC, k) AS rn
+            FROM scored)
+        SELECT b.user_id, b.cp_pos, nx.t_us AS cp_t_us, b.gain
+        FROM best b
+        JOIN (SELECT user_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_ns(ts), event_id) AS k,
+                     epoch_ns(ts) // 1000 AS t_us
+              FROM events) nx
+          ON nx.user_id = b.user_id AND nx.k = b.cp_pos + 1
+        WHERE b.rn = 1
+    """,
+)
+def ts_changepoint_binseg(spark, sf_dir):
+    """Single-changepoint detection per user series (the first
+    binary-segmentation step, Scott & Knott / ruptures' l2 cost):
+    pick the split k maximizing the between-segment variance
+    reduction Sl²/nl + Sr²/nr − S²/n — the mean-shift detector that
+    complements ts_cusum_detect (which needs a known reference mean;
+    this one finds WHERE the level shifts with no reference). Exact
+    by construction: values round to BIGINTs, prefix/total sums are
+    exact integers (|S| ≤ 4e6·1e3 — squares ≤ 1.6e13, inside double's
+    2^53 integer range through sf1), and the score divisions are the
+    identical IEEE ops in both engines, so the argmax — ties to the
+    earliest split — value-hashes. Output: split position, the
+    timestamp of the first right-segment row, and the gain.
+
+    Scale: ONE window pass builds prefix sums (no per-split rescan —
+    the prefix-sum trick turns the O(n²) naive scorer into O(n)),
+    one partition-spine argmax window; at 100 TB this is per-key
+    parallel with bounded per-series state."""
+    e = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    wp = Window.partitionBy("user_id")
+    pts = e.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+        F.round("value").cast("long").alias("x"),
+    ).select(
+        "user_id",
+        "t_us",
+        F.row_number().over(wo).alias("k"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("sl"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("s"),
+    )
+    gain = (
+        (F.col("sl") * F.col("sl")).cast("double") / F.col("k")
+        + ((F.col("s") - F.col("sl")) * (F.col("s") - F.col("sl"))).cast(
+            "double"
+        )
+        / (F.col("n") - F.col("k"))
+        - (F.col("s") * F.col("s")).cast("double") / F.col("n")
+    )
+    scored = pts.filter(F.col("k") < F.col("n")).select(
+        "user_id", "k", gain.alias("gain")
+    )
+    wb = Window.partitionBy("user_id").orderBy(F.desc("gain"), F.asc("k"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("k").alias("cp_pos"), "gain")
+    )
+    nx = pts.select(
+        "user_id", F.col("k").alias("k2"), F.col("t_us").alias("cp_t_us")
+    )
+    return best.join(
+        nx,
+        (best.user_id == nx.user_id) & (nx.k2 == best.cp_pos + 1),
+    ).select(best.user_id, "cp_pos", "cp_t_us", "gain")
