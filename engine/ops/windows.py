@@ -3197,3 +3197,66 @@ def ts_changepoint_binseg(spark, sf_dir):
         nx,
         (best.user_id == nx.user_id) & (nx.k2 == best.cp_pos + 1),
     ).select(best.user_id, "cp_pos", "cp_t_us", "gain")
+
+
+@register(
+    "events_dwell_time_report",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   epoch_ns(ts) // 1000000000 AS t_s,
+                   lead(epoch_ns(ts) // 1000000000) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt_s
+            FROM events),
+        dw AS (SELECT event_type, nxt_s - t_s AS dwell_s
+               FROM seq WHERE nxt_s IS NOT NULL)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               CAST(floor(CAST(sum(dwell_s) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS mean_dwell_s,
+               CAST(median(dwell_s) AS DOUBLE) AS median_dwell_s,
+               max(dwell_s) AS max_dwell_s
+        FROM dw GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_dwell_time_report(spark, sf_dir):
+    """Per-state dwell-time report: how long users sit in each
+    event_type before their next event — the state-residency metric
+    behind funnel-latency dashboards and session-timeout tuning
+    (complements win_lag_lead, which demonstrates the primitive;
+    this is the rollup a product team actually reads). Dwell = next
+    event's epoch second minus this one's, per user in (ts, event_id)
+    order; last event per user has no successor and is excluded.
+    Exact integer seconds; the mean floors explicitly (both engines),
+    the median interpolates two middle integers identically as a
+    double.
+
+    Scale: one lead() window pass per user partition + one map-side-
+    combinable rollup to the event_type spine — the median is the
+    only full-sort aggregate, bounded per type."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("t_s"),
+        "ts",
+        "event_id",
+    ).select(
+        "event_type",
+        (F.lead("t_s").over(w) - F.col("t_s")).alias("dwell_s"),
+    )
+    dw = seq.filter(F.col("dwell_s").isNotNull())
+    return (
+        dw.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.floor(
+                F.sum("dwell_s") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_dwell_s"),
+            F.median("dwell_s").alias("median_dwell_s"),
+            F.max("dwell_s").alias("max_dwell_s"),
+        )
+        .orderBy("event_type")
+    )
