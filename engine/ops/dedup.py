@@ -2322,3 +2322,106 @@ def dedup_cluster_canonical_pick(spark, sf_dir):
         F.col("n_chars").cast("long").alias("n_chars"),
         (F.row_number().over(w) == 1).cast("long").alias("is_canonical"),
     )
+
+
+def _cascade_oracle_sql():
+    from .similarity import SEMANTIC_PAIRS_SQL
+
+    return f"""
+    WITH near AS MATERIALIZED ({MINHASH_SQL}),
+    sem AS MATERIALIZED ({SEMANTIC_PAIRS_SQL}),
+    ex_pairs AS (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM documents a JOIN documents b
+          ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id),
+    s0 AS (SELECT doc_id FROM documents),
+    d1 AS (SELECT DISTINCT pb AS doc_id FROM ex_pairs),
+    s1 AS (SELECT doc_id FROM s0 EXCEPT SELECT doc_id FROM d1),
+    d2 AS (SELECT DISTINCT n.doc_b AS doc_id FROM near n
+           JOIN s1 x ON x.doc_id = n.doc_a
+           JOIN s1 y ON y.doc_id = n.doc_b),
+    s2 AS (SELECT doc_id FROM s1 EXCEPT SELECT doc_id FROM d2),
+    d3 AS (SELECT DISTINCT p.vec_b AS doc_id FROM sem p
+           JOIN s2 x ON x.doc_id = p.vec_a
+           JOIN s2 y ON y.doc_id = p.vec_b),
+    s3 AS (SELECT doc_id FROM s2 EXCEPT SELECT doc_id FROM d3)
+    SELECT '0_input' AS tier, CAST(0 AS BIGINT) AS n_dropped,
+           (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_remaining
+    UNION ALL
+    SELECT '1_exact', (SELECT CAST(count(*) AS BIGINT) FROM d1),
+           (SELECT CAST(count(*) AS BIGINT) FROM s1)
+    UNION ALL
+    SELECT '2_near', (SELECT CAST(count(*) AS BIGINT) FROM d2),
+           (SELECT CAST(count(*) AS BIGINT) FROM s2)
+    UNION ALL
+    SELECT '3_semantic', (SELECT CAST(count(*) AS BIGINT) FROM d3),
+           (SELECT CAST(count(*) AS BIGINT) FROM s3)
+    ORDER BY tier
+"""
+
+
+@register("dedup_cascade_report", oracle=_cascade_oracle_sql())
+def dedup_cascade_report(spark, sf_dir):
+    """The production dedup CASCADE as one query — cheap-to-expensive
+    tiers in the order a corpus pipeline runs them, each over the
+    previous tier's survivors: (1) exact content-hash keep-first,
+    (2) MinHash-LSH near-dup pairs (exact-jaccard-verified, the
+    dedup_near_minhash machinery), (3) SemDeDup embedding-space pairs
+    within kmeans clusters (the dedup_semantic_cluster machinery,
+    doc_id ≡ vec_id per FIXTURES.md). Drop rule per tier is
+    keep-first over the tier's input: a doc drops iff a LOWER-id
+    partner exists with both endpoints surviving the prior tiers —
+    so later (expensive) tiers never rescan what cheaper tiers
+    already removed, which is the entire economics of cascaded dedup
+    at 100 TB. Report: per tier, docs dropped and docs remaining.
+    Every tier is engine-exact (portable minhash, integer Lloyd,
+    anchored cosine), so the whole funnel value-hashes.
+
+    Scale: tier costs are the constituent ops' (bucketed LSH, bounded
+    cluster-local pair search); survivor filtering is two semi-joins
+    per tier on the doc-id spine."""
+    from .similarity import semantic_close_pairs
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    s0 = d.select("doc_id")
+    ex_a = d.select(F.col("doc_id").alias("pa"), F.sha2("text", 256).alias("h"))
+    ex_b = d.select(F.col("doc_id").alias("pb"), F.sha2("text", 256).alias("h"))
+    d1 = (
+        ex_a.join(ex_b, "h")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pb").alias("doc_id"))
+        .distinct()
+    )
+    s1 = s0.join(d1, "doc_id", "left_anti").persist()
+    near = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    d2 = (
+        near.join(s1.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .join(s1.withColumnsRenamed({"doc_id": "doc_b"}), "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(d2, "doc_id", "left_anti").persist()
+    sem = semantic_close_pairs(spark, sf_dir)
+    d3 = (
+        sem.join(s2.withColumnsRenamed({"doc_id": "vec_a"}), "vec_a")
+        .join(s2.withColumnsRenamed({"doc_id": "vec_b"}), "vec_b")
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(d3, "doc_id", "left_anti")
+
+    def row(tier, drops, surv):
+        return (
+            drops.agg(F.count(F.lit(1)).alias("n_dropped"))
+            .crossJoin(surv.agg(F.count(F.lit(1)).alias("n_remaining")))
+            .select(F.lit(tier).alias("tier"), "n_dropped", "n_remaining")
+        )
+
+    empty = s0.limit(0)
+    return (
+        row("0_input", empty, s0)
+        .unionByName(row("1_exact", d1, s1))
+        .unionByName(row("2_near", d2, s2))
+        .unionByName(row("3_semantic", d3, s3))
+        .orderBy("tier")
+    )

@@ -989,23 +989,27 @@ def _kmeans_oracle_sql():
         "list_aggregate(list_transform(list_zip(ea.embedding, eb.embedding),"
         " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
     )
-    semantic = f"""{prefix},
+    close_cte = f"""
     close AS (
-        SELECT b.vec_id
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM asgf a JOIN asgf b ON a.j = b.j AND a.vec_id < b.vec_id
         JOIN embeddings ea ON ea.vec_id = a.vec_id
         JOIN embeddings eb ON eb.vec_id = b.vec_id
-        WHERE floor({raw_dot} * 1000000 + 0.5) / 1000000 >= {NEARDUP_THRESHOLD})
+        WHERE floor({raw_dot} * 1000000 + 0.5) / 1000000 >= {NEARDUP_THRESHOLD})"""
+    semantic = f"""{prefix},{close_cte}
     SELECT a.vec_id, CAST(a.j AS BIGINT) AS cluster,
-           CAST(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           CAST(CASE WHEN c.vec_b IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
                AS is_dup
-    FROM asgf a LEFT JOIN (SELECT DISTINCT vec_id FROM close) c
-    ON a.vec_id = c.vec_id
+    FROM asgf a LEFT JOIN (SELECT DISTINCT vec_b FROM close) c
+    ON a.vec_id = c.vec_b
 """
-    return kmeans, semantic
+    sem_pairs = f"""{prefix},{close_cte}
+    SELECT vec_a, vec_b FROM close
+"""
+    return kmeans, semantic, sem_pairs
 
 
-_KMEANS_SQL, _SEMANTIC_SQL = _kmeans_oracle_sql()
+_KMEANS_SQL, _SEMANTIC_SQL, SEMANTIC_PAIRS_SQL = _kmeans_oracle_sql()
 
 
 @register("embed_kmeans_iterate", oracle=_KMEANS_SQL)
@@ -4176,4 +4180,35 @@ def embed_dim_variance_rank(spark, sf_dir):
         F.round("var", 6).alias("variance"),
         F.rank().over(w).cast("long").alias("var_rank"),
         (F.rank().over(w) <= 16).cast("long").alias("in_top16"),
+    )
+
+
+def semantic_close_pairs(spark, sf_dir, k=KMEANS_K):
+    """(vec_a, vec_b) within-cluster cosine-close pairs — the pair
+    form of dedup_semantic_cluster's mark phase with the identical
+    rank-1 accumulation + half-up rounding, factored for the dedup
+    cascade (dedup_cascade_report) which needs survivor-filterable
+    PAIRS rather than per-vector verdicts."""
+    import numpy as np
+    import pandas as pd
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, assign = _kmeans_fit(em, k, KMEANS_ITERS)
+    assigned = assign(centroids).select(
+        "vec_id", "embedding", F.col("cluster").cast("long").alias("cluster")
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        acc = np.zeros((len(X), len(X)))
+        for i in range(X.shape[1]):
+            acc += X[:, i : i + 1] * X[None, :, i]
+        close = np.floor(acc * 1e6 + 0.5) / 1e6 >= NEARDUP_THRESHOLD
+        ai, bj = np.nonzero(np.triu(close, k=1))
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj]})
+
+    return assigned.groupBy("cluster").applyInPandas(
+        pairs, "vec_a long, vec_b long"
     )
