@@ -2386,11 +2386,15 @@ def dedup_cascade_report(spark, sf_dir):
     s0 = d.select("doc_id")
     ex_a = d.select(F.col("doc_id").alias("pa"), F.sha2("text", 256).alias("h"))
     ex_b = d.select(F.col("doc_id").alias("pb"), F.sha2("text", 256).alias("h"))
+    # every drop set feeds BOTH the survivor anti-join and its report
+    # row — persist each so tier machinery (LSH chain, Lloyd loop)
+    # runs once, not twice
     d1 = (
         ex_a.join(ex_b, "h")
         .filter(F.col("pa") < F.col("pb"))
         .select(F.col("pb").alias("doc_id"))
         .distinct()
+        .persist()
     )
     s1 = s0.join(d1, "doc_id", "left_anti").persist()
     near = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
@@ -2399,6 +2403,7 @@ def dedup_cascade_report(spark, sf_dir):
         .join(s1.withColumnsRenamed({"doc_id": "doc_b"}), "doc_b")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .persist()
     )
     s2 = s1.join(d2, "doc_id", "left_anti").persist()
     sem = semantic_close_pairs(spark, sf_dir)
@@ -2407,6 +2412,7 @@ def dedup_cascade_report(spark, sf_dir):
         .join(s2.withColumnsRenamed({"doc_id": "vec_b"}), "vec_b")
         .select(F.col("vec_b").alias("doc_id"))
         .distinct()
+        .persist()
     )
     s3 = s2.join(d3, "doc_id", "left_anti")
 
