@@ -658,3 +658,21 @@ def test_kmv_bottom_k_uses_window_group_limit(spark):
     rewrite (found in review), so this pin guards the regression."""
     plan = _plan(spark, "agg_kmv_distinct")
     assert "WindowGroupLimit" in plan
+
+
+def test_cascade_no_cartesian_and_anti_joins(spark):
+    """dedup_cascade_report composes three dedup tiers: no tier may
+    degenerate to a cartesian product, and the survivor filtering
+    must plan as anti-joins on the doc-id spine (the O(survivors)
+    shape that makes cascaded dedup affordable)."""
+    plan = _plan(spark, "dedup_cascade_report")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_flow_port_kmv_uses_window_group_limit(spark):
+    """flow_port_cardinality_kmv shares agg_kmv_distinct's bottom-K
+    shape: the rank filter must plan as WindowGroupLimit so each map
+    task keeps only its local K hashes before the shuffle."""
+    plan = _plan(spark, "flow_port_cardinality_kmv")
+    assert "WindowGroupLimit" in plan
