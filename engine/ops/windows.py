@@ -3260,3 +3260,152 @@ def events_dwell_time_report(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_changepoint_binseg2",
+    oracle="""
+        WITH pts AS MATERIALIZED (
+            SELECT user_id,
+                   CAST(round(value) AS BIGINT) AS x,
+                   row_number() OVER w AS k,
+                   CAST(sum(CAST(round(value) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS sl,
+                   count(*) OVER (PARTITION BY user_id) AS n,
+                   CAST(sum(CAST(round(value) AS BIGINT))
+                        OVER (PARTITION BY user_id) AS BIGINT) AS s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        cp1 AS MATERIALIZED (
+            SELECT user_id, k AS k1, sl AS s1, n, s FROM (
+                SELECT user_id, k, sl, n, s,
+                       row_number() OVER (PARTITION BY user_id ORDER BY
+                           CAST(sl * sl AS DOUBLE) / k
+                           + CAST((s - sl) * (s - sl) AS DOUBLE) / (n - k)
+                           DESC, k) AS rn
+                FROM pts WHERE k < n) WHERE rn = 1),
+        lsplit AS (
+            SELECT p.user_id, p.k AS k2 FROM (
+                SELECT p.user_id, p.k,
+                       row_number() OVER (PARTITION BY p.user_id ORDER BY
+                           CAST(p.sl * p.sl AS DOUBLE) / p.k
+                           + CAST((c.s1 - p.sl) * (c.s1 - p.sl) AS DOUBLE)
+                             / (c.k1 - p.k) DESC, p.k) AS rn
+                FROM pts p JOIN cp1 c ON c.user_id = p.user_id
+                WHERE p.k < c.k1) p WHERE p.rn = 1),
+        rsplit AS (
+            SELECT p.user_id, p.k AS k3 FROM (
+                SELECT p.user_id, p.k,
+                       row_number() OVER (PARTITION BY p.user_id ORDER BY
+                           CAST((p.sl - c.s1) * (p.sl - c.s1) AS DOUBLE)
+                             / (p.k - c.k1)
+                           + CAST((c.s - p.sl) * (c.s - p.sl) AS DOUBLE)
+                             / (c.n - p.k) DESC, p.k) AS rn
+                FROM pts p JOIN cp1 c ON c.user_id = p.user_id
+                WHERE p.k > c.k1 AND p.k < c.n) p WHERE p.rn = 1)
+        SELECT c.user_id, c.k1 AS cp_main,
+               l.k2 AS cp_left, r.k3 AS cp_right
+        FROM cp1 c
+        LEFT JOIN lsplit l ON l.user_id = c.user_id
+        LEFT JOIN rsplit r ON r.user_id = c.user_id
+    """,
+)
+def ts_changepoint_binseg2(spark, sf_dir):
+    """The RECURSIVE step of binary segmentation: after
+    ts_changepoint_binseg's level-1 split k1, re-run the same l2
+    argmax INSIDE each side (positions < k1 and k1 < positions < n)
+    — up to three changepoints / four segments, the depth-2 profile
+    a monitoring pipeline renders. Left-segment scores reuse the
+    SAME global prefix sums (Sl over [1,j] vs the segment total S1 =
+    prefix at k1); right-segment sums are prefix differences — no
+    per-segment rescan, the property that keeps recursive binseg
+    O(n log depth) instead of O(n·depth). All sums exact BIGINTs,
+    identical IEEE score divisions, ties to the earliest split; a
+    side with no interior point (k1 = 1 or k1 = n-1) reports NULL.
+
+    Scale: two more windowed argmaxes over the SAME pts frame — at
+    100 TB this is three passes over per-user partitions with
+    bounded state, no shuffle beyond the user spine."""
+    e = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    wp = Window.partitionBy("user_id")
+    pts = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+            F.round("value").cast("long").alias("x"),
+        )
+        .select(
+            "user_id",
+            F.row_number().over(wo).alias("k"),
+            F.sum("x")
+            .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sl"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+            F.sum("x").over(wp).alias("s"),
+        )
+        .persist()  # three argmax consumers share the prefix frame
+    )
+    gain1 = (
+        (F.col("sl") * F.col("sl")).cast("double") / F.col("k")
+        + ((F.col("s") - F.col("sl")) * (F.col("s") - F.col("sl"))).cast(
+            "double"
+        )
+        / (F.col("n") - F.col("k"))
+    )
+    w1 = Window.partitionBy("user_id").orderBy(F.desc("g"), F.asc("k"))
+    cp1 = (
+        pts.filter(F.col("k") < F.col("n"))
+        .select("user_id", "k", "sl", "n", "s", gain1.alias("g"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("k").alias("k1"),
+            F.col("sl").alias("s1"),
+            F.col("n").alias("nn"),
+            F.col("s").alias("ss"),
+        )
+    )
+    j = pts.join(cp1, "user_id")
+    gl = (
+        (F.col("sl") * F.col("sl")).cast("double") / F.col("k")
+        + ((F.col("s1") - F.col("sl")) * (F.col("s1") - F.col("sl"))).cast(
+            "double"
+        )
+        / (F.col("k1") - F.col("k"))
+    )
+    wl = Window.partitionBy("user_id").orderBy(F.desc("g"), F.asc("k"))
+    lsplit = (
+        j.filter(F.col("k") < F.col("k1"))
+        .select("user_id", "k", gl.alias("g"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("k").alias("cp_left"))
+    )
+    gr = (
+        ((F.col("sl") - F.col("s1")) * (F.col("sl") - F.col("s1"))).cast(
+            "double"
+        )
+        / (F.col("k") - F.col("k1"))
+        + ((F.col("ss") - F.col("sl")) * (F.col("ss") - F.col("sl"))).cast(
+            "double"
+        )
+        / (F.col("nn") - F.col("k"))
+    )
+    rsplit = (
+        j.filter((F.col("k") > F.col("k1")) & (F.col("k") < F.col("nn")))
+        .select("user_id", "k", gr.alias("g"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("k").alias("cp_right"))
+    )
+    return (
+        cp1.select("user_id", F.col("k1").alias("cp_main"))
+        .join(lsplit, "user_id", "left")
+        .join(rsplit, "user_id", "left")
+        .select("user_id", "cp_main", "cp_left", "cp_right")
+    )
