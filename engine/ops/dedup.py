@@ -1063,7 +1063,7 @@ def dedup_savings_report(spark, sf_dir):
 
 
 CDC_SHINGLE = 3  # rolling-hash window (tokens)
-CDC_MOD = 8  # boundary when crc32(window) % MOD == 0 → ~MOD-token chunks
+CDC_MOD = 8  # boundary when md5-prefix-hash(window) % MOD == 0 → ~MOD-token chunks
 
 
 CDC_SQL = f"""
@@ -2431,3 +2431,188 @@ def dedup_cascade_report(spark, sf_dir):
         .unionByName(row("3_semantic", d3, s3))
         .orderBy("tier")
     )
+
+
+N_INC_BATCHES = 3  # ingest increments (id-range tertiles of the corpus)
+
+INC_LSH_SQL = f"""
+    WITH near AS MATERIALIZED ({MINHASH_SQL}),
+    m AS (SELECT max(doc_id) AS mx FROM documents),
+    ranked AS (
+        SELECT doc_b AS doc_id, doc_a, jaccard,
+               row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+        FROM near)
+    SELECT r.doc_id,
+           CAST((3 * r.doc_id) // (m.mx + 1) AS BIGINT) AS batch_id,
+           r.doc_a AS dup_of,
+           r.jaccard AS jaccard_first
+    FROM ranked r, m WHERE r.rn = 1
+"""
+
+
+def _inc_lsh_bands(doc_sh):
+    """(doc_id, band, band_key) LSH band rows from (doc_id, sh-array)
+    rows — the exact dedup_near_minhash banding (16 portable minhashes,
+    8 bands of 2), factored so the batch path and the persisted index
+    share one spelling."""
+    sh = doc_sh.select("doc_id", F.explode("sh").alias("shingle")).withColumn(
+        "hb", _mh_base()
+    )
+    mh = sh.groupBy("doc_id").agg(*_mh_sig_aggs())
+    return mh.select(
+        "doc_id", F.explode(F.array(*_mh_band_structs())).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+
+def _inc_lsh_pairs_in_array(ids_df):
+    """(doc_a < doc_b) pairs emitted inside each bucket's sorted id
+    array (the grouped-inverted-index idiom shared with
+    dedup_near_minhash)."""
+    return (
+        ids_df.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice("ids", i + 2, F.size("ids")),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+
+
+def _inc_lsh_process_batch(spark, docs, mx, base, b):
+    """Process ONE ingest increment against the accumulated LSH index.
+
+    The increment's shingle arrays and band rows are computed once;
+    candidates come from (a) the within-batch grouped inverted index
+    and (b) an equi-join of the batch's band rows against the
+    PERSISTED index bands (generations 0..b-1) — O(batch), never a
+    corpus rerun. Candidates are exact-jaccard-verified against the
+    persisted shingle arrays, then reduced to each duplicate doc's
+    FIRST (lowest-id) verified partner. Finally the batch's bands and
+    shingles are appended as generation ``b`` (deterministic
+    overwrite of the gen directory = the replay-idempotence protocol:
+    re-running a batch rewrites the same files and re-emits the same
+    rows; tests/test_llm_ops.py pins it)."""
+    batch = docs.filter(F.expr(f"(3 * doc_id) div {mx + 1}") == b)
+    doc_sh = (
+        batch.repartition(32, "doc_id")
+        .select("doc_id", _shingle_array(_tokens()).alias("sh"))
+        .persist()
+    )
+    bands = _inc_lsh_bands(doc_sh)
+    within = _inc_lsh_pairs_in_array(
+        bands.groupBy("band", "band_key").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids")
+        )
+    )
+    if b > 0:
+        idx_bands = spark.read.parquet(
+            *[f"{base}/bands/gen={g}" for g in range(b)]
+        )
+        cross = idx_bands.select(
+            F.col("doc_id").alias("doc_a"), "band", "band_key"
+        ).join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key"),
+            ["band", "band_key"],
+        ).select("doc_a", "doc_b")
+        cands = within.unionByName(cross).distinct()
+        idx_sh = spark.read.parquet(
+            *[f"{base}/shingles/gen={g}" for g in range(b)]
+        )
+        all_sh = doc_sh.unionByName(idx_sh)
+    else:
+        cands = within.distinct()
+        all_sh = doc_sh
+    sa = all_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("doc_b").orderBy("doc_a")
+    out = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.lit(b).cast("long").alias("batch_id"),
+            F.col("doc_a").alias("dup_of"),
+            F.col("jaccard").alias("jaccard_first"),
+        )
+    )
+    # append this increment to the index: generation b. The rows are
+    # computed BEFORE the write below runs via .collect-free eager
+    # parquet actions, so the returned frame must be materialized
+    # before the caller mutates later generations — the registered op
+    # localCheckpoints it for exactly that reason.
+    bands.write.mode("overwrite").parquet(f"{base}/bands/gen={b}")
+    doc_sh.select("doc_id", "sh").write.mode("overwrite").parquet(
+        f"{base}/shingles/gen={b}"
+    )
+    out = out.localCheckpoint(eager=True)
+    doc_sh.unpersist()
+    return out
+
+
+@register("dedup_incremental_lsh", oracle=INC_LSH_SQL)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental NEAR-dup dedup — the production form of MinHash-LSH
+    (the round-5 verdict's top ask): daily ingest BATCHES are deduped
+    against a persisted, append-only LSH band index instead of
+    re-running LSH over the accumulated corpus. Per increment the cost
+    is O(batch): band the new docs (16 portable minhashes → 8 band
+    keys), equi-join those band keys against the index (plus the
+    within-batch inverted index), exact-verify only the candidates,
+    then append the increment's bands+shingles as the next index
+    generation. The corpus is split into {N_INC_BATCHES} id-range
+    batches here; the index is two parquet table families
+    (bands/gen=N, shingles/gen=N) whose generation directories are the
+    replay unit — re-running a batch overwrites its own generation
+    deterministically and re-emits identical rows (replay-idempotence
+    pinned in tests/test_llm_ops.py).
+
+    Output: one row per detected duplicate — (doc_id, batch_id,
+    dup_of = lowest-id verified partner anywhere earlier in the
+    stream or batch, jaccard with that partner). Because banding,
+    candidate generation, and verification are the exact
+    dedup_near_minhash machinery, incremental(batches) ≡ batch LSH on
+    the union: the oracle restates the first-partner reduction over
+    the full-corpus MINHASH pair set — the same mergeability argument
+    stream_kmv_distinct makes for sketch state.
+
+    Scale shape: the index band table is partitioned by generation
+    and joined on (band, band_key) — at 100 TB it is bucketed on
+    band_key so each daily increment's join is shuffle-free on the
+    index side; verification touches only candidate shingle arrays
+    (point lookups by doc_id), and nothing ever rescans prior
+    generations' text."""
+    from ..registry import scratch_dir
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    base = scratch_dir("dedup_incremental_lsh")
+    out = None
+    for b in range(N_INC_BATCHES):
+        ob = _inc_lsh_process_batch(spark, d, mx, base, b)
+        out = ob if out is None else out.unionByName(ob)
+    return out
