@@ -778,3 +778,68 @@ def test_incremental_lsh_replay_idempotent(spark):
     assert replay1 == replay2  # idempotent under replay
     want_last = [r for r in full if r[1] == last]
     assert replay1 == want_last  # replay reproduces the original rows
+
+
+def test_ivf_append_equals_frozen_rebuild(spark):
+    """The appended-index probe must reproduce, bit-for-bit, an
+    in-memory 'rebuild' that assigns ALL vectors against the same
+    frozen base centroids — i.e. appending generations never changes
+    the answer, only the storage layout."""
+    from pyspark.sql import functions as F
+
+    from engine.ops import similarity as S
+
+    em = table(spark, T2_SF_DIR, "embeddings")
+    cut = S._ivf_append_cut(em)
+    refined, _ = S._ivf_build_from(em.filter(F.col("vec_id") < cut))
+    allv = em.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    rebuilt = S._ivf_probe(
+        spark, T2_SF_DIR, refined, S._ivf_assign(allv, refined)
+    )
+    got = sorted(
+        map(tuple, engine.QUERIES["sim_index_append"](spark, T2_SF_DIR).collect())
+    )
+    want = sorted(map(tuple, rebuilt.collect()))
+    assert got == want
+
+
+def test_ivf_drift_trigger_fires_on_real_drift(spark):
+    """Force-drift the appended cohort and pin that the integer
+    cross-multiply trigger fires; the registered op on the stationary
+    fixture must NOT fire (both its cohorts are out-of-sample by
+    construction). The simulated drift is a 0.25x re-scale — the
+    classic upstream-encoder-swap incident. (Directional drift like
+    negation barely moves MAX-dot affinity on this structureless
+    corpus: the winning dot is the max of 16 near-symmetric dots, so
+    magnitude is the axis the monitor actually observes here.)"""
+    from pyspark.sql import functions as F
+
+    from engine.ops import similarity as S
+
+    rows = {
+        r["phase"]: r
+        for r in engine.QUERIES["sim_index_drift_report"](
+            spark, T2_SF_DIR
+        ).collect()
+    }
+    assert rows["0_validation"]["recluster_due"] is False
+    assert rows["1_append"]["recluster_due"] is False  # stationary corpus
+
+    em = table(spark, T2_SF_DIR, "embeddings")
+    mx = em.agg(F.max("vec_id")).collect()[0][0]
+    train_cut = 3 * (mx + 1) // 5
+    append_cut = S._ivf_append_cut(em)
+    refined, _ = S._ivf_build_from(em.filter(F.col("vec_id") < train_cut))
+    drifted = em.filter(F.col("vec_id") >= append_cut).select(
+        F.col("vec_id").alias("c_id"),
+        F.transform("embedding", lambda x: (x * F.lit(0.25)).cast("float")).alias(
+            "c_emb"
+        ),
+    )
+    drifted_mean = S._ivf_phase_stats(
+        S._ivf_assign(drifted, refined, keep_aff=True), "drifted"
+    ).collect()[0]["mean_aff_micro"]
+    ref_mean = rows["0_validation"]["mean_aff_micro"]
+    assert (ref_mean - drifted_mean) * (100 // S.DRIFT_TRIGGER_PCT) > ref_mean
