@@ -265,65 +265,26 @@ MINHASH_SQL = f"""{_MH_COMMON_CTES},
 """
 
 
-@register("dedup_near_minhash", oracle=MINHASH_SQL)
-def dedup_near_minhash(spark, sf_dir):
-    """MinHash + banded LSH near-dup detection, pure DataFrame ops.
+def _minhash_pairs(doc_sh):
+    """LSH near-dup pairs from a (doc_id, sh shingle-array) frame —
+    the shared core of dedup_near_minhash, dedup_incremental_lsh's
+    within-batch path, and dedup_cascade_report's tier 2 (which feeds
+    it from the cascade's ONE persisted scan instead of re-reading
+    documents — the round-5 perf watch item).
 
     shingle → 16 minhashes (portable affine family over a md5-derived
-    31-bit base, mod 2^31-1) → 8 bands of 2 → bucket join on (band,
-    band_key) → exact jaccard re-verification of candidates only.
-    Because the permutation family is exact BIGINT arithmetic, the
-    LSH candidate set itself is engine-independent and the op carries
-    a FULL value-hash oracle (upgraded from rows-only); the
-    output ⊆ exact-jaccard-pairs property test in tests/test_llm_ops.py
-    still holds on top.
-
-    Scale shape: the 16 signatures are 16 agg expressions in ONE
-    map-side-combinable pass over the shingle rows (not a 16× row
-    fan-out) — one md5 per shingle, 16 cheap affine mods, all
-    whole-stage codegen — and verification intersects per-doc shingle
-    *arrays* carried to the candidate pairs — no shingle-level
-    self-join, so the only quadratic work is inside LSH buckets.
-    """
-    d = table(spark, sf_dir, "documents")
-    doc_sh = d.repartition(32, "doc_id").select(
-        "doc_id", _shingle_array(_tokens()).alias("sh")
-    )
-    sh = doc_sh.select(
-        "doc_id", F.explode("sh").alias("shingle")
-    ).withColumn("hb", _mh_base())
-    mh = sh.groupBy("doc_id").agg(*_mh_sig_aggs())
-    bands = mh.select(
-        "doc_id",
-        F.explode(F.array(*_mh_band_structs())).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
-    # candidate pairs per (band, band_key) bucket via the same
-    # grouped-inverted-index shape as dedup_ngram_jaccard: one shuffle
-    # to collect each bucket's sorted doc list, (i < j) pairs emitted
-    # in-array, distinct() dedups pairs colliding in multiple bands
-    cands = (
-        bands.groupBy("band", "band_key")
+    31-bit base, mod 2^31-1) → 8 bands of 2 → grouped inverted index
+    on (band, band_key) with in-array (i < j) pair emission → exact
+    jaccard re-verification of candidates only, via per-doc shingle
+    ARRAY intersection (no shingle-level self-join). The 16
+    signatures are 16 agg expressions in ONE map-side-combinable
+    pass (not a 16× row fan-out); quadratic work happens only inside
+    LSH buckets."""
+    cands = _lsh_bucket_pairs(
+        _lsh_band_rows(doc_sh)
+        .groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda x, i: F.transform(
-                            F.slice("ids", i + 2, F.size("ids")),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
-    # exact re-verification on candidates only, via array intersection
+    ).distinct()
     sa = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     sized = (
@@ -341,6 +302,22 @@ def dedup_near_minhash(spark, sf_dir):
     return sized.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
+
+
+@register("dedup_near_minhash", oracle=MINHASH_SQL)
+def dedup_near_minhash(spark, sf_dir):
+    """MinHash + banded LSH near-dup detection, pure DataFrame ops
+    (see _minhash_pairs for the pipeline and its scale shape).
+    Because the permutation family is exact BIGINT arithmetic, the
+    LSH candidate set itself is engine-independent and the op carries
+    a FULL value-hash oracle (upgraded from rows-only); the
+    output ⊆ exact-jaccard-pairs property test in tests/test_llm_ops.py
+    still holds on top."""
+    d = table(spark, sf_dir, "documents")
+    doc_sh = d.repartition(32, "doc_id").select(
+        "doc_id", _shingle_array(_tokens()).alias("sh")
+    )
+    return _minhash_pairs(doc_sh)
 
 
 # SimHash portable spelling: the 64 signature bits come from a md5
@@ -2382,10 +2359,23 @@ def dedup_cascade_report(spark, sf_dir):
     per tier on the doc-id spine."""
     from .similarity import semantic_close_pairs
 
+    # ONE scan + tokenize feeds BOTH cheap tiers: tier 1 reads the
+    # sha256 column, tier 2 the shingle arrays — previously each tier
+    # re-read and re-tokenized documents (round-5 perf watch item,
+    # 9.6 s → see BASELINE.md round-6 notes)
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    s0 = d.select("doc_id")
-    ex_a = d.select(F.col("doc_id").alias("pa"), F.sha2("text", 256).alias("h"))
-    ex_b = d.select(F.col("doc_id").alias("pb"), F.sha2("text", 256).alias("h"))
+    base = (
+        d.repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            F.sha2("text", 256).alias("h"),
+            _shingle_array(_tokens()).alias("sh"),
+        )
+        .persist()
+    )
+    s0 = base.select("doc_id")
+    ex_a = base.select(F.col("doc_id").alias("pa"), "h")
+    ex_b = base.select(F.col("doc_id").alias("pb"), "h")
     # every drop set feeds BOTH the survivor anti-join and its report
     # row — persist each so tier machinery (LSH chain, Lloyd loop)
     # runs once, not twice
@@ -2397,7 +2387,7 @@ def dedup_cascade_report(spark, sf_dir):
         .persist()
     )
     s1 = s0.join(d1, "doc_id", "left_anti").persist()
-    near = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    near = _minhash_pairs(base.select("doc_id", "sh")).select("doc_a", "doc_b")
     d2 = (
         near.join(s1.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
         .join(s1.withColumnsRenamed({"doc_id": "doc_b"}), "doc_b")
@@ -2424,13 +2414,19 @@ def dedup_cascade_report(spark, sf_dir):
         )
 
     empty = s0.limit(0)
-    return (
+    report = (
         row("0_input", empty, s0)
         .unionByName(row("1_exact", d1, s1))
         .unionByName(row("2_near", d2, s2))
         .unionByName(row("3_semantic", d3, s3))
-        .orderBy("tier")
     )
+    # materialize the 4-row report eagerly, then release every cached
+    # frame — the previous form leaked all five persists to the
+    # ContextCleaner (ADVICE r5)
+    report = report.localCheckpoint(eager=True)
+    for f in (base, d1, s1, d2, s2, d3):
+        f.unpersist()
+    return report.orderBy("tier")
 
 
 N_INC_BATCHES = 3  # ingest increments (id-range tertiles of the corpus)
@@ -2450,7 +2446,7 @@ INC_LSH_SQL = f"""
 """
 
 
-def _inc_lsh_bands(doc_sh):
+def _lsh_band_rows(doc_sh):
     """(doc_id, band, band_key) LSH band rows from (doc_id, sh-array)
     rows — the exact dedup_near_minhash banding (16 portable minhashes,
     8 bands of 2), factored so the batch path and the persisted index
@@ -2464,7 +2460,7 @@ def _inc_lsh_bands(doc_sh):
     ).select("doc_id", "bk.band", "bk.band_key")
 
 
-def _inc_lsh_pairs_in_array(ids_df):
+def _lsh_bucket_pairs(ids_df):
     """(doc_a < doc_b) pairs emitted inside each bucket's sorted id
     array (the grouped-inverted-index idiom shared with
     dedup_near_minhash)."""
@@ -2509,8 +2505,8 @@ def _inc_lsh_process_batch(spark, docs, mx, base, b):
         .select("doc_id", _shingle_array(_tokens()).alias("sh"))
         .persist()
     )
-    bands = _inc_lsh_bands(doc_sh)
-    within = _inc_lsh_pairs_in_array(
+    bands = _lsh_band_rows(doc_sh)
+    within = _lsh_bucket_pairs(
         bands.groupBy("band", "band_key").agg(
             F.sort_array(F.collect_list("doc_id")).alias("ids")
         )

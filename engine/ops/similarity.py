@@ -866,49 +866,49 @@ def _kmeans_fit(em, k: int, iters: int):
     engine-independent (the oracle unrolls it). Returns the fitted
     integer centroids and the assignment function."""
 
+    import numpy as np
+
+    def _micro(pdf):
+        """Exactly _emb_u() in numpy: float32 → float64 (lossless),
+        ×Q, +0.5, floor, int64."""
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return np.floor(X * EMB_Q + 0.5).astype(np.int64)
+
     def assign(centroids):
-        # two-stage projection: eu and the k dot folds materialize as
-        # NAMED columns before best/cluster/sim reference them —
-        # otherwise Catalyst inlines the fold expression into
-        # greatest() + the k coalesce arms + sim (≈3k evaluations per
-        # row; measured +40% op time). CollapseProject keeps
-        # multi-referenced non-cheap aliases, so the named form
-        # evaluates each fold once.
-        eu_df = em.select("vec_id", "embedding", _emb_u().alias("eu"))
-        dots_df = eu_df.select(
-            "vec_id",
-            "embedding",
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("eu"),
-                        F.array(*[F.lit(int(v)) for v in c]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                ).alias(f"dot{j}")
-                for j, c in enumerate(centroids)
-            ],
-        )
-        dots = [F.col(f"dot{j}") for j in range(len(centroids))]
-        # greatest() requires ≥2 cols; k=1 (dedup_semantic_cluster's
-        # exactness check) degenerates to the single dot
-        best = dots[0] if len(dots) == 1 else F.greatest(*dots)
-        cluster = F.coalesce(
-            *[F.when(dots[j] == best, F.lit(j)) for j in range(len(dots))]
-        )
-        # round-half-up of dot/Q^2 at 6 dp in exact form:
-        # floor((dot + Q/2) / Q) / Q — deterministic in both engines
-        sim6 = (
-            F.floor((best + F.lit(EMB_Q // 2)) / F.lit(float(EMB_Q)))
-            / F.lit(float(EMB_Q))
-        )
-        return dots_df.select(
-            "vec_id",
-            "embedding",
-            cluster.alias("cluster"),
-            sim6.alias("sim_to_centroid"),
+        # Arrow-batched numpy assignment: one int64 matmul per batch
+        # against the broadcast k×d centroid matrix. Products are
+        # ≤ ~1e12 and row sums ≤ 64·1e12 < 2^63, so the int64 matmul
+        # is EXACT — the same BIGINT dot fold the oracle unrolls —
+        # and np.argmax's first-max rule is the coalesce-first-match
+        # tie-break. Replaces k interpreted zip_with folds per row
+        # (Catalyst HOFs are not codegen'd; measured 3.5× op speedup
+        # at sf0.1 with a bit-identical trajectory).
+        C = np.array(centroids, dtype=np.int64)
+
+        def assign_fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                D = _micro(pdf) @ C.T  # n×k exact int64
+                best = D.max(axis=1)
+                # round-half-up of dot/Q² at 6 dp in exact form:
+                # floor((dot + Q/2) / Q) / Q — matches both engines
+                sim6 = np.floor((best + EMB_Q // 2) / float(EMB_Q)) / float(
+                    EMB_Q
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "cluster": D.argmax(axis=1).astype("int32"),
+                        "sim_to_centroid": sim6,
+                    }
+                )
+
+        return em.mapInPandas(
+            assign_fn,
+            "vec_id long, embedding array<float>, cluster int, "
+            "sim_to_centroid double",
         )
 
     import math
@@ -919,23 +919,45 @@ def _kmeans_fit(em, k: int, iters: int):
         for r in init
     ]
     for _ in range(iters):
-        partials = (
-            assign(centroids)
-            .select("cluster", F.posexplode(_emb_u()))
-            .groupBy("cluster", "pos")
-            .agg(
-                F.sum("col").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        upd: dict[int, list[int]] = {}
+        C = np.array(centroids, dtype=np.int64)
+
+        def partials_fn(batches, C=C):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Xu = _micro(pdf)
+                cl = (Xu @ C.T).argmax(axis=1)
+                rows = []
+                for j in np.unique(cl):
+                    m = cl == j
+                    rows.append(
+                        {
+                            "cluster": int(j),
+                            "s": Xu[m].sum(axis=0).tolist(),  # exact int64
+                            "n": int(m.sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        # k rows × #partitions reach the driver (≤ k×32 ×(64+2) ints);
+        # the merge is integer addition — order-free
+        partials = em.mapInPandas(
+            partials_fn, "cluster int, s array<long>, n long"
+        ).collect()
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
         for r in partials:
-            # Python // floors like DuckDB's // — exact on negatives
-            upd.setdefault(r["cluster"], [0] * EMB_DIM)[r["pos"]] = (
-                int(r["s"]) // int(r["n"])
-            )
-        centroids = [upd.get(j, centroids[j]) for j in range(k)]
+            j = r["cluster"]
+            sums[j] = sums.get(j, 0) + np.array(r["s"], dtype=object)
+            counts[j] = counts.get(j, 0) + r["n"]
+        centroids = [
+            # Python // floors like DuckDB's explicit floor() — exact
+            # on negative sums
+            [int(s) // counts[j] for s in sums[j]]
+            if j in counts
+            else centroids[j]
+            for j in range(k)
+        ]
     return centroids, assign
 
 
