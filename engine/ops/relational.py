@@ -520,6 +520,29 @@ def audit_null_profile(spark, sf_dir):
     the profile runs over a simulated degraded feed (o_custkey nulled
     every 101st key, o_orderpriority every 103rd), restated by the
     oracle."""
+    return _null_profile(spark, sf_dir, F.countDistinct)
+
+
+@register("audit_null_profile_approx")  # rows-only: HLL++ sketch values
+def audit_null_profile_approx(spark, sf_dir):
+    """The 100 TB form of audit_null_profile: identical 24-stat
+    profile with ``approx_count_distinct`` (HLL++, default 5% rsd)
+    replacing the exact count(DISTINCT) — the swap the exact op's
+    docstring prescribes, registered as a first-class twin (round-5
+    verdict watch item). The exact multi-distinct plans an Expand ×6
+    of the fact table (6× intermediate rows through the aggregate);
+    the approx form keeps ONE row per input row through a single
+    partial-aggregable pass, which is the difference between a
+    publish-gate audit you can afford per snapshot and one you can't.
+
+    Rows-only by nature (Spark-internal sketch bytes have no DuckDB
+    restatement); tests/test_properties.py bounds every approx
+    distinct within 3×rsd of the exact twin's value — the
+    agg_hll_error_audit pattern."""
+    return _null_profile(spark, sf_dir, F.approx_count_distinct)
+
+
+def _null_profile(spark, sf_dir, distinct_agg):
     o = table(spark, sf_dir, "orders")
     t = o.select(
         "o_orderkey",
@@ -546,7 +569,7 @@ def audit_null_profile(spark, sf_dir):
     for col, kind in _PROFILE_COLS:
         aggs += [
             (F.count(F.lit(1)) - F.count(col)).alias(f"null__{col}"),
-            F.countDistinct(col).alias(f"dist__{col}"),
+            distinct_agg(col).alias(f"dist__{col}"),
             render(col, kind, F.min).alias(f"min__{col}"),
             render(col, kind, F.max).alias(f"max__{col}"),
         ]

@@ -676,3 +676,12 @@ def test_flow_port_kmv_uses_window_group_limit(spark):
     task keeps only its local K hashes before the shuffle."""
     plan = _plan(spark, "flow_port_cardinality_kmv")
     assert "WindowGroupLimit" in plan
+
+
+def test_null_profile_approx_avoids_expand(spark):
+    """The approx profile twin exists precisely to avoid the exact
+    multi-count(DISTINCT) Expand ×6 of the fact table; pin that the
+    approx plan has no Expand while the exact one (acceptably, as a
+    publish-gate audit) does."""
+    assert "Expand" not in _plan(spark, "audit_null_profile_approx")
+    assert "Expand" in _plan(spark, "audit_null_profile")

@@ -337,3 +337,31 @@ def test_price_volume_mix_bridge_identity(spark):
         pdf.volume_eff + pdf.price_eff + pdf.cross_eff - pdf.delta_cents
     ).abs().max()
     assert resid < 1e-4, resid
+
+
+def test_null_profile_approx_matches_exact_within_rsd(spark):
+    """audit_null_profile_approx must agree with the exact twin on
+    everything BUT the sketched statistic (null counts and min/max are
+    computed identically), and each approx distinct count must land
+    within 3x the HLL++ default rsd (5%) of the exact value — the
+    bound that keeps the 100 TB form an honest estimator."""
+    import engine
+    from tests.conftest import T2_SF_DIR
+
+    exact = {
+        r["col_name"]: r
+        for r in engine.QUERIES["audit_null_profile"](spark, T2_SF_DIR).collect()
+    }
+    approx = {
+        r["col_name"]: r
+        for r in engine.QUERIES["audit_null_profile_approx"](
+            spark, T2_SF_DIR
+        ).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) == 6
+    for col, e in exact.items():
+        a = approx[col]
+        assert a["n_null"] == e["n_null"]
+        assert a["min_str"] == e["min_str"] and a["max_str"] == e["max_str"]
+        rel = abs(a["n_distinct"] / e["n_distinct"] - 1.0)
+        assert rel <= 0.15, (col, a["n_distinct"], e["n_distinct"])
