@@ -1024,3 +1024,238 @@ def ingest_multiline_log_reassembly(spark, sf_dir):
             6,
         ).alias("avg_continuations"),
     )
+
+
+# ---- Avro object-container ingest (round-5 verdict ask #5) ----
+# The Kinesis/Firehose ecosystem's second wire format after JSON. No
+# spark-avro jar ships in this sandbox, so the decode is pure Python
+# over binary payload columns — the same pattern as the P6/RIFF
+# decoders in engine/ops/multimodal.py: the format handling is REAL
+# (zigzag varints, deflate blocks, sync markers, schema-driven field
+# decode), only the connector jar is absent.
+
+AVRO_FIELDS = [
+    ("event_id", "long"),
+    ("ts_micros", "long"),
+    ("user_id", "long"),
+    ("event_type", "string"),
+    ("value", "double"),
+    ("props", "string"),
+]
+N_AVRO_SHARDS = 8
+AVRO_BLOCK_RECORDS = 1000
+
+
+def _avro_schema_json() -> str:
+    import json
+
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "Event",
+            "fields": [{"name": n, "type": t} for n, t in AVRO_FIELDS],
+        }
+    )
+
+
+def _zz_long(n: int) -> bytes:
+    """Avro long: zigzag then base-128 varint, little-endian groups."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _zz_long(len(b)) + b
+
+
+def _avro_sync(shard: int) -> bytes:
+    import hashlib
+
+    return hashlib.md5(f"avro-sync-{shard}".encode()).digest()
+
+
+def _encode_container(shard: int, rows) -> bytes:
+    """One Avro OCF: magic, metadata map (schema JSON + deflate codec),
+    sync marker, then deflate blocks of AVRO_BLOCK_RECORDS records."""
+    import struct
+    import zlib
+
+    schema = _avro_schema_json().encode("utf-8")
+    out = bytearray(b"Obj\x01")
+    # metadata map: one block of 2 entries, then the 0 terminator
+    out += _zz_long(2)
+    out += _enc_str("avro.schema") + _zz_long(len(schema)) + schema
+    out += _enc_str("avro.codec") + _enc_str("deflate")
+    out += _zz_long(0)
+    sync = _avro_sync(shard)
+    out += sync
+
+    def enc_record(r) -> bytes:
+        b = bytearray()
+        for name, typ in AVRO_FIELDS:
+            v = r[name]
+            if typ == "long":
+                b += _zz_long(int(v))
+            elif typ == "string":
+                b += _enc_str(str(v))
+            else:  # double: 8-byte little-endian IEEE — bit-exact
+                b += struct.pack("<d", float(v))
+        return bytes(b)
+
+    for i in range(0, len(rows), AVRO_BLOCK_RECORDS):
+        chunk = rows[i : i + AVRO_BLOCK_RECORDS]
+        raw = b"".join(enc_record(r) for r in chunk)
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate
+        comp = co.compress(raw) + co.flush()
+        out += _zz_long(len(chunk)) + _zz_long(len(comp)) + comp + sync
+    return bytes(out)
+
+
+class _AvroReader:
+    """Minimal schema-driven OCF reader for primitive field types."""
+
+    def __init__(self, payload: bytes):
+        self.b = payload
+        self.pos = 0
+
+    def read_long(self) -> int:
+        z, shift = 0, 0
+        while True:
+            byte = self.b[self.pos]
+            self.pos += 1
+            z |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        return (z >> 1) ^ -(z & 1)
+
+    def read_bytes(self, n: int) -> bytes:
+        out = self.b[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def read_str(self) -> str:
+        return self.read_bytes(self.read_long()).decode("utf-8")
+
+    def records(self):
+        import json
+        import struct
+        import zlib
+
+        if self.read_bytes(4) != b"Obj\x01":
+            raise ValueError("not an Avro object container")
+        meta = {}
+        while True:
+            n = self.read_long()
+            if n == 0:
+                break
+            for _ in range(abs(n)):
+                # two ordered reads: Python evaluates the assignment
+                # RHS before a subscript target, so the one-liner
+                # d[read()] = read() reads value bytes FIRST
+                key = self.read_str()
+                meta[key] = self.read_str()
+        schema = json.loads(meta["avro.schema"])
+        fields = [(f["name"], f["type"]) for f in schema["fields"]]
+        codec = meta.get("avro.codec", "null")
+        sync = self.read_bytes(16)
+        while self.pos < len(self.b):
+            n_rec = self.read_long()
+            size = self.read_long()
+            data = self.read_bytes(size)
+            if self.read_bytes(16) != sync:
+                raise ValueError("sync marker mismatch (corrupt block)")
+            if codec == "deflate":
+                data = zlib.decompress(data, -15)
+            r = _AvroReader(data)
+            for _ in range(n_rec):
+                rec = {}
+                for name, typ in fields:
+                    if typ == "long":
+                        rec[name] = r.read_long()
+                    elif typ == "string":
+                        rec[name] = r.read_str()
+                    elif typ == "double":
+                        rec[name] = struct.unpack("<d", r.read_bytes(8))[0]
+                    else:
+                        raise ValueError(f"unsupported avro type {typ}")
+                yield rec
+
+
+@register(
+    "ingest_avro_container",
+    oracle="""
+        SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_micros,
+               user_id, event_type, value, props
+        FROM events
+    """,
+)
+def ingest_avro_container(spark, sf_dir):
+    """Avro object-container ingest, end to end: the events table is
+    encoded into {N_AVRO_SHARDS} OCF binary payloads (one per shard —
+    the Firehose delivery-object shape), written through a parquet
+    binary column, read back, and DECODED with a schema-driven pure-
+    Python reader inside mapInPandas — header metadata map, deflate
+    blocks (raw DEFLATE, wbits=-15 per the Avro spec), per-block sync
+    marker verification, zigzag-varint longs, IEEE doubles. The
+    closed-form oracle checks the full round trip field-for-field
+    against the source rows, which proves both directions at once.
+
+    Scale shape: encode is applyInPandas per shard (at 100 TB the
+    shard count is the Firehose partition count — thousands of
+    independent model-sized groups); decode is map-only over payload
+    rows, trivially parallel, no shuffle. Timestamps travel as
+    epoch-micros longs (timestamp-micros logical type), so no engine
+    timestamp formatting enters the wire bytes."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        shard = int(pdf["shard"].iloc[0])
+        rows = pdf.to_dict("records")
+        return pd.DataFrame(
+            {"shard": [shard], "payload": [_encode_container(shard, rows)]}
+        )
+
+    payloads = (
+        ev.withColumn("shard", F.pmod("event_id", F.lit(N_AVRO_SHARDS)))
+        .groupBy("shard")
+        .applyInPandas(encode, "shard long, payload binary")
+    )
+    base = scratch_dir("ingest_avro_container")
+    payloads.write.mode("overwrite").parquet(base)
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                out.extend(_AvroReader(bytes(payload)).records())
+            if out:
+                yield pd.DataFrame(out)
+
+    return (
+        spark.read.parquet(base)
+        .mapInPandas(
+            decode,
+            "event_id long, ts_micros long, user_id long, "
+            "event_type string, value double, props string",
+        )
+    )
