@@ -1291,6 +1291,170 @@ def dedup_span_coverage(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_suffix_spans",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, i, array_to_string(a[i:i+{SPAN_K - 1}], ' ') AS span
+          FROM (SELECT doc_id, a, unnest(range(1, len(a) - {SPAN_K} + 2)) AS i
+                FROM tok WHERE len(a) >= {SPAN_K})
+        ),
+        dup AS (
+          SELECT span FROM sh GROUP BY span
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+          SELECT doc_id, i AS s, i + {SPAN_K} - 1 AS e
+          FROM sh WHERE span IN (SELECT span FROM dup)
+        ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM hits
+        ),
+        grp AS (
+          SELECT doc_id, s, e,
+                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+          FROM isl
+        ),
+        spans AS (
+          SELECT doc_id, isl_id, min(s) AS tok_start, max(e) AS tok_end
+          FROM grp GROUP BY doc_id, isl_id
+        ),
+        tp AS (
+          SELECT doc_id, i, tok,
+                 coalesce(sum(len(tok) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+          FROM (SELECT doc_id, generate_subscripts(a, 1) AS i,
+                       unnest(a) AS tok
+                FROM tok)
+        )
+        SELECT s.doc_id,
+               CAST(row_number() OVER (PARTITION BY s.doc_id
+                    ORDER BY s.tok_start) AS BIGINT) AS span_seq,
+               CAST(s.tok_start AS BIGINT) AS tok_start,
+               CAST(s.tok_end AS BIGINT) AS tok_end,
+               CAST(ts.cs AS BIGINT) AS char_start,
+               CAST(te.cs + len(te.tok) AS BIGINT) AS char_end,
+               CAST(s.tok_end - s.tok_start + 1 AS BIGINT) AS n_tokens_cut
+        FROM spans s
+        JOIN tp ts ON ts.doc_id = s.doc_id AND ts.i = s.tok_start
+        JOIN tp te ON te.doc_id = s.doc_id AND te.i = s.tok_end
+    """,
+)
+def dedup_suffix_spans(spark, sf_dir):
+    """Exact substring-dedup CUT LIST (the step past dedup_span_coverage
+    toward Lee et al. 2022's suffix-level dedup, round-5 verdict ask
+    #6): instead of a per-doc coverage fraction, emit the actual
+    maximal duplicated spans — per document, every merged island of
+    {SPAN_K}-token anchors that appear verbatim in another document,
+    as BOTH token ranges (tok_start..tok_end, 1-based inclusive) and
+    byte/char ranges (char_start inclusive, char_end exclusive, over
+    the space-joined text) — i.e. exactly what a trimming pass deletes.
+    k-gram ANCHORING + interval-union EXTENSION: adjacent/overlapping
+    duplicated k-grams chain into one maximal span, which for spans
+    ≥ k tokens reconstructs the same cut regions a full suffix-array
+    pass reports (anchors at every offset of a long shared substring
+    overlap, so the union is the substring).
+
+    Char offsets come from a per-doc prefix sum of token lengths
+    (+1 separator), joined back at the island endpoints — integer
+    exact on both engines. Property-tested: per-doc sum of
+    n_tokens_cut equals dedup_span_coverage's dup_tokens, and each
+    span's char slice re-extracts to text found verbatim elsewhere.
+
+    Scale shape: identical to dedup_span_coverage (map-side groupBy
+    on span + semi join, windowed islands per doc) plus one extra
+    per-doc window (prefix lengths) and two point joins — no new
+    shuffle class; at 100 TB the anchor key is xxhash64(span)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
+        "n_tokens", F.size("a")
+    )
+    sh = (
+        base.filter(F.col("n_tokens") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, n_tokens - {SPAN_K} + 1),"
+                    f" i -> array_join(slice(a, i, {SPAN_K}), ' '))"
+                )
+            ).alias("p", "span"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("s"), "span")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        sh.groupBy("span")
+        .agg(F.min("doc_id").alias("lo_doc"), F.max("doc_id").alias("hi_doc"))
+        .filter(F.col("lo_doc") != F.col("hi_doc"))
+        .select("span")
+    )
+    hits = sh.join(dup.hint("shuffle_hash"), "span", "left_semi").select(
+        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = hits.withColumn(
+        "new_isl",
+        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "isl_id").agg(
+        F.min("s").alias("tok_start"), F.max("e").alias("tok_end")
+    )
+    tp = base.select(
+        "doc_id", F.posexplode("a").alias("p", "tok")
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "tok")
+    wtp = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tp = tp.withColumn(
+        "cs",
+        F.coalesce(F.sum(F.length("tok") + 1).over(wtp), F.lit(0)).cast(
+            "long"
+        ),
+    )
+    ts = tp.select(
+        "doc_id", F.col("i").alias("tok_start"), F.col("cs").alias("char_start")
+    )
+    te = tp.select(
+        "doc_id",
+        F.col("i").alias("tok_end"),
+        (F.col("cs") + F.length("tok")).cast("long").alias("char_end"),
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("tok_start")
+    return (
+        spans.join(ts, ["doc_id", "tok_start"])
+        .join(te, ["doc_id", "tok_end"])
+        .select(
+            "doc_id",
+            F.row_number().over(wseq).cast("long").alias("span_seq"),
+            F.col("tok_start").cast("long").alias("tok_start"),
+            F.col("tok_end").cast("long").alias("tok_end"),
+            "char_start",
+            "char_end",
+            (F.col("tok_end") - F.col("tok_start") + 1)
+            .cast("long")
+            .alias("n_tokens_cut"),
+        )
+    )
+
+
 LPA_ROUNDS = 5
 
 

@@ -843,3 +843,42 @@ def test_ivf_drift_trigger_fires_on_real_drift(spark):
     ).collect()[0]["mean_aff_micro"]
     ref_mean = rows["0_validation"]["mean_aff_micro"]
     assert (ref_mean - drifted_mean) * (100 // S.DRIFT_TRIGGER_PCT) > ref_mean
+
+
+def test_suffix_spans_agree_with_coverage_and_extract_verbatim(spark):
+    """dedup_suffix_spans is the cut-list form of dedup_span_coverage:
+    per document the spans' token counts must sum to exactly
+    dup_tokens, spans must be disjoint and ordered, and every span's
+    CHAR slice must re-extract text that appears verbatim in at least
+    one OTHER document (the defining property of a duplicated span)."""
+    spans = (
+        engine.QUERIES["dedup_suffix_spans"](spark, T2_SF_DIR)
+        .toPandas()
+        .sort_values(["doc_id", "span_seq"])
+    )
+    cov = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in engine.QUERIES["dedup_span_coverage"](
+            spark, T2_SF_DIR
+        ).collect()
+    }
+    got = spans.groupby("doc_id").n_tokens_cut.sum().to_dict()
+    want = {d: n for d, n in cov.items() if n > 0}
+    assert got == want
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, T2_SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    last_end = {}
+    for r in spans.itertuples():
+        # disjoint, ordered islands
+        assert r.tok_start > last_end.get(r.doc_id, 0)
+        last_end[r.doc_id] = r.tok_end
+        sub = texts[r.doc_id][r.char_start : r.char_end]
+        toks = sub.split(" ")
+        assert len(toks) == r.n_tokens_cut and "" not in toks
+        assert any(
+            sub in t for d, t in texts.items() if d != r.doc_id
+        ), (r.doc_id, sub[:50])
