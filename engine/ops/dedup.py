@@ -2521,6 +2521,21 @@ def dedup_cascade_report(spark, sf_dir):
     Scale: tier costs are the constituent ops' (bucketed LSH, bounded
     cluster-local pair search); survivor filtering is two semi-joins
     per tier on the doc-id spine."""
+    report, cached = _cascade_build(spark, sf_dir)
+    # materialize the 4-row report eagerly, then release every cached
+    # frame — the previous form leaked all five persists to the
+    # ContextCleaner (ADVICE r5)
+    report = report.localCheckpoint(eager=True)
+    for f in cached:
+        f.unpersist()
+    return report.orderBy("tier")
+
+
+def _cascade_build(spark, sf_dir):
+    """Lazy cascade report + the frames it persists. Factored so the
+    plan-pin suite can assert on the PRE-checkpoint plan (the
+    registered op returns a localCheckpoint, whose plan is just the
+    checkpoint scan)."""
     from .similarity import semantic_close_pairs
 
     # ONE scan + tokenize feeds BOTH cheap tiers: tier 1 reads the
@@ -2584,13 +2599,7 @@ def dedup_cascade_report(spark, sf_dir):
         .unionByName(row("2_near", d2, s2))
         .unionByName(row("3_semantic", d3, s3))
     )
-    # materialize the 4-row report eagerly, then release every cached
-    # frame — the previous form leaked all five persists to the
-    # ContextCleaner (ADVICE r5)
-    report = report.localCheckpoint(eager=True)
-    for f in (base, d1, s1, d2, s2, d3):
-        f.unpersist()
-    return report.orderBy("tier")
+    return report, (base, d1, s1, d2, s2, d3)
 
 
 N_INC_BATCHES = 3  # ingest increments (id-range tertiles of the corpus)

@@ -664,8 +664,16 @@ def test_cascade_no_cartesian_and_anti_joins(spark):
     """dedup_cascade_report composes three dedup tiers: no tier may
     degenerate to a cartesian product, and the survivor filtering
     must plan as anti-joins on the doc-id spine (the O(survivors)
-    shape that makes cascaded dedup affordable)."""
-    plan = _plan(spark, "dedup_cascade_report")
+    shape that makes cascaded dedup affordable). The registered op
+    returns an eager localCheckpoint (so it can unpersist its cached
+    tiers — ADVICE r5), whose plan is just the checkpoint scan;
+    assert on the PRE-checkpoint builder instead."""
+    from engine.ops.dedup import _cascade_build
+
+    report, cached = _cascade_build(spark, T2_SF_DIR)
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    for f in cached:
+        f.unpersist()
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
 
