@@ -855,6 +855,57 @@ def _emb_u():
     )
 
 
+def _kmeans_micro(pdf):
+    """Exactly _emb_u() in numpy: float32 → float64 (lossless),
+    ×Q, +0.5, floor, int64."""
+    import numpy as np
+
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return np.floor(X * EMB_Q + 0.5).astype(np.int64)
+
+
+def _kmeans_assign(em, centroids):
+    """Arrow-batched numpy assignment: one int64 matmul per batch
+    against the broadcast k×d centroid matrix. Products are
+    ≤ ~1e12 and row sums ≤ 64·1e12 < 2^63, so the int64 matmul
+    is EXACT — the same BIGINT dot fold the oracle unrolls —
+    and np.argmax's first-max rule is the coalesce-first-match
+    tie-break. Replaces k interpreted zip_with folds per row
+    (Catalyst HOFs are not codegen'd; measured 3.5× op speedup
+    at sf0.1 with a bit-identical trajectory). Module-level so the
+    incremental semantic tier can assign new BATCHES against frozen
+    centroids."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.int64)
+
+    def assign_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            D = _kmeans_micro(pdf) @ C.T  # n×k exact int64
+            best = D.max(axis=1)
+            # round-half-up of dot/Q² at 6 dp in exact form:
+            # floor((dot + Q/2) / Q) / Q — matches both engines
+            sim6 = np.floor((best + EMB_Q // 2) / float(EMB_Q)) / float(
+                EMB_Q
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster": D.argmax(axis=1).astype("int32"),
+                    "sim_to_centroid": sim6,
+                }
+            )
+
+    return em.mapInPandas(
+        assign_fn,
+        "vec_id long, embedding array<float>, cluster int, "
+        "sim_to_centroid double",
+    )
+
+
 def _kmeans_fit(em, k: int, iters: int):
     """Shared Lloyd's loop (embed_kmeans_iterate, dedup_semantic_cluster):
     deterministic init = the k lowest vec_ids; per iteration a map-only
@@ -868,48 +919,8 @@ def _kmeans_fit(em, k: int, iters: int):
 
     import numpy as np
 
-    def _micro(pdf):
-        """Exactly _emb_u() in numpy: float32 → float64 (lossless),
-        ×Q, +0.5, floor, int64."""
-        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        return np.floor(X * EMB_Q + 0.5).astype(np.int64)
-
     def assign(centroids):
-        # Arrow-batched numpy assignment: one int64 matmul per batch
-        # against the broadcast k×d centroid matrix. Products are
-        # ≤ ~1e12 and row sums ≤ 64·1e12 < 2^63, so the int64 matmul
-        # is EXACT — the same BIGINT dot fold the oracle unrolls —
-        # and np.argmax's first-max rule is the coalesce-first-match
-        # tie-break. Replaces k interpreted zip_with folds per row
-        # (Catalyst HOFs are not codegen'd; measured 3.5× op speedup
-        # at sf0.1 with a bit-identical trajectory).
-        C = np.array(centroids, dtype=np.int64)
-
-        def assign_fn(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                D = _micro(pdf) @ C.T  # n×k exact int64
-                best = D.max(axis=1)
-                # round-half-up of dot/Q² at 6 dp in exact form:
-                # floor((dot + Q/2) / Q) / Q — matches both engines
-                sim6 = np.floor((best + EMB_Q // 2) / float(EMB_Q)) / float(
-                    EMB_Q
-                )
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "embedding": pdf["embedding"],
-                        "cluster": D.argmax(axis=1).astype("int32"),
-                        "sim_to_centroid": sim6,
-                    }
-                )
-
-        return em.mapInPandas(
-            assign_fn,
-            "vec_id long, embedding array<float>, cluster int, "
-            "sim_to_centroid double",
-        )
+        return _kmeans_assign(em, centroids)
 
     import math
 
@@ -925,7 +936,7 @@ def _kmeans_fit(em, k: int, iters: int):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                Xu = _micro(pdf)
+                Xu = _kmeans_micro(pdf)
                 cl = (Xu @ C.T).argmax(axis=1)
                 rows = []
                 for j in np.unique(cl):
@@ -4501,3 +4512,172 @@ def semantic_close_pairs(spark, sf_dir, k=KMEANS_K):
     return assigned.groupBy("cluster").applyInPandas(
         pairs, "vec_a long, vec_b long"
     )
+
+
+def _inc_sem_oracle_sql():
+    """Unrolled oracle for the incremental SemDeDup tier: Lloyd rounds
+    train on the batch-0 slice only (tr), the FINAL assignment covers
+    all vectors against the frozen centroids, close pairs are
+    cluster-local lower-id cosine hits, and the output is each dup's
+    first partner with its cosine — the incremental ≡ batch statement
+    in SQL."""
+    rounds = []
+    for r in range(KMEANS_ITERS):
+        rounds.append(f"""
+    dot{r} AS (SELECT p.vec_id, c.j, CAST(sum(p.e_u * c.c_u) AS BIGINT) AS dot
+               FROM tr p JOIN cent{r} c USING (pos) GROUP BY 1, 2),
+    asg{r} AS MATERIALIZED (
+        SELECT vec_id, j, dot FROM (
+            SELECT vec_id, j, dot,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, j) AS rn
+            FROM dot{r}) WHERE rn = 1),
+    cent{r + 1} AS MATERIALIZED (
+        SELECT c.j, c.pos, coalesce(u.m, c.c_u) AS c_u
+        FROM cent{r} c LEFT JOIN (
+            SELECT a.j, p.pos,
+                   CAST(floor(CAST(sum(p.e_u) AS DOUBLE) / count(*))
+                        AS BIGINT) AS m
+            FROM asg{r} a JOIN tr p USING (vec_id) GROUP BY 1, 2) u
+        ON u.j = c.j AND u.pos = c.pos)""")
+    R = KMEANS_ITERS
+    raw_dot = (
+        "list_aggregate(list_transform(list_zip(ea.embedding, eb.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    )
+    return f"""
+    WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
+    pts AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * {EMB_Q} + 0.5)
+                    AS BIGINT) AS e_u
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    tr AS MATERIALIZED (
+        SELECT p.* FROM pts p, m WHERE (3 * p.vec_id) // (m.mx + 1) = 0),
+    cent0 AS MATERIALIZED (
+        SELECT ini.j, p.pos, p.e_u AS c_u
+        FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+              FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}) ini
+        JOIN tr p USING (vec_id)),{",".join(rounds)},
+    fin AS (SELECT p.vec_id, c.j, CAST(sum(p.e_u * c.c_u) AS BIGINT) AS dot
+            FROM pts p JOIN cent{R} c USING (pos) GROUP BY 1, 2),
+    asgf AS MATERIALIZED (
+        SELECT vec_id, j FROM (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, j) AS rn
+            FROM fin) WHERE rn = 1),
+    close AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor({raw_dot} * 1000000 + 0.5) / 1000000 AS cos6
+        FROM asgf a JOIN asgf b ON a.j = b.j AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE floor({raw_dot} * 1000000 + 0.5) / 1000000
+              >= {NEARDUP_THRESHOLD}),
+    ranked AS (
+        SELECT vec_b, vec_a, cos6,
+               row_number() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rn
+        FROM close)
+    SELECT r.vec_b AS vec_id,
+           CAST((3 * r.vec_b) // (m.mx + 1) AS BIGINT) AS batch_id,
+           r.vec_a AS dup_of,
+           r.cos6 AS cos6_first
+    FROM ranked r, m WHERE r.rn = 1
+"""
+
+
+@register("dedup_incremental_semantic", oracle=_inc_sem_oracle_sql())
+def dedup_incremental_semantic(spark, sf_dir):
+    """Incremental SemDeDup — the third cascade tier in incremental
+    form, completing the per-tier incremental story (exact:
+    dedup_incremental_snapshot; near: dedup_incremental_lsh; semantic:
+    this). Centroids are TRAINED ONCE on the first ingest batch
+    (id-range tertile 0, the same exact-integer Lloyd as
+    dedup_semantic_cluster) and frozen — the sim_index_append
+    lifecycle; sim_index_drift_report is the monitor that schedules
+    re-training. Each later batch is (1) assigned to the frozen
+    centroids (Arrow int64 matmul, map-only), (2) compared
+    cluster-locally against the ACCUMULATED index generations plus its
+    own earlier rows — cosine at the SemDeDup threshold, rank-1
+    accumulation order — and (3) appended as the next index
+    generation. The index keeps every vector's embedding (dups
+    included — same recall-maximizing choice as the LSH tier), which
+    is what makes incremental(batches) ≡ batch SemDeDup on the union:
+    the oracle restates the whole thing with Lloyd unrolled on the
+    batch-0 slice and the close-pair first-partner reduction over all
+    vectors.
+
+    Output: (vec_id, batch_id, dup_of = lowest-id same-cluster
+    cosine-close vector anywhere earlier, cos6_first).
+
+    Scale shape: per increment — one broadcast assignment pass over
+    the batch, one applyInPandas over cluster groups of
+    (accumulated ∪ batch) rows, one partitioned append. Cluster
+    groups bound the quadratic term exactly as in batch SemDeDup; at
+    production scale the accumulated side is read cluster-pruned, and
+    k grows with the corpus so groups stay model-sized."""
+    import numpy as np
+    import pandas as pd
+
+    from ..registry import scratch_dir
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mx = em.agg(F.max("vec_id")).collect()[0][0]
+    train = em.filter(F.expr(f"(3 * vec_id) div {mx + 1}") == 0)
+    centroids, _ = _kmeans_fit(train, KMEANS_K, KMEANS_ITERS)
+    base = scratch_dir("dedup_incremental_semantic")
+
+    out = None
+    for b in range(3):
+        batch = em.filter(F.expr(f"(3 * vec_id) div {mx + 1}") == b)
+        assigned = _kmeans_assign(batch, centroids).select(
+            "vec_id", "embedding", F.col("cluster").cast("long").alias("cluster")
+        )
+        if b > 0:
+            accum = spark.read.parquet(
+                *[f"{base}/gen={g}" for g in range(b)]
+            )
+            group = assigned.unionByName(accum)
+        else:
+            group = assigned
+
+        def make_pairs_fn(b: int, mx: int):
+            def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                acc = np.zeros((len(X), len(X)))
+                # rank-1 accumulation: identical float64 addition order to
+                # the oracle's per-pair sequential list dot
+                for i in range(X.shape[1]):
+                    acc += X[:, i : i + 1] * X[None, :, i]
+                cos6 = np.floor(acc * 1e6 + 0.5) / 1e6
+                ids = pdf["vec_id"].to_numpy()
+                in_batch = (3 * ids) // (mx + 1) == b
+                rows = {"vec_id": [], "batch_id": [], "dup_of": [], "cos6_first": []}
+                for i in np.nonzero(in_batch)[0]:
+                    js = np.nonzero(cos6[:i, i] >= NEARDUP_THRESHOLD)[0]
+                    if len(js):
+                        rows["vec_id"].append(int(ids[i]))
+                        rows["batch_id"].append(b)
+                        rows["dup_of"].append(int(ids[js[0]]))
+                        rows["cos6_first"].append(float(cos6[js[0], i]))
+                return pd.DataFrame(rows).astype(
+                    {
+                        "vec_id": "int64",
+                        "batch_id": "int64",
+                        "dup_of": "int64",
+                        "cos6_first": "float64",
+                    }
+                )
+
+            return pairs_fn
+
+        outb = group.groupBy("cluster").applyInPandas(
+            make_pairs_fn(b, mx),
+            "vec_id long, batch_id long, dup_of long, cos6_first double",
+        )
+        assigned.write.mode("overwrite").parquet(f"{base}/gen={b}")
+        outb = outb.localCheckpoint(eager=True)
+        out = outb if out is None else out.unionByName(outb)
+    return out

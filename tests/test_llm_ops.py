@@ -882,3 +882,33 @@ def test_suffix_spans_agree_with_coverage_and_extract_verbatim(spark):
         assert any(
             sub in t for d, t in texts.items() if d != r.doc_id
         ), (r.doc_id, sub[:50])
+
+
+def test_incremental_semantic_double_run_and_cross_batch(spark):
+    """dedup_incremental_semantic: double-run determinism (the index
+    generations rebuild identically), batch ids follow the id-range
+    tertiles, and at least one dup attributes across batches (the
+    cross-generation join actually fires on this fixture)."""
+    q = engine.QUERIES["dedup_incremental_semantic"]
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    a = canon(q(spark, T2_SF_DIR))
+    b = canon(q(spark, T2_SF_DIR))
+    assert a == b and len(a) > 0
+    from pyspark.sql import functions as F
+
+    mx = (
+        table(spark, T2_SF_DIR, "embeddings")
+        .agg(F.max("vec_id"))
+        .collect()[0][0]
+    )
+    cross = 0
+    for vec_id, batch_id, dup_of, cos6 in a:
+        assert (3 * vec_id) // (mx + 1) == batch_id
+        assert dup_of < vec_id
+        assert cos6 >= 0.40
+        if (3 * dup_of) // (mx + 1) < batch_id:
+            cross += 1
+    assert cross > 0, "no cross-batch attribution exercised"
