@@ -746,6 +746,7 @@ def test_incremental_lsh_replay_idempotent(spark):
     import engine
     from engine.ops.dedup import (
         N_INC_BATCHES,
+        _inc_lsh_prepare,
         _inc_lsh_process_batch,
     )
 
@@ -769,12 +770,19 @@ def test_incremental_lsh_replay_idempotent(spark):
     d = table(spark, T2_SF_DIR, "documents").select("doc_id", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
     last = N_INC_BATCHES - 1
+    doc_sh_all, bands_all = _inc_lsh_prepare(d)
     replay1 = canon(
-        _inc_lsh_process_batch(spark, d, mx, base, last).toPandas()
+        _inc_lsh_process_batch(
+            spark, doc_sh_all, bands_all, mx, base, last
+        ).toPandas()
     )
     replay2 = canon(
-        _inc_lsh_process_batch(spark, d, mx, base, last).toPandas()
+        _inc_lsh_process_batch(
+            spark, doc_sh_all, bands_all, mx, base, last
+        ).toPandas()
     )
+    bands_all.unpersist()
+    doc_sh_all.unpersist()
     assert replay1 == replay2  # idempotent under replay
     want_last = [r for r in full if r[1] == last]
     assert replay1 == want_last  # replay reproduces the original rows
