@@ -1259,3 +1259,87 @@ def ingest_avro_container(spark, sf_dir):
             "event_type string, value double, props string",
         )
     )
+
+
+@register(
+    "ingest_avro_stream",
+    oracle="""
+        SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_micros,
+               user_id, event_type, value, props
+        FROM events
+    """,
+)
+def ingest_avro_stream(spark, sf_dir):
+    """STREAMING Avro object-container ingest — the full Firehose
+    delivery shape: container binaries land as files, a Structured
+    Streaming file source picks them up, a stateless mapInPandas
+    decodes the OCF wire format per micro-batch (the same
+    schema-driven pure-Python reader as ingest_avro_container), and
+    the records flow to a parquet sink through a checkpoint. Bounded
+    here with availableNow; the oracle is the batch twin's closed-form
+    statement, which the stream must reproduce exactly — availableNow
+    processes each payload file exactly once, so stream ≡ batch.
+
+    Scale shape: decode parallelism = payload files per micro-batch
+    (thousands of delivery objects/hour in production), zero shuffle
+    before the sink; checkpointed file-source offsets give
+    exactly-once across restarts (the stream_file_source contract)."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        shard = int(pdf["shard"].iloc[0])
+        rows = pdf.to_dict("records")
+        return pd.DataFrame(
+            {"shard": [shard], "payload": [_encode_container(shard, rows)]}
+        )
+
+    base = scratch_dir("ingest_avro_stream")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    (
+        ev.withColumn("shard", F.pmod("event_id", F.lit(N_AVRO_SHARDS)))
+        .groupBy("shard")
+        .applyInPandas(encode, "shard long, payload binary")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                out.extend(_AvroReader(bytes(payload)).records())
+            if out:
+                yield pd.DataFrame(out)
+
+    stream = spark.readStream.schema("shard long, payload binary").parquet(
+        src
+    )
+    decoded = stream.mapInPandas(
+        decode,
+        "event_id long, ts_micros long, user_id long, "
+        "event_type string, value double, props string",
+    )
+    q = (
+        decoded.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("ingest_avro_stream: availableNow query exceeded 300s")
+    return spark.read.schema(
+        "event_id long, ts_micros long, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(sink)
