@@ -4497,6 +4497,16 @@ def semantic_close_pairs(spark, sf_dir, k=KMEANS_K):
     assigned = assign(centroids).select(
         "vec_id", "embedding", F.col("cluster").cast("long").alias("cluster")
     )
+    return _close_pairs_in_clusters(assigned)
+
+
+def _close_pairs_in_clusters(assigned):
+    """(vec_a < vec_b) cosine-close pairs within each cluster of an
+    assignment frame — the mark-phase arithmetic (rank-1 accumulation,
+    half-up at 6 dp) shared by semantic_close_pairs (full-corpus Lloyd)
+    and frozen_semantic_pairs (batch-0-trained centroids)."""
+    import numpy as np
+    import pandas as pd
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -4514,13 +4524,30 @@ def semantic_close_pairs(spark, sf_dir, k=KMEANS_K):
     )
 
 
-def _inc_sem_oracle_sql():
-    """Unrolled oracle for the incremental SemDeDup tier: Lloyd rounds
-    train on the batch-0 slice only (tr), the FINAL assignment covers
-    all vectors against the frozen centroids, close pairs are
-    cluster-local lower-id cosine hits, and the output is each dup's
-    first partner with its cosine — the incremental ≡ batch statement
-    in SQL."""
+def frozen_semantic_pairs(spark, sf_dir):
+    """Global close-pair set under FROZEN centroids trained on the
+    first id-range tertile — the pair source dedup_incremental_semantic
+    discovers per batch, computed corpus-wide for the incremental
+    cascade's funnel algebra (membership filtering per batch/tier is
+    then provably identical to per-batch discovery — see
+    dedup_incremental_cascade)."""
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mx = em.agg(F.max("vec_id")).collect()[0][0]
+    train = em.filter(F.expr(f"(3 * vec_id) div {mx + 1}") == 0)
+    centroids, _ = _kmeans_fit(train, KMEANS_K, KMEANS_ITERS)
+    assigned = _kmeans_assign(em, centroids).select(
+        "vec_id", "embedding", F.col("cluster").cast("long").alias("cluster")
+    )
+    return _close_pairs_in_clusters(assigned)
+
+
+def frozen_sem_pair_ctes():
+    """CTE chain (no leading WITH, no trailing comma) from a
+    pre-existing `m(mx)` CTE to `sem(vec_a, vec_b, cos6)` — frozen
+    batch-0-trained Lloyd, final assignment over all vectors,
+    cluster-local lower-id cosine-close pairs. Shared by the
+    dedup_incremental_semantic oracle and the incremental cascade's
+    (engine/ops/dedup.py)."""
     rounds = []
     for r in range(KMEANS_ITERS):
         rounds.append(f"""
@@ -4545,9 +4572,7 @@ def _inc_sem_oracle_sql():
         "list_aggregate(list_transform(list_zip(ea.embedding, eb.embedding),"
         " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
     )
-    return f"""
-    WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
-    pts AS MATERIALIZED (
+    return f"""pts AS MATERIALIZED (
         SELECT vec_id, u.i - 1 AS pos,
                CAST(floor(CAST(embedding[u.i] AS DOUBLE) * {EMB_Q} + 0.5)
                     AS BIGINT) AS e_u
@@ -4567,18 +4592,27 @@ def _inc_sem_oracle_sql():
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY dot DESC, j) AS rn
             FROM fin) WHERE rn = 1),
-    close AS (
+    sem AS MATERIALIZED (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                floor({raw_dot} * 1000000 + 0.5) / 1000000 AS cos6
         FROM asgf a JOIN asgf b ON a.j = b.j AND a.vec_id < b.vec_id
         JOIN embeddings ea ON ea.vec_id = a.vec_id
         JOIN embeddings eb ON eb.vec_id = b.vec_id
         WHERE floor({raw_dot} * 1000000 + 0.5) / 1000000
-              >= {NEARDUP_THRESHOLD}),
+              >= {NEARDUP_THRESHOLD})"""
+
+
+def _inc_sem_oracle_sql():
+    """Unrolled oracle for the incremental SemDeDup tier: the shared
+    frozen-centroid pair CTEs plus the first-partner reduction — the
+    incremental ≡ batch statement in SQL."""
+    return f"""
+    WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
+    {frozen_sem_pair_ctes()},
     ranked AS (
         SELECT vec_b, vec_a, cos6,
                row_number() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rn
-        FROM close)
+        FROM sem)
     SELECT r.vec_b AS vec_id,
            CAST((3 * r.vec_b) // (m.mx + 1) AS BIGINT) AS batch_id,
            r.vec_a AS dup_of,

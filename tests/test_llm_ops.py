@@ -920,3 +920,34 @@ def test_incremental_semantic_double_run_and_cross_batch(spark):
         if (3 * dup_of) // (mx + 1) < batch_id:
             cross += 1
     assert cross > 0, "no cross-batch attribution exercised"
+
+
+def test_incremental_cascade_funnel_consistency(spark):
+    """dedup_incremental_cascade invariants: counts chain within each
+    batch (input − dropped = remaining, tier over tier), batch inputs
+    sum to the corpus, and the near tier's TOTAL drops are bounded by
+    the unconditional incremental-LSH dup count (the cascade requires
+    an eligible-surviving partner, the plain incremental op does not —
+    so cascade drops ⊆ its flags can only shrink)."""
+    rows = {
+        (r["batch_id"], r["tier"]): r
+        for r in engine.QUERIES["dedup_incremental_cascade"](
+            spark, T2_SF_DIR
+        ).collect()
+    }
+    n_docs = table(spark, T2_SF_DIR, "documents").count()
+    total_in = 0
+    for b in range(3):
+        inp = rows[(b, "0_input")]["n_remaining"]
+        total_in += inp
+        prev = inp
+        for tier in ("1_exact", "2_near", "3_semantic"):
+            r = rows[(b, tier)]
+            assert prev - r["n_dropped"] == r["n_remaining"], (b, tier)
+            prev = r["n_remaining"]
+    assert total_in == n_docs
+    lsh_flags = engine.QUERIES["dedup_incremental_lsh"](
+        spark, T2_SF_DIR
+    ).count()
+    near_drops = sum(rows[(b, "2_near")]["n_dropped"] for b in range(3))
+    assert near_drops <= lsh_flags
