@@ -89,9 +89,27 @@ def main() -> None:
     # every Python-path query ran 1.2-4.5x slow while the JVM sentinel
     # stayed flat — so a JVM-only sentinel would mislabel a
     # Python-worker brownout as a per-query regression.
+    # A third, DISK sentinel (round 6): a fixed direct-to-disk write.
+    # An IO-throttle window was observed where every write-heavy sink
+    # op ran 10-35x slow (sink_compact_small_files 2.9 -> 105 s) while
+    # BOTH the JVM and Python sentinels stayed near-flat (~1.2x) —
+    # host burst-credit depletion, invisible to compute sentinels.
     SENTINEL = "tpch_q6"
     PY_SENTINEL = "udf_pandas_scalar"
     SENTINEL_EVERY = 8
+    DISK_SENTINEL_MB = 64
+
+    def run_disk_sentinel() -> float:
+        import tempfile
+
+        buf = b"\x00" * (1 << 20)
+        t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
+            for _ in range(DISK_SENTINEL_MB):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        return time.perf_counter() - t0
 
     def run_sentinel(qname: str) -> float:
         t0 = time.perf_counter()
@@ -103,6 +121,7 @@ def main() -> None:
     py_norm: dict[str, float] = {}
     sent_times: list[float] = []
     py_sent_times: list[float] = []
+    disk_sent_times: list[float] = []
     cur_sent = cur_py_sent = None
     for i, name in enumerate(names):
         if SENTINEL in engine.QUERIES and i % SENTINEL_EVERY == 0:
@@ -116,6 +135,7 @@ def main() -> None:
             if PY_SENTINEL in engine.QUERIES:
                 cur_py_sent = run_sentinel(PY_SENTINEL)
                 py_sent_times.append(round(cur_py_sent, 4))
+            disk_sent_times.append(round(run_disk_sentinel(), 4))
         best = None
         for _ in range(max(1, args.repeat)):
             t0 = time.perf_counter()
@@ -142,6 +162,8 @@ def main() -> None:
                 "py_sentinel": PY_SENTINEL,
                 "jvm_sentinel_times": sent_times,
                 "py_sentinel_times": py_sent_times,
+                "disk_sentinel_mb": DISK_SENTINEL_MB,
+                "disk_sentinel_times": disk_sent_times,
                 "note": "ratios are per-query raw seconds divided by the "
                 "most recent contemporaneous sentinel time; compare these "
                 "(not raw seconds) against the driver tail to separate "
@@ -176,6 +198,7 @@ def main() -> None:
                     "norm": sent_norm,
                     "py_id": PY_SENTINEL,
                     "py_times": py_sent_times,
+                    "disk_times": disk_sent_times,
                 },
             }
         )
