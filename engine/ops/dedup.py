@@ -3023,3 +3023,159 @@ def dedup_incremental_cascade(spark, sf_dir):
     report = report.localCheckpoint(eager=True)
     base.unpersist()
     return report.orderBy("batch_id", "tier")
+
+
+def _global_rank(df, cols, n_parts=32):
+    """Exact global 1-based rank of the DISTINCT rows of ``df[cols]``
+    — WITHOUT a single-partition window: range-partition on the key,
+    row_number within each ordered range, then add per-partition
+    cumulative offsets (a P-row driver reduction + broadcast back).
+    This is the distributed ranking primitive prefix doubling needs
+    at scale; the same two-level shape as corpus_shard_export's
+    prefix sum. Returns (eager localCheckpoint of (cols..., _rank),
+    number of distinct keys) — the count falls out of the offsets
+    reduction for free and is prefix doubling's convergence test."""
+    spark = df.sparkSession
+    # persist the distinct key set BEFORE repartitionByRange: the
+    # range partitioner's hidden sampling pass would otherwise
+    # re-evaluate the whole distinct lineage a second time
+    dk = df.select(*cols).distinct().persist()
+    keys = dk.repartitionByRange(n_parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = keys.withColumn("_lr", F.row_number().over(w)).persist()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    acc = 0
+    offs = []
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    ranked = (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(
+            *cols, (F.col("_lr") + F.col("_off")).cast("long").alias("_rank")
+        )
+        .localCheckpoint(eager=True)
+    )
+    local.unpersist()
+    dk.unpersist()
+    return ranked, acc
+
+
+@register(
+    "dedup_suffix_array",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
+                   FROM documents),
+        s AS (SELECT doc_id, i AS pos, array_to_string(a[i:], ' ') AS suf
+              FROM t, unnest(range(1, len(a) + 1)) r(i))
+        SELECT CAST(row_number() OVER (ORDER BY suf, doc_id, pos)
+                    AS BIGINT) AS sa_rank,
+               doc_id, CAST(pos AS BIGINT) AS pos
+        FROM s
+    """,
+)
+def dedup_suffix_array(spark, sf_dir):
+    """EXACT distributed suffix-array construction over the corpus's
+    token sequences — the remaining heavyweight from the dedup
+    literature (Lee et al. 2022 build exactly this to find duplicated
+    substrings at suffix granularity; dedup_suffix_spans is the
+    k-gram-anchored approximation of its downstream use). Classic
+    prefix doubling, Spark-first: ranks after round j order every
+    suffix by its first 2^j tokens, so ceil(log2(max_doc_len / k0))
+    rounds (2 here, from 32-token anchors) fully order the array. Each round is ONE self-join at
+    offset 2^j (rank pair (r[i], r[i+2^j]), absent → 0 so shorter
+    suffixes sort first) plus ONE distributed ranking of the distinct
+    pairs — no sort ever sees more than the distinct key set, and the
+    ranking itself is the two-level range-partition + offset shape
+    (_global_rank), never a single-partition window. Iteration state
+    is an eager localCheckpoint per round (the CC/k-core discipline).
+
+    The output order ties identical cross-document suffixes (they
+    exist: near-dup docs share tails) broken by (doc_id, pos), which
+    is exactly the oracle's ORDER BY. The oracle sorts the
+    space-joined suffix STRINGS directly — equivalent to token-wise
+    comparison because the separator 0x20 sorts below every token
+    character, so token-prefix boundaries and string comparison agree
+    (documented precondition: single-space tokenization, non-empty
+    tokens).
+
+    Scale: n suffixes = n tokens; every round shuffles n rows once on
+    (doc_id, pos) for the shift join and ranks ≤ n distinct pairs —
+    O(n log L) total, the textbook distributed construction. At 100 TB
+    the suffix array ships sharded by rank range (the natural output
+    partitioning of _global_rank).
+
+    Cost profile (sf0.1, 271k suffixes, warm ~11 s): anchor-string
+    ranking ~5 s (the one string-keyed shuffle; lexicographic order is
+    irreducible there), then ~2.5 s per integer doubling round and the
+    final tie-break ranking — construction-benchmark class, included
+    as the exact-literature heavyweight; the practical span-cutting
+    need is served by dedup_suffix_spans/span_coverage at a fraction
+    of the cost."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.repartition(32, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("a")
+    )
+    # initial ranks from a FIXED-length token anchor per suffix (a
+    # bounded O(1) comparator, the standard initial-bucket trick): the
+    # doubling invariant "round state orders by the first k tokens"
+    # holds from k0, so rounds = ceil(log2(max_len / k0)). k0 tunes
+    # the anchor-sort vs round-count tradeoff — 32 means 2 rounds for
+    # these ≤100-token docs (each round is ~5 fixed-latency actions,
+    # which dominates at bench scale; at 10k-token docs the same code
+    # runs 9 rounds).
+    k0 = 32
+    stats = base.agg(
+        F.sum(F.size("a")).alias("n"), F.max(F.size("a")).alias("mx")
+    ).collect()[0]
+    n_suffix, max_len = stats["n"], stats["mx"]
+    sfx = (
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(a)),"
+                    f" i -> array_join(slice(a, i, {k0}), ' '))"
+                )
+            ).alias("p", "anchor"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("pos"), "anchor")
+        .localCheckpoint(eager=True)
+    )
+    anchors, n_distinct = _global_rank(sfx, ["anchor"])
+    cur = sfx.join(anchors, "anchor").select(
+        "doc_id", "pos", F.col("_rank").alias("r")
+    )
+    k = k0
+    while k < max_len and n_distinct < n_suffix:
+        shifted = cur.select(
+            "doc_id", (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
+        )
+        pair = (
+            cur.join(shifted, ["doc_id", "pos"], "left")
+            .select(
+                "doc_id", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # n_distinct falls out of the ranking's offset reduction: all
+        # ranks distinct ⇒ fully ordered ⇒ remaining rounds are no-ops
+        keys, n_distinct = _global_rank(pair, ["r", "r2"])
+        cur = pair.join(keys, ["r", "r2"]).select(
+            "doc_id", "pos", F.col("_rank").alias("r")
+        )
+        k *= 2
+    final, _ = _global_rank(cur, ["r", "doc_id", "pos"])
+    return final.select(
+        F.col("_rank").alias("sa_rank"),
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+    )
