@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 from ..registry import register, table
 
 JACCARD_THRESHOLD = 0.2
+N_INC_BATCHES = 3  # ingest increments (id-range slices of the corpus);
+# defined up top: engine/ops/similarity.py imports it while this
+# module is still initializing (decoration-time cross-import)
 
 
 def _tokens():
@@ -2602,8 +2605,6 @@ def _cascade_build(spark, sf_dir):
     return report, (base, d1, s1, d2, s2, d3)
 
 
-N_INC_BATCHES = 3  # ingest increments (id-range tertiles of the corpus)
-
 INC_LSH_SQL = f"""
     WITH near AS MATERIALIZED ({MINHASH_SQL}),
     m AS (SELECT max(doc_id) AS mx FROM documents),
@@ -2612,7 +2613,7 @@ INC_LSH_SQL = f"""
                row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
         FROM near)
     SELECT r.doc_id,
-           CAST((3 * r.doc_id) // (m.mx + 1) AS BIGINT) AS batch_id,
+           CAST(({N_INC_BATCHES} * r.doc_id) // (m.mx + 1) AS BIGINT) AS batch_id,
            r.doc_a AS dup_of,
            r.jaccard AS jaccard_first
     FROM ranked r, m WHERE r.rn = 1
@@ -2689,7 +2690,7 @@ def _inc_lsh_process_batch(spark, doc_sh_all, bands_all, mx, base, b):
     the replay-idempotence protocol: re-running a batch rewrites the
     same files and re-emits the same rows; tests/test_llm_ops.py
     pins it)."""
-    sel = F.expr(f"(3 * doc_id) div {mx + 1}") == b
+    sel = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}") == b
     doc_sh = doc_sh_all.filter(sel)
     bands = bands_all.filter(sel)
     # append this increment to the index first: the candidate/verify
@@ -2817,8 +2818,8 @@ def _inc_cascade_oracle_sql():
         f"near AS MATERIALIZED ({MINHASH_SQL})",
         """ids AS MATERIALIZED (
         SELECT d.doc_id, sha256(d.text) AS h,
-               (3 * d.doc_id) // (m.mx + 1) AS batch
-        FROM documents d, m)""",
+               ({N_INC_BATCHES} * d.doc_id) // (m.mx + 1) AS batch
+        FROM documents d, m)""".format(N_INC_BATCHES=N_INC_BATCHES),
     ]
     for b in range(N_INC_BATCHES):
         sv = f"s{b - 1}"
@@ -2945,7 +2946,7 @@ def dedup_incremental_cascade(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     sem = frozen_semantic_pairs(spark, sf_dir).localCheckpoint(eager=True)
-    batch_col = F.expr(f"(3 * doc_id) div {mx + 1}")
+    batch_col = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
 
     def drops(pairs, a_col, b_col, tier_surv, surv):
         """b-side rows of `pairs` whose b endpoint is a tier survivor

@@ -1158,7 +1158,13 @@ class _AvroReader:
             n = self.read_long()
             if n == 0:
                 break
-            for _ in range(abs(n)):
+            if n < 0:
+                # Avro spec: a negative block count is followed by the
+                # block's byte size (for skippability); our writer never
+                # emits this form but external OCF writers do
+                self.read_long()
+                n = -n
+            for _ in range(n):
                 # two ordered reads: Python evaluates the assignment
                 # RHS before a subscript target, so the one-liner
                 # d[read()] = read() reads value bytes FIRST
@@ -1191,6 +1197,50 @@ class _AvroReader:
                 yield rec
 
 
+AVRO_DECODE_SCHEMA = (
+    "event_id long, ts_micros long, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _avro_events_frame(spark, sf_dir):
+    """The events projection both Avro ops encode: timestamps as
+    epoch-micros longs (timestamp-micros logical type) so no engine
+    timestamp formatting enters the wire bytes."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _avro_encode_group(pdf):
+    """applyInPandas encoder: one OCF container per shard group."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("event_id")
+    shard = int(pdf["shard"].iloc[0])
+    rows = pdf.to_dict("records")
+    return pd.DataFrame(
+        {"shard": [shard], "payload": [_encode_container(shard, rows)]}
+    )
+
+
+def _avro_decode_batches(batches):
+    """mapInPandas decoder over payload rows (schema-driven)."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for payload in pdf["payload"]:
+            out.extend(_AvroReader(bytes(payload)).records())
+        if out:
+            yield pd.DataFrame(out)
+
+
 @register(
     "ingest_avro_container",
     oracle="""
@@ -1216,48 +1266,16 @@ def ingest_avro_container(spark, sf_dir):
     rows, trivially parallel, no shuffle. Timestamps travel as
     epoch-micros longs (timestamp-micros logical type), so no engine
     timestamp formatting enters the wire bytes."""
-    import pandas as pd
-
-    ev = table(spark, sf_dir, "events").select(
-        "event_id",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_micros"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
-
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_id")
-        shard = int(pdf["shard"].iloc[0])
-        rows = pdf.to_dict("records")
-        return pd.DataFrame(
-            {"shard": [shard], "payload": [_encode_container(shard, rows)]}
-        )
-
+    ev = _avro_events_frame(spark, sf_dir)
     payloads = (
         ev.withColumn("shard", F.pmod("event_id", F.lit(N_AVRO_SHARDS)))
         .groupBy("shard")
-        .applyInPandas(encode, "shard long, payload binary")
+        .applyInPandas(_avro_encode_group, "shard long, payload binary")
     )
     base = scratch_dir("ingest_avro_container")
     payloads.write.mode("overwrite").parquet(base)
-
-    def decode(batches):
-        for pdf in batches:
-            out = []
-            for payload in pdf["payload"]:
-                out.extend(_AvroReader(bytes(payload)).records())
-            if out:
-                yield pd.DataFrame(out)
-
-    return (
-        spark.read.parquet(base)
-        .mapInPandas(
-            decode,
-            "event_id long, ts_micros long, user_id long, "
-            "event_type string, value double, props string",
-        )
+    return spark.read.parquet(base).mapInPandas(
+        _avro_decode_batches, AVRO_DECODE_SCHEMA
     )
 
 
@@ -1284,51 +1302,20 @@ def ingest_avro_stream(spark, sf_dir):
     (thousands of delivery objects/hour in production), zero shuffle
     before the sink; checkpointed file-source offsets give
     exactly-once across restarts (the stream_file_source contract)."""
-    import pandas as pd
-
-    ev = table(spark, sf_dir, "events").select(
-        "event_id",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_micros"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
-
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_id")
-        shard = int(pdf["shard"].iloc[0])
-        rows = pdf.to_dict("records")
-        return pd.DataFrame(
-            {"shard": [shard], "payload": [_encode_container(shard, rows)]}
-        )
-
+    ev = _avro_events_frame(spark, sf_dir)
     base = scratch_dir("ingest_avro_stream")
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     (
         ev.withColumn("shard", F.pmod("event_id", F.lit(N_AVRO_SHARDS)))
         .groupBy("shard")
-        .applyInPandas(encode, "shard long, payload binary")
+        .applyInPandas(_avro_encode_group, "shard long, payload binary")
         .write.mode("overwrite")
         .parquet(src)
     )
-
-    def decode(batches):
-        for pdf in batches:
-            out = []
-            for payload in pdf["payload"]:
-                out.extend(_AvroReader(bytes(payload)).records())
-            if out:
-                yield pd.DataFrame(out)
-
     stream = spark.readStream.schema("shard long, payload binary").parquet(
         src
     )
-    decoded = stream.mapInPandas(
-        decode,
-        "event_id long, ts_micros long, user_id long, "
-        "event_type string, value double, props string",
-    )
+    decoded = stream.mapInPandas(_avro_decode_batches, AVRO_DECODE_SCHEMA)
     q = (
         decoded.writeStream.format("parquet")
         .option("path", sink)
@@ -1339,7 +1326,4 @@ def ingest_avro_stream(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("ingest_avro_stream: availableNow query exceeded 300s")
-    return spark.read.schema(
-        "event_id long, ts_micros long, user_id long, "
-        "event_type string, value double, props string"
-    ).parquet(sink)
+    return spark.read.schema(AVRO_DECODE_SCHEMA).parquet(sink)

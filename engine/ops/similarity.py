@@ -24,6 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register, table
+from .dedup import N_INC_BATCHES
 
 N_PROBES = 20  # probe set: vec_id < 20
 TOP_K = 5
@@ -2008,9 +2009,15 @@ def sim_index_drift_report(spark, sf_dir):
         (ref_mean - F.col("mean_aff_micro")) * (100 // DRIFT_TRIGGER_PCT)
         > ref_mean
     )
-    return both.select(
+    report = both.select(
         "phase", "n_vectors", "mean_aff_micro", flag.alias("recluster_due")
-    ).orderBy("phase")
+    )
+    # the 2-row report is cheap to materialize eagerly, which lets the
+    # centroid cache be released instead of leaking to the
+    # ContextCleaner (the cascade-fix discipline; review finding)
+    report = report.localCheckpoint(eager=True)
+    refined.unpersist()
+    return report.orderBy("phase")
 
 
 RECALL_REPORT_SQL = None  # assembled below once the method oracles exist
@@ -4533,7 +4540,7 @@ def frozen_semantic_pairs(spark, sf_dir):
     dedup_incremental_cascade)."""
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mx = em.agg(F.max("vec_id")).collect()[0][0]
-    train = em.filter(F.expr(f"(3 * vec_id) div {mx + 1}") == 0)
+    train = em.filter(F.expr(f"({N_INC_BATCHES} * vec_id) div {mx + 1}") == 0)
     centroids, _ = _kmeans_fit(train, KMEANS_K, KMEANS_ITERS)
     assigned = _kmeans_assign(em, centroids).select(
         "vec_id", "embedding", F.col("cluster").cast("long").alias("cluster")
@@ -4578,7 +4585,7 @@ def frozen_sem_pair_ctes():
                     AS BIGINT) AS e_u
         FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
     tr AS MATERIALIZED (
-        SELECT p.* FROM pts p, m WHERE (3 * p.vec_id) // (m.mx + 1) = 0),
+        SELECT p.* FROM pts p, m WHERE ({N_INC_BATCHES} * p.vec_id) // (m.mx + 1) = 0),
     cent0 AS MATERIALIZED (
         SELECT ini.j, p.pos, p.e_u AS c_u
         FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
@@ -4614,7 +4621,7 @@ def _inc_sem_oracle_sql():
                row_number() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rn
         FROM sem)
     SELECT r.vec_b AS vec_id,
-           CAST((3 * r.vec_b) // (m.mx + 1) AS BIGINT) AS batch_id,
+           CAST(({N_INC_BATCHES} * r.vec_b) // (m.mx + 1) AS BIGINT) AS batch_id,
            r.vec_a AS dup_of,
            r.cos6 AS cos6_first
     FROM ranked r, m WHERE r.rn = 1
@@ -4658,16 +4665,19 @@ def dedup_incremental_semantic(spark, sf_dir):
 
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mx = em.agg(F.max("vec_id")).collect()[0][0]
-    train = em.filter(F.expr(f"(3 * vec_id) div {mx + 1}") == 0)
+    train = em.filter(F.expr(f"({N_INC_BATCHES} * vec_id) div {mx + 1}") == 0)
     centroids, _ = _kmeans_fit(train, KMEANS_K, KMEANS_ITERS)
     base = scratch_dir("dedup_incremental_semantic")
 
     out = None
-    for b in range(3):
-        batch = em.filter(F.expr(f"(3 * vec_id) div {mx + 1}") == b)
+    for b in range(N_INC_BATCHES):
+        batch = em.filter(F.expr(f"({N_INC_BATCHES} * vec_id) div {mx + 1}") == b)
+        # persist: the assignment pass (the dominant per-increment
+        # cost) feeds BOTH the gen=b write and the pair search —
+        # without it the Arrow matmul ran twice per batch (review)
         assigned = _kmeans_assign(batch, centroids).select(
             "vec_id", "embedding", F.col("cluster").cast("long").alias("cluster")
-        )
+        ).persist()
         if b > 0:
             accum = spark.read.parquet(
                 *[f"{base}/gen={g}" for g in range(b)]
@@ -4687,7 +4697,7 @@ def dedup_incremental_semantic(spark, sf_dir):
                     acc += X[:, i : i + 1] * X[None, :, i]
                 cos6 = np.floor(acc * 1e6 + 0.5) / 1e6
                 ids = pdf["vec_id"].to_numpy()
-                in_batch = (3 * ids) // (mx + 1) == b
+                in_batch = (N_INC_BATCHES * ids) // (mx + 1) == b
                 rows = {"vec_id": [], "batch_id": [], "dup_of": [], "cos6_first": []}
                 for i in np.nonzero(in_batch)[0]:
                     js = np.nonzero(cos6[:i, i] >= NEARDUP_THRESHOLD)[0]
@@ -4713,5 +4723,6 @@ def dedup_incremental_semantic(spark, sf_dir):
         )
         assigned.write.mode("overwrite").parquet(f"{base}/gen={b}")
         outb = outb.localCheckpoint(eager=True)
+        assigned.unpersist()
         out = outb if out is None else out.unionByName(outb)
     return out

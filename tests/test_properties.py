@@ -403,3 +403,17 @@ def test_avro_container_format_properties():
     bad[-1] ^= 0xFF  # flip a byte of the final block's sync marker
     with pytest.raises(ValueError, match="sync marker"):
         list(_AvroReader(bytes(bad)).records())
+    # spec-valid NEGATIVE metadata block count (abs count preceded by a
+    # byte size) from an external writer must decode identically
+    from engine.ops.ingest_ops import _zz_long
+
+    head_end = payload.index(b"\x00", 4)  # metadata terminator
+    body = payload[5:head_end]  # the two entries, minus count byte
+    neg = (
+        payload[:4]
+        + _zz_long(-2)
+        + _zz_long(len(body))
+        + body
+        + payload[head_end:]
+    )
+    assert list(_AvroReader(neg).records()) == rows
