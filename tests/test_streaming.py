@@ -1298,3 +1298,47 @@ def test_pystream_sink_restart_exactly_once(spark, tmp_path):
         F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
     )
     assert canon(got.toPandas()) == canon(want.toPandas())
+
+
+def test_inc_lsh_stream_restart_exactly_once(spark, tmp_path):
+    """Mid-stream kill + restart of the checkpointed incremental-LSH
+    dedup stream (stream_dedup_incremental_e2e): run 1 commits
+    increment 0, then dies inside foreachBatch for increment 1 at the
+    TORN point — band-index generation 1 already written, sink write
+    not yet done. Run 2 restarts on the same checkpoint, must replay
+    exactly increment 1 (offsets-log file set, deterministic
+    generation overwrite) and finish increment 2, ending byte-equal to
+    the replayed-loop batch op — no lost duplicates, no double-counted
+    index rows."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup import N_INC_BATCHES, run_inc_lsh_stream
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "inc_lsh")
+
+    with pytest.raises(StreamingQueryException):
+        run_inc_lsh_stream(spark, SMOKE_SF_DIR, base, fail_at_batch=1)
+
+    # torn state: increment 0 fully committed, increment 1's index
+    # generation written but its sink partition absent
+    assert os.path.exists(f"{base}/sink/batch_id=0")
+    assert not os.path.exists(f"{base}/sink/batch_id=1")
+    assert os.path.exists(f"{base}/index/bands/gen=1")
+
+    out = run_inc_lsh_stream(spark, SMOKE_SF_DIR, base)
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["dedup_incremental_lsh"](spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == ref, "restarted stream diverged from batch-loop output"
+
+    # the replayed generation was overwritten, not appended: total band
+    # rows across generations = 8 bands per document, exactly once
+    n_docs = table(spark, SMOKE_SF_DIR, "documents").count()
+    bands = spark.read.option("basePath", f"{base}/index/bands").parquet(
+        *[f"{base}/index/bands/gen={g}" for g in range(N_INC_BATCHES)]
+    )
+    assert bands.count() == 8 * n_docs
+    assert bands.distinct().count() == 8 * n_docs
