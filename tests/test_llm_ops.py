@@ -951,3 +951,27 @@ def test_incremental_cascade_funnel_consistency(spark):
     ).count()
     near_drops = sum(rows[(b, "2_near")]["n_dropped"] for b in range(3))
     assert near_drops <= lsh_flags
+
+
+def test_lcp_spans_contain_anchored_spans(spark):
+    """The suffix-array LCP spans see EVERY corpus repeat (within-doc
+    included), so every cross-document anchored span from
+    dedup_suffix_spans must lie inside some LCP span of the same doc
+    — the reconciliation that proves the two extraction paths agree
+    where their semantics overlap."""
+    anchored = engine.QUERIES["dedup_suffix_spans"](spark, T2_SF_DIR).collect()
+    lcp = engine.QUERIES["dedup_lcp_spans"](spark, T2_SF_DIR).collect()
+    assert anchored and lcp, "fixture has no duplicated spans"
+    by_doc = {}
+    for r in lcp:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["tok_start"], r["tok_end"])
+        )
+    for r in anchored:
+        spans = by_doc.get(r["doc_id"], [])
+        assert any(
+            s <= r["tok_start"] and r["tok_end"] <= e for s, e in spans
+        ), (
+            f"anchored span {r['doc_id']}:{r['tok_start']}-{r['tok_end']}"
+            " not contained in any LCP span"
+        )
