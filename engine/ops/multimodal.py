@@ -1,11 +1,15 @@
 """2.J multimodal plumbing: opaque binary payloads + typed metadata,
 decoded/feature-extracted via mapInPandas.
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked deterministic STUB (per the build brief): the Spark
+The container has no image/audio libraries, but the formats that
+need none are decoded FOR REAL in pure Python — PNG (CRC-verified
+chunk walk, inflate, all five scanline filters), P6 PPM, RIFF/WAV —
+with closed-form value-hash oracles. Two clearly-marked deterministic
+STUBS remain (frame_sample, resize_stub) for steps that genuinely
+need external codecs (video decode, resampling): there the Spark
 side — binary column handling, Arrow batch shapes, UDF signatures,
-schema contracts — is real and tested; swap `_fake_features` for a
-real decoder (PIL/librosa/ffmpeg) in production.
+schema contracts — is real and tested; swap the stub body for the
+codec (PIL/librosa/ffmpeg) in production.
 """
 
 from __future__ import annotations
@@ -34,48 +38,262 @@ def _fake_features(payload: bytes, dim: int = 4) -> list[float]:
     ]
 
 
-@register("multimodal_decode_stub")  # rows-only: stub features are impl-defined
-def multimodal_decode_stub(spark, sf_dir):
-    """Binary-column pipeline: payload (binary) + typed metadata struct
-    → mapInPandas decode → fixed-dim feature vector.
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (spec §9, filter type 4): pick whichever
+    of left/up/up-left is closest to a+b−c, ties left-then-up."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
 
-    documents.text stands in for the media bytes; with real media the
-    only change is the decoder body.
-    """
-    d = table(spark, sf_dir, "documents")
-    assets = d.select(
-        "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-        F.struct(
-            F.lit("text/plain").alias("mime"),
-            F.length("text").cast("long").alias("n_bytes"),
-            F.lit("stub-v1").alias("decoder"),
-        ).alias("meta"),
+
+def _png_filter_row(f: int, row: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Apply PNG scanline filter ``f`` (encoder side)."""
+    out = bytearray()
+    for i, x in enumerate(row):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if f == 0:
+            v = x
+        elif f == 1:
+            v = x - a
+        elif f == 2:
+            v = x - b
+        elif f == 3:
+            v = x - (a + b) // 2
+        else:
+            v = x - _paeth(a, b, c)
+        out.append(v % 256)
+    return bytes(out)
+
+
+def _png_unfilter_row(f: int, filt: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Invert PNG scanline filter ``f`` (decoder side). Reconstruction
+    reads already-reconstructed left neighbours, so the loop carries
+    ``out``, not ``filt``."""
+    out = bytearray()
+    for i, x in enumerate(filt):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if f == 0:
+            v = x
+        elif f == 1:
+            v = x + a
+        elif f == 2:
+            v = x + b
+        elif f == 3:
+            v = x + (a + b) // 2
+        elif f == 4:
+            v = x + _paeth(a, b, c)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out.append(v % 256)
+    return bytes(out)
+
+
+def _png_bytes(doc_id: int) -> bytes:
+    """Deterministic truecolor PNG for one doc — a REAL wire-format
+    payload: signature, IHDR (8-bit RGB), IDAT with per-scanline
+    filters cycling through all five types (None/Sub/Up/Average/Paeth,
+    so the decoder's unfilter path is fully exercised), zlib-deflated,
+    split across TWO IDAT chunks (the multi-IDAT spec corner real
+    encoders emit), CRC32 per chunk, IEND. Dims and every raw pixel
+    are closed-form in doc_id so the oracle restates the decoded stats
+    without seeing the bytes."""
+    import struct
+    import zlib
+
+    w, h = 5 + doc_id % 11, 3 + doc_id % 6
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    stride = 3 * w
+    prev = bytes(stride)
+    filtered = bytearray()
+    for y in range(h):
+        row = bytes(
+            (doc_id * 29 + (y * w + x) * 3 + c) % 256
+            for x in range(w)
+            for c in range(3)
+        )
+        f = y % 5
+        filtered.append(f)
+        filtered += _png_filter_row(f, row, prev)
+        prev = row
+    z = zlib.compress(bytes(filtered))
+    half = max(1, len(z) // 2)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", z[:half])
+        + chunk(b"IDAT", z[half:])
+        + chunk(b"IEND", b"")
     )
 
-    def decode(batches):
-        if not DECODERS_AVAILABLE:
-            # STUB: deterministic fake features (see module docstring)
-            extract = _fake_features
-        else:  # pragma: no cover
-            raise NotImplementedError("real decoders not present in this container")
+
+def _png_decode(b: bytes):
+    """Real pure-Python PNG decoder (the subset real corpora care
+    about: 8-bit truecolor, non-interlaced): signature check, chunk
+    walk with CRC32 VERIFICATION per chunk, IHDR variant gate,
+    multi-IDAT concatenation, one zlib inflate, then per-scanline
+    unfilter (all five filter types incl. Paeth). Raises on any
+    malformed byte — signature, CRC, variant, scanline length,
+    trailing garbage — this is a decoder contract, not a stub.
+    Returns (w, h, raster, filter_counts)."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    i, ihdr, idat, ended = 8, None, bytearray(), False
+    while i < len(b):
+        (ln,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack(">I", b[i + 8 + ln : i + 12 + ln])
+        if crc != zlib.crc32(typ + data) & 0xFFFFFFFF:
+            raise ValueError(f"CRC mismatch in chunk {typ!r}")
+        i += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+            ihdr = (w, h)
+        elif typ == b"IDAT":
+            if ihdr is None:
+                raise ValueError("IDAT before IHDR")
+            idat += data
+        elif typ == b"IEND":
+            ended = True
+            if i != len(b):
+                raise ValueError("trailing bytes after IEND")
+    if not ended:
+        raise ValueError("missing IEND")
+    w, h = ihdr
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError("scanline payload length mismatch")
+    prev, raster, fcounts = bytes(stride), bytearray(), [0] * 5
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = _png_unfilter_row(
+            f, raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], prev
+        )
+        fcounts[f] += 1
+        raster += row
+        prev = row
+    return w, h, bytes(raster), fcounts
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id,
+                 5 + doc_id % 11 AS w,
+                 3 + doc_id % 6 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, w, h, r.k AS k
+          FROM dims, unnest(range(w * h)) r(k)
+        )
+        SELECT doc_id,
+               'image/png' AS mime,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(sum((doc_id * 29 + k * 3 + 0) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((doc_id * 29 + k * 3 + 1) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((doc_id * 29 + k * 3 + 2) % 256) AS BIGINT) AS sum_b,
+               CAST(CASE WHEN h >= 5 THEN (h - 5) // 5 + 1 ELSE 0 END
+                    AS BIGINT) AS n_paeth_rows
+        FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_png_decode(spark, sf_dir):
+    """REAL PNG decode, value-checked — retires the round-1
+    `multimodal_decode_stub` (round-6 verdict ask #4): each doc gets a
+    genuine PNG payload (signature / IHDR / two IDAT chunks / IEND,
+    scanlines filtered with all five PNG filter types), and the decode
+    step walks the actual wire format — CRC32-verifying every chunk,
+    concatenating IDATs, inflating, unfiltering each scanline
+    including the Paeth predictor — then aggregates per-channel sums
+    and the Paeth-row count from the reconstructed raster. The oracle
+    restates dims/sums/filter-schedule closed-form from doc_id, so a
+    single misdecoded byte anywhere (CRC skip, filter-carry bug,
+    channel swap, IDAT boundary mishandling) breaks the value hash.
+    Typed metadata (mime) rides alongside per the multimodal column
+    contract.
+
+    Scale shape: encode and decode are stateless per-row mapInPandas —
+    map-only, no shuffle; the aggregate is per-payload inside the UDF
+    (a real pipeline would also emit the raster as a binary column for
+    downstream feature UDFs, exactly like multimodal_ppm_* do)."""
+    d = table(spark, sf_dir, "documents")
+
+    def encode(batches):
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "mime": [m["mime"] for m in pdf["meta"]],
-                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    # scalar cells only at the driver boundary: features
-                    # serialize as e6-scaled ints joined with ','.
-                    "features": [
-                        ",".join(str(int(round(v * 1e6))) for v in extract(p))
-                        for p in pdf["payload"]
-                    ],
+                    "payload": [_png_bytes(int(i)) for i in pdf["doc_id"]],
                 }
             )
 
+    assets = d.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ),
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "mime": [],
+                "width": [],
+                "height": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+                "n_paeth_rows": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h, raster, fcounts = _png_decode(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["mime"].append(meta["mime"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sum(raster[0::3]))
+                out["sum_g"].append(sum(raster[1::3]))
+                out["sum_b"].append(sum(raster[2::3]))
+                out["n_paeth_rows"].append(fcounts[4])
+            yield pd.DataFrame(out)
+
     return assets.mapInPandas(
-        decode, "doc_id long, mime string, n_bytes long, features string"
+        decode,
+        "doc_id long, mime string, width long, height long,"
+        " sum_r long, sum_g long, sum_b long, n_paeth_rows long",
     )
 
 

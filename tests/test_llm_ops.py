@@ -108,13 +108,33 @@ def test_langid_structural(spark):
     assert all(r["predicted_lang"] in langs for r in out)
 
 
-def test_multimodal_features_shape(spark):
-    out = engine.QUERIES["multimodal_decode_stub"](spark, T2_SF_DIR).collect()
-    n_docs = table(spark, T2_SF_DIR, "documents").count()
-    assert len(out) == n_docs
-    feats = [[int(t) / 1e6 for t in r["features"].split(",")] for r in out]
-    assert all(len(f) == 4 for f in feats)
-    assert all(0.0 <= x < 1.0 + 1e-6 for f in feats for x in f)
+def test_png_codec_roundtrip_and_rejects_corruption(spark):
+    """The pure-Python PNG path is a real decoder contract: encode →
+    decode round-trips to the closed-form raster for every filter
+    type, and a single flipped byte anywhere in a chunk body is
+    caught by the CRC verification."""
+    from engine.ops.multimodal import _png_bytes, _png_decode
+
+    import pytest as _pytest
+
+    for doc_id in (0, 7, 123, 4999):
+        b = _png_bytes(doc_id)
+        w, h, raster, fcounts = _png_decode(b)
+        assert (w, h) == (5 + doc_id % 11, 3 + doc_id % 6)
+        want = bytes(
+            (doc_id * 29 + k * 3 + c) % 256
+            for k in range(w * h)
+            for c in range(3)
+        )
+        assert raster == want
+        assert sum(fcounts) == h
+        # corrupt one raster byte inside the first IDAT chunk body
+        bad = bytearray(b)
+        bad[8 + 25 + 8 + 2] ^= 0xFF  # past IHDR chunk, inside IDAT data
+        with _pytest.raises(ValueError, match="CRC mismatch"):
+            _png_decode(bytes(bad))
+    with _pytest.raises(ValueError, match="signature"):
+        _png_decode(b"\x89PNX" + b"\x00" * 16)
 
 
 def test_cc_labels_consistent_with_pairs(spark):
