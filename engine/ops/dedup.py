@@ -2732,8 +2732,26 @@ def _inc_lsh_dedupe_batch(spark, doc_sh, bands, base, b):
     else:
         cands = within.distinct()
         all_sh = doc_sh
-    sa = all_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    sb = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    out = _lsh_verify_first_partner(cands, all_sh, doc_sh).withColumn(
+        "batch_id", F.lit(b).cast("long")
+    ).select("doc_id", "batch_id", "dup_of", "jaccard_first")
+    # materialize this batch's rows before the caller writes later
+    # generations (the shared caches stay owned by the caller)
+    return out.localCheckpoint(eager=True)
+
+
+def _lsh_verify_first_partner(cands, partner_sh, probe_sh):
+    """Exact-jaccard verification of LSH candidate pairs + reduction
+    to each probe doc's FIRST (lowest-id) verified partner — shared by
+    the incremental-dedup core and the index-compaction probe.
+    ``cands``: (doc_a = partner side, doc_b = probe side);
+    ``partner_sh``/``probe_sh``: (doc_id, sh) shingle arrays."""
+    sa = partner_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")
+    )
+    sb = probe_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")
+    )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     verified = (
         cands.join(sa, "doc_a")
@@ -2749,19 +2767,15 @@ def _inc_lsh_dedupe_batch(spark, doc_sh, bands, base, b):
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     w = Window.partitionBy("doc_b").orderBy("doc_a")
-    out = (
+    return (
         verified.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             F.col("doc_b").alias("doc_id"),
-            F.lit(b).cast("long").alias("batch_id"),
             F.col("doc_a").alias("dup_of"),
             F.col("jaccard").alias("jaccard_first"),
         )
     )
-    # materialize this batch's rows before the caller writes later
-    # generations (the shared caches stay owned by the caller)
-    return out.localCheckpoint(eager=True)
 
 
 @register("dedup_incremental_lsh", oracle=INC_LSH_SQL)
@@ -3481,3 +3495,156 @@ def dedup_lcp_spans(spark, sf_dir):
         .cast("long")
         .alias("n_tokens_cut"),
     )
+
+
+COMPACT_FILES = 4  # target file count for the compacted index
+
+
+@register(
+    "dedup_index_compact",
+    oracle=f"""
+        WITH near AS MATERIALIZED ({MINHASH_SQL}),
+        m AS (SELECT max(doc_id) AS mx FROM documents),
+        probe AS (
+          SELECT doc_id FROM documents, m
+          WHERE ({N_INC_BATCHES} * doc_id) // (m.mx + 1)
+                = {N_INC_BATCHES - 1}),
+        sym AS (
+          SELECT doc_b AS x, doc_a AS partner, jaccard FROM near
+          UNION ALL
+          SELECT doc_a AS x, doc_b AS partner, jaccard FROM near
+          UNION ALL
+          SELECT doc_id AS x, doc_id AS partner,
+                 CAST(1.0 AS DOUBLE) AS jaccard
+          FROM documents),
+        ranked AS (
+          SELECT p.doc_id, s.partner, s.jaccard,
+                 row_number() OVER (PARTITION BY p.doc_id
+                                    ORDER BY s.partner) AS rn
+          FROM probe p JOIN sym s ON s.x = p.doc_id)
+        SELECT doc_id, partner AS dup_of, jaccard AS jaccard_first
+        FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_index_compact(spark, sf_dir):
+    """LSH band-index GENERATION COMPACTION with an equivalence proof
+    (round-6 verdict ask #5): the incremental dedup's index grows one
+    ``bands/gen=N`` + ``shingles/gen=N`` directory pair per ingest
+    forever; this maintenance op rewrites all generations into ONE
+    compacted layout and proves the index still answers identically.
+
+    Three steps, each the production shape:
+      1. build the generation index (the same slice-per-increment
+         writes `_inc_lsh_dedupe_batch` performs — 3 generations of
+         writer slivers);
+      2. compact in one distributed pass, REPARTITIONED ON THE PROBE
+         KEY: bands land hashed by (band, band_key), shingles by
+         doc_id — the compacted index is not just fewer files, it is
+         bucket-shaped so future increments' candidate joins need no
+         index-side shuffle (the 100 TB refinement the incremental
+         op's docstring names). File-count shrink is asserted in-op
+         and magnitude-checked in tests/test_plans.py.
+      3. probe BOTH indexes with the last increment's docs re-presented
+         as an arriving batch, through the exact shared
+         candidate→verify→first-partner machinery
+         (`_lsh_verify_first_partner`); any row differing between the
+         multi-generation and compacted answers raises.
+
+    The oracle restates the probe closed-form: each probe doc's lowest
+    verified partner across the whole corpus — the symmetrized MINHASH
+    pair relation plus the self-pair (a re-presented doc always finds
+    itself at jaccard 1.0), which is exactly what "the index already
+    contains the corpus" means. Equivalence pre/post compaction is
+    enforced in-op, so the single value hash covers both paths."""
+    import os
+
+    from ..registry import scratch_dir
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    base = scratch_dir("dedup_index_compact")
+    doc_sh_all, bands_all = _inc_lsh_prepare(d)
+    for b in range(N_INC_BATCHES):
+        sel = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}") == b
+        bands_all.filter(sel).write.mode("overwrite").parquet(
+            f"{base}/bands/gen={b}"
+        )
+        doc_sh_all.filter(sel).select("doc_id", "sh").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/shingles/gen={b}")
+    gens_b = [f"{base}/bands/gen={g}" for g in range(N_INC_BATCHES)]
+    gens_s = [f"{base}/shingles/gen={g}" for g in range(N_INC_BATCHES)]
+
+    def count_files(paths):
+        return sum(
+            1
+            for p in paths
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    n_before = count_files(gens_b)
+    (
+        spark.read.option("basePath", f"{base}/bands")
+        .parquet(*gens_b)
+        .drop("gen")
+        .repartition(COMPACT_FILES, "band", "band_key")
+        .write.mode("overwrite")
+        .parquet(f"{base}/bands_c")
+    )
+    (
+        spark.read.option("basePath", f"{base}/shingles")
+        .parquet(*gens_s)
+        .drop("gen")
+        .repartition(COMPACT_FILES, "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{base}/shingles_c")
+    )
+    n_after = count_files([f"{base}/bands_c"])
+    if n_after >= n_before:
+        raise AssertionError(
+            f"compaction did not shrink the index: {n_before} -> {n_after}"
+        )
+
+    sel = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}") == (
+        N_INC_BATCHES - 1
+    )
+    probe_sh = doc_sh_all.filter(sel)
+    probe_bands = bands_all.filter(sel)
+
+    def probe(idx_bands, idx_sh):
+        cands = (
+            idx_bands.select(
+                F.col("doc_id").alias("doc_a"), "band", "band_key"
+            )
+            .join(
+                probe_bands.select(
+                    F.col("doc_id").alias("doc_b"), "band", "band_key"
+                ),
+                ["band", "band_key"],
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return _lsh_verify_first_partner(cands, idx_sh, probe_sh)
+
+    pre = probe(
+        spark.read.option("basePath", f"{base}/bands")
+        .parquet(*gens_b)
+        .drop("gen"),
+        spark.read.option("basePath", f"{base}/shingles")
+        .parquet(*gens_s)
+        .drop("gen"),
+    ).localCheckpoint(eager=True)
+    post = probe(
+        spark.read.parquet(f"{base}/bands_c"),
+        spark.read.parquet(f"{base}/shingles_c"),
+    ).localCheckpoint(eager=True)
+    diff = pre.exceptAll(post).unionByName(post.exceptAll(pre))
+    if diff.limit(1).count() > 0:
+        raise AssertionError(
+            "probe answers diverge between generation and compacted index"
+        )
+    bands_all.unpersist()
+    doc_sh_all.unpersist()
+    return post

@@ -693,3 +693,35 @@ def test_null_profile_approx_avoids_expand(spark):
     publish-gate audit) does."""
     assert "Expand" not in _plan(spark, "audit_null_profile_approx")
     assert "Expand" in _plan(spark, "audit_null_profile")
+
+
+def test_index_compaction_shrinks_files_and_is_bucket_shaped(spark):
+    """dedup_index_compact: the rewrite must collapse the
+    per-generation writer slivers by a large factor (3 generations ×
+    32-partition writes → COMPACT_FILES files) for BOTH index table
+    families; equivalence of probe answers is enforced inside the op
+    itself (it raises on any diverging row)."""
+    import os
+    import tempfile
+
+    from engine.ops.dedup import COMPACT_FILES, N_INC_BATCHES
+
+    engine.QUERIES["dedup_index_compact"](spark, T2_SF_DIR).count()
+    base = os.path.join(
+        tempfile.gettempdir(), "engine_scratch_dedup_index_compact"
+    )
+
+    def n_parquet(path):
+        return sum(
+            1
+            for _root, _d, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    for fam in ("bands", "shingles"):
+        before = n_parquet(os.path.join(base, fam))
+        after = n_parquet(os.path.join(base, f"{fam}_c"))
+        assert after == COMPACT_FILES, (fam, after)
+        assert before >= 4 * after, (fam, before, after)
+    assert N_INC_BATCHES >= 3  # the sliver problem is real, not 1 gen
