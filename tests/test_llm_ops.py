@@ -705,7 +705,7 @@ def test_cka_alignment_properties(spark):
     """CKA invariants: self-alignment is exactly 1 at full dims (the
     K-dim view vs itself), the registered 64-vs-16 score lies in
     (0, 1], and the op is double-run deterministic."""
-    from engine.ops.similarity import ml_cka_alignment
+    from engine.ops.ml_metrics import ml_cka_alignment
 
     a = ml_cka_alignment(spark, T2_SF_DIR).collect()[0]
     b = ml_cka_alignment(spark, T2_SF_DIR).collect()[0]
