@@ -1327,3 +1327,183 @@ def ingest_avro_stream(spark, sf_dir):
         q.stop()
         raise TimeoutError("ingest_avro_stream: availableNow query exceeded 300s")
     return spark.read.schema(AVRO_DECODE_SCHEMA).parquet(sink)
+
+
+WARC_SHARDS = 8
+WARC_URI_PREFIX = "http://corpus.local/doc/"
+_WARC_HTTP_PREFIX = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+
+
+def _warc_encode_group(pdf):
+    """One gzipped WARC delivery object per shard: each record is its
+    OWN gzip member (the .warc.gz spec requirement — per-record
+    members keep the file seekable), containing version line, WARC
+    headers, Content-Length-framed block, and the two-CRLF record
+    terminator; the block itself is a full HTTP response (status line
+    + headers + body), so the payload CONTAINS the \\r\\n\\r\\n
+    separator sequence — framing must come from Content-Length, never
+    from scanning for separators (the classic WARC parser bug)."""
+    import zlib
+
+    import pandas as pd
+
+    members = []
+    for doc_id, text in sorted(zip(pdf["doc_id"], pdf["text"])):
+        body = _WARC_HTTP_PREFIX + str(text).encode("utf-8")
+        headers = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {WARC_URI_PREFIX}{int(doc_id)}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("ascii")
+        co = zlib.compressobj(wbits=31)  # gzip member framing
+        members.append(co.compress(headers + body + b"\r\n\r\n") + co.flush())
+    return pd.DataFrame(
+        {
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "blob": [b"".join(members)],
+        }
+    )
+
+
+WARC_DECODE_SCHEMA = (
+    "doc_id long, shard_id long, member_seq long,"
+    " content_length long, uri string, body string"
+)
+
+
+def _warc_decode_batches(batches):
+    """Pure-Python .warc.gz reader: iterate gzip MEMBERS with
+    decompressobj(wbits=31) + unused_data (multi-member concatenation
+    — the corner single-shot gunzip silently truncates), parse WARC
+    headers, frame the block by Content-Length (never by separator
+    scan: the HTTP payload embeds \\r\\n\\r\\n), verify the record
+    terminator, then parse the inner HTTP response. Raises on any
+    malformed byte — version line, missing headers, short block, bad
+    terminator, non-200 status."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "shard_id": [],
+            "member_seq": [],
+            "content_length": [],
+            "uri": [],
+            "body": [],
+        }
+        for shard_id, blob in zip(pdf["shard_id"], pdf["blob"]):
+            data, seq = bytes(blob), 0
+            while data:
+                do = zlib.decompressobj(wbits=31)
+                rec = do.decompress(data)
+                data = do.unused_data
+                seq += 1
+                head_end = rec.index(b"\r\n\r\n")
+                lines = rec[:head_end].decode("ascii").split("\r\n")
+                if lines[0] != "WARC/1.0":
+                    raise ValueError(f"bad WARC version line: {lines[0]!r}")
+                h = dict(ln.split(": ", 1) for ln in lines[1:])
+                clen = int(h["Content-Length"])
+                block = rec[head_end + 4 : head_end + 4 + clen]
+                if len(block) != clen:
+                    raise ValueError("short WARC block")
+                if rec[head_end + 4 + clen :] != b"\r\n\r\n":
+                    raise ValueError("bad WARC record terminator")
+                he = block.index(b"\r\n\r\n")
+                if block[:he].split(b"\r\n")[0] != b"HTTP/1.1 200 OK":
+                    raise ValueError("unexpected HTTP status line")
+                uri = h["WARC-Target-URI"]
+                out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                out["shard_id"].append(int(shard_id))
+                out["member_seq"].append(seq)
+                out["content_length"].append(clen)
+                out["uri"].append(uri)
+                out["body"].append(block[he + 4 :].decode("utf-8"))
+        yield pd.DataFrame(out)
+
+
+_WARC_ORACLE = f"""
+    SELECT doc_id,
+           doc_id % {WARC_SHARDS} AS shard_id,
+           CAST(row_number() OVER (PARTITION BY doc_id % {WARC_SHARDS}
+                ORDER BY doc_id) AS BIGINT) AS member_seq,
+           CAST({len(_WARC_HTTP_PREFIX)} + strlen(text) AS BIGINT)
+             AS content_length,
+           '{WARC_URI_PREFIX}' || doc_id AS uri,
+           text AS body
+    FROM documents
+"""
+
+
+@register("ingest_warc_gzip", oracle=_WARC_ORACLE)
+def ingest_warc_gzip(spark, sf_dir):
+    """Gzipped-WARC corpus ingest — the Common Crawl wire format every
+    LLM data pipeline starts from, decoded for real in pure Python:
+    documents are packed into {WARC_SHARDS} .warc.gz delivery objects
+    (per-record gzip members, WARC/1.0 headers, Content-Length-framed
+    HTTP-response blocks), round-tripped through a parquet binary
+    column, and decoded with a mapInPandas reader that iterates gzip
+    members via unused_data, frames blocks by Content-Length (the
+    payload deliberately CONTAINS the record-separator byte sequence,
+    so separator-scanning parsers break — the classic WARC bug), and
+    verifies version line, terminator, and HTTP status per record.
+    The closed-form oracle checks uri/shard/member-order/byte-length/
+    body for every document, proving both encode and decode.
+
+    Scale shape: encode is applyInPandas per shard (Common Crawl ships
+    ~72k WARC files per crawl — independent model-sized groups);
+    decode is map-only over delivery objects, no shuffle; at 100 TB
+    the decode parallelism is the file count, exactly how warcio-based
+    extraction jobs parallelize."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = (
+        d.withColumn("shard_id", F.pmod("doc_id", F.lit(WARC_SHARDS)))
+        .groupBy("shard_id")
+        .applyInPandas(_warc_encode_group, "shard_id long, blob binary")
+    )
+    base = scratch_dir("ingest_warc_gzip")
+    payloads.write.mode("overwrite").parquet(base)
+    return spark.read.parquet(base).mapInPandas(
+        _warc_decode_batches, WARC_DECODE_SCHEMA
+    )
+
+
+@register("ingest_warc_stream", oracle=_WARC_ORACLE)
+def ingest_warc_stream(spark, sf_dir):
+    """STREAMING gzipped-WARC ingest — crawl delivery objects land as
+    files, a Structured Streaming file source picks them up, the same
+    pure-Python .warc.gz reader decodes each micro-batch statelessly,
+    and records flow to a checkpointed parquet sink (availableNow-
+    bounded). Stream ≡ batch: the oracle is the batch twin's
+    closed-form statement, and the file source's checkpointed offsets
+    give exactly-once across restarts (the stream_file_source
+    contract). Decode parallelism = delivery objects per micro-batch;
+    zero shuffle before the sink."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = scratch_dir("ingest_warc_stream")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    (
+        d.withColumn("shard_id", F.pmod("doc_id", F.lit(WARC_SHARDS)))
+        .groupBy("shard_id")
+        .applyInPandas(_warc_encode_group, "shard_id long, blob binary")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema("shard_id long, blob binary").parquet(
+        src
+    )
+    decoded = stream.mapInPandas(_warc_decode_batches, WARC_DECODE_SCHEMA)
+    q = (
+        decoded.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("ingest_warc_stream: availableNow query exceeded 300s")
+    return spark.read.schema(WARC_DECODE_SCHEMA).parquet(sink)

@@ -3035,3 +3035,157 @@ def text_hapax_legomena_ratio(spark, sf_dir):
             6,
         ).alias("hapax_ratio"),
     )
+
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+DSIR_KEEP_FRAC = 5  # keep top 1/5 of the corpus
+
+
+@register(
+    "corpus_dsir_select",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS a
+                   FROM documents),
+        feats AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS bucket
+          FROM (
+            SELECT doc_id, lang, unnest(a) AS f FROM t
+            UNION ALL
+            SELECT doc_id, lang, a[i] || ' ' || a[i + 1] AS f
+            FROM t, unnest(range(1, len(a))) r(i))),
+        rawc AS MATERIALIZED (
+          SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+        tgtc AS MATERIALIZED (
+          SELECT bucket, count(*) AS ct FROM feats
+          WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM feats) AS tr,
+                       (SELECT count(*) FROM feats
+                        WHERE lang = '{DSIR_TARGET_LANG}') AS tt),
+        lr AS MATERIALIZED (
+          SELECT r.bucket,
+                 CAST(round(1000000.0 * (
+                      ln(coalesce(g.ct, 0) + 1.0)
+                      - ln(tot.tt + {DSIR_BUCKETS}.0)
+                      - ln(r.cr + 1.0)
+                      + ln(tot.tr + {DSIR_BUCKETS}.0))) AS BIGINT)
+                   AS lr_micro
+          FROM rawc r LEFT JOIN tgtc g USING (bucket), tot),
+        w AS MATERIALIZED (
+          SELECT f.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_features,
+                 CAST(sum(l.lr_micro) AS BIGINT) AS dsir_weight_micro
+          FROM feats f JOIN lr l USING (bucket) GROUP BY 1),
+        n AS (SELECT count(*) AS nd FROM documents)
+        SELECT w.doc_id, n_features, dsir_weight_micro,
+               CAST(row_number() OVER (ORDER BY dsir_weight_micro DESC,
+                    w.doc_id) AS BIGINT) AS sel_rank,
+               row_number() OVER (ORDER BY dsir_weight_micro DESC, w.doc_id)
+                 <= n.nd // {DSIR_KEEP_FRAC} AS selected
+        FROM w, n
+    """,
+)
+def corpus_dsir_select(spark, sf_dir):
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) — THE published recipe for steering a raw 100 TB crawl
+    toward a target domain with nothing but hashed n-gram counts:
+    every document scores sum over its features (unigrams + bigrams,
+    hashed into {DSIR_BUCKETS} buckets) of
+    log p_target(bucket) − log p_raw(bucket), Laplace-smoothed bag
+    models estimated from the corpus itself (target = the
+    '{DSIR_TARGET_LANG}'-labeled slice standing in for the
+    high-quality domain). Top 1/{DSIR_KEEP_FRAC} by weight are
+    selected.
+
+    Engine-exactness: the log-ratio is micro-nat-quantized ONCE per
+    bucket in the model table (the proven ln-micro idiom), so
+    per-document weights are exact BIGINT sums — shuffle-order-proof
+    — and the whole selection value-hashes. The ranking uses the
+    two-level range-partition primitive (`_global_rank`, shared with
+    the suffix array), never a single-task window, so the final
+    ordering is 100 TB-shaped too.
+
+    Scale shape: feature hashing is map-only; the two count tables
+    shrink to ≤{DSIR_BUCKETS} rows each (broadcast the model);
+    per-doc weights are one map-side-combinable sum. That is the
+    whole point of hashed DSIR — the model state is O(buckets), not
+    O(vocab) — and why it runs where a neural quality classifier
+    needs a GPU fleet."""
+    from .dedup import _global_rank
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = d.withColumn("a", F.split("text", " "))
+    feats = (
+        base.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.concat(
+                    "a",
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1),"
+                        " i -> concat(a[i - 1], ' ', a[i]))"
+                    ),
+                )
+            ).alias("f"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+        .persist()
+    )
+    tr, tt = feats.agg(
+        F.count(F.lit(1)),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")),
+    ).collect()[0]
+    rawc = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgtc = (
+        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    lr = rawc.join(tgtc, "bucket", "left").select(
+        "bucket",
+        F.round(
+            F.lit(1_000_000.0)
+            * (
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                - F.log(F.lit(float(tt + DSIR_BUCKETS)))
+                - F.log(F.col("cr") + F.lit(1.0))
+                + F.log(F.lit(float(tr + DSIR_BUCKETS)))
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    w = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("lr_micro").cast("long").alias("dsir_weight_micro"),
+        )
+        .withColumn("neg_w", -F.col("dsir_weight_micro"))
+    )
+    ranked, nd = _global_rank(w, ["neg_w", "doc_id"])
+    out = (
+        w.join(ranked, ["neg_w", "doc_id"])
+        .select(
+            "doc_id",
+            "n_features",
+            "dsir_weight_micro",
+            F.col("_rank").alias("sel_rank"),
+            (F.col("_rank") <= nd // DSIR_KEEP_FRAC).alias("selected"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    feats.unpersist()
+    return out

@@ -995,3 +995,21 @@ def test_lcp_spans_contain_anchored_spans(spark):
             f"anchored span {r['doc_id']}:{r['tok_start']}-{r['tok_end']}"
             " not contained in any LCP span"
         )
+
+
+def test_dsir_selection_enriches_target_domain(spark):
+    """corpus_dsir_select must actually steer: the selected top-1/5 is
+    substantially enriched in the target domain vs the rejected rest
+    (measured 67% vs 38% on the fixture — the assertion leaves margin
+    but pins the direction and a real gap)."""
+    out = engine.QUERIES["corpus_dsir_select"](spark, T2_SF_DIR)
+    d = table(spark, T2_SF_DIR, "documents").select("doc_id", "lang")
+    rows = out.join(d, "doc_id").collect()
+    sel = [r for r in rows if r["selected"]]
+    rej = [r for r in rows if not r["selected"]]
+    assert sel and rej
+    rate = lambda rs: sum(r["lang"] == "en" for r in rs) / len(rs)  # noqa: E731
+    assert rate(sel) > rate(rej) + 0.15, (rate(sel), rate(rej))
+    # ranking is a permutation: every doc ranked exactly once
+    ranks = sorted(r["sel_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
