@@ -2689,7 +2689,7 @@ def _inc_lsh_process_batch(spark, doc_sh_all, bands_all, mx, base, b):
     )
 
 
-def _inc_lsh_dedupe_batch(spark, doc_sh, bands, base, b):
+def _inc_lsh_dedupe_batch(spark, doc_sh, bands, base, b, materialize=True):
     """Process ONE ingest increment against the accumulated LSH index.
 
     The increment's band rows join (a) the within-batch grouped
@@ -2736,8 +2736,10 @@ def _inc_lsh_dedupe_batch(spark, doc_sh, bands, base, b):
         "batch_id", F.lit(b).cast("long")
     ).select("doc_id", "batch_id", "dup_of", "jaccard_first")
     # materialize this batch's rows before the caller writes later
-    # generations (the shared caches stay owned by the caller)
-    return out.localCheckpoint(eager=True)
+    # generations (the shared caches stay owned by the caller); the
+    # STREAMING caller writes `out` straight to its sink — that write
+    # materializes it, so the extra checkpoint job is skipped there
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def _lsh_verify_first_partner(cands, partner_sh, probe_sh):
@@ -2883,7 +2885,8 @@ def run_inc_lsh_stream(spark, sf_dir, base, fail_at_batch=None):
         )
         try:
             out = _inc_lsh_dedupe_batch(
-                spark, doc_sh, _lsh_band_rows(doc_sh), idx, b
+                spark, doc_sh, _lsh_band_rows(doc_sh), idx, b,
+                materialize=False,
             )
             if fail_at_batch is not None and b == fail_at_batch:
                 raise RuntimeError(
@@ -3446,9 +3449,16 @@ def dedup_lcp_spans(spark, sf_dir):
             ).alias("anchor_k"),
         )
     )
-    cur = final.select(
-        F.col("_rank").alias("rnk"), "doc_id", "pos"
-    ).join(anch, ["doc_id", "pos"])
+    # cur feeds both sides of the rank-adjacency self-join; it stays
+    # UNPERSISTED deliberately — `final` is already an eager
+    # localCheckpoint, so each side re-derives only a checkpoint scan
+    # + one join, which measures ~1.5 s faster than caching the
+    # anchor-string frame (persist write+scan costs more than the
+    # recompute here)
+    cur = (
+        final.select(F.col("_rank").alias("rnk"), "doc_id", "pos")
+        .join(anch, ["doc_id", "pos"])
+    )
     nxt = cur.select(
         (F.col("rnk") - 1).alias("rnk"),
         F.col("doc_id").alias("db"),
