@@ -2316,3 +2316,178 @@ def embed_dim_variance_rank(spark, sf_dir):
         F.rank().over(w).cast("long").alias("var_rank"),
         (F.rank().over(w) <= 16).cast("long").alias("in_top16"),
     )
+
+
+BT_ITERS = 5
+
+
+def _bt_oracle_sql():
+    """Fully-unrolled Zermelo/MM Bradley-Terry fit: one MATERIALIZED
+    CTE pair (ordered-fold denominator, normalized micro update) per
+    iteration, restating the engine's driver-side loop term for term —
+    every double operation is spelled in the same order (list_reduce
+    over ORDER BY partner ≡ Python's sorted accumulation), so the
+    trajectory is bit-identical and the final scores value-hash."""
+    head = f"""
+    WITH tot AS MATERIALIZED (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    duel AS MATERIALIZED (
+      SELECT CASE WHEN a.cents > b.cents THEN a.event_type
+                  ELSE b.event_type END AS winner,
+             CASE WHEN a.cents > b.cents THEN b.event_type
+                  ELSE a.event_type END AS loser
+      FROM tot a JOIN tot b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+      WHERE a.cents <> b.cents),
+    ndir AS MATERIALIZED (
+      SELECT winner, loser, CAST(count(*) AS BIGINT) AS n
+      FROM duel GROUP BY 1, 2),
+    items AS MATERIALIZED (
+      SELECT winner AS item FROM ndir
+      UNION SELECT loser FROM ndir),
+    ntot AS MATERIALIZED (
+      SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+        SELECT winner AS i, loser AS j, n FROM ndir
+        UNION ALL SELECT loser AS i, winner AS j, n FROM ndir)
+      GROUP BY 1, 2),
+    wtot AS MATERIALIZED (
+      SELECT it.item, CAST(coalesce(sum(d.n), 0) AS BIGINT) AS w
+      FROM items it LEFT JOIN ndir d ON d.winner = it.item GROUP BY 1),
+    kk AS (SELECT count(*) AS k FROM items),
+    w0 AS MATERIALIZED (
+      SELECT item, CAST(floor(1000000.0 / kk.k + 0.5) AS BIGINT) AS wm
+      FROM items, kk)"""
+    steps = []
+    for t in range(BT_ITERS):
+        steps.append(f"""
+    d{t} AS MATERIALIZED (
+      SELECT s.i AS item,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(s.n / (wi.wm / 1000000.0 + wj.wm / 1000000.0)
+                    ORDER BY s.j)),
+               (a, b) -> a + b) AS denom
+      FROM ntot s
+      JOIN w{t} wi ON wi.item = s.i
+      JOIN w{t} wj ON wj.item = s.j
+      GROUP BY s.i),
+    r{t} AS MATERIALIZED (
+      SELECT it.item,
+             CASE WHEN d.denom > 0 THEN wt.w / d.denom ELSE 0.0 END AS wraw
+      FROM items it
+      JOIN wtot wt ON wt.item = it.item
+      LEFT JOIN d{t} d ON d.item = it.item),
+    s{t} AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(wraw ORDER BY item)), (a, b) -> a + b) AS s
+      FROM r{t}),
+    w{t + 1} AS MATERIALIZED (
+      SELECT item, CAST(floor(1000000.0 * (wraw / s{t}.s) + 0.5) AS BIGINT)
+               AS wm
+      FROM r{t}, s{t})""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT w.item AS event_type, wt.w AS n_wins,
+           (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM ntot
+            WHERE i = w.item) AS n_comparisons,
+           w.wm AS bt_score_micro,
+           CAST(row_number() OVER (ORDER BY w.wm DESC, w.item) AS BIGINT)
+             AS bt_rank
+    FROM w{BT_ITERS} w JOIN wtot wt ON wt.item = w.item
+    ORDER BY bt_rank"""
+    )
+
+
+@register("ml_bradley_terry_rank", oracle=_bt_oracle_sql())
+def ml_bradley_terry_rank(spark, sf_dir):
+    """Bradley-Terry preference fit — the model behind RLHF reward
+    aggregation, chess/LLM leaderboards, and pairwise human-eval
+    dashboards: items (event types) accrue pairwise duels (per user,
+    of two types the one with the larger exact-cents value total
+    wins; ties abstain), and BT strengths are fit with
+    {BT_ITERS} Zermelo/MM iterations
+    w_i ← W_i / Σ_j n_ij/(w_i+w_j), normalized and
+    micro-quantized per iteration so the whole trajectory is
+    engine-exact (the unrolled-CTE discipline of kmeans/pagerank).
+
+    The DISTRIBUTED part is the duel construction and counting (one
+    user-keyed join + one combinable groupBy — at 100 TB the duel
+    table is the big object); the fit itself runs driver-side over
+    the k×k count matrix (k = item cardinality, bounded tiny — the
+    d×d Gram / k-centroid precedent) and the oracle unrolls the same
+    arithmetic, ordered fold for ordered fold, in SQL. Output:
+    strength scores (micro), win/comparison counts, and the final
+    leaderboard rank."""
+    import math
+
+    e = table(spark, sf_dir, "events")
+    tot = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    a, b = tot.alias("a"), tot.alias("b")
+    duel = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .filter(F.col("a.cents") != F.col("b.cents"))
+        .select(
+            F.when(
+                F.col("a.cents") > F.col("b.cents"), F.col("a.event_type")
+            )
+            .otherwise(F.col("b.event_type"))
+            .alias("winner"),
+            F.when(
+                F.col("a.cents") > F.col("b.cents"), F.col("b.event_type")
+            )
+            .otherwise(F.col("a.event_type"))
+            .alias("loser"),
+        )
+    )
+    ndir = {
+        (r["winner"], r["loser"]): r["n"]
+        for r in duel.groupBy("winner", "loser")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    items = sorted({x for pair in ndir for x in pair})
+    k = len(items)
+    wins = {i: sum(c for (w, l), c in ndir.items() if w == i) for i in items}
+    ntot: dict = {}
+    for (w, l), c in ndir.items():
+        ntot[(w, l)] = ntot.get((w, l), 0) + c
+        ntot[(l, w)] = ntot.get((l, w), 0) + c
+    wm = {i: int(math.floor(1000000.0 / k + 0.5)) for i in items}
+    for _t in range(BT_ITERS):
+        wraw = {}
+        for i in items:
+            denom = 0.0
+            for j in items:  # sorted — matches the oracle's ORDER BY fold
+                if j == i or (i, j) not in ntot:
+                    continue
+                denom += ntot[(i, j)] / (wm[i] / 1000000.0 + wm[j] / 1000000.0)
+            wraw[i] = wins[i] / denom if denom > 0 else 0.0
+        s = 0.0
+        for i in items:
+            s += wraw[i]
+        wm = {
+            i: int(math.floor(1000000.0 * (wraw[i] / s) + 0.5)) for i in items
+        }
+    ranked = sorted(items, key=lambda i: (-wm[i], i))
+    rows = [
+        (
+            i,
+            wins[i],
+            sum(c for (x, _j), c in ntot.items() if x == i),
+            wm[i],
+            ranked.index(i) + 1,
+        )
+        for i in items
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_wins long, n_comparisons long,"
+        " bt_score_micro long, bt_rank long",
+    ).orderBy("bt_rank")

@@ -591,3 +591,75 @@ def _null_profile(spark, sf_dir, distinct_agg):
         .select("r.*")
         .orderBy("col_name")
     )
+
+
+K_ANON = 5  # release bar: every quasi-identifier class must have >= 5 rows
+K_ANON_VALUE_BAND = 50.0
+
+
+@register(
+    "audit_k_anonymity",
+    oracle=f"""
+        WITH c AS (
+          SELECT event_type, CAST(ts AS DATE) AS dt,
+                 CAST(floor(value / {K_ANON_VALUE_BAND}) AS BIGINT) AS vb,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2, 3),
+        b AS (
+          SELECT CASE WHEN n = 1 THEN '1_singleton'
+                      WHEN n < {K_ANON} THEN '2_below_k'
+                      WHEN n < 2 * {K_ANON} THEN '3_k_to_2k'
+                      ELSE '4_2k_plus' END AS size_band,
+                 n < {K_ANON} AS risky, n
+          FROM c)
+        SELECT size_band, risky,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(min(n) AS BIGINT) AS min_class_size,
+               round(100.0 * sum(n) / (SELECT count(*) FROM events), 2)
+                 AS pct_rows
+        FROM b GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def audit_k_anonymity(spark, sf_dir):
+    """k-anonymity release audit — the governance gate a dataset
+    passes before leaving the pipeline: rows are grouped into
+    quasi-identifier equivalence classes (here event_type × day ×
+    value band — the attacker-joinable columns), and any class with
+    fewer than K_ANON={K_ANON} members is re-identifiable by linkage.
+    The report buckets classes by size band with row counts, the
+    minimum class size per band (band 1's min IS the dataset's
+    k-anonymity), and the share of rows at risk — exactly what a
+    suppress-or-generalize pass consumes next.
+
+    Scale shape: one combinable groupBy on the QI key, then a
+    16-row-class rollup — the audit costs one shuffle of class keys
+    regardless of table size, which is why k-anonymity screens run on
+    every release even at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("dt"),
+        F.floor(F.col("value") / K_ANON_VALUE_BAND).cast("long").alias("vb"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = e.count()
+    band = (
+        F.when(F.col("n") == 1, "1_singleton")
+        .when(F.col("n") < K_ANON, "2_below_k")
+        .when(F.col("n") < 2 * K_ANON, "3_k_to_2k")
+        .otherwise("4_2k_plus")
+    )
+    return (
+        c.select(band.alias("size_band"), (F.col("n") < K_ANON).alias("risky"), "n")
+        .groupBy("size_band", "risky")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.min("n").cast("long").alias("min_class_size"),
+        )
+        .withColumn(
+            "pct_rows",
+            F.round(F.lit(100.0) * F.col("n_rows") / F.lit(float(total)), 2),
+        )
+        .orderBy("size_band")
+    )
