@@ -1294,6 +1294,60 @@ def dedup_span_coverage(spark, sf_dir):
     )
 
 
+def _anchored_span_frames(spark, sf_dir):
+    """Shared k-gram-anchored duplicated-span machinery: returns
+    ``(base, spans)`` — base = (doc_id, a, n_tokens), spans = merged
+    maximal islands (doc_id, isl_id, tok_start, tok_end) of
+    SPAN_K-token anchors appearing verbatim in ≥2 documents. Consumed
+    by dedup_suffix_spans (cut-list report) and dedup_apply_cut_list
+    (the actual corpus trim). The shingle frame is persisted only
+    inside this builder's lineage; both consumers are single-action
+    ops so the persist is released with the session's block manager
+    pressure rather than leaked references."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
+        "n_tokens", F.size("a")
+    )
+    sh = (
+        base.filter(F.col("n_tokens") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, n_tokens - {SPAN_K} + 1),"
+                    f" i -> array_join(slice(a, i, {SPAN_K}), ' '))"
+                )
+            ).alias("p", "span"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("s"), "span")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        sh.groupBy("span")
+        .agg(F.min("doc_id").alias("lo_doc"), F.max("doc_id").alias("hi_doc"))
+        .filter(F.col("lo_doc") != F.col("hi_doc"))
+        .select("span")
+    )
+    hits = sh.join(dup.hint("shuffle_hash"), "span", "left_semi").select(
+        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = hits.withColumn(
+        "new_isl",
+        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "isl_id").agg(
+        F.min("s").alias("tok_start"), F.max("e").alias("tok_end")
+    )
+    return base, spans
+
+
 @register(
     "dedup_suffix_spans",
     oracle=f"""
@@ -1378,48 +1432,11 @@ def dedup_suffix_spans(spark, sf_dir):
     Scale shape: identical to dedup_span_coverage (map-side groupBy
     on span + semi join, windowed islands per doc) plus one extra
     per-doc window (prefix lengths) and two point joins — no new
-    shuffle class; at 100 TB the anchor key is xxhash64(span)."""
-    d = table(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
-        "n_tokens", F.size("a")
-    )
-    sh = (
-        base.filter(F.col("n_tokens") >= SPAN_K)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, n_tokens - {SPAN_K} + 1),"
-                    f" i -> array_join(slice(a, i, {SPAN_K}), ' '))"
-                )
-            ).alias("p", "span"),
-        )
-        .select("doc_id", (F.col("p") + 1).alias("s"), "span")
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    dup = (
-        sh.groupBy("span")
-        .agg(F.min("doc_id").alias("lo_doc"), F.max("doc_id").alias("hi_doc"))
-        .filter(F.col("lo_doc") != F.col("hi_doc"))
-        .select("span")
-    )
-    hits = sh.join(dup.hint("shuffle_hash"), "span", "left_semi").select(
-        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
-    )
-    w = Window.partitionBy("doc_id").orderBy("s")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = hits.withColumn(
-        "new_isl",
-        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = isl.groupBy("doc_id", "isl_id").agg(
-        F.min("s").alias("tok_start"), F.max("e").alias("tok_end")
-    )
+    shuffle class; at 100 TB the anchor key is xxhash64(span).
+    The anchor/island machinery is `_anchored_span_frames`, shared
+    with dedup_apply_cut_list (which consumes the spans to emit the
+    trimmed corpus)."""
+    base, spans = _anchored_span_frames(spark, sf_dir)
     tp = base.select(
         "doc_id", F.posexplode("a").alias("p", "tok")
     ).select("doc_id", (F.col("p") + 1).alias("i"), "tok")
@@ -3658,3 +3675,125 @@ def dedup_index_compact(spark, sf_dir):
     bands_all.unpersist()
     doc_sh_all.unpersist()
     return post
+
+
+@register(
+    "dedup_apply_cut_list",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, i, array_to_string(a[i:i+{SPAN_K - 1}], ' ') AS span
+          FROM (SELECT doc_id, a, unnest(range(1, len(a) - {SPAN_K} + 2)) AS i
+                FROM tok WHERE len(a) >= {SPAN_K})
+        ),
+        dup AS (
+          SELECT span FROM sh GROUP BY span
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+          SELECT doc_id, i AS s, i + {SPAN_K} - 1 AS e
+          FROM sh WHERE span IN (SELECT span FROM dup)
+        ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM hits
+        ),
+        grp AS (
+          SELECT doc_id, s, e,
+                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+          FROM isl
+        ),
+        spans AS (
+          SELECT doc_id, isl_id, min(s) AS tok_start, max(e) AS tok_end
+          FROM grp GROUP BY doc_id, isl_id
+        ),
+        tp AS (
+          SELECT doc_id, generate_subscripts(a, 1) AS i, unnest(a) AS tok
+          FROM tok
+        ),
+        kept AS (
+          SELECT t.doc_id, t.i, t.tok
+          FROM tp t LEFT JOIN spans s
+            ON s.doc_id = t.doc_id
+           AND t.i BETWEEN s.tok_start AND s.tok_end
+          WHERE s.doc_id IS NULL
+        )
+        SELECT d.doc_id,
+               CAST(len(a) AS BIGINT) AS n_tokens_orig,
+               CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept,
+               coalesce(k.trimmed, '') AS trimmed_text
+        FROM tok d LEFT JOIN (
+          SELECT doc_id, count(*) AS n,
+                 string_agg(tok, ' ' ORDER BY i) AS trimmed
+          FROM kept GROUP BY doc_id) k ON k.doc_id = d.doc_id
+    """,
+)
+def dedup_apply_cut_list(spark, sf_dir):
+    """APPLY the duplicated-span cut list — the step that actually
+    produces the trimmed training corpus (dedup_suffix_spans emits the
+    report; this emits the artifact): every token inside a merged
+    duplicated island is deleted, survivors are re-joined in order,
+    and each document comes back as (original token count, kept token
+    count, trimmed_text) — fully-duplicated documents come back
+    EMPTY, untouched documents verbatim. Value-hashing trimmed_text
+    itself means the whole pipeline — anchoring, island merge, token
+    accounting, reassembly order — is checked byte-for-byte, not just
+    counted.
+
+    Implementation: the shared `_anchored_span_frames` machinery
+    yields the islands; each doc's few span ranges are collected into
+    an array and broadcast along the doc_id equi-join, so coverage is
+    a per-token HOF probe over a tiny array (never a row-expanding
+    range join); reassembly sorts (pos, token) structs inside the
+    per-doc aggregate — deterministic, no collect_list order
+    dependence. One extra shuffle class over the report op (the
+    per-doc regroup), linear at any scale."""
+    base, spans = _anchored_span_frames(spark, sf_dir)
+    span_arr = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("tok_start", "tok_end"))
+        ).alias("cuts")
+    )
+    toks = base.select(
+        "doc_id", "n_tokens", F.posexplode("a").alias("p", "tok")
+    ).select("doc_id", "n_tokens", (F.col("p") + 1).alias("i"), "tok")
+    covered = F.exists(
+        "cuts",
+        lambda c: (F.col("i") >= c["tok_start"])
+        & (F.col("i") <= c["tok_end"]),
+    )
+    kept = (
+        toks.join(span_arr, "doc_id", "left")
+        .filter(F.col("cuts").isNull() | ~covered)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("trimmed_text"),
+        )
+    )
+    return (
+        base.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens_orig"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_orig",
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias(
+                "n_tokens_kept"
+            ),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+    )

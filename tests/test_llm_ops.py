@@ -1013,3 +1013,19 @@ def test_dsir_selection_enriches_target_domain(spark):
     # ranking is a permutation: every doc ranked exactly once
     ranks = sorted(r["sel_rank"] for r in rows)
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_cut_list_accounting_reconciles(spark):
+    """The trimmed corpus and the cut-list report must agree doc by
+    doc: kept + cut == original token count, and the trimmed text has
+    exactly the kept token count."""
+    cuts = engine.QUERIES["dedup_suffix_spans"](spark, T2_SF_DIR).collect()
+    cut_by_doc = {}
+    for r in cuts:
+        cut_by_doc[r["doc_id"]] = cut_by_doc.get(r["doc_id"], 0) + r["n_tokens_cut"]
+    out = engine.QUERIES["dedup_apply_cut_list"](spark, T2_SF_DIR).collect()
+    assert out and any(cut_by_doc.values())
+    for r in out:
+        assert r["n_tokens_kept"] + cut_by_doc.get(r["doc_id"], 0) == r["n_tokens_orig"]
+        n_txt = len(r["trimmed_text"].split(" ")) if r["trimmed_text"] else 0
+        assert n_txt == r["n_tokens_kept"]
