@@ -3113,6 +3113,17 @@ def corpus_dsir_select(spark, sf_dir):
     whole point of hashed DSIR — the model state is O(buckets), not
     O(vocab) — and why it runs where a neural quality classifier
     needs a GPU fleet."""
+    lazy, feats = _dsir_build(spark, sf_dir)
+    out = lazy.localCheckpoint(eager=True)
+    feats.unpersist()
+    return out
+
+
+def _dsir_build(spark, sf_dir):
+    """Lazy DSIR selection + the cached feature frame, factored so the
+    registered op can checkpoint-then-unpersist while the plan-pin
+    test asserts on the PRE-checkpoint plan (a checkpointed frame's
+    plan is just a scan — the broadcast evidence lives here)."""
     from .dedup import _global_rank
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -3186,6 +3197,4 @@ def corpus_dsir_select(spark, sf_dir):
             (F.col("_rank") <= nd // DSIR_KEEP_FRAC).alias("selected"),
         )
     )
-    out = out.localCheckpoint(eager=True)
-    feats.unpersist()
-    return out
+    return out, feats

@@ -725,3 +725,40 @@ def test_index_compaction_shrinks_files_and_is_bucket_shaped(spark):
         assert after == COMPACT_FILES, (fam, after)
         assert before >= 4 * after, (fam, before, after)
     assert N_INC_BATCHES >= 3  # the sliver problem is real, not 1 gen
+
+
+def test_warc_and_png_decode_are_map_only(spark):
+    """The wire decoders (ingest_warc_gzip, multimodal_png_decode) must
+    stay shuffle-free: their returned plan is mapInPandas over a scan —
+    any Exchange means the decode path picked up an accidental
+    repartition and would move payload bytes across the cluster."""
+    for name in ("ingest_warc_gzip", "multimodal_png_decode"):
+        plan = _plan(spark, name)
+        assert "MapInPandas" in plan, plan
+        assert "Exchange" not in plan, f"{name} decode shuffles: {plan}"
+
+
+def test_dsir_model_join_is_broadcast_and_no_cartesian(spark):
+    """corpus_dsir_select: the per-bucket log-ratio model table must
+    reach the per-feature join as a broadcast (it is bounded by the
+    bucket count, never by the corpus), and nothing in the selection
+    may degenerate to a product."""
+    from engine.ops.textops import _dsir_build
+
+    lazy, feats = _dsir_build(spark, T2_SF_DIR)
+    try:
+        plan = lazy._jdf.queryExecution().executedPlan().toString()
+    finally:
+        feats.unpersist()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cut_list_apply_avoids_range_join(spark):
+    """dedup_apply_cut_list: token-coverage must be the per-doc
+    cut-array probe, not a row-expanding interval join — the plan may
+    contain only equi-joins (hash/sort-merge), no nested-loop or
+    cartesian node."""
+    plan = _plan(spark, "dedup_apply_cut_list")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
