@@ -3119,39 +3119,39 @@ def corpus_dsir_select(spark, sf_dir):
     return out
 
 
-def _dsir_build(spark, sf_dir):
-    """Lazy DSIR selection + the cached feature frame, factored so the
-    registered op can checkpoint-then-unpersist while the plan-pin
-    test asserts on the PRE-checkpoint plan (a checkpointed frame's
-    plan is just a scan — the broadcast evidence lives here)."""
-    from .dedup import _global_rank
-
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    base = d.withColumn("a", F.split("text", " "))
-    feats = (
-        base.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.concat(
-                    "a",
-                    F.expr(
-                        "transform(sequence(1, size(a) - 1),"
-                        " i -> concat(a[i - 1], ' ', a[i]))"
-                    ),
-                )
-            ).alias("f"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            (
-                F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
-                % DSIR_BUCKETS
-            ).alias("bucket"),
-        )
-        .persist()
+def _dsir_features(docs):
+    """Hashed uni+bigram feature stream (doc_id, lang, bucket) — ONE
+    spelling shared by the batch selector, the model trainer, and the
+    streaming router, so a scored feature is always the same bucket
+    everywhere."""
+    base = docs.withColumn("a", F.split("text", " "))
+    return base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                "a",
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> concat(a[i - 1], ' ', a[i]))"
+                ),
+            )
+        ).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
     )
+
+
+def _dsir_model(feats):
+    """Per-bucket micro-nat log-ratio model table from a (cached)
+    feature frame: Laplace-smoothed target/raw bag models, quantized
+    once so downstream sums are exact BIGINTs. Returns the lazy lr
+    frame (bounded by the bucket count — always broadcastable)."""
     tr, tt = feats.agg(
         F.count(F.lit(1)),
         F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")),
@@ -3162,7 +3162,7 @@ def _dsir_build(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
-    lr = rawc.join(tgtc, "bucket", "left").select(
+    return rawc.join(tgtc, "bucket", "left").select(
         "bucket",
         F.round(
             F.lit(1_000_000.0)
@@ -3177,6 +3177,18 @@ def _dsir_build(spark, sf_dir):
         .cast("long")
         .alias("lr_micro"),
     )
+
+
+def _dsir_build(spark, sf_dir):
+    """Lazy DSIR selection + the cached feature frame, factored so the
+    registered op can checkpoint-then-unpersist while the plan-pin
+    test asserts on the PRE-checkpoint plan (a checkpointed frame's
+    plan is just a scan — the broadcast evidence lives here)."""
+    from .dedup import _global_rank
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feats = _dsir_features(d).persist()
+    lr = _dsir_model(feats)
     w = (
         feats.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
@@ -3198,3 +3210,190 @@ def _dsir_build(spark, sf_dir):
         )
     )
     return out, feats
+
+
+ROUTER_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS a
+               FROM documents),
+    m AS (SELECT max(doc_id) AS mx FROM documents),
+    feats AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, lang, unnest(a) AS f FROM t
+        UNION ALL
+        SELECT doc_id, lang, a[i] || ' ' || a[i + 1] AS f
+        FROM t, unnest(range(1, len(a))) r(i))),
+    b0 AS MATERIALIZED (
+      SELECT f.* FROM feats f, m
+      WHERE (3 * f.doc_id) // (m.mx + 1) = 0),
+    rawc AS MATERIALIZED (
+      SELECT bucket, count(*) AS cr FROM b0 GROUP BY 1),
+    tgtc AS MATERIALIZED (
+      SELECT bucket, count(*) AS ct FROM b0
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM b0) AS tr,
+                   (SELECT count(*) FROM b0
+                    WHERE lang = '{DSIR_TARGET_LANG}') AS tt),
+    lr AS MATERIALIZED (
+      SELECT r.bucket,
+             CAST(round(1000000.0 * (
+                  ln(coalesce(g.ct, 0) + 1.0)
+                  - ln(tot.tt + {DSIR_BUCKETS}.0)
+                  - ln(r.cr + 1.0)
+                  + ln(tot.tr + {DSIR_BUCKETS}.0))) AS BIGINT) AS lr_micro
+      FROM rawc r LEFT JOIN tgtc g USING (bucket), tot),
+    w AS MATERIALIZED (
+      SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+             CAST(sum(l.lr_micro) AS BIGINT) AS wsum
+      FROM feats f JOIN lr l USING (bucket) GROUP BY 1),
+    thr AS (
+      SELECT min(wsum) AS t0 FROM (
+        SELECT w.wsum,
+               row_number() OVER (ORDER BY w.wsum DESC, w.doc_id) AS rn,
+               count(*) OVER () AS n0
+        FROM w, m WHERE (3 * w.doc_id) // (m.mx + 1) = 0)
+      WHERE rn <= (n0 + 1) // 2)
+    SELECT d.doc_id,
+           CAST((3 * d.doc_id) // (m.mx + 1) AS BIGINT) AS batch_id,
+           CAST(coalesce(w.n_scored, 0) AS BIGINT) AS n_scored,
+           CAST(coalesce(w.wsum, 0) AS BIGINT) AS dsir_weight_micro,
+           CASE WHEN coalesce(w.wsum, 0) >= thr.t0 THEN 'kept'
+                ELSE 'rejected' END AS route
+    FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id, m, thr
+"""
+
+
+@register("stream_corpus_router_e2e", oracle=ROUTER_SQL)
+def stream_corpus_router_e2e(spark, sf_dir):
+    """The corpus intake QUALITY GATE as a checkpointed stream — the
+    production companion of stream_dedup_incremental_e2e: a DSIR model
+    trained on the FIRST ingest increment is frozen (the gate ships
+    with its model; scoring never re-trains), then each arriving
+    document file is one micro-batch whose features join the broadcast
+    per-bucket log-ratio table, per-doc weights are exact BIGINT sums,
+    and docs are routed kept/rejected against a CALIBRATED threshold
+    into a deterministic per-batch sink partition (idempotent
+    overwrite — the same foreachBatch exactly-once recipe as the dedup
+    stream; batch id comes from the data, never the epoch). The
+    threshold ships WITH the model: the median training-batch weight
+    (exact rank here; approx_percentile at 100 TB) — raw hashed
+    log-ratio sums are negatively centered by Laplace smoothing, so an
+    uncalibrated sign test routes nothing (measured: 0 kept). Features
+    a frozen model never saw contribute 0 — the standard frozen-gate
+    behavior, stated by the oracle's inner model join.
+
+    Scale shape: per increment the cost is one map-only feature hash +
+    one broadcast join + one combinable sum — O(batch)·1, no state
+    beyond the O(buckets) model; exactly how quality gates sit on a
+    bus in front of a 100 TB corpus store."""
+    import os
+    import time
+
+    from ..registry import scratch_dir
+    from .dedup import N_INC_BATCHES
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
+    feats0 = _dsir_features(d.filter(batch_of == 0)).persist()
+    lr0 = _dsir_model(feats0).persist()
+    lr0.count()  # freeze the model before the stream starts
+    # calibration threshold ships with the model: the median
+    # training-batch weight (exact rank; approx_percentile at scale)
+    w0 = sorted(
+        (
+            r["w"]
+            for r in feats0.join(F.broadcast(lr0), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("lr_micro").cast("long").alias("w"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    t0 = w0[(len(w0) + 1) // 2 - 1]
+    feats0.unpersist()
+
+    base = scratch_dir("stream_corpus_router_e2e")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for b in range(N_INC_BATCHES):
+        stage = f"{base}/stage/b{b}"
+        d.filter(batch_of == b).coalesce(1).write.mode("overwrite").parquet(
+            stage
+        )
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = f"{src}/batch_{b}.parquet"
+        os.replace(os.path.join(stage, part), dst)
+        ts = now - 60 + 20 * b
+        os.utime(dst, (ts, ts))
+
+    def route_batch(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        b = (
+            batch_df.agg(F.min("doc_id")).collect()[0][0]
+            * N_INC_BATCHES
+            // (mx + 1)
+        )
+        w = (
+            _dsir_features(batch_df)
+            .join(F.broadcast(lr0), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_scored"),
+                F.sum("lr_micro").cast("long").alias("dsir_weight_micro"),
+            )
+        )
+        out = (
+            batch_df.select("doc_id")
+            .join(w, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_scored", F.lit(0)).cast("long").alias(
+                    "n_scored"
+                ),
+                F.coalesce("dsir_weight_micro", F.lit(0))
+                .cast("long")
+                .alias("dsir_weight_micro"),
+            )
+            .withColumn(
+                "route",
+                F.when(
+                    F.col("dsir_weight_micro") >= t0, F.lit("kept")
+                ).otherwise(F.lit("rejected")),
+            )
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(
+            f"{sink}/batch_id={b}"
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(route_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_corpus_router_e2e: availableNow query exceeded 600s"
+        )
+    lr0.unpersist()
+    paths = [
+        f"{sink}/batch_id={b}"
+        for b in range(N_INC_BATCHES)
+        if os.path.exists(f"{sink}/batch_id={b}")
+    ]
+    return spark.read.option("basePath", sink).parquet(*paths).select(
+        "doc_id",
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "n_scored",
+        "dsir_weight_micro",
+        "route",
+    )
