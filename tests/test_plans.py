@@ -762,3 +762,32 @@ def test_cut_list_apply_avoids_range_join(spark):
     plan = _plan(spark, "dedup_apply_cut_list")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_compaction_shrinks_files(spark):
+    """sim_index_compact: the rewrite must collapse the per-generation
+    per-writer slivers to one file per cluster partition (probe
+    equivalence is enforced inside the op — it raises on any diverging
+    row)."""
+    import os
+    import tempfile
+
+    from engine.ops.similarity import IVF_NLIST
+
+    engine.QUERIES["sim_index_compact"](spark, T2_SF_DIR).count()
+    base = os.path.join(
+        tempfile.gettempdir(), "engine_scratch_sim_index_compact"
+    )
+
+    def n_parquet(path):
+        return sum(
+            1
+            for _r, _d, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = n_parquet(os.path.join(base, "lists"))
+    after = n_parquet(os.path.join(base, "lists_c"))
+    assert after == IVF_NLIST, after  # one file per cluster partition
+    assert before >= 2 * after, (before, after)
