@@ -1399,6 +1399,12 @@ def _warc_decode_batches(batches):
             while data:
                 do = zlib.decompressobj(wbits=31)
                 rec = do.decompress(data)
+                if not do.eof:
+                    # zlib returns partial output for a truncated
+                    # member WITHOUT raising (the trailer CRC is only
+                    # verified at stream end) — require a complete,
+                    # trailer-verified member explicitly
+                    raise ValueError("truncated gzip member")
                 data = do.unused_data
                 seq += 1
                 head_end = rec.index(b"\r\n\r\n")

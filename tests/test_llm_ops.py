@@ -1029,3 +1029,40 @@ def test_cut_list_accounting_reconciles(spark):
         assert r["n_tokens_kept"] + cut_by_doc.get(r["doc_id"], 0) == r["n_tokens_orig"]
         n_txt = len(r["trimmed_text"].split(" ")) if r["trimmed_text"] else 0
         assert n_txt == r["n_tokens_kept"]
+
+
+def test_wire_decoders_reject_corruption():
+    """The binary ingest paths are decoder CONTRACTS: a corrupted
+    NetFlow header (sequence gap) and a truncated WARC gzip member
+    must raise, not silently mis-parse."""
+    import struct
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from engine.ops.flow import (
+        _netflow_decode_batches,
+        _netflow_encode_group,
+    )
+    from engine.ops.ingest_ops import (
+        _warc_decode_batches,
+        _warc_encode_group,
+    )
+
+    pdf = pd.DataFrame({"event_id": list(range(70)), "shard_id": [0] * 70})
+    blob = bytearray(_netflow_encode_group(pdf)["blob"].iloc[0])
+    # 70 flows -> 3 packets; corrupt the SECOND packet's flow_sequence
+    second = 24 + 30 * 48
+    struct.pack_into(">I", blob, second + 16, 99)
+    bad = pd.DataFrame({"shard_id": [0], "blob": [bytes(blob)]})
+    with _pytest.raises(ValueError, match="flow_sequence gap"):
+        list(_netflow_decode_batches(iter([bad])))
+
+    wdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["alpha beta", "gamma delta"],
+         "shard_id": [0, 0]}
+    )
+    wblob = bytes(_warc_encode_group(wdf)["blob"].iloc[0])
+    truncated = pd.DataFrame({"shard_id": [0], "blob": [wblob[:-7]]})
+    with _pytest.raises(Exception):  # zlib error or framing ValueError
+        list(_warc_decode_batches(iter([truncated])))
