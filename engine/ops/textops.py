@@ -3397,3 +3397,79 @@ def stream_corpus_router_e2e(spark, sf_dir):
         "dsir_weight_micro",
         "route",
     )
+
+
+EPOCH_SHUFFLE_EPOCHS = 3
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "corpus_epoch_shuffle",
+    oracle=f"""
+        WITH k AS (
+          SELECT e.epoch, d.doc_id,
+                 CAST(('0x' || substr(md5('epoch' || e.epoch || ':'
+                      || d.doc_id), 1, 8)) AS BIGINT) AS key
+          FROM documents d, range({EPOCH_SHUFFLE_EPOCHS}) e(epoch))
+        SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+               CAST(row_number() OVER (PARTITION BY epoch
+                    ORDER BY key, doc_id) AS BIGINT) AS ord,
+               CAST((row_number() OVER (PARTITION BY epoch
+                    ORDER BY key, doc_id) - 1)
+                    % {EPOCH_SHUFFLE_SHARDS} AS BIGINT) AS shard
+        FROM k
+    """,
+)
+def corpus_epoch_shuffle(spark, sf_dir):
+    """Deterministic PER-EPOCH training-order shuffle — how a 100 TB
+    corpus gets a fresh global order every epoch WITHOUT materializing
+    shuffled copies: each (epoch, doc) gets a portable hash key
+    (md5-affine, seeded by the epoch), the epoch's global order is the
+    exact rank of that key, and round-robin over the rank yields
+    balanced shard assignments (|shard sizes| differ by ≤1 by
+    construction). Re-running any epoch reproduces its order bit-for-
+    bit — resumable training; different epochs decorrelate because the
+    hash reseeds.
+
+    Ranking uses the two-level range-partition primitive
+    (`_global_rank`) once per epoch — never a one-task window — which
+    is exactly the shape a trainer's shard-manifest job has at scale
+    (rank → shard id → one manifest file per shard)."""
+    from .dedup import _global_rank
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    frames = []
+    for ep in range(EPOCH_SHUFFLE_EPOCHS):
+        k = d.select(
+            F.lit(ep).cast("long").alias("epoch"),
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"epoch{ep}:"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("key"),
+        )
+        ranked, _n = _global_rank(k, ["key", "doc_id"])
+        frames.append(
+            k.join(ranked, ["key", "doc_id"]).select(
+                "epoch",
+                "doc_id",
+                F.col("_rank").alias("ord"),
+                ((F.col("_rank") - 1) % EPOCH_SHUFFLE_SHARDS).alias("shard"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -1066,3 +1066,32 @@ def test_wire_decoders_reject_corruption():
     truncated = pd.DataFrame({"shard_id": [0], "blob": [wblob[:-7]]})
     with _pytest.raises(Exception):  # zlib error or framing ValueError
         list(_warc_decode_batches(iter([truncated])))
+
+
+def test_epoch_shuffle_permutes_and_balances(spark):
+    """corpus_epoch_shuffle: every epoch is an exact permutation of the
+    corpus, epochs genuinely decorrelate (orders differ), and
+    round-robin sharding balances to within one doc."""
+    from engine.ops.textops import EPOCH_SHUFFLE_EPOCHS, EPOCH_SHUFFLE_SHARDS
+
+    rows = engine.QUERIES["corpus_epoch_shuffle"](spark, T2_SF_DIR).collect()
+    n_docs = table(spark, T2_SF_DIR, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = (
+            r["ord"], r["shard"]
+        )
+    assert len(by_epoch) == EPOCH_SHUFFLE_EPOCHS
+    orders = []
+    for ep, docs in sorted(by_epoch.items()):
+        assert len(docs) == n_docs
+        assert sorted(o for o, _s in docs.values()) == list(
+            range(1, n_docs + 1)
+        )
+        sizes = {}
+        for _o, s in docs.values():
+            sizes[s] = sizes.get(s, 0) + 1
+        assert len(sizes) == EPOCH_SHUFFLE_SHARDS
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        orders.append(tuple(sorted(docs, key=lambda d: docs[d][0])))
+    assert len(set(orders)) == EPOCH_SHUFFLE_EPOCHS, "epochs share an order"
