@@ -1260,3 +1260,76 @@ def ingest_netflow_v5(spark, sf_dir):
     return spark.read.parquet(base).mapInPandas(
         _netflow_decode_batches, NETFLOW_DECODE_SCHEMA
     )
+
+
+@register(
+    "stream_netflow_rollup_e2e",
+    oracle=f"""
+        WITH f AS (
+          SELECT event_id,
+                 '10.0.' || CAST((event_id * 7 % 65536) // 256 AS VARCHAR)
+                   || '.' || CAST(event_id * 7 % 256 AS VARCHAR) AS srcaddr,
+                 6 + 11 * (event_id % 2) AS prot,
+                 event_id % 1000 + 1 AS d_pkts,
+                 event_id * event_id % 1000000 AS d_octets
+          FROM events
+        )
+        SELECT srcaddr, CAST(prot AS BIGINT) AS prot,
+               CAST(count(*) AS BIGINT) AS n_flows,
+               CAST(sum(d_pkts) AS BIGINT) AS total_pkts,
+               CAST(sum(d_octets) AS BIGINT) AS total_octets
+        FROM f GROUP BY 1, 2
+    """,
+)
+def stream_netflow_rollup_e2e(spark, sf_dir):
+    """The reference pipeline's complete shape on the REAL wire
+    format: NetFlow v5 exporter blobs land as files (the Kinesis
+    delivery-object stand-in) → Structured Streaming file source →
+    stateless mapInPandas BINARY decode per micro-batch (the
+    sequence-verified reader of ingest_netflow_v5) → checkpointed
+    parquet landing zone → per-(srcaddr, protocol) traffic rollup over
+    the landed records, exactly how the reference queries its S3
+    parquet with Athena. Every byte is value-hashed: the flow set is
+    closed-form, so the oracle restates source, decode, AND
+    aggregation in one statement.
+
+    Scale shape: decode parallelism = delivery objects per micro-batch
+    with zero shuffle before the sink; the rollup is one combinable
+    groupBy over the landing zone — the lake-then-aggregate split that
+    lets the same landed bytes serve any later query."""
+    from ..registry import scratch_dir
+
+    e = table(spark, sf_dir, "events").select("event_id")
+    base = scratch_dir("stream_netflow_rollup_e2e")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    (
+        e.withColumn("shard_id", F.pmod("event_id", F.lit(NETFLOW_SHARDS)))
+        .groupBy("shard_id")
+        .applyInPandas(_netflow_encode_group, "shard_id long, blob binary")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema("shard_id long, blob binary").parquet(
+        src
+    )
+    decoded = stream.mapInPandas(
+        _netflow_decode_batches, NETFLOW_DECODE_SCHEMA
+    )
+    q = (
+        decoded.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_netflow_rollup_e2e: availableNow query exceeded 300s"
+        )
+    landed = spark.read.schema(NETFLOW_DECODE_SCHEMA).parquet(sink)
+    return landed.groupBy("srcaddr", "prot").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("d_pkts").cast("long").alias("total_pkts"),
+        F.sum("d_octets").cast("long").alias("total_octets"),
+    )
