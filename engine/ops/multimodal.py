@@ -1367,3 +1367,270 @@ def multimodal_ppm_otsu_threshold(spark, sf_dir):
             ).alias("fg_share"),
         )
     )
+
+
+GIF_W, GIF_H = 8, 6
+GIF_PALETTE = [(40 + 50 * c, 30 + 40 * c, 20 + 60 * c) for c in range(4)]
+GIF_FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+def _gif_frames_of(doc_id: int):
+    """Closed-form animated-GIF content for one doc: 3 + doc_id%4
+    frames of GIF_W×GIF_H 2-bit palette indices."""
+    n_frames = 3 + doc_id % 4
+    return [
+        [
+            (doc_id * 17 + f * 5 + k * 3) % 4
+            for k in range(GIF_W * GIF_H)
+        ]
+        for f in range(n_frames)
+    ]
+
+
+def _lzw_compress(indices, min_code: int) -> bytes:
+    """GIF-flavor LZW: clear code emitted first, dictionary of index
+    strings, code width grows when the next code to assign no longer
+    fits (no TIFF-style early change), 12-bit cap, LSB-first bit
+    packing."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code, width = eoi + 1, min_code + 1
+    out_bits = []
+
+    def emit(code, w):
+        for b in range(w):
+            out_bits.append((code >> b) & 1)
+
+    emit(clear, width)
+    cur = (indices[0],)
+    for k in indices[1:]:
+        if cur + (k,) in table:
+            cur = cur + (k,)
+        else:
+            emit(table[cur], width)
+            table[cur + (k,)] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            cur = (k,)
+    emit(table[cur], width)
+    # the decoder still ADDS an entry after reading the final data
+    # code (its table lags one behind), so its width for the EOI read
+    # can be one wider than the encoder's — mirror that bookkeeping
+    if next_code == (1 << width) and width < 12:
+        width += 1
+    emit(eoi, width)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            v |= bit << j
+        by.append(v)
+    return bytes(by)
+
+
+def _lzw_decompress(data: bytes, min_code: int):
+    """Inverse of `_lzw_compress` (incl. the KwKwK case); raises on a
+    code beyond the table or a missing EOI."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    bits, bitpos = data, 0
+    total_bits = 8 * len(data)
+
+    def read(w):
+        nonlocal bitpos
+        if bitpos + w > total_bits:
+            raise ValueError("LZW stream truncated before EOI")
+        v = 0
+        for b in range(w):
+            v |= ((bits[(bitpos + b) // 8] >> ((bitpos + b) % 8)) & 1) << b
+        bitpos += w
+        return v
+
+    out = []
+    table = {i: (i,) for i in range(1 << min_code)}
+    width = min_code + 1
+    next_code = eoi + 1
+    prev = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = {i: (i,) for i in range(1 << min_code)}
+            width, next_code, prev = min_code + 1, eoi + 1, None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            # one step EARLIER than the encoder's growth check: the
+            # decoder's table lags the encoder by exactly one entry
+            # (it learns entry N only on the next code), so it must
+            # widen as soon as next_code fills the current width
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_bytes(doc_id: int) -> bytes:
+    """Real GIF89a: header, logical screen descriptor, global color
+    table, one LZW-compressed image block per frame (sub-block
+    framing), trailer. Animated via multiple image blocks."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", GIF_W, GIF_H)
+    out += bytes([0x91, 0, 0])  # GCT present, 4 entries
+    for r, g, b in GIF_PALETTE:
+        out += bytes([r, g, b])
+    for frame in _gif_frames_of(doc_id):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, GIF_W, GIF_H)
+        out += bytes([0])  # no local color table
+        out += bytes([2])  # LZW minimum code size
+        z = _lzw_compress(frame, 2)
+        for i in range(0, len(z), 255):
+            chunk = z[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])  # block terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_decode(b: bytes):
+    """Pure-Python GIF reader: magic, screen descriptor, global color
+    table, extension-block skipping, per-frame sub-block reassembly +
+    LZW decode, trailer required. Returns (w, h, palette, frames)."""
+    import struct
+
+    if b[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    n_colors = 2 << (packed & 0x07)
+    i = 13
+    palette = [tuple(b[i + 3 * c : i + 3 * c + 3]) for c in range(n_colors)]
+    i += 3 * n_colors
+    frames = []
+    while True:
+        block = b[i]
+        i += 1
+        if block == 0x3B:
+            if i != len(b):
+                raise ValueError("trailing bytes after GIF trailer")
+            return w, h, palette, frames
+        if block == 0x21:  # extension: skip label + sub-blocks
+            i += 1
+            while b[i]:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, fw, fh = struct.unpack("<HHHH", b[i : i + 8])
+        if b[i + 8] & 0x80:
+            raise ValueError("local color tables unsupported")
+        i += 9
+        min_code = b[i]
+        i += 1
+        z = bytearray()
+        while b[i]:
+            n = b[i]
+            z += b[i + 1 : i + 1 + n]
+            i += 1 + n
+        i += 1
+        idx = _lzw_decompress(bytes(z), min_code)
+        if len(idx) != fw * fh:
+            raise ValueError("frame pixel count mismatch")
+        frames.append(idx)
+
+
+@register(
+    "multimodal_gif_frames",
+    oracle=f"""
+        WITH dims AS (
+          SELECT doc_id, 3 + doc_id % 4 AS n_frames FROM documents
+        ),
+        fr AS (
+          SELECT doc_id, n_frames, f.f AS frame_idx
+          FROM dims, unnest(range(n_frames)) f(f)
+          WHERE f.f % {GIF_FRAME_STRIDE} = 0
+        ),
+        px AS (
+          SELECT doc_id, n_frames, frame_idx,
+                 (doc_id * 17 + frame_idx * 5 + k.k * 3) % 4 AS idx
+          FROM fr, unnest(range({GIF_W * GIF_H})) k(k)
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(sum(idx) AS BIGINT) AS sum_idx,
+               CAST(sum(40 + 50 * idx) AS BIGINT) AS sum_red
+        FROM px GROUP BY doc_id, frame_idx, n_frames
+    """,
+)
+def multimodal_gif_frames(spark, sf_dir):
+    """REAL video-shaped frame sampling — retires the frame-sample
+    stub's decode half: each doc gets a genuine multi-frame GIF89a
+    (logical screen descriptor, global color table, one LZW-compressed
+    image block per frame with sub-block framing, trailer), and the
+    reader walks the actual container — extension skipping, sub-block
+    reassembly, full LZW decode including the KwKwK case and code-width
+    growth — then samples every {GIF_FRAME_STRIDE}nd frame and
+    aggregates per-frame palette-index and red-channel sums. The
+    closed-form oracle re-states frame schedule and pixel sums from
+    doc_id, so any LZW/bit-order/framing slip breaks the hash. LZW
+    convention: GIF standard growth (width++ when the next code no
+    longer fits; no TIFF early-change), LSB-first packing.
+
+    Scale shape: encode and frame-decode are stateless mapInPandas —
+    the one-to-many frame fan-out is the exact shape a real video
+    frame-sampler has (multimodal_frame_sample keeps the byte-stride
+    stub for formats that need external codecs)."""
+    d = table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_gif_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+    def sample(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "sum_idx": [],
+                "sum_red": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, palette, frames = _gif_decode(bytes(payload))
+                for fi in range(0, len(frames), GIF_FRAME_STRIDE):
+                    idx = frames[fi]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["n_frames"].append(len(frames))
+                    out["sum_idx"].append(sum(idx))
+                    out["sum_red"].append(sum(palette[p][0] for p in idx))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        sample,
+        "doc_id long, frame_idx long, n_frames long,"
+        " sum_idx long, sum_red long",
+    )

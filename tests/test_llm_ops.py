@@ -1095,3 +1095,36 @@ def test_epoch_shuffle_permutes_and_balances(spark):
         assert max(sizes.values()) - min(sizes.values()) <= 1
         orders.append(tuple(sorted(docs, key=lambda d: docs[d][0])))
     assert len(set(orders)) == EPOCH_SHUFFLE_EPOCHS, "epochs share an order"
+
+
+def test_gif_lzw_roundtrip_and_structure():
+    """The pure-Python GIF/LZW codec is a real decoder contract:
+    seeded fuzz round-trips (including streams long enough to grow the
+    code width repeatedly), the KwKwK case, and structural rejects."""
+    import random
+
+    import pytest as _pytest
+
+    from engine.ops.multimodal import (
+        _gif_bytes,
+        _gif_decode,
+        _gif_frames_of,
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = random.Random(42)
+    for _ in range(200):
+        seq = [rng.randrange(4) for _ in range(rng.randrange(1, 500))]
+        assert _lzw_decompress(_lzw_compress(seq, 2), 2) == seq
+    assert _lzw_decompress(_lzw_compress([1, 1, 1, 1, 1], 2), 2) == [1] * 5
+    for doc_id in (0, 3, 999):
+        w, h, _pal, frames = _gif_decode(_gif_bytes(doc_id))
+        assert (w, h) == (8, 6)
+        assert frames == _gif_frames_of(doc_id)
+    with _pytest.raises(ValueError, match="not a GIF"):
+        _gif_decode(b"JIF89a" + b"\x00" * 16)
+    bad = bytearray(_gif_bytes(5))
+    bad[-1] = 0x00  # clobber the trailer
+    with _pytest.raises((ValueError, IndexError)):
+        _gif_decode(bytes(bad))
