@@ -417,3 +417,55 @@ def test_avro_container_format_properties():
         + payload[head_end:]
     )
     assert list(_AvroReader(neg).records()) == rows
+
+
+@given(
+    st.lists(st.integers(0, 3), min_size=1, max_size=800),
+)
+@settings(max_examples=150, deadline=None)
+def test_lzw_roundtrip_any_stream(seq):
+    """∀ index streams: GIF-flavor LZW compress→decompress is the
+    identity (covers code-width growth and the KwKwK case by volume)."""
+    from engine.ops.multimodal import _lzw_compress, _lzw_decompress
+
+    assert _lzw_decompress(_lzw_compress(seq, 2), 2) == seq
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 8),
+    st.lists(st.integers(0, 255), min_size=1),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_unfilter_inverts_filter_any_row(w, f_mod, row_vals):
+    """∀ scanlines and filter types: PNG unfilter inverts filter given
+    the same previous row — the per-filter algebra, not just the
+    fixture's schedule."""
+    from engine.ops.multimodal import _png_filter_row, _png_unfilter_row
+
+    row = bytes(row_vals[: 3 * w]).ljust(3 * w, b"\x01")
+    prev = bytes((v * 7 + 3) % 256 for v in range(3 * w))
+    f = f_mod % 5
+    assert _png_unfilter_row(f, _png_filter_row(f, row, prev), prev) == row
+
+
+@given(st.lists(st.integers(0, 2**31), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_netflow_roundtrip_any_ids(ids):
+    """∀ flow-id multisets (as distinct ids): the NetFlow v5 packetizer
+    and reader round-trip every field, regardless of how many packets
+    the 30-record limit forces."""
+    import pandas as pd
+
+    from engine.ops.flow import (
+        _netflow_decode_batches,
+        _netflow_encode_group,
+    )
+
+    ids = sorted(set(ids))
+    pdf = pd.DataFrame({"event_id": ids, "shard_id": [0] * len(ids)})
+    blob = _netflow_encode_group(pdf)
+    out = pd.concat(list(_netflow_decode_batches(iter([blob]))))
+    assert sorted(out["event_id"]) == ids
+    assert list(out["d_pkts"]) == [i % 1000 + 1 for i in sorted(ids)]
+    assert list(out["d_octets"]) == [i * i % 1000000 for i in sorted(ids)]
