@@ -3797,3 +3797,57 @@ def dedup_apply_cut_list(spark, sf_dir):
             F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
         )
     )
+
+
+@register(
+    "dedup_prefix_dups",
+    oracle="""
+        WITH r AS (
+          SELECT doc_id, text,
+                 row_number() OVER (ORDER BY text, doc_id) AS rk
+          FROM documents),
+        adj AS (
+          SELECT a.doc_id, a.text AS ta, b.doc_id AS extended_doc,
+                 b.text AS tb
+          FROM r a JOIN r b ON b.rk = a.rk + 1
+          WHERE starts_with(b.text, a.text))
+        SELECT doc_id, extended_doc,
+               CAST(length(ta) AS BIGINT) AS n_chars,
+               ta = tb AS is_exact
+        FROM adj
+    """,
+)
+def dedup_prefix_dups(spark, sf_dir):
+    """TRUNCATION dedup — documents that are a PREFIX of another
+    document (the scrape-cutoff/retry artifact exact-hash dedup
+    misses): because every string between a prefix P and its extension
+    S in lexicographic order itself starts with P, "P is a prefix of
+    some other doc" reduces to "P is a prefix of its immediate
+    lexicographic successor" — ONE global rank (the two-level
+    `_global_rank` primitive, no one-task window) plus ONE
+    rank-adjacent self-join and a startswith residual, instead of any
+    pairwise scan. Exact-copy groups flag all but the last-ranked
+    member (`is_exact`), truncations flag with is_exact=false; each
+    flagged doc cites its successor as the witness extension.
+
+    Scale shape: the same rank-adjacency economics as dedup_lcp_spans
+    — the sort is the one string-keyed shuffle, everything after is
+    linear in rows."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ranked, _n = _global_rank(d, ["text", "doc_id"])
+    cur = ranked.select("doc_id", "text", F.col("_rank").alias("rk"))
+    nxt = cur.select(
+        (F.col("rk") - 1).alias("rk"),
+        F.col("doc_id").alias("extended_doc"),
+        F.col("text").alias("tb"),
+    )
+    return (
+        cur.join(nxt, "rk")
+        .filter(F.col("tb").startswith(F.col("text")))
+        .select(
+            "doc_id",
+            "extended_doc",
+            F.length("text").cast("long").alias("n_chars"),
+            (F.col("text") == F.col("tb")).alias("is_exact"),
+        )
+    )
