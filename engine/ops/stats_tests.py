@@ -2564,3 +2564,181 @@ def stat_power_mde(spark, sf_dir):
             mde / (F.col("s").cast("double") / F.col("n")), 6
         ).alias("mde_rel"),
     )
+
+
+BH_ALPHA_MICRO = 50_000  # 0.05 in micro units
+
+
+@register(
+    "stat_bh_fdr",
+    oracle=f"""
+        WITH u AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+                 CAST(user_id % 2 = 0 AS BIGINT) AS treat
+          FROM events GROUP BY 1, 2
+        ),
+        obs AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN treat = 1 THEN cents END) AS DOUBLE)
+                   / sum(treat)
+                 - CAST(sum(CASE WHEN treat = 0 THEN cents END) AS DOUBLE)
+                   / sum(1 - treat) AS d
+          FROM u GROUP BY 1
+        ),
+        perms AS (SELECT l.l + 1 AS r FROM unnest(range({PERM_K})) l(l)),
+        pl AS (
+          SELECT u.event_type, perms.r,
+                 CAST(CAST(('0x' || substr(md5(perms.r || ':' || u.user_id),
+                   1, 8)) AS BIGINT) % 2 = 0 AS BIGINT) AS pt,
+                 u.cents
+          FROM u, perms
+        ),
+        pd AS (
+          SELECT event_type, r,
+                 CAST(sum(CASE WHEN pt = 1 THEN cents END) AS DOUBLE)
+                   / sum(pt)
+                 - CAST(sum(CASE WHEN pt = 0 THEN cents END) AS DOUBLE)
+                   / sum(1 - pt) AS d
+          FROM pl GROUP BY 1, 2
+        ),
+        ex AS (
+          SELECT pd.event_type,
+                 round(max(o.d), 6) AS observed_diff_cents,
+                 CAST(sum(CAST(abs(pd.d) >= abs(o.d) AS BIGINT))
+                      AS BIGINT) AS n_extreme
+          FROM pd JOIN obs o USING (event_type) GROUP BY 1
+        ),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ex),
+        rk AS (
+          SELECT ex.*, CAST(row_number() OVER (ORDER BY n_extreme,
+                 event_type) AS BIGINT) AS i
+          FROM ex
+        ),
+        adj AS (
+          SELECT rk.*, mm.m,
+                 (1000000 * (n_extreme + 1) * mm.m)
+                   // (({PERM_K} + 1) * i) AS a
+          FROM rk, mm
+        ),
+        bh AS (
+          SELECT adj.*,
+                 min(a) OVER (ORDER BY i DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+          FROM adj
+        )
+        SELECT event_type, observed_diff_cents, n_extreme,
+               CAST((1000000 * (n_extreme + 1)) // ({PERM_K} + 1)
+                    AS BIGINT) AS p_raw_micro,
+               CAST(least(s, 1000000) AS BIGINT) AS p_bh_micro,
+               least(s, 1000000) <= {BH_ALPHA_MICRO} AS reject_05
+        FROM bh
+    """,
+)
+def stat_bh_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR control over a FAMILY of tests — the
+    multiple-testing step every metrics platform needs once it runs
+    one test per segment: a per-event-type permutation test of the
+    treatment effect (the stat_permutation_test machinery, partitioned
+    by type — deterministic md5-parity relabels, exact-cents sums,
+    add-one empirical p-values) feeds the BH step-up: order the m
+    p-values, adjust p_(i)·m/i, take the suffix min, reject at
+    α=0.05. Everything after the mean differences is INTEGER-exact
+    (p-values are rationals over K+1; the adjustment is one integer
+    floor-division per row), so the whole procedure value-hashes —
+    no erf/gamma CDFs anywhere, which is exactly why the
+    permutation+BH pair is the distribution-free production choice.
+
+    Scale: the heavy part is the K× spine fan-out per segment (the
+    permutation economics, combinable folds); the BH step runs on the
+    m-row report (m = segment count, window over a report-sized
+    frame)."""
+    e = table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+        .select(
+            "event_type",
+            "user_id",
+            "cents",
+            (F.col("user_id") % 2 == 0).cast("long").alias("treat"),
+        )
+    )
+
+    def mean_diff(flag):
+        t = F.sum(F.when(flag == 1, F.col("cents"))).cast(
+            "double"
+        ) / F.sum(flag)
+        c = F.sum(F.when(flag == 0, F.col("cents"))).cast(
+            "double"
+        ) / F.sum(1 - flag)
+        return t - c
+
+    obs = u.groupBy("event_type").agg(mean_diff(F.col("treat")).alias("d"))
+    perms = spark.range(1, PERM_K + 1).select(F.col("id").alias("r"))
+    pt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    ).cast("long")
+    pl = u.crossJoin(F.broadcast(perms)).select(
+        "event_type", "r", pt.alias("pt"), "cents"
+    )
+    pd_ = pl.groupBy("event_type", "r").agg(mean_diff(F.col("pt")).alias("d"))
+    ex = (
+        pd_.join(obs.withColumnRenamed("d", "obs_d"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("obs_d"), 6).alias("observed_diff_cents"),
+            F.sum(
+                (F.abs(F.col("d")) >= F.abs(F.col("obs_d"))).cast("long")
+            ).alias("n_extreme"),
+        )
+    )
+    m = ex.count()  # segment count: bounded by event-type cardinality
+    wi = Window.orderBy("n_extreme", "event_type")
+    ws = Window.orderBy(F.desc("i")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    den = PERM_K + 1
+    return (
+        ex.withColumn("i", F.row_number().over(wi).cast("long"))
+        .withColumn(
+            "a",
+            F.expr(
+                f"(1000000 * (n_extreme + 1) * {m}) div ({den} * i)"
+            ),
+        )
+        .withColumn("s", F.min("a").over(ws))
+        .select(
+            "event_type",
+            "observed_diff_cents",
+            "n_extreme",
+            F.expr(f"(1000000 * (n_extreme + 1)) div {den}").alias(
+                "p_raw_micro"
+            ),
+            F.least(F.col("s"), F.lit(1_000_000))
+            .cast("long")
+            .alias("p_bh_micro"),
+            (F.least(F.col("s"), F.lit(1_000_000)) <= BH_ALPHA_MICRO).alias(
+                "reject_05"
+            ),
+        )
+    )
