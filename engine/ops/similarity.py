@@ -2252,7 +2252,12 @@ def sim_index_recluster(spark, sf_dir):
     ]
     nrm = F.sqrt(sum(e * e for e in els))
     drifted = F.concat(
-        F.array(*[((F.lit(0.6) * e) / nrm).cast("float") for e in els]),
+        F.array(
+            *[
+                ((F.lit(float(RECLUSTER_NORM)) * e) / nrm).cast("float")
+                for e in els
+            ]
+        ),
         F.array_repeat(
             F.lit(0.0).cast("float"), EMB_DIM - RECLUSTER_SUB_DIM
         ),
