@@ -268,7 +268,7 @@ MINHASH_SQL = f"""{_MH_COMMON_CTES},
 """
 
 
-def _minhash_pairs(doc_sh):
+def _minhash_pairs(doc_sh, bucket_cap=None):
     """LSH near-dup pairs from a (doc_id, sh shingle-array) frame —
     the shared core of dedup_near_minhash, dedup_incremental_lsh's
     within-batch path, and dedup_cascade_report's tier 2 (which feeds
@@ -282,12 +282,19 @@ def _minhash_pairs(doc_sh):
     ARRAY intersection (no shingle-level self-join). The 16
     signatures are 16 agg expressions in ONE map-side-combinable
     pass (not a 16× row fan-out); quadratic work happens only inside
-    LSH buckets."""
-    cands = _lsh_bucket_pairs(
+    LSH buckets.
+
+    ``bucket_cap``: drop buckets with more than this many members
+    before pair emission — the production STOP-BUCKET guard
+    (dedup_near_minhash_capped documents the economics)."""
+    grouped = (
         _lsh_band_rows(doc_sh)
         .groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-    ).distinct()
+    )
+    if bucket_cap is not None:
+        grouped = grouped.filter(F.size("ids") <= bucket_cap)
+    cands = _lsh_bucket_pairs(grouped).distinct()
     sa = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     sized = (
@@ -3851,3 +3858,50 @@ def dedup_prefix_dups(spark, sf_dir):
             (F.col("text") == F.col("tb")).alias("is_exact"),
         )
     )
+
+
+LSH_BUCKET_CAP = 2  # stop-bucket bound (production uses ~500; the
+# fixture's largest bucket has 3 members, so 2 exercises the guard)
+
+
+def _capped_minhash_sql():
+    """MINHASH_SQL with the stop-bucket guard spliced into the
+    candidate CTE: buckets larger than LSH_BUCKET_CAP are excluded
+    before pair emission."""
+    capped = f"""bsz AS (SELECT band, band_key FROM bands
+                 GROUP BY 1, 2 HAVING count(*) <= {LSH_BUCKET_CAP}),
+    cb AS (SELECT bands.* FROM bands JOIN bsz USING (band, band_key)),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cb a JOIN cb b"""
+    old = """cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b"""
+    assert old in MINHASH_SQL
+    return MINHASH_SQL.replace(old, capped)
+
+
+@register("dedup_near_minhash_capped", oracle=_capped_minhash_sql())
+def dedup_near_minhash_capped(spark, sf_dir):
+    """MinHash-LSH with the STOP-BUCKET guard every production dedup
+    runs: buckets larger than a cap are dropped BEFORE pair emission.
+    The economics at 100 TB: one boilerplate shingle signature shared
+    by a million documents makes one bucket, and pair emission inside
+    it is C(1M, 2) ≈ 5·10¹¹ rows — a single hot bucket can exceed the
+    rest of the job combined, and its pairs are the least informative
+    (template boilerplate, not real near-dups). The cap bounds
+    per-bucket work to C(cap, 2) at a measured, documented recall
+    cost: any pair co-occurring ONLY in over-cap buckets is lost
+    (pairs surviving in any smaller band bucket are kept — the
+    multi-band redundancy is exactly why capping is cheap on real
+    near-dups). Output ⊆ dedup_near_minhash is property-tested; the
+    fixture's cap=2 drops its nine 3-member buckets so the guard is
+    exercised, not vacuous.
+
+    Same plan shape as dedup_near_minhash plus one combinable
+    bucket-size aggregate — nothing new shuffles."""
+    d = table(spark, sf_dir, "documents")
+    doc_sh = d.repartition(32, "doc_id").select(
+        "doc_id", _shingle_array(_tokens()).alias("sh")
+    )
+    return _minhash_pairs(doc_sh, bucket_cap=LSH_BUCKET_CAP)

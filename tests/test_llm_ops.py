@@ -1128,3 +1128,19 @@ def test_gif_lzw_roundtrip_and_structure():
     bad[-1] = 0x00  # clobber the trailer
     with _pytest.raises((ValueError, IndexError)):
         _gif_decode(bytes(bad))
+
+
+def test_capped_minhash_subset_and_nonvacuous(spark):
+    """The stop-bucket guard may only LOSE pairs, never invent them,
+    and on the fixture it must actually drop some (cap=2 vs max
+    bucket size 3) — the guard is exercised, not vacuous."""
+    full = _pairs(
+        engine.QUERIES["dedup_near_minhash"](spark, T2_SF_DIR),
+        ["doc_a", "doc_b", "jaccard"],
+    )
+    capped = _pairs(
+        engine.QUERIES["dedup_near_minhash_capped"](spark, T2_SF_DIR),
+        ["doc_a", "doc_b", "jaccard"],
+    )
+    assert capped <= full
+    assert len(capped) < len(full)
