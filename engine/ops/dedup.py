@@ -3598,6 +3598,19 @@ def dedup_index_compact(spark, sf_dir):
     mx = d.agg(F.max("doc_id")).collect()[0][0]
     base = scratch_dir("dedup_index_compact")
     doc_sh_all, bands_all = _inc_lsh_prepare(d)
+    try:
+        return _index_compact_body(spark, base, mx, doc_sh_all, bands_all)
+    finally:
+        # unpersist on BOTH paths: a file-shrink or probe-equivalence
+        # AssertionError must not leak the corpus-wide caches for the
+        # session (ADVICE r7)
+        bands_all.unpersist()
+        doc_sh_all.unpersist()
+
+
+def _index_compact_body(spark, base, mx, doc_sh_all, bands_all):
+    import os
+
     for b in range(N_INC_BATCHES):
         sel = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}") == b
         bands_all.filter(sel).write.mode("overwrite").parquet(
@@ -3679,8 +3692,6 @@ def dedup_index_compact(spark, sf_dir):
         raise AssertionError(
             "probe answers diverge between generation and compacted index"
         )
-    bands_all.unpersist()
-    doc_sh_all.unpersist()
     return post
 
 

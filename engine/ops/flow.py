@@ -1094,6 +1094,15 @@ def _netflow_encode_group(pdf):
     import pandas as pd
 
     ids = sorted(int(i) for i in pdf["event_id"])
+    # the 32-bit First/Last timestamp fields carry event_id (and
+    # event_id + duration) — ids at or past 2^32 would silently alias
+    # through the % 2**32 packing and mis-round-trip; fail loudly
+    # instead (ADVICE r7). Bound is on First AND Last: Last adds the
+    # i % 50000 duration, so the id itself must leave headroom.
+    if ids and max(i + i % 50000 for i in ids) >= 2**32:
+        raise ValueError(
+            "event_id overflows the NetFlow v5 32-bit First/Last encoding"
+        )
     shard = int(pdf["shard_id"].iloc[0])
     out, seq = [], 0
     for off in range(0, len(ids), NETFLOW_MAX_RECORDS):

@@ -1741,7 +1741,7 @@ def embed_norm_outlier_screen(spark, sf_dir):
     )
     return (
         t.crossJoin(F.broadcast(med))
-        .crossJoin(out)
+        .crossJoin(F.broadcast(out))
         .select(
             F.col("n").alias("n_vectors"),
             F.col("m").alias("median_norm2_nano"),

@@ -1408,10 +1408,16 @@ def _lzw_compress(indices, min_code: int) -> bytes:
             cur = cur + (k,)
         else:
             emit(table[cur], width)
-            table[cur + (k,)] = next_code
-            next_code += 1
-            if next_code == (1 << width) + 1 and width < 12:
-                width += 1
+            # GIF 12-bit cap: once code 4095 is assigned the table is
+            # FROZEN (no clear-code reset here — deterministic output
+            # matters more than ratio); without the freeze, codes
+            # >= 4096 get silently truncated by the 12-bit emit and
+            # corrupt round-trips on large payloads (ADVICE r7)
+            if next_code < 4096:
+                table[cur + (k,)] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
             cur = (k,)
     emit(table[cur], width)
     # the decoder still ADDS an entry after reading the final data
@@ -1466,7 +1472,9 @@ def _lzw_decompress(data: bytes, min_code: int):
         else:
             raise ValueError(f"LZW code {code} beyond table")
         out.extend(entry)
-        if prev is not None:
+        if prev is not None and next_code < 4096:
+            # mirror the encoder's 12-bit freeze: past code 4095
+            # neither side adds entries (GIF spec behavior)
             table[next_code] = prev + (entry[0],)
             next_code += 1
             # one step EARLIER than the encoder's growth check: the
@@ -1505,11 +1513,22 @@ def _gif_bytes(doc_id: int) -> bytes:
 def _gif_decode(b: bytes):
     """Pure-Python GIF reader: magic, screen descriptor, global color
     table, extension-block skipping, per-frame sub-block reassembly +
-    LZW decode, trailer required. Returns (w, h, palette, frames)."""
+    LZW decode, trailer required. Returns (w, h, palette, frames).
+    Truncated input surfaces as the documented decode-contract
+    ValueError, never a bare IndexError (ADVICE r7)."""
     import struct
 
     if b[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF")
+    try:
+        return _gif_decode_body(b)
+    except (IndexError, struct.error) as e:
+        raise ValueError("truncated GIF") from e
+
+
+def _gif_decode_body(b: bytes):
+    import struct
+
     w, h = struct.unpack("<HH", b[6:10])
     packed = b[10]
     if not packed & 0x80:

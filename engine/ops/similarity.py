@@ -2268,6 +2268,24 @@ def sim_index_recluster(spark, sf_dir):
         .otherwise(drifted)
         .alias("embedding"),
     ).persist()
+    # try/finally so a failed drift/recovery assertion does not leak
+    # the drifted-corpus cache for the session (ADVICE r7)
+    try:
+        report = _recluster_body(spark, ex, train_cut, append_cut)
+    finally:
+        ex.unpersist()
+    flags = {
+        r["phase"]: r["recluster_due"] for r in report.collect()
+    }
+    if not flags.get("0_stale_append"):
+        raise AssertionError("drift did not fire against the stale codebook")
+    if flags.get("1_fresh_append"):
+        raise AssertionError("alarm failed to clear after re-clustering")
+    return report.orderBy("phase")
+
+
+def _recluster_body(spark, ex, train_cut, append_cut):
+    from ..registry import scratch_dir
 
     c_old, _ = _ivf_build_from(ex.filter(F.col("vec_id") < train_cut))
     c_new, lists_new = _ivf_build_from(ex)
@@ -2314,21 +2332,12 @@ def sim_index_recluster(spark, sf_dir):
         (ref_mean - F.col("mean_aff_micro")) * (100 // DRIFT_TRIGGER_PCT)
         > ref_mean
     )
-    report = both.select(
+    return both.select(
         F.concat_ws("_", "era", "cohort").alias("phase"),
         "n_vectors",
         "mean_aff_micro",
         flag.alias("recluster_due"),
     ).localCheckpoint(eager=True)
-    ex.unpersist()
-    flags = {
-        r["phase"]: r["recluster_due"] for r in report.collect()
-    }
-    if not flags.get("0_stale_append"):
-        raise AssertionError("drift did not fire against the stale codebook")
-    if flags.get("1_fresh_append"):
-        raise AssertionError("alarm failed to clear after re-clustering")
-    return report.orderBy("phase")
 
 
 RECALL_REPORT_SQL = None  # assembled below once the method oracles exist

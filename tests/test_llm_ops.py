@@ -1118,6 +1118,11 @@ def test_gif_lzw_roundtrip_and_structure():
         seq = [rng.randrange(4) for _ in range(rng.randrange(1, 500))]
         assert _lzw_decompress(_lzw_compress(seq, 2), 2) == seq
     assert _lzw_decompress(_lzw_compress([1, 1, 1, 1, 1], 2), 2) == [1] * 5
+    # 12-bit cap: a stream long enough to assign code 4095 must freeze
+    # the table on BOTH sides (pre-freeze-fix this corrupted the
+    # round-trip by silently truncating codes >= 4096; ADVICE r7)
+    big = [rng.randrange(4) for _ in range(60_000)]
+    assert _lzw_decompress(_lzw_compress(big, 2), 2) == big
     for doc_id in (0, 3, 999):
         w, h, _pal, frames = _gif_decode(_gif_bytes(doc_id))
         assert (w, h) == (8, 6)
@@ -1126,8 +1131,10 @@ def test_gif_lzw_roundtrip_and_structure():
         _gif_decode(b"JIF89a" + b"\x00" * 16)
     bad = bytearray(_gif_bytes(5))
     bad[-1] = 0x00  # clobber the trailer
-    with _pytest.raises((ValueError, IndexError)):
-        _gif_decode(bytes(bad))
+    with _pytest.raises(ValueError):  # decode-contract error, never a
+        _gif_decode(bytes(bad))  # bare IndexError (ADVICE r7)
+    with _pytest.raises(ValueError, match="truncated GIF"):
+        _gif_decode(_gif_bytes(5)[:20])  # cut mid color table
 
 
 def test_capped_minhash_subset_and_nonvacuous(spark):

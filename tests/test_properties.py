@@ -469,3 +469,21 @@ def test_netflow_roundtrip_any_ids(ids):
     assert sorted(out["event_id"]) == ids
     assert list(out["d_pkts"]) == [i % 1000 + 1 for i in sorted(ids)]
     assert list(out["d_octets"]) == [i * i % 1000000 for i in sorted(ids)]
+
+
+def test_netflow_rejects_ids_past_32bit():
+    """ids at/past the 32-bit First/Last encoding boundary fail loudly
+    instead of silently aliasing through % 2**32 (ADVICE r7)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from engine.ops.flow import _netflow_encode_group
+
+    for bad_id in (2**32, 2**32 - 1):  # 2**32-1 wraps via + (id % 50000)
+        pdf = pd.DataFrame({"event_id": [1, bad_id], "shard_id": [0, 0]})
+        with _pytest.raises(ValueError, match="overflows the NetFlow"):
+            _netflow_encode_group(pdf)
+    # a near-boundary id with headroom still encodes
+    ok = 2**32 - 100_000  # i + i % 50000 = i + 17296 < 2**32
+    pdf = pd.DataFrame({"event_id": [ok], "shard_id": [0]})
+    assert len(_netflow_encode_group(pdf)["blob"].iloc[0]) > 0
