@@ -1169,322 +1169,6 @@ def _cdc_pairs(d):
     )
 
 
-SPAN_K = 8  # span length in tokens — the "memorized boilerplate" unit
-
-
-@register(
-    "dedup_span_coverage",
-    oracle=f"""
-        WITH tok AS (
-          SELECT doc_id, string_split(text, ' ') AS a FROM documents
-        ),
-        sh AS (
-          SELECT doc_id, i, array_to_string(a[i:i+{SPAN_K - 1}], ' ') AS span
-          FROM (SELECT doc_id, a, unnest(range(1, len(a) - {SPAN_K} + 2)) AS i
-                FROM tok WHERE len(a) >= {SPAN_K})
-        ),
-        dup AS (
-          SELECT span FROM sh GROUP BY span
-          HAVING count(DISTINCT doc_id) >= 2
-        ),
-        hits AS (
-          SELECT doc_id, i AS s, i + {SPAN_K} - 1 AS e
-          FROM sh WHERE span IN (SELECT span FROM dup)
-        ),
-        isl AS (
-          SELECT doc_id, s, e,
-                 CASE WHEN s > coalesce(max(e) OVER (
-                        PARTITION BY doc_id ORDER BY s
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                        -1)
-                      THEN 1 ELSE 0 END AS new_isl
-          FROM hits
-        ),
-        grp AS (
-          SELECT doc_id, s, e,
-                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
-          FROM isl
-        ),
-        cov AS (
-          SELECT doc_id, CAST(sum(seg) AS BIGINT) AS dup_tokens
-          FROM (SELECT doc_id, isl_id, max(e) - min(s) + 1 AS seg
-                FROM grp GROUP BY doc_id, isl_id)
-          GROUP BY doc_id
-        )
-        SELECT t.doc_id, len(a) AS n_tokens,
-               coalesce(dup_tokens, 0) AS dup_tokens,
-               round(coalesce(dup_tokens, 0) * 1.0 / len(a), 6) AS dup_ratio
-        FROM tok t LEFT JOIN cov USING (doc_id)
-        ORDER BY doc_id
-    """,
-)
-def dedup_span_coverage(spark, sf_dir):
-    """Substring-level exact dedup signal (the Lee et al. 2022
-    "Deduplicating Training Data" shape): what fraction of each
-    document's tokens sits inside a {SPAN_K}-token span that also
-    appears verbatim in ANOTHER document. Corpus pipelines drop or
-    trim documents above a coverage threshold — doc-level exact/near
-    dedup misses this cross-document boilerplate entirely.
-
-    Shape: positional shingling runs ONCE — the shingle frame is
-    persisted so the dup-set derivation and the hit lookup share one
-    explode (without the persist, Catalyst re-derives the explode on
-    both sides of the self-referencing DAG). The cross-doc test is a
-    map-side-combinable groupBy(span) (min(doc_id) != max(doc_id),
-    exactly count(DISTINCT doc_id) >= 2) followed by a semi join back
-    on span — chosen over a whole-partition window on span because a
-    corpus-wide boilerplate span would put ALL its occurrences into
-    one window partition on one task (unsplittable skew), whereas the
-    groupBy partials collapse the hot span map-side and the semi
-    join's residual skew is AQE-splittable. Then interval-union per
-    doc via gaps-and-islands (running max-end window) so overlapping
-    spans are not double-counted. All integer arithmetic until the
-    final ratio. At 100 TB the span string is replaced by
-    xxhash64(span) for the shuffle key (8 bytes vs ~50) — kept as
-    text here so the oracle sees identical semantics."""
-    d = table(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
-        "n_tokens", F.size("a")
-    )
-    sh = (
-        base.filter(F.col("n_tokens") >= SPAN_K)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, n_tokens - {SPAN_K} + 1),"
-                    f" i -> array_join(slice(a, i, {SPAN_K}), ' '))"
-                )
-            ).alias("p", "span"),
-        )
-        .select("doc_id", (F.col("p") + 1).alias("s"), "span")
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    dup = (
-        sh.groupBy("span")
-        .agg(F.min("doc_id").alias("lo_doc"), F.max("doc_id").alias("hi_doc"))
-        .filter(F.col("lo_doc") != F.col("hi_doc"))
-        .select("span")
-    )
-    hits = sh.join(dup.hint("shuffle_hash"), "span", "left_semi").select(
-        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
-    )
-    w = Window.partitionBy("doc_id").orderBy("s")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = hits.withColumn(
-        "new_isl",
-        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    cov = (
-        isl.groupBy("doc_id", "isl_id")
-        .agg((F.max("e") - F.min("s") + 1).alias("seg"))
-        .groupBy("doc_id")
-        .agg(F.sum("seg").alias("dup_tokens"))
-    )
-    return (
-        base.join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-            F.round(
-                F.coalesce("dup_tokens", F.lit(0)) * 1.0 / F.col("n_tokens"), 6
-            ).alias("dup_ratio"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-def _anchored_span_frames(spark, sf_dir):
-    """Shared k-gram-anchored duplicated-span machinery: returns
-    ``(base, spans)`` — base = (doc_id, a, n_tokens), spans = merged
-    maximal islands (doc_id, isl_id, tok_start, tok_end) of
-    SPAN_K-token anchors appearing verbatim in ≥2 documents. Consumed
-    by dedup_suffix_spans (cut-list report) and dedup_apply_cut_list
-    (the actual corpus trim). The shingle frame is persisted only
-    inside this builder's lineage; both consumers are single-action
-    ops so the persist is released with the session's block manager
-    pressure rather than leaked references."""
-    d = table(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
-        "n_tokens", F.size("a")
-    )
-    sh = (
-        base.filter(F.col("n_tokens") >= SPAN_K)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, n_tokens - {SPAN_K} + 1),"
-                    f" i -> array_join(slice(a, i, {SPAN_K}), ' '))"
-                )
-            ).alias("p", "span"),
-        )
-        .select("doc_id", (F.col("p") + 1).alias("s"), "span")
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    dup = (
-        sh.groupBy("span")
-        .agg(F.min("doc_id").alias("lo_doc"), F.max("doc_id").alias("hi_doc"))
-        .filter(F.col("lo_doc") != F.col("hi_doc"))
-        .select("span")
-    )
-    hits = sh.join(dup.hint("shuffle_hash"), "span", "left_semi").select(
-        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
-    )
-    w = Window.partitionBy("doc_id").orderBy("s")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = hits.withColumn(
-        "new_isl",
-        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = isl.groupBy("doc_id", "isl_id").agg(
-        F.min("s").alias("tok_start"), F.max("e").alias("tok_end")
-    )
-    return base, spans
-
-
-@register(
-    "dedup_suffix_spans",
-    oracle=f"""
-        WITH tok AS (
-          SELECT doc_id, string_split(text, ' ') AS a FROM documents
-        ),
-        sh AS (
-          SELECT doc_id, i, array_to_string(a[i:i+{SPAN_K - 1}], ' ') AS span
-          FROM (SELECT doc_id, a, unnest(range(1, len(a) - {SPAN_K} + 2)) AS i
-                FROM tok WHERE len(a) >= {SPAN_K})
-        ),
-        dup AS (
-          SELECT span FROM sh GROUP BY span
-          HAVING count(DISTINCT doc_id) >= 2
-        ),
-        hits AS (
-          SELECT doc_id, i AS s, i + {SPAN_K} - 1 AS e
-          FROM sh WHERE span IN (SELECT span FROM dup)
-        ),
-        isl AS (
-          SELECT doc_id, s, e,
-                 CASE WHEN s > coalesce(max(e) OVER (
-                        PARTITION BY doc_id ORDER BY s
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                        -1)
-                      THEN 1 ELSE 0 END AS new_isl
-          FROM hits
-        ),
-        grp AS (
-          SELECT doc_id, s, e,
-                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
-          FROM isl
-        ),
-        spans AS (
-          SELECT doc_id, isl_id, min(s) AS tok_start, max(e) AS tok_end
-          FROM grp GROUP BY doc_id, isl_id
-        ),
-        tp AS (
-          SELECT doc_id, i, tok,
-                 coalesce(sum(len(tok) + 1) OVER (
-                   PARTITION BY doc_id ORDER BY i
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
-          FROM (SELECT doc_id, generate_subscripts(a, 1) AS i,
-                       unnest(a) AS tok
-                FROM tok)
-        )
-        SELECT s.doc_id,
-               CAST(row_number() OVER (PARTITION BY s.doc_id
-                    ORDER BY s.tok_start) AS BIGINT) AS span_seq,
-               CAST(s.tok_start AS BIGINT) AS tok_start,
-               CAST(s.tok_end AS BIGINT) AS tok_end,
-               CAST(ts.cs AS BIGINT) AS char_start,
-               CAST(te.cs + len(te.tok) AS BIGINT) AS char_end,
-               CAST(s.tok_end - s.tok_start + 1 AS BIGINT) AS n_tokens_cut
-        FROM spans s
-        JOIN tp ts ON ts.doc_id = s.doc_id AND ts.i = s.tok_start
-        JOIN tp te ON te.doc_id = s.doc_id AND te.i = s.tok_end
-    """,
-)
-def dedup_suffix_spans(spark, sf_dir):
-    """Exact substring-dedup CUT LIST (the step past dedup_span_coverage
-    toward Lee et al. 2022's suffix-level dedup, round-5 verdict ask
-    #6): instead of a per-doc coverage fraction, emit the actual
-    maximal duplicated spans — per document, every merged island of
-    {SPAN_K}-token anchors that appear verbatim in another document,
-    as BOTH token ranges (tok_start..tok_end, 1-based inclusive) and
-    byte/char ranges (char_start inclusive, char_end exclusive, over
-    the space-joined text) — i.e. exactly what a trimming pass deletes.
-    k-gram ANCHORING + interval-union EXTENSION: adjacent/overlapping
-    duplicated k-grams chain into one maximal span, which for spans
-    ≥ k tokens reconstructs the same cut regions a full suffix-array
-    pass reports (anchors at every offset of a long shared substring
-    overlap, so the union is the substring).
-
-    Char offsets come from a per-doc prefix sum of token lengths
-    (+1 separator), joined back at the island endpoints — integer
-    exact on both engines. Property-tested: per-doc sum of
-    n_tokens_cut equals dedup_span_coverage's dup_tokens, and each
-    span's char slice re-extracts to text found verbatim elsewhere.
-
-    Scale shape: identical to dedup_span_coverage (map-side groupBy
-    on span + semi join, windowed islands per doc) plus one extra
-    per-doc window (prefix lengths) and two point joins — no new
-    shuffle class; at 100 TB the anchor key is xxhash64(span).
-    The anchor/island machinery is `_anchored_span_frames`, shared
-    with dedup_apply_cut_list (which consumes the spans to emit the
-    trimmed corpus)."""
-    base, spans = _anchored_span_frames(spark, sf_dir)
-    tp = base.select(
-        "doc_id", F.posexplode("a").alias("p", "tok")
-    ).select("doc_id", (F.col("p") + 1).alias("i"), "tok")
-    wtp = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    tp = tp.withColumn(
-        "cs",
-        F.coalesce(F.sum(F.length("tok") + 1).over(wtp), F.lit(0)).cast(
-            "long"
-        ),
-    )
-    ts = tp.select(
-        "doc_id", F.col("i").alias("tok_start"), F.col("cs").alias("char_start")
-    )
-    te = tp.select(
-        "doc_id",
-        F.col("i").alias("tok_end"),
-        (F.col("cs") + F.length("tok")).cast("long").alias("char_end"),
-    )
-    wseq = Window.partitionBy("doc_id").orderBy("tok_start")
-    return (
-        spans.join(ts, ["doc_id", "tok_start"])
-        .join(te, ["doc_id", "tok_end"])
-        .select(
-            "doc_id",
-            F.row_number().over(wseq).cast("long").alias("span_seq"),
-            F.col("tok_start").cast("long").alias("tok_start"),
-            F.col("tok_end").cast("long").alias("tok_end"),
-            "char_start",
-            "char_end",
-            (F.col("tok_end") - F.col("tok_start") + 1)
-            .cast("long")
-            .alias("n_tokens_cut"),
-        )
-    )
-
-
-LPA_ROUNDS = 5
-
-
 @register(
     "graph_label_propagation",
     oracle=f"""
@@ -3205,332 +2889,6 @@ def dedup_incremental_cascade(spark, sf_dir):
     return report.orderBy("batch_id", "tier")
 
 
-def _global_rank(df, cols, n_parts=32):
-    """Exact global 1-based rank of the DISTINCT rows of ``df[cols]``
-    — WITHOUT a single-partition window: range-partition on the key,
-    row_number within each ordered range, then add per-partition
-    cumulative offsets (a P-row driver reduction + broadcast back).
-    This is the distributed ranking primitive prefix doubling needs
-    at scale; the same two-level shape as corpus_shard_export's
-    prefix sum. Returns (eager localCheckpoint of (cols..., _rank),
-    number of distinct keys) — the count falls out of the offsets
-    reduction for free and is prefix doubling's convergence test."""
-    spark = df.sparkSession
-    # persist the distinct key set BEFORE repartitionByRange: the
-    # range partitioner's hidden sampling pass would otherwise
-    # re-evaluate the whole distinct lineage a second time
-    dk = df.select(*cols).distinct().persist()
-    keys = dk.repartitionByRange(n_parts, *cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    local = keys.withColumn("_lr", F.row_number().over(w)).persist()
-    counts = {
-        r["_pid"]: r["n"]
-        for r in local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    acc = 0
-    offs = []
-    for pid in sorted(counts):
-        offs.append((pid, acc))
-        acc += counts[pid]
-    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
-    ranked = (
-        local.join(F.broadcast(off_df), "_pid")
-        .select(
-            *cols, (F.col("_lr") + F.col("_off")).cast("long").alias("_rank")
-        )
-        .localCheckpoint(eager=True)
-    )
-    local.unpersist()
-    dk.unpersist()
-    return ranked, acc
-
-
-@register(
-    "dedup_suffix_array",
-    oracle="""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
-                   FROM documents),
-        s AS (SELECT doc_id, i AS pos, array_to_string(a[i:], ' ') AS suf
-              FROM t, unnest(range(1, len(a) + 1)) r(i))
-        SELECT CAST(row_number() OVER (ORDER BY suf, doc_id, pos)
-                    AS BIGINT) AS sa_rank,
-               doc_id, CAST(pos AS BIGINT) AS pos
-        FROM s
-    """,
-)
-def dedup_suffix_array(spark, sf_dir):
-    """EXACT distributed suffix-array construction over the corpus's
-    token sequences — the remaining heavyweight from the dedup
-    literature (Lee et al. 2022 build exactly this to find duplicated
-    substrings at suffix granularity; dedup_suffix_spans is the
-    k-gram-anchored approximation of its downstream use). Classic
-    prefix doubling, Spark-first: ranks after round j order every
-    suffix by its first 2^j tokens, so ceil(log2(max_doc_len / k0))
-    rounds (2 here, from 32-token anchors) fully order the array. Each round is ONE self-join at
-    offset 2^j (rank pair (r[i], r[i+2^j]), absent → 0 so shorter
-    suffixes sort first) plus ONE distributed ranking of the distinct
-    pairs — no sort ever sees more than the distinct key set, and the
-    ranking itself is the two-level range-partition + offset shape
-    (_global_rank), never a single-partition window. Iteration state
-    is an eager localCheckpoint per round (the CC/k-core discipline).
-
-    The output order ties identical cross-document suffixes (they
-    exist: near-dup docs share tails) broken by (doc_id, pos), which
-    is exactly the oracle's ORDER BY. The oracle sorts the
-    space-joined suffix STRINGS directly — equivalent to token-wise
-    comparison because the separator 0x20 sorts below every token
-    character, so token-prefix boundaries and string comparison agree
-    (documented precondition: single-space tokenization, non-empty
-    tokens).
-
-    Scale: n suffixes = n tokens; every round shuffles n rows once on
-    (doc_id, pos) for the shift join and ranks ≤ n distinct pairs —
-    O(n log L) total, the textbook distributed construction. At 100 TB
-    the suffix array ships sharded by rank range (the natural output
-    partitioning of _global_rank).
-
-    Cost profile (sf0.1, 271k suffixes, warm ~11 s): anchor-string
-    ranking ~5 s (the one string-keyed shuffle; lexicographic order is
-    irreducible there), then ~2.5 s per integer doubling round and the
-    final tie-break ranking — construction-benchmark class, included
-    as the exact-literature heavyweight; the practical span-cutting
-    need is served by dedup_suffix_spans/span_coverage at a fraction
-    of the cost."""
-    final, _sfx = _suffix_array_build(spark, sf_dir)
-    return final.select(
-        F.col("_rank").alias("sa_rank"),
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-    )
-
-
-SA_K0 = 32  # initial-anchor length for prefix doubling (see below)
-
-
-def _suffix_array_build(spark, sf_dir):
-    """Shared prefix-doubling suffix-array construction (the
-    dedup_suffix_array docstring is the spec). Returns ``(final,
-    sfx)``: ``final`` = eager-checkpointed (_rank, doc_id, pos) fully
-    ordering every suffix, ``sfx`` = eager-checkpointed (doc_id, pos,
-    anchor) with the SA_K0-token anchor per suffix — returned so
-    downstream consumers (dedup_lcp_spans) can derive bounded-LCP
-    comparators from the SAME frame instead of re-exploding the
-    corpus."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = d.repartition(32, "doc_id").select(
-        "doc_id", F.split("text", " ").alias("a")
-    )
-    # initial ranks from a FIXED-length token anchor per suffix (a
-    # bounded O(1) comparator, the standard initial-bucket trick): the
-    # doubling invariant "round state orders by the first k tokens"
-    # holds from k0, so rounds = ceil(log2(max_len / k0)). k0 tunes
-    # the anchor-sort vs round-count tradeoff — 32 means 2 rounds for
-    # these ≤100-token docs (each round is ~5 fixed-latency actions,
-    # which dominates at bench scale; at 10k-token docs the same code
-    # runs 9 rounds).
-    k0 = SA_K0
-    stats = base.agg(
-        F.sum(F.size("a")).alias("n"), F.max(F.size("a")).alias("mx")
-    ).collect()[0]
-    n_suffix, max_len = stats["n"], stats["mx"]
-    sfx = (
-        base.select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(a)),"
-                    f" i -> array_join(slice(a, i, {k0}), ' '))"
-                )
-            ).alias("p", "anchor"),
-        )
-        .select("doc_id", (F.col("p") + 1).alias("pos"), "anchor")
-        .localCheckpoint(eager=True)
-    )
-    anchors, n_distinct = _global_rank(sfx, ["anchor"])
-    cur = sfx.join(anchors, "anchor").select(
-        "doc_id", "pos", F.col("_rank").alias("r")
-    )
-    k = k0
-    while k < max_len and n_distinct < n_suffix:
-        shifted = cur.select(
-            "doc_id", (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
-        )
-        pair = (
-            cur.join(shifted, ["doc_id", "pos"], "left")
-            .select(
-                "doc_id", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2")
-            )
-            .localCheckpoint(eager=True)
-        )
-        # n_distinct falls out of the ranking's offset reduction: all
-        # ranks distinct ⇒ fully ordered ⇒ remaining rounds are no-ops
-        keys, n_distinct = _global_rank(pair, ["r", "r2"])
-        cur = pair.join(keys, ["r", "r2"]).select(
-            "doc_id", "pos", F.col("_rank").alias("r")
-        )
-        k *= 2
-    final, _ = _global_rank(cur, ["r", "doc_id", "pos"])
-    return final, sfx
-
-
-@register(
-    "dedup_lcp_spans",
-    oracle=f"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
-                   FROM documents),
-        s AS (
-          SELECT doc_id, i AS pos, array_to_string(a[i:], ' ') AS suf,
-                 CASE WHEN len(a) - i + 1 >= {SPAN_K}
-                      THEN array_to_string(a[i:i+{SPAN_K - 1}], ' ')
-                 END AS anchor
-          FROM t, unnest(range(1, len(a) + 1)) r(i)),
-        rk AS (
-          SELECT doc_id, pos, anchor,
-                 row_number() OVER (ORDER BY suf, doc_id, pos) AS rnk
-          FROM s),
-        adj AS (
-          SELECT x.doc_id AS da, x.pos AS pa, y.doc_id AS db, y.pos AS pb
-          FROM rk x JOIN rk y ON y.rnk = x.rnk + 1
-          WHERE x.anchor IS NOT NULL AND x.anchor = y.anchor),
-        hits AS (
-          SELECT DISTINCT doc_id, p AS s, p + {SPAN_K} - 1 AS e FROM (
-            SELECT da AS doc_id, pa AS p FROM adj
-            UNION SELECT db AS doc_id, pb AS p FROM adj)),
-        isl AS (
-          SELECT doc_id, s, e,
-                 CASE WHEN s > coalesce(max(e) OVER (
-                        PARTITION BY doc_id ORDER BY s
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                        -1)
-                      THEN 1 ELSE 0 END AS new_isl
-          FROM hits),
-        grp AS (
-          SELECT doc_id, s, e,
-                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
-          FROM isl),
-        spans AS (
-          SELECT doc_id, isl_id, min(s) AS tok_start, max(e) AS tok_end
-          FROM grp GROUP BY doc_id, isl_id)
-        SELECT doc_id,
-               CAST(row_number() OVER (PARTITION BY doc_id
-                    ORDER BY tok_start) AS BIGINT) AS span_seq,
-               CAST(tok_start AS BIGINT) AS tok_start,
-               CAST(tok_end AS BIGINT) AS tok_end,
-               CAST(tok_end - tok_start + 1 AS BIGINT) AS n_tokens_cut
-        FROM spans
-    """,
-)
-def dedup_lcp_spans(spark, sf_dir):
-    """Duplicate-span extraction READ OFF THE SUFFIX ARRAY — Lee et
-    al. 2022's actual downstream algorithm, making dedup_suffix_array
-    earn its construction cost (the round-6 verdict's missing #2):
-    suffixes sharing a prefix of ≥ k tokens are CONTIGUOUS in suffix
-    order, so a position holds a duplicated k-gram iff one of its
-    RANK-ADJACENT neighbours matches its first k tokens. One
-    self-join of the array at sa_rank+1, a bounded-token LCP test per
-    adjacent pair (LCP ≥ k ⟺ the k-token anchors are equal — an O(k)
-    comparator, never a full-suffix compare), both endpoints of every
-    qualifying pair marked, then the same interval-union island merge
-    as dedup_suffix_spans turns marked positions into maximal cut
-    spans (tok_start..tok_end, 1-based inclusive).
-
-    Semantics vs dedup_suffix_spans: the suffix array sees EVERY
-    repeat in the corpus, including within-document ones, so LCP
-    spans ⊇ the cross-document-only anchored spans (containment
-    property-tested in tests/test_llm_ops.py); on corpora where
-    repeats are cross-doc boilerplate the two coincide. The k-token
-    anchors come from the SAME checkpointed frame the construction
-    ranked (prefix of the SA_K0-token anchor), so no re-explode of
-    the corpus.
-
-    The oracle restates rank-adjacency itself — DuckDB sorts the
-    suffix STRINGS (space-separator order = token order, the
-    dedup_suffix_array precondition), joins rank r with r+1, applies
-    the identical anchor-equality LCP test and island merge — so the
-    value hash proves the distributed array's neighbour structure,
-    not just the final span set.
-
-    Scale shape: everything downstream of the array is linear — one
-    unique-key self-join on sa_rank (range-partitioned by
-    construction), one distinct over marked positions, per-doc
-    windows over span rows; the array build (O(n log L), see
-    dedup_suffix_array) dominates."""
-    k = SPAN_K
-    final, sfx = _suffix_array_build(spark, sf_dir)
-    anch = (
-        sfx.withColumn("toks", F.split("anchor", " "))
-        .select(
-            "doc_id",
-            "pos",
-            F.when(
-                F.size("toks") >= k,
-                F.array_join(F.slice("toks", 1, k), " "),
-            ).alias("anchor_k"),
-        )
-    )
-    # cur feeds both sides of the rank-adjacency self-join; it stays
-    # UNPERSISTED deliberately — `final` is already an eager
-    # localCheckpoint, so each side re-derives only a checkpoint scan
-    # + one join, which measures ~1.5 s faster than caching the
-    # anchor-string frame (persist write+scan costs more than the
-    # recompute here)
-    cur = (
-        final.select(F.col("_rank").alias("rnk"), "doc_id", "pos")
-        .join(anch, ["doc_id", "pos"])
-    )
-    nxt = cur.select(
-        (F.col("rnk") - 1).alias("rnk"),
-        F.col("doc_id").alias("db"),
-        F.col("pos").alias("pb"),
-        F.col("anchor_k").alias("anchor_b"),
-    )
-    adj = cur.join(nxt, "rnk").filter(
-        F.col("anchor_k").isNotNull()
-        & (F.col("anchor_b") == F.col("anchor_k"))
-    )
-    marked = (
-        adj.select("doc_id", "pos")
-        .unionByName(
-            adj.select(
-                F.col("db").alias("doc_id"), F.col("pb").alias("pos")
-            )
-        )
-        .distinct()
-    )
-    hits = marked.select(
-        "doc_id",
-        F.col("pos").alias("s"),
-        (F.col("pos") + k - 1).alias("e"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("s")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = hits.withColumn(
-        "new_isl",
-        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = isl.groupBy("doc_id", "isl_id").agg(
-        F.min("s").alias("tok_start"), F.max("e").alias("tok_end")
-    )
-    wseq = Window.partitionBy("doc_id").orderBy("tok_start")
-    return spans.select(
-        "doc_id",
-        F.row_number().over(wseq).cast("long").alias("span_seq"),
-        F.col("tok_start").cast("long").alias("tok_start"),
-        F.col("tok_end").cast("long").alias("tok_end"),
-        (F.col("tok_end") - F.col("tok_start") + 1)
-        .cast("long")
-        .alias("n_tokens_cut"),
-    )
-
-
 COMPACT_FILES = 4  # target file count for the compacted index
 
 
@@ -3693,182 +3051,6 @@ def _index_compact_body(spark, base, mx, doc_sh_all, bands_all):
             "probe answers diverge between generation and compacted index"
         )
     return post
-
-
-@register(
-    "dedup_apply_cut_list",
-    oracle=f"""
-        WITH tok AS (
-          SELECT doc_id, string_split(text, ' ') AS a FROM documents
-        ),
-        sh AS (
-          SELECT doc_id, i, array_to_string(a[i:i+{SPAN_K - 1}], ' ') AS span
-          FROM (SELECT doc_id, a, unnest(range(1, len(a) - {SPAN_K} + 2)) AS i
-                FROM tok WHERE len(a) >= {SPAN_K})
-        ),
-        dup AS (
-          SELECT span FROM sh GROUP BY span
-          HAVING count(DISTINCT doc_id) >= 2
-        ),
-        hits AS (
-          SELECT doc_id, i AS s, i + {SPAN_K} - 1 AS e
-          FROM sh WHERE span IN (SELECT span FROM dup)
-        ),
-        isl AS (
-          SELECT doc_id, s, e,
-                 CASE WHEN s > coalesce(max(e) OVER (
-                        PARTITION BY doc_id ORDER BY s
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                        -1)
-                      THEN 1 ELSE 0 END AS new_isl
-          FROM hits
-        ),
-        grp AS (
-          SELECT doc_id, s, e,
-                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
-          FROM isl
-        ),
-        spans AS (
-          SELECT doc_id, isl_id, min(s) AS tok_start, max(e) AS tok_end
-          FROM grp GROUP BY doc_id, isl_id
-        ),
-        tp AS (
-          SELECT doc_id, generate_subscripts(a, 1) AS i, unnest(a) AS tok
-          FROM tok
-        ),
-        kept AS (
-          SELECT t.doc_id, t.i, t.tok
-          FROM tp t LEFT JOIN spans s
-            ON s.doc_id = t.doc_id
-           AND t.i BETWEEN s.tok_start AND s.tok_end
-          WHERE s.doc_id IS NULL
-        )
-        SELECT d.doc_id,
-               CAST(len(a) AS BIGINT) AS n_tokens_orig,
-               CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept,
-               coalesce(k.trimmed, '') AS trimmed_text
-        FROM tok d LEFT JOIN (
-          SELECT doc_id, count(*) AS n,
-                 string_agg(tok, ' ' ORDER BY i) AS trimmed
-          FROM kept GROUP BY doc_id) k ON k.doc_id = d.doc_id
-    """,
-)
-def dedup_apply_cut_list(spark, sf_dir):
-    """APPLY the duplicated-span cut list — the step that actually
-    produces the trimmed training corpus (dedup_suffix_spans emits the
-    report; this emits the artifact): every token inside a merged
-    duplicated island is deleted, survivors are re-joined in order,
-    and each document comes back as (original token count, kept token
-    count, trimmed_text) — fully-duplicated documents come back
-    EMPTY, untouched documents verbatim. Value-hashing trimmed_text
-    itself means the whole pipeline — anchoring, island merge, token
-    accounting, reassembly order — is checked byte-for-byte, not just
-    counted.
-
-    Implementation: the shared `_anchored_span_frames` machinery
-    yields the islands; each doc's few span ranges are collected into
-    an array and broadcast along the doc_id equi-join, so coverage is
-    a per-token HOF probe over a tiny array (never a row-expanding
-    range join); reassembly sorts (pos, token) structs inside the
-    per-doc aggregate — deterministic, no collect_list order
-    dependence. One extra shuffle class over the report op (the
-    per-doc regroup), linear at any scale."""
-    base, spans = _anchored_span_frames(spark, sf_dir)
-    span_arr = spans.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct("tok_start", "tok_end"))
-        ).alias("cuts")
-    )
-    toks = base.select(
-        "doc_id", "n_tokens", F.posexplode("a").alias("p", "tok")
-    ).select("doc_id", "n_tokens", (F.col("p") + 1).alias("i"), "tok")
-    covered = F.exists(
-        "cuts",
-        lambda c: (F.col("i") >= c["tok_start"])
-        & (F.col("i") <= c["tok_end"]),
-    )
-    kept = (
-        toks.join(span_arr, "doc_id", "left")
-        .filter(F.col("cuts").isNull() | ~covered)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("trimmed_text"),
-        )
-    )
-    return (
-        base.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens_orig"))
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens_orig",
-            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias(
-                "n_tokens_kept"
-            ),
-            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
-        )
-    )
-
-
-@register(
-    "dedup_prefix_dups",
-    oracle="""
-        WITH r AS (
-          SELECT doc_id, text,
-                 row_number() OVER (ORDER BY text, doc_id) AS rk
-          FROM documents),
-        adj AS (
-          SELECT a.doc_id, a.text AS ta, b.doc_id AS extended_doc,
-                 b.text AS tb
-          FROM r a JOIN r b ON b.rk = a.rk + 1
-          WHERE starts_with(b.text, a.text))
-        SELECT doc_id, extended_doc,
-               CAST(length(ta) AS BIGINT) AS n_chars,
-               ta = tb AS is_exact
-        FROM adj
-    """,
-)
-def dedup_prefix_dups(spark, sf_dir):
-    """TRUNCATION dedup — documents that are a PREFIX of another
-    document (the scrape-cutoff/retry artifact exact-hash dedup
-    misses): because every string between a prefix P and its extension
-    S in lexicographic order itself starts with P, "P is a prefix of
-    some other doc" reduces to "P is a prefix of its immediate
-    lexicographic successor" — ONE global rank (the two-level
-    `_global_rank` primitive, no one-task window) plus ONE
-    rank-adjacent self-join and a startswith residual, instead of any
-    pairwise scan. Exact-copy groups flag all but the last-ranked
-    member (`is_exact`), truncations flag with is_exact=false; each
-    flagged doc cites its successor as the witness extension.
-
-    Scale shape: the same rank-adjacency economics as dedup_lcp_spans
-    — the sort is the one string-keyed shuffle, everything after is
-    linear in rows."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    ranked, _n = _global_rank(d, ["text", "doc_id"])
-    cur = ranked.select("doc_id", "text", F.col("_rank").alias("rk"))
-    nxt = cur.select(
-        (F.col("rk") - 1).alias("rk"),
-        F.col("doc_id").alias("extended_doc"),
-        F.col("text").alias("tb"),
-    )
-    return (
-        cur.join(nxt, "rk")
-        .filter(F.col("tb").startswith(F.col("text")))
-        .select(
-            "doc_id",
-            "extended_doc",
-            F.length("text").cast("long").alias("n_chars"),
-            (F.col("text") == F.col("tb")).alias("is_exact"),
-        )
-    )
 
 
 LSH_BUCKET_CAP = 2  # stop-bucket bound (production uses ~500; the

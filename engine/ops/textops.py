@@ -3184,7 +3184,7 @@ def _dsir_build(spark, sf_dir):
     registered op can checkpoint-then-unpersist while the plan-pin
     test asserts on the PRE-checkpoint plan (a checkpointed frame's
     plan is just a scan — the broadcast evidence lives here)."""
-    from .dedup import _global_rank
+    from .suffix import _global_rank
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     feats = _dsir_features(d).persist()
@@ -3435,7 +3435,7 @@ def corpus_epoch_shuffle(spark, sf_dir):
     (`_global_rank`) once per epoch — never a one-task window — which
     is exactly the shape a trainer's shard-manifest job has at scale
     (rank → shard id → one manifest file per shard)."""
-    from .dedup import _global_rank
+    from .suffix import _global_rank
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     frames = []
