@@ -419,14 +419,19 @@ def dedup_suffix_array(spark, sf_dir):
     the suffix array ships sharded by rank range (the natural output
     partitioning of _global_rank).
 
-    Cost profile (sf0.1, 271k suffixes, warm ~11 s): anchor-string
-    ranking ~5 s (the one string-keyed shuffle; lexicographic order is
-    irreducible there), then ~2.5 s per integer doubling round and the
-    final tie-break ranking — construction-benchmark class, included
-    as the exact-literature heavyweight; the practical span-cutting
-    need is served by dedup_suffix_spans/span_coverage at a fraction
-    of the cost."""
-    final, _sfx = _suffix_array_build(spark, sf_dir)
+    Cost profile (sf0.1, 271k suffixes): the CONSTRUCTION costs ~11 s
+    — anchor-string ranking ~5 s (the one string-keyed shuffle;
+    lexicographic order is irreducible there), then ~2.5 s per integer
+    doubling round and the final tie-break ranking — and since round 8
+    runs EXACTLY ONCE per corpus: `_suffix_array_artifact` publishes
+    the ranked array + anchors as parquet, and every consumer (this op
+    AND dedup_lcp_spans) reads the published artifact (the round-7
+    verdict's item 2 — production never rebuilds a suffix array to
+    read spans off it). Cold build+publish ~12 s; artifact-backed
+    serve ~1 s. The practical span-cutting need is served by
+    dedup_suffix_spans/span_coverage at a fraction of even the cold
+    cost."""
+    final, _sfx = _suffix_array_artifact(spark, sf_dir)
     return final.select(
         F.col("_rank").alias("sa_rank"),
         "doc_id",
@@ -503,6 +508,74 @@ def _suffix_array_build(spark, sf_dir):
     return final, sfx
 
 
+def _sa_artifact_dir(sf_dir):
+    """Stable on-disk location of the published suffix-array artifact
+    for a given corpus. Keyed by the documents table's file listing
+    (relpath, size, mtime) — a changed corpus gets a fresh key, so a
+    stale artifact can never serve a new corpus."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    else:
+        st = os.stat(src)
+        parts.append(f"documents.parquet:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"engine_sa_gen_{key}")
+
+
+def _suffix_array_artifact(spark, sf_dir):
+    """BUILD-ONCE / READ-MANY suffix array (round-7 verdict item 2):
+    the repo's single most expensive computation was previously run
+    once per consumer — dedup_suffix_array AND dedup_lcp_spans each
+    rebuilt the array, exactly what no production pipeline would do.
+    This applies the index-generation discipline the LSH/IVF indexes
+    already follow: the first consumer builds via
+    `_suffix_array_build` and PUBLISHES two parquet tables (array/ =
+    (_rank, doc_id, pos), anchors/ = (doc_id, pos, anchor)) under a
+    corpus-fingerprint key; every consumer — including the builder
+    itself — reads the published artifact, so the build happens
+    exactly once per corpus per host.
+
+    Publish protocol: write to a uuid-suffixed staging dir, then one
+    atomic os.rename into the keyed location — a reader never sees a
+    half-written artifact, and a concurrent builder that loses the
+    rename race discards its staging copy and reads the winner
+    (the same generation-publish shape as sim_index_recluster's
+    gen=1). Returns (array_df, anchors_df) as plain parquet scans —
+    consumers' plans show a FileScan of the artifact, which
+    tests/test_plans.py asserts."""
+    import os
+    import shutil
+    import uuid
+
+    d = _sa_artifact_dir(sf_dir)
+    if not os.path.exists(d):
+        final, sfx = _suffix_array_build(spark, sf_dir)
+        tmp = f"{d}.staging-{uuid.uuid4().hex[:8]}"
+        final.write.mode("overwrite").parquet(f"{tmp}/array")
+        sfx.write.mode("overwrite").parquet(f"{tmp}/anchors")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            # a concurrent builder published first; theirs is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.read.parquet(f"{d}/array"),
+        spark.read.parquet(f"{d}/anchors"),
+    )
+
+
 @register(
     "dedup_lcp_spans",
     oracle=f"""
@@ -570,9 +643,9 @@ def dedup_lcp_spans(spark, sf_dir):
     spans ⊇ the cross-document-only anchored spans (containment
     property-tested in tests/test_llm_ops.py); on corpora where
     repeats are cross-doc boilerplate the two coincide. The k-token
-    anchors come from the SAME checkpointed frame the construction
-    ranked (prefix of the SA_K0-token anchor), so no re-explode of
-    the corpus.
+    anchors come from the artifact's published anchors table (prefix
+    of the SA_K0-token anchor the construction ranked), so no
+    re-explode of the corpus.
 
     The oracle restates rank-adjacency itself — DuckDB sorts the
     suffix STRINGS (space-separator order = token order, the
@@ -584,10 +657,13 @@ def dedup_lcp_spans(spark, sf_dir):
     Scale shape: everything downstream of the array is linear — one
     unique-key self-join on sa_rank (range-partitioned by
     construction), one distinct over marked positions, per-doc
-    windows over span rows; the array build (O(n log L), see
-    dedup_suffix_array) dominates."""
+    windows over span rows — and since round 8 the array itself is
+    READ, not rebuilt: this op consumes `_suffix_array_artifact`'s
+    published parquet (its plan scans the artifact — pinned in
+    tests/test_plans.py), so the O(n log L) build is paid once per
+    corpus, not once per consumer."""
     k = SPAN_K
-    final, sfx = _suffix_array_build(spark, sf_dir)
+    final, sfx = _suffix_array_artifact(spark, sf_dir)
     anch = (
         sfx.withColumn("toks", F.split("anchor", " "))
         .select(
@@ -600,9 +676,9 @@ def dedup_lcp_spans(spark, sf_dir):
         )
     )
     # cur feeds both sides of the rank-adjacency self-join; it stays
-    # UNPERSISTED deliberately — `final` is already an eager
-    # localCheckpoint, so each side re-derives only a checkpoint scan
-    # + one join, which measures ~1.5 s faster than caching the
+    # UNPERSISTED deliberately — `final` is a plain parquet scan of
+    # the published artifact, so each side re-derives only a file
+    # scan + one join, which measures faster than caching the
     # anchor-string frame (persist write+scan costs more than the
     # recompute here)
     cur = (
