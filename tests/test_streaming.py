@@ -1342,3 +1342,52 @@ def test_inc_lsh_stream_restart_exactly_once(spark, tmp_path):
     )
     assert bands.count() == 8 * n_docs
     assert bands.distinct().count() == 8 * n_docs
+
+
+def test_capped_inc_lsh_stream_restart_exactly_once(spark, tmp_path):
+    """Same torn-state kill/restart proof for the CAPPED stream
+    (stream_dedup_capped_e2e): the persisted counts/gen=N tables are
+    part of the replay unit, so a crash-replayed increment rewrites
+    its counts deterministically — no double-counted bucket sizes, and
+    the restarted stream ends byte-equal to the capped replayed
+    loop."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup import (
+        LSH_BUCKET_CAP,
+        N_INC_BATCHES,
+        run_inc_lsh_stream,
+    )
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "inc_lsh_cap")
+
+    with pytest.raises(StreamingQueryException):
+        run_inc_lsh_stream(
+            spark, SMOKE_SF_DIR, base, fail_at_batch=1,
+            bucket_cap=LSH_BUCKET_CAP,
+        )
+    assert os.path.exists(f"{base}/index/counts/gen=1")
+    assert not os.path.exists(f"{base}/sink/batch_id=1")
+
+    out = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, bucket_cap=LSH_BUCKET_CAP
+    )
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["dedup_incremental_lsh_capped"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "restarted capped stream diverged from capped loop"
+
+    # replayed counts were overwritten, not appended: summing the
+    # per-generation counts re-derives exactly one row per (band,
+    # band_key, doc) — 8 band rows per document
+    n_docs = table(spark, SMOKE_SF_DIR, "documents").count()
+    counts = spark.read.option("basePath", f"{base}/index/counts").parquet(
+        *[f"{base}/index/counts/gen={g}" for g in range(N_INC_BATCHES)]
+    )
+    total = counts.groupBy().sum("n_new").collect()[0][0]
+    assert total == 8 * n_docs
