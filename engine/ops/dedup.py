@@ -2597,15 +2597,88 @@ def dedup_incremental_lsh(spark, sf_dir):
     return out
 
 
+def _read_compact_marker(idx):
+    """Highest generation covered by the compacted layout, or None.
+    The marker file is written LAST (atomic os.replace) — a crash
+    between the compacted-directory writes and the marker leaves
+    readers safely on the per-generation view."""
+    import os
+
+    p = f"{idx}/compacted_upto"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _compact_index_generations(spark, idx, upto):
+    """Rewrite index generations 0..upto into ONE bucket-shaped
+    compacted layout (bands_c hashed on the probe key (band,
+    band_key), shingles_c on doc_id — dedup_index_compact's shape),
+    assert the file-count shrink, then publish the ``compacted_upto``
+    marker atomically. Old generation directories are RETAINED: they
+    are still inside the stream's replay horizon (a checkpoint replay
+    of batch ``upto`` must re-read gens 0..upto-1); production GC
+    deletes them only once the offsets log's commit watermark has
+    passed the compaction boundary — deleting earlier would make the
+    torn-state replay impossible, which is exactly the bug the
+    boundary-restart test would catch."""
+    import os
+
+    gens_b = [f"{idx}/bands/gen={g}" for g in range(upto + 1)]
+    gens_s = [f"{idx}/shingles/gen={g}" for g in range(upto + 1)]
+    n_before = sum(
+        1 for p in gens_b for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    (
+        spark.read.parquet(*gens_b)
+        .repartition(COMPACT_FILES, "band", "band_key")
+        .write.mode("overwrite")
+        .parquet(f"{idx}/bands_c")
+    )
+    (
+        spark.read.parquet(*gens_s)
+        .repartition(COMPACT_FILES, "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{idx}/shingles_c")
+    )
+    n_after = sum(
+        1
+        for f in os.listdir(f"{idx}/bands_c")
+        if f.endswith(".parquet")
+    )
+    if n_after >= n_before:
+        raise AssertionError(
+            f"mid-stream compaction did not shrink: {n_before} -> {n_after}"
+        )
+    tmp = f"{idx}/compacted_upto.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto))
+    os.replace(tmp, f"{idx}/compacted_upto")
+
+
 def run_inc_lsh_stream(
-    spark, sf_dir, base, fail_at_batch=None, bucket_cap=None
+    spark, sf_dir, base, fail_at_batch=None, bucket_cap=None,
+    compact_after=None, fail_phase="pre_sink", read_paths_log=None,
 ):
     """The checkpointed-stream rig behind stream_dedup_incremental_e2e,
     factored so tests can kill it mid-stream and restart it against the
     SAME checkpoint + index (``fail_at_batch=b`` raises inside
     foreachBatch for increment ``b`` AFTER the index generation is
     written but BEFORE the sink write — the torn state where
-    exactly-once bugs live).
+    exactly-once bugs live; ``fail_phase='post_compact'`` moves the
+    injection to AFTER the mid-stream compaction has published its
+    marker, the other torn state).
+
+    ``compact_after=k`` compacts generations 0..k at the end of
+    increment k's processing (`_compact_index_generations`); later
+    increments read the compacted layout + any newer generations
+    through the ``read_index`` hook. The marker-gated reader never
+    double-counts: a replayed batch k sees marker k but reads gens
+    0..k-1 (the compacted layout only serves batches STRICTLY past
+    the boundary), and the compaction redo on replay is a
+    deterministic overwrite. ``read_paths_log`` (test/proof hook)
+    records the band paths each increment actually read.
 
     Feed: the corpus's {N} id-range increments land as one parquet
     FILE each under src/ with strictly increasing mtimes, so the file
@@ -2642,6 +2715,22 @@ def run_inc_lsh_stream(
             ts = now - 60 + 20 * b
             os.utime(dst, (ts, ts))
 
+    def reader(spark_, b):
+        m = _read_compact_marker(idx)
+        if m is not None and m < b:
+            pb = [f"{idx}/bands_c"] + [
+                f"{idx}/bands/gen={g}" for g in range(m + 1, b)
+            ]
+            ps = [f"{idx}/shingles_c"] + [
+                f"{idx}/shingles/gen={g}" for g in range(m + 1, b)
+            ]
+        else:
+            pb = [f"{idx}/bands/gen={g}" for g in range(b)]
+            ps = [f"{idx}/shingles/gen={g}" for g in range(b)]
+        if read_paths_log is not None:
+            read_paths_log.append((b, list(pb)))
+        return spark_.read.parquet(*pb), spark_.read.parquet(*ps)
+
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
             return
@@ -2659,8 +2748,13 @@ def run_inc_lsh_stream(
             out = _inc_lsh_dedupe_batch(
                 spark, doc_sh, _lsh_band_rows(doc_sh), idx, b,
                 materialize=False, bucket_cap=bucket_cap,
+                read_index=reader if compact_after is not None else None,
             )
-            if fail_at_batch is not None and b == fail_at_batch:
+            if (
+                fail_at_batch is not None
+                and b == fail_at_batch
+                and fail_phase == "pre_sink"
+            ):
                 raise RuntimeError(
                     f"injected failure: increment {b} after index write,"
                     " before sink write"
@@ -2668,6 +2762,17 @@ def run_inc_lsh_stream(
             out.drop("batch_id").coalesce(1).write.mode("overwrite").parquet(
                 f"{sink}/batch_id={b}"
             )
+            if compact_after is not None and b == compact_after:
+                _compact_index_generations(spark, idx, b)
+                if (
+                    fail_at_batch is not None
+                    and b == fail_at_batch
+                    and fail_phase == "post_compact"
+                ):
+                    raise RuntimeError(
+                        f"injected failure: increment {b} after compaction"
+                        " marker, before checkpoint commit"
+                    )
         finally:
             doc_sh.unpersist()
 
@@ -3291,3 +3396,66 @@ def stream_dedup_capped_e2e(spark, sf_dir):
     return run_inc_lsh_stream(
         spark, sf_dir, base, bucket_cap=LSH_BUCKET_CAP
     )
+
+
+@register("stream_dedup_compact_e2e", oracle=INC_LSH_SQL)
+def stream_dedup_compact_e2e(spark, sf_dir):
+    """Index compaction COMPOSED INTO the streaming lifecycle (round-7
+    verdict item 4): dedup_index_compact proved the rewrite on an
+    index it built itself; this op compacts MID-STREAM — after
+    increment N-2 commits, generations 0..N-2 are rewritten into the
+    bucket-shaped compacted layout and the ``compacted_upto`` marker
+    is published (write-last, atomic) — and the next arriving
+    micro-batch dedupes against the COMPACTED index. The op itself
+    asserts, from the reader's recorded path sets, that every
+    post-boundary increment served from ``bands_c`` and never touched
+    a compacted-away generation; output ≡ the no-compaction stream ≡
+    the batch statement (INC_LSH_SQL), so the value hash proves the
+    swap changed nothing.
+
+    The remaining state-bug habitat — a crash BETWEEN the marker
+    publish and the checkpoint commit, i.e. a restart ACROSS the
+    compaction boundary — is covered by
+    tests/test_streaming.py::test_stream_compact_boundary_restart:
+    the replayed boundary batch must NOT read the compacted layout
+    that already includes its own generation (the marker-gated reader
+    serves compacted data only to batches strictly past the
+    boundary), the compaction redo is a deterministic overwrite, and
+    the restarted stream ends byte-equal to the batch loop.
+
+    Scale shape: the compaction is one distributed pass over the
+    covered generations, repartitioned on the probe keys — after it,
+    increments' candidate joins hit COMPACT_FILES bucket-shaped files
+    instead of one sliver per generation per writer; old generations
+    are retained until GC passes the checkpoint horizon (documented
+    in `_compact_index_generations` — deleting earlier would break
+    exactly the replay the boundary test performs)."""
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_dedup_compact_e2e")
+    boundary = N_INC_BATCHES - 2
+    log = []
+    out = run_inc_lsh_stream(
+        spark, sf_dir, base, compact_after=boundary, read_paths_log=log
+    )
+    post = [
+        (b, paths) for (b, paths) in log if b > boundary and paths
+    ]
+    if not post:
+        raise AssertionError("no post-compaction increment was processed")
+    for b, paths in post:
+        if not any(p.endswith("/bands_c") for p in paths):
+            raise AssertionError(
+                f"increment {b} did not serve from the compacted index"
+            )
+        stale = [
+            p
+            for p in paths
+            if "/bands/gen=" in p
+            and int(p.rsplit("=", 1)[1]) <= boundary
+        ]
+        if stale:
+            raise AssertionError(
+                f"increment {b} read compacted-away generations: {stale}"
+            )
+    return out

@@ -1391,3 +1391,80 @@ def test_capped_inc_lsh_stream_restart_exactly_once(spark, tmp_path):
     )
     total = counts.groupBy().sum("n_new").collect()[0][0]
     assert total == 8 * n_docs
+
+
+def test_stream_compact_boundary_restart(spark, tmp_path):
+    """Kill/restart ACROSS the mid-stream compaction boundary
+    (stream_dedup_compact_e2e's remaining state-bug habitat): run 1
+    processes increment `boundary`, writes its generation + sink,
+    runs the compaction AND publishes the compacted_upto marker, then
+    dies BEFORE the checkpoint commit. Run 2 replays increment
+    `boundary` on the same checkpoint — the marker-gated reader must
+    serve it from the PER-GENERATION directories (the compacted
+    layout already contains its own generation; reading it back would
+    double-count every band row of the replayed batch), the
+    compaction redo must be a deterministic overwrite, and the
+    post-boundary increment must dedupe against the compacted layout
+    and end byte-equal to the plain batch loop."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup import (
+        N_INC_BATCHES,
+        _read_compact_marker,
+        run_inc_lsh_stream,
+    )
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "inc_lsh_compact")
+    boundary = N_INC_BATCHES - 2
+
+    with pytest.raises(StreamingQueryException):
+        run_inc_lsh_stream(
+            spark, SMOKE_SF_DIR, base, compact_after=boundary,
+            fail_at_batch=boundary, fail_phase="post_compact",
+        )
+
+    # torn state: boundary increment's sink + compaction marker both
+    # already published, but the checkpoint never committed the batch
+    idx = f"{base}/index"
+    assert _read_compact_marker(idx) == boundary
+    assert os.path.exists(f"{idx}/bands_c")
+    assert os.path.exists(f"{base}/sink/batch_id={boundary}")
+
+    log = []
+    out = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, compact_after=boundary,
+        read_paths_log=log,
+    )
+
+    # the REPLAYED boundary batch read only per-generation paths —
+    # never the compacted layout that includes its own generation
+    replayed = [paths for (b, paths) in log if b == boundary]
+    assert replayed, "boundary batch was not replayed"
+    for paths in replayed:
+        assert not any(p.endswith("/bands_c") for p in paths)
+        assert all("/bands/gen=" in p for p in paths)
+    # the post-boundary increment served from the compacted layout
+    post = [paths for (b, paths) in log if b > boundary]
+    assert post and all(
+        any(p.endswith("/bands_c") for p in paths) for paths in post
+    )
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["dedup_incremental_lsh"](spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == ref, "restart across compaction boundary diverged"
+
+    # the compaction redo overwrote, not appended: the compacted
+    # layout holds exactly one band row per (doc, band) for the
+    # covered generations
+    n_docs = table(spark, SMOKE_SF_DIR, "documents").count()
+    covered = spark.read.parquet(
+        *[f"{idx}/bands/gen={g}" for g in range(boundary + 1)]
+    ).count()
+    bands_c = spark.read.parquet(f"{idx}/bands_c")
+    assert bands_c.count() == covered
+    assert bands_c.distinct().count() == covered
+    assert covered < 8 * n_docs  # strictly the covered prefix
