@@ -4,12 +4,13 @@ decoded/feature-extracted via mapInPandas.
 The container has no image/audio libraries, but the formats that
 need none are decoded FOR REAL in pure Python — PNG (CRC-verified
 chunk walk, inflate, all five scanline filters), P6 PPM, RIFF/WAV —
-with closed-form value-hash oracles. Two clearly-marked deterministic
-STUBS remain (frame_sample, resize_stub) for steps that genuinely
-need external codecs (video decode, resampling): there the Spark
-side — binary column handling, Arrow batch shapes, UDF signatures,
-schema contracts — is real and tested; swap the stub body for the
-codec (PIL/librosa/ffmpeg) in production.
+with closed-form value-hash oracles, as are GIF frame decode and
+sampling (full pure-Python LZW). ONE clearly-marked deterministic
+STUB remains (resize_stub) for the step that genuinely needs an
+external codec (resampling): there the Spark side — binary column
+handling, Arrow batch shapes, UDF signatures, schema contracts — is
+real and tested; swap the stub body for the codec (PIL/ffmpeg) in
+production.
 """
 
 from __future__ import annotations
@@ -297,41 +298,106 @@ def multimodal_png_decode(spark, sf_dir):
     )
 
 
-FRAME_BYTES = 64
-FRAME_STRIDE = 4  # keep every 4th frame
+GIF_W, GIF_H = 8, 6
+GIF_PALETTE = [(40 + 50 * c, 30 + 40 * c, 20 + 60 * c) for c in range(4)]
+GIF_FRAME_STRIDE = 2  # sample every 2nd frame
 
 
-@register("multimodal_frame_sample")  # rows-only: stub frames are impl-defined
+def _frame_fingerprint(w: int, h: int, idx) -> str:
+    """Canonical content-address of one decoded frame: md5 over the
+    dims tag + comma-joined palette indices. PORTABLE — DuckDB's md5()
+    over the same string_agg rebuilds it, so the oracle checks every
+    decoded pixel of every sampled frame, not a summary statistic."""
+    s = f"{w}x{h}:" + ",".join(str(p) for p in idx)
+    return hashlib.md5(s.encode("ascii")).hexdigest()
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH dims AS (
+          SELECT doc_id, 3 + doc_id % 4 AS n_frames FROM documents
+        ),
+        fr AS (
+          SELECT doc_id, n_frames, f.f AS frame_idx
+          FROM dims, unnest(range(n_frames)) f(f)
+          WHERE f.f % {GIF_FRAME_STRIDE} = 0
+        ),
+        px AS (
+          SELECT doc_id, n_frames, frame_idx, k.k AS k,
+                 (doc_id * 17 + frame_idx * 5 + k.k * 3) % 4 AS idx
+          FROM fr, unnest(range({GIF_W * GIF_H})) k(k)
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST({GIF_W * GIF_H} AS BIGINT) AS n_frame_px,
+               md5('{GIF_W}x{GIF_H}:'
+                   || string_agg(CAST(idx AS VARCHAR), ',' ORDER BY k))
+                 AS fingerprint
+        FROM px GROUP BY doc_id, frame_idx, n_frames
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
-    """One-to-many media fan-out: payload → sampled frame rows
-    (frame_idx, frame_bytes, fingerprint) via mapInPandas, the shape a
-    real video frame-sampler has (decode is the stub; the fan-out,
-    batch iteration, and schema contract are real). Each document
-    yields ceil(n_bytes/64)/4 frames."""
-    import hashlib
+    """One-to-many frame sampling with REAL decode — the byte-stride
+    stub is retired (round-7 verdict item 6): each doc's payload is a
+    genuine multi-frame GIF89a (`_gif_bytes`), the sampler walks the
+    actual container via `_gif_decode` (sub-block reassembly, full LZW
+    incl. KwKwK and code-width growth), keeps every
+    {GIF_FRAME_STRIDE}nd frame, and emits each kept frame's
+    content-address — an md5 checksum over dims + every decoded
+    palette index (`_frame_fingerprint`). The closed-form oracle
+    rebuilds the identical checksum from doc_id arithmetic, so a
+    single wrong pixel anywhere in the decode breaks the hash; this is
+    the per-frame-checksum contract a video pipeline's
+    content-addressed frame store (frame-level exact dedup) consumes,
+    where multimodal_gif_frames is the per-frame FEATURE aggregate.
 
+    Scale shape: encode and decode are stateless mapInPandas over the
+    binary column — map-only, no shuffle; the frame fan-out is row
+    multiplication inside the Arrow batch. Swap `_gif_decode` for a
+    real codec (ffmpeg) in production; every contract around it —
+    schema, batch iteration, fingerprint canon — stays."""
     d = table(spark, sf_dir, "documents")
-    assets = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_gif_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
 
     def sample(batches):
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "n_frame_bytes": [], "fingerprint": []}
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "n_frame_px": [],
+                "fingerprint": [],
+            }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                frames = [b[i : i + FRAME_BYTES] for i in range(0, len(b), FRAME_BYTES)]
-                for idx in range(0, len(frames), FRAME_STRIDE):
+                w, h, _palette, frames = _gif_decode(bytes(payload))
+                for fi in range(0, len(frames), GIF_FRAME_STRIDE):
                     out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(idx)
-                    out["n_frame_bytes"].append(len(frames[idx]))
+                    out["frame_idx"].append(fi)
+                    out["n_frames"].append(len(frames))
+                    out["n_frame_px"].append(len(frames[fi]))
                     out["fingerprint"].append(
-                        int.from_bytes(
-                            hashlib.sha256(frames[idx]).digest()[:8], "big", signed=True
-                        )
+                        _frame_fingerprint(w, h, frames[fi])
                     )
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(
-        sample, "doc_id long, frame_idx long, n_frame_bytes long, fingerprint long"
+        sample,
+        "doc_id long, frame_idx long, n_frames long,"
+        " n_frame_px long, fingerprint string",
     )
 
 
@@ -1369,9 +1435,8 @@ def multimodal_ppm_otsu_threshold(spark, sf_dir):
     )
 
 
-GIF_W, GIF_H = 8, 6
-GIF_PALETTE = [(40 + 50 * c, 30 + 40 * c, 20 + 60 * c) for c in range(4)]
-GIF_FRAME_STRIDE = 2  # sample every 2nd frame
+# (GIF_W / GIF_H / GIF_PALETTE / GIF_FRAME_STRIDE are defined above
+# multimodal_frame_sample, the first op that interpolates them)
 
 
 def _gif_frames_of(doc_id: int):
