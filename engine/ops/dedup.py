@@ -295,6 +295,14 @@ def _minhash_pairs(doc_sh, bucket_cap=None):
     if bucket_cap is not None:
         grouped = grouped.filter(F.size("ids") <= bucket_cap)
     cands = _lsh_bucket_pairs(grouped).distinct()
+    return _jaccard_verify(cands, doc_sh)
+
+
+def _jaccard_verify(cands, doc_sh):
+    """Exact-jaccard verification of (doc_a < doc_b) candidate pairs
+    against per-doc shingle ARRAYS (no shingle-level self-join) — the
+    tail of _minhash_pairs, factored so the capped-recall audit can
+    verify two candidate sets against one cached shingle frame."""
     sa = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     sized = (
@@ -3267,6 +3275,253 @@ def dedup_near_minhash_capped(spark, sf_dir):
         "doc_id", _shingle_array(_tokens()).alias("sh")
     )
     return _minhash_pairs(doc_sh, bucket_cap=LSH_BUCKET_CAP)
+
+
+# ---- capped-LSH recall audit at skew (round-7 verdict item 8) ----
+# The cap's economics, MEASURED instead of asserted: a deterministic
+# cohort of docs is overwritten with one fixed boilerplate string, so
+# all of them share one minhash signature and form a megabucket in
+# EVERY band — the 100 TB failure mode (template boilerplate making
+# C(1M,2) candidate pairs) reproduced in miniature and closed-form.
+SKEW_MOD, SKEW_RES = 5, 3  # doc_id % 5 == 3 → boilerplate cohort
+SKEW_BOILER = (
+    "subscribe to our newsletter for the latest updates"
+    " and exclusive offers today"
+)
+LSH_AUDIT_CAP = 8  # drops the injected megabucket (cohort >> 8) while
+# keeping every natural fixture bucket (largest has 3 members)
+
+
+def _capped_recall_audit_sql():
+    """One-row audit restated end to end: skewed corpus → shared
+    minhash CTEs → uncapped vs ≤-cap candidate sets → verified pair
+    sets → lost pairs split boiler/real. Every number the engine
+    reports is recomputed by DuckDB from doc_id arithmetic."""
+    old = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ')"
+        " AS toks FROM documents),"
+    )
+    new = f"""WITH skew AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {SKEW_MOD} = {SKEW_RES}
+                    THEN '{SKEW_BOILER}' ELSE text END AS text
+        FROM documents),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM skew),"""
+    assert old in _MH_COMMON_CTES
+    ctes = _MH_COMMON_CTES.replace(old, new)
+    return f"""{ctes},
+    bsz AS (SELECT band, band_key, count(*) AS n
+            FROM bands GROUP BY band, band_key),
+    cand_c AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        JOIN bsz s ON s.band = a.band AND s.band_key = a.band_key
+        WHERE s.n <= {LSH_AUDIT_CAP}),
+    common_u AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                 FROM cand c
+                 JOIN sh x ON x.doc_id = c.doc_a
+                 JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+                 GROUP BY 1, 2),
+    pairs_u AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM common_u
+        JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+    common_c AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                 FROM cand_c c
+                 JOIN sh x ON x.doc_id = c.doc_a
+                 JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+                 GROUP BY 1, 2),
+    pairs_c AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM common_c
+        JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+    lost AS (SELECT u.doc_a, u.doc_b FROM pairs_u u
+             LEFT JOIN pairs_c c
+               ON u.doc_a = c.doc_a AND u.doc_b = c.doc_b
+             WHERE c.doc_a IS NULL)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE doc_id % {SKEW_MOD} = {SKEW_RES}) AS n_boiler,
+      (SELECT CAST(max(n) AS BIGINT) FROM bsz) AS max_bucket,
+      (SELECT CAST(count(*) AS BIGINT) FROM bsz
+        WHERE n > {LSH_AUDIT_CAP}) AS n_buckets_over_cap,
+      (SELECT CAST(count(*) AS BIGINT) FROM cand) AS cand_uncapped,
+      (SELECT CAST(count(*) AS BIGINT) FROM cand_c) AS cand_capped,
+      (SELECT CAST(count(*) AS BIGINT) FROM pairs_u) AS pairs_uncapped,
+      (SELECT CAST(count(*) AS BIGINT) FROM pairs_c) AS pairs_capped,
+      (SELECT CAST(count(*) AS BIGINT) FROM lost) AS pairs_lost,
+      (SELECT CAST(count(*) AS BIGINT) FROM lost
+        WHERE doc_a % {SKEW_MOD} = {SKEW_RES}
+          AND doc_b % {SKEW_MOD} = {SKEW_RES}) AS lost_boiler_pairs,
+      (SELECT CAST(count(*) AS BIGINT) FROM lost
+        WHERE doc_a % {SKEW_MOD} != {SKEW_RES}
+           OR doc_b % {SKEW_MOD} != {SKEW_RES}) AS lost_real_pairs,
+      CAST((10000 * (SELECT count(*) FROM pairs_c))
+           // (SELECT count(*) FROM pairs_u) AS BIGINT) AS retained_bp
+"""
+
+
+@register("dedup_capped_recall_audit", oracle=_capped_recall_audit_sql())
+def dedup_capped_recall_audit(spark, sf_dir):
+    """The stop-bucket cap's recall/cost trade-off MEASURED at skew
+    (round-7 verdict item 8) — the same discipline
+    sim_index_drift_report set for ANN staleness. A synthetic
+    boilerplate megabucket is injected (docs with
+    doc_id % {SKEW_MOD} == {SKEW_RES} overwritten by one fixed
+    template string, so the whole cohort shares one signature and
+    floods all {N_BANDS} bands), then the LSH pipeline runs UNCAPPED
+    and CAPPED at {LSH_AUDIT_CAP} over the same cached shingle frame,
+    and the one-row report value-hashes the economics:
+
+    - ``cand_uncapped`` vs ``cand_capped`` — the candidate-pair work
+      the cap deletes (the megabucket alone contributes
+      C(cohort, 2) × nothing-saved-by-distinct, since every band
+      yields the SAME pair set for identical docs);
+    - ``pairs_lost`` split into ``lost_boiler_pairs`` (both endpoints
+      in the injected cohort — template noise, the pairs production
+      WANTS dropped) and ``lost_real_pairs`` (any genuine near-dup
+      casualty: a real pair is lost only if EVERY bucket it co-occurs
+      in is over-cap, which the multi-band redundancy makes rare —
+      the fixture measures it at 0);
+    - ``retained_bp`` — basis points of verified pairs surviving.
+
+    Scale shape: two passes over one persisted grouped index (the
+    capped side is a filter on it), one combinable bucket-size
+    aggregate, and 1-row broadcast crossJoins for the report — the
+    audit costs what the uncapped job costs, which is exactly the
+    point: you run it on a SAMPLE to pick the production cap, then
+    never pay the uncapped side again."""
+    d = table(spark, sf_dir, "documents")
+    skew = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SKEW_MOD == SKEW_RES, F.lit(SKEW_BOILER)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    doc_sh = (
+        skew.repartition(32, "doc_id")
+        .select("doc_id", _shingle_array(_tokens()).alias("sh"))
+        .persist()
+    )
+    grouped = (
+        _lsh_band_rows(doc_sh)
+        .groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .persist()
+    )
+    try:
+        bstats = grouped.agg(
+            F.max(F.size("ids")).cast("long").alias("max_bucket"),
+            F.sum((F.size("ids") > LSH_AUDIT_CAP).cast("long")).alias(
+                "n_buckets_over_cap"
+            ),
+        )
+        cand_u = _lsh_bucket_pairs(grouped).distinct().persist()
+        cand_c = (
+            _lsh_bucket_pairs(grouped.filter(F.size("ids") <= LSH_AUDIT_CAP))
+            .distinct()
+            .persist()
+        )
+        try:
+            pairs_u = (
+                _jaccard_verify(cand_u, doc_sh)
+                .select("doc_a", "doc_b")
+                .persist()
+            )
+            pairs_c = (
+                _jaccard_verify(cand_c, doc_sh)
+                .select("doc_a", "doc_b")
+                .persist()
+            )
+            try:
+                boiler = (
+                    (F.col("doc_a") % SKEW_MOD == SKEW_RES)
+                    & (F.col("doc_b") % SKEW_MOD == SKEW_RES)
+                ).cast("long")
+                lost = pairs_u.join(
+                    pairs_c, ["doc_a", "doc_b"], "left_anti"
+                ).agg(
+                    F.count(F.lit(1)).alias("pairs_lost"),
+                    F.coalesce(F.sum(boiler), F.lit(0)).alias(
+                        "lost_boiler_pairs"
+                    ),
+                    F.coalesce(F.sum(1 - boiler), F.lit(0)).alias(
+                        "lost_real_pairs"
+                    ),
+                )
+                report = (
+                    d.agg(F.count(F.lit(1)).alias("n_docs"))
+                    .crossJoin(
+                        F.broadcast(
+                            d.filter(
+                                F.col("doc_id") % SKEW_MOD == SKEW_RES
+                            ).agg(F.count(F.lit(1)).alias("n_boiler"))
+                        )
+                    )
+                    .crossJoin(F.broadcast(bstats))
+                    .crossJoin(
+                        F.broadcast(
+                            cand_u.agg(
+                                F.count(F.lit(1)).alias("cand_uncapped")
+                            )
+                        )
+                    )
+                    .crossJoin(
+                        F.broadcast(
+                            cand_c.agg(
+                                F.count(F.lit(1)).alias("cand_capped")
+                            )
+                        )
+                    )
+                    .crossJoin(
+                        F.broadcast(
+                            pairs_u.agg(
+                                F.count(F.lit(1)).alias("pairs_uncapped")
+                            )
+                        )
+                    )
+                    .crossJoin(
+                        F.broadcast(
+                            pairs_c.agg(
+                                F.count(F.lit(1)).alias("pairs_capped")
+                            )
+                        )
+                    )
+                    .crossJoin(F.broadcast(lost))
+                    .withColumn(
+                        "retained_bp",
+                        F.expr("(10000 * pairs_capped) div pairs_uncapped"),
+                    )
+                    .select(
+                        "n_docs",
+                        "n_boiler",
+                        "max_bucket",
+                        "n_buckets_over_cap",
+                        "cand_uncapped",
+                        "cand_capped",
+                        "pairs_uncapped",
+                        "pairs_capped",
+                        "pairs_lost",
+                        "lost_boiler_pairs",
+                        "lost_real_pairs",
+                        "retained_bp",
+                    )
+                )
+                return report.localCheckpoint(eager=True)
+            finally:
+                pairs_u.unpersist()
+                pairs_c.unpersist()
+        finally:
+            cand_u.unpersist()
+            cand_c.unpersist()
+    finally:
+        grouped.unpersist()
+        doc_sh.unpersist()
 
 
 def _capped_inc_lsh_sql():

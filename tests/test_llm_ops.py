@@ -1196,3 +1196,29 @@ def test_capped_incremental_subset_monotone_and_prefix_semantics(spark):
     assert final_cap < set(cap), (
         "prefix-cap should strictly contain the final-size-capped flag set"
     )
+
+
+def test_capped_recall_audit_economics(spark):
+    """The recall audit's claims as invariants (the literal values are
+    pinned by the DuckDB oracle): the injected boilerplate cohort is
+    one megabucket in EVERY band, the cap deletes the megabucket's
+    quadratic candidate work, and every lost verified pair has BOTH
+    endpoints in the cohort — zero real-recall cost on this fixture."""
+    from engine.ops.dedup import N_BANDS
+
+    row = (
+        engine.QUERIES["dedup_capped_recall_audit"](spark, T2_SF_DIR)
+        .collect()[0]
+        .asDict()
+    )
+    assert row["max_bucket"] == row["n_boiler"]  # the megabucket formed
+    assert row["n_buckets_over_cap"] == N_BANDS  # ...in every band
+    # quadratic blow-up present and deleted: C(cohort,2) of the
+    # uncapped candidates come from the megabucket alone
+    boiler_pairs = row["n_boiler"] * (row["n_boiler"] - 1) // 2
+    assert row["cand_uncapped"] >= boiler_pairs
+    assert row["cand_capped"] == row["cand_uncapped"] - boiler_pairs
+    # recall cost is all template noise, no genuine near-dups lost
+    assert row["pairs_lost"] == row["lost_boiler_pairs"] == boiler_pairs
+    assert row["lost_real_pairs"] == 0
+    assert row["pairs_capped"] == row["pairs_uncapped"] - boiler_pairs
