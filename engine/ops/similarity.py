@@ -2747,3 +2747,239 @@ def dedup_incremental_semantic(spark, sf_dir):
         assigned.unpersist()
         out = outb if out is None else out.unionByName(outb)
     return out
+
+
+# ---- the ANN index ingest as a REAL checkpointed stream (round 8) --
+# The streaming twin of sim_index_append + sim_index_compact, built on
+# the same rig discipline as stream_dedup_incremental_e2e /
+# stream_dedup_compact_e2e: batch 0 BUILDS the index (Lloyd on the
+# base slice, centroids frozen), later increments assign map-only
+# against the frozen centroids and append list generations, and a
+# mid-stream compaction rewrites covered generations into the
+# cluster-partitioned serving layout behind a write-last atomic
+# marker. Every write is a deterministic overwrite keyed by a batch
+# id derived from the DATA (id range, never the epoch counter), so
+# offsets-log replay after a crash converges to the same bytes.
+N_SIM_BATCHES = 3  # batch 0 = the 80% base build; 1..2 = appended halves
+
+
+def run_sim_index_stream(
+    spark, sf_dir, base, fail_at_batch=None, fail_phase="post_index",
+    compact_after=None, serve_paths_log=None,
+):
+    """The checkpointed-stream rig behind stream_sim_index_e2e,
+    factored so tests can kill it mid-stream and restart it on the
+    SAME checkpoint + index. ``fail_at_batch=b`` raises inside
+    foreachBatch for increment ``b`` AFTER its index write but BEFORE
+    the checkpoint commit (``fail_phase='post_index'``), or AFTER the
+    mid-stream compaction has published its marker
+    (``fail_phase='post_compact'``) — the two torn states.
+
+    ``compact_after=k`` compacts list generations 0..k at the end of
+    increment k's processing; the final SERVING read is marker-gated:
+    lists_c plus only the generations past the marker. Unlike the
+    dedup stream, increments never read the lists (assignment needs
+    only the frozen centroids), so the compaction boundary's replay
+    hazard is on the WRITE side — a replayed boundary batch rewrites
+    its generation and redoes the compaction as deterministic
+    overwrites, which the boundary-restart test pins byte-equal.
+    ``serve_paths_log`` records the list paths the final probe read."""
+    import os
+    import time
+
+    from .dedup import _read_compact_marker
+
+    em = table(spark, sf_dir, "embeddings")
+    mx = em.agg(F.max("vec_id")).collect()[0][0]
+    cut = 4 * (mx + 1) // 5          # _ivf_append_cut, inlined: the
+    mid = (cut + mx + 1) // 2        # slices must match IVF_APPEND_SQL
+    src, ckpt, idx = f"{base}/src", f"{base}/ckpt", f"{base}/index"
+    cent_path, list_path = f"{idx}/centroids", f"{idx}/lists"
+    bounds = [(0, cut), (cut, mid), (mid, mx + 1)]
+
+    if not os.path.exists(f"{src}/batch_{N_SIM_BATCHES - 1}.parquet"):
+        os.makedirs(src, exist_ok=True)
+        now = time.time()
+        for b, (lo, hi) in enumerate(bounds):
+            stage = f"{base}/stage/b{b}"
+            em.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.startswith("part-")
+            )
+            dst = f"{src}/batch_{b}.parquet"
+            os.replace(os.path.join(stage, part), dst)
+            ts = now - 60 + 20 * b
+            os.utime(dst, (ts, ts))
+
+    def _compact_lists(upto):
+        """Rewrite lists/gen=0..upto into ONE cluster-partitioned
+        compacted layout, assert the file shrink, publish the marker
+        write-last (atomic os.replace). Generation dirs are RETAINED
+        inside the replay horizon — a checkpoint replay of batch
+        ``upto`` must be able to redo this compaction from them."""
+        def n_files(path):
+            return sum(
+                1
+                for _r, _d, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        gens = [f"{list_path}/gen={g}" for g in range(upto + 1)]
+        n_before = sum(n_files(g) for g in gens)
+        (
+            spark.read.option("basePath", list_path)
+            .parquet(*gens)
+            .drop("gen")
+            .repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{idx}/lists_c")
+        )
+        n_after = n_files(f"{idx}/lists_c")
+        if n_after >= n_before:
+            raise AssertionError(
+                f"mid-stream list compaction did not shrink:"
+                f" {n_before} -> {n_after}"
+            )
+        tmp = f"{idx}/compacted_upto.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(upto))
+        os.replace(tmp, f"{idx}/compacted_upto")
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
+        b = 0 if mn < cut else (1 if mn < mid else 2)
+        if b == 0:
+            refined, lists = _ivf_build_from(batch_df)
+            refined.write.mode("overwrite").parquet(cent_path)
+            lists.repartition("cluster").write.mode(
+                "overwrite"
+            ).partitionBy("cluster").parquet(f"{list_path}/gen=0")
+        else:
+            cent = spark.read.parquet(cent_path)
+            batch = batch_df.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+            )
+            _ivf_assign(batch, cent).repartition("cluster").write.mode(
+                "overwrite"
+            ).partitionBy("cluster").parquet(f"{list_path}/gen={b}")
+        if (
+            fail_at_batch is not None
+            and b == fail_at_batch
+            and fail_phase == "post_index"
+        ):
+            raise RuntimeError(
+                f"injected failure: increment {b} after index write,"
+                " before checkpoint commit"
+            )
+        if compact_after is not None and b == compact_after:
+            _compact_lists(b)
+            if (
+                fail_at_batch is not None
+                and b == fail_at_batch
+                and fail_phase == "post_compact"
+            ):
+                raise RuntimeError(
+                    f"injected failure: increment {b} after compaction"
+                    " marker, before checkpoint commit"
+                )
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_sim_index_e2e: availableNow query exceeded 600s"
+        )
+
+    # marker-gated SERVING read: the compacted layout plus only the
+    # generations strictly past the compaction boundary
+    m = _read_compact_marker(idx)
+    cent = spark.read.parquet(cent_path)
+    if m is not None:
+        paths = [f"{idx}/lists_c"] + [
+            f"{list_path}/gen={g}" for g in range(m + 1, N_SIM_BATCHES)
+        ]
+        inv = spark.read.parquet(f"{idx}/lists_c")
+        for g in range(m + 1, N_SIM_BATCHES):
+            inv = inv.unionByName(
+                spark.read.parquet(f"{list_path}/gen={g}")
+            )
+    else:
+        paths = [f"{list_path}/gen={g}" for g in range(N_SIM_BATCHES)]
+        inv = (
+            spark.read.option("basePath", list_path)
+            .parquet(*paths)
+            .drop("gen")
+        )
+    if serve_paths_log is not None:
+        serve_paths_log.append(list(paths))
+    return _ivf_probe(spark, sf_dir, cent, inv)
+
+
+@register("stream_sim_index_e2e", oracle=IVF_APPEND_SQL)
+def stream_sim_index_e2e(spark, sf_dir):
+    """The ANN index's ENTIRE ingest lifecycle as one checkpointed
+    stream — the similarity twin of stream_dedup_compact_e2e:
+    ``readStream`` over arriving embedding files → foreachBatch where
+    batch 0 BUILDS the index (the exact `_ivf_build_from` Lloyd step
+    sim_index_append uses, centroids frozen thereafter) and batches
+    1..{N_SIM_BATCHES - 1} assign map-only against the frozen
+    centroids and append list generations; after the boundary batch
+    commits its generation, generations 0..boundary compact into the
+    cluster-partitioned serving layout behind a write-last atomic
+    marker. The final probe serves marker-gated — lists_c plus only
+    post-boundary generations — and the op asserts exactly that from
+    the recorded serving paths.
+
+    Output ≡ sim_index_append ≡ IVF_APPEND_SQL: the appended range's
+    slicing into increments cannot change the final index contents
+    (every appended vector is assigned against the SAME frozen
+    centroids), so the batch op's oracle is this op's oracle verbatim
+    — the value hash proves the streaming machinery, the compaction,
+    and the marker-gated serving read all changed nothing. The torn
+    states (kill after a generation write; kill after the compaction
+    marker, i.e. a restart ACROSS the boundary) are covered by
+    tests/test_streaming.py::test_sim_index_stream_boundary_restart.
+
+    Scale shape: batch 0's build is the one Lloyd pass the batch op
+    pays; every later increment is O(batch)·NLIST broadcast dot
+    products + one partitioned append; the compaction is one
+    distributed pass repartitioned on the serving key, after which
+    probes read one file per probed cluster instead of one per
+    generation per writer."""
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_sim_index_e2e")
+    boundary = N_SIM_BATCHES - 2
+    log = []
+    out = run_sim_index_stream(
+        spark, sf_dir, base, compact_after=boundary, serve_paths_log=log
+    )
+    assert log, "serving read did not record its paths"
+    paths = log[-1]
+    if not any(p.endswith("/lists_c") for p in paths):
+        raise AssertionError("probe did not serve from the compacted index")
+    stale = [
+        p
+        for p in paths
+        if "/lists/gen=" in p and int(p.rsplit("=", 1)[1]) <= boundary
+    ]
+    if stale:
+        raise AssertionError(
+            f"probe read compacted-away generations: {stale}"
+        )
+    return out

@@ -1468,3 +1468,71 @@ def test_stream_compact_boundary_restart(spark, tmp_path):
     assert bands_c.count() == covered
     assert bands_c.distinct().count() == covered
     assert covered < 8 * n_docs  # strictly the covered prefix
+
+
+def test_sim_index_stream_boundary_restart(spark, tmp_path):
+    """Kill/restart ACROSS the ANN stream's compaction boundary
+    (stream_sim_index_e2e's torn state): run 1 builds the index
+    (batch 0 commits), processes the boundary increment — generation
+    write, compaction, marker publish — then dies BEFORE the
+    checkpoint commit. Run 2 replays the boundary batch on the same
+    checkpoint: the generation rewrite and the compaction redo must
+    both be deterministic overwrites (no double-counted list rows),
+    the final probe must serve from the compacted layout plus only
+    post-boundary generations, and the answers must be byte-equal to
+    the batch append op."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup import _read_compact_marker
+    from engine.ops.similarity import N_SIM_BATCHES, run_sim_index_stream
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "sim_idx")
+    boundary = N_SIM_BATCHES - 2
+
+    with pytest.raises(StreamingQueryException):
+        run_sim_index_stream(
+            spark, SMOKE_SF_DIR, base, compact_after=boundary,
+            fail_at_batch=boundary, fail_phase="post_compact",
+        )
+
+    # torn state: boundary generation + compaction marker on disk,
+    # checkpoint never committed the batch
+    idx = f"{base}/index"
+    assert _read_compact_marker(idx) == boundary
+    assert os.path.exists(f"{idx}/lists_c")
+    assert os.path.exists(f"{idx}/lists/gen={boundary}")
+
+    log = []
+    out = run_sim_index_stream(
+        spark, SMOKE_SF_DIR, base, compact_after=boundary,
+        serve_paths_log=log,
+    )
+    paths = log[-1]
+    assert any(p.endswith("/lists_c") for p in paths)
+    assert not any(
+        "/lists/gen=" in p and int(p.rsplit("=", 1)[1]) <= boundary
+        for p in paths
+    )
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["sim_index_append"](spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == ref, "restart across ANN compaction boundary diverged"
+
+    # the compaction redo overwrote, not appended: the compacted
+    # layout holds exactly the covered generations' rows, once each
+    covered = (
+        spark.read.option("basePath", f"{idx}/lists")
+        .parquet(*[f"{idx}/lists/gen={g}" for g in range(boundary + 1)])
+        .drop("gen")
+    )
+    lists_c = spark.read.parquet(f"{idx}/lists_c")
+    assert lists_c.count() == covered.count()
+    assert (
+        lists_c.select("c_id").distinct().count()
+        == covered.select("c_id").distinct().count()
+        == covered.count()
+    )
