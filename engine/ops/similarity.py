@@ -2106,12 +2106,44 @@ RECLUSTER_SUB_DIM = 4  # the drifted batch's true dimensionality
 RECLUSTER_NORM = 0.6  # and its norm (a different embedding model)
 
 
-def _recluster_drift_sql():
-    """The drifted-corpus CTE + dual-codebook oracle for
-    sim_index_recluster. The drifted appended cohort is restated with
-    the exact same expression SHAPE the engine uses (left-associated
-    sum of squares, (0.6*e)/nrm, double literals) so the re-embedded
-    floats are bit-identical before any micro-quantization."""
+def _drifted_corpus(em, append_cut):
+    """The drifted-ingest fixture shared by sim_index_recluster and
+    its streaming twin: vectors at/past ``append_cut`` arrive from a
+    DIFFERENT embedding model — deterministically re-embedded into a
+    RECLUSTER_SUB_DIM-dim subspace at norm RECLUSTER_NORM. The
+    expression SHAPE (left-associated sum of squares, (0.6*e)/nrm
+    double arithmetic) matches _recluster_drift_sql bit-for-bit."""
+    els = [
+        F.element_at("embedding", i).cast("double")
+        for i in range(1, RECLUSTER_SUB_DIM + 1)
+    ]
+    nrm = F.sqrt(sum(e * e for e in els))
+    drifted = F.concat(
+        F.array(
+            *[
+                ((F.lit(float(RECLUSTER_NORM)) * e) / nrm).cast("float")
+                for e in els
+            ]
+        ),
+        F.array_repeat(
+            F.lit(0.0).cast("float"), EMB_DIM - RECLUSTER_SUB_DIM
+        ),
+    )
+    return em.select(
+        "vec_id",
+        F.when(F.col("vec_id") < append_cut, F.col("embedding"))
+        .otherwise(drifted)
+        .alias("embedding"),
+    )
+
+
+def _drifted_ex_ctes():
+    """The drifted-corpus WITH-prefix (ex + seeds + micro-quantized
+    element table) shared by the recluster oracle and its streaming
+    twin. The drifted appended cohort is restated with the exact same
+    expression SHAPE the engine uses (left-associated sum of squares,
+    (0.6*e)/nrm, double literals) so the re-embedded floats are
+    bit-identical before any micro-quantization."""
     els = [
         f"CAST(embedding[{i}] AS DOUBLE)"
         for i in range(1, RECLUSTER_SUB_DIM + 1)
@@ -2125,9 +2157,26 @@ def _recluster_drift_sql():
         f"list_transform(range({EMB_DIM - RECLUSTER_SUB_DIM}),"
         " x -> CAST(0.0 AS FLOAT))"
     )
+    return f"""
+    WITH ex AS MATERIALIZED (
+        SELECT vec_id,
+               CASE WHEN vec_id < {IVF_APPEND_CUT_SQL} THEN embedding
+                    ELSE [{comps}] || {pad}
+               END AS embedding
+        FROM embeddings),
+    seeds AS (SELECT vec_id AS cluster, embedding AS centroid
+              FROM ex WHERE vec_id < {IVF_NLIST}),
+    eu AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS e_u
+        FROM ex, unnest(range(1, len(embedding) + 1)) u(i))"""
 
-    def codebook(p, where):
-        return f"""
+
+def _sql_codebook(p, where):
+    """One frozen-seed Lloyd codebook over the drifted `ex` CTE,
+    restated in DuckDB — shared by the recluster oracles."""
+    return f"""
     {p}a0 AS MATERIALIZED (
         SELECT c_id, cluster FROM (
             SELECT e.vec_id AS c_id, s.cluster,
@@ -2143,6 +2192,13 @@ def _recluster_drift_sql():
               FROM {p}a0 a JOIN eu ON eu.vec_id = a.c_id
               GROUP BY 1, 2)
         GROUP BY cluster)"""
+
+
+def _recluster_drift_sql():
+    """The dual-codebook drift/recovery oracle for
+    sim_index_recluster (see _drifted_ex_ctes for the corpus
+    restatement)."""
+    codebook = _sql_codebook
 
     def held(p):
         return f"""
@@ -2167,20 +2223,7 @@ def _recluster_drift_sql():
                  AS mean_aff_micro
         FROM {p}held GROUP BY 1, 2"""
 
-    return f"""
-    WITH ex AS MATERIALIZED (
-        SELECT vec_id,
-               CASE WHEN vec_id < {IVF_APPEND_CUT_SQL} THEN embedding
-                    ELSE [{comps}] || {pad}
-               END AS embedding
-        FROM embeddings),
-    seeds AS (SELECT vec_id AS cluster, embedding AS centroid
-              FROM ex WHERE vec_id < {IVF_NLIST}),
-    eu AS MATERIALIZED (
-        SELECT vec_id, u.i - 1 AS pos,
-               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
-                    AS BIGINT) AS e_u
-        FROM ex, unnest(range(1, len(embedding) + 1)) u(i)),
+    return f"""{_drifted_ex_ctes()},
     {codebook('o', f' WHERE e.vec_id < {IVF_TRAIN_CUT_SQL}')},
     {codebook('n', '')},
     {held('o')},
@@ -2246,28 +2289,7 @@ def sim_index_recluster(spark, sf_dir):
     mx = em.agg(F.max("vec_id")).collect()[0][0]
     append_cut, train_cut = 4 * (mx + 1) // 5, 3 * (mx + 1) // 5
 
-    els = [
-        F.element_at("embedding", i).cast("double")
-        for i in range(1, RECLUSTER_SUB_DIM + 1)
-    ]
-    nrm = F.sqrt(sum(e * e for e in els))
-    drifted = F.concat(
-        F.array(
-            *[
-                ((F.lit(float(RECLUSTER_NORM)) * e) / nrm).cast("float")
-                for e in els
-            ]
-        ),
-        F.array_repeat(
-            F.lit(0.0).cast("float"), EMB_DIM - RECLUSTER_SUB_DIM
-        ),
-    )
-    ex = em.select(
-        "vec_id",
-        F.when(F.col("vec_id") < append_cut, F.col("embedding"))
-        .otherwise(drifted)
-        .alias("embedding"),
-    ).persist()
+    ex = _drifted_corpus(em, append_cut).persist()
     # try/finally so a failed drift/recovery assertion does not leak
     # the drifted-corpus cache for the session (ADVICE r7)
     try:
@@ -2981,5 +3003,342 @@ def stream_sim_index_e2e(spark, sf_dir):
     if stale:
         raise AssertionError(
             f"probe read compacted-away generations: {stale}"
+        )
+    return out
+
+
+# ---- drift-triggered RE-CLUSTER inside the stream (round 8) -------
+# stream_sim_index_e2e proves ingest + compaction in-stream;
+# sim_index_recluster proves the drift-fire → re-cluster → recovery
+# arc as a batch op. This closes the remaining gap: the drift monitor
+# runs PER MICRO-BATCH inside the checkpointed stream, the re-cluster
+# publishes a new codebook GENERATION mid-stream behind a write-last
+# atomic marker, and later increments route to it by a rule derived
+# from the BATCH ID, not from "latest on disk" — the distinction that
+# keeps a crash-replayed pre-boundary batch on the OLD codebook.
+RECLUSTER_MID_SQL = (
+    "(SELECT (4 * (max(vec_id) + 1) // 5 + max(vec_id) + 1) // 2"
+    " FROM embeddings)"
+)
+N_RECLUSTER_BATCHES = 4  # build | validation | drift-fire | post
+
+
+def _stream_recluster_sql():
+    """Four-phase oracle for stream_sim_recluster_e2e: the stale
+    codebook trains on the build slice, the FRESH codebook on
+    everything that had ARRIVED when drift fired (strictly less than
+    the post slice — the key difference from sim_index_recluster's
+    full-corpus rebuild), and each phase's affinity stats are
+    restated per id-range cohort with the integer drift test."""
+
+    def held(name, cb, lo, hi=None):
+        hi_pred = f" AND e.vec_id < {hi}" if hi is not None else ""
+        return f"""
+    {name} AS MATERIALIZED (
+        SELECT c_id, aff FROM (
+            SELECT e.vec_id AS c_id,
+                   {SQL_DOT.format(a='e.embedding', b='s.centroid')} AS aff,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {SQL_DOT.format(a='e.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM ex e CROSS JOIN {cb}cent s
+            WHERE e.vec_id >= {lo}{hi_pred}) WHERE rn = 1)"""
+
+    def stat(phase, src):
+        return f"""
+        SELECT '{phase}' AS phase,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(floor(CAST(sum(CAST(floor(aff * 1000000 + 0.5) AS BIGINT))
+                               AS DOUBLE) / count(*)) AS BIGINT)
+                 AS mean_aff_micro
+        FROM {src}"""
+
+    k = 100 // DRIFT_TRIGGER_PCT
+    return f"""{_drifted_ex_ctes()},
+    {_sql_codebook('o', f' WHERE e.vec_id < {IVF_TRAIN_CUT_SQL}')},
+    {_sql_codebook('n', f' WHERE e.vec_id < {RECLUSTER_MID_SQL}')},
+    {held('ovheld', 'o', IVF_TRAIN_CUT_SQL, IVF_APPEND_CUT_SQL)},
+    {held('oaheld', 'o', IVF_APPEND_CUT_SQL, RECLUSTER_MID_SQL)},
+    {held('nvheld', 'n', IVF_TRAIN_CUT_SQL, IVF_APPEND_CUT_SQL)},
+    {held('npheld', 'n', RECLUSTER_MID_SQL)},
+    st AS MATERIALIZED (
+        {stat('0_stale_validation', 'ovheld')}
+        UNION ALL {stat('0_stale_append', 'oaheld')}
+        UNION ALL {stat('1_fresh_validation', 'nvheld')}
+        UNION ALL {stat('1_fresh_post', 'npheld')})
+    SELECT phase, n_vectors, mean_aff_micro,
+           CASE phase
+             WHEN '0_stale_append' THEN
+               ((SELECT mean_aff_micro FROM st
+                 WHERE phase = '0_stale_validation') - mean_aff_micro) * {k}
+               > (SELECT mean_aff_micro FROM st
+                  WHERE phase = '0_stale_validation')
+             WHEN '1_fresh_post' THEN
+               ((SELECT mean_aff_micro FROM st
+                 WHERE phase = '1_fresh_validation') - mean_aff_micro) * {k}
+               > (SELECT mean_aff_micro FROM st
+                  WHERE phase = '1_fresh_validation')
+             ELSE FALSE
+           END AS recluster_due
+    FROM st ORDER BY phase
+"""
+
+
+def _read_gen_marker(path):
+    """Generic write-last marker reader (same protocol as the dedup
+    compaction marker: the file is published LAST via atomic
+    os.replace, so its presence implies the artifacts it covers)."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def run_sim_recluster_stream(
+    spark, sf_dir, base, fail_at_batch=None, fail_phase="post_index",
+    codebook_log=None,
+):
+    """The checkpointed-stream rig behind stream_sim_recluster_e2e.
+    Four id-range increments of the DRIFTED corpus arrive as files:
+    batch 0 builds codebook gen=0; batch 1 (validation cohort) and
+    batch 2 (the drift cohort, re-embedded by a different model)
+    assign against gen=0 and persist per-batch affinity stats; batch
+    2's drift test fires (integer cross-multiply against batch 1's
+    persisted stats), triggering the IN-STREAM re-cluster — codebook
+    gen=1 rebuilt from every vector that has ARRIVED (list gens
+    0..2), published behind the ``reclustered_upto`` marker — and
+    batch 3 routes to gen=1 BY BATCH ID (marker < b), not by "latest
+    on disk": a crash-replayed batch 2 sees marker == 2 and stays on
+    gen=0, which is what makes the replay byte-deterministic.
+    ``fail_phase='post_index'`` kills after a batch's index/stats
+    writes; ``'post_recluster'`` kills after the marker publish — the
+    torn state ACROSS the codebook boundary. ``codebook_log`` records
+    (batch, generation) routing decisions."""
+    import os
+    import time
+
+    em = table(spark, sf_dir, "embeddings")
+    mx = em.agg(F.max("vec_id")).collect()[0][0]
+    train_cut = 3 * (mx + 1) // 5
+    append_cut = 4 * (mx + 1) // 5
+    mid = (append_cut + mx + 1) // 2
+    bounds = [(0, train_cut), (train_cut, append_cut),
+              (append_cut, mid), (mid, mx + 1)]
+    ex = _drifted_corpus(em, append_cut)
+
+    src, ckpt, idx = f"{base}/src", f"{base}/ckpt", f"{base}/index"
+    marker = f"{idx}/reclustered_upto"
+    phase_of = {1: "0_stale_validation", 2: "0_stale_append",
+                3: "1_fresh_post"}
+
+    if not os.path.exists(f"{src}/batch_{N_RECLUSTER_BATCHES - 1}.parquet"):
+        os.makedirs(src, exist_ok=True)
+        now = time.time()
+        for b, (lo, hi) in enumerate(bounds):
+            stage = f"{base}/stage/b{b}"
+            ex.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.startswith("part-")
+            )
+            dst = f"{src}/batch_{b}.parquet"
+            os.replace(os.path.join(stage, part), dst)
+            ts = now - 60 + 15 * b
+            os.utime(dst, (ts, ts))
+
+    def mean_of(path):
+        return spark.read.parquet(path).collect()[0]
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
+        b = next(i for i, (lo, hi) in enumerate(bounds) if lo <= mn < hi)
+        if b == 0:
+            refined, lists = _ivf_build_from(batch_df)
+            refined.write.mode("overwrite").parquet(f"{idx}/centroids/gen=0")
+            lists.write.mode("overwrite").parquet(f"{idx}/lists/gen=0")
+        else:
+            m = _read_gen_marker(marker)
+            gen = 1 if (m is not None and m < b) else 0
+            if codebook_log is not None:
+                codebook_log.append((b, gen))
+            cent = spark.read.parquet(f"{idx}/centroids/gen={gen}")
+            vecs = batch_df.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+            )
+            assigned = _ivf_assign(vecs, cent, keep_aff=True).persist()
+            try:
+                assigned.drop("aff").write.mode("overwrite").parquet(
+                    f"{idx}/lists/gen={b}"
+                )
+                _ivf_phase_stats(assigned, phase_of[b]).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(f"{idx}/stats/gen={b}")
+            finally:
+                assigned.unpersist()
+        if (
+            fail_at_batch is not None
+            and b == fail_at_batch
+            and fail_phase == "post_index"
+        ):
+            raise RuntimeError(
+                f"injected failure: increment {b} after index/stats write,"
+                " before checkpoint commit"
+            )
+        if b == 2:
+            val = mean_of(f"{idx}/stats/gen=1")
+            cur = mean_of(f"{idx}/stats/gen=2")
+            k = 100 // DRIFT_TRIGGER_PCT
+            fired = (
+                val["mean_aff_micro"] - cur["mean_aff_micro"]
+            ) * k > val["mean_aff_micro"]
+            if not fired:
+                raise AssertionError(
+                    "drift did not fire on the drifted increment"
+                )
+            arrived = spark.read.parquet(
+                *[f"{idx}/lists/gen={g}" for g in range(b + 1)]
+            ).select(
+                F.col("c_id").alias("vec_id"),
+                F.col("c_emb").alias("embedding"),
+            )
+            refined, _lists = _ivf_build_from(arrived)
+            refined.write.mode("overwrite").parquet(f"{idx}/centroids/gen=1")
+            tmp = f"{marker}.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(b))
+            os.replace(tmp, marker)
+            if (
+                fail_at_batch is not None
+                and b == fail_at_batch
+                and fail_phase == "post_recluster"
+            ):
+                raise RuntimeError(
+                    f"injected failure: increment {b} after re-cluster"
+                    " marker, before checkpoint commit"
+                )
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_sim_recluster_e2e: availableNow query exceeded 600s"
+        )
+
+    # report assembly — from the PUBLISHED artifacts: the fresh-era
+    # validation stats come from the loaded gen=1 centroids applied to
+    # the validation vectors persisted in list gen=1, so the row
+    # proves the published generation, not an in-memory frame
+    cent1 = spark.read.parquet(f"{idx}/centroids/gen=1")
+    val_vecs = spark.read.parquet(f"{idx}/lists/gen=1").select(
+        "c_id", "c_emb"
+    )
+    fresh_val = _ivf_phase_stats(
+        _ivf_assign(val_vecs, cent1, keep_aff=True), "1_fresh_validation"
+    )
+    st = (
+        spark.read.parquet(*[f"{idx}/stats/gen={g}" for g in range(1, 4)])
+        .unionByName(fresh_val)
+    )
+    k = 100 // DRIFT_TRIGGER_PCT
+    vals = st.select(
+        F.max(
+            F.when(
+                F.col("phase") == "0_stale_validation",
+                F.col("mean_aff_micro"),
+            )
+        ).alias("stale_val"),
+        F.max(
+            F.when(
+                F.col("phase") == "1_fresh_validation",
+                F.col("mean_aff_micro"),
+            )
+        ).alias("fresh_val"),
+    )
+    return (
+        st.crossJoin(F.broadcast(vals))
+        .select(
+            "phase",
+            "n_vectors",
+            "mean_aff_micro",
+            F.when(
+                F.col("phase") == "0_stale_append",
+                (F.col("stale_val") - F.col("mean_aff_micro")) * k
+                > F.col("stale_val"),
+            )
+            .when(
+                F.col("phase") == "1_fresh_post",
+                (F.col("fresh_val") - F.col("mean_aff_micro")) * k
+                > F.col("fresh_val"),
+            )
+            .otherwise(F.lit(False))
+            .alias("recluster_due"),
+        )
+        .orderBy("phase")
+    )
+
+
+@register("stream_sim_recluster_e2e", oracle=_stream_recluster_sql())
+def stream_sim_recluster_e2e(spark, sf_dir):
+    """Drift-triggered RE-CLUSTER inside the checkpointed stream —
+    the lifecycle arc sim_index_recluster proves in batch, run where
+    it actually happens: the drift monitor executes PER MICRO-BATCH
+    against persisted per-batch affinity stats, fires on the
+    re-embedded increment (integer cross-multiply, deterministic),
+    re-clusters the codebook from every vector that has ARRIVED
+    (list generations 0..2 — NOT the full corpus; the post increment
+    hasn't landed yet, which is what distinguishes this from the
+    batch op's oracle), publishes centroids gen=1 behind a write-last
+    atomic marker, and the NEXT increment routes to the new
+    generation by batch id (marker < b). The 4-row report value-hashes
+    the whole arc: stale-era fire (recluster_due TRUE on the drift
+    cohort), fresh-era recovery (FALSE on the post cohort against the
+    fresh validation baseline), with the fresh-validation row computed
+    FROM THE LOADED published generation.
+
+    The replay hazard specific to a mid-stream codebook swap — a
+    crash-replayed pre-boundary batch must stay on the OLD codebook
+    even though gen=1 is already on disk — is exactly what the
+    marker < b routing rule guarantees, and
+    tests/test_streaming.py::test_sim_recluster_boundary_restart
+    kills the stream after the marker publish and pins it: the
+    replayed drift batch re-assigns against gen=0, the re-cluster
+    redo is a deterministic overwrite, batch 3 routes to gen=1, and
+    the final report is byte-equal.
+
+    Scale shape: per increment one broadcast-centroid assignment pass
+    + a 1-row stats write; the drift check reads two 1-row frames;
+    the re-cluster is one Lloyd pass over arrived vectors, paid ONCE
+    when the monitor fires instead of per ingest — the production
+    economics of codebook maintenance."""
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_sim_recluster_e2e")
+    log = []
+    out = run_sim_recluster_stream(spark, sf_dir, base, codebook_log=log)
+    routing = dict(log)
+    if routing != {1: 0, 2: 0, 3: 1}:
+        raise AssertionError(
+            f"codebook routing violated the marker<b rule: {routing}"
+        )
+    flags = {r["phase"]: r["recluster_due"] for r in out.collect()}
+    if not flags["0_stale_append"]:
+        raise AssertionError("drift did not fire against the stale codebook")
+    if flags["1_fresh_post"]:
+        raise AssertionError(
+            "alarm failed to clear for the post-recluster increment"
         )
     return out

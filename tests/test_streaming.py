@@ -1536,3 +1536,56 @@ def test_sim_index_stream_boundary_restart(spark, tmp_path):
         == covered.select("c_id").distinct().count()
         == covered.count()
     )
+
+
+def test_sim_recluster_boundary_restart(spark, tmp_path):
+    """Kill/restart ACROSS the mid-stream codebook swap
+    (stream_sim_recluster_e2e's torn state): run 1 processes the
+    drift batch — assignment + stats vs gen=0, drift fires,
+    re-cluster publishes centroids gen=1 and its marker — then dies
+    BEFORE the checkpoint commit. Run 2 replays the drift batch on
+    the same checkpoint: the marker<b routing rule must keep the
+    REPLAYED batch on gen=0 even though gen=1 is already on disk, the
+    re-cluster redo must be a deterministic overwrite, batch 3 must
+    route to gen=1, and the final report must be byte-equal to the
+    uninterrupted stream (which the registered op value-hashes
+    against DuckDB)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.similarity import (
+        _read_gen_marker,
+        run_sim_recluster_stream,
+    )
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "sim_recluster")
+
+    with pytest.raises(StreamingQueryException):
+        run_sim_recluster_stream(
+            spark, SMOKE_SF_DIR, base,
+            fail_at_batch=2, fail_phase="post_recluster",
+        )
+
+    # torn state: gen=1 codebook + marker published, batch 2 never
+    # committed to the checkpoint
+    idx = f"{base}/index"
+    assert _read_gen_marker(f"{idx}/reclustered_upto") == 2
+    assert os.path.exists(f"{idx}/centroids/gen=1")
+
+    log = []
+    out = run_sim_recluster_stream(spark, SMOKE_SF_DIR, base, codebook_log=log)
+
+    # run 2 replays batch 2 with the marker ALREADY on disk: the
+    # marker<b rule must route the replay to gen=0, and batch 3 to gen=1
+    assert log == [(2, 0), (3, 1)], f"replay routing wrong: {log}"
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["stream_sim_recluster_e2e"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "restart across recluster boundary diverged"
+    flags = {t[0]: t[3] for t in got}
+    assert flags["0_stale_append"] and not flags["1_fresh_post"]
