@@ -3714,3 +3714,130 @@ def stream_dedup_compact_e2e(spark, sf_dir):
                 f"increment {b} read compacted-away generations: {stale}"
             )
     return out
+
+
+def _committed_src_batches(ckpt):
+    """Data-batch ids whose source files the checkpoint has fully
+    COMMITTED — admitted in the offsets log AND covered by a commit
+    file. This is the replay horizon's complement: any batch NOT in
+    this set may be re-run on restart and therefore still needs its
+    per-generation index inputs. Parses the file-source metadata log
+    (ckpt/sources/0/<epoch>: a v1 header plus one JSON entry per
+    admitted file) against the commit log directory — the same two
+    logs Spark's own recovery reads, so the GC decision uses the
+    engine's actual ground truth, not a shadow bookkeeping table."""
+    import json
+    import os
+
+    commits = {
+        int(f)
+        for f in os.listdir(f"{ckpt}/commits")
+        if not f.startswith(".")
+    }
+    out = set()
+    for epoch in commits:
+        p = f"{ckpt}/sources/0/{epoch}"
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                name = os.path.basename(json.loads(line)["path"])
+                if name.startswith("batch_") and name.endswith(".parquet"):
+                    out.add(int(name[len("batch_"):-len(".parquet")]))
+    return out
+
+
+def _gc_index_generations(ckpt, idx):
+    """Delete the per-generation band/shingle directories that are
+    covered by BOTH safety conditions: (a) the compacted layout
+    serves them (generation ≤ the compacted_upto marker) and (b) the
+    checkpoint's commit watermark has passed them (every covered
+    batch is in `_committed_src_batches`, so no restart can ever
+    replay one). REFUSES with ValueError when any covered batch is
+    still inside the replay horizon — deleting then would make the
+    torn-state replay the compaction tests perform impossible, which
+    is exactly the production incident this guard prevents. The
+    counts/gen=N tables (capped path) are never GC'd here: they have
+    no compacted twin and stay the cumulative-size source of truth.
+    Returns the removed paths."""
+    import os
+    import shutil
+
+    m = _read_compact_marker(idx)
+    if m is None:
+        raise ValueError("GC refused: no compaction marker published")
+    committed = _committed_src_batches(ckpt)
+    pending = [b for b in range(m + 1) if b not in committed]
+    if pending:
+        raise ValueError(
+            f"GC refused: batches {pending} are inside the replay"
+            " horizon (offsets admitted but commit log not written)"
+        )
+    removed = []
+    for g in range(m + 1):
+        for fam in ("bands", "shingles"):
+            p = f"{idx}/{fam}/gen={g}"
+            if os.path.exists(p):
+                shutil.rmtree(p)
+                removed.append(p)
+    return removed
+
+
+@register("stream_dedup_gc_e2e", oracle=INC_LSH_SQL)
+def stream_dedup_gc_e2e(spark, sf_dir):
+    """Generation GC driven by the CHECKPOINT COMMIT WATERMARK — the
+    retention close both compaction ops defer to "production GC":
+    after the compacting stream finishes, the compacted-away
+    generation directories are deleted, but only once the rule the
+    compaction docstrings state is PROVEN against the engine's own
+    logs — a generation may go iff the compacted layout covers it
+    (marker) AND the offsets/commits logs show its batch can never
+    replay. The op then RESTARTS the stream on the same checkpoint
+    with the generations gone: recovery re-lists the source, finds
+    every file committed, runs no batch, and the sink still
+    value-hashes against the batch statement (INC_LSH_SQL) — the
+    end-to-end proof that the GC deleted only dead state.
+
+    The guard's teeth — refusing while a covered batch is still
+    replayable — are exercised by
+    tests/test_streaming.py::test_gc_refuses_inside_replay_horizon,
+    which calls GC in the post-compaction torn state (marker
+    published, commit log not yet written) and requires the
+    ValueError, then completes the stream and GCs successfully.
+
+    Scale shape: the GC decision reads two metadata logs (O(epochs)
+    tiny files) and deletes directories — no data pass at all; the
+    serving reads after GC are exactly the compacted-layout reads the
+    mid-stream ops already proved."""
+    import os
+
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_dedup_gc_e2e")
+    boundary = N_INC_BATCHES - 2
+    run_inc_lsh_stream(spark, sf_dir, base, compact_after=boundary)
+
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+    removed = _gc_index_generations(ckpt, idx)
+    if len(removed) != 2 * (boundary + 1):
+        raise AssertionError(
+            f"GC removed {removed}, expected bands+shingles for"
+            f" generations 0..{boundary}"
+        )
+    for g in range(boundary + 1):
+        if os.path.exists(f"{idx}/bands/gen={g}"):
+            raise AssertionError(f"generation {g} survived GC")
+    for g in range(boundary + 1, N_INC_BATCHES):
+        if not os.path.exists(f"{idx}/bands/gen={g}"):
+            raise AssertionError(
+                f"GC overreached: post-boundary generation {g} deleted"
+            )
+
+    # restart on the same checkpoint with the generations gone:
+    # recovery must find every source file committed and run nothing
+    return run_inc_lsh_stream(
+        spark, sf_dir, base, compact_after=boundary
+    )

@@ -1589,3 +1589,58 @@ def test_sim_recluster_boundary_restart(spark, tmp_path):
     assert got == ref, "restart across recluster boundary diverged"
     flags = {t[0]: t[3] for t in got}
     assert flags["0_stale_append"] and not flags["1_fresh_post"]
+
+
+def test_gc_refuses_inside_replay_horizon(spark, tmp_path):
+    """The GC guard's teeth (stream_dedup_gc_e2e): in the
+    post-compaction TORN state — compaction marker published, the
+    boundary batch's commit log not yet written — generation GC must
+    REFUSE (deleting would make the checkpoint replay impossible).
+    After the restarted stream completes, the same GC succeeds, the
+    replayed-and-GC'd pipeline still matches the batch loop, and a
+    second restart on the gutted index is a committed no-op."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup import (
+        N_INC_BATCHES,
+        _gc_index_generations,
+        run_inc_lsh_stream,
+    )
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "gc")
+    boundary = N_INC_BATCHES - 2
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+
+    with pytest.raises(StreamingQueryException):
+        run_inc_lsh_stream(
+            spark, SMOKE_SF_DIR, base, compact_after=boundary,
+            fail_at_batch=boundary, fail_phase="post_compact",
+        )
+
+    # torn state: marker on disk, boundary batch uncommitted → refuse,
+    # naming the replayable batch
+    with pytest.raises(ValueError, match=rf"\[{boundary}\].*replay"):
+        _gc_index_generations(ckpt, idx)
+    assert os.path.exists(f"{idx}/bands/gen={boundary}")
+
+    out = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, compact_after=boundary
+    )
+    removed = _gc_index_generations(ckpt, idx)
+    assert len(removed) == 2 * (boundary + 1)
+    assert not os.path.exists(f"{idx}/bands/gen={boundary}")
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["dedup_incremental_lsh"](spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == ref
+
+    # restart after GC: recovery finds everything committed, replays
+    # nothing, and the sink is untouched
+    again = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, compact_after=boundary
+    )
+    assert {tuple(r) for r in again.collect()} == ref
