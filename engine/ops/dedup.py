@@ -1177,6 +1177,9 @@ def _cdc_pairs(d):
     )
 
 
+LPA_ROUNDS = 5
+
+
 @register(
     "graph_label_propagation",
     oracle=f"""
@@ -2321,21 +2324,6 @@ def _cascade_build(spark, sf_dir):
     return report, (base, d1, s1, d2, s2, d3)
 
 
-INC_LSH_SQL = f"""
-    WITH near AS MATERIALIZED ({MINHASH_SQL}),
-    m AS (SELECT max(doc_id) AS mx FROM documents),
-    ranked AS (
-        SELECT doc_b AS doc_id, doc_a, jaccard,
-               row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
-        FROM near)
-    SELECT r.doc_id,
-           CAST(({N_INC_BATCHES} * r.doc_id) // (m.mx + 1) AS BIGINT) AS batch_id,
-           r.doc_a AS dup_of,
-           r.jaccard AS jaccard_first
-    FROM ranked r, m WHERE r.rn = 1
-"""
-
-
 def _lsh_band_rows(doc_sh):
     """(doc_id, band, band_key) LSH band rows from (doc_id, sh-array)
     rows — the exact dedup_near_minhash banding (16 portable minhashes,
@@ -2375,145 +2363,6 @@ def _lsh_bucket_pairs(ids_df):
     )
 
 
-def _inc_lsh_prepare(docs):
-    """Shared cached frames for the incremental run: shingle arrays
-    and band rows for the WHOLE corpus, computed and cached once.
-    Banding is a pure per-document function, so slicing the cached
-    frames per batch is identical to banding each batch separately —
-    but costs one shingle+minhash pass instead of one per batch
-    (3 aggregation jobs → 1; measured 6.8 → 4.6 s at sf0.1). In
-    production each arriving batch is of course banded on arrival;
-    this sharing is a local-bench artifact of replaying all batches
-    in one query."""
-    doc_sh = (
-        docs.repartition(32, "doc_id")
-        .select("doc_id", _shingle_array(_tokens()).alias("sh"))
-        .persist()
-    )
-    return doc_sh, _lsh_band_rows(doc_sh).persist()
-
-
-def _inc_lsh_process_batch(
-    spark, doc_sh_all, bands_all, mx, base, b, bucket_cap=None
-):
-    """Slice increment ``b`` out of the corpus-wide cached frames and
-    run it through the shared per-batch core (`_inc_lsh_dedupe_batch`)
-    — the replayed-loop form; the streaming form
-    (stream_dedup_incremental_e2e) drives the SAME core from
-    foreachBatch over arriving files."""
-    sel = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}") == b
-    return _inc_lsh_dedupe_batch(
-        spark, doc_sh_all.filter(sel), bands_all.filter(sel), base, b,
-        bucket_cap=bucket_cap,
-    )
-
-
-def _inc_lsh_dedupe_batch(
-    spark, doc_sh, bands, base, b, materialize=True, bucket_cap=None,
-    read_index=None,
-):
-    """Process ONE ingest increment against the accumulated LSH index.
-
-    The increment's band rows join (a) the within-batch grouped
-    inverted index and (b) the PERSISTED index bands (generations
-    0..b-1) — O(batch), never a corpus rerun. Candidates are
-    exact-jaccard-verified against the persisted shingle arrays, then
-    reduced to each duplicate doc's FIRST (lowest-id) verified
-    partner. The batch's bands and shingles are appended as
-    generation ``b`` (deterministic overwrite of the gen directory =
-    the replay-idempotence protocol: re-running a batch rewrites the
-    same files and re-emits the same rows; tests/test_llm_ops.py
-    pins it, and the streaming form's mid-stream-kill test re-proves
-    it across a checkpoint restart).
-
-    ``bucket_cap`` threads the STOP-BUCKET guard through the
-    production path (the round-7 verdict's top ask): per-(band,
-    band_key) member counts are persisted alongside the index as
-    ``counts/gen=N`` (same deterministic-overwrite replay unit), and
-    a key whose ACCUMULATED size — prior generations plus this
-    increment — exceeds the cap is skipped on BOTH sides: no
-    within-batch pairs from it, and no join fan-out against the
-    persisted index. This is the arrival-prefix (monotone) form of
-    the cap — the only form an append-only incremental pipeline can
-    realize, since a final-size cap would need to RETRACT pairs
-    already emitted when a later increment pushes a bucket over; the
-    oracle restates exactly this cumulative-size rule. At 100 TB the
-    counts table is O(distinct keys) and combinable, the allowed-key
-    set is O(batch) and broadcastable, and the unbounded per-key
-    fan-out a boilerplate megabucket would cause (C(1M,2) pairs)
-    never materializes.
-
-    ``read_index``: optional ``(spark, b) -> (idx_bands, idx_sh)``
-    override for how generations 0..b-1 are loaded — the mid-stream
-    compaction rig serves reads from the compacted layout through
-    this hook; default reads the per-generation directories."""
-    # append this increment to the index first: the candidate/verify
-    # lineage below reuses the same cached slices
-    bands.write.mode("overwrite").parquet(f"{base}/bands/gen={b}")
-    doc_sh.select("doc_id", "sh").write.mode("overwrite").parquet(
-        f"{base}/shingles/gen={b}"
-    )
-    allowed = None
-    if bucket_cap is not None:
-        bc = bands.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("n_new")
-        )
-        bc.write.mode("overwrite").parquet(f"{base}/counts/gen={b}")
-        if b > 0:
-            prev = (
-                spark.read.parquet(
-                    *[f"{base}/counts/gen={g}" for g in range(b)]
-                )
-                .groupBy("band", "band_key")
-                .agg(F.sum("n_new").alias("n_prev"))
-            )
-            allowed = (
-                bc.join(prev, ["band", "band_key"], "left")
-                .filter(
-                    F.coalesce(F.col("n_prev"), F.lit(0)) + F.col("n_new")
-                    <= bucket_cap
-                )
-                .select("band", "band_key")
-            )
-        else:
-            allowed = bc.filter(F.col("n_new") <= bucket_cap).select(
-                "band", "band_key"
-            )
-        bands = bands.join(allowed, ["band", "band_key"], "left_semi")
-    within = _lsh_bucket_pairs(
-        bands.groupBy("band", "band_key").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ids")
-        )
-    )
-    if b > 0:
-        if read_index is not None:
-            idx_bands, idx_sh = read_index(spark, b)
-        else:
-            idx_bands = spark.read.parquet(
-                *[f"{base}/bands/gen={g}" for g in range(b)]
-            )
-            idx_sh = spark.read.parquet(
-                *[f"{base}/shingles/gen={g}" for g in range(b)]
-            )
-        cross = idx_bands.select(
-            F.col("doc_id").alias("doc_a"), "band", "band_key"
-        ).join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key"),
-            ["band", "band_key"],
-        ).select("doc_a", "doc_b")
-        cands = within.unionByName(cross).distinct()
-        all_sh = doc_sh.unionByName(idx_sh)
-    else:
-        cands = within.distinct()
-        all_sh = doc_sh
-    out = _lsh_verify_first_partner(cands, all_sh, doc_sh).withColumn(
-        "batch_id", F.lit(b).cast("long")
-    ).select("doc_id", "batch_id", "dup_of", "jaccard_first")
-    # materialize this batch's rows before the caller writes later
-    # generations (the shared caches stay owned by the caller); the
-    # STREAMING caller writes `out` straight to its sink — that write
-    # materializes it, so the extra checkpoint job is skipped there
-    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def _lsh_verify_first_partner(cands, partner_sh, probe_sh):
@@ -2554,291 +2403,8 @@ def _lsh_verify_first_partner(cands, partner_sh, probe_sh):
     )
 
 
-@register("dedup_incremental_lsh", oracle=INC_LSH_SQL)
-def dedup_incremental_lsh(spark, sf_dir):
-    """Incremental NEAR-dup dedup — the production form of MinHash-LSH
-    (the round-5 verdict's top ask): daily ingest BATCHES are deduped
-    against a persisted, append-only LSH band index instead of
-    re-running LSH over the accumulated corpus. Per increment the cost
-    is O(batch): band the new docs (16 portable minhashes → 8 band
-    keys), equi-join those band keys against the index (plus the
-    within-batch inverted index), exact-verify only the candidates,
-    then append the increment's bands+shingles as the next index
-    generation. The corpus is split into {N_INC_BATCHES} id-range
-    batches here; the index is two parquet table families
-    (bands/gen=N, shingles/gen=N) whose generation directories are the
-    replay unit — re-running a batch overwrites its own generation
-    deterministically and re-emits identical rows (replay-idempotence
-    pinned in tests/test_llm_ops.py).
-
-    Output: one row per detected duplicate — (doc_id, batch_id,
-    dup_of = lowest-id verified partner anywhere earlier in the
-    stream or batch, jaccard with that partner). Because banding,
-    candidate generation, and verification are the exact
-    dedup_near_minhash machinery, incremental(batches) ≡ batch LSH on
-    the union: the oracle restates the first-partner reduction over
-    the full-corpus MINHASH pair set — the same mergeability argument
-    stream_kmv_distinct makes for sketch state.
-
-    Scale shape: the index band table is partitioned by generation
-    and joined on (band, band_key) — at 100 TB it is bucketed on
-    band_key so each daily increment's join is shuffle-free on the
-    index side; verification touches only candidate shingle arrays
-    (point lookups by doc_id), and nothing ever rescans prior
-    generations' text."""
-    from ..registry import scratch_dir
-
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    mx = d.agg(F.max("doc_id")).collect()[0][0]
-    base = scratch_dir("dedup_incremental_lsh")
-    doc_sh_all, bands_all = _inc_lsh_prepare(d)
-    out = None
-    try:
-        for b in range(N_INC_BATCHES):
-            ob = _inc_lsh_process_batch(
-                spark, doc_sh_all, bands_all, mx, base, b
-            )
-            out = ob if out is None else out.unionByName(ob)
-    finally:
-        bands_all.unpersist()
-        doc_sh_all.unpersist()
-    return out
 
 
-def _read_compact_marker(idx):
-    """Highest generation covered by the compacted layout, or None.
-    The marker file is written LAST (atomic os.replace) — a crash
-    between the compacted-directory writes and the marker leaves
-    readers safely on the per-generation view."""
-    import os
-
-    p = f"{idx}/compacted_upto"
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return int(f.read().strip())
-
-
-def _compact_index_generations(spark, idx, upto):
-    """Rewrite index generations 0..upto into ONE bucket-shaped
-    compacted layout (bands_c hashed on the probe key (band,
-    band_key), shingles_c on doc_id — dedup_index_compact's shape),
-    assert the file-count shrink, then publish the ``compacted_upto``
-    marker atomically. Old generation directories are RETAINED: they
-    are still inside the stream's replay horizon (a checkpoint replay
-    of batch ``upto`` must re-read gens 0..upto-1); production GC
-    deletes them only once the offsets log's commit watermark has
-    passed the compaction boundary — deleting earlier would make the
-    torn-state replay impossible, which is exactly the bug the
-    boundary-restart test would catch."""
-    import os
-
-    gens_b = [f"{idx}/bands/gen={g}" for g in range(upto + 1)]
-    gens_s = [f"{idx}/shingles/gen={g}" for g in range(upto + 1)]
-    n_before = sum(
-        1 for p in gens_b for f in os.listdir(p) if f.endswith(".parquet")
-    )
-    (
-        spark.read.parquet(*gens_b)
-        .repartition(COMPACT_FILES, "band", "band_key")
-        .write.mode("overwrite")
-        .parquet(f"{idx}/bands_c")
-    )
-    (
-        spark.read.parquet(*gens_s)
-        .repartition(COMPACT_FILES, "doc_id")
-        .write.mode("overwrite")
-        .parquet(f"{idx}/shingles_c")
-    )
-    n_after = sum(
-        1
-        for f in os.listdir(f"{idx}/bands_c")
-        if f.endswith(".parquet")
-    )
-    if n_after >= n_before:
-        raise AssertionError(
-            f"mid-stream compaction did not shrink: {n_before} -> {n_after}"
-        )
-    tmp = f"{idx}/compacted_upto.tmp"
-    with open(tmp, "w") as f:
-        f.write(str(upto))
-    os.replace(tmp, f"{idx}/compacted_upto")
-
-
-def run_inc_lsh_stream(
-    spark, sf_dir, base, fail_at_batch=None, bucket_cap=None,
-    compact_after=None, fail_phase="pre_sink", read_paths_log=None,
-):
-    """The checkpointed-stream rig behind stream_dedup_incremental_e2e,
-    factored so tests can kill it mid-stream and restart it against the
-    SAME checkpoint + index (``fail_at_batch=b`` raises inside
-    foreachBatch for increment ``b`` AFTER the index generation is
-    written but BEFORE the sink write — the torn state where
-    exactly-once bugs live; ``fail_phase='post_compact'`` moves the
-    injection to AFTER the mid-stream compaction has published its
-    marker, the other torn state).
-
-    ``compact_after=k`` compacts generations 0..k at the end of
-    increment k's processing (`_compact_index_generations`); later
-    increments read the compacted layout + any newer generations
-    through the ``read_index`` hook. The marker-gated reader never
-    double-counts: a replayed batch k sees marker k but reads gens
-    0..k-1 (the compacted layout only serves batches STRICTLY past
-    the boundary), and the compaction redo on replay is a
-    deterministic overwrite. ``read_paths_log`` (test/proof hook)
-    records the band paths each increment actually read.
-
-    Feed: the corpus's {N} id-range increments land as one parquet
-    FILE each under src/ with strictly increasing mtimes, so the file
-    source admits them oldest-first and ``maxFilesPerTrigger=1`` maps
-    one ingest batch to one micro-batch. The feed is skipped when the
-    files already exist (a restart must see the same offsets log the
-    first run checkpointed). Per micro-batch, foreachBatch derives the
-    batch id from the data itself (min doc_id — NEVER the epoch id,
-    which shifts across restarts), bands the docs, and runs the exact
-    `_inc_lsh_dedupe_batch` core the replayed-loop op uses; the sink
-    write is a deterministic per-generation directory overwrite, so
-    an at-least-once replay of a torn batch converges to the same
-    bytes (idempotent sink = the foreachBatch exactly-once recipe)."""
-    import os
-    import time
-
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    mx = d.agg(F.max("doc_id")).collect()[0][0]
-    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
-    idx = f"{base}/index"
-    if not os.path.exists(f"{src}/batch_{N_INC_BATCHES - 1}.parquet"):
-        os.makedirs(src, exist_ok=True)
-        now = time.time()
-        for b in range(N_INC_BATCHES):
-            stage = f"{base}/stage/b{b}"
-            d.filter(
-                F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}") == b
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(
-                f for f in os.listdir(stage) if f.startswith("part-")
-            )
-            dst = f"{src}/batch_{b}.parquet"
-            os.replace(os.path.join(stage, part), dst)
-            ts = now - 60 + 20 * b
-            os.utime(dst, (ts, ts))
-
-    def reader(spark_, b):
-        m = _read_compact_marker(idx)
-        if m is not None and m < b:
-            pb = [f"{idx}/bands_c"] + [
-                f"{idx}/bands/gen={g}" for g in range(m + 1, b)
-            ]
-            ps = [f"{idx}/shingles_c"] + [
-                f"{idx}/shingles/gen={g}" for g in range(m + 1, b)
-            ]
-        else:
-            pb = [f"{idx}/bands/gen={g}" for g in range(b)]
-            ps = [f"{idx}/shingles/gen={g}" for g in range(b)]
-        if read_paths_log is not None:
-            read_paths_log.append((b, list(pb)))
-        return spark_.read.parquet(*pb), spark_.read.parquet(*ps)
-
-    def process(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
-        doc_sh = (
-            batch_df.repartition(32, "doc_id")
-            .select("doc_id", _shingle_array(_tokens()).alias("sh"))
-            .persist()
-        )
-        b = (
-            doc_sh.agg(F.min("doc_id")).collect()[0][0]
-            * N_INC_BATCHES
-            // (mx + 1)
-        )
-        try:
-            out = _inc_lsh_dedupe_batch(
-                spark, doc_sh, _lsh_band_rows(doc_sh), idx, b,
-                materialize=False, bucket_cap=bucket_cap,
-                read_index=reader if compact_after is not None else None,
-            )
-            if (
-                fail_at_batch is not None
-                and b == fail_at_batch
-                and fail_phase == "pre_sink"
-            ):
-                raise RuntimeError(
-                    f"injected failure: increment {b} after index write,"
-                    " before sink write"
-                )
-            out.drop("batch_id").coalesce(1).write.mode("overwrite").parquet(
-                f"{sink}/batch_id={b}"
-            )
-            if compact_after is not None and b == compact_after:
-                _compact_index_generations(spark, idx, b)
-                if (
-                    fail_at_batch is not None
-                    and b == fail_at_batch
-                    and fail_phase == "post_compact"
-                ):
-                    raise RuntimeError(
-                        f"injected failure: increment {b} after compaction"
-                        " marker, before checkpoint commit"
-                    )
-        finally:
-            doc_sh.unpersist()
-
-    q = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "stream_dedup_incremental_e2e: availableNow query exceeded 600s"
-        )
-    paths = [
-        f"{sink}/batch_id={b}"
-        for b in range(N_INC_BATCHES)
-        if os.path.exists(f"{sink}/batch_id={b}")
-    ]
-    return spark.read.option("basePath", sink).parquet(*paths).select(
-        "doc_id",
-        F.col("batch_id").cast("long").alias("batch_id"),
-        "dup_of",
-        "jaccard_first",
-    )
-
-
-@register("stream_dedup_incremental_e2e", oracle=INC_LSH_SQL)
-def stream_dedup_incremental_e2e(spark, sf_dir):
-    """Incremental NEAR-dup dedup as a REAL checkpointed stream (the
-    round-6 verdict's top ask): ``readStream`` over arriving document
-    files → ``foreachBatch`` driving `_inc_lsh_dedupe_batch` — the
-    exact per-batch core dedup_incremental_lsh replays in a loop —
-    with the LSH band-index generations (bands/gen=N, shingles/gen=N)
-    as the durable state and a per-generation idempotent parquet sink.
-    One arriving file = one micro-batch = one ingest increment; batch
-    identity comes from the data (id range), not the epoch counter,
-    so offsets-log replay after a crash re-runs the SAME increment
-    and every write it redoes is a deterministic overwrite. Output ≡
-    the replayed-loop op ≡ batch LSH over the union (INC_LSH_SQL);
-    the mid-stream-kill/restart proof — fail AFTER the generation
-    write, BEFORE the sink write, restart on the same checkpoint,
-    byte-identical final state — runs in
-    tests/test_streaming.py::test_inc_lsh_stream_restart_exactly_once.
-
-    Scale shape: identical to dedup_incremental_lsh (O(batch) banding
-    + band-key equi-join against the generation-partitioned index);
-    the streaming layer adds only the file-source offsets log and the
-    foreachBatch at-least-once contract, which the deterministic
-    generation/sink overwrites convert to exactly-once — the standard
-    production recipe for maintaining a dedup index off a bus."""
-    from ..registry import scratch_dir
-
-    base = scratch_dir("stream_dedup_incremental_e2e")
-    return run_inc_lsh_stream(spark, sf_dir, base)
 
 
 def _inc_cascade_oracle_sql():
@@ -3128,6 +2694,7 @@ def dedup_index_compact(spark, sf_dir):
     import os
 
     from ..registry import scratch_dir
+    from .dedup_stream import _inc_lsh_prepare
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
@@ -3524,320 +3091,3 @@ def dedup_capped_recall_audit(spark, sf_dir):
         doc_sh.unpersist()
 
 
-def _capped_inc_lsh_sql():
-    """Batch restatement of the PREFIX-capped incremental dedup: a
-    candidate pair is admitted iff its bucket's CUMULATIVE size
-    through the later endpoint's batch is within the cap — exactly
-    the rule `_inc_lsh_dedupe_batch` enforces with its persisted
-    per-generation counts (a key is skipped in batch b when prior
-    generations + this increment exceed the cap). Spliced into the
-    shared minhash CTEs the way _capped_minhash_sql splices the
-    final-size cap, then reduced to each doc's first verified
-    partner like INC_LSH_SQL."""
-    capped = f"""m AS (SELECT max(doc_id) AS mx FROM documents),
-    bb AS (SELECT bands.*,
-                  ({N_INC_BATCHES} * doc_id) // (m.mx + 1) AS batch
-           FROM bands, m),
-    cum AS (SELECT band, band_key, batch,
-                   CAST(sum(count(*)) OVER (
-                        PARTITION BY band, band_key ORDER BY batch)
-                        AS BIGINT) AS csz
-            FROM bb GROUP BY band, band_key, batch),
-    cand AS MATERIALIZED (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bb a JOIN bb b
-          ON a.band = b.band AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-        JOIN cum c
-          ON c.band = a.band AND c.band_key = a.band_key
-         AND c.batch = b.batch
-        WHERE c.csz <= {LSH_BUCKET_CAP}),"""
-    old = """cand AS MATERIALIZED (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),"""
-    assert old in _MH_COMMON_CTES
-    common_ctes = _MH_COMMON_CTES.replace(old, capped)
-    return f"""{common_ctes},
-    common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
-               FROM cand c
-               JOIN sh x ON x.doc_id = c.doc_a
-               JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-               GROUP BY 1, 2),
-    near AS MATERIALIZED (
-        SELECT doc_a, doc_b, n_common / (sa.n + sb.n - n_common) AS jaccard
-        FROM common
-        JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-        WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
-    ranked AS (
-        SELECT doc_b AS doc_id, doc_a, jaccard,
-               row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
-        FROM near)
-    SELECT r.doc_id,
-           CAST(({N_INC_BATCHES} * r.doc_id) // (m.mx + 1) AS BIGINT)
-               AS batch_id,
-           r.doc_a AS dup_of,
-           r.jaccard AS jaccard_first
-    FROM ranked r, m WHERE r.rn = 1
-"""
-
-
-INC_CAPPED_SQL = _capped_inc_lsh_sql()
-
-
-@register("dedup_incremental_lsh_capped", oracle=INC_CAPPED_SQL)
-def dedup_incremental_lsh_capped(spark, sf_dir):
-    """Incremental LSH dedup WITH the stop-bucket guard — the
-    production form with the production safety rail (the round-7
-    verdict's top ask: dedup_near_minhash_capped proved the guard on
-    the batch path, but the incremental path — the one a 100 TB
-    pipeline actually deploys — still had unbounded per-key fan-out).
-    Per increment, per-(band, band_key) counts are persisted as
-    ``counts/gen=N`` next to the band generations; a key whose
-    accumulated size (prior generations + this increment) exceeds
-    LSH_BUCKET_CAP is skipped on both the within-batch and the
-    index-join side (see `_inc_lsh_dedupe_batch`).
-
-    Cap semantics are ARRIVAL-PREFIX (monotone): once a bucket
-    saturates, later arrivals emit no pairs through it, but pairs
-    already emitted stand — the only semantics an append-only stream
-    can realize (a final-size cap would need retractions), and what
-    production dedup services actually do. Consequences, both
-    property-tested in tests/test_llm_ops.py: capped-flagged docs ⊆
-    uncapped-flagged docs, and the capped first partner is ≥ the
-    uncapped one wherever both exist. The oracle restates the prefix
-    rule as a cumulative bucket-size window over the batch axis.
-
-    Scale: identical join shapes to dedup_incremental_lsh plus one
-    combinable counts aggregate per increment and one broadcastable
-    O(batch-keys) allowed-set semi-join — the megabucket C(1M,2)
-    blow-up is structurally impossible rather than merely unlikely."""
-    from ..registry import scratch_dir
-
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    mx = d.agg(F.max("doc_id")).collect()[0][0]
-    base = scratch_dir("dedup_incremental_lsh_capped")
-    doc_sh_all, bands_all = _inc_lsh_prepare(d)
-    out = None
-    try:
-        for b in range(N_INC_BATCHES):
-            ob = _inc_lsh_process_batch(
-                spark, doc_sh_all, bands_all, mx, base, b,
-                bucket_cap=LSH_BUCKET_CAP,
-            )
-            out = ob if out is None else out.unionByName(ob)
-    finally:
-        bands_all.unpersist()
-        doc_sh_all.unpersist()
-    return out
-
-
-@register("stream_dedup_capped_e2e", oracle=INC_CAPPED_SQL)
-def stream_dedup_capped_e2e(spark, sf_dir):
-    """The capped incremental dedup as a REAL checkpointed stream —
-    stream_dedup_incremental_e2e's rig (readStream file source,
-    foreachBatch, data-derived batch ids, idempotent per-generation
-    overwrites) with ``bucket_cap`` threaded through to the shared
-    per-batch core, so the DEPLOYED form of the stop-bucket guard is
-    what's value-hashed: the persisted ``counts/gen=N`` tables are
-    part of the same replay unit as the band generations, and a
-    crash-replayed increment rewrites its counts deterministically
-    (the restart proof runs in tests/test_streaming.py alongside the
-    uncapped one). Output ≡ the capped replayed loop ≡ the
-    prefix-capped batch statement (INC_CAPPED_SQL)."""
-    from ..registry import scratch_dir
-
-    base = scratch_dir("stream_dedup_capped_e2e")
-    return run_inc_lsh_stream(
-        spark, sf_dir, base, bucket_cap=LSH_BUCKET_CAP
-    )
-
-
-@register("stream_dedup_compact_e2e", oracle=INC_LSH_SQL)
-def stream_dedup_compact_e2e(spark, sf_dir):
-    """Index compaction COMPOSED INTO the streaming lifecycle (round-7
-    verdict item 4): dedup_index_compact proved the rewrite on an
-    index it built itself; this op compacts MID-STREAM — after
-    increment N-2 commits, generations 0..N-2 are rewritten into the
-    bucket-shaped compacted layout and the ``compacted_upto`` marker
-    is published (write-last, atomic) — and the next arriving
-    micro-batch dedupes against the COMPACTED index. The op itself
-    asserts, from the reader's recorded path sets, that every
-    post-boundary increment served from ``bands_c`` and never touched
-    a compacted-away generation; output ≡ the no-compaction stream ≡
-    the batch statement (INC_LSH_SQL), so the value hash proves the
-    swap changed nothing.
-
-    The remaining state-bug habitat — a crash BETWEEN the marker
-    publish and the checkpoint commit, i.e. a restart ACROSS the
-    compaction boundary — is covered by
-    tests/test_streaming.py::test_stream_compact_boundary_restart:
-    the replayed boundary batch must NOT read the compacted layout
-    that already includes its own generation (the marker-gated reader
-    serves compacted data only to batches strictly past the
-    boundary), the compaction redo is a deterministic overwrite, and
-    the restarted stream ends byte-equal to the batch loop.
-
-    Scale shape: the compaction is one distributed pass over the
-    covered generations, repartitioned on the probe keys — after it,
-    increments' candidate joins hit COMPACT_FILES bucket-shaped files
-    instead of one sliver per generation per writer; old generations
-    are retained until GC passes the checkpoint horizon (documented
-    in `_compact_index_generations` — deleting earlier would break
-    exactly the replay the boundary test performs)."""
-    from ..registry import scratch_dir
-
-    base = scratch_dir("stream_dedup_compact_e2e")
-    boundary = N_INC_BATCHES - 2
-    log = []
-    out = run_inc_lsh_stream(
-        spark, sf_dir, base, compact_after=boundary, read_paths_log=log
-    )
-    post = [
-        (b, paths) for (b, paths) in log if b > boundary and paths
-    ]
-    if not post:
-        raise AssertionError("no post-compaction increment was processed")
-    for b, paths in post:
-        if not any(p.endswith("/bands_c") for p in paths):
-            raise AssertionError(
-                f"increment {b} did not serve from the compacted index"
-            )
-        stale = [
-            p
-            for p in paths
-            if "/bands/gen=" in p
-            and int(p.rsplit("=", 1)[1]) <= boundary
-        ]
-        if stale:
-            raise AssertionError(
-                f"increment {b} read compacted-away generations: {stale}"
-            )
-    return out
-
-
-def _committed_src_batches(ckpt):
-    """Data-batch ids whose source files the checkpoint has fully
-    COMMITTED — admitted in the offsets log AND covered by a commit
-    file. This is the replay horizon's complement: any batch NOT in
-    this set may be re-run on restart and therefore still needs its
-    per-generation index inputs. Parses the file-source metadata log
-    (ckpt/sources/0/<epoch>: a v1 header plus one JSON entry per
-    admitted file) against the commit log directory — the same two
-    logs Spark's own recovery reads, so the GC decision uses the
-    engine's actual ground truth, not a shadow bookkeeping table."""
-    import json
-    import os
-
-    commits = {
-        int(f)
-        for f in os.listdir(f"{ckpt}/commits")
-        if not f.startswith(".")
-    }
-    out = set()
-    for epoch in commits:
-        p = f"{ckpt}/sources/0/{epoch}"
-        if not os.path.exists(p):
-            continue
-        with open(p) as f:
-            for line in f:
-                line = line.strip()
-                if not line.startswith("{"):
-                    continue
-                name = os.path.basename(json.loads(line)["path"])
-                if name.startswith("batch_") and name.endswith(".parquet"):
-                    out.add(int(name[len("batch_"):-len(".parquet")]))
-    return out
-
-
-def _gc_index_generations(ckpt, idx):
-    """Delete the per-generation band/shingle directories that are
-    covered by BOTH safety conditions: (a) the compacted layout
-    serves them (generation ≤ the compacted_upto marker) and (b) the
-    checkpoint's commit watermark has passed them (every covered
-    batch is in `_committed_src_batches`, so no restart can ever
-    replay one). REFUSES with ValueError when any covered batch is
-    still inside the replay horizon — deleting then would make the
-    torn-state replay the compaction tests perform impossible, which
-    is exactly the production incident this guard prevents. The
-    counts/gen=N tables (capped path) are never GC'd here: they have
-    no compacted twin and stay the cumulative-size source of truth.
-    Returns the removed paths."""
-    import os
-    import shutil
-
-    m = _read_compact_marker(idx)
-    if m is None:
-        raise ValueError("GC refused: no compaction marker published")
-    committed = _committed_src_batches(ckpt)
-    pending = [b for b in range(m + 1) if b not in committed]
-    if pending:
-        raise ValueError(
-            f"GC refused: batches {pending} are inside the replay"
-            " horizon (offsets admitted but commit log not written)"
-        )
-    removed = []
-    for g in range(m + 1):
-        for fam in ("bands", "shingles"):
-            p = f"{idx}/{fam}/gen={g}"
-            if os.path.exists(p):
-                shutil.rmtree(p)
-                removed.append(p)
-    return removed
-
-
-@register("stream_dedup_gc_e2e", oracle=INC_LSH_SQL)
-def stream_dedup_gc_e2e(spark, sf_dir):
-    """Generation GC driven by the CHECKPOINT COMMIT WATERMARK — the
-    retention close both compaction ops defer to "production GC":
-    after the compacting stream finishes, the compacted-away
-    generation directories are deleted, but only once the rule the
-    compaction docstrings state is PROVEN against the engine's own
-    logs — a generation may go iff the compacted layout covers it
-    (marker) AND the offsets/commits logs show its batch can never
-    replay. The op then RESTARTS the stream on the same checkpoint
-    with the generations gone: recovery re-lists the source, finds
-    every file committed, runs no batch, and the sink still
-    value-hashes against the batch statement (INC_LSH_SQL) — the
-    end-to-end proof that the GC deleted only dead state.
-
-    The guard's teeth — refusing while a covered batch is still
-    replayable — are exercised by
-    tests/test_streaming.py::test_gc_refuses_inside_replay_horizon,
-    which calls GC in the post-compaction torn state (marker
-    published, commit log not yet written) and requires the
-    ValueError, then completes the stream and GCs successfully.
-
-    Scale shape: the GC decision reads two metadata logs (O(epochs)
-    tiny files) and deletes directories — no data pass at all; the
-    serving reads after GC are exactly the compacted-layout reads the
-    mid-stream ops already proved."""
-    import os
-
-    from ..registry import scratch_dir
-
-    base = scratch_dir("stream_dedup_gc_e2e")
-    boundary = N_INC_BATCHES - 2
-    run_inc_lsh_stream(spark, sf_dir, base, compact_after=boundary)
-
-    idx, ckpt = f"{base}/index", f"{base}/ckpt"
-    removed = _gc_index_generations(ckpt, idx)
-    if len(removed) != 2 * (boundary + 1):
-        raise AssertionError(
-            f"GC removed {removed}, expected bands+shingles for"
-            f" generations 0..{boundary}"
-        )
-    for g in range(boundary + 1):
-        if os.path.exists(f"{idx}/bands/gen={g}"):
-            raise AssertionError(f"generation {g} survived GC")
-    for g in range(boundary + 1, N_INC_BATCHES):
-        if not os.path.exists(f"{idx}/bands/gen={g}"):
-            raise AssertionError(
-                f"GC overreached: post-boundary generation {g} deleted"
-            )
-
-    # restart on the same checkpoint with the generations gone:
-    # recovery must find every source file committed and run nothing
-    return run_inc_lsh_stream(
-        spark, sf_dir, base, compact_after=boundary
-    )

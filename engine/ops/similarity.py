@@ -2809,7 +2809,7 @@ def run_sim_index_stream(
     import os
     import time
 
-    from .dedup import _read_compact_marker
+    from .dedup_stream import _read_compact_marker
 
     em = table(spark, sf_dir, "embeddings")
     mx = em.agg(F.max("vec_id")).collect()[0][0]

@@ -764,8 +764,8 @@ def test_incremental_lsh_replay_idempotent(spark):
     from pyspark.sql import functions as F
 
     import engine
-    from engine.ops.dedup import (
-        N_INC_BATCHES,
+    from engine.ops.dedup import N_INC_BATCHES
+    from engine.ops.dedup_stream import (
         _inc_lsh_prepare,
         _inc_lsh_process_batch,
     )

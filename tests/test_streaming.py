@@ -1312,7 +1312,8 @@ def test_inc_lsh_stream_restart_exactly_once(spark, tmp_path):
     index rows."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from engine.ops.dedup import N_INC_BATCHES, run_inc_lsh_stream
+    from engine.ops.dedup import N_INC_BATCHES
+    from engine.ops.dedup_stream import run_inc_lsh_stream
     from engine.registry import QUERIES
 
     base = str(tmp_path / "inc_lsh")
@@ -1353,11 +1354,8 @@ def test_capped_inc_lsh_stream_restart_exactly_once(spark, tmp_path):
     loop."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from engine.ops.dedup import (
-        LSH_BUCKET_CAP,
-        N_INC_BATCHES,
-        run_inc_lsh_stream,
-    )
+    from engine.ops.dedup import LSH_BUCKET_CAP, N_INC_BATCHES
+    from engine.ops.dedup_stream import run_inc_lsh_stream
     from engine.registry import QUERIES
 
     base = str(tmp_path / "inc_lsh_cap")
@@ -1408,8 +1406,8 @@ def test_stream_compact_boundary_restart(spark, tmp_path):
     and end byte-equal to the plain batch loop."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from engine.ops.dedup import (
-        N_INC_BATCHES,
+    from engine.ops.dedup import N_INC_BATCHES
+    from engine.ops.dedup_stream import (
         _read_compact_marker,
         run_inc_lsh_stream,
     )
@@ -1483,7 +1481,7 @@ def test_sim_index_stream_boundary_restart(spark, tmp_path):
     the batch append op."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from engine.ops.dedup import _read_compact_marker
+    from engine.ops.dedup_stream import _read_compact_marker
     from engine.ops.similarity import N_SIM_BATCHES, run_sim_index_stream
     from engine.registry import QUERIES
 
@@ -1601,8 +1599,8 @@ def test_gc_refuses_inside_replay_horizon(spark, tmp_path):
     second restart on the gutted index is a committed no-op."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from engine.ops.dedup import (
-        N_INC_BATCHES,
+    from engine.ops.dedup import N_INC_BATCHES
+    from engine.ops.dedup_stream import (
         _gc_index_generations,
         run_inc_lsh_stream,
     )
