@@ -118,38 +118,33 @@ def _inc_lsh_dedupe_batch(
     override for how generations 0..b-1 are loaded — the mid-stream
     compaction rig serves reads from the compacted layout through
     this hook; default reads the per-generation directories."""
-    # append this increment to the index first: the candidate/verify
-    # lineage below reuses the same cached slices
+    # append this increment to the index first, then READ IT BACK:
+    # every downstream consumer (counts aggregate, cap semi-join,
+    # within-batch pair emission, index cross-join) reads the
+    # disk-backed generation instead of re-evaluating the banding
+    # chain (explode shingles → 16 minhash aggs) once per action —
+    # measured 14.4 → ~9 s on the capped stream at sf0.1
     bands.write.mode("overwrite").parquet(f"{base}/bands/gen={b}")
     doc_sh.select("doc_id", "sh").write.mode("overwrite").parquet(
         f"{base}/shingles/gen={b}"
     )
-    allowed = None
+    bands = spark.read.parquet(f"{base}/bands/gen={b}")
     if bucket_cap is not None:
-        bc = bands.groupBy("band", "band_key").agg(
+        bands.groupBy("band", "band_key").agg(
             F.count(F.lit(1)).alias("n_new")
+        ).write.mode("overwrite").parquet(f"{base}/counts/gen={b}")
+        # arrival-prefix cumulative size from the PERSISTED counts
+        # (gens 0..b): total ≤ cap ⟺ prior + this increment ≤ cap;
+        # keys absent from this batch are harmless in the semi-join
+        allowed = (
+            spark.read.parquet(
+                *[f"{base}/counts/gen={g}" for g in range(b + 1)]
+            )
+            .groupBy("band", "band_key")
+            .agg(F.sum("n_new").alias("n_cum"))
+            .filter(F.col("n_cum") <= bucket_cap)
+            .select("band", "band_key")
         )
-        bc.write.mode("overwrite").parquet(f"{base}/counts/gen={b}")
-        if b > 0:
-            prev = (
-                spark.read.parquet(
-                    *[f"{base}/counts/gen={g}" for g in range(b)]
-                )
-                .groupBy("band", "band_key")
-                .agg(F.sum("n_new").alias("n_prev"))
-            )
-            allowed = (
-                bc.join(prev, ["band", "band_key"], "left")
-                .filter(
-                    F.coalesce(F.col("n_prev"), F.lit(0)) + F.col("n_new")
-                    <= bucket_cap
-                )
-                .select("band", "band_key")
-            )
-        else:
-            allowed = bc.filter(F.col("n_new") <= bucket_cap).select(
-                "band", "band_key"
-            )
         bands = bands.join(allowed, ["band", "band_key"], "left_semi")
     within = _lsh_bucket_pairs(
         bands.groupBy("band", "band_key").agg(
