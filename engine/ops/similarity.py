@@ -2877,9 +2877,18 @@ def run_sim_index_stream(
         mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
         b = 0 if mn < cut else (1 if mn < mid else 2)
         if b == 0:
-            refined, lists = _ivf_build_from(batch_df)
+            refined, _lists = _ivf_build_from(batch_df)
             refined.write.mode("overwrite").parquet(cent_path)
-            lists.repartition("cluster").write.mode(
+            # assign against the PUBLISHED centroids (read-back):
+            # the in-memory `lists` frame would re-run the whole
+            # Lloyd chain for its own write, and serving must prove
+            # the persisted artifact anyway
+            cent0 = spark.read.parquet(cent_path)
+            c = batch_df.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+            )
+            _ivf_assign(c, cent0).repartition("cluster").write.mode(
                 "overwrite"
             ).partitionBy("cluster").parquet(f"{list_path}/gen=0")
         else:
@@ -3158,9 +3167,16 @@ def run_sim_recluster_stream(
         mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
         b = next(i for i, (lo, hi) in enumerate(bounds) if lo <= mn < hi)
         if b == 0:
-            refined, lists = _ivf_build_from(batch_df)
+            refined, _lists = _ivf_build_from(batch_df)
             refined.write.mode("overwrite").parquet(f"{idx}/centroids/gen=0")
-            lists.write.mode("overwrite").parquet(f"{idx}/lists/gen=0")
+            cent0 = spark.read.parquet(f"{idx}/centroids/gen=0")
+            c = batch_df.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+            )
+            _ivf_assign(c, cent0).write.mode("overwrite").parquet(
+                f"{idx}/lists/gen=0"
+            )
         else:
             m = _read_gen_marker(marker)
             gen = 1 if (m is not None and m < b) else 0
