@@ -4,13 +4,13 @@ decoded/feature-extracted via mapInPandas.
 The container has no image/audio libraries, but the formats that
 need none are decoded FOR REAL in pure Python — PNG (CRC-verified
 chunk walk, inflate, all five scanline filters), P6 PPM, RIFF/WAV —
-with closed-form value-hash oracles, as are GIF frame decode and
-sampling (full pure-Python LZW). ONE clearly-marked deterministic
-STUB remains (resize_stub) for the step that genuinely needs an
-external codec (resampling): there the Spark side — binary column
-handling, Arrow batch shapes, UDF signatures, schema contracts — is
-real and tested; swap the stub body for the codec (PIL/ffmpeg) in
-production.
+with closed-form value-hash oracles, as are GIF frame decode,
+sampling, and binary→binary resize (full pure-Python LZW both ways,
+round-trip-verified). NO declared stubs remain: every op in this
+module decodes or writes a real container. For formats that need
+external codecs in production (JPEG/video), swap the decoder body —
+the Spark side (binary columns, Arrow batch shapes, UDF signatures,
+schema contracts) carries over unchanged.
 """
 
 from __future__ import annotations
@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from ..registry import register, table
 
-DECODERS_AVAILABLE = False  # no PIL/librosa in this container
 
 
 def _fake_features(payload: bytes, dim: int = 4) -> list[float]:
@@ -401,45 +400,114 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
-RESIZE_TARGET = 32  # target "resolution" in stub bytes
+@register(
+    "multimodal_gif_resize",
+    oracle=f"""
+        WITH dims AS (
+          SELECT doc_id, 3 + doc_id % 4 AS n_frames FROM documents
+        ),
+        fr AS (
+          SELECT doc_id, n_frames, f.f AS frame_idx
+          FROM dims, unnest(range(n_frames)) f(f)
+        ),
+        px AS (
+          SELECT doc_id, n_frames, frame_idx, k.k AS k,
+                 (doc_id * 17 + frame_idx * 5
+                  + ((2 * (k.k // {GIF_W // 2})) * {GIF_W}
+                     + 2 * (k.k % {GIF_W // 2})) * 3) % 4 AS idx
+          FROM fr, unnest(range({(GIF_W // 2) * (GIF_H // 2)})) k(k)
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST({GIF_W // 2} AS BIGINT) AS w_out,
+               CAST({GIF_H // 2} AS BIGINT) AS h_out,
+               CAST(sum(idx) AS BIGINT) AS sum_idx_out,
+               md5('{GIF_W // 2}x{GIF_H // 2}:'
+                   || string_agg(CAST(idx AS VARCHAR), ',' ORDER BY k))
+                 AS fingerprint_out
+        FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def multimodal_gif_resize(spark, sf_dir):
+    """REAL binary→binary media resize — retires the LAST declared
+    multimodal stub: each doc's multi-frame GIF89a is decoded
+    (`_gif_decode`), every frame nearest-neighbor downsampled 2× in
+    both axes (out[y][x] = in[2y][2x] on the palette-index raster),
+    and the result RE-ENCODED as a genuine half-resolution GIF through
+    the same LZW encoder (`_gif_encode`) — then round-tripped through
+    the decoder inside the UDF, raising if any re-decoded pixel
+    differs from the resample. So the binary-in/binary-out contract
+    is executed for real on both sides of the transform, not stubbed.
 
+    The emitted columns are the CONTENT of the resized container:
+    per-frame dims, palette-index sum, and the md5 content-address of
+    every resized pixel, all rebuilt closed-form by the oracle from
+    doc_id arithmetic with the 2y/2x subsampling spelled out — a
+    stride slip, axis transpose, or LZW corruption on either encode
+    breaks the hash. (Encoded byte length is deliberately NOT a
+    column: LZW output size is deterministic but not restatable in
+    SQL; the round-trip assert covers the bytes instead.)
 
-@register("multimodal_resize_stub")  # rows-only: stub resample is impl-defined
-def multimodal_resize_stub(spark, sf_dir):
-    """Binary→binary media transform (the resize/resample step):
-    payload bytes are deterministically downsampled to RESIZE_TARGET
-    bytes (stride sampling — the stub twin of bilinear resize), with
-    typed before/after metadata. With real media only the resampler
-    body changes; the binary-in/binary-out mapInPandas plumbing,
-    Arrow transfer of bytearray columns, and metadata contract are
-    what this op pins. Output fingerprint columns are scalars so the
-    driver's canonicalizer can hash rows."""
-    import hashlib
-
+    Scale shape: stateless mapInPandas over the binary column —
+    map-only, no shuffle; swap nearest-neighbor for a real resampler
+    (PIL/ffmpeg) in production and every contract around it stays."""
     d = table(spark, sf_dir, "documents")
-    assets = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_gif_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+    wo, ho = GIF_W // 2, GIF_H // 2
 
     def resize(batches):
-        if not DECODERS_AVAILABLE:
-            pass  # STUB resampler below; real path would NotImplementedError
         for pdf in batches:
-            out = {"doc_id": [], "n_bytes_in": [], "n_bytes_out": [], "out_sha_prefix": []}
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "w_out": [],
+                "h_out": [],
+                "sum_idx_out": [],
+                "fingerprint_out": [],
+            }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                stride = max(1, len(b) // RESIZE_TARGET)
-                resized = b[::stride][:RESIZE_TARGET]
-                out["doc_id"].append(doc_id)
-                out["n_bytes_in"].append(len(b))
-                out["n_bytes_out"].append(len(resized))
-                out["out_sha_prefix"].append(
-                    int.from_bytes(
-                        hashlib.sha256(resized).digest()[:8], "big", signed=True
-                    )
+                w, h, _palette, frames = _gif_decode(bytes(payload))
+                resized = [
+                    [fr[(2 * y) * w + 2 * x] for y in range(ho)
+                     for x in range(wo)]
+                    for fr in frames
+                ]
+                # the real binary→binary step: re-encode at half
+                # resolution, then prove the container round-trips
+                rt_w, rt_h, _p, rt_frames = _gif_decode(
+                    _gif_encode(wo, ho, resized)
                 )
+                if (rt_w, rt_h) != (wo, ho) or rt_frames != resized:
+                    raise ValueError(
+                        f"resized GIF round-trip mismatch for doc {doc_id}"
+                    )
+                for fi, fr in enumerate(resized):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["w_out"].append(wo)
+                    out["h_out"].append(ho)
+                    out["sum_idx_out"].append(sum(fr))
+                    out["fingerprint_out"].append(
+                        _frame_fingerprint(wo, ho, fr)
+                    )
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(
-        resize, "doc_id long, n_bytes_in long, n_bytes_out long, out_sha_prefix long"
+        resize,
+        "doc_id long, frame_idx long, w_out long, h_out long,"
+        " sum_idx_out long, fingerprint_out string",
     )
 
 
@@ -1119,8 +1187,8 @@ def multimodal_ppm_sobel_energy(spark, sf_dir):
 )
 def multimodal_ppm_box_downsample(spark, sf_dir):
     """REAL 2x box-filter image downsample over the decoded P6
-    rasters — the resize multimodal_resize_stub declares but cannot
-    execute without a codec, done here on the codec-free format: each
+    rasters — the filtered-resample twin of multimodal_gif_resize's
+    nearest-neighbor form, done on the codec-free RGB format: each
     output pixel is the floor-average of its 2x2 input block per RGB
     channel (odd edge rows/cols dropped), vectorized with strided
     numpy slicing in one mapInPandas pass. The oracle restates the
@@ -1551,19 +1619,22 @@ def _lzw_decompress(data: bytes, min_code: int):
         prev = entry
 
 
-def _gif_bytes(doc_id: int) -> bytes:
-    """Real GIF89a: header, logical screen descriptor, global color
-    table, one LZW-compressed image block per frame (sub-block
-    framing), trailer. Animated via multiple image blocks."""
+def _gif_encode(w: int, h: int, frames) -> bytes:
+    """Real GIF89a encoder for arbitrary frame sequences: header,
+    logical screen descriptor, global color table (GIF_PALETTE), one
+    LZW-compressed image block per frame (sub-block framing),
+    trailer. Shared by the fixture generator (`_gif_bytes`) and the
+    REAL resize op, whose output container round-trips through
+    `_gif_decode`."""
     import struct
 
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HH", GIF_W, GIF_H)
+    out += struct.pack("<HH", w, h)
     out += bytes([0x91, 0, 0])  # GCT present, 4 entries
     for r, g, b in GIF_PALETTE:
         out += bytes([r, g, b])
-    for frame in _gif_frames_of(doc_id):
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, GIF_W, GIF_H)
+    for frame in frames:
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
         out += bytes([0])  # no local color table
         out += bytes([2])  # LZW minimum code size
         z = _lzw_compress(frame, 2)
@@ -1573,6 +1644,12 @@ def _gif_bytes(doc_id: int) -> bytes:
         out += bytes([0])  # block terminator
     out += b"\x3b"
     return bytes(out)
+
+
+def _gif_bytes(doc_id: int) -> bytes:
+    """Deterministic multi-frame GIF89a fixture for one doc (see
+    `_gif_encode` for the container writer)."""
+    return _gif_encode(GIF_W, GIF_H, _gif_frames_of(doc_id))
 
 
 def _gif_decode(b: bytes):
