@@ -3358,3 +3358,85 @@ def stream_sim_recluster_e2e(spark, sf_dir):
             "alarm failed to clear for the post-recluster increment"
         )
     return out
+
+
+def _gc_list_generations(ckpt, idx):
+    """The ANN twin of dedup_stream's generation GC: delete the list
+    generations covered by BOTH the compacted layout (compacted_upto
+    marker) AND the checkpoint's commit watermark — reusing the same
+    two-log safety rule (`_committed_src_batches` parses the engine's
+    own offsets/commits metadata). REFUSES with ValueError while any
+    covered batch could still replay. Centroids are never GC'd: the
+    codebook is generation state in its own right, not a rewrite of
+    the lists."""
+    import os
+    import shutil
+
+    from .dedup_stream import _committed_src_batches, _read_compact_marker
+
+    m = _read_compact_marker(idx)
+    if m is None:
+        raise ValueError("GC refused: no compaction marker published")
+    committed = _committed_src_batches(ckpt)
+    pending = [b for b in range(m + 1) if b not in committed]
+    if pending:
+        raise ValueError(
+            f"GC refused: batches {pending} are inside the replay"
+            " horizon (offsets admitted but commit log not written)"
+        )
+    removed = []
+    for g in range(m + 1):
+        p = f"{idx}/lists/gen={g}"
+        if os.path.exists(p):
+            shutil.rmtree(p)
+            removed.append(p)
+    return removed
+
+
+@register("stream_sim_gc_e2e", oracle=IVF_APPEND_SQL)
+def stream_sim_gc_e2e(spark, sf_dir):
+    """Generation GC for the ANN index, gated on the checkpoint
+    commit watermark — closing the retention story for the SECOND
+    generation index the same way stream_dedup_gc_e2e closed it for
+    the LSH bands: after the compacting ingest stream finishes, the
+    compacted-away list generations are deleted iff the compacted
+    layout covers them AND the offsets/commits logs prove their
+    batches can never replay; then the stream RESTARTS on the same
+    checkpoint (recovery finds every file committed, runs nothing)
+    and the final probe — served from the compacted layout — still
+    value-hashes against the batch append oracle. The refusal guard
+    in the post-compaction torn state is exercised by
+    tests/test_streaming.py::test_sim_gc_refuses_inside_replay_horizon.
+
+    Scale shape: identical to the dedup GC — the decision reads two
+    tiny metadata logs and deletes directories; no data pass."""
+    import os
+
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_sim_gc_e2e")
+    boundary = N_SIM_BATCHES - 2
+    run_sim_index_stream(spark, sf_dir, base, compact_after=boundary)
+
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+    removed = _gc_list_generations(ckpt, idx)
+    if len(removed) != boundary + 1:
+        raise AssertionError(
+            f"GC removed {removed}, expected list generations"
+            f" 0..{boundary}"
+        )
+    for g in range(boundary + 1, N_SIM_BATCHES):
+        if not os.path.exists(f"{idx}/lists/gen={g}"):
+            raise AssertionError(
+                f"GC overreached: post-boundary generation {g} deleted"
+            )
+    if not os.path.exists(f"{idx}/centroids"):
+        raise AssertionError("GC must never touch the codebook")
+
+    log = []
+    out = run_sim_index_stream(
+        spark, sf_dir, base, compact_after=boundary, serve_paths_log=log
+    )
+    if not any(p.endswith("/lists_c") for p in log[-1]):
+        raise AssertionError("post-GC probe did not serve from lists_c")
+    return out

@@ -1642,3 +1642,47 @@ def test_gc_refuses_inside_replay_horizon(spark, tmp_path):
         spark, SMOKE_SF_DIR, base, compact_after=boundary
     )
     assert {tuple(r) for r in again.collect()} == ref
+
+
+def test_sim_gc_refuses_inside_replay_horizon(spark, tmp_path):
+    """The ANN GC guard's teeth (stream_sim_gc_e2e): in the
+    post-compaction torn state — marker published, boundary batch's
+    commit log missing — list-generation GC must REFUSE; after the
+    restarted stream completes, the same GC succeeds, the codebook
+    survives, and the probe still matches the batch append op."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.similarity import (
+        N_SIM_BATCHES,
+        _gc_list_generations,
+        run_sim_index_stream,
+    )
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "sim_gc")
+    boundary = N_SIM_BATCHES - 2
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+
+    with pytest.raises(StreamingQueryException):
+        run_sim_index_stream(
+            spark, SMOKE_SF_DIR, base, compact_after=boundary,
+            fail_at_batch=boundary, fail_phase="post_compact",
+        )
+
+    with pytest.raises(ValueError, match=rf"\[{boundary}\].*replay"):
+        _gc_list_generations(ckpt, idx)
+    assert os.path.exists(f"{idx}/lists/gen={boundary}")
+
+    out = run_sim_index_stream(
+        spark, SMOKE_SF_DIR, base, compact_after=boundary
+    )
+    removed = _gc_list_generations(ckpt, idx)
+    assert len(removed) == boundary + 1
+    assert os.path.exists(f"{idx}/centroids")
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["sim_index_append"](spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == ref
