@@ -3212,6 +3212,32 @@ def _dsir_build(spark, sf_dir):
     return out, feats
 
 
+def _dsir_frozen_gate(train_docs):
+    """Freeze the intake gate from the training increment: the DSIR
+    per-bucket log-ratio model (persisted in memory, forced eager) and
+    its calibration threshold — the median training-doc weight (exact
+    rank here; approx_percentile at 100 TB). Raw hashed log-ratio sums
+    are negatively centered by Laplace smoothing, so an uncalibrated
+    sign test routes nothing (measured: 0 kept). One spelling shared
+    by the router stream and the composed intake pipeline."""
+    feats0 = _dsir_features(train_docs).persist()
+    lr0 = _dsir_model(feats0).persist()
+    lr0.count()  # freeze the model before the stream starts
+    w0 = sorted(
+        (
+            r["w"]
+            for r in feats0.join(F.broadcast(lr0), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("lr_micro").cast("long").alias("w"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    t0 = w0[(len(w0) + 1) // 2 - 1]
+    feats0.unpersist()
+    return lr0, t0
+
+
 ROUTER_SQL = f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS a
                FROM documents),
@@ -3297,23 +3323,7 @@ def stream_corpus_router_e2e(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
     batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
-    feats0 = _dsir_features(d.filter(batch_of == 0)).persist()
-    lr0 = _dsir_model(feats0).persist()
-    lr0.count()  # freeze the model before the stream starts
-    # calibration threshold ships with the model: the median
-    # training-batch weight (exact rank; approx_percentile at scale)
-    w0 = sorted(
-        (
-            r["w"]
-            for r in feats0.join(F.broadcast(lr0), "bucket")
-            .groupBy("doc_id")
-            .agg(F.sum("lr_micro").cast("long").alias("w"))
-            .collect()
-        ),
-        reverse=True,
-    )
-    t0 = w0[(len(w0) + 1) // 2 - 1]
-    feats0.unpersist()
+    lr0, t0 = _dsir_frozen_gate(d.filter(batch_of == 0))
 
     base = scratch_dir("stream_corpus_router_e2e")
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
@@ -3473,3 +3483,254 @@ def corpus_epoch_shuffle(spark, sf_dir):
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---- the COMPOSED intake pipeline as one stream (round 8) ---------
+# stream_corpus_router_e2e proves the quality gate; the dedup family
+# proves incremental near-dup maintenance. Production runs them as
+# ONE pipeline: score each arriving increment against the frozen
+# gate, and only the KEPT documents enter the dedup index. The
+# composition is order-insensitive end to end — the gate is frozen
+# from batch 0 and the dedup first-partner rule is lowest-id — so the
+# streamed composite equals one batch statement, which is the oracle.
+
+
+def _intake_pipeline_sql():
+    """ROUTER_SQL (frozen gate + calibrated threshold, nested WITH)
+    composed with the minhash first-partner dedup RESTRICTED to the
+    kept set: the shared minhash CTEs re-sourced from `kept` the same
+    way the recall audit re-sources them from its skewed corpus."""
+    from .dedup import _MH_COMMON_CTES, JACCARD_THRESHOLD
+
+    old = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ')"
+        " AS toks FROM documents),"
+    )
+    new = f"""WITH router AS MATERIALIZED ({ROUTER_SQL}),
+    kept AS MATERIALIZED (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN router r ON r.doc_id = d.doc_id
+        WHERE r.route = 'kept'),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),"""
+    assert old in _MH_COMMON_CTES
+    ctes = _MH_COMMON_CTES.replace(old, new)
+    return f"""{ctes},
+    common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+               FROM cand c
+               JOIN sh x ON x.doc_id = c.doc_a
+               JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+               GROUP BY 1, 2),
+    near AS MATERIALIZED (
+        SELECT doc_a, doc_b, n_common / (sa.n + sb.n - n_common) AS jaccard
+        FROM common
+        JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+    ranked AS (
+        SELECT doc_b AS doc_id, doc_a, jaccard,
+               row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+        FROM near)
+    SELECT r.doc_id, r.batch_id, r.dsir_weight_micro,
+           CASE WHEN r.route = 'rejected' THEN 'rejected'
+                WHEN k.doc_a IS NOT NULL THEN 'kept_dup'
+                ELSE 'kept' END AS route,
+           CAST(coalesce(k.doc_a, -1) AS BIGINT) AS dup_of,
+           CAST(coalesce(CAST(floor(k.jaccard * 1000000 + 0.5) AS BIGINT),
+                         -1) AS BIGINT) AS jaccard_micro
+    FROM router r
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) k
+           ON k.doc_id = r.doc_id
+"""
+
+
+@register("stream_corpus_prep_e2e", oracle=_intake_pipeline_sql())
+def stream_corpus_prep_e2e(spark, sf_dir):
+    """The corpus INTAKE PIPELINE as one checkpointed stream — the
+    quality gate and the dedup index COMPOSED, the way they actually
+    run in front of a 100 TB corpus store: per arriving increment,
+    documents are scored against the batch-0-frozen DSIR gate
+    (broadcast model join, calibrated median threshold — the exact
+    `_dsir_frozen_gate` the router op ships), and only the KEPT
+    documents are shingled, banded, and run through the incremental
+    LSH core (`_inc_lsh_dedupe_batch`) against a persisted index that
+    accumulates ONLY kept documents. One sink row per document:
+    rejected / kept / kept_dup with the duplicate's first partner and
+    micro-quantized jaccard.
+
+    The composed oracle is the composition of the two proven
+    statements: ROUTER_SQL's kept set feeding the minhash
+    first-partner dedup re-sourced from `kept` — valid because the
+    composition is order-insensitive end to end (the gate is frozen
+    before any routed batch, keeping decisions are per-document, and
+    the first-partner rule is lowest-id, so slicing into increments
+    cannot change any output row). The value hash therefore proves
+    gate, dedup, their interaction (rejected docs NEVER enter the
+    index — asserted structurally by construction: only kept rows are
+    banded), and the streaming machinery at once.
+    Kill/restart across a torn batch is covered by
+    tests/test_streaming.py::test_corpus_prep_stream_restart.
+
+    Scale shape: per increment one map-only feature hash + broadcast
+    model join (O(batch)·1), then the dedup core's O(batch) banding
+    and band-key equi-join against the kept-only index — strictly
+    cheaper than dedup-then-gate, which would band documents the gate
+    was about to drop; the index holds only documents that survive
+    intake, which is also the governance-correct retention set."""
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_corpus_prep_e2e")
+    return run_corpus_prep_stream(spark, sf_dir, base)
+
+
+def run_corpus_prep_stream(spark, sf_dir, base, fail_at_batch=None):
+    """The checkpointed rig behind stream_corpus_prep_e2e, factored so
+    the restart test can kill it in the torn state (index generation
+    written, sink row batch absent) and restart it on the same
+    checkpoint. Batch id from the data (id range); every write a
+    deterministic overwrite."""
+    import os
+    import time
+
+    from .dedup import N_INC_BATCHES, _lsh_band_rows, _shingle_array, _tokens
+    from .dedup_stream import _inc_lsh_dedupe_batch
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
+    lr0, t0 = _dsir_frozen_gate(d.filter(batch_of == 0))
+
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    idx = f"{base}/index"
+    if not os.path.exists(f"{src}/batch_{N_INC_BATCHES - 1}.parquet"):
+        os.makedirs(src, exist_ok=True)
+        now = time.time()
+        for b in range(N_INC_BATCHES):
+            stage = f"{base}/stage/b{b}"
+            d.filter(batch_of == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.startswith("part-")
+            )
+            dst = f"{src}/batch_{b}.parquet"
+            os.replace(os.path.join(stage, part), dst)
+            ts = now - 60 + 20 * b
+            os.utime(dst, (ts, ts))
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        b = (
+            batch_df.agg(F.min("doc_id")).collect()[0][0]
+            * N_INC_BATCHES
+            // (mx + 1)
+        )
+        scored = (
+            batch_df.select("doc_id")
+            .join(
+                _dsir_features(batch_df)
+                .join(F.broadcast(lr0), "bucket")
+                .groupBy("doc_id")
+                .agg(
+                    F.sum("lr_micro").cast("long").alias(
+                        "dsir_weight_micro"
+                    )
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("dsir_weight_micro", F.lit(0))
+                .cast("long")
+                .alias("dsir_weight_micro"),
+            )
+            .persist()
+        )
+        try:
+            kept_docs = batch_df.join(
+                scored.filter(F.col("dsir_weight_micro") >= t0).select(
+                    "doc_id"
+                ),
+                "doc_id",
+            )
+            doc_sh = (
+                kept_docs.repartition(32, "doc_id")
+                .select("doc_id", _shingle_array(_tokens()).alias("sh"))
+                .persist()
+            )
+            try:
+                dups = _inc_lsh_dedupe_batch(
+                    spark, doc_sh, _lsh_band_rows(doc_sh), idx, b,
+                    materialize=False,
+                ).select(
+                    "doc_id",
+                    F.col("dup_of"),
+                    F.floor(F.col("jaccard_first") * 1_000_000 + F.lit(0.5))
+                    .cast("long")
+                    .alias("jaccard_micro"),
+                )
+                if fail_at_batch is not None and b == fail_at_batch:
+                    raise RuntimeError(
+                        f"injected failure: increment {b} after index"
+                        " write, before sink write"
+                    )
+                out = (
+                    scored.withColumn(
+                        "kept", F.col("dsir_weight_micro") >= t0
+                    )
+                    .join(dups, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        "dsir_weight_micro",
+                        F.when(~F.col("kept"), F.lit("rejected"))
+                        .when(
+                            F.col("dup_of").isNotNull(), F.lit("kept_dup")
+                        )
+                        .otherwise(F.lit("kept"))
+                        .alias("route"),
+                        F.coalesce("dup_of", F.lit(-1))
+                        .cast("long")
+                        .alias("dup_of"),
+                        F.coalesce("jaccard_micro", F.lit(-1))
+                        .cast("long")
+                        .alias("jaccard_micro"),
+                    )
+                )
+                out.coalesce(1).write.mode("overwrite").parquet(
+                    f"{sink}/batch_id={b}"
+                )
+            finally:
+                doc_sh.unpersist()
+        finally:
+            scored.unpersist()
+
+    q = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_corpus_prep_e2e: availableNow query exceeded 600s"
+        )
+    lr0.unpersist()
+    import os
+
+    paths = [
+        f"{sink}/batch_id={b}"
+        for b in range(N_INC_BATCHES)
+        if os.path.exists(f"{sink}/batch_id={b}")
+    ]
+    return spark.read.option("basePath", sink).parquet(*paths).select(
+        "doc_id",
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "dsir_weight_micro",
+        "route",
+        "dup_of",
+        "jaccard_micro",
+    )

@@ -1686,3 +1686,45 @@ def test_sim_gc_refuses_inside_replay_horizon(spark, tmp_path):
         for r in QUERIES["sim_index_append"](spark, SMOKE_SF_DIR).collect()
     }
     assert got == ref
+
+
+def test_corpus_prep_stream_restart(spark, tmp_path):
+    """Kill/restart of the COMPOSED intake pipeline
+    (stream_corpus_prep_e2e): run 1 commits increment 0, then dies in
+    increment 1's torn state — the kept-docs index generation already
+    written, the sink batch absent. Run 2 restarts on the same
+    checkpoint, replays exactly increment 1 (generation rewrite is a
+    deterministic overwrite), and the final routed output is
+    byte-equal to the uninterrupted composite (which the registered
+    op value-hashes against the composed gate+dedup oracle)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.textops import run_corpus_prep_stream
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "prep")
+
+    with pytest.raises(StreamingQueryException):
+        run_corpus_prep_stream(spark, SMOKE_SF_DIR, base, fail_at_batch=1)
+
+    assert os.path.exists(f"{base}/sink/batch_id=0")
+    assert not os.path.exists(f"{base}/sink/batch_id=1")
+    assert os.path.exists(f"{base}/index/bands/gen=1")
+
+    out = run_corpus_prep_stream(spark, SMOKE_SF_DIR, base)
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["stream_corpus_prep_e2e"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "restarted composite diverged"
+    # the gate/dedup interaction invariant: every rejected doc has no
+    # partner, every kept_dup's partner is itself a kept doc
+    routes = {t[0]: (t[3], t[4]) for t in got}
+    for doc, (route, dup_of) in routes.items():
+        if route == "rejected":
+            assert dup_of == -1
+        if route == "kept_dup":
+            assert routes[dup_of][0] in ("kept", "kept_dup")
