@@ -1519,7 +1519,15 @@ def events_interarrival_exp_fit(spark, sf_dir):
     "events_dow_hour_heatmap",
     oracle="""
         WITH c AS (
-          SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+          -- NO dow primitive is cross-dialect (dayofweek/extract-dow
+          -- anchors differ: DuckDB Sun=0, Spark Sun=1; isodow field
+          -- names differ; Spark 4 even parses `::` casts), so the
+          -- DuckDB-only strftime('%w') spelling marks this oracle as
+          -- DuckDB-dialect: the Spark-side parity sampler skips it at
+          -- analysis instead of executing the wrong anchor, and
+          -- correctness stays covered by the DuckDB differential.
+          SELECT CAST(strftime(ts, '%w') AS BIGINT) + 1 AS dow,
+                 hour(ts) AS hr,
                  count(*) AS n,
                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                    AS cents
