@@ -1728,3 +1728,41 @@ def test_corpus_prep_stream_restart(spark, tmp_path):
             assert dup_of == -1
         if route == "kept_dup":
             assert routes[dup_of][0] in ("kept", "kept_dup")
+
+
+def test_corpus_prep_index_holds_only_kept_docs(spark, tmp_path):
+    """The composite's governance invariant, checked against the
+    PERSISTED state rather than the output rows: after
+    stream_corpus_prep_e2e's rig runs, every doc_id in every
+    generation of the dedup index (bands AND shingles) must be a doc
+    the gate routed kept/kept_dup — a rejected document that leaked
+    into the index would keep influencing future dedup decisions
+    after intake said it never entered the corpus."""
+    from engine.ops.dedup import N_INC_BATCHES
+    from engine.ops.textops import run_corpus_prep_stream
+
+    base = str(tmp_path / "prep_gov")
+    out = run_corpus_prep_stream(spark, SMOKE_SF_DIR, base)
+    kept = {
+        r["doc_id"]
+        for r in out.filter("route != 'rejected'").collect()
+    }
+    assert kept, "gate kept nothing — fixture degenerate"
+    for fam in ("bands", "shingles"):
+        idx_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                *[
+                    f"{base}/index/{fam}/gen={g}"
+                    for g in range(N_INC_BATCHES)
+                ]
+            )
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert idx_ids == kept, (
+            f"{fam}: index contents != kept set "
+            f"(leaked: {sorted(idx_ids - kept)[:5]}, "
+            f"missing: {sorted(kept - idx_ids)[:5]})"
+        )
