@@ -233,18 +233,24 @@ def dedup_incremental_lsh(spark, sf_dir):
     return out
 
 
-def _read_compact_marker(idx):
-    """Highest generation covered by the compacted layout, or None.
-    The marker file is written LAST (atomic os.replace) — a crash
-    between the compacted-directory writes and the marker leaves
-    readers safely on the per-generation view."""
+def _read_marker(path):
+    """Generic write-last marker reader (the file is published LAST
+    via atomic os.replace, so its presence implies the artifacts it
+    covers): the integer it holds, or None if not yet published. One
+    spelling for every marker in the repo — compaction, recluster."""
     import os
 
-    p = f"{idx}/compacted_upto"
-    if not os.path.exists(p):
+    if not os.path.exists(path):
         return None
-    with open(p) as f:
+    with open(path) as f:
         return int(f.read().strip())
+
+
+def _read_compact_marker(idx):
+    """Highest generation covered by the compacted layout, or None.
+    A crash between the compacted-directory writes and the marker
+    leaves readers safely on the per-generation view."""
+    return _read_marker(f"{idx}/compacted_upto")
 
 
 def _compact_index_generations(spark, idx, upto):
@@ -681,33 +687,47 @@ def _committed_src_batches(ckpt):
     }
     out = set()
     for epoch in commits:
-        p = f"{ckpt}/sources/0/{epoch}"
-        if not os.path.exists(p):
-            continue
-        with open(p) as f:
-            for line in f:
-                line = line.strip()
-                if not line.startswith("{"):
-                    continue
-                name = os.path.basename(json.loads(line)["path"])
-                if name.startswith("batch_") and name.endswith(".parquet"):
-                    out.add(int(name[len("batch_"):-len(".parquet")]))
+        # FileStreamSourceLog COMPACTS its metadata every
+        # spark.sql.streaming.fileSource.log.compactInterval batches
+        # (default 10): the compacted epoch is written as
+        # "<epoch>.compact" (carrying every retained entry) and the
+        # plain file never exists — checking only the plain name
+        # would mark that batch forever-uncommitted and the GC guard
+        # would refuse for the stream's whole life past 10 batches
+        # (review finding, round 8).
+        for p in (
+            f"{ckpt}/sources/0/{epoch}",
+            f"{ckpt}/sources/0/{epoch}.compact",
+        ):
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    name = os.path.basename(json.loads(line)["path"])
+                    if name.startswith("batch_") and name.endswith(
+                        ".parquet"
+                    ):
+                        out.add(
+                            int(name[len("batch_"):-len(".parquet")])
+                        )
     return out
 
 
-def _gc_index_generations(ckpt, idx):
-    """Delete the per-generation band/shingle directories that are
-    covered by BOTH safety conditions: (a) the compacted layout
-    serves them (generation ≤ the compacted_upto marker) and (b) the
-    checkpoint's commit watermark has passed them (every covered
-    batch is in `_committed_src_batches`, so no restart can ever
-    replay one). REFUSES with ValueError when any covered batch is
-    still inside the replay horizon — deleting then would make the
-    torn-state replay the compaction tests perform impossible, which
-    is exactly the production incident this guard prevents. The
-    counts/gen=N tables (capped path) are never GC'd here: they have
-    no compacted twin and stay the cumulative-size source of truth.
-    Returns the removed paths."""
+def _gc_generations(ckpt, idx, families):
+    """Shared watermark-gated generation GC (review finding: the
+    dedup and ANN GCs forked this verbatim): delete each family's
+    generation directories covered by BOTH safety conditions — (a)
+    the compacted layout serves them (generation ≤ the compacted_upto
+    marker) and (b) the checkpoint's commit watermark has passed them
+    (every covered batch is in `_committed_src_batches`, so no
+    restart can ever replay one). REFUSES with ValueError when any
+    covered batch is still inside the replay horizon — deleting then
+    would make the torn-state replay the compaction tests perform
+    impossible, which is exactly the production incident this guard
+    prevents. Returns the removed paths."""
     import os
     import shutil
 
@@ -723,12 +743,20 @@ def _gc_index_generations(ckpt, idx):
         )
     removed = []
     for g in range(m + 1):
-        for fam in ("bands", "shingles"):
+        for fam in families:
             p = f"{idx}/{fam}/gen={g}"
             if os.path.exists(p):
                 shutil.rmtree(p)
                 removed.append(p)
     return removed
+
+
+def _gc_index_generations(ckpt, idx):
+    """LSH-index GC: bands + shingles via the shared watermark-gated
+    core. The counts/gen=N tables (capped path) are never GC'd here:
+    they have no compacted twin and stay the cumulative-size source
+    of truth."""
+    return _gc_generations(ckpt, idx, ("bands", "shingles"))
 
 
 @register("stream_dedup_gc_e2e", oracle=INC_LSH_SQL)

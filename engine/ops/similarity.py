@@ -3094,15 +3094,12 @@ def _stream_recluster_sql():
 
 
 def _read_gen_marker(path):
-    """Generic write-last marker reader (same protocol as the dedup
-    compaction marker: the file is published LAST via atomic
-    os.replace, so its presence implies the artifacts it covers)."""
-    import os
+    """The recluster marker uses the repo's one write-last marker
+    protocol — delegate to dedup_stream's generic reader (review
+    finding: this was a byte-identical local copy)."""
+    from .dedup_stream import _read_marker
 
-    if not os.path.exists(path):
-        return None
-    with open(path) as f:
-        return int(f.read().strip())
+    return _read_marker(path)
 
 
 def run_sim_recluster_stream(
@@ -3361,36 +3358,14 @@ def stream_sim_recluster_e2e(spark, sf_dir):
 
 
 def _gc_list_generations(ckpt, idx):
-    """The ANN twin of dedup_stream's generation GC: delete the list
-    generations covered by BOTH the compacted layout (compacted_upto
-    marker) AND the checkpoint's commit watermark — reusing the same
-    two-log safety rule (`_committed_src_batches` parses the engine's
-    own offsets/commits metadata). REFUSES with ValueError while any
-    covered batch could still replay. Centroids are never GC'd: the
-    codebook is generation state in its own right, not a rewrite of
-    the lists."""
-    import os
-    import shutil
+    """The ANN twin of dedup_stream's generation GC — the marker +
+    commit-watermark safety rule lives ONCE in `_gc_generations`
+    (review finding: this was a verbatim fork); only the family
+    differs. Centroids are never GC'd: the codebook is generation
+    state in its own right, not a rewrite of the lists."""
+    from .dedup_stream import _gc_generations
 
-    from .dedup_stream import _committed_src_batches, _read_compact_marker
-
-    m = _read_compact_marker(idx)
-    if m is None:
-        raise ValueError("GC refused: no compaction marker published")
-    committed = _committed_src_batches(ckpt)
-    pending = [b for b in range(m + 1) if b not in committed]
-    if pending:
-        raise ValueError(
-            f"GC refused: batches {pending} are inside the replay"
-            " horizon (offsets admitted but commit log not written)"
-        )
-    removed = []
-    for g in range(m + 1):
-        p = f"{idx}/lists/gen={g}"
-        if os.path.exists(p):
-            shutil.rmtree(p)
-            removed.append(p)
-    return removed
+    return _gc_generations(ckpt, idx, ("lists",))
 
 
 @register("stream_sim_gc_e2e", oracle=IVF_APPEND_SQL)

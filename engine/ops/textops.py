@@ -3380,21 +3380,27 @@ def stream_corpus_router_e2e(spark, sf_dir):
             f"{sink}/batch_id={b}"
         )
 
-    q = (
-        spark.readStream.schema("doc_id bigint, lang string, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(route_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "stream_corpus_router_e2e: availableNow query exceeded 600s"
+    # try/finally: a failed stream must not leak the persisted model
+    # cache for the session (the ADVICE-r7 leak class)
+    try:
+        q = (
+            spark.readStream.schema(
+                "doc_id bigint, lang string, text string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(route_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-    lr0.unpersist()
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "stream_corpus_router_e2e: availableNow query exceeded 600s"
+            )
+    finally:
+        lr0.unpersist()
     paths = [
         f"{sink}/batch_id={b}"
         for b in range(N_INC_BATCHES)
@@ -3704,21 +3710,28 @@ def run_corpus_prep_stream(spark, sf_dir, base, fail_at_batch=None):
         finally:
             scored.unpersist()
 
-    q = (
-        spark.readStream.schema("doc_id bigint, lang string, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "stream_corpus_prep_e2e: availableNow query exceeded 600s"
+    # try/finally so a failed or killed stream (the restart test's
+    # injected torn state) does not leak the persisted model cache
+    # for the session (the ADVICE-r7 leak class)
+    try:
+        q = (
+            spark.readStream.schema(
+                "doc_id bigint, lang string, text string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-    lr0.unpersist()
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "stream_corpus_prep_e2e: availableNow query exceeded 600s"
+            )
+    finally:
+        lr0.unpersist()
     import os
 
     paths = [

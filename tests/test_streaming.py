@@ -1766,3 +1766,42 @@ def test_corpus_prep_index_holds_only_kept_docs(spark, tmp_path):
             f"(leaked: {sorted(idx_ids - kept)[:5]}, "
             f"missing: {sorted(kept - idx_ids)[:5]})"
         )
+
+
+def test_committed_src_batches_reads_compacted_metadata(tmp_path):
+    """FileStreamSourceLog compacts its per-epoch metadata every
+    compactInterval batches: the compacted epoch exists only as
+    `<epoch>.compact` (carrying every retained entry). The GC
+    watermark reader must count batches admitted at a compacted
+    epoch as committed — otherwise the guard refuses FOREVER on any
+    stream past the compact interval (review finding, round 8)."""
+    import json
+
+    from engine.ops.dedup_stream import _committed_src_batches
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "sources" / "0").mkdir(parents=True)
+    for epoch in (0, 1, 9, 10):
+        (ckpt / "commits" / str(epoch)).write_text("v1\n{}")
+
+    def entry(b):
+        return json.dumps(
+            {"path": f"file:///src/batch_{b}.parquet", "batchId": b}
+        )
+
+    # plain per-epoch files for 0 and 1
+    (ckpt / "sources" / "0" / "0").write_text("v1\n" + entry(0))
+    (ckpt / "sources" / "0" / "1").write_text("v1\n" + entry(1))
+    # epoch 9 was compacted: ONLY the .compact file exists, and it
+    # carries the full retained history (entries 0..9)
+    (ckpt / "sources" / "0" / "9.compact").write_text(
+        "v1\n" + "\n".join(entry(b) for b in range(10))
+    )
+    # epoch 10 back to a plain file
+    (ckpt / "sources" / "0" / "10").write_text("v1\n" + entry(10))
+    # epoch 11 admitted (offsets) but never committed: no commit file
+    (ckpt / "sources" / "0" / "11").write_text("v1\n" + entry(11))
+
+    got = _committed_src_batches(str(ckpt))
+    assert got == set(range(11)), got  # 0..10 committed, 11 excluded
