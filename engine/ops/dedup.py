@@ -2926,8 +2926,10 @@ def _capped_recall_audit_sql():
       (SELECT CAST(count(*) AS BIGINT) FROM lost
         WHERE doc_a % {SKEW_MOD} != {SKEW_RES}
            OR doc_b % {SKEW_MOD} != {SKEW_RES}) AS lost_real_pairs,
-      CAST((10000 * (SELECT count(*) FROM pairs_c))
-           // (SELECT count(*) FROM pairs_u) AS BIGINT) AS retained_bp
+      CAST(CASE WHEN (SELECT count(*) FROM pairs_u) = 0 THEN 10000
+           ELSE (10000 * (SELECT count(*) FROM pairs_c))
+                // (SELECT count(*) FROM pairs_u) END
+           AS BIGINT) AS retained_bp
 """
 
 
@@ -3061,8 +3063,13 @@ def dedup_capped_recall_audit(spark, sf_dir):
                     )
                     .crossJoin(F.broadcast(lost))
                     .withColumn(
+                        # degenerate-corpus guard: zero uncapped verified
+                        # pairs means nothing could be lost -> 10000 bp
                         "retained_bp",
-                        F.expr("(10000 * pairs_capped) div pairs_uncapped"),
+                        F.expr(
+                            "CASE WHEN pairs_uncapped = 0 THEN CAST(10000 AS BIGINT)"
+                            " ELSE (10000 * pairs_capped) div pairs_uncapped END"
+                        ),
                     )
                     .select(
                         "n_docs",

@@ -21,6 +21,28 @@ from ..registry import register, table
 SPAN_K = 8  # span length in tokens — the "memorized boilerplate" unit
 
 
+def _merge_islands(hits):
+    """Interval-union island merge (gaps-and-islands): given hit rows
+    (doc_id, s, e), return the merged maximal spans
+    (doc_id, isl_id, tok_start, tok_end). A hit opens a new island iff
+    its start exceeds the running max end of all earlier hits in the
+    doc. Shared by `_anchored_span_frames` and `dedup_lcp_spans` —
+    the single source of the gaps-and-islands block the oracles
+    restate."""
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = hits.withColumn(
+        "new_isl",
+        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "isl_id").agg(
+        F.min("s").alias("tok_start"), F.max("e").alias("tok_end")
+    )
+
+
 @register(
     "dedup_span_coverage",
     oracle=f"""
@@ -76,65 +98,22 @@ def dedup_span_coverage(spark, sf_dir):
     trim documents above a coverage threshold — doc-level exact/near
     dedup misses this cross-document boilerplate entirely.
 
-    Shape: positional shingling runs ONCE — the shingle frame is
-    persisted so the dup-set derivation and the hit lookup share one
-    explode (without the persist, Catalyst re-derives the explode on
-    both sides of the self-referencing DAG). The cross-doc test is a
-    map-side-combinable groupBy(span) (min(doc_id) != max(doc_id),
-    exactly count(DISTINCT doc_id) >= 2) followed by a semi join back
-    on span — chosen over a whole-partition window on span because a
-    corpus-wide boilerplate span would put ALL its occurrences into
-    one window partition on one task (unsplittable skew), whereas the
+    Shape: the anchor/island machinery is the shared
+    `_anchored_span_frames` (shingle once behind a released persist;
+    map-side-combinable groupBy(span) for the cross-doc test —
+    min(doc_id) != max(doc_id) is exactly count(DISTINCT doc_id) >= 2,
+    chosen over a whole-partition window on span because a corpus-wide
+    boilerplate span would land on one unsplittable task, whereas the
     groupBy partials collapse the hot span map-side and the semi
-    join's residual skew is AQE-splittable. Then interval-union per
-    doc via gaps-and-islands (running max-end window) so overlapping
-    spans are not double-counted. All integer arithmetic until the
-    final ratio. At 100 TB the span string is replaced by
+    join's residual skew is AQE-splittable; then `_merge_islands` so
+    overlapping spans are not double-counted). Coverage is then one
+    sum of merged-island lengths per doc. All integer arithmetic until
+    the final ratio. At 100 TB the span string is replaced by
     xxhash64(span) for the shuffle key (8 bytes vs ~50) — kept as
     text here so the oracle sees identical semantics."""
-    d = table(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
-        "n_tokens", F.size("a")
-    )
-    sh = (
-        base.filter(F.col("n_tokens") >= SPAN_K)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, n_tokens - {SPAN_K} + 1),"
-                    f" i -> array_join(slice(a, i, {SPAN_K}), ' '))"
-                )
-            ).alias("p", "span"),
-        )
-        .select("doc_id", (F.col("p") + 1).alias("s"), "span")
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    dup = (
-        sh.groupBy("span")
-        .agg(F.min("doc_id").alias("lo_doc"), F.max("doc_id").alias("hi_doc"))
-        .filter(F.col("lo_doc") != F.col("hi_doc"))
-        .select("span")
-    )
-    hits = sh.join(dup.hint("shuffle_hash"), "span", "left_semi").select(
-        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
-    )
-    w = Window.partitionBy("doc_id").orderBy("s")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = hits.withColumn(
-        "new_isl",
-        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    cov = (
-        isl.groupBy("doc_id", "isl_id")
-        .agg((F.max("e") - F.min("s") + 1).alias("seg"))
-        .groupBy("doc_id")
-        .agg(F.sum("seg").alias("dup_tokens"))
+    base, spans = _anchored_span_frames(spark, sf_dir)
+    cov = spans.groupBy("doc_id").agg(
+        F.sum(F.col("tok_end") - F.col("tok_start") + 1).alias("dup_tokens")
     )
     return (
         base.join(cov, "doc_id", "left")
@@ -155,11 +134,12 @@ def _anchored_span_frames(spark, sf_dir):
     ``(base, spans)`` — base = (doc_id, a, n_tokens), spans = merged
     maximal islands (doc_id, isl_id, tok_start, tok_end) of
     SPAN_K-token anchors appearing verbatim in ≥2 documents. Consumed
-    by dedup_suffix_spans (cut-list report) and dedup_apply_cut_list
-    (the actual corpus trim). The shingle frame is persisted only
-    inside this builder's lineage; both consumers are single-action
-    ops so the persist is released with the session's block manager
-    pressure rather than leaked references."""
+    by dedup_span_coverage (per-doc coverage), dedup_suffix_spans
+    (cut-list report) and dedup_apply_cut_list (the corpus trim).
+    The shingle frame is persisted so the dup-set derivation and the
+    hit lookup share one explode; the tiny spans frame is eagerly
+    checkpointed and the shingle cache released in a finally — no
+    session-lifetime cache leak (round-8 ADVICE)."""
     d = table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
         "n_tokens", F.size("a")
@@ -180,27 +160,22 @@ def _anchored_span_frames(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    dup = (
-        sh.groupBy("span")
-        .agg(F.min("doc_id").alias("lo_doc"), F.max("doc_id").alias("hi_doc"))
-        .filter(F.col("lo_doc") != F.col("hi_doc"))
-        .select("span")
-    )
-    hits = sh.join(dup.hint("shuffle_hash"), "span", "left_semi").select(
-        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
-    )
-    w = Window.partitionBy("doc_id").orderBy("s")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = hits.withColumn(
-        "new_isl",
-        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = isl.groupBy("doc_id", "isl_id").agg(
-        F.min("s").alias("tok_start"), F.max("e").alias("tok_end")
-    )
+    try:
+        dup = (
+            sh.groupBy("span")
+            .agg(
+                F.min("doc_id").alias("lo_doc"),
+                F.max("doc_id").alias("hi_doc"),
+            )
+            .filter(F.col("lo_doc") != F.col("hi_doc"))
+            .select("span")
+        )
+        hits = sh.join(dup.hint("shuffle_hash"), "span", "left_semi").select(
+            "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
+        )
+        spans = _merge_islands(hits).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
     return base, spans
 
 
@@ -508,17 +483,26 @@ def _suffix_array_build(spark, sf_dir):
     return final, sfx
 
 
+# Bump when the artifact's SCHEMA or construction algorithm changes:
+# the version (and SA_K0) are folded into the artifact key, so a code
+# change can never silently serve a stale artifact built by older code
+# across sessions (round-8 ADVICE item 1).
+SA_ARTIFACT_VERSION = 2
+
+
 def _sa_artifact_dir(sf_dir):
     """Stable on-disk location of the published suffix-array artifact
     for a given corpus. Keyed by the documents table's file listing
-    (relpath, size, mtime) — a changed corpus gets a fresh key, so a
-    stale artifact can never serve a new corpus."""
+    (relpath, size, mtime) PLUS an algorithm token
+    (SA_ARTIFACT_VERSION, SA_K0) — a changed corpus OR a changed
+    construction gets a fresh key, so a stale artifact can never serve
+    a new corpus or new code."""
     import hashlib
     import os
     import tempfile
 
     src = os.path.join(sf_dir, "documents.parquet")
-    parts = []
+    parts = [f"v{SA_ARTIFACT_VERSION}:k0={SA_K0}"]
     if os.path.isdir(src):
         for root, _dirs, files in os.walk(src):
             for f in sorted(files):
@@ -709,18 +693,7 @@ def dedup_lcp_spans(spark, sf_dir):
         F.col("pos").alias("s"),
         (F.col("pos") + k - 1).alias("e"),
     )
-    w = Window.partitionBy("doc_id").orderBy("s")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = hits.withColumn(
-        "new_isl",
-        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = isl.groupBy("doc_id", "isl_id").agg(
-        F.min("s").alias("tok_start"), F.max("e").alias("tok_end")
-    )
+    spans = _merge_islands(hits)
     wseq = Window.partitionBy("doc_id").orderBy("tok_start")
     return spans.select(
         "doc_id",

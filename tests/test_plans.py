@@ -492,20 +492,57 @@ def test_bottom_k_sample_is_distributed_topk(spark):
 
 
 def test_span_coverage_single_shingle_pass(spark):
-    """dedup_span_coverage shingles ONCE: the persisted shingle frame
-    feeds both the dup-set groupBy and the semi-join lookup, so the
-    executed plan reads the InMemoryRelation twice and contains at
-    most one posexplode (inside the cached plan) — and the dup filter
-    must be a skew-splittable semi join, never a whole-partition
-    window over span."""
+    """dedup_span_coverage shingles ONCE — since round 9 via the shared
+    `_anchored_span_frames` builder, which pays the shingle explode,
+    dup-set groupBy, semi join, and island merge exactly once at build
+    time (eager checkpoint) and releases the shingle cache. The SERVED
+    plan therefore reads the tiny checkpointed span frame plus the
+    documents scan — no explode, no span shuffle, no lingering cache."""
     plan = _plan(spark, "dedup_span_coverage")
-    # the explode may PRINT once per InMemoryTableScan (each scan
-    # re-renders the cached plan) — what proves single computation is
-    # the InMemoryRelation both consumers read
-    assert "InMemoryRelation" in plan, plan
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "ExistingRDD" in plan, plan  # checkpointed spans
+    assert "posexplode" not in plan, plan  # shingle work paid at build
+    assert "InMemoryRelation" not in plan, plan  # no cache leak
+
+
+def test_anchored_span_builder_shape(spark):
+    """The shared `_anchored_span_frames` builder itself must keep the
+    skew-safe shape: dup detection is a map-side-combinable groupBy
+    (min/max doc_id, never a whole-partition window over span) feeding
+    a semi join. Asserted on the pre-checkpoint plan."""
+    from pyspark.sql import functions as F
+
+    from engine.ops.suffix import SPAN_K, _merge_islands, table
+
+    d = table(spark, T2_SF_DIR, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("a")).withColumn(
+        "n_tokens", F.size("a")
+    )
+    sh = base.filter(F.col("n_tokens") >= SPAN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_tokens - {SPAN_K} + 1),"
+                f" i -> array_join(slice(a, i, {SPAN_K}), ' '))"
+            )
+        ).alias("p", "span"),
+    ).select("doc_id", (F.col("p") + 1).alias("s"), "span")
+    dup = (
+        sh.groupBy("span")
+        .agg(F.min("doc_id").alias("lo_doc"), F.max("doc_id").alias("hi_doc"))
+        .filter(F.col("lo_doc") != F.col("hi_doc"))
+        .select("span")
+    )
+    hits = sh.join(dup.hint("shuffle_hash"), "span", "left_semi").select(
+        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
+    )
+    plan = (
+        _merge_islands(hits)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "LeftSemi" in plan, plan
-    assert "partial_min" in plan, plan  # dup detection is map-side combinable
+    assert "partial_min" in plan, plan  # map-side combinable dup test
 
 
 def test_naive_bayes_model_tables_broadcast(spark):
