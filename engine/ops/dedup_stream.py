@@ -29,6 +29,33 @@ from .dedup import (
     _tokens,
 )
 
+def _stage_feed(df, base, src, conds, step=20):
+    """Stage a stream rig's feed: slice ``df`` by each (batch_id,
+    predicate) in ``conds`` into ONE parquet file
+    ``src/batch_<b>.parquet`` with strictly increasing mtimes, so the
+    file source admits them oldest-first and ``maxFilesPerTrigger=1``
+    maps one ingest increment to one micro-batch. Skips when the last
+    file already exists — a restart must see the same offsets log the
+    first run checkpointed. One spelling for every stream rig
+    (round-8 review: this block was forked verbatim four times)."""
+    import os
+    import time
+
+    last = conds[-1][0]
+    if os.path.exists(f"{src}/batch_{last}.parquet"):
+        return
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for b, cond in conds:
+        stage = f"{base}/stage/b{b}"
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = f"{src}/batch_{b}.parquet"
+        os.replace(os.path.join(stage, part), dst)
+        ts = now - 60 + step * b
+        os.utime(dst, (ts, ts))
+
+
 INC_LSH_SQL = f"""
     WITH near AS MATERIALIZED ({MINHASH_SQL}),
     m AS (SELECT max(doc_id) AS mx FROM documents),
@@ -81,7 +108,7 @@ def _inc_lsh_process_batch(
 
 def _inc_lsh_dedupe_batch(
     spark, doc_sh, bands, base, b, materialize=True, bucket_cap=None,
-    read_index=None,
+    read_index=None, counts_paths_log=None,
 ):
     """Process ONE ingest increment against the accumulated LSH index.
 
@@ -130,16 +157,36 @@ def _inc_lsh_dedupe_batch(
     )
     bands = spark.read.parquet(f"{base}/bands/gen={b}")
     if bucket_cap is not None:
+        import os
+
         bands.groupBy("band", "band_key").agg(
             F.count(F.lit(1)).alias("n_new")
         ).write.mode("overwrite").parquet(f"{base}/counts/gen={b}")
         # arrival-prefix cumulative size from the PERSISTED counts
         # (gens 0..b): total ≤ cap ⟺ prior + this increment ≤ cap;
-        # keys absent from this batch are harmless in the semi-join
+        # keys absent from this batch are harmless in the semi-join.
+        # Marker-aware (round-8 verdict item 3): once a compaction has
+        # folded gens 0..m into ONE cumulative counts_c table, batches
+        # strictly past the boundary read that single artifact plus
+        # only the newer generations — O(1) dirs instead of O(b) per
+        # micro-batch (O(b²) cumulative over a long-running stream).
+        # A replayed boundary batch (m == b) stays on the per-gen view,
+        # the same strictly-past rule the band reader enforces.
+        m = _read_compact_marker(base)
+        if (
+            m is not None
+            and m < b
+            and os.path.exists(f"{base}/counts_c")
+        ):
+            cpaths = [f"{base}/counts_c"] + [
+                f"{base}/counts/gen={g}" for g in range(m + 1, b + 1)
+            ]
+        else:
+            cpaths = [f"{base}/counts/gen={g}" for g in range(b + 1)]
+        if counts_paths_log is not None:
+            counts_paths_log.append((b, list(cpaths)))
         allowed = (
-            spark.read.parquet(
-                *[f"{base}/counts/gen={g}" for g in range(b + 1)]
-            )
+            spark.read.parquet(*cpaths)
             .groupBy("band", "band_key")
             .agg(F.sum("n_new").alias("n_cum"))
             .filter(F.col("n_cum") <= bucket_cap)
@@ -293,6 +340,23 @@ def _compact_index_generations(spark, idx, upto):
         raise AssertionError(
             f"mid-stream compaction did not shrink: {n_before} -> {n_after}"
         )
+    # capped path only: fold the per-generation stop-bucket counts
+    # into ONE cumulative table behind the SAME marker (round-8
+    # verdict item 3 — the counts family previously never compacted,
+    # so the capped core read O(b) directories per micro-batch). The
+    # column keeps the per-gen name `n_new` so the reader's sum is
+    # one expression over either layout.
+    if os.path.exists(f"{idx}/counts/gen=0"):
+        (
+            spark.read.parquet(
+                *[f"{idx}/counts/gen={g}" for g in range(upto + 1)]
+            )
+            .groupBy("band", "band_key")
+            .agg(F.sum("n_new").cast("long").alias("n_new"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{idx}/counts_c")
+        )
     tmp = f"{idx}/compacted_upto.tmp"
     with open(tmp, "w") as f:
         f.write(str(upto))
@@ -302,6 +366,7 @@ def _compact_index_generations(spark, idx, upto):
 def run_inc_lsh_stream(
     spark, sf_dir, base, fail_at_batch=None, bucket_cap=None,
     compact_after=None, fail_phase="pre_sink", read_paths_log=None,
+    counts_paths_log=None,
 ):
     """The checkpointed-stream rig behind stream_dedup_incremental_e2e,
     factored so tests can kill it mid-stream and restart it against the
@@ -335,27 +400,20 @@ def run_inc_lsh_stream(
     an at-least-once replay of a torn batch converges to the same
     bytes (idempotent sink = the foreachBatch exactly-once recipe)."""
     import os
-    import time
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     idx = f"{base}/index"
-    if not os.path.exists(f"{src}/batch_{N_INC_BATCHES - 1}.parquet"):
-        os.makedirs(src, exist_ok=True)
-        now = time.time()
-        for b in range(N_INC_BATCHES):
-            stage = f"{base}/stage/b{b}"
-            d.filter(
-                F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}") == b
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(
-                f for f in os.listdir(stage) if f.startswith("part-")
-            )
-            dst = f"{src}/batch_{b}.parquet"
-            os.replace(os.path.join(stage, part), dst)
-            ts = now - 60 + 20 * b
-            os.utime(dst, (ts, ts))
+    _stage_feed(
+        d,
+        base,
+        src,
+        [
+            (b, F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}") == b)
+            for b in range(N_INC_BATCHES)
+        ],
+    )
 
     def reader(spark_, b):
         m = _read_compact_marker(idx)
@@ -391,6 +449,7 @@ def run_inc_lsh_stream(
                 spark, doc_sh, _lsh_band_rows(doc_sh), idx, b,
                 materialize=False, bucket_cap=bucket_cap,
                 read_index=reader if compact_after is not None else None,
+                counts_paths_log=counts_paths_log,
             )
             if (
                 fail_at_batch is not None
@@ -752,11 +811,14 @@ def _gc_generations(ckpt, idx, families):
 
 
 def _gc_index_generations(ckpt, idx):
-    """LSH-index GC: bands + shingles via the shared watermark-gated
-    core. The counts/gen=N tables (capped path) are never GC'd here:
-    they have no compacted twin and stay the cumulative-size source
-    of truth."""
-    return _gc_generations(ckpt, idx, ("bands", "shingles"))
+    """LSH-index GC: bands + shingles + counts via the shared
+    watermark-gated core. The counts family (capped path) is covered
+    since round 9: compaction folds gens 0..m into the cumulative
+    ``counts_c`` behind the same ``compacted_upto`` marker, so the
+    marker-AND-commit-watermark rule that makes band/shingle
+    generations dead makes counts generations dead too. On uncapped
+    streams no counts directories exist and the family is a no-op."""
+    return _gc_generations(ckpt, idx, ("bands", "shingles", "counts"))
 
 
 @register("stream_dedup_gc_e2e", oracle=INC_LSH_SQL)
@@ -813,4 +875,81 @@ def stream_dedup_gc_e2e(spark, sf_dir):
     # recovery must find every source file committed and run nothing
     return run_inc_lsh_stream(
         spark, sf_dir, base, compact_after=boundary
+    )
+
+
+@register("stream_dedup_capped_lifecycle_e2e", oracle=INC_CAPPED_SQL)
+def stream_dedup_capped_lifecycle_e2e(spark, sf_dir):
+    """The CAPPED dedup stream's FULL index lifecycle in one op —
+    ingest with the stop-bucket guard → mid-stream compaction (bands,
+    shingles, AND the per-generation cap counts folded into one
+    cumulative ``counts_c`` behind the same marker — round-8 verdict
+    item 3: the counts family previously never compacted, so the
+    capped core read O(b) directories per micro-batch, O(b²) over a
+    long stream) → commit-watermark GC now covering the counts family
+    → restart on the same checkpoint with every compacted-away
+    generation gone.
+
+    In-op proofs, from the core's recorded read paths and the fs:
+    every post-boundary increment resolved its cumulative bucket sizes
+    from EXACTLY ONE compacted counts artifact plus the strictly-newer
+    generations (never a compacted-away counts/gen dir); the GC
+    removed bands+shingles+counts for every covered generation and
+    nothing newer; and the post-GC restart re-serves the sink rows
+    that still value-hash against the prefix-capped batch statement
+    (INC_CAPPED_SQL) — the consistency-audit close the round-8 gc_e2e
+    pair opened: the SERVED answer is hash-checked while the recorded
+    read paths prove no deleted generation was touched.
+
+    Scale: identical per-increment economics to stream_dedup_capped_e2e
+    until the boundary; after it the cap lookup is one O(distinct keys)
+    artifact read + O(new gens) instead of O(all gens) — the difference
+    between a dedup service that slows down linearly with stream age
+    and one that doesn't."""
+    import os
+
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_dedup_capped_lifecycle_e2e")
+    boundary = N_INC_BATCHES - 2
+    clog = []
+    run_inc_lsh_stream(
+        spark, sf_dir, base, bucket_cap=LSH_BUCKET_CAP,
+        compact_after=boundary, counts_paths_log=clog,
+    )
+    post = [(b, paths) for (b, paths) in clog if b > boundary]
+    if not post:
+        raise AssertionError("no post-compaction increment was processed")
+    for b, paths in post:
+        n_art = sum(1 for p in paths if p.endswith("/counts_c"))
+        stale = [
+            p
+            for p in paths
+            if "/counts/gen=" in p
+            and int(p.rsplit("=", 1)[1]) <= boundary
+        ]
+        if n_art != 1 or stale:
+            raise AssertionError(
+                f"increment {b} read {n_art} counts artifacts plus"
+                f" compacted-away generations {stale}; expected exactly"
+                " [counts_c] + newer gens"
+            )
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+    removed = _gc_index_generations(ckpt, idx)
+    if len(removed) != 3 * (boundary + 1):
+        raise AssertionError(
+            f"GC removed {removed}, expected bands+shingles+counts for"
+            f" generations 0..{boundary}"
+        )
+    for g in range(boundary + 1):
+        if os.path.exists(f"{idx}/counts/gen={g}"):
+            raise AssertionError(f"counts generation {g} survived GC")
+    for g in range(boundary + 1, N_INC_BATCHES):
+        if not os.path.exists(f"{idx}/counts/gen={g}"):
+            raise AssertionError(
+                f"GC overreached: post-boundary counts gen {g} deleted"
+            )
+    return run_inc_lsh_stream(
+        spark, sf_dir, base, bucket_cap=LSH_BUCKET_CAP,
+        compact_after=boundary,
     )

@@ -1887,9 +1887,21 @@ IVF_DRIFT_SQL = f"""
 """
 
 
+def _ivf_cuts(mx):
+    """The id-range cut points every IVF rig and oracle shares, from
+    the corpus's max vec_id: (train_cut, append_cut, mid) = 60% / 80% /
+    the midpoint of the appended tail. ONE derivation (round-8 review:
+    three inline re-derivations had to stay bit-equal to the SQL
+    constants' integer arithmetic)."""
+    train_cut = 3 * (mx + 1) // 5
+    append_cut = 4 * (mx + 1) // 5
+    mid = (append_cut + mx + 1) // 2
+    return train_cut, append_cut, mid
+
+
 def _ivf_append_cut(em):
     mx = em.agg(F.max("vec_id")).collect()[0][0]
-    return 4 * (mx + 1) // 5
+    return _ivf_cuts(mx)[1]
 
 
 @register("sim_index_append", oracle=IVF_APPEND_SQL)
@@ -2065,9 +2077,8 @@ def sim_index_drift_report(spark, sf_dir):
     passes + two scalar aggregates — no index rebuild, no shuffle
     beyond the 2-row report."""
     em = table(spark, sf_dir, "embeddings")
-    append_cut = _ivf_append_cut(em)
     mx = em.agg(F.max("vec_id")).collect()[0][0]
-    train_cut = 3 * (mx + 1) // 5
+    train_cut, append_cut, _ = _ivf_cuts(mx)
     refined, _ = _ivf_build_from(em.filter(F.col("vec_id") < train_cut))
     refined = refined.persist()
 
@@ -2287,7 +2298,7 @@ def sim_index_recluster(spark, sf_dir):
 
     em = table(spark, sf_dir, "embeddings")
     mx = em.agg(F.max("vec_id")).collect()[0][0]
-    append_cut, train_cut = 4 * (mx + 1) // 5, 3 * (mx + 1) // 5
+    train_cut, append_cut, _ = _ivf_cuts(mx)
 
     ex = _drifted_corpus(em, append_cut).persist()
     # try/finally so a failed drift/recovery assertion does not leak
@@ -2807,33 +2818,24 @@ def run_sim_index_stream(
     overwrites, which the boundary-restart test pins byte-equal.
     ``serve_paths_log`` records the list paths the final probe read."""
     import os
-    import time
-
-    from .dedup_stream import _read_compact_marker
+    from .dedup_stream import _read_compact_marker, _stage_feed
 
     em = table(spark, sf_dir, "embeddings")
     mx = em.agg(F.max("vec_id")).collect()[0][0]
-    cut = 4 * (mx + 1) // 5          # _ivf_append_cut, inlined: the
-    mid = (cut + mx + 1) // 2        # slices must match IVF_APPEND_SQL
+    _, cut, mid = _ivf_cuts(mx)  # slices must match IVF_APPEND_SQL
     src, ckpt, idx = f"{base}/src", f"{base}/ckpt", f"{base}/index"
     cent_path, list_path = f"{idx}/centroids", f"{idx}/lists"
     bounds = [(0, cut), (cut, mid), (mid, mx + 1)]
 
-    if not os.path.exists(f"{src}/batch_{N_SIM_BATCHES - 1}.parquet"):
-        os.makedirs(src, exist_ok=True)
-        now = time.time()
-        for b, (lo, hi) in enumerate(bounds):
-            stage = f"{base}/stage/b{b}"
-            em.filter(
-                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(
-                f for f in os.listdir(stage) if f.startswith("part-")
-            )
-            dst = f"{src}/batch_{b}.parquet"
-            os.replace(os.path.join(stage, part), dst)
-            ts = now - 60 + 20 * b
-            os.utime(dst, (ts, ts))
+    _stage_feed(
+        em,
+        base,
+        src,
+        [
+            (b, (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            for b, (lo, hi) in enumerate(bounds)
+        ],
+    )
 
     def _compact_lists(upto):
         """Rewrite lists/gen=0..upto into ONE cluster-partitioned
@@ -3123,13 +3125,12 @@ def run_sim_recluster_stream(
     torn state ACROSS the codebook boundary. ``codebook_log`` records
     (batch, generation) routing decisions."""
     import os
-    import time
+
+    from .dedup_stream import _stage_feed
 
     em = table(spark, sf_dir, "embeddings")
     mx = em.agg(F.max("vec_id")).collect()[0][0]
-    train_cut = 3 * (mx + 1) // 5
-    append_cut = 4 * (mx + 1) // 5
-    mid = (append_cut + mx + 1) // 2
+    train_cut, append_cut, mid = _ivf_cuts(mx)
     bounds = [(0, train_cut), (train_cut, append_cut),
               (append_cut, mid), (mid, mx + 1)]
     ex = _drifted_corpus(em, append_cut)
@@ -3139,21 +3140,16 @@ def run_sim_recluster_stream(
     phase_of = {1: "0_stale_validation", 2: "0_stale_append",
                 3: "1_fresh_post"}
 
-    if not os.path.exists(f"{src}/batch_{N_RECLUSTER_BATCHES - 1}.parquet"):
-        os.makedirs(src, exist_ok=True)
-        now = time.time()
-        for b, (lo, hi) in enumerate(bounds):
-            stage = f"{base}/stage/b{b}"
-            ex.filter(
-                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(
-                f for f in os.listdir(stage) if f.startswith("part-")
-            )
-            dst = f"{src}/batch_{b}.parquet"
-            os.replace(os.path.join(stage, part), dst)
-            ts = now - 60 + 15 * b
-            os.utime(dst, (ts, ts))
+    _stage_feed(
+        ex,
+        base,
+        src,
+        [
+            (b, (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            for b, (lo, hi) in enumerate(bounds)
+        ],
+        step=15,
+    )
 
     def mean_of(path):
         return spark.read.parquet(path).collect()[0]

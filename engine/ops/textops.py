@@ -3315,10 +3315,10 @@ def stream_corpus_router_e2e(spark, sf_dir):
     beyond the O(buckets) model; exactly how quality gates sit on a
     bus in front of a 100 TB corpus store."""
     import os
-    import time
 
     from ..registry import scratch_dir
     from .dedup import N_INC_BATCHES
+    from .dedup_stream import _stage_feed
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
@@ -3327,18 +3327,10 @@ def stream_corpus_router_e2e(spark, sf_dir):
 
     base = scratch_dir("stream_corpus_router_e2e")
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
-    os.makedirs(src, exist_ok=True)
-    now = time.time()
-    for b in range(N_INC_BATCHES):
-        stage = f"{base}/stage/b{b}"
-        d.filter(batch_of == b).coalesce(1).write.mode("overwrite").parquet(
-            stage
-        )
-        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
-        dst = f"{src}/batch_{b}.parquet"
-        os.replace(os.path.join(stage, part), dst)
-        ts = now - 60 + 20 * b
-        os.utime(dst, (ts, ts))
+    _stage_feed(
+        d, base, src,
+        [(b, batch_of == b) for b in range(N_INC_BATCHES)],
+    )
 
     def route_batch(batch_df, epoch_id):
         if batch_df.isEmpty():
@@ -3594,10 +3586,9 @@ def run_corpus_prep_stream(spark, sf_dir, base, fail_at_batch=None):
     checkpoint. Batch id from the data (id range); every write a
     deterministic overwrite."""
     import os
-    import time
 
     from .dedup import N_INC_BATCHES, _lsh_band_rows, _shingle_array, _tokens
-    from .dedup_stream import _inc_lsh_dedupe_batch
+    from .dedup_stream import _inc_lsh_dedupe_batch, _stage_feed
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
@@ -3606,21 +3597,10 @@ def run_corpus_prep_stream(spark, sf_dir, base, fail_at_batch=None):
 
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     idx = f"{base}/index"
-    if not os.path.exists(f"{src}/batch_{N_INC_BATCHES - 1}.parquet"):
-        os.makedirs(src, exist_ok=True)
-        now = time.time()
-        for b in range(N_INC_BATCHES):
-            stage = f"{base}/stage/b{b}"
-            d.filter(batch_of == b).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(stage)
-            part = next(
-                f for f in os.listdir(stage) if f.startswith("part-")
-            )
-            dst = f"{src}/batch_{b}.parquet"
-            os.replace(os.path.join(stage, part), dst)
-            ts = now - 60 + 20 * b
-            os.utime(dst, (ts, ts))
+    _stage_feed(
+        d, base, src,
+        [(b, batch_of == b) for b in range(N_INC_BATCHES)],
+    )
 
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():

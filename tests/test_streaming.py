@@ -1644,6 +1644,134 @@ def test_gc_refuses_inside_replay_horizon(spark, tmp_path):
     assert {tuple(r) for r in again.collect()} == ref
 
 
+def test_capped_compact_boundary_restart(spark, tmp_path):
+    """Kill/restart across the compaction boundary on the CAPPED rig
+    (round-9: compaction now folds the stop-bucket counts into one
+    cumulative counts_c behind the same marker): the replayed boundary
+    batch must resolve its cumulative bucket sizes from the
+    PER-GENERATION counts only (counts_c already includes its own
+    generation — reading it would double-count every key of the
+    replayed batch), the counts_c redo must be a deterministic
+    overwrite, post-boundary increments must read exactly ONE counts
+    artifact, and the final sink must equal the capped batch loop."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup import LSH_BUCKET_CAP, N_INC_BATCHES
+    from engine.ops.dedup_stream import (
+        _read_compact_marker,
+        run_inc_lsh_stream,
+    )
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "capped_compact")
+    boundary = N_INC_BATCHES - 2
+    idx = f"{base}/index"
+
+    with pytest.raises(StreamingQueryException):
+        run_inc_lsh_stream(
+            spark, SMOKE_SF_DIR, base, bucket_cap=LSH_BUCKET_CAP,
+            compact_after=boundary, fail_at_batch=boundary,
+            fail_phase="post_compact",
+        )
+
+    assert _read_compact_marker(idx) == boundary
+    assert os.path.exists(f"{idx}/counts_c")
+
+    clog = []
+    out = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, bucket_cap=LSH_BUCKET_CAP,
+        compact_after=boundary, counts_paths_log=clog,
+    )
+
+    replayed = [paths for (b, paths) in clog if b == boundary]
+    assert replayed, "boundary batch was not replayed"
+    for paths in replayed:
+        assert not any(p.endswith("/counts_c") for p in paths)
+        assert all("/counts/gen=" in p for p in paths)
+    post = [paths for (b, paths) in clog if b > boundary]
+    assert post
+    for paths in post:
+        assert sum(1 for p in paths if p.endswith("/counts_c")) == 1
+        assert all(
+            int(p.rsplit("=", 1)[1]) > boundary
+            for p in paths
+            if "/counts/gen=" in p
+        )
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["dedup_incremental_lsh_capped"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "capped restart across compaction boundary diverged"
+
+    # counts_c redo overwrote deterministically: it equals the sum of
+    # the covered per-generation counts, one row per surviving key
+    per_gen = (
+        spark.read.parquet(
+            *[f"{idx}/counts/gen={g}" for g in range(boundary + 1)]
+        )
+        .groupBy("band", "band_key")
+        .sum("n_new")
+    )
+    cc = spark.read.parquet(f"{idx}/counts_c")
+    assert cc.count() == per_gen.count()
+
+
+def test_gc_partial_delete_recovery(spark, tmp_path):
+    """Mid-GC crash recovery: a GC that dies after deleting SOME of
+    the covered generation directories leaves a partially-gutted
+    index. Because the GC decision is recomputed from the marker and
+    the commit logs (not from what happens to be on disk), a re-run
+    removes the survivors, skips the already-gone dirs, and serving
+    afterwards still value-hashes — the missing dirs were dead by the
+    watermark rule, so nothing ever reads them."""
+    import shutil
+
+    from engine.ops.dedup import LSH_BUCKET_CAP, N_INC_BATCHES
+    from engine.ops.dedup_stream import (
+        _gc_index_generations,
+        run_inc_lsh_stream,
+    )
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "gc_partial")
+    boundary = N_INC_BATCHES - 2
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+
+    out = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, bucket_cap=LSH_BUCKET_CAP,
+        compact_after=boundary,
+    )
+    ref = {tuple(r) for r in out.collect()}
+
+    # simulate the mid-GC crash: generation 0 of every family is gone,
+    # the rest of the covered prefix survives
+    for fam in ("bands", "shingles", "counts"):
+        shutil.rmtree(f"{idx}/{fam}/gen=0")
+
+    removed = _gc_index_generations(ckpt, idx)
+    assert len(removed) == 3 * boundary  # gens 1..boundary, 3 families
+    for g in range(boundary + 1):
+        assert not os.path.exists(f"{idx}/bands/gen={g}")
+        assert not os.path.exists(f"{idx}/counts/gen={g}")
+
+    again = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, bucket_cap=LSH_BUCKET_CAP,
+        compact_after=boundary,
+    )
+    assert {tuple(r) for r in again.collect()} == ref
+    cap_ref = {
+        tuple(r)
+        for r in QUERIES["dedup_incremental_lsh_capped"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert ref == cap_ref
+
+
 def test_sim_gc_refuses_inside_replay_horizon(spark, tmp_path):
     """The ANN GC guard's teeth (stream_sim_gc_e2e): in the
     post-compaction torn state — marker published, boundary batch's
