@@ -534,17 +534,16 @@ def stream_dedup_incremental_e2e(spark, sf_dir):
     return run_inc_lsh_stream(spark, sf_dir, base)
 
 
-def _capped_inc_lsh_sql():
-    """Batch restatement of the PREFIX-capped incremental dedup: a
-    candidate pair is admitted iff its bucket's CUMULATIVE size
-    through the later endpoint's batch is within the cap — exactly
-    the rule `_inc_lsh_dedupe_batch` enforces with its persisted
-    per-generation counts (a key is skipped in batch b when prior
-    generations + this increment exceed the cap). Spliced into the
-    shared minhash CTEs the way _capped_minhash_sql splices the
-    final-size cap, then reduced to each doc's first verified
-    partner like INC_LSH_SQL."""
-    capped = f"""m AS (SELECT max(doc_id) AS mx FROM documents),
+# The plain candidate CTE inside _MH_COMMON_CTES and its prefix-capped
+# replacement — shared with the composed intake pipeline's capped
+# oracle (textops._intake_pipeline_sql), which applies the same splice
+# over the kept set.
+CAND_CTE_PLAIN = """cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),"""
+
+CAND_CTE_CAPPED = f"""m AS (SELECT max(doc_id) AS mx FROM documents),
     bb AS (SELECT bands.*,
                   ({N_INC_BATCHES} * doc_id) // (m.mx + 1) AS batch
            FROM bands, m),
@@ -562,12 +561,20 @@ def _capped_inc_lsh_sql():
           ON c.band = a.band AND c.band_key = a.band_key
          AND c.batch = b.batch
         WHERE c.csz <= {LSH_BUCKET_CAP}),"""
-    old = """cand AS MATERIALIZED (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),"""
-    assert old in _MH_COMMON_CTES
-    common_ctes = _MH_COMMON_CTES.replace(old, capped)
+
+
+def _capped_inc_lsh_sql():
+    """Batch restatement of the PREFIX-capped incremental dedup: a
+    candidate pair is admitted iff its bucket's CUMULATIVE size
+    through the later endpoint's batch is within the cap — exactly
+    the rule `_inc_lsh_dedupe_batch` enforces with its persisted
+    per-generation counts (a key is skipped in batch b when prior
+    generations + this increment exceed the cap). Spliced into the
+    shared minhash CTEs the way _capped_minhash_sql splices the
+    final-size cap, then reduced to each doc's first verified
+    partner like INC_LSH_SQL."""
+    assert CAND_CTE_PLAIN in _MH_COMMON_CTES
+    common_ctes = _MH_COMMON_CTES.replace(CAND_CTE_PLAIN, CAND_CTE_CAPPED)
     return f"""{common_ctes},
     common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
                FROM cand c

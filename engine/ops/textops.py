@@ -3493,12 +3493,18 @@ def corpus_epoch_shuffle(spark, sf_dir):
 # streamed composite equals one batch statement, which is the oracle.
 
 
-def _intake_pipeline_sql():
+def _intake_pipeline_sql(capped=False):
     """ROUTER_SQL (frozen gate + calibrated threshold, nested WITH)
     composed with the minhash first-partner dedup RESTRICTED to the
     kept set: the shared minhash CTEs re-sourced from `kept` the same
-    way the recall audit re-sources them from its skewed corpus."""
+    way the recall audit re-sources them from its skewed corpus.
+    ``capped=True`` additionally splices the arrival-prefix
+    cumulative-bucket rule (dedup_stream.CAND_CTE_CAPPED) over the
+    kept set's bands — batch ids still come from the FULL corpus's id
+    range (the engine derives them from arrival order, which the gate
+    does not change)."""
     from .dedup import _MH_COMMON_CTES, JACCARD_THRESHOLD
+    from .dedup_stream import CAND_CTE_CAPPED, CAND_CTE_PLAIN
 
     old = (
         "WITH t AS (SELECT doc_id, string_split(text, ' ')"
@@ -3512,6 +3518,9 @@ def _intake_pipeline_sql():
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),"""
     assert old in _MH_COMMON_CTES
     ctes = _MH_COMMON_CTES.replace(old, new)
+    if capped:
+        assert CAND_CTE_PLAIN in ctes
+        ctes = ctes.replace(CAND_CTE_PLAIN, CAND_CTE_CAPPED)
     return f"""{ctes},
     common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
                FROM cand c
@@ -3579,12 +3588,53 @@ def stream_corpus_prep_e2e(spark, sf_dir):
     return run_corpus_prep_stream(spark, sf_dir, base)
 
 
-def run_corpus_prep_stream(spark, sf_dir, base, fail_at_batch=None):
-    """The checkpointed rig behind stream_corpus_prep_e2e, factored so
-    the restart test can kill it in the torn state (index generation
-    written, sink row batch absent) and restart it on the same
-    checkpoint. Batch id from the data (id range); every write a
-    deterministic overwrite."""
+@register(
+    "stream_corpus_prep_capped_e2e", oracle=_intake_pipeline_sql(capped=True)
+)
+def stream_corpus_prep_capped_e2e(spark, sf_dir):
+    """The composed intake pipeline WITH the stop-bucket guard — the
+    form that actually fronts a 100 TB corpus store (round-8 verdict
+    item 2: stream_corpus_prep_e2e composed the gate and the dedup
+    index but called the dedup core uncapped, re-opening the exact
+    megabucket fan-out dedup_incremental_lsh_capped closed). Identical
+    rig; ``bucket_cap`` threads through to `_inc_lsh_dedupe_batch`, so
+    per-(band, band_key) counts persist as ``counts/gen=N`` inside the
+    same replay unit and a key whose accumulated KEPT-set size exceeds
+    the cap emits no pairs from that batch on — arrival-prefix
+    semantics over the kept stream.
+
+    The oracle is the composed statement with the cumulative-bucket
+    CTE spliced over the kept set's bands (batch ids from the full
+    corpus's id ranges — the gate drops documents but does not renumber
+    arrivals). Capped ⊆ uncapped on the composite and the torn-state
+    restart are covered in tests/test_streaming.py.
+
+    Scale: the composed per-increment cost gains one combinable counts
+    aggregate and one broadcastable allowed-key semi-join; in exchange
+    a boilerplate megabucket inside the KEPT stream — the gate screens
+    for quality, not redundancy, so boilerplate sails through it —
+    can no longer quadratically blow up the index join."""
+    from .dedup import LSH_BUCKET_CAP
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_corpus_prep_capped_e2e")
+    return run_corpus_prep_stream(
+        spark, sf_dir, base, bucket_cap=LSH_BUCKET_CAP
+    )
+
+
+def run_corpus_prep_stream(
+    spark, sf_dir, base, fail_at_batch=None, bucket_cap=None
+):
+    """The checkpointed rig behind stream_corpus_prep_e2e and its
+    capped production form, factored so the restart test can kill it
+    in the torn state (index generation written, sink row batch
+    absent) and restart it on the same checkpoint. Batch id from the
+    data (id range); every write a deterministic overwrite.
+    ``bucket_cap`` threads the stop-bucket guard into the composed
+    pipeline's dedup core (round-8 verdict item 2 — previously the
+    most production-shaped op was the one op still exposed to the
+    megabucket fan-out the dedicated capped path closed)."""
     import os
 
     from .dedup import N_INC_BATCHES, _lsh_band_rows, _shingle_array, _tokens
@@ -3647,7 +3697,7 @@ def run_corpus_prep_stream(spark, sf_dir, base, fail_at_batch=None):
             try:
                 dups = _inc_lsh_dedupe_batch(
                     spark, doc_sh, _lsh_band_rows(doc_sh), idx, b,
-                    materialize=False,
+                    materialize=False, bucket_cap=bucket_cap,
                 ).select(
                     "doc_id",
                     F.col("dup_of"),

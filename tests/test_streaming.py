@@ -1858,6 +1858,61 @@ def test_corpus_prep_stream_restart(spark, tmp_path):
             assert routes[dup_of][0] in ("kept", "kept_dup")
 
 
+def test_corpus_prep_capped_restart_and_subset(spark, tmp_path):
+    """The CAPPED composite (stream_corpus_prep_capped_e2e's rig):
+    (a) torn-state kill/restart with the cap threaded through — the
+    replayed increment rewrites its band AND counts generations
+    deterministically and the final output equals the uninterrupted
+    capped composite; (b) with a cap tight enough to bind on the kept
+    set, the capped kept_dup set is a STRICT subset of the uncapped
+    one and every surviving partner is monotone ≥ the uncapped
+    partner — the composed form of the capped ⊆ uncapped property."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.textops import run_corpus_prep_stream
+    from engine.registry import QUERIES
+
+    cap = 2  # binds on the kept set at smoke scale
+    base = str(tmp_path / "prep_capped")
+
+    with pytest.raises(StreamingQueryException):
+        run_corpus_prep_stream(
+            spark, SMOKE_SF_DIR, base, fail_at_batch=1, bucket_cap=cap
+        )
+    assert os.path.exists(f"{base}/index/counts/gen=1")
+    assert not os.path.exists(f"{base}/sink/batch_id=1")
+
+    out = run_corpus_prep_stream(spark, SMOKE_SF_DIR, base, bucket_cap=cap)
+    got = {tuple(r) for r in out.collect()}
+
+    clean = run_corpus_prep_stream(
+        spark, SMOKE_SF_DIR, str(tmp_path / "prep_capped_clean"),
+        bucket_cap=cap,
+    )
+    assert got == {tuple(r) for r in clean.collect()}, (
+        "capped composite restart diverged"
+    )
+
+    unc = {
+        r["doc_id"]: r["dup_of"]
+        for r in QUERIES["stream_corpus_prep_e2e"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+        if r["route"] == "kept_dup"
+    }
+    capd = {
+        t[0]: t[4]
+        for t in got
+        if t[3] == "kept_dup"
+    }
+    assert set(capd) < set(unc), (
+        f"cap={cap} did not bind on the kept set: {len(capd)} vs {len(unc)}"
+    )
+    assert all(capd[k] >= unc[k] for k in capd), (
+        "capped partner below uncapped on the composite"
+    )
+
+
 def test_corpus_prep_index_holds_only_kept_docs(spark, tmp_path):
     """The composite's governance invariant, checked against the
     PERSISTED state rather than the output rows: after
