@@ -363,10 +363,89 @@ def _compact_index_generations(spark, idx, upto):
     os.replace(tmp, f"{idx}/compacted_upto")
 
 
+# Takedown cohort for the delete-propagation rig: documents with
+# doc_id % TD_MOD == TD_RES that ARRIVED by the delete boundary
+# (batch <= TD_AFTER). Chosen so the cohort contains first partners of
+# post-boundary duplicates at both fixture scales — the delete must
+# visibly change post-delete dedup decisions, not just shrink files.
+TD_MOD, TD_RES = 7, 1
+TD_AFTER = N_INC_BATCHES - 2
+
+
+def _takedown_pred():
+    return F.col("doc_id") % TD_MOD == TD_RES
+
+
+def _apply_takedown(spark, idx, upto):
+    """Rewrite index generations 0..upto WITHOUT the takedown docs as
+    per-generation purged twins (bands_p/gen=g, shingles_p/gen=g),
+    write the tombstone table (the deleted ids — audits and late-
+    arrival filtering read it), then publish the ``takedown_upto``
+    marker LAST (atomic os.replace — the write-last protocol every
+    marker in the repo follows). Original generations are RETAINED
+    until GC for the same reason compaction retains them: a
+    checkpoint replay of the boundary batch must re-read the exact
+    pre-takedown layout it first ran against. Each rewrite is a
+    deterministic overwrite, so the takedown redo on replay converges
+    to the same bytes."""
+    import os
+
+    td = _takedown_pred()
+    for g in range(upto + 1):
+        (
+            spark.read.parquet(f"{idx}/bands/gen={g}")
+            .filter(~td)
+            .write.mode("overwrite")
+            .parquet(f"{idx}/bands_p/gen={g}")
+        )
+        (
+            spark.read.parquet(f"{idx}/shingles/gen={g}")
+            .filter(~td)
+            .write.mode("overwrite")
+            .parquet(f"{idx}/shingles_p/gen={g}")
+        )
+    (
+        spark.read.parquet(
+            *[f"{idx}/shingles/gen={g}" for g in range(upto + 1)]
+        )
+        .filter(td)
+        .select("doc_id")
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{idx}/tombstones")
+    )
+    tmp = f"{idx}/takedown_upto.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto))
+    os.replace(tmp, f"{idx}/takedown_upto")
+
+
+def _purge_sink(spark, sink, upto):
+    """Remove the takedown docs' OWN rows from the already-served sink
+    partitions 0..upto (the doc's data leaves every serving artifact).
+    Rows that merely CITE a takedown doc as dup_of stand — they are
+    historical dedup decisions about surviving documents, and the
+    citation is an opaque id, not document content. Deterministic
+    per-partition overwrite (replay-safe)."""
+    import os
+
+    td = _takedown_pred()
+    for g in range(upto + 1):
+        p = f"{sink}/batch_id={g}"
+        if os.path.exists(p):
+            kept = (
+                spark.read.parquet(p)
+                .filter(~td)
+                .localCheckpoint(eager=True)
+            )
+            kept.coalesce(1).write.mode("overwrite").parquet(p)
+
+
 def run_inc_lsh_stream(
     spark, sf_dir, base, fail_at_batch=None, bucket_cap=None,
     compact_after=None, fail_phase="pre_sink", read_paths_log=None,
-    counts_paths_log=None,
+    counts_paths_log=None, delete_after=None,
 ):
     """The checkpointed-stream rig behind stream_dedup_incremental_e2e,
     factored so tests can kill it mid-stream and restart it against the
@@ -415,7 +494,29 @@ def run_inc_lsh_stream(
         ],
     )
 
+    if compact_after is not None and delete_after is not None:
+        raise ValueError("rig supports one maintenance mode per stream")
+
     def reader(spark_, b):
+        if delete_after is not None:
+            # strictly-past rule, same as compaction: the purged twins
+            # serve only batches past the takedown boundary; a
+            # replayed boundary batch re-reads the pre-takedown layout
+            # it first ran against (the originals are retained)
+            m = _read_marker(f"{idx}/takedown_upto")
+            if m is not None and m < b:
+                pb = [f"{idx}/bands_p/gen={g}" for g in range(m + 1)] + [
+                    f"{idx}/bands/gen={g}" for g in range(m + 1, b)
+                ]
+                ps = [
+                    f"{idx}/shingles_p/gen={g}" for g in range(m + 1)
+                ] + [f"{idx}/shingles/gen={g}" for g in range(m + 1, b)]
+            else:
+                pb = [f"{idx}/bands/gen={g}" for g in range(b)]
+                ps = [f"{idx}/shingles/gen={g}" for g in range(b)]
+            if read_paths_log is not None:
+                read_paths_log.append((b, list(pb)))
+            return spark_.read.parquet(*pb), spark_.read.parquet(*ps)
         m = _read_compact_marker(idx)
         if m is not None and m < b:
             pb = [f"{idx}/bands_c"] + [
@@ -448,7 +549,9 @@ def run_inc_lsh_stream(
             out = _inc_lsh_dedupe_batch(
                 spark, doc_sh, _lsh_band_rows(doc_sh), idx, b,
                 materialize=False, bucket_cap=bucket_cap,
-                read_index=reader if compact_after is not None else None,
+                read_index=reader
+                if (compact_after is not None or delete_after is not None)
+                else None,
                 counts_paths_log=counts_paths_log,
             )
             if (
@@ -472,6 +575,18 @@ def run_inc_lsh_stream(
                 ):
                     raise RuntimeError(
                         f"injected failure: increment {b} after compaction"
+                        " marker, before checkpoint commit"
+                    )
+            if delete_after is not None and b == delete_after:
+                _apply_takedown(spark, idx, b)
+                _purge_sink(spark, sink, b)
+                if (
+                    fail_at_batch is not None
+                    and b == fail_at_batch
+                    and fail_phase == "post_takedown"
+                ):
+                    raise RuntimeError(
+                        f"injected failure: increment {b} after takedown"
                         " marker, before checkpoint commit"
                     )
         finally:
@@ -960,3 +1075,109 @@ def stream_dedup_capped_lifecycle_e2e(spark, sf_dir):
         spark, sf_dir, base, bucket_cap=LSH_BUCKET_CAP,
         compact_after=boundary,
     )
+
+
+def _delete_e2e_sql():
+    """Batch restatement of delete propagation: rows for batches up to
+    the takedown boundary are the FULL-corpus incremental statement
+    minus the takedown docs' own rows (their data leaves every serving
+    artifact; citations of them as dup_of stand as historical
+    decisions), and rows past the boundary are the incremental
+    statement over the REDUCED corpus — the from-scratch-rebuild
+    semantics the purge must reproduce. The reduced statement keeps
+    batch ids on the FULL corpus's id ranges (arrival order is not
+    renumbered by a takedown) by filtering only the token source."""
+    old = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ')"
+        " AS toks FROM documents),"
+    )
+    red_src = f"""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE NOT (doc_id % {TD_MOD} = {TD_RES}
+              AND ({N_INC_BATCHES} * doc_id) //
+                  ((SELECT max(doc_id) FROM documents) + 1)
+                  <= {TD_AFTER})),"""
+    assert old in INC_LSH_SQL
+    red = INC_LSH_SQL.replace(old, red_src)
+    return f"""WITH pre AS MATERIALIZED ({INC_LSH_SQL}),
+    post AS MATERIALIZED ({red})
+    SELECT doc_id, batch_id, dup_of, jaccard_first FROM pre
+    WHERE batch_id <= {TD_AFTER} AND doc_id % {TD_MOD} != {TD_RES}
+    UNION ALL
+    SELECT doc_id, batch_id, dup_of, jaccard_first FROM post
+    WHERE batch_id > {TD_AFTER}
+"""
+
+
+DELETE_E2E_SQL = _delete_e2e_sql()
+
+
+@register("stream_dedup_delete_e2e", oracle=DELETE_E2E_SQL)
+def stream_dedup_delete_e2e(spark, sf_dir):
+    """Document DELETE propagation through the dedup index lifecycle —
+    the governance twin of the intake gate (round-8 verdict item 4:
+    build/append/compact/recluster/GC were covered; REMOVAL was not,
+    and every at-scale corpus store needs takedown/opt-out): after the
+    boundary increment commits, the takedown cohort's rows are purged
+    from every band/shingle generation (per-generation purged twins
+    behind the write-last ``takedown_upto`` marker), a tombstone table
+    records the deleted ids, the already-served sink partitions drop
+    the cohort's own rows, and every LATER increment dedupes against
+    the PURGED index — so a new near-duplicate of a deleted document
+    is no longer flagged against it, and a doc whose first partner was
+    deleted re-matches to its next surviving partner.
+
+    The oracle is the two-regime statement: full-corpus incremental
+    minus the cohort's rows up to the boundary, reduced-corpus
+    incremental past it. On top of the value hash, the op REBUILDS the
+    post-boundary serving from scratch — a fresh index built from the
+    reduced corpus, the post-boundary increments processed against it
+    — and asserts row equality with the streamed sink (the
+    probe-equivalence discipline dedup_index_compact set). The
+    replayed-boundary torn state (marker published, checkpoint commit
+    missing — the replay must re-read the PRE-takedown layout and redo
+    the purge deterministically) is pinned by
+    tests/test_streaming.py::test_takedown_boundary_restart.
+
+    Scale shape: the purge is one filter-rewrite pass per covered
+    generation (each a deterministic overwrite, no shuffle — the
+    filter rides the scan), the tombstone table is O(cohort), and
+    post-delete serving costs exactly what pre-delete serving cost.
+    Nothing rescans text; nothing touches uncovered generations."""
+    from ..registry import scratch_dir
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    base = scratch_dir("stream_dedup_delete_e2e")
+    out = run_inc_lsh_stream(spark, sf_dir, base, delete_after=TD_AFTER)
+    out = out.localCheckpoint(eager=True)
+
+    # from-scratch rebuild equivalence: a fresh index on the reduced
+    # corpus must serve the post-boundary increments identically
+    batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
+    reduced = d.filter(
+        ~((F.col("doc_id") % TD_MOD == TD_RES) & (batch_of <= TD_AFTER))
+    )
+    rb_base = scratch_dir("stream_dedup_delete_e2e_rebuild")
+    doc_sh_all, bands_all = _inc_lsh_prepare(reduced)
+    try:
+        rebuilt = None
+        for b in range(N_INC_BATCHES):
+            ob = _inc_lsh_process_batch(
+                spark, doc_sh_all, bands_all, mx, rb_base, b
+            )
+            rebuilt = ob if rebuilt is None else rebuilt.unionByName(ob)
+        rebuilt_post = rebuilt.filter(F.col("batch_id") > TD_AFTER)
+        served_post = out.filter(F.col("batch_id") > TD_AFTER)
+        diff = served_post.exceptAll(rebuilt_post).unionByName(
+            rebuilt_post.exceptAll(served_post)
+        )
+        if diff.limit(1).count() > 0:
+            raise AssertionError(
+                "post-delete serving diverges from the from-scratch"
+                " rebuild on the reduced corpus"
+            )
+    finally:
+        bands_all.unpersist()
+        doc_sh_all.unpersist()
+    return out

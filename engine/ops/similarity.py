@@ -1954,6 +1954,127 @@ def sim_index_append(spark, sf_dir):
     return _ivf_probe(spark, sf_dir, cent, inv)
 
 
+# Takedown cohort for the ANN delete op — every list generation loses
+# these vec_ids. ~1/7 of the corpus, dense enough that probe answers
+# visibly change (deleted vectors sat in top-K lists).
+VEC_TD_MOD, VEC_TD_RES = 7, 1
+
+
+def _sim_delete_sql():
+    """IVF_APPEND_SQL with the takedown cohort excluded from SERVING:
+    the codebook (cent) and the probe workload are unchanged — only
+    the inverted-list membership loses the deleted vectors, exactly
+    what the engine's generation purge does."""
+    old = "WHERE p.q_id <> v.c_id)"
+    assert IVF_APPEND_SQL.count(old) == 1
+    return IVF_APPEND_SQL.replace(
+        old,
+        f"WHERE p.q_id <> v.c_id"
+        f" AND v.c_id % {VEC_TD_MOD} <> {VEC_TD_RES})",
+    )
+
+
+@register("sim_index_delete", oracle=_sim_delete_sql())
+def sim_index_delete(spark, sf_dir):
+    """Vector DELETE propagation through the ANN index — the ANN twin
+    of stream_dedup_delete_e2e (round-8 verdict item 4 named BOTH
+    generation indexes): given a takedown cohort, every inverted-list
+    generation is rewritten WITHOUT those vectors into purged twins
+    (lists_p/gen=N, cluster-partitioned like the serving layout), a
+    tombstone table records the deleted ids, and the write-last
+    ``takedown_applied`` marker publishes the swap atomically —
+    serving probes the purged layout and a deleted vector can never
+    again appear in any answer.
+
+    The CODEBOOK is retained: centroids are statistical aggregates of
+    the training pass, not retrievable member data, so takedown
+    rewrites membership, not geometry — "from-scratch rebuild without
+    those docs" therefore means re-ASSIGNING the reduced vector set
+    against the frozen codebook, which the op proves in-op: the purged
+    layout's probe answers must equal the probe over a clean
+    reassignment of the reduced corpus (exceptAll both ways empty). If
+    policy demands retraining the codebook itself, that is the
+    re-cluster path (stream_sim_recluster_e2e) composed after this op.
+    The oracle is the appended-index probe statement with the cohort
+    excluded from list membership only.
+
+    Scale shape: the purge is one filter-rewrite per generation (the
+    filter rides the partition-pruned scan; no shuffle beyond the
+    cluster repartition that keeps one file per serving partition),
+    tombstones are O(cohort), and post-delete probes cost exactly what
+    pre-delete probes cost."""
+    import os
+
+    from ..registry import scratch_dir
+
+    em = table(spark, sf_dir, "embeddings")
+    cut = _ivf_append_cut(em)
+    refined, lists = _ivf_build_from(em.filter(F.col("vec_id") < cut))
+    base = scratch_dir("sim_index_delete")
+    cent_path, list_path = f"{base}/centroids", f"{base}/lists"
+    refined.write.mode("overwrite").parquet(cent_path)
+    lists.repartition("cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(f"{list_path}/gen=0")
+    cent = spark.read.parquet(cent_path)
+    batch = em.filter(F.col("vec_id") >= cut).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    _ivf_assign(batch, cent).repartition("cluster").write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(f"{list_path}/gen=1")
+
+    # the takedown: purged per-generation twins, tombstones, marker
+    td = F.col("c_id") % VEC_TD_MOD == VEC_TD_RES
+    for g in (0, 1):
+        (
+            spark.read.parquet(f"{list_path}/gen={g}")
+            .filter(~td)
+            .repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{base}/lists_p/gen={g}")
+        )
+    (
+        em.filter(F.col("vec_id") % VEC_TD_MOD == VEC_TD_RES)
+        .select(F.col("vec_id").alias("c_id"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{base}/tombstones")
+    )
+    tmp = f"{base}/takedown_applied.tmp"
+    with open(tmp, "w") as f:
+        f.write("1")
+    os.replace(tmp, f"{base}/takedown_applied")
+
+    purged = (
+        spark.read.option("basePath", f"{base}/lists_p")
+        .parquet(f"{base}/lists_p/gen=0", f"{base}/lists_p/gen=1")
+        .drop("gen")
+    )
+    post = _ivf_probe(spark, sf_dir, cent, purged).localCheckpoint(
+        eager=True
+    )
+
+    # frozen-codebook rebuild equivalence: purged serving must equal a
+    # clean reassignment of the reduced corpus against the same cent
+    reduced = em.filter(
+        F.col("vec_id") % VEC_TD_MOD != VEC_TD_RES
+    ).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    rb = _ivf_probe(
+        spark, sf_dir, cent, _ivf_assign(reduced, cent)
+    ).localCheckpoint(eager=True)
+    diff = post.exceptAll(rb).unionByName(rb.exceptAll(post))
+    if diff.limit(1).count() > 0:
+        raise AssertionError(
+            "post-delete probe diverges from the frozen-codebook"
+            " rebuild on the reduced corpus"
+        )
+    return post
+
+
 @register("sim_index_compact", oracle=IVF_APPEND_SQL)
 def sim_index_compact(spark, sf_dir):
     """IVF list-generation COMPACTION with a probe-equivalence proof —

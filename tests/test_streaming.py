@@ -1772,6 +1772,92 @@ def test_gc_partial_delete_recovery(spark, tmp_path):
     assert ref == cap_ref
 
 
+def test_takedown_boundary_restart(spark, tmp_path):
+    """Kill/restart ACROSS the document-delete boundary
+    (stream_dedup_delete_e2e's torn state): run 1 processes the
+    boundary increment, writes its generation + sink, applies the
+    takedown (purged twins + tombstones + marker) and purges the
+    served sink partitions, then dies BEFORE the checkpoint commit.
+    Run 2 replays the boundary increment on the same checkpoint — the
+    marker-gated reader must serve it from the PRE-takedown
+    per-generation layout (the purged twins only serve batches
+    strictly past the boundary; reading them would change the
+    replayed batch's own dedup decisions), the takedown redo and the
+    sink purge must be deterministic overwrites, and the post-boundary
+    increment must dedupe against the PURGED index, ending byte-equal
+    to the uninterrupted delete pipeline."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import (
+        TD_AFTER,
+        TD_MOD,
+        TD_RES,
+        _read_marker,
+        run_inc_lsh_stream,
+    )
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "takedown")
+    idx = f"{base}/index"
+
+    with pytest.raises(StreamingQueryException):
+        run_inc_lsh_stream(
+            spark, SMOKE_SF_DIR, base, delete_after=TD_AFTER,
+            fail_at_batch=TD_AFTER, fail_phase="post_takedown",
+        )
+
+    # torn state: marker + purged twins + purged sink all published,
+    # checkpoint commit missing
+    assert _read_marker(f"{idx}/takedown_upto") == TD_AFTER
+    assert os.path.exists(f"{idx}/bands_p/gen=0")
+    assert os.path.exists(f"{idx}/tombstones")
+    assert os.path.exists(f"{idx}/bands/gen={TD_AFTER}")  # originals kept
+
+    log = []
+    out = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, delete_after=TD_AFTER,
+        read_paths_log=log,
+    )
+
+    # the replayed boundary batch read only pre-takedown generations
+    replayed = [paths for (b, paths) in log if b == TD_AFTER]
+    assert replayed, "boundary batch was not replayed"
+    for paths in replayed:
+        assert all("/bands/gen=" in p for p in paths)
+        assert not any("/bands_p/" in p for p in paths)
+    # the post-boundary increment served from the purged twins for the
+    # covered prefix and originals for newer generations
+    post = [paths for (b, paths) in log if b > TD_AFTER]
+    assert post
+    for paths in post:
+        covered = [p for p in paths if "/bands_p/gen=" in p]
+        assert len(covered) == TD_AFTER + 1
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["stream_dedup_delete_e2e"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "restart across takedown boundary diverged"
+
+    # no takedown doc's own row survives anywhere in the sink, and no
+    # takedown doc survives in any purged band generation
+    assert not any(t[0] % TD_MOD == TD_RES and t[1] <= TD_AFTER for t in got)
+    purged = spark.read.parquet(
+        *[f"{idx}/bands_p/gen={g}" for g in range(TD_AFTER + 1)]
+    )
+    assert purged.filter(
+        (purged.doc_id % TD_MOD) == TD_RES
+    ).count() == 0
+    # tombstones hold exactly the deleted ids
+    tomb = {
+        r[0] for r in spark.read.parquet(f"{idx}/tombstones").collect()
+    }
+    assert tomb and all(t % TD_MOD == TD_RES for t in tomb)
+
+
 def test_sim_gc_refuses_inside_replay_horizon(spark, tmp_path):
     """The ANN GC guard's teeth (stream_sim_gc_e2e): in the
     post-compaction torn state — marker published, boundary batch's
