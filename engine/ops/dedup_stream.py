@@ -897,24 +897,25 @@ def _committed_src_batches(ckpt):
     return out
 
 
-def _gc_generations(ckpt, idx, families):
+def _gc_generations(ckpt, idx, families, marker_name="compacted_upto"):
     """Shared watermark-gated generation GC (review finding: the
     dedup and ANN GCs forked this verbatim): delete each family's
     generation directories covered by BOTH safety conditions — (a)
-    the compacted layout serves them (generation ≤ the compacted_upto
-    marker) and (b) the checkpoint's commit watermark has passed them
-    (every covered batch is in `_committed_src_batches`, so no
-    restart can ever replay one). REFUSES with ValueError when any
-    covered batch is still inside the replay horizon — deleting then
-    would make the torn-state replay the compaction tests perform
-    impossible, which is exactly the production incident this guard
-    prevents. Returns the removed paths."""
+    a replacement layout serves them (generation ≤ the ``marker_name``
+    marker: the compacted layout, or the takedown's purged twins) and
+    (b) the checkpoint's commit watermark has passed them (every
+    covered batch is in `_committed_src_batches`, so no restart can
+    ever replay one). REFUSES with ValueError when any covered batch
+    is still inside the replay horizon — deleting then would make the
+    torn-state replay the compaction tests perform impossible, which
+    is exactly the production incident this guard prevents. Returns
+    the removed paths."""
     import os
     import shutil
 
-    m = _read_compact_marker(idx)
+    m = _read_marker(f"{idx}/{marker_name}")
     if m is None:
-        raise ValueError("GC refused: no compaction marker published")
+        raise ValueError(f"GC refused: no {marker_name} marker published")
     committed = _committed_src_batches(ckpt)
     pending = [b for b in range(m + 1) if b not in committed]
     if pending:
@@ -941,6 +942,20 @@ def _gc_index_generations(ckpt, idx):
     generations dead makes counts generations dead too. On uncapped
     streams no counts directories exist and the family is a no-op."""
     return _gc_generations(ckpt, idx, ("bands", "shingles", "counts"))
+
+
+def _gc_takedown_originals(ckpt, idx):
+    """Delete the PRE-takedown ORIGINAL generations once the commit
+    watermark has passed the takedown boundary — the step that makes
+    a delete COMPLETE: the purged twins serve every read, but the
+    originals still hold the deleted documents' content-derived state
+    (shingle arrays, band keys); retaining them past the replay
+    horizon would fail the compliance obligation the takedown exists
+    for. Same marker-AND-watermark rule as the compaction GC, keyed
+    on ``takedown_upto``."""
+    return _gc_generations(
+        ckpt, idx, ("bands", "shingles"), marker_name="takedown_upto"
+    )
 
 
 @register("stream_dedup_gc_e2e", oracle=INC_LSH_SQL)
@@ -1181,3 +1196,69 @@ def stream_dedup_delete_e2e(spark, sf_dir):
         bands_all.unpersist()
         doc_sh_all.unpersist()
     return out
+
+
+@register("stream_dedup_delete_gc_e2e", oracle=DELETE_E2E_SQL)
+def stream_dedup_delete_gc_e2e(spark, sf_dir):
+    """Takedown COMPLETION: GC the pre-takedown original generations
+    — the compliance close of stream_dedup_delete_e2e. The delete op
+    retains the originals inside the replay horizon (a replayed
+    boundary batch must re-read the exact pre-takedown layout), but
+    those originals still CONTAIN the deleted documents' shingles and
+    band keys, so the takedown is not compliance-complete until
+    they're gone. This op runs the delete stream to completion, then
+    deletes the original generations under the same
+    marker-AND-commit-watermark rule as the compaction GC (keyed on
+    ``takedown_upto``; REFUSES in the torn state — exercised in
+    tests/test_streaming.py alongside the delete restart), then
+    proves COMPLETENESS from the filesystem: every parquet row
+    remaining anywhere under the index is semi-joined against the
+    tombstone table and must come back empty — no shard, purged or
+    newer, holds a tombstoned id. Finally the stream restarts on the
+    gutted index as a committed no-op and the sink still value-hashes
+    against the two-regime delete statement.
+
+    Scale shape: GC is driver-side fs metadata work; the completeness
+    audit is one union-scan of the surviving index shards semi-joined
+    against the O(cohort) broadcast tombstone set — the audit query a
+    compliance officer actually runs."""
+    import os
+
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_dedup_delete_gc_e2e")
+    run_inc_lsh_stream(spark, sf_dir, base, delete_after=TD_AFTER)
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+    removed = _gc_takedown_originals(ckpt, idx)
+    if len(removed) != 2 * (TD_AFTER + 1):
+        raise AssertionError(
+            f"takedown GC removed {removed}, expected bands+shingles"
+            f" originals for generations 0..{TD_AFTER}"
+        )
+    # completeness: no surviving shard holds a tombstoned id (each
+    # family read at its own root — mixed family roots can't share one
+    # partition-discovery basePath)
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    surviving = None
+    for fam in ("bands", "shingles", "bands_p", "shingles_p"):
+        root = f"{idx}/{fam}"
+        if not os.path.isdir(root):
+            continue
+        gens = [
+            f"{root}/{g}" for g in os.listdir(root) if g.startswith("gen=")
+        ]
+        if not gens:
+            continue
+        ids = spark.read.parquet(*gens).select("doc_id")
+        surviving = ids if surviving is None else surviving.unionByName(ids)
+    leaked = surviving.join(
+        F.broadcast(tomb.select(F.col("doc_id"))), "doc_id", "left_semi"
+    )
+    if leaked.limit(1).count() > 0:
+        raise AssertionError(
+            "takedown incomplete: a surviving index shard still holds"
+            " a tombstoned doc_id"
+        )
+    # restart on the gutted index: recovery finds every source file
+    # committed, replays nothing, and serving is unchanged
+    return run_inc_lsh_stream(spark, sf_dir, base, delete_after=TD_AFTER)

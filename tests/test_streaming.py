@@ -1812,6 +1812,13 @@ def test_takedown_boundary_restart(spark, tmp_path):
     assert os.path.exists(f"{idx}/bands_p/gen=0")
     assert os.path.exists(f"{idx}/tombstones")
     assert os.path.exists(f"{idx}/bands/gen={TD_AFTER}")  # originals kept
+    # the takedown-completion GC must REFUSE in this torn state: the
+    # boundary batch is still replayable and needs the originals
+    from engine.ops.dedup_stream import _gc_takedown_originals
+
+    with pytest.raises(ValueError, match=rf"\[{TD_AFTER}\].*replay"):
+        _gc_takedown_originals(f"{base}/ckpt", idx)
+    assert os.path.exists(f"{idx}/bands/gen={TD_AFTER}")
 
     log = []
     out = run_inc_lsh_stream(
