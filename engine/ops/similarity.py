@@ -2919,7 +2919,7 @@ N_SIM_BATCHES = 3  # batch 0 = the 80% base build; 1..2 = appended halves
 
 def run_sim_index_stream(
     spark, sf_dir, base, fail_at_batch=None, fail_phase="post_index",
-    compact_after=None, serve_paths_log=None,
+    compact_after=None, serve_paths_log=None, delete_after=None,
 ):
     """The checkpointed-stream rig behind stream_sim_index_e2e,
     factored so tests can kill it mid-stream and restart it on the
@@ -2994,6 +2994,42 @@ def run_sim_index_stream(
             f.write(str(upto))
         os.replace(tmp, f"{idx}/compacted_upto")
 
+    if compact_after is not None and delete_after is not None:
+        raise ValueError("rig supports one maintenance mode per stream")
+
+    def _apply_vec_takedown(upto):
+        """Rewrite list generations 0..upto WITHOUT the takedown
+        cohort as cluster-partitioned purged twins (lists_p/gen=g),
+        write tombstones, publish the ``takedown_upto`` marker LAST
+        (atomic). Originals are retained inside the replay horizon —
+        a replayed boundary batch redoes this as a deterministic
+        overwrite; the ANN stream's read side is serving-only, so the
+        swap is purely a marker-gated serving decision."""
+        td = F.col("c_id") % VEC_TD_MOD == VEC_TD_RES
+        for g in range(upto + 1):
+            (
+                spark.read.parquet(f"{list_path}/gen={g}")
+                .filter(~td)
+                .repartition("cluster")
+                .write.mode("overwrite")
+                .partitionBy("cluster")
+                .parquet(f"{idx}/lists_p/gen={g}")
+            )
+        (
+            spark.read.option("basePath", list_path)
+            .parquet(*[f"{list_path}/gen={g}" for g in range(upto + 1)])
+            .filter(td)
+            .select("c_id")
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{idx}/tombstones")
+        )
+        tmp = f"{idx}/takedown_upto.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(upto))
+        os.replace(tmp, f"{idx}/takedown_upto")
+
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
             return
@@ -3043,6 +3079,17 @@ def run_sim_index_stream(
                     f"injected failure: increment {b} after compaction"
                     " marker, before checkpoint commit"
                 )
+        if delete_after is not None and b == delete_after:
+            _apply_vec_takedown(b)
+            if (
+                fail_at_batch is not None
+                and b == fail_at_batch
+                and fail_phase == "post_takedown"
+            ):
+                raise RuntimeError(
+                    f"injected failure: increment {b} after takedown"
+                    " marker, before checkpoint commit"
+                )
 
     q = (
         spark.readStream.schema("vec_id bigint, embedding array<float>")
@@ -3060,9 +3107,36 @@ def run_sim_index_stream(
         )
 
     # marker-gated SERVING read: the compacted layout plus only the
-    # generations strictly past the compaction boundary
-    m = _read_compact_marker(idx)
+    # generations strictly past the compaction boundary — or, in
+    # delete mode, the purged twins for the covered prefix plus the
+    # untouched newer generations
     cent = spark.read.parquet(cent_path)
+    if delete_after is not None:
+        from .dedup_stream import _read_marker
+
+        md = _read_marker(f"{idx}/takedown_upto")
+        if md is not None:
+            paths = [f"{idx}/lists_p/gen={g}" for g in range(md + 1)] + [
+                f"{list_path}/gen={g}"
+                for g in range(md + 1, N_SIM_BATCHES)
+            ]
+            inv = None
+            for p in paths:
+                part = spark.read.parquet(p)
+                inv = part if inv is None else inv.unionByName(part)
+        else:
+            paths = [
+                f"{list_path}/gen={g}" for g in range(N_SIM_BATCHES)
+            ]
+            inv = (
+                spark.read.option("basePath", list_path)
+                .parquet(*paths)
+                .drop("gen")
+            )
+        if serve_paths_log is not None:
+            serve_paths_log.append(list(paths))
+        return _ivf_probe(spark, sf_dir, cent, inv)
+    m = _read_compact_marker(idx)
     if m is not None:
         paths = [f"{idx}/lists_c"] + [
             f"{list_path}/gen={g}" for g in range(m + 1, N_SIM_BATCHES)
@@ -3531,4 +3605,123 @@ def stream_sim_gc_e2e(spark, sf_dir):
     )
     if not any(p.endswith("/lists_c") for p in log[-1]):
         raise AssertionError("post-GC probe did not serve from lists_c")
+    return out
+
+
+# the appended-probe statement with the takedown cohort excluded from
+# list membership, cohort = vectors ARRIVED by the delete boundary
+# (the stream's gens 0..N-2, i.e. vec_id below the appended tail's
+# midpoint — later arrivals sharing the id pattern are NOT taken down)
+IVF_MID_SQL = (
+    "(SELECT (4 * (max(vec_id) + 1) // 5 + max(vec_id) + 1) // 2"
+    " FROM embeddings)"
+)
+
+
+def _sim_stream_delete_sql():
+    old = "WHERE p.q_id <> v.c_id)"
+    assert IVF_APPEND_SQL.count(old) == 1
+    return IVF_APPEND_SQL.replace(
+        old,
+        f"WHERE p.q_id <> v.c_id"
+        f" AND NOT (v.c_id % {VEC_TD_MOD} = {VEC_TD_RES}"
+        f" AND v.c_id < {IVF_MID_SQL}))",
+    )
+
+
+@register("stream_sim_delete_e2e", oracle=_sim_stream_delete_sql())
+def stream_sim_delete_e2e(spark, sf_dir):
+    """Vector DELETE propagation composed into the ANN index's
+    STREAMING lifecycle — the similarity twin of
+    stream_dedup_delete_e2e + its GC completion in one op: after the
+    boundary increment commits, every covered list generation is
+    rewritten WITHOUT the takedown cohort into cluster-partitioned
+    purged twins behind the write-last ``takedown_upto`` marker (with
+    tombstones); once the commit watermark passes the boundary, the
+    ORIGINAL generations — which still hold the deleted vectors — are
+    GC'd under the same marker-AND-watermark rule; completeness is
+    proven from the filesystem (every surviving list shard semi-joined
+    against the tombstone table comes back empty); and the restarted
+    stream serves the purged prefix + untouched newer generations,
+    value-hashing against the appended-probe statement with the
+    cohort excluded from membership. The codebook is retained
+    (aggregate, not member data — retraining is the recluster path).
+    The torn state across the takedown boundary is pinned by
+    tests/test_streaming.py::test_sim_takedown_boundary_restart.
+
+    Scale shape: the purge is one filter-rewrite per covered
+    generation riding the partition-pruned scan; the GC is driver-side
+    fs metadata work; the audit is one union scan semi-joined against
+    the O(cohort) broadcast tombstones; serving costs are unchanged.
+    Unlike the dedup stream, ANN increments never read the lists, so
+    the delete is purely a marker-gated serving swap — the cheapest
+    takedown any generation index can offer."""
+    import os
+
+    from ..registry import scratch_dir
+    from .dedup_stream import _gc_generations
+
+    base = scratch_dir("stream_sim_delete_e2e")
+    boundary = N_SIM_BATCHES - 2
+    run_sim_index_stream(spark, sf_dir, base, delete_after=boundary)
+
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+    removed = _gc_generations(
+        ckpt, idx, ("lists",), marker_name="takedown_upto"
+    )
+    if len(removed) != boundary + 1:
+        raise AssertionError(
+            f"takedown GC removed {removed}, expected original list"
+            f" generations 0..{boundary}"
+        )
+    for g in range(boundary + 1, N_SIM_BATCHES):
+        if not os.path.exists(f"{idx}/lists/gen={g}"):
+            raise AssertionError(
+                f"GC overreached: post-boundary generation {g} deleted"
+            )
+    if not os.path.exists(f"{idx}/centroids"):
+        raise AssertionError("GC must never touch the codebook")
+
+    # completeness: no surviving list shard holds a tombstoned id
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    surviving = None
+    for fam in ("lists", "lists_p"):
+        root = f"{idx}/{fam}"
+        if not os.path.isdir(root):
+            continue
+        for g in sorted(os.listdir(root)):
+            if not g.startswith("gen="):
+                continue
+            # one read per generation root: each is its own
+            # cluster-partitioned table (mixed roots can't share
+            # partition discovery)
+            ids = spark.read.parquet(f"{root}/{g}").select("c_id")
+            surviving = (
+                ids if surviving is None else surviving.unionByName(ids)
+            )
+    leaked = surviving.join(F.broadcast(tomb), "c_id", "left_semi")
+    if leaked.limit(1).count() > 0:
+        raise AssertionError(
+            "takedown incomplete: a surviving list shard still holds"
+            " a tombstoned vec_id"
+        )
+
+    # restart on the gutted index: committed no-op; serving reads the
+    # purged prefix + untouched newer generations (asserted from the
+    # recorded paths)
+    log = []
+    out = run_sim_index_stream(
+        spark, sf_dir, base, delete_after=boundary, serve_paths_log=log
+    )
+    served = log[-1]
+    assert_covered = [p for p in served if "/lists_p/gen=" in p]
+    if len(assert_covered) != boundary + 1 or any(
+        "/lists/gen=" in p
+        and int(p.rsplit("=", 1)[1]) <= boundary
+        for p in served
+    ):
+        raise AssertionError(
+            f"post-delete probe served {served}; expected purged twins"
+            " for the covered prefix only"
+        )
     return out

@@ -1909,6 +1909,72 @@ def test_sim_gc_refuses_inside_replay_horizon(spark, tmp_path):
     assert got == ref
 
 
+def test_sim_takedown_boundary_restart(spark, tmp_path):
+    """Kill/restart ACROSS the ANN takedown boundary
+    (stream_sim_delete_e2e's torn state): run 1 processes the boundary
+    increment, writes its list generation, applies the takedown
+    (purged twins + tombstones + marker), then dies BEFORE the
+    checkpoint commit. Run 2 replays the boundary increment — the
+    generation rewrite and the takedown redo are deterministic
+    overwrites — processes the remaining increment, and the final
+    probe (served from the purged prefix + untouched newer
+    generations) is byte-equal to the uninterrupted delete pipeline."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import _read_marker
+    from engine.ops.similarity import (
+        N_SIM_BATCHES,
+        VEC_TD_MOD,
+        VEC_TD_RES,
+        run_sim_index_stream,
+    )
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "sim_takedown")
+    boundary = N_SIM_BATCHES - 2
+    idx = f"{base}/index"
+
+    with pytest.raises(StreamingQueryException):
+        run_sim_index_stream(
+            spark, SMOKE_SF_DIR, base, delete_after=boundary,
+            fail_at_batch=boundary, fail_phase="post_takedown",
+        )
+
+    # torn state: marker + purged twins + tombstones published,
+    # originals retained, checkpoint commit missing
+    assert _read_marker(f"{idx}/takedown_upto") == boundary
+    assert os.path.exists(f"{idx}/lists_p/gen=0")
+    assert os.path.exists(f"{idx}/tombstones")
+    assert os.path.exists(f"{idx}/lists/gen={boundary}")
+
+    log = []
+    out = run_sim_index_stream(
+        spark, SMOKE_SF_DIR, base, delete_after=boundary,
+        serve_paths_log=log,
+    )
+    served = log[-1]
+    assert sum(1 for p in served if "/lists_p/gen=" in p) == boundary + 1
+    assert not any(
+        "/lists/gen=" in p and int(p.rsplit("=", 1)[1]) <= boundary
+        for p in served
+    )
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["stream_sim_delete_e2e"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "restart across ANN takedown boundary diverged"
+
+    # no tombstoned vector in any purged twin
+    purged = spark.read.parquet(f"{idx}/lists_p/gen=0")
+    assert purged.filter(
+        (purged.c_id % VEC_TD_MOD) == VEC_TD_RES
+    ).count() == 0
+
+
 def test_corpus_prep_stream_restart(spark, tmp_path):
     """Kill/restart of the COMPOSED intake pipeline
     (stream_corpus_prep_e2e): run 1 commits increment 0, then dies in
