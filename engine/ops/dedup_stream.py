@@ -300,6 +300,51 @@ def _read_compact_marker(idx):
     return _read_marker(f"{idx}/compacted_upto")
 
 
+def _marker_gated_reader(idx, read_paths_log=None, mode="compact"):
+    """Build the ``read_index`` hook shared by every LSH stream rig
+    (the incremental dedup stream and the composed intake): given a
+    batch id, return (bands, shingles) frames for generations 0..b-1
+    under the STRICTLY-PAST marker rule — the replacement layout
+    (compacted tables, or the takedown's purged twins) serves only
+    batches strictly past the published boundary, so a replayed
+    boundary batch re-reads the exact per-generation layout it first
+    ran against. ``mode='compact'`` gates on ``compacted_upto`` and
+    serves bands_c/shingles_c; ``mode='delete'`` gates on
+    ``takedown_upto`` and serves the per-generation purged twins plus
+    untouched newer generations."""
+
+    def reader(spark_, b):
+        if mode == "delete":
+            m = _read_marker(f"{idx}/takedown_upto")
+            if m is not None and m < b:
+                pb = [f"{idx}/bands_p/gen={g}" for g in range(m + 1)] + [
+                    f"{idx}/bands/gen={g}" for g in range(m + 1, b)
+                ]
+                ps = [
+                    f"{idx}/shingles_p/gen={g}" for g in range(m + 1)
+                ] + [f"{idx}/shingles/gen={g}" for g in range(m + 1, b)]
+            else:
+                pb = [f"{idx}/bands/gen={g}" for g in range(b)]
+                ps = [f"{idx}/shingles/gen={g}" for g in range(b)]
+        else:
+            m = _read_compact_marker(idx)
+            if m is not None and m < b:
+                pb = [f"{idx}/bands_c"] + [
+                    f"{idx}/bands/gen={g}" for g in range(m + 1, b)
+                ]
+                ps = [f"{idx}/shingles_c"] + [
+                    f"{idx}/shingles/gen={g}" for g in range(m + 1, b)
+                ]
+            else:
+                pb = [f"{idx}/bands/gen={g}" for g in range(b)]
+                ps = [f"{idx}/shingles/gen={g}" for g in range(b)]
+        if read_paths_log is not None:
+            read_paths_log.append((b, list(pb)))
+        return spark_.read.parquet(*pb), spark_.read.parquet(*ps)
+
+    return reader
+
+
 def _compact_index_generations(spark, idx, upto):
     """Rewrite index generations 0..upto into ONE bucket-shaped
     compacted layout (bands_c hashed on the probe key (band,
@@ -496,41 +541,11 @@ def run_inc_lsh_stream(
 
     if compact_after is not None and delete_after is not None:
         raise ValueError("rig supports one maintenance mode per stream")
-
-    def reader(spark_, b):
-        if delete_after is not None:
-            # strictly-past rule, same as compaction: the purged twins
-            # serve only batches past the takedown boundary; a
-            # replayed boundary batch re-reads the pre-takedown layout
-            # it first ran against (the originals are retained)
-            m = _read_marker(f"{idx}/takedown_upto")
-            if m is not None and m < b:
-                pb = [f"{idx}/bands_p/gen={g}" for g in range(m + 1)] + [
-                    f"{idx}/bands/gen={g}" for g in range(m + 1, b)
-                ]
-                ps = [
-                    f"{idx}/shingles_p/gen={g}" for g in range(m + 1)
-                ] + [f"{idx}/shingles/gen={g}" for g in range(m + 1, b)]
-            else:
-                pb = [f"{idx}/bands/gen={g}" for g in range(b)]
-                ps = [f"{idx}/shingles/gen={g}" for g in range(b)]
-            if read_paths_log is not None:
-                read_paths_log.append((b, list(pb)))
-            return spark_.read.parquet(*pb), spark_.read.parquet(*ps)
-        m = _read_compact_marker(idx)
-        if m is not None and m < b:
-            pb = [f"{idx}/bands_c"] + [
-                f"{idx}/bands/gen={g}" for g in range(m + 1, b)
-            ]
-            ps = [f"{idx}/shingles_c"] + [
-                f"{idx}/shingles/gen={g}" for g in range(m + 1, b)
-            ]
-        else:
-            pb = [f"{idx}/bands/gen={g}" for g in range(b)]
-            ps = [f"{idx}/shingles/gen={g}" for g in range(b)]
-        if read_paths_log is not None:
-            read_paths_log.append((b, list(pb)))
-        return spark_.read.parquet(*pb), spark_.read.parquet(*ps)
+    reader = _marker_gated_reader(
+        idx,
+        read_paths_log=read_paths_log,
+        mode="delete" if delete_after is not None else "compact",
+    )
 
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
