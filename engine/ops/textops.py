@@ -3493,7 +3493,7 @@ def corpus_epoch_shuffle(spark, sf_dir):
 # streamed composite equals one batch statement, which is the oracle.
 
 
-def _intake_pipeline_sql(capped=False):
+def _intake_pipeline_sql(capped=False, takedown=False):
     """ROUTER_SQL (frozen gate + calibrated threshold, nested WITH)
     composed with the minhash first-partner dedup RESTRICTED to the
     kept set: the shared minhash CTEs re-sourced from `kept` the same
@@ -3502,10 +3502,29 @@ def _intake_pipeline_sql(capped=False):
     cumulative-bucket rule (dedup_stream.CAND_CTE_CAPPED) over the
     kept set's bands — batch ids still come from the FULL corpus's id
     range (the engine derives them from arrival order, which the gate
-    does not change)."""
-    from .dedup import _MH_COMMON_CTES, JACCARD_THRESHOLD
-    from .dedup_stream import CAND_CTE_CAPPED, CAND_CTE_PLAIN
+    does not change). ``takedown=True`` restricts the kept set to the
+    REDUCED corpus (the takedown cohort that arrived by the boundary
+    removed) — the router itself is NOT restated: the frozen gate
+    model and threshold are batch-0 aggregates published before any
+    takedown, retained like the ANN codebook."""
+    from .dedup import _MH_COMMON_CTES, JACCARD_THRESHOLD, N_INC_BATCHES
+    from .dedup_stream import (
+        CAND_CTE_CAPPED,
+        CAND_CTE_PLAIN,
+        TD_AFTER,
+        TD_MOD,
+        TD_RES,
+    )
 
+    td_cond = (
+        f"""
+          AND NOT (d.doc_id % {TD_MOD} = {TD_RES}
+              AND ({N_INC_BATCHES} * d.doc_id) //
+                  ((SELECT max(doc_id) FROM documents) + 1)
+                  <= {TD_AFTER})"""
+        if takedown
+        else ""
+    )
     old = (
         "WITH t AS (SELECT doc_id, string_split(text, ' ')"
         " AS toks FROM documents),"
@@ -3514,7 +3533,7 @@ def _intake_pipeline_sql(capped=False):
     kept AS MATERIALIZED (
         SELECT d.doc_id, d.text FROM documents d
         JOIN router r ON r.doc_id = d.doc_id
-        WHERE r.route = 'kept'),
+        WHERE r.route = 'kept'{td_cond}),
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),"""
     assert old in _MH_COMMON_CTES
     ctes = _MH_COMMON_CTES.replace(old, new)
@@ -3707,9 +3726,125 @@ def stream_corpus_prep_lifecycle_e2e(spark, sf_dir):
     )
 
 
+def _intake_delete_sql():
+    """Two-regime restatement of takedown through the COMPOSED intake
+    (the delete twin of _delete_e2e_sql, over the composite): rows up
+    to the boundary are the full composed statement minus the cohort's
+    own rows; rows past it are the composed statement with the kept
+    set restricted to the reduced corpus. The frozen gate model and
+    threshold are batch-0 aggregates published before the takedown and
+    are retained (the ANN-codebook argument), so the router CTE is
+    identical in both regimes."""
+    from .dedup_stream import TD_AFTER, TD_MOD, TD_RES
+
+    cols = "doc_id, batch_id, dsir_weight_micro, route, dup_of, jaccard_micro"
+    return f"""WITH pre AS MATERIALIZED ({_intake_pipeline_sql()}),
+    post AS MATERIALIZED ({_intake_pipeline_sql(takedown=True)})
+    SELECT {cols} FROM pre
+    WHERE batch_id <= {TD_AFTER} AND doc_id % {TD_MOD} != {TD_RES}
+    UNION ALL
+    SELECT {cols} FROM post WHERE batch_id > {TD_AFTER}
+"""
+
+
+@register("stream_corpus_prep_delete_e2e", oracle=_intake_delete_sql())
+def stream_corpus_prep_delete_e2e(spark, sf_dir):
+    """Document DELETE propagated through the COMPOSED intake pipeline
+    — takedown meeting the gate+dedup composite, completing the
+    delete-propagation suite (dedup stream, ANN batch, ANN stream, and
+    now the one pipeline): after the boundary increment commits, the
+    cohort's rows are purged from every kept-set index generation
+    (purged twins + tombstones + write-last marker, the exact
+    `_apply_takedown` the dedup stream uses), the served sink
+    partitions drop the cohort's own route rows, and LATER increments
+    dedupe against the purged index — a kept doc whose first partner
+    was taken down re-matches to its next surviving kept partner. The
+    frozen gate model and threshold are retained (batch-0 aggregates
+    published pre-takedown — the codebook argument; retraining is a
+    separate governance decision), so rejected/kept decisions for
+    surviving docs never change.
+
+    In-op proofs: the post-boundary increment read ONLY purged twins
+    for the covered prefix (recorded paths), no surviving index shard
+    holds a tombstoned id (fs completeness audit after the originals
+    GC under the marker-AND-commit-watermark rule), and the restarted
+    stream on the gutted index re-serves rows that value-hash against
+    the two-regime composed statement. The torn state across the
+    boundary is pinned by
+    tests/test_streaming.py::test_corpus_prep_takedown_restart.
+
+    Scale shape: identical to the dedup stream's delete — filter-
+    rewrites riding partition-pruned scans, driver-side GC, one
+    broadcast-tombstone audit scan; intake throughput unchanged."""
+    import os
+
+    from ..registry import scratch_dir
+    from .dedup import N_INC_BATCHES
+    from .dedup_stream import (
+        TD_AFTER,
+        _gc_generations,
+    )
+
+    base = scratch_dir("stream_corpus_prep_delete_e2e")
+    rlog = []
+    run_corpus_prep_stream(
+        spark, sf_dir, base, delete_after=TD_AFTER, read_paths_log=rlog
+    )
+    post = [(b, p) for (b, p) in rlog if b > TD_AFTER]
+    if not post:
+        raise AssertionError("no post-takedown increment was processed")
+    for b, paths in post:
+        covered = [p for p in paths if "/bands_p/gen=" in p]
+        stale = [
+            p
+            for p in paths
+            if "/bands/gen=" in p
+            and int(p.rsplit("=", 1)[1]) <= TD_AFTER
+        ]
+        if len(covered) != TD_AFTER + 1 or stale:
+            raise AssertionError(
+                f"increment {b} served {paths}; expected purged twins"
+                " for the covered prefix only"
+            )
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+    removed = _gc_generations(
+        ckpt, idx, ("bands", "shingles"), marker_name="takedown_upto"
+    )
+    if len(removed) != 2 * (TD_AFTER + 1):
+        raise AssertionError(
+            f"takedown GC removed {removed}, expected bands+shingles"
+            f" originals for generations 0..{TD_AFTER}"
+        )
+    # completeness: no surviving kept-set index shard holds a
+    # tombstoned id
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    surviving = None
+    for fam in ("bands", "shingles", "bands_p", "shingles_p"):
+        root = f"{idx}/{fam}"
+        if not os.path.isdir(root):
+            continue
+        gens = [
+            f"{root}/{g}" for g in os.listdir(root) if g.startswith("gen=")
+        ]
+        if not gens:
+            continue
+        ids = spark.read.parquet(*gens).select("doc_id")
+        surviving = ids if surviving is None else surviving.unionByName(ids)
+    leaked = surviving.join(F.broadcast(tomb), "doc_id", "left_semi")
+    if leaked.limit(1).count() > 0:
+        raise AssertionError(
+            "takedown incomplete: a surviving index shard still holds"
+            " a tombstoned doc_id"
+        )
+    return run_corpus_prep_stream(
+        spark, sf_dir, base, delete_after=TD_AFTER
+    )
+
+
 def run_corpus_prep_stream(
     spark, sf_dir, base, fail_at_batch=None, bucket_cap=None,
     compact_after=None, counts_paths_log=None, read_paths_log=None,
+    delete_after=None, fail_phase="pre_sink",
 ):
     """The checkpointed rig behind stream_corpus_prep_e2e and its
     capped/lifecycle production forms, factored so the restart test
@@ -3730,11 +3865,16 @@ def run_corpus_prep_stream(
 
     from .dedup import N_INC_BATCHES, _lsh_band_rows, _shingle_array, _tokens
     from .dedup_stream import (
+        _apply_takedown,
         _compact_index_generations,
         _inc_lsh_dedupe_batch,
         _marker_gated_reader,
+        _purge_sink,
         _stage_feed,
     )
+
+    if compact_after is not None and delete_after is not None:
+        raise ValueError("rig supports one maintenance mode per stream")
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
@@ -3794,8 +3934,14 @@ def run_corpus_prep_stream(
                 dups = _inc_lsh_dedupe_batch(
                     spark, doc_sh, _lsh_band_rows(doc_sh), idx, b,
                     materialize=False, bucket_cap=bucket_cap,
-                    read_index=_marker_gated_reader(idx, read_paths_log)
-                    if compact_after is not None
+                    read_index=_marker_gated_reader(
+                        idx,
+                        read_paths_log,
+                        mode="delete"
+                        if delete_after is not None
+                        else "compact",
+                    )
+                    if (compact_after is not None or delete_after is not None)
                     else None,
                     counts_paths_log=counts_paths_log,
                 ).select(
@@ -3805,7 +3951,11 @@ def run_corpus_prep_stream(
                     .cast("long")
                     .alias("jaccard_micro"),
                 )
-                if fail_at_batch is not None and b == fail_at_batch:
+                if (
+                    fail_at_batch is not None
+                    and b == fail_at_batch
+                    and fail_phase == "pre_sink"
+                ):
                     raise RuntimeError(
                         f"injected failure: increment {b} after index"
                         " write, before sink write"
@@ -3837,6 +3987,18 @@ def run_corpus_prep_stream(
                 )
                 if compact_after is not None and b == compact_after:
                     _compact_index_generations(spark, idx, b)
+                if delete_after is not None and b == delete_after:
+                    _apply_takedown(spark, idx, b)
+                    _purge_sink(spark, sink, b)
+                    if (
+                        fail_at_batch is not None
+                        and b == fail_at_batch
+                        and fail_phase == "post_takedown"
+                    ):
+                        raise RuntimeError(
+                            f"injected failure: increment {b} after"
+                            " takedown marker, before checkpoint commit"
+                        )
             finally:
                 doc_sh.unpersist()
         finally:

@@ -2072,6 +2072,58 @@ def test_corpus_prep_capped_restart_and_subset(spark, tmp_path):
     )
 
 
+def test_corpus_prep_takedown_restart(spark, tmp_path):
+    """Kill/restart across the COMPOSED intake's takedown boundary
+    (stream_corpus_prep_delete_e2e's torn state): run 1 processes the
+    boundary increment, applies the takedown (purged kept-set index
+    twins + tombstones + marker) and purges the served sink, then dies
+    before the checkpoint commit. Run 2 replays the boundary increment
+    (pre-takedown reads, deterministic redo) and the final routed
+    output equals the uninterrupted delete composite."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import TD_AFTER, TD_MOD, TD_RES, _read_marker
+    from engine.ops.textops import run_corpus_prep_stream
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "prep_takedown")
+    idx = f"{base}/index"
+
+    with pytest.raises(StreamingQueryException):
+        run_corpus_prep_stream(
+            spark, SMOKE_SF_DIR, base, delete_after=TD_AFTER,
+            fail_at_batch=TD_AFTER, fail_phase="post_takedown",
+        )
+
+    assert _read_marker(f"{idx}/takedown_upto") == TD_AFTER
+    assert os.path.exists(f"{idx}/bands_p/gen=0")
+    assert os.path.exists(f"{idx}/tombstones")
+    assert os.path.exists(f"{idx}/bands/gen={TD_AFTER}")  # originals kept
+
+    rlog = []
+    out = run_corpus_prep_stream(
+        spark, SMOKE_SF_DIR, base, delete_after=TD_AFTER,
+        read_paths_log=rlog,
+    )
+    replayed = [p for (b, p) in rlog if b == TD_AFTER]
+    assert replayed and all(
+        not any("/bands_p/" in x for x in paths) for paths in replayed
+    ), "replayed boundary batch must read the pre-takedown layout"
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["stream_corpus_prep_delete_e2e"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "restart across intake takedown boundary diverged"
+    # cohort's own rows are gone from every served batch <= boundary
+    assert not any(
+        t[0] % TD_MOD == TD_RES and t[1] <= TD_AFTER for t in got
+    )
+
+
 def test_corpus_prep_index_holds_only_kept_docs(spark, tmp_path):
     """The composite's governance invariant, checked against the
     PERSISTED state rather than the output rows: after
