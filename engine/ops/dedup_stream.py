@@ -959,6 +959,38 @@ def _gc_index_generations(ckpt, idx):
     return _gc_generations(ckpt, idx, ("bands", "shingles", "counts"))
 
 
+def _audit_no_tombstoned(spark, idx, families, id_col="doc_id"):
+    """Takedown COMPLETENESS audit, shared by every delete op: read
+    every surviving generation shard of the given families under
+    ``idx``, semi-join the ids against the tombstone table, and raise
+    if anything comes back — the filesystem-level proof that no
+    serving artifact still holds a deleted id. Each generation root is
+    read separately (mixed family roots can't share one
+    partition-discovery basePath). One union scan + one broadcast
+    semi-join: the audit query a compliance officer actually runs."""
+    import os
+
+    tomb = spark.read.parquet(f"{idx}/tombstones").select(id_col)
+    surviving = None
+    for fam in families:
+        root = f"{idx}/{fam}"
+        if not os.path.isdir(root):
+            continue
+        for g in sorted(os.listdir(root)):
+            if not g.startswith("gen="):
+                continue
+            ids = spark.read.parquet(f"{root}/{g}").select(id_col)
+            surviving = (
+                ids if surviving is None else surviving.unionByName(ids)
+            )
+    leaked = surviving.join(F.broadcast(tomb), id_col, "left_semi")
+    if leaked.limit(1).count() > 0:
+        raise AssertionError(
+            "takedown incomplete: a surviving index shard still holds"
+            f" a tombstoned {id_col}"
+        )
+
+
 def _gc_takedown_originals(ckpt, idx):
     """Delete the PRE-takedown ORIGINAL generations once the commit
     watermark has passed the takedown boundary — the step that makes
@@ -1250,30 +1282,9 @@ def stream_dedup_delete_gc_e2e(spark, sf_dir):
             f"takedown GC removed {removed}, expected bands+shingles"
             f" originals for generations 0..{TD_AFTER}"
         )
-    # completeness: no surviving shard holds a tombstoned id (each
-    # family read at its own root — mixed family roots can't share one
-    # partition-discovery basePath)
-    tomb = spark.read.parquet(f"{idx}/tombstones")
-    surviving = None
-    for fam in ("bands", "shingles", "bands_p", "shingles_p"):
-        root = f"{idx}/{fam}"
-        if not os.path.isdir(root):
-            continue
-        gens = [
-            f"{root}/{g}" for g in os.listdir(root) if g.startswith("gen=")
-        ]
-        if not gens:
-            continue
-        ids = spark.read.parquet(*gens).select("doc_id")
-        surviving = ids if surviving is None else surviving.unionByName(ids)
-    leaked = surviving.join(
-        F.broadcast(tomb.select(F.col("doc_id"))), "doc_id", "left_semi"
+    _audit_no_tombstoned(
+        spark, idx, ("bands", "shingles", "bands_p", "shingles_p")
     )
-    if leaked.limit(1).count() > 0:
-        raise AssertionError(
-            "takedown incomplete: a surviving index shard still holds"
-            " a tombstoned doc_id"
-        )
     # restart on the gutted index: recovery finds every source file
     # committed, replays nothing, and serving is unchanged
     return run_inc_lsh_stream(spark, sf_dir, base, delete_after=TD_AFTER)

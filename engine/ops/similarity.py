@@ -3683,28 +3683,9 @@ def stream_sim_delete_e2e(spark, sf_dir):
         raise AssertionError("GC must never touch the codebook")
 
     # completeness: no surviving list shard holds a tombstoned id
-    tomb = spark.read.parquet(f"{idx}/tombstones")
-    surviving = None
-    for fam in ("lists", "lists_p"):
-        root = f"{idx}/{fam}"
-        if not os.path.isdir(root):
-            continue
-        for g in sorted(os.listdir(root)):
-            if not g.startswith("gen="):
-                continue
-            # one read per generation root: each is its own
-            # cluster-partitioned table (mixed roots can't share
-            # partition discovery)
-            ids = spark.read.parquet(f"{root}/{g}").select("c_id")
-            surviving = (
-                ids if surviving is None else surviving.unionByName(ids)
-            )
-    leaked = surviving.join(F.broadcast(tomb), "c_id", "left_semi")
-    if leaked.limit(1).count() > 0:
-        raise AssertionError(
-            "takedown incomplete: a surviving list shard still holds"
-            " a tombstoned vec_id"
-        )
+    from .dedup_stream import _audit_no_tombstoned
+
+    _audit_no_tombstoned(spark, idx, ("lists", "lists_p"), id_col="c_id")
 
     # restart on the gutted index: committed no-op; serving reads the
     # purged prefix + untouched newer generations (asserted from the

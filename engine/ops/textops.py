@@ -3817,25 +3817,11 @@ def stream_corpus_prep_delete_e2e(spark, sf_dir):
         )
     # completeness: no surviving kept-set index shard holds a
     # tombstoned id
-    tomb = spark.read.parquet(f"{idx}/tombstones")
-    surviving = None
-    for fam in ("bands", "shingles", "bands_p", "shingles_p"):
-        root = f"{idx}/{fam}"
-        if not os.path.isdir(root):
-            continue
-        gens = [
-            f"{root}/{g}" for g in os.listdir(root) if g.startswith("gen=")
-        ]
-        if not gens:
-            continue
-        ids = spark.read.parquet(*gens).select("doc_id")
-        surviving = ids if surviving is None else surviving.unionByName(ids)
-    leaked = surviving.join(F.broadcast(tomb), "doc_id", "left_semi")
-    if leaked.limit(1).count() > 0:
-        raise AssertionError(
-            "takedown incomplete: a surviving index shard still holds"
-            " a tombstoned doc_id"
-        )
+    from .dedup_stream import _audit_no_tombstoned
+
+    _audit_no_tombstoned(
+        spark, idx, ("bands", "shingles", "bands_p", "shingles_p")
+    )
     return run_corpus_prep_stream(
         spark, sf_dir, base, delete_after=TD_AFTER
     )
