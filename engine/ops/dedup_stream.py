@@ -390,7 +390,9 @@ def _compact_index_generations(spark, idx, upto):
     # verdict item 3 — the counts family previously never compacted,
     # so the capped core read O(b) directories per micro-batch). The
     # column keeps the per-gen name `n_new` so the reader's sum is
-    # one expression over either layout.
+    # one expression over either layout. Repartitioned on the lookup
+    # key like bands_c — the table is O(distinct keys), which at
+    # 100 TB is far too large for a single-task coalesce(1) write.
     if os.path.exists(f"{idx}/counts/gen=0"):
         (
             spark.read.parquet(
@@ -398,7 +400,7 @@ def _compact_index_generations(spark, idx, upto):
             )
             .groupBy("band", "band_key")
             .agg(F.sum("n_new").cast("long").alias("n_new"))
-            .coalesce(1)
+            .repartition(COMPACT_FILES, "band", "band_key")
             .write.mode("overwrite")
             .parquet(f"{idx}/counts_c")
         )
@@ -456,6 +458,9 @@ def _apply_takedown(spark, idx, upto):
         .filter(td)
         .select("doc_id")
         .distinct()
+        # one file is fine here: tombstone sets are O(cohort), orders
+        # of magnitude below the corpus; shard this write if a single
+        # takedown ever exceeds ~100M ids
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{idx}/tombstones")
