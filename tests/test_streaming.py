@@ -1986,7 +1986,7 @@ def test_corpus_prep_stream_restart(spark, tmp_path):
     op value-hashes against the composed gate+dedup oracle)."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from engine.ops.textops import run_corpus_prep_stream
+    from engine.ops.corpus_stream import run_corpus_prep_stream
     from engine.registry import QUERIES
 
     base = str(tmp_path / "prep")
@@ -2028,7 +2028,7 @@ def test_corpus_prep_capped_restart_and_subset(spark, tmp_path):
     partner — the composed form of the capped ⊆ uncapped property."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from engine.ops.textops import run_corpus_prep_stream
+    from engine.ops.corpus_stream import run_corpus_prep_stream
     from engine.registry import QUERIES
 
     cap = 2  # binds on the kept set at smoke scale
@@ -2083,7 +2083,7 @@ def test_corpus_prep_takedown_restart(spark, tmp_path):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from engine.ops.dedup_stream import TD_AFTER, TD_MOD, TD_RES, _read_marker
-    from engine.ops.textops import run_corpus_prep_stream
+    from engine.ops.corpus_stream import run_corpus_prep_stream
     from engine.registry import QUERIES
 
     base = str(tmp_path / "prep_takedown")
@@ -2133,7 +2133,7 @@ def test_corpus_prep_index_holds_only_kept_docs(spark, tmp_path):
     into the index would keep influencing future dedup decisions
     after intake said it never entered the corpus."""
     from engine.ops.dedup import N_INC_BATCHES
-    from engine.ops.textops import run_corpus_prep_stream
+    from engine.ops.corpus_stream import run_corpus_prep_stream
 
     base = str(tmp_path / "prep_gov")
     out = run_corpus_prep_stream(spark, SMOKE_SF_DIR, base)
