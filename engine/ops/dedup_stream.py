@@ -423,7 +423,48 @@ def _takedown_pred():
     return F.col("doc_id") % TD_MOD == TD_RES
 
 
-def _apply_takedown(spark, idx, upto):
+# Re-upload cohort for the content-tombstone guard: post-boundary docs
+# with doc_id % RE_MOD == RE_RES have their text REPLACED by the text
+# of cohort doc 7*(doc_id % 2)+1 (ids 1 and 8 — both in the takedown
+# cohort, both arrived by the boundary), the same engineered-fixture
+# discipline dedup_capped_recall_audit uses. Several re-uploads share
+# a source, so unguarded they would near-dup EACH OTHER even with the
+# original deleted from the index — the guard's effect is non-vacuous
+# by construction.
+RE_MOD, RE_RES = 29, 5
+
+
+def _reupload_docs(d, mx):
+    """The transformed corpus (docs_x): closed-form content re-uploads
+    spliced into the post-boundary batches. NULL-safe like the oracle:
+    a missing source doc leaves the text unchanged."""
+    batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
+    src_map = d.select(
+        F.col("doc_id").alias("s_id"), F.col("text").alias("s_text")
+    )
+    return (
+        d.join(
+            # the reachable source ids are exactly {1, 8} — a 2-row
+            # broadcast at any corpus size
+            F.broadcast(src_map.filter(F.col("s_id").isin(1, 8))),
+            F.col("s_id") == 7 * (F.col("doc_id") % 2) + 1,
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                (batch_of > TD_AFTER)
+                & (F.col("doc_id") % RE_MOD == RE_RES)
+                & F.col("s_text").isNotNull(),
+                F.col("s_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+def _apply_takedown(spark, idx, upto, src=None):
     """Rewrite index generations 0..upto WITHOUT the takedown docs as
     per-generation purged twins (bands_p/gen=g, shingles_p/gen=g),
     write the tombstone table (the deleted ids — audits and late-
@@ -465,6 +506,23 @@ def _apply_takedown(spark, idx, upto):
         .write.mode("overwrite")
         .parquet(f"{idx}/tombstones")
     )
+    if src is not None:
+        # CONTENT tombstones (sha2 of the deleted docs' text, read
+        # from the arrived source files): takedown must also block a
+        # RE-UPLOAD of the same content under a new id — deleting by
+        # id alone lets the document walk straight back in. O(cohort)
+        # rows, broadcastable at any corpus size.
+        (
+            spark.read.parquet(
+                *[f"{src}/batch_{g}.parquet" for g in range(upto + 1)]
+            )
+            .filter(td)
+            .select(F.sha2(F.col("text"), 256).alias("text_sha"))
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{idx}/tombstones_sha")
+        )
     tmp = f"{idx}/takedown_upto.tmp"
     with open(tmp, "w") as f:
         f.write(str(upto))
@@ -495,7 +553,8 @@ def _purge_sink(spark, sink, upto):
 def run_inc_lsh_stream(
     spark, sf_dir, base, fail_at_batch=None, bucket_cap=None,
     compact_after=None, fail_phase="pre_sink", read_paths_log=None,
-    counts_paths_log=None, delete_after=None,
+    counts_paths_log=None, delete_after=None, docs_override=None,
+    block_reuploads=False, blocked_log=None,
 ):
     """The checkpointed-stream rig behind stream_dedup_incremental_e2e,
     factored so tests can kill it mid-stream and restart it against the
@@ -532,6 +591,8 @@ def run_inc_lsh_stream(
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
+    if docs_override is not None:
+        d = docs_override
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     idx = f"{base}/index"
     _stage_feed(
@@ -555,6 +616,34 @@ def run_inc_lsh_stream(
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
             return
+        if block_reuploads:
+            # content-tombstone guard, STRICTLY-PAST like every other
+            # marker consumer: only batches past the takedown boundary
+            # are screened. A replayed boundary batch must NOT be —
+            # its own cohort members' hashes are tombstoned, and
+            # filtering them on replay would rewrite its generation
+            # and sink with different surviving-doc partners than the
+            # original run committed. Blocked docs never enter the
+            # pipeline: no sink row, no banding, no index membership.
+            # Broadcast anti-join on the O(cohort) hash set.
+            m = _read_marker(f"{idx}/takedown_upto")
+            b_pre = (
+                batch_df.agg(F.min("doc_id")).collect()[0][0]
+                * N_INC_BATCHES
+                // (mx + 1)
+            )
+            if m is not None and m < b_pre:
+                tomb_sha = spark.read.parquet(f"{idx}/tombstones_sha")
+                before = batch_df.count()
+                batch_df = batch_df.join(
+                    F.broadcast(tomb_sha),
+                    F.sha2(F.col("text"), 256) == F.col("text_sha"),
+                    "left_anti",
+                ).localCheckpoint(eager=True)
+                if blocked_log is not None:
+                    blocked_log.append(before - batch_df.count())
+                if batch_df.isEmpty():
+                    return
         doc_sh = (
             batch_df.repartition(32, "doc_id")
             .select("doc_id", _shingle_array(_tokens()).alias("sh"))
@@ -598,7 +687,9 @@ def run_inc_lsh_stream(
                         " marker, before checkpoint commit"
                     )
             if delete_after is not None and b == delete_after:
-                _apply_takedown(spark, idx, b)
+                _apply_takedown(
+                    spark, idx, b, src=src if block_reuploads else None
+                )
                 _purge_sink(spark, sink, b)
                 if (
                     fail_at_batch is not None
@@ -1065,6 +1156,111 @@ def stream_dedup_gc_e2e(spark, sf_dir):
     return run_inc_lsh_stream(
         spark, sf_dir, base, compact_after=boundary
     )
+
+
+def _reupload_guard_sql():
+    """Batch restatement of the content-tombstone guard: both regimes
+    run over the TRANSFORMED corpus (docs_x — the closed-form
+    re-upload splice `_reupload_docs` also applies), rows up to the
+    boundary are the full statement minus the cohort's own rows, and
+    rows past it are the statement over the reduced corpus with
+    re-uploaded CONTENT additionally excluded — a post-boundary doc
+    whose text equals a deleted doc's text never enters (the engine
+    blocks on sha2(text); text equality is the same predicate)."""
+    docs_x = f"""m0 AS (SELECT max(doc_id) AS mx FROM documents),
+    docs_x AS (
+        SELECT d.doc_id,
+               CASE WHEN ({N_INC_BATCHES} * d.doc_id) // (m0.mx + 1)
+                         > {TD_AFTER}
+                         AND d.doc_id % {RE_MOD} = {RE_RES}
+                         AND s.text IS NOT NULL
+                    THEN s.text ELSE d.text END AS text
+        FROM documents d CROSS JOIN m0
+        LEFT JOIN documents s ON s.doc_id = 7 * (d.doc_id % 2) + 1),
+    coh AS (
+        SELECT x.doc_id, x.text FROM docs_x x, m0
+        WHERE x.doc_id % {TD_MOD} = {TD_RES}
+          AND ({N_INC_BATCHES} * x.doc_id) // (m0.mx + 1) <= {TD_AFTER}),"""
+    old = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ')"
+        " AS toks FROM documents),"
+    )
+    pre_t = f"""WITH {docs_x}
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_x),"""
+    post_t = f"""WITH {docs_x}
+    t AS (SELECT x.doc_id, string_split(x.text, ' ') AS toks
+          FROM docs_x x, m0
+          WHERE x.doc_id NOT IN (SELECT doc_id FROM coh)
+            AND NOT (({N_INC_BATCHES} * x.doc_id) // (m0.mx + 1)
+                         > {TD_AFTER}
+                     AND x.text IN (SELECT text FROM coh))),"""
+    assert old in INC_LSH_SQL
+    pre = INC_LSH_SQL.replace(old, pre_t)
+    post = INC_LSH_SQL.replace(old, post_t)
+    return f"""WITH pre AS MATERIALIZED ({pre}),
+    post AS MATERIALIZED ({post})
+    SELECT doc_id, batch_id, dup_of, jaccard_first FROM pre
+    WHERE batch_id <= {TD_AFTER} AND doc_id % {TD_MOD} != {TD_RES}
+    UNION ALL
+    SELECT doc_id, batch_id, dup_of, jaccard_first FROM post
+    WHERE batch_id > {TD_AFTER}
+"""
+
+
+@register("stream_dedup_reupload_block_e2e", oracle=_reupload_guard_sql())
+def stream_dedup_reupload_block_e2e(spark, sf_dir):
+    """CONTENT-tombstone enforcement — the takedown guard that makes a
+    delete STICK: deleting by id alone lets the same document walk
+    straight back in under a new id, so `_apply_takedown` also
+    publishes sha2-of-text tombstones for the deleted cohort, and
+    every post-takedown arriving batch is broadcast-anti-joined
+    against them BEFORE anything else — a re-upload gets no sink row,
+    is never banded, and never joins an index generation. The op runs
+    on an engineered corpus (closed-form re-upload splice: several
+    post-boundary docs carry the exact text of deleted cohort docs —
+    sharing sources, so unguarded they would near-dup each other even
+    with the originals purged; the recall-audit fixture discipline),
+    asserts from the rig's counters that blocking actually fired, that
+    no re-upload id appears in any sink row or index generation, and
+    value-hashes against the two-regime statement whose post regime
+    excludes re-uploaded content by text equality.
+
+    Scale shape: the guard is one broadcast anti-join per arriving
+    batch against the O(cohort) hash set — the cheapest enforcement
+    point there is; everything downstream is the unchanged delete
+    pipeline."""
+    import os
+
+    from ..registry import scratch_dir
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    base = scratch_dir("stream_dedup_reupload_block_e2e")
+    blocked = []
+    out = run_inc_lsh_stream(
+        spark, sf_dir, base, delete_after=TD_AFTER,
+        docs_override=_reupload_docs(d, mx), block_reuploads=True,
+        blocked_log=blocked,
+    )
+    out = out.localCheckpoint(eager=True)
+    if sum(blocked) == 0:
+        raise AssertionError(
+            "content guard never fired — the engineered re-uploads"
+            " were not blocked"
+        )
+    idx = f"{base}/index"
+    # no re-upload entered the index: every post-boundary generation
+    # is free of the re-upload id pattern
+    for g in range(TD_AFTER + 1, N_INC_BATCHES):
+        gen = spark.read.parquet(f"{idx}/shingles/gen={g}")
+        n_bad = gen.filter(
+            (F.col("doc_id") % RE_MOD) == RE_RES
+        ).count()
+        if n_bad:
+            raise AssertionError(
+                f"{n_bad} blocked re-uploads leaked into generation {g}"
+            )
+    return out
 
 
 @register("stream_dedup_capped_lifecycle_e2e", oracle=INC_CAPPED_SQL)

@@ -1865,6 +1865,56 @@ def test_takedown_boundary_restart(spark, tmp_path):
     assert tomb and all(t % TD_MOD == TD_RES for t in tomb)
 
 
+def test_reupload_guard_boundary_restart(spark, tmp_path):
+    """Kill/restart across the takedown boundary WITH the
+    content-tombstone guard on (stream_dedup_reupload_block_e2e's rig):
+    the replayed boundary batch must NOT be screened (its own cohort
+    members' hashes are tombstoned — filtering them on replay would
+    rewrite the committed generation with different partners), the
+    post-boundary batch must be screened, and the final output equals
+    the uninterrupted guarded pipeline."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import (
+        TD_AFTER,
+        _reupload_docs,
+        run_inc_lsh_stream,
+    )
+    from engine.registry import QUERIES, table
+
+    d = table(spark, SMOKE_SF_DIR, "documents").select("doc_id", "text")
+    mx = d.agg({"doc_id": "max"}).collect()[0][0]
+    docs_x = _reupload_docs(d, mx)
+    base = str(tmp_path / "reupload")
+
+    with pytest.raises(StreamingQueryException):
+        run_inc_lsh_stream(
+            spark, SMOKE_SF_DIR, base, delete_after=TD_AFTER,
+            docs_override=docs_x, block_reuploads=True,
+            fail_at_batch=TD_AFTER, fail_phase="post_takedown",
+        )
+    assert os.path.exists(f"{base}/index/tombstones_sha")
+
+    blocked = []
+    out = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, delete_after=TD_AFTER,
+        docs_override=docs_x, block_reuploads=True, blocked_log=blocked,
+    )
+    # exactly one screened batch ran on restart (the post-boundary
+    # one); the replayed boundary batch was not screened, so it
+    # appended nothing to blocked_log
+    assert len(blocked) == 1 and blocked[0] > 0, blocked
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["stream_dedup_reupload_block_e2e"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "guarded restart across takedown boundary diverged"
+
+
 def test_sim_gc_refuses_inside_replay_horizon(spark, tmp_path):
     """The ANN GC guard's teeth (stream_sim_gc_e2e): in the
     post-compaction torn state — marker published, boundary batch's
