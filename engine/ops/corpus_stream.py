@@ -389,6 +389,15 @@ def run_corpus_prep_stream(
 
     if compact_after is not None and delete_after is not None:
         raise ValueError("rig supports one maintenance mode per stream")
+    if bucket_cap is not None and delete_after is not None:
+        # same loud failure as the dedicated dedup rig (ADVICE r9):
+        # the takedown leaves the counts/gen=* family unpurged, so a
+        # capped delete stream would keep counting deleted documents
+        # toward bucket caps
+        raise ValueError(
+            "bucket_cap + delete_after is unsupported: takedown does"
+            " not purge the counts/gen=* family"
+        )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]

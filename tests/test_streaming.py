@@ -2249,3 +2249,66 @@ def test_committed_src_batches_reads_compacted_metadata(tmp_path):
 
     got = _committed_src_batches(str(ckpt))
     assert got == set(range(11)), got  # 0..10 committed, 11 excluded
+
+
+def test_capped_delete_combination_fails_loudly(spark, tmp_path):
+    """bucket_cap + delete_after is an unsupported combination in BOTH
+    stream rigs: the takedown purges bands/shingles but not the
+    counts/gen=* family, so a capped delete stream would keep counting
+    taken-down documents toward bucket caps. The rigs must refuse
+    up-front (ADVICE r9) instead of silently serving wrong caps."""
+    from engine.ops.corpus_stream import run_corpus_prep_stream
+    from engine.ops.dedup_stream import TD_AFTER, run_inc_lsh_stream
+
+    with pytest.raises(ValueError, match="counts"):
+        run_inc_lsh_stream(
+            spark, SMOKE_SF_DIR, str(tmp_path / "a"),
+            bucket_cap=2, delete_after=TD_AFTER,
+        )
+    with pytest.raises(ValueError, match="counts"):
+        run_corpus_prep_stream(
+            spark, SMOKE_SF_DIR, str(tmp_path / "b"),
+            bucket_cap=2, delete_after=TD_AFTER,
+        )
+
+
+def test_takedown_audit_refuses_empty_families(spark, tmp_path):
+    """_audit_no_tombstoned with zero surviving generation shards
+    (e.g. every family GC'd, or a mistyped family list) must refuse
+    with a meaningful error, not die on NoneType (ADVICE r9)."""
+    from engine.ops.dedup_stream import _audit_no_tombstoned
+
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    spark.createDataFrame([(1,)], "doc_id bigint").write.parquet(
+        str(idx / "tombstones")
+    )
+    with pytest.raises(AssertionError, match="nothing to audit"):
+        _audit_no_tombstoned(spark, str(idx), ("bands", "no_such_family"))
+
+
+def test_purge_sink_shards_oversized_partition(spark, tmp_path):
+    """_purge_sink rewrites must respect the file-size budget: an
+    oversized served partition is rewritten as multiple files (one
+    task each), never serialized through a single writer (round-9
+    verdict item 6)."""
+    from engine.ops.dedup_stream import TD_MOD, TD_RES, _purge_sink
+
+    sink = tmp_path / "sink"
+    part = sink / "batch_id=0"
+    n = 10_000
+    spark.range(n).selectExpr("id AS doc_id", "id * 2 AS payload").coalesce(
+        1
+    ).write.parquet(str(part))
+
+    _purge_sink(spark, str(sink), 0, rows_per_file=1_000)
+
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    kept = spark.read.parquet(str(part))
+    n_kept = kept.count()
+    assert n_kept == n - len(
+        [i for i in range(n) if i % TD_MOD == TD_RES]
+    )
+    assert kept.filter((kept.doc_id % TD_MOD) == TD_RES).count() == 0
+    expected_files = -(-n_kept // 1_000)
+    assert len(files) == expected_files, (len(files), expected_files)
