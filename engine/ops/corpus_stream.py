@@ -343,12 +343,23 @@ def stream_corpus_prep_delete_e2e(spark, sf_dir):
             f"takedown GC removed {removed}, expected bands+shingles"
             f" originals for generations 0..{TD_AFTER}"
         )
-    # completeness: no surviving kept-set index shard holds a
-    # tombstoned id
-    from .dedup_stream import _audit_no_tombstoned
+    # completeness: no surviving kept-set index shard — and no
+    # arrival copy in the staged feed (`_purge_feed`, safe here
+    # because the GC just proved the covered batches can never
+    # replay) — holds a tombstoned id
+    from .dedup_stream import (
+        _audit_no_tombstoned,
+        _audit_roots_no_tombstoned,
+        _purge_feed,
+    )
 
+    _purge_feed(spark, base, f"{base}/src", TD_AFTER)
     _audit_no_tombstoned(
         spark, idx, ("bands", "shingles", "bands_p", "shingles_p")
+    )
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    _audit_roots_no_tombstoned(
+        spark, tomb, (f"{base}/src", f"{base}/sink", f"{base}/stage")
     )
     return run_corpus_prep_stream(
         spark, sf_dir, base, delete_after=TD_AFTER

@@ -1122,6 +1122,111 @@ def _audit_no_tombstoned(spark, idx, families, id_col="doc_id"):
         )
 
 
+def _audit_roots_no_tombstoned(spark, tomb, roots, id_col="doc_id"):
+    """Takedown completeness audit over ARBITRARY parquet roots — the
+    content-bearing artifacts OUTSIDE the generation-managed index
+    families (the staged feed, suffix-array artifacts, scratch
+    copies): every parquet row reachable under each root whose table
+    carries ``id_col`` is semi-joined against the tombstone frame and
+    anything that comes back raises. Roots that don't exist are
+    skipped (a rig variant may not create them); a root that exists
+    but yields no readable parquet is an error — an audit that can't
+    see what it was asked to check must not pass (the
+    empty-families rule). ``tomb``: a DataFrame with column
+    ``id_col``."""
+    import os
+
+    checked = 0
+    for root in roots:
+        if not os.path.exists(root):
+            continue
+        paths = []
+        if os.path.isfile(root):
+            paths = [root]
+        else:
+            for r, _d, files in os.walk(root):
+                paths.extend(
+                    os.path.join(r, f)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        if not paths:
+            raise AssertionError(
+                f"takedown audit: root {root} exists but holds no"
+                " parquet to audit"
+            )
+        df = spark.read.parquet(*paths)
+        if id_col not in df.columns:
+            raise AssertionError(
+                f"takedown audit: root {root} has no {id_col} column"
+            )
+        leaked = df.select(id_col).join(
+            F.broadcast(tomb.select(id_col)), id_col, "left_semi"
+        )
+        if leaked.limit(1).count() > 0:
+            raise AssertionError(
+                f"takedown incomplete: {root} still holds a"
+                f" tombstoned {id_col}"
+            )
+        checked += 1
+    if checked == 0:
+        raise AssertionError(
+            f"takedown audit: none of the roots exist: {roots}"
+        )
+
+
+def _purge_feed(spark, base, src, upto):
+    """Rewrite the STAGED FEED FILES without the takedown docs — the
+    step ADVICE r9 flagged: the index takedown purged every serving
+    and index artifact while ``src/batch_*.parquet`` (the arrival
+    copies the file source replays from) still held the deleted
+    documents' full text. MUST be called only after the takedown GC
+    has proven the covered batches are outside the replay horizon
+    (`_gc_takedown_originals` raises otherwise) — rewriting a feed
+    file that could still replay would change the replayed batch's
+    input and break exactly-once. Each rewrite is an atomic
+    os.replace of a deterministically filtered copy; mtimes are
+    preserved so the source listing order never changes (the
+    restarted stream sees the same, already-committed paths). When
+    content tombstones exist (``tombstones_sha``), batches strictly
+    past the boundary additionally drop rows carrying tombstoned
+    CONTENT — the feed-side mirror of the re-upload guard. The
+    leftover ``stage/`` staging dirs (data-free after the os.replace,
+    but part of the takedown's blast radius) are removed."""
+    import os
+    import shutil
+
+    td = _takedown_pred()
+    idx = f"{base}/index"
+    sha = None
+    if os.path.exists(f"{idx}/tombstones_sha"):
+        sha = spark.read.parquet(f"{idx}/tombstones_sha")
+    for g in range(N_INC_BATCHES):
+        p = f"{src}/batch_{g}.parquet"
+        if not os.path.exists(p):
+            continue
+        kept = spark.read.parquet(p)
+        if g <= upto:
+            kept = kept.filter(~td)
+        if sha is not None and g > upto:
+            kept = kept.join(
+                F.broadcast(sha),
+                F.sha2(F.col("text"), 256) == F.col("text_sha"),
+                "left_anti",
+            )
+        if g <= upto or sha is not None:
+            st = os.stat(p)
+            stage = f"{base}/stage_purge/b{g}"
+            kept.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.startswith("part-")
+            )
+            os.replace(os.path.join(stage, part), p)
+            os.utime(p, (st.st_atime, st.st_mtime))
+    shutil.rmtree(f"{base}/stage", ignore_errors=True)
+    shutil.rmtree(f"{base}/stage_purge", ignore_errors=True)
+
+
 def _gc_takedown_originals(ckpt, idx):
     """Delete the PRE-takedown ORIGINAL generations once the commit
     watermark has passed the takedown boundary — the step that makes
@@ -1493,12 +1598,17 @@ def stream_dedup_delete_gc_e2e(spark, sf_dir):
     deletes the original generations under the same
     marker-AND-commit-watermark rule as the compaction GC (keyed on
     ``takedown_upto``; REFUSES in the torn state — exercised in
-    tests/test_streaming.py alongside the delete restart), then
-    proves COMPLETENESS from the filesystem: every parquet row
-    remaining anywhere under the index is semi-joined against the
-    tombstone table and must come back empty — no shard, purged or
-    newer, holds a tombstoned id. Finally the stream restarts on the
-    gutted index as a committed no-op and the sink still value-hashes
+    tests/test_streaming.py alongside the delete restart), rewrites
+    the STAGED FEED FILES without the cohort (`_purge_feed` — the
+    arrival copies held the deleted docs' full text, the round-9
+    ADVICE gap) and removes the staging dirs, then proves
+    COMPLETENESS from the filesystem: every parquet row remaining
+    anywhere under the index AND under the feed/sink roots is
+    semi-joined against the tombstone table and must come back empty
+    — no shard, purged or newer, index or arrival copy, holds a
+    tombstoned id. Finally the stream restarts on the gutted index as
+    a committed no-op (the purged feed keeps paths and mtimes, so the
+    source listing is unchanged) and the sink still value-hashes
     against the two-regime delete statement.
 
     Scale shape: GC is driver-side fs metadata work; the completeness
@@ -1518,9 +1628,21 @@ def stream_dedup_delete_gc_e2e(spark, sf_dir):
             f"takedown GC removed {removed}, expected bands+shingles"
             f" originals for generations 0..{TD_AFTER}"
         )
+    # the GC proved the covered batches are outside the replay
+    # horizon, so the ARRIVAL copies can now be rewritten too: the
+    # staged feed files still hold the deleted documents' full text
+    # (ADVICE r9 — the one content-bearing family the r9 takedown
+    # missed), and a takedown that leaves source text on disk is not
+    # compliance-complete
+    _purge_feed(spark, base, f"{base}/src", TD_AFTER)
     _audit_no_tombstoned(
         spark, idx, ("bands", "shingles", "bands_p", "shingles_p")
     )
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    _audit_roots_no_tombstoned(
+        spark, tomb, (f"{base}/src", f"{base}/sink", f"{base}/stage")
+    )
     # restart on the gutted index: recovery finds every source file
-    # committed, replays nothing, and serving is unchanged
+    # committed (the purged feed keeps the same paths and mtimes),
+    # replays nothing, and serving is unchanged
     return run_inc_lsh_stream(spark, sf_dir, base, delete_after=TD_AFTER)

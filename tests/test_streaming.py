@@ -2312,3 +2312,72 @@ def test_purge_sink_shards_oversized_partition(spark, tmp_path):
     assert kept.filter((kept.doc_id % TD_MOD) == TD_RES).count() == 0
     expected_files = -(-n_kept // 1_000)
     assert len(files) == expected_files, (len(files), expected_files)
+
+
+def test_feed_purge_and_content_roots_audit(spark, tmp_path):
+    """Takedown must reach the ARRIVAL copies (ADVICE r9): after the
+    takedown GC proves the covered batches can never replay, the
+    staged feed files are rewritten without the cohort, the staging
+    dirs removed, and the generalized content audit walks feed + sink
+    roots. A planted file holding a taken-down doc under an audited
+    root must make the audit raise; the purged feed must not disturb a
+    checkpoint restart (same paths, same mtimes, nothing replayed)."""
+    from engine.ops.dedup_stream import (
+        TD_AFTER,
+        TD_MOD,
+        TD_RES,
+        _audit_roots_no_tombstoned,
+        _gc_takedown_originals,
+        _purge_feed,
+        run_inc_lsh_stream,
+    )
+
+    base = str(tmp_path / "fp")
+    out1 = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, delete_after=TD_AFTER
+    )
+    rows1 = {tuple(r) for r in out1.collect()}
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+    _gc_takedown_originals(ckpt, idx)
+    mtimes = {
+        g: os.stat(f"{base}/src/batch_{g}.parquet").st_mtime
+        for g in range(TD_AFTER + 1)
+    }
+    _purge_feed(spark, base, f"{base}/src", TD_AFTER)
+
+    # covered feed files lost exactly the cohort rows, kept their
+    # paths and mtimes; staging dirs are gone
+    for g in range(TD_AFTER + 1):
+        p = f"{base}/src/batch_{g}.parquet"
+        df = spark.read.parquet(p)
+        assert df.filter((df.doc_id % TD_MOD) == TD_RES).count() == 0
+        assert df.count() > 0
+        assert os.stat(p).st_mtime == pytest.approx(mtimes[g], abs=1e-3)
+    assert not os.path.exists(f"{base}/stage")
+
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    _audit_roots_no_tombstoned(
+        spark, tomb, (f"{base}/src", f"{base}/sink")
+    )
+
+    # restart on the purged feed: nothing replays, serving unchanged
+    out2 = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, delete_after=TD_AFTER
+    )
+    assert {tuple(r) for r in out2.collect()} == rows1
+
+    # plant a taken-down doc's text in an audited root: caught
+    some_id = int(tomb.limit(1).collect()[0][0])
+    spark.createDataFrame(
+        [(some_id, "deleted text walks back in")],
+        "doc_id bigint, text string",
+    ).write.parquet(f"{base}/src/planted.parquet")
+    with pytest.raises(AssertionError, match="still holds a tombstoned"):
+        _audit_roots_no_tombstoned(
+            spark, tomb, (f"{base}/src", f"{base}/sink")
+        )
+    # a root that exists but holds nothing readable must refuse too
+    empty = tmp_path / "empty_root"
+    empty.mkdir()
+    with pytest.raises(AssertionError, match="no parquet"):
+        _audit_roots_no_tombstoned(spark, tomb, (str(empty),))
