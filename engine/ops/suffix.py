@@ -560,9 +560,7 @@ def _suffix_array_artifact(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_lcp_spans",
-    oracle=f"""
+LCP_SPANS_SQL = f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
                    FROM documents),
         s AS (
@@ -606,8 +604,10 @@ def _suffix_array_artifact(spark, sf_dir):
                CAST(tok_end AS BIGINT) AS tok_end,
                CAST(tok_end - tok_start + 1 AS BIGINT) AS n_tokens_cut
         FROM spans
-    """,
-)
+    """
+
+
+@register("dedup_lcp_spans", oracle=LCP_SPANS_SQL)
 def dedup_lcp_spans(spark, sf_dir):
     """Duplicate-span extraction READ OFF THE SUFFIX ARRAY — Lee et
     al. 2022's actual downstream algorithm, making dedup_suffix_array
@@ -646,8 +646,18 @@ def dedup_lcp_spans(spark, sf_dir):
     published parquet (its plan scans the artifact — pinned in
     tests/test_plans.py), so the O(n log L) build is paid once per
     corpus, not once per consumer."""
-    k = SPAN_K
     final, sfx = _suffix_array_artifact(spark, sf_dir)
+    return _lcp_spans_from(final, sfx)
+
+
+def _lcp_spans_from(final, sfx):
+    """Duplicate-span extraction off a ranked suffix array — the
+    rank-adjacency + bounded-LCP + island-merge machinery shared by
+    dedup_lcp_spans (the published full-corpus artifact) and
+    dedup_sa_takedown (the purged, re-ranked twin). ``final``:
+    (_rank, doc_id, pos) totally ordering the suffixes; ``sfx``:
+    (doc_id, pos, anchor) with the SA_K0-token anchors."""
+    k = SPAN_K
     anch = (
         sfx.withColumn("toks", F.split("anchor", " "))
         .select(
@@ -880,3 +890,114 @@ def dedup_prefix_dups(spark, sf_dir):
             (F.col("text") == F.col("tb")).alias("is_exact"),
         )
     )
+
+
+def _sa_takedown_sql():
+    """LCP_SPANS_SQL over the REDUCED corpus: the takedown cohort
+    (doc_id % TD_MOD == TD_RES, arrived by the TD_AFTER boundary —
+    batch ids on the FULL corpus's id ranges, arrival numbering is
+    not changed by a takedown) removed from the token source. This is
+    the from-scratch-rebuild statement the purged artifact must
+    reproduce."""
+    from .dedup import N_INC_BATCHES
+    from .dedup_stream import TD_AFTER, TD_MOD, TD_RES
+
+    old = "FROM documents),"
+    assert LCP_SPANS_SQL.count(old) == 1
+    return LCP_SPANS_SQL.replace(
+        old,
+        f"""FROM documents
+                   WHERE NOT (doc_id % {TD_MOD} = {TD_RES}
+                     AND ({N_INC_BATCHES} * doc_id) //
+                         ((SELECT max(doc_id) FROM documents) + 1)
+                         <= {TD_AFTER})),""",
+    )
+
+
+@register("dedup_sa_takedown", oracle=_sa_takedown_sql())
+def dedup_sa_takedown(spark, sf_dir):
+    """Document DELETE propagated through the SUFFIX-ARRAY artifact —
+    the content-bearing family the round-9 takedown suite missed: the
+    published artifact's ``anchors/`` table persists each suffix's raw
+    SA_K0-token text, so a takedown that purges bands/shingles/lists/
+    sink but not the SA artifact leaves the deleted documents' text on
+    disk. This op publishes the PURGED generation: ``array_p`` /
+    ``anchors_p`` twins (one filter-rewrite each — the filter rides
+    the scan, no shuffle), a tombstone table, and the write-last
+    ``takedown_applied`` marker; the completeness audit
+    (`_audit_roots_no_tombstoned`) walks the published twin roots, and
+    span serving runs EXCLUSIVELY off the twins. Scope note (the
+    round-9 ADVICE discipline): the original full-corpus artifact
+    remains the serving copy for the full corpus, whose other
+    consumers (dedup_suffix_array, dedup_lcp_spans) legitimately
+    compute over documents that were never taken down here; in a real
+    takedown the corpus itself shrinks, its fingerprint key changes,
+    and the purged generation IS the only artifact — which is exactly
+    what this op's serving path models.
+
+    Why no rebuild is needed: removing documents never reorders the
+    surviving suffixes (suffix comparison is per-suffix; ties break on
+    (doc_id, pos), both unchanged), so the reduced corpus's suffix
+    order is the INDUCED SUBSEQUENCE of the published order — the
+    purge is a filter plus ONE integer re-ranking of the surviving
+    ranks (`_global_rank`, the two-level range-partition shape), never
+    a string re-sort. Rank-adjacent pairs separated by a deleted
+    suffix become adjacent, and spans witnessed only by deleted
+    documents disappear — deleted content can no longer serve as
+    duplication evidence, which is the governance point. The oracle is
+    the full LCP statement over the reduced corpus, so the value hash
+    proves purged-artifact serving ≡ from-scratch rebuild.
+
+    Scale shape: two filter-rewrites over the artifact (linear,
+    partition-parallel), one O(n survivors) integer ranking, then the
+    exact dedup_lcp_spans serving plan — takedown cost is independent
+    of corpus text size (the artifact is (rank, doc, pos) + bounded
+    anchors), and post-delete span serving costs what pre-delete
+    serving cost."""
+    import os
+
+    from ..registry import scratch_dir
+    from .dedup import N_INC_BATCHES
+    from .dedup_stream import (
+        TD_AFTER,
+        _audit_roots_no_tombstoned,
+        _takedown_pred,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
+    td = _takedown_pred() & (batch_of <= TD_AFTER)
+
+    final, sfx = _suffix_array_artifact(spark, sf_dir)
+    base = scratch_dir("dedup_sa_takedown")
+    final.filter(~td).write.mode("overwrite").parquet(f"{base}/array_p")
+    sfx.filter(~td).write.mode("overwrite").parquet(f"{base}/anchors_p")
+    (
+        d.filter(td)
+        .select("doc_id")
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{base}/tombstones")
+    )
+    tmp = f"{base}/takedown_applied.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(TD_AFTER))
+    os.replace(tmp, f"{base}/takedown_applied")
+
+    tomb = spark.read.parquet(f"{base}/tombstones")
+    if tomb.limit(1).count() == 0:
+        raise AssertionError("takedown cohort is empty — fixture degenerate")
+    _audit_roots_no_tombstoned(
+        spark, tomb, (f"{base}/array_p", f"{base}/anchors_p")
+    )
+
+    arr_p = spark.read.parquet(f"{base}/array_p")
+    sfx_p = spark.read.parquet(f"{base}/anchors_p")
+    old = arr_p.select(F.col("_rank").alias("old_rank"), "doc_id", "pos")
+    ranked, _n = _global_rank(old.select("old_rank"), ["old_rank"])
+    new_final = old.join(ranked, "old_rank").select(
+        F.col("_rank"), "doc_id", "pos"
+    )
+    return _lcp_spans_from(new_final, sfx_p)

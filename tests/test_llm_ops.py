@@ -1222,3 +1222,48 @@ def test_capped_recall_audit_economics(spark):
     assert row["pairs_lost"] == row["lost_boiler_pairs"] == boiler_pairs
     assert row["lost_real_pairs"] == 0
     assert row["pairs_capped"] == row["pairs_uncapped"] - boiler_pairs
+
+
+def test_sa_takedown_purges_artifact_and_audit_catches_plants(spark):
+    """dedup_sa_takedown publishes purged SA twins whose anchors table
+    no longer holds ANY suffix text of the takedown cohort (the
+    content-bearing artifact the round-9 takedown suite missed), the
+    write-last marker exists, and the spans it serves never cite a
+    tombstoned doc. Planting a taken-down doc's row back into the
+    published twin must make the completeness audit raise."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from engine.ops.dedup_stream import (
+        TD_MOD,
+        TD_RES,
+        _audit_roots_no_tombstoned,
+    )
+
+    out = engine.QUERIES["dedup_sa_takedown"](spark, T2_SF_DIR)
+    spans = out.collect()
+    assert spans, "purged artifact served no spans — fixture degenerate"
+
+    base = os.path.join(tempfile.gettempdir(), "engine_scratch_dedup_sa_takedown")
+    assert os.path.exists(f"{base}/takedown_applied")
+    tomb = spark.read.parquet(f"{base}/tombstones")
+    tomb_ids = {r[0] for r in tomb.collect()}
+    assert tomb_ids and all(t % TD_MOD == TD_RES for t in tomb_ids)
+    # no served span cites a tombstoned doc
+    assert not any(r["doc_id"] in tomb_ids for r in spans)
+    # the purged anchors hold no cohort suffix text
+    anch = spark.read.parquet(f"{base}/anchors_p")
+    assert anch.filter(anch.doc_id.isin(list(tomb_ids))).count() == 0
+
+    # plant a taken-down doc's anchor row back in: audit must catch it
+    some_id = next(iter(tomb_ids))
+    spark.createDataFrame(
+        [(some_id, 1, "the deleted text walks back in")],
+        "doc_id bigint, pos int, anchor string",
+    ).write.mode("append").parquet(f"{base}/anchors_p")
+    with pytest.raises(AssertionError, match="still holds a tombstoned"):
+        _audit_roots_no_tombstoned(
+            spark, tomb, (f"{base}/array_p", f"{base}/anchors_p")
+        )
