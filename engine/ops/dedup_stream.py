@@ -19,9 +19,13 @@ from .dedup import (
     COMPACT_FILES,
     JACCARD_THRESHOLD,
     LSH_BUCKET_CAP,
+    MINHASH_P,
     MINHASH_SQL,
+    N_BANDS,
     N_INC_BATCHES,
+    _MH_BAND_CASE_SQL,
     _MH_COMMON_CTES,
+    _MH_SIG_SQL,
     _lsh_band_rows,
     _lsh_bucket_pairs,
     _lsh_verify_first_partner,
@@ -464,7 +468,7 @@ def _reupload_docs(d, mx):
     )
 
 
-def _apply_takedown(spark, idx, upto, src=None):
+def _apply_takedown(spark, idx, upto, src=None, band_tombstones=False):
     """Rewrite index generations 0..upto WITHOUT the takedown docs as
     per-generation purged twins (bands_p/gen=g, shingles_p/gen=g),
     write the tombstone table (the deleted ids — audits and late-
@@ -475,7 +479,15 @@ def _apply_takedown(spark, idx, upto, src=None):
     checkpoint replay of the boundary batch must re-read the exact
     pre-takedown layout it first ran against. Each rewrite is a
     deterministic overwrite, so the takedown redo on replay converges
-    to the same bytes."""
+    to the same bytes.
+
+    ``band_tombstones=True`` additionally publishes the cohort's
+    (band, band_key) set (``tombstones_bands``) read from the arrived
+    generations — the NEAR-DUP tombstone the sha2 content guard can't
+    provide: a paraphrased re-upload changes the hash but still lands
+    in the deleted content's LSH buckets. O(cohort × N_BANDS) rows,
+    broadcastable at any corpus size, and content-derived only through
+    minhashes (no raw text is retained)."""
     import os
 
     td = _takedown_pred()
@@ -523,6 +535,18 @@ def _apply_takedown(spark, idx, upto, src=None):
             .write.mode("overwrite")
             .parquet(f"{idx}/tombstones_sha")
         )
+    if band_tombstones:
+        (
+            spark.read.parquet(
+                *[f"{idx}/bands/gen={g}" for g in range(upto + 1)]
+            )
+            .filter(td)
+            .select("band", "band_key")
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{idx}/tombstones_bands")
+        )
     tmp = f"{idx}/takedown_upto.tmp"
     with open(tmp, "w") as f:
         f.write(str(upto))
@@ -568,7 +592,8 @@ def run_inc_lsh_stream(
     spark, sf_dir, base, fail_at_batch=None, bucket_cap=None,
     compact_after=None, fail_phase="pre_sink", read_paths_log=None,
     counts_paths_log=None, delete_after=None, docs_override=None,
-    block_reuploads=False, blocked_log=None,
+    block_reuploads=False, blocked_log=None, block_neardups=False,
+    nd_blocked_log=None,
 ):
     """The checkpointed-stream rig behind stream_dedup_incremental_e2e,
     factored so tests can kill it mid-stream and restart it against the
@@ -642,7 +667,7 @@ def run_inc_lsh_stream(
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
             return
-        if block_reuploads:
+        if block_reuploads or block_neardups:
             # content-tombstone guard, STRICTLY-PAST like every other
             # marker consumer: only batches past the takedown boundary
             # are screened. A replayed boundary batch must NOT be —
@@ -668,6 +693,41 @@ def run_inc_lsh_stream(
                 ).localCheckpoint(eager=True)
                 if blocked_log is not None:
                     blocked_log.append(before - batch_df.count())
+                if block_neardups:
+                    # NEAR-DUP tombstone guard (the completion of the
+                    # sha guard — a paraphrase of deleted content
+                    # changes the hash but not its LSH region): band
+                    # the arriving docs and block any doc sharing a
+                    # (band, band_key) with the takedown cohort's
+                    # tombstoned band set. Same strictly-past marker
+                    # rule; one broadcast semi-join against the
+                    # O(cohort × N_BANDS) band set. The extra banding
+                    # pass here is rig simplicity — production fuses
+                    # it with the core's banding of the same batch.
+                    tomb_bands = spark.read.parquet(
+                        f"{idx}/tombstones_bands"
+                    )
+                    g_sh = batch_df.select(
+                        "doc_id", _shingle_array(_tokens()).alias("sh")
+                    )
+                    nd_ids = (
+                        _lsh_band_rows(g_sh)
+                        .join(
+                            F.broadcast(tomb_bands),
+                            ["band", "band_key"],
+                            "left_semi",
+                        )
+                        .select("doc_id")
+                        .distinct()
+                        .localCheckpoint(eager=True)
+                    )
+                    if nd_blocked_log is not None:
+                        nd_blocked_log.append(
+                            (b_pre, sorted(r[0] for r in nd_ids.collect()))
+                        )
+                    batch_df = batch_df.join(
+                        nd_ids, "doc_id", "left_anti"
+                    ).localCheckpoint(eager=True)
                 if batch_df.isEmpty():
                     return
         doc_sh = (
@@ -714,7 +774,11 @@ def run_inc_lsh_stream(
                     )
             if delete_after is not None and b == delete_after:
                 _apply_takedown(
-                    spark, idx, b, src=src if block_reuploads else None
+                    spark, idx, b,
+                    src=src
+                    if (block_reuploads or block_neardups)
+                    else None,
+                    band_tombstones=block_neardups,
                 )
                 _purge_sink(spark, sink, b)
                 if (
@@ -1646,3 +1710,212 @@ def stream_dedup_delete_gc_e2e(spark, sf_dir):
     # committed (the purged feed keeps the same paths and mtimes),
     # replays nothing, and serving is unchanged
     return run_inc_lsh_stream(spark, sf_dir, base, delete_after=TD_AFTER)
+
+
+# One appended token turns a deleted document into a PARAPHRASE: the
+# sha2 content tombstone provably misses it, while ~all of its 3-token
+# shingles — and therefore its minhash band keys — still collide with
+# the tombstoned band set. The suffix is a token that appears nowhere
+# in the corpus, so the transform is closed-form in both engines.
+PP_SUFFIX = "zqparaphrasemarker"
+
+
+def _paraphrase_docs(d, mx):
+    """The paraphrase-transformed corpus (docs_x for the near-dup
+    guard): post-boundary docs with doc_id % RE_MOD == RE_RES carry
+    the text of cohort doc 7*(doc_id % 2)+1 with PP_SUFFIX appended —
+    the engineered re-upload that evades the exact-content guard but
+    not the band tombstones. NULL-safe like the oracle: a missing
+    source doc leaves the text unchanged."""
+    batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
+    src_map = d.select(
+        F.col("doc_id").alias("s_id"), F.col("text").alias("s_text")
+    )
+    return (
+        d.join(
+            F.broadcast(src_map.filter(F.col("s_id").isin(1, 8))),
+            F.col("s_id") == 7 * (F.col("doc_id") % 2) + 1,
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                (batch_of > TD_AFTER)
+                & (F.col("doc_id") % RE_MOD == RE_RES)
+                & F.col("s_text").isNotNull(),
+                F.concat(F.col("s_text"), F.lit(" " + PP_SUFFIX)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+def _neardup_guard_sql():
+    """Batch restatement of the BAND-TOMBSTONE guard: both regimes run
+    over the paraphrase-transformed corpus (docs_x — the closed-form
+    splice `_paraphrase_docs` also applies); rows up to the boundary
+    are the full statement minus the cohort's own rows, and rows past
+    it are the statement over the reduced corpus with blocked docs
+    additionally excluded — blocked being exactly the engine's rule: a
+    post-boundary doc whose text equals deleted text (the sha guard)
+    OR that shares at least one (band, band_key) with the takedown
+    cohort's band set (the near-dup tombstones). The band chain
+    (x_sh → x_hb → x_mh → x_bands) restates the portable minhash
+    family verbatim, so `blocked` is the same set the engine's
+    broadcast semi-join computes."""
+    docs_x = f"""m0 AS (SELECT max(doc_id) AS mx FROM documents),
+    docs_x AS (
+        SELECT d.doc_id,
+               CASE WHEN ({N_INC_BATCHES} * d.doc_id) // (m0.mx + 1)
+                         > {TD_AFTER}
+                         AND d.doc_id % {RE_MOD} = {RE_RES}
+                         AND s.text IS NOT NULL
+                    THEN s.text || ' {PP_SUFFIX}' ELSE d.text END AS text
+        FROM documents d CROSS JOIN m0
+        LEFT JOIN documents s ON s.doc_id = 7 * (d.doc_id % 2) + 1),
+    coh AS (
+        SELECT x.doc_id, x.text FROM docs_x x, m0
+        WHERE x.doc_id % {TD_MOD} = {TD_RES}
+          AND ({N_INC_BATCHES} * x.doc_id) // (m0.mx + 1) <= {TD_AFTER}),"""
+    band_chain = f"""
+    x_sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_x) tt,
+             unnest(range(1, len(toks)-1)) r(i)),
+    x_hb AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
+                 % {MINHASH_P} AS hb
+        FROM x_sh),
+    x_mh AS MATERIALIZED (
+        SELECT doc_id,
+           {_MH_SIG_SQL}
+        FROM x_hb GROUP BY doc_id),
+    x_bands AS (SELECT doc_id, band, {_MH_BAND_CASE_SQL} AS band_key
+                FROM x_mh, unnest(range(0, {N_BANDS})) r(band)),
+    blocked AS MATERIALIZED (
+        SELECT DISTINCT b.doc_id
+        FROM x_bands b
+        JOIN x_bands c ON b.band = c.band AND b.band_key = c.band_key
+        CROSS JOIN m0
+        WHERE c.doc_id IN (SELECT doc_id FROM coh)
+          AND b.doc_id NOT IN (SELECT doc_id FROM coh)
+          AND ({N_INC_BATCHES} * b.doc_id) // (m0.mx + 1) > {TD_AFTER}),"""
+    old = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ')"
+        " AS toks FROM documents),"
+    )
+    pre_t = f"""WITH {docs_x}
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_x),"""
+    post_t = f"""WITH {docs_x}{band_chain}
+    t AS (SELECT x.doc_id, string_split(x.text, ' ') AS toks
+          FROM docs_x x, m0
+          WHERE x.doc_id NOT IN (SELECT doc_id FROM coh)
+            AND NOT (({N_INC_BATCHES} * x.doc_id) // (m0.mx + 1)
+                         > {TD_AFTER}
+                     AND (x.text IN (SELECT text FROM coh)
+                          OR x.doc_id IN (SELECT doc_id FROM blocked)))),"""
+    assert old in INC_LSH_SQL
+    pre = INC_LSH_SQL.replace(old, pre_t)
+    post = INC_LSH_SQL.replace(old, post_t)
+    return f"""WITH pre AS MATERIALIZED ({pre}),
+    post AS MATERIALIZED ({post})
+    SELECT doc_id, batch_id, dup_of, jaccard_first FROM pre
+    WHERE batch_id <= {TD_AFTER} AND doc_id % {TD_MOD} != {TD_RES}
+    UNION ALL
+    SELECT doc_id, batch_id, dup_of, jaccard_first FROM post
+    WHERE batch_id > {TD_AFTER}
+"""
+
+
+@register("stream_dedup_neardup_block_e2e", oracle=_neardup_guard_sql())
+def stream_dedup_neardup_block_e2e(spark, sf_dir):
+    """NEAR-DUP tombstone enforcement — the completion of the takedown
+    guard (round-9 verdict item 2): the sha2 content tombstone blocks
+    only byte-identical re-uploads, so a one-token paraphrase of
+    deleted content walks straight past it — while the index already
+    computes exactly the band keys that would catch it. The takedown
+    therefore also publishes the cohort's (band, band_key) set
+    (`tombstones_bands`, O(cohort × N_BANDS), content-derived only
+    through minhashes — no raw text retained), and every post-takedown
+    arriving batch is banded and broadcast-semi-joined against it: a
+    doc sharing ANY band with the deleted region is blocked before it
+    reaches the sink or the index — LSH-candidate semantics, the same
+    rule that makes two docs dedup candidates in the first place.
+
+    The op runs on an engineered corpus (closed-form paraphrase
+    splice: several post-boundary docs carry deleted cohort text plus
+    one appended token — a suffix token appearing nowhere else, so BY
+    CONSTRUCTION no paraphrase can ever match a cohort sha), asserts
+    that the band guard blocked paraphrases the sha guard cannot see
+    (the sha guard may still fire on NATURAL exact re-occurrences of
+    deleted text in the fixture corpus — that is it doing its job),
+    that no blocked id appears in any post-boundary index generation
+    or sink partition, and value-hashes against the two-regime
+    statement whose post regime excludes blocked docs by the restated
+    text-equality-or-band-collision rule.
+
+    Conservatism note: band collision is the LSH candidate test, so
+    the guard can block a false-positive collision — the tradeoff
+    every LSH dedup already accepts for admission, applied to
+    takedown enforcement where erring toward blocking is the
+    compliance-correct direction.
+
+    Scale shape: one extra banding pass + one broadcast semi-join per
+    post-takedown batch (production fuses the banding with the core's
+    own); the tombstone band set is O(cohort), everything downstream
+    is the unchanged delete pipeline."""
+    import os
+
+    from ..registry import scratch_dir
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    base = scratch_dir("stream_dedup_neardup_block_e2e")
+    sha_blocked, nd_blocked = [], []
+    out = run_inc_lsh_stream(
+        spark, sf_dir, base, delete_after=TD_AFTER,
+        docs_override=_paraphrase_docs(d, mx),
+        block_reuploads=True, blocked_log=sha_blocked,
+        block_neardups=True, nd_blocked_log=nd_blocked,
+    )
+    out = out.localCheckpoint(eager=True)
+    blocked_ids = {i for (_b, ids) in nd_blocked for i in ids}
+    if not blocked_ids:
+        raise AssertionError(
+            "band-tombstone guard never fired — the engineered"
+            " paraphrases were not blocked"
+        )
+    # the guard's teeth: at least one BLOCKED doc is an engineered
+    # paraphrase — content the sha guard can never match (its text
+    # ends in the marker token no cohort text carries)
+    pp_ids = {
+        r[0]
+        for r in _paraphrase_docs(d, mx)
+        .filter(F.col("text").endswith(PP_SUFFIX))
+        .select("doc_id")
+        .collect()
+    }
+    if not pp_ids:
+        raise AssertionError("paraphrase fixture is empty — degenerate")
+    if not (pp_ids & blocked_ids):
+        raise AssertionError(
+            "no engineered paraphrase was band-blocked — the guard"
+            " adds nothing over the sha tombstones"
+        )
+    idx = f"{base}/index"
+    for g in range(TD_AFTER + 1, N_INC_BATCHES):
+        gen = spark.read.parquet(f"{idx}/shingles/gen={g}")
+        n_bad = gen.filter(
+            F.col("doc_id").isin(list(blocked_ids))
+        ).count()
+        if n_bad:
+            raise AssertionError(
+                f"{n_bad} blocked paraphrases leaked into generation {g}"
+            )
+    leaked = out.filter(F.col("doc_id").isin(list(blocked_ids)))
+    if leaked.limit(1).count() > 0:
+        raise AssertionError("a blocked paraphrase has a sink row")
+    return out

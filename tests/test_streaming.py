@@ -2381,3 +2381,53 @@ def test_feed_purge_and_content_roots_audit(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(AssertionError, match="no parquet"):
         _audit_roots_no_tombstoned(spark, tomb, (str(empty),))
+
+
+def test_neardup_guard_boundary_restart(spark, tmp_path):
+    """Kill/restart across the takedown boundary WITH the band-
+    tombstone (near-dup) guard on: the replayed boundary batch must
+    NOT be screened (strictly-past marker rule — screening it would
+    rewrite the committed generation), the post-boundary batch must be
+    band-screened, the band tombstones must survive the torn state,
+    and the final output equals the uninterrupted guarded pipeline."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import (
+        TD_AFTER,
+        _paraphrase_docs,
+        run_inc_lsh_stream,
+    )
+    from engine.registry import QUERIES, table
+
+    d = table(spark, SMOKE_SF_DIR, "documents").select("doc_id", "text")
+    mx = d.agg({"doc_id": "max"}).collect()[0][0]
+    docs_x = _paraphrase_docs(d, mx)
+    base = str(tmp_path / "neardup")
+
+    with pytest.raises(StreamingQueryException):
+        run_inc_lsh_stream(
+            spark, SMOKE_SF_DIR, base, delete_after=TD_AFTER,
+            docs_override=docs_x, block_reuploads=True,
+            block_neardups=True,
+            fail_at_batch=TD_AFTER, fail_phase="post_takedown",
+        )
+    assert os.path.exists(f"{base}/index/tombstones_bands")
+
+    nd = []
+    out = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, delete_after=TD_AFTER,
+        docs_override=docs_x, block_reuploads=True,
+        block_neardups=True, nd_blocked_log=nd,
+    )
+    # exactly one screened batch ran on restart (the post-boundary
+    # one); the replayed boundary batch was not screened
+    assert len(nd) == 1 and nd[0][0] > TD_AFTER and nd[0][1], nd
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["stream_dedup_neardup_block_e2e"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "band-guarded restart across boundary diverged"
