@@ -1001,3 +1001,197 @@ def dedup_sa_takedown(spark, sf_dir):
         F.col("_rank"), "doc_id", "pos"
     )
     return _lcp_spans_from(new_final, sfx_p)
+
+
+def _spancov_inc_sql():
+    """Arrival-prefix restatement of incremental span coverage: a
+    position of doc d (arriving in batch(d)) is duplicated iff some
+    OTHER document holding the same SPAN_K-token span arrived in
+    batch(d) or earlier — the monotone semantics an append-only
+    incremental pipeline realizes (a span whose only partner arrives
+    LATER is not yet evidence at d's ingest time; the same
+    arrival-prefix form as the capped-LSH oracle). Batch ids are the
+    id-range arrival slices every incremental op shares."""
+    from .dedup import N_INC_BATCHES
+
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        ),
+        m AS (SELECT max(doc_id) AS mx FROM documents),
+        sh AS (
+          SELECT doc_id, i, array_to_string(a[i:i+{SPAN_K - 1}], ' ') AS span
+          FROM (SELECT doc_id, a, unnest(range(1, len(a) - {SPAN_K} + 2)) AS i
+                FROM tok WHERE len(a) >= {SPAN_K})
+        ),
+        shb AS MATERIALIZED (
+          SELECT s.doc_id, s.i, s.span,
+                 ({N_INC_BATCHES} * s.doc_id) // (m.mx + 1) AS batch
+          FROM sh s, m
+        ),
+        dup AS (
+          SELECT span FROM shb GROUP BY span
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+          SELECT DISTINCT x.doc_id, x.i AS s, x.i + {SPAN_K} - 1 AS e
+          FROM shb x JOIN shb y
+            ON y.span = x.span AND y.doc_id <> x.doc_id
+          WHERE y.batch <= x.batch
+            AND x.span IN (SELECT span FROM dup)
+        ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM hits
+        ),
+        grp AS (
+          SELECT doc_id, s, e,
+                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+          FROM isl
+        ),
+        cov AS (
+          SELECT doc_id, CAST(sum(seg) AS BIGINT) AS dup_tokens
+          FROM (SELECT doc_id, isl_id, max(e) - min(s) + 1 AS seg
+                FROM grp GROUP BY doc_id, isl_id)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(({N_INC_BATCHES} * t.doc_id) // (m.mx + 1) AS BIGINT)
+                 AS batch_id,
+               len(a) AS n_tokens,
+               coalesce(dup_tokens, 0) AS dup_tokens,
+               round(coalesce(dup_tokens, 0) * 1.0 / len(a), 6) AS dup_ratio
+        FROM tok t CROSS JOIN m LEFT JOIN cov USING (doc_id)
+        ORDER BY t.doc_id
+    """
+
+
+def _span_cov_process_batch(spark, batch_docs, base, b):
+    """Process ONE ingest increment of the incremental span-coverage
+    pipeline: write the batch's anchor rows as generation ``b``
+    (deterministic overwrite = the replay unit, exactly the LSH-index
+    protocol), read them back, and mark a position duplicated iff its
+    span is shared within the batch by another doc OR appears in ANY
+    earlier generation — O(batch) anchor rows joined against the
+    persisted distinct-span index, never a corpus rerun. Island-merge
+    and coverage are the shared dedup_span_coverage machinery.
+    ``batch_docs``: (doc_id, a, n_tokens, batch_id) for this batch."""
+    sp = (
+        batch_docs.filter(F.col("n_tokens") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, n_tokens - {SPAN_K} + 1),"
+                    f" i -> array_join(slice(a, i, {SPAN_K}), ' '))"
+                )
+            ).alias("p", "span"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("s"), "span")
+    )
+    sp.write.mode("overwrite").parquet(f"{base}/anchors/gen={b}")
+    sp = spark.read.parquet(f"{base}/anchors/gen={b}")
+    within = (
+        sp.groupBy("span")
+        .agg(
+            F.min("doc_id").alias("lo_doc"),
+            F.max("doc_id").alias("hi_doc"),
+        )
+        .filter(F.col("lo_doc") != F.col("hi_doc"))
+        .select("span")
+    )
+    if b > 0:
+        idx = (
+            spark.read.parquet(
+                *[f"{base}/anchors/gen={g}" for g in range(b)]
+            )
+            .select("span")
+            .distinct()
+        )
+        dupset = within.unionByName(idx).distinct()
+    else:
+        dupset = within
+    hits = sp.join(dupset.hint("shuffle_hash"), "span", "left_semi").select(
+        "doc_id", "s", (F.col("s") + SPAN_K - 1).alias("e")
+    )
+    cov = _merge_islands(hits).groupBy("doc_id").agg(
+        F.sum(F.col("tok_end") - F.col("tok_start") + 1).alias("dup_tokens")
+    )
+    return (
+        batch_docs.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "batch_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) * 1.0
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@register("dedup_span_coverage_incremental", oracle=_spancov_inc_sql())
+def dedup_span_coverage_incremental(spark, sf_dir):
+    """INCREMENTAL substring-level dedup — the missing member of the
+    incremental cascade (round-9 verdict item 3: exact dedup has an
+    incremental snapshot, near-dup has the LSH index, semantic has the
+    frozen-centroid form, but span coverage rebuilt the whole corpus
+    per snapshot): each arriving id-range batch writes its SPAN_K-token
+    anchor rows as the next generation of a persisted ANCHOR INDEX,
+    then measures its own documents' duplicated-token coverage against
+    the within-batch inverted index plus the accumulated distinct-span
+    set — O(batch) per increment, nothing ever rescans earlier text.
+
+    Semantics are ARRIVAL-PREFIX (monotone), stated exactly by the
+    oracle: a position counts as duplicated at ingest time iff another
+    document holding the same span has ALREADY arrived (same batch or
+    earlier) — the only semantics an append-only pipeline can realize,
+    since a later-arriving partner would require re-emitting an
+    earlier doc's coverage (the retraction the capped-LSH oracle
+    rejects for the same reason). Consequences, property-tested:
+    incremental dup_tokens ≤ the batch op's (the full-corpus statement
+    sees future partners), with equality for every doc whose partners
+    all precede it — and batch N-1's rows ARE the batch statement's
+    rows for those docs. Replay-idempotence (re-running a batch
+    rewrites its generation deterministically and re-emits identical
+    rows) is pinned in tests/test_llm_ops.py.
+
+    Scale shape: per increment one anchor explode (linear), one
+    map-side-combinable within-batch groupBy(span), one semi-join of
+    the batch's anchors against the persisted distinct-span index
+    (span → xxhash64(span) as the key at 100 TB), and the shared
+    per-doc island merge. The index read is O(gens) directories per
+    increment — the same seam the LSH counts family closed with
+    compaction behind a marker, and the same fix applies when a
+    stream outlives its generation budget."""
+    from .dedup import N_INC_BATCHES
+    from ..registry import scratch_dir
+
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    base = scratch_dir("dedup_span_coverage_incremental")
+    docs = (
+        d.select("doc_id", F.split("text", " ").alias("a"))
+        .withColumn("n_tokens", F.size("a"))
+        .withColumn(
+            "batch_id",
+            F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}").cast("long"),
+        )
+    )
+    out = None
+    for b in range(N_INC_BATCHES):
+        ob = _span_cov_process_batch(
+            spark, docs.filter(F.col("batch_id") == b), base, b
+        )
+        out = ob if out is None else out.unionByName(ob)
+    return out

@@ -1267,3 +1267,61 @@ def test_sa_takedown_purges_artifact_and_audit_catches_plants(spark):
         _audit_roots_no_tombstoned(
             spark, tomb, (f"{base}/array_p", f"{base}/anchors_p")
         )
+
+
+def test_span_coverage_incremental_prefix_semantics_and_replay(spark, tmp_path):
+    """Arrival-prefix containment: incremental dup coverage never
+    exceeds the full-corpus batch statement (which sees future
+    partners), and equals it for every last-batch doc (all partners
+    precede them). Replaying a batch against the existing anchor index
+    rewrites its generation deterministically and re-emits identical
+    rows (the generation-overwrite replay protocol)."""
+    from pyspark.sql import functions as F
+
+    from engine.ops.dedup import N_INC_BATCHES
+    from engine.ops.suffix import _span_cov_process_batch
+
+    inc = {
+        r["doc_id"]: r.asDict()
+        for r in engine.QUERIES["dedup_span_coverage_incremental"](
+            spark, T2_SF_DIR
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r.asDict()
+        for r in engine.QUERIES["dedup_span_coverage"](
+            spark, T2_SF_DIR
+        ).collect()
+    }
+    assert set(inc) == set(full)
+    assert any(v["dup_tokens"] > 0 for v in inc.values())
+    for did, v in inc.items():
+        assert v["dup_tokens"] <= full[did]["dup_tokens"], did
+        if v["batch_id"] == N_INC_BATCHES - 1:
+            assert v["dup_tokens"] == full[did]["dup_tokens"], did
+
+    # replay idempotence on an isolated rig
+    d = table(spark, T2_SF_DIR, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    docs = (
+        d.select("doc_id", F.split("text", " ").alias("a"))
+        .withColumn("n_tokens", F.size("a"))
+        .withColumn(
+            "batch_id",
+            F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}").cast("long"),
+        )
+    )
+    base = str(tmp_path / "spaninc")
+    first = {}
+    for b in range(N_INC_BATCHES):
+        rows = _span_cov_process_batch(
+            spark, docs.filter(F.col("batch_id") == b), base, b
+        ).collect()
+        first[b] = {tuple(r) for r in rows}
+    replayed = {
+        tuple(r)
+        for r in _span_cov_process_batch(
+            spark, docs.filter(F.col("batch_id") == 1), base, 1
+        ).collect()
+    }
+    assert replayed == first[1], "batch replay is not idempotent"
