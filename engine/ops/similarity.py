@@ -1350,30 +1350,40 @@ def sim_search_pq(spark, sf_dir):
     further at fixed recall. The asserted floor is 0.9 at the
     sf0.01 differential scale.
     """
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = _pq_train(_pq_sample(em))
+    encoded = _pq_encode(spark, em, books)
+    return _pq_adc_probe(spark, em, books, encoded)
+
+
+def _pq_sample(em, cut=None):
+    """Fixed-SIZE training sample matrix (not a fraction): the modulo
+    spreads the picks across the id space, the limit caps driver
+    transfer at 4096 vectors (1 MB) no matter the corpus size —
+    orderBy+limit is a distributed top-k, so nothing unbounded reaches
+    the driver. ``cut`` restricts the sample to the BASE slice
+    (vec_id < cut) for the frozen-codebook lifecycle ops. Returns the
+    micro-quantized int64 matrix."""
     import numpy as np
 
-    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    d, m, sub = EMB_DIM, PQ_M, EMB_DIM // PQ_M
-
-    # Fixed-SIZE training sample (not a fraction): the modulo spreads
-    # the picks across the id space, the limit caps driver transfer at
-    # 4096 vectors (1 MB) no matter the corpus size — orderBy+limit is
-    # a distributed top-k, so nothing unbounded reaches the driver.
-    sample = (
-        em.filter(F.col("vec_id") % 4 == 0)
-        .orderBy("vec_id")
-        .limit(4096)
-        .collect()
-    )
-    # micro-quantized integer codebook training: exact int64 squared
-    # distances (≤ 8·(2e6)² ≈ 3.2e13), first-min argmin, floor-mean
-    # updates — the same engine-exact discipline as the Lloyd ops, so
-    # the codebooks, codes, and ADC scores all restate in the oracle
-    X = np.floor(
+    f = em.filter(F.col("vec_id") % 4 == 0)
+    if cut is not None:
+        f = f.filter(F.col("vec_id") < cut)
+    sample = f.orderBy("vec_id").limit(4096).collect()
+    return np.floor(
         np.vstack([r["embedding"] for r in sample]).astype("float64") * 1e6
         + 0.5
     ).astype(np.int64)
-    books = []  # m int arrays of (PQ_K, sub)
+
+
+def _pq_train(X):
+    """Micro-quantized integer codebook training: exact int64 squared
+    distances (≤ 8·(2e6)² ≈ 3.2e13), first-min argmin, floor-mean
+    updates — the same engine-exact discipline as the Lloyd ops, so
+    the codebooks, codes, and ADC scores all restate in the oracle.
+    Returns PQ_M int64 arrays of shape (PQ_K, sub)."""
+    m, sub = PQ_M, EMB_DIM // PQ_M
+    books = []
     for j in range(m):
         S = X[:, j * sub : (j + 1) * sub]
         C = S[:PQ_K].copy()
@@ -1386,6 +1396,14 @@ def sim_search_pq(spark, sf_dir):
                     # numpy int // floors like DuckDB's explicit floor
                     C[k] = S[mask].sum(axis=0) // int(mask.sum())
         books.append(C)
+    return books
+
+
+def _pq_encode(spark, em, books):
+    """Distributed map-only PQ encoding against broadcast codebooks:
+    one mapInPandas pass argmins each subvector (vectorized int64 L2),
+    emitting PQ_M small ints per vector."""
+    m, sub = PQ_M, EMB_DIM // PQ_M
     bks = spark.sparkContext.broadcast([b.tolist() for b in books])
 
     def encode(batches):
@@ -1410,8 +1428,20 @@ def sim_search_pq(spark, sf_dir):
                 {"vec_id": pdf["vec_id"], "code": list(codes)}
             )
 
-    encoded = em.mapInPandas(encode, "vec_id long, code array<long>")
+    return em.mapInPandas(encode, "vec_id long, code array<long>")
 
+
+def _pq_adc_probe(spark, em, books, encoded):
+    """PQ serving: per-probe 8×PQ_K lookup tables of subvector dots
+    broadcast, asymmetric-distance scoring as one numpy gather+sum per
+    Arrow batch with per-task local top-PQ_CAND, a window for the
+    global top-PQ_CAND pool, then exact dot6 re-rank of the pool —
+    bit-matching the brute anchor for every shared pair. ``encoded``
+    is the codes frame (in-memory or a persisted-generation scan);
+    the probe workload always comes from ``em``."""
+    import numpy as np
+
+    m, sub = PQ_M, EMB_DIM // PQ_M
     probes = (
         em.filter(F.col("vec_id") < N_PROBES).orderBy("vec_id").collect()
     )
@@ -2155,6 +2185,209 @@ def sim_index_compact(spark, sf_dir):
             "probe answers diverge between generation and compacted lists"
         )
     return post
+
+
+def _pq_books_to_df(spark, books):
+    """Codebooks as a (j, k, pos, c_u) parquet-able frame — the
+    persisted form (O(PQ_M × PQ_K × sub) rows, model-sized)."""
+    sub = EMB_DIM // PQ_M
+    rows = [
+        (j, k, p, int(B[k][p]))
+        for j, B in enumerate(books)
+        for k in range(PQ_K)
+        for p in range(sub)
+    ]
+    return spark.createDataFrame(rows, "j int, k int, pos int, c_u long")
+
+
+def _pq_books_from_df(df):
+    """Rebuild the numpy codebooks from the persisted (j, k, pos, c_u)
+    table — a model-sized driver pull, the PQ analogue of loading IVF
+    centroids."""
+    import numpy as np
+
+    sub = EMB_DIM // PQ_M
+    books = [np.zeros((PQ_K, sub), dtype=np.int64) for _ in range(PQ_M)]
+    for r in df.collect():
+        books[r["j"]][r["k"]][r["pos"]] = r["c_u"]
+    return books
+
+
+def _pq_persist_oracle_sql():
+    """The PQ pipeline oracle with codebooks trained on the BASE slice
+    only (vec_id < the 80% append cut) — encoding still covers every
+    vector against the frozen final codebooks, exactly the
+    append-against-frozen-codebooks lifecycle."""
+    old = "FROM embeddings WHERE vec_id % 4 = 0"
+    base = _pq_oracle_sql()
+    assert base.count(old) == 1
+    return base.replace(
+        old, f"{old} AND vec_id < {IVF_APPEND_CUT_SQL}"
+    )
+
+
+PQ_PERSIST_SQL = _pq_persist_oracle_sql()
+
+
+def _pq_delete_oracle_sql():
+    """The persisted-PQ probe statement with the takedown cohort
+    excluded from CODE membership only: codebooks and the probe
+    workload are unchanged (the frozen-codebook retention argument
+    sim_index_delete documents), exactly what the purged code
+    generations serve."""
+    old = "WHERE q.vec_id <> en.vec_id"
+    assert PQ_PERSIST_SQL.count(old) == 1
+    return PQ_PERSIST_SQL.replace(
+        old,
+        f"{old}\n          AND en.vec_id % {VEC_TD_MOD} <> {VEC_TD_RES}",
+    )
+
+
+@register("sim_index_pq_persist", oracle=PQ_PERSIST_SQL)
+def sim_index_pq_persist(spark, sf_dir):
+    """PQ index LIFECYCLE: persist + append — completing the ANN
+    index-family symmetry (round-9 verdict item 4: IVF had
+    persist/append/compact/delete while sim_search_pq retrained
+    codebooks per run). Codebooks train ONCE on the base slice's
+    fixed-size sample (vec_id < the 80% cut — the IVF append
+    lifecycle's id split) and persist as a (j, k, pos, c_u) parquet
+    table; the base slice encodes as ``codes/gen=0``; the remaining
+    20% "arrives later" and is encoded against the FROZEN LOADED
+    codebooks — one broadcast map-only pass — appended as
+    ``codes/gen=1``. Serving loads the codebooks and probes BOTH code
+    generations, so what's value-hashed is the persisted layout, not
+    the in-memory build.
+
+    The oracle restates exactly this: Lloyd runs on the base-slice
+    sample only, encoding covers all vectors against the final frozen
+    codebooks. Integer-exact end to end (micro-quantized codebooks,
+    int64 ADC), so the full pipeline value-hashes.
+
+    Scale shape: the codebook table is model-sized (PQ_M·PQ_K·sub
+    rows); per ingest batch the append cost is O(batch) vectorized
+    argmins + one parquet append of 8 small ints per vector — never a
+    retrain; ADC serving reads codes (64× smaller than the raw
+    vectors), and only the top-PQ_CAND pool ever touches raw
+    embeddings."""
+    from ..registry import scratch_dir
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cut = _ivf_append_cut(em)
+    books = _pq_train(_pq_sample(em, cut=cut))
+
+    base = scratch_dir("sim_index_pq_persist")
+    _pq_books_to_df(spark, books).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/codebooks")
+    _pq_encode(spark, em.filter(F.col("vec_id") < cut), books).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/codes/gen=0")
+    loaded = _pq_books_from_df(spark.read.parquet(f"{base}/codebooks"))
+    _pq_encode(
+        spark, em.filter(F.col("vec_id") >= cut), loaded
+    ).write.mode("overwrite").parquet(f"{base}/codes/gen=1")
+
+    codes = spark.read.parquet(
+        f"{base}/codes/gen=0", f"{base}/codes/gen=1"
+    )
+    return _pq_adc_probe(spark, em, loaded, codes)
+
+
+@register("sim_index_pq_delete", oracle=_pq_delete_oracle_sql())
+def sim_index_pq_delete(spark, sf_dir):
+    """Vector DELETE propagation through the PERSISTED PQ index — the
+    PQ twin of sim_index_delete, porting the purged-twin protocol to
+    the codes layout (codes are per-vector rows, so the machinery
+    ports directly): every code generation is rewritten WITHOUT the
+    takedown cohort into ``codes_p/gen=N`` twins (filter-rewrites
+    riding the scan), a tombstone table records the deleted ids, the
+    write-last ``takedown_applied`` marker publishes the swap, and
+    serving probes the purged layout — a deleted vector can never
+    appear in any ADC pool or re-ranked answer. PQ adds one
+    governance subtlety the docstring owes: codes are CONTENT-DERIVED
+    per-vector state (unlike centroids, which are statistical
+    aggregates), so the purge removes them like shingles, while the
+    CODEBOOK is retained exactly as the IVF delete retains centroids.
+
+    In-op proof: the purged layout's probe answers must equal a
+    frozen-codebook re-encode of the reduced corpus (exceptAll both
+    ways empty) — rebuild equivalence, the discipline every delete op
+    in the repo follows. The oracle is the persisted-PQ statement with
+    the cohort excluded from code membership only; the completeness
+    audit walks the purged twin roots.
+
+    Scale shape: the purge is one filter-rewrite per code generation
+    (8 small ints per row — the cheapest index family to rewrite in
+    the whole repo), tombstones are O(cohort), post-delete probes cost
+    exactly what pre-delete probes cost."""
+    import os
+
+    from ..registry import scratch_dir
+    from .dedup_stream import _audit_roots_no_tombstoned
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cut = _ivf_append_cut(em)
+    books = _pq_train(_pq_sample(em, cut=cut))
+    base = scratch_dir("sim_index_pq_delete")
+    _pq_books_to_df(spark, books).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/codebooks")
+    _pq_encode(spark, em.filter(F.col("vec_id") < cut), books).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/codes/gen=0")
+    loaded = _pq_books_from_df(spark.read.parquet(f"{base}/codebooks"))
+    _pq_encode(
+        spark, em.filter(F.col("vec_id") >= cut), loaded
+    ).write.mode("overwrite").parquet(f"{base}/codes/gen=1")
+
+    td = F.col("vec_id") % VEC_TD_MOD == VEC_TD_RES
+    for g in (0, 1):
+        (
+            spark.read.parquet(f"{base}/codes/gen={g}")
+            .filter(~td)
+            .write.mode("overwrite")
+            .parquet(f"{base}/codes_p/gen={g}")
+        )
+    (
+        em.filter(td)
+        .select("vec_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{base}/tombstones")
+    )
+    tmp = f"{base}/takedown_applied.tmp"
+    with open(tmp, "w") as f:
+        f.write("1")
+    os.replace(tmp, f"{base}/takedown_applied")
+
+    tomb = spark.read.parquet(f"{base}/tombstones")
+    _audit_roots_no_tombstoned(
+        spark,
+        tomb,
+        (f"{base}/codes_p/gen=0", f"{base}/codes_p/gen=1"),
+        id_col="vec_id",
+    )
+
+    purged = spark.read.parquet(
+        f"{base}/codes_p/gen=0", f"{base}/codes_p/gen=1"
+    )
+    post = _pq_adc_probe(spark, em, loaded, purged).localCheckpoint(
+        eager=True
+    )
+
+    # frozen-codebook rebuild equivalence: purged serving must equal a
+    # clean re-encode of the reduced corpus against the same codebooks
+    rebuilt = _pq_adc_probe(
+        spark, em, loaded, _pq_encode(spark, em.filter(~td), loaded)
+    ).localCheckpoint(eager=True)
+    diff = post.exceptAll(rebuilt).unionByName(rebuilt.exceptAll(post))
+    if diff.limit(1).count() > 0:
+        raise AssertionError(
+            "post-delete PQ probe diverges from the frozen-codebook"
+            " re-encode of the reduced corpus"
+        )
+    return post
+
 
 
 def _ivf_phase_stats(assigned, phase):
