@@ -1919,3 +1919,95 @@ def stream_dedup_neardup_block_e2e(spark, sf_dir):
     if leaked.limit(1).count() > 0:
         raise AssertionError("a blocked paraphrase has a sink row")
     return out
+
+
+@register("stream_takedown_unified_e2e", oracle=DELETE_E2E_SQL)
+def stream_takedown_unified_e2e(spark, sf_dir):
+    """ONE takedown driven through EVERY content-bearing family the
+    corpus store owns — the governance capstone (round-9 verdict
+    item 8): the delete stream purges the LSH index generations
+    (purged twins + marker) and the served sink; the takedown GC
+    removes the pre-takedown originals once the commit watermark
+    proves replay impossible; the staged FEED files are rewritten
+    without the cohort (`_purge_feed`) and the staging dirs removed;
+    the SUFFIX-ARRAY serving artifact is published as the purged
+    projection of the corpus artifact (array_p/anchors_p — an
+    unpurged copy never exists under this store's root) and spans are
+    served off it through the shared re-rank + LCP machinery; and ONE
+    unified completeness audit walks all of it — index families via
+    `_audit_no_tombstoned`, feed/sink/SA roots via
+    `_audit_roots_no_tombstoned` — proving from the filesystem that
+    the store forgot the documents EVERYWHERE. Finally the stream
+    restarts on the gutted store as a committed no-op and the sink
+    still value-hashes against the two-regime delete statement: the
+    forgetting happened exactly once, under the same checkpoint.
+
+    Division of proof labor: rebuild-equivalence for the LSH serving
+    is stream_dedup_delete_e2e's job, for SA serving
+    dedup_sa_takedown's (reduced-corpus oracle), for ANN
+    sim_index_delete / sim_index_pq_delete's — this op proves the
+    COMPOSITION: one cohort, one marker discipline per family, one
+    audit over the union of roots, one restart.
+
+    Scale shape: each family's purge is the linear filter-rewrite its
+    dedicated op documents; the audit is one union scan semi-joined
+    against the O(cohort) broadcast tombstones; GC is fs metadata.
+    Nothing here adds a shuffle class beyond the dedicated ops."""
+    import os
+
+    from ..registry import scratch_dir
+    from .suffix import _lcp_spans_from, _suffix_array_artifact
+    from .suffix import _global_rank
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    base = scratch_dir("stream_takedown_unified_e2e")
+    out = run_inc_lsh_stream(spark, sf_dir, base, delete_after=TD_AFTER)
+    out = out.localCheckpoint(eager=True)
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+
+    # 1. LSH originals GC (marker + commit watermark proven inside)
+    _gc_takedown_originals(ckpt, idx)
+    # 2. feed purge (safe: the GC just proved replay is impossible)
+    _purge_feed(spark, base, f"{base}/src", TD_AFTER)
+    # 3. SA family: publish the purged projection and serve spans
+    batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
+    td = _takedown_pred() & (batch_of <= TD_AFTER)
+    final, sfx = _suffix_array_artifact(spark, sf_dir)
+    final.filter(~td).write.mode("overwrite").parquet(
+        f"{base}/sa/array_p"
+    )
+    sfx.filter(~td).write.mode("overwrite").parquet(
+        f"{base}/sa/anchors_p"
+    )
+    arr_p = spark.read.parquet(f"{base}/sa/array_p")
+    sfx_p = spark.read.parquet(f"{base}/sa/anchors_p")
+    old = arr_p.select(F.col("_rank").alias("old_rank"), "doc_id", "pos")
+    ranked, _n = _global_rank(old.select("old_rank"), ["old_rank"])
+    spans = _lcp_spans_from(
+        old.join(ranked, "old_rank").select("_rank", "doc_id", "pos"),
+        sfx_p,
+    )
+    if spans.limit(1).count() == 0:
+        raise AssertionError("purged SA artifact serves no spans")
+
+    # 4. the unified audit: every family, one tombstone set
+    _audit_no_tombstoned(
+        spark, idx, ("bands", "shingles", "bands_p", "shingles_p")
+    )
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    _audit_roots_no_tombstoned(
+        spark,
+        tomb,
+        (
+            f"{base}/src",
+            f"{base}/sink",
+            f"{base}/stage",
+            f"{base}/sa/array_p",
+            f"{base}/sa/anchors_p",
+        ),
+    )
+
+    # 5. restart on the gutted store: a committed no-op, serving
+    # unchanged — the forgetting happened exactly once
+    return run_inc_lsh_stream(spark, sf_dir, base, delete_after=TD_AFTER)
