@@ -366,6 +366,34 @@ def stream_corpus_prep_delete_e2e(spark, sf_dir):
     )
 
 
+# Frozen-gate cache: the four intake ops (and each op's restart run)
+# previously re-fit the identical batch-0 DSIR model + threshold per
+# rig call (round-9 verdict item 5 — share what the proofs don't
+# need isolated). The model is frozen BY DEFINITION (batch-0
+# aggregates published before any routed batch), so caching its
+# model-sized rows per corpus fingerprint changes nothing a proof
+# depends on; each call rebuilds a fresh broadcastable frame from the
+# cached rows so persist/unpersist lifecycles stay per-run.
+_GATE_CACHE: dict = {}
+
+
+def _frozen_gate_cached(spark, sf_dir, d, batch_of):
+    from .dedup_stream import _feed_key
+
+    key = _feed_key(sf_dir, "gate")
+    if key not in _GATE_CACHE:
+        lr0, t0 = _dsir_frozen_gate(d.filter(batch_of == 0))
+        rows = [(r["bucket"], r["lr_micro"]) for r in lr0.collect()]
+        lr0.unpersist()
+        _GATE_CACHE[key] = (rows, t0)
+    rows, t0 = _GATE_CACHE[key]
+    lr0 = spark.createDataFrame(
+        rows, "bucket bigint, lr_micro bigint"
+    ).persist()
+    lr0.count()
+    return lr0, t0
+
+
 def run_corpus_prep_stream(
     spark, sf_dir, base, fail_at_batch=None, bucket_cap=None,
     compact_after=None, counts_paths_log=None, read_paths_log=None,
@@ -392,6 +420,7 @@ def run_corpus_prep_stream(
     from .dedup_stream import (
         _apply_takedown,
         _compact_index_generations,
+        _feed_key,
         _inc_lsh_dedupe_batch,
         _marker_gated_reader,
         _purge_sink,
@@ -413,13 +442,14 @@ def run_corpus_prep_stream(
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
     batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
-    lr0, t0 = _dsir_frozen_gate(d.filter(batch_of == 0))
+    lr0, t0 = _frozen_gate_cached(spark, sf_dir, d, batch_of)
 
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     idx = f"{base}/index"
     _stage_feed(
         d, base, src,
         [(b, batch_of == b) for b in range(N_INC_BATCHES)],
+        feed_key=_feed_key(sf_dir, "prep"),
     )
 
     def process(batch_df, epoch_id):

@@ -33,7 +33,32 @@ from .dedup import (
     _tokens,
 )
 
-def _stage_feed(df, base, src, conds, step=20):
+def _feed_key(sf_dir, tag):
+    """Cache key for a shareable staged feed: the corpus's documents
+    file listing (size, mtime) plus a rig-family tag (plain corpus vs
+    the engineered re-upload/paraphrase transforms vs the intake
+    schema) — the `_sa_artifact_dir` fingerprint discipline, so a
+    changed corpus can never serve a stale feed."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = [tag]
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    else:
+        st = os.stat(src)
+        parts.append(f"documents.parquet:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _stage_feed(df, base, src, conds, step=20, feed_key=None):
     """Stage a stream rig's feed: slice ``df`` by each (batch_id,
     predicate) in ``conds`` into ONE parquet file
     ``src/batch_<b>.parquet`` with strictly increasing mtimes, so the
@@ -41,21 +66,65 @@ def _stage_feed(df, base, src, conds, step=20):
     maps one ingest increment to one micro-batch. Skips when the last
     file already exists — a restart must see the same offsets log the
     first run checkpointed. One spelling for every stream rig
-    (round-8 review: this block was forked verbatim four times)."""
+    (round-8 review: this block was forked verbatim four times).
+
+    ``feed_key``: when given, the sliced files are built ONCE per
+    (corpus, rig family) into a keyed cache dir (atomic staging +
+    rename publish, the suffix-artifact protocol) and each rig COPIES
+    them into its own src — every stream op previously re-ran the
+    same N slice-write jobs per rig (round-9 verdict item 5). Copies,
+    not hardlinks: delete rigs rewrite their feed in place
+    (`_purge_feed`) and must never mutate the shared cache. The cache
+    is a bench-rig artifact — production feeds arrive once, from the
+    bus."""
     import os
+    import shutil
     import time
+    import uuid
 
     last = conds[-1][0]
     if os.path.exists(f"{src}/batch_{last}.parquet"):
         return
     os.makedirs(src, exist_ok=True)
     now = time.time()
-    for b, cond in conds:
-        stage = f"{base}/stage/b{b}"
-        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+
+    def build(dst_dir, stage_root):
+        for b, cond in conds:
+            stage = f"{stage_root}/b{b}"
+            df.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                stage
+            )
+            part = next(
+                f for f in os.listdir(stage) if f.startswith("part-")
+            )
+            os.replace(
+                os.path.join(stage, part), f"{dst_dir}/batch_{b}.parquet"
+            )
+
+    if feed_key is None:
+        build(src, f"{base}/stage")
+        for b, _cond in conds:
+            ts = now - 60 + step * b
+            os.utime(f"{src}/batch_{b}.parquet", (ts, ts))
+        return
+
+    import tempfile
+
+    shared = os.path.join(
+        tempfile.gettempdir(), f"engine_feed_{feed_key}"
+    )
+    if not os.path.exists(shared):
+        tmp = f"{shared}.staging-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        build(tmp, f"{tmp}/stage")
+        shutil.rmtree(f"{tmp}/stage", ignore_errors=True)
+        try:
+            os.rename(tmp, shared)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    for b, _cond in conds:
         dst = f"{src}/batch_{b}.parquet"
-        os.replace(os.path.join(stage, part), dst)
+        shutil.copy(f"{shared}/batch_{b}.parquet", dst)
         ts = now - 60 + step * b
         os.utime(dst, (ts, ts))
 
@@ -593,7 +662,7 @@ def run_inc_lsh_stream(
     compact_after=None, fail_phase="pre_sink", read_paths_log=None,
     counts_paths_log=None, delete_after=None, docs_override=None,
     block_reuploads=False, blocked_log=None, block_neardups=False,
-    nd_blocked_log=None,
+    nd_blocked_log=None, feed_tag=None,
 ):
     """The checkpointed-stream rig behind stream_dedup_incremental_e2e,
     factored so tests can kill it mid-stream and restart it against the
@@ -634,6 +703,8 @@ def run_inc_lsh_stream(
         d = docs_override
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     idx = f"{base}/index"
+    if feed_tag is None and docs_override is None:
+        feed_tag = "lsh"  # the untransformed corpus feed is shareable
     _stage_feed(
         d,
         base,
@@ -642,6 +713,7 @@ def run_inc_lsh_stream(
             (b, F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}") == b)
             for b in range(N_INC_BATCHES)
         ],
+        feed_key=_feed_key(sf_dir, feed_tag) if feed_tag else None,
     )
 
     if compact_after is not None and delete_after is not None:
@@ -1444,7 +1516,7 @@ def stream_dedup_reupload_block_e2e(spark, sf_dir):
     out = run_inc_lsh_stream(
         spark, sf_dir, base, delete_after=TD_AFTER,
         docs_override=_reupload_docs(d, mx), block_reuploads=True,
-        blocked_log=blocked,
+        blocked_log=blocked, feed_tag="reup",
     )
     out = out.localCheckpoint(eager=True)
     if sum(blocked) == 0:
@@ -1880,6 +1952,7 @@ def stream_dedup_neardup_block_e2e(spark, sf_dir):
         docs_override=_paraphrase_docs(d, mx),
         block_reuploads=True, blocked_log=sha_blocked,
         block_neardups=True, nd_blocked_log=nd_blocked,
+        feed_tag="para",
     )
     out = out.localCheckpoint(eager=True)
     blocked_ids = {i for (_b, ids) in nd_blocked for i in ids}
