@@ -245,8 +245,22 @@ def _inc_lsh_dedupe_batch(
         # micro-batch (O(b²) cumulative over a long-running stream).
         # A replayed boundary batch (m == b) stays on the per-gen view,
         # the same strictly-past rule the band reader enforces.
+        # Takedown-marker gating mirrors the band reader's delete
+        # mode: batches strictly past a published takedown size their
+        # buckets from the PURGED counts twins for the covered prefix
+        # (deleted members no longer count toward caps) plus the
+        # untouched newer generations.
+        m_td = _read_marker(f"{base}/takedown_upto")
         m = _read_compact_marker(base)
         if (
+            m_td is not None
+            and m_td < b
+            and os.path.exists(f"{base}/counts_p/gen=0")
+        ):
+            cpaths = [
+                f"{base}/counts_p/gen={g}" for g in range(m_td + 1)
+            ] + [f"{base}/counts/gen={g}" for g in range(m_td + 1, b + 1)]
+        elif (
             m is not None
             and m < b
             and os.path.exists(f"{base}/counts_c")
@@ -537,7 +551,9 @@ def _reupload_docs(d, mx):
     )
 
 
-def _apply_takedown(spark, idx, upto, src=None, band_tombstones=False):
+def _apply_takedown(
+    spark, idx, upto, src=None, band_tombstones=False, purge_counts=False
+):
     """Rewrite index generations 0..upto WITHOUT the takedown docs as
     per-generation purged twins (bands_p/gen=g, shingles_p/gen=g),
     write the tombstone table (the deleted ids — audits and late-
@@ -556,7 +572,18 @@ def _apply_takedown(spark, idx, upto, src=None, band_tombstones=False):
     provide: a paraphrased re-upload changes the hash but still lands
     in the deleted content's LSH buckets. O(cohort × N_BANDS) rows,
     broadcastable at any corpus size, and content-derived only through
-    minhashes (no raw text is retained)."""
+    minhashes (no raw text is retained).
+
+    ``purge_counts=True`` (the capped path) rewrites the stop-bucket
+    counts for the covered generations as purged twins
+    (``counts_p/gen=g``, recomputed from the purged bands — exactly
+    the original counts minus the cohort's contributions, so the
+    rewrite is deterministic): post-takedown batches must size
+    buckets WITHOUT deleted members, or taken-down documents would
+    keep counting toward caps forever (the ADVICE-r9 gap). A purge
+    can RE-OPEN a bucket the cohort had saturated — correct under
+    arrival-prefix semantics, since admission is evaluated at each
+    batch's own arrival against the then-current membership."""
     import os
 
     td = _takedown_pred()
@@ -573,6 +600,14 @@ def _apply_takedown(spark, idx, upto, src=None, band_tombstones=False):
             .write.mode("overwrite")
             .parquet(f"{idx}/shingles_p/gen={g}")
         )
+        if purge_counts:
+            (
+                spark.read.parquet(f"{idx}/bands_p/gen={g}")
+                .groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("n_new"))
+                .write.mode("overwrite")
+                .parquet(f"{idx}/counts_p/gen={g}")
+            )
     (
         spark.read.parquet(
             *[f"{idx}/shingles/gen={g}" for g in range(upto + 1)]
@@ -718,18 +753,6 @@ def run_inc_lsh_stream(
 
     if compact_after is not None and delete_after is not None:
         raise ValueError("rig supports one maintenance mode per stream")
-    if bucket_cap is not None and delete_after is not None:
-        # unsupported combination fails LOUDLY (ADVICE r9): the
-        # takedown purges bands/shingles but not the counts/gen=*
-        # family, so a capped delete stream would keep counting
-        # taken-down documents toward bucket caps — wrong semantics
-        # with no oracle. Supporting it means purging/rewriting the
-        # counts generations inside _apply_takedown first.
-        raise ValueError(
-            "bucket_cap + delete_after is unsupported: takedown does"
-            " not purge the counts/gen=* family, so deleted documents"
-            " would still count toward bucket caps"
-        )
     reader = _marker_gated_reader(
         idx,
         read_paths_log=read_paths_log,
@@ -851,6 +874,7 @@ def run_inc_lsh_stream(
                     if (block_reuploads or block_neardups)
                     else None,
                     band_tombstones=block_neardups,
+                    purge_counts=bucket_cap is not None,
                 )
                 _purge_sink(spark, sink, b)
                 if (
@@ -1371,9 +1395,14 @@ def _gc_takedown_originals(ckpt, idx):
     (shingle arrays, band keys); retaining them past the replay
     horizon would fail the compliance obligation the takedown exists
     for. Same marker-AND-watermark rule as the compaction GC, keyed
-    on ``takedown_upto``."""
+    on ``takedown_upto``. The counts family (capped streams — the
+    per-bucket sizes still reflect deleted members; the purged
+    ``counts_p`` twins serve every post-boundary cap lookup) is
+    covered too; on uncapped streams no counts directory exists and
+    the family is a no-op."""
     return _gc_generations(
-        ckpt, idx, ("bands", "shingles"), marker_name="takedown_upto"
+        ckpt, idx, ("bands", "shingles", "counts"),
+        marker_name="takedown_upto",
     )
 
 
@@ -1731,6 +1760,8 @@ def stream_dedup_delete_gc_e2e(spark, sf_dir):
     those originals still CONTAIN the deleted documents' shingles and
     band keys, so the takedown is not compliance-complete until
     they're gone. This op runs the delete stream to completion, then
+    GCs bands+shingles (+counts on capped streams, where the purged
+    twins serve the cap lookups) under the watermark rule, then
     deletes the original generations under the same
     marker-AND-commit-watermark rule as the compaction GC (keyed on
     ``takedown_upto``; REFUSES in the torn state — exercised in
@@ -2084,3 +2115,89 @@ def stream_takedown_unified_e2e(spark, sf_dir):
     # 5. restart on the gutted store: a committed no-op, serving
     # unchanged — the forgetting happened exactly once
     return run_inc_lsh_stream(spark, sf_dir, base, delete_after=TD_AFTER)
+
+
+def _capped_delete_sql():
+    """Two-regime restatement of takedown on the CAPPED stream: rows
+    up to the boundary are the prefix-capped full-corpus statement
+    minus the cohort's own rows (caps were evaluated against the
+    then-current membership, cohort included — arrival-prefix
+    admission is never retroactively re-judged); rows past it are the
+    prefix-capped statement over the REDUCED corpus — whose cumulative
+    bucket sizes are exactly what the purged counts twins serve, since
+    the cohort arrived entirely by the boundary. A bucket the cohort
+    had saturated can re-open for post-boundary arrivals, and the
+    reduced statement prices that in."""
+    old = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ')"
+        " AS toks FROM documents),"
+    )
+    red_src = f"""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE NOT (doc_id % {TD_MOD} = {TD_RES}
+              AND ({N_INC_BATCHES} * doc_id) //
+                  ((SELECT max(doc_id) FROM documents) + 1)
+                  <= {TD_AFTER})),"""
+    assert old in INC_CAPPED_SQL
+    red = INC_CAPPED_SQL.replace(old, red_src)
+    return f"""WITH pre AS MATERIALIZED ({INC_CAPPED_SQL}),
+    post AS MATERIALIZED ({red})
+    SELECT doc_id, batch_id, dup_of, jaccard_first FROM pre
+    WHERE batch_id <= {TD_AFTER} AND doc_id % {TD_MOD} != {TD_RES}
+    UNION ALL
+    SELECT doc_id, batch_id, dup_of, jaccard_first FROM post
+    WHERE batch_id > {TD_AFTER}
+"""
+
+
+@register("stream_dedup_capped_delete_e2e", oracle=_capped_delete_sql())
+def stream_dedup_capped_delete_e2e(spark, sf_dir):
+    """Takedown on the CAPPED production stream — the combination the
+    round-9 rigs refused (ADVICE r9: the takedown purged bands and
+    shingles but not the stop-bucket counts, so a capped delete stream
+    would have kept counting deleted documents toward caps forever).
+    `_apply_takedown(purge_counts=True)` now rewrites the covered
+    generations' counts as purged twins (recomputed from the purged
+    bands — deterministic, and exactly original-minus-cohort), and the
+    capped core's marker-gated counts reader serves post-boundary
+    batches from ``counts_p`` for the covered prefix plus untouched
+    newer generations — the same strictly-past rule as the band
+    reader, so a replayed boundary batch re-reads the exact pre-
+    takedown counts it first ran against.
+
+    The op asserts from the core's recorded counts paths that every
+    post-boundary increment sized its buckets from the purged twins
+    and never touched an original covered counts generation, and
+    value-hashes against the two-regime prefix-capped statement (post
+    regime = capped statement over the reduced corpus, whose
+    cumulative sizes are what the purged counts realize — including
+    re-opened buckets the cohort had saturated).
+
+    Scale shape: the counts purge is one map-side-combinable aggregate
+    per covered generation over the already-written purged bands;
+    everything else is the unchanged capped delete pipeline."""
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_dedup_capped_delete_e2e")
+    clog = []
+    out = run_inc_lsh_stream(
+        spark, sf_dir, base, bucket_cap=LSH_BUCKET_CAP,
+        delete_after=TD_AFTER, counts_paths_log=clog,
+    )
+    post = [(b, paths) for (b, paths) in clog if b > TD_AFTER]
+    if not post:
+        raise AssertionError("no post-takedown increment was processed")
+    for b, paths in post:
+        covered = [p for p in paths if "/counts_p/gen=" in p]
+        stale = [
+            p
+            for p in paths
+            if "/counts/gen=" in p
+            and int(p.rsplit("=", 1)[1]) <= TD_AFTER
+        ]
+        if len(covered) != TD_AFTER + 1 or stale:
+            raise AssertionError(
+                f"increment {b} sized buckets from {paths}; expected"
+                " purged counts twins for the covered prefix only"
+            )
+    return out

@@ -2251,20 +2251,41 @@ def test_committed_src_batches_reads_compacted_metadata(tmp_path):
     assert got == set(range(11)), got  # 0..10 committed, 11 excluded
 
 
-def test_capped_delete_combination_fails_loudly(spark, tmp_path):
-    """bucket_cap + delete_after is an unsupported combination in BOTH
-    stream rigs: the takedown purges bands/shingles but not the
-    counts/gen=* family, so a capped delete stream would keep counting
-    taken-down documents toward bucket caps. The rigs must refuse
-    up-front (ADVICE r9) instead of silently serving wrong caps."""
+def test_capped_delete_support_and_corpus_guard(spark, tmp_path):
+    """The dedup rig SUPPORTS bucket_cap + delete_after (takedown
+    purges the counts family into counts_p twins and the capped core
+    reads them — stream_dedup_capped_delete_e2e is the oracled form);
+    the composed intake rig still refuses the combination loudly
+    because its takedown path does not purge counts (ADVICE r9)."""
+    import os
+
     from engine.ops.corpus_stream import run_corpus_prep_stream
     from engine.ops.dedup_stream import TD_AFTER, run_inc_lsh_stream
 
-    with pytest.raises(ValueError, match="counts"):
-        run_inc_lsh_stream(
-            spark, SMOKE_SF_DIR, str(tmp_path / "a"),
-            bucket_cap=2, delete_after=TD_AFTER,
-        )
+    base = str(tmp_path / "a")
+    run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base,
+        bucket_cap=2, delete_after=TD_AFTER,
+    )
+    for g in range(TD_AFTER + 1):
+        assert os.path.exists(f"{base}/index/counts_p/gen={g}")
+        # purged counts == original minus the cohort's contributions
+        got = {
+            (r["band"], r["band_key"]): r["n_new"]
+            for r in spark.read.parquet(
+                f"{base}/index/counts_p/gen={g}"
+            ).collect()
+        }
+        want = {
+            (r["band"], r["band_key"]): r["n_new"]
+            for r in spark.read.parquet(f"{base}/index/bands_p/gen={g}")
+            .groupBy("band", "band_key")
+            .count()
+            .withColumnRenamed("count", "n_new")
+            .collect()
+        }
+        assert got == want
+
     with pytest.raises(ValueError, match="counts"):
         run_corpus_prep_stream(
             spark, SMOKE_SF_DIR, str(tmp_path / "b"),
@@ -2431,3 +2452,58 @@ def test_neardup_guard_boundary_restart(spark, tmp_path):
         ).collect()
     }
     assert got == ref, "band-guarded restart across boundary diverged"
+
+
+def test_capped_takedown_boundary_restart(spark, tmp_path):
+    """Kill/restart across the takedown boundary on the CAPPED stream:
+    the replayed boundary batch must size its buckets from the
+    ORIGINAL covered counts generations (strictly-past rule — the
+    purged twins only serve batches past the boundary), the takedown
+    redo must rewrite counts_p deterministically, the post-boundary
+    batch must read only purged counts for the covered prefix, and the
+    final output equals the uninterrupted capped delete pipeline."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup import LSH_BUCKET_CAP
+    from engine.ops.dedup_stream import (
+        TD_AFTER,
+        _read_marker,
+        run_inc_lsh_stream,
+    )
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "capdel")
+    idx = f"{base}/index"
+
+    with pytest.raises(StreamingQueryException):
+        run_inc_lsh_stream(
+            spark, SMOKE_SF_DIR, base, bucket_cap=LSH_BUCKET_CAP,
+            delete_after=TD_AFTER,
+            fail_at_batch=TD_AFTER, fail_phase="post_takedown",
+        )
+    assert _read_marker(f"{idx}/takedown_upto") == TD_AFTER
+    assert os.path.exists(f"{idx}/counts_p/gen=0")
+
+    clog = []
+    out = run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, base, bucket_cap=LSH_BUCKET_CAP,
+        delete_after=TD_AFTER, counts_paths_log=clog,
+    )
+    replayed = [paths for (b, paths) in clog if b == TD_AFTER]
+    assert replayed, "boundary batch was not replayed"
+    for paths in replayed:
+        assert all("/counts/gen=" in p for p in paths), paths
+    post = [paths for (b, paths) in clog if b > TD_AFTER]
+    assert post
+    for paths in post:
+        covered = [p for p in paths if "/counts_p/gen=" in p]
+        assert len(covered) == TD_AFTER + 1, paths
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["stream_dedup_capped_delete_e2e"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "capped restart across takedown boundary diverged"
