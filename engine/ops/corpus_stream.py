@@ -429,15 +429,6 @@ def run_corpus_prep_stream(
 
     if compact_after is not None and delete_after is not None:
         raise ValueError("rig supports one maintenance mode per stream")
-    if bucket_cap is not None and delete_after is not None:
-        # same loud failure as the dedicated dedup rig (ADVICE r9):
-        # the takedown leaves the counts/gen=* family unpurged, so a
-        # capped delete stream would keep counting deleted documents
-        # toward bucket caps
-        raise ValueError(
-            "bucket_cap + delete_after is unsupported: takedown does"
-            " not purge the counts/gen=* family"
-        )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
@@ -552,7 +543,10 @@ def run_corpus_prep_stream(
                 if compact_after is not None and b == compact_after:
                     _compact_index_generations(spark, idx, b)
                 if delete_after is not None and b == delete_after:
-                    _apply_takedown(spark, idx, b)
+                    _apply_takedown(
+                        spark, idx, b,
+                        purge_counts=bucket_cap is not None,
+                    )
                     _purge_sink(spark, sink, b)
                     if (
                         fail_at_batch is not None
@@ -604,4 +598,121 @@ def run_corpus_prep_stream(
         "route",
         "dup_of",
         "jaccard_micro",
+    )
+
+
+def _intake_capped_delete_sql():
+    """Two-regime restatement of takedown through the CAPPED composed
+    intake — _intake_delete_sql with the arrival-prefix cumulative-
+    bucket rule spliced into both regimes: pre is the capped composed
+    statement over the full corpus minus the cohort's own rows, post
+    the capped composed statement with the kept set restricted to the
+    reduced corpus (whose kept-set cumulative bucket sizes are exactly
+    what the purged counts twins serve)."""
+    from .dedup_stream import TD_AFTER, TD_MOD, TD_RES
+
+    cols = "doc_id, batch_id, dsir_weight_micro, route, dup_of, jaccard_micro"
+    return f"""WITH pre AS MATERIALIZED ({_intake_pipeline_sql(capped=True)}),
+    post AS MATERIALIZED (
+        {_intake_pipeline_sql(capped=True, takedown=True)})
+    SELECT {cols} FROM pre
+    WHERE batch_id <= {TD_AFTER} AND doc_id % {TD_MOD} != {TD_RES}
+    UNION ALL
+    SELECT {cols} FROM post WHERE batch_id > {TD_AFTER}
+"""
+
+
+@register(
+    "stream_corpus_prep_capped_delete_e2e",
+    oracle=_intake_capped_delete_sql(),
+)
+def stream_corpus_prep_capped_delete_e2e(spark, sf_dir):
+    """Takedown on the CAPPED composed intake pipeline — the last
+    refused rig combination: the production front door (frozen gate +
+    capped incremental dedup of kept docs) taking a delete mid-stream.
+    The takedown purges the kept-set index's bands/shingles AND its
+    stop-bucket counts into marker-gated twins
+    (`_apply_takedown(purge_counts=True)` — the dedicated dedup
+    stream's machinery, composed), so post-boundary kept docs are
+    capped against bucket sizes that no longer count deleted members,
+    and dedupe against the purged index.
+
+    The oracle is the two-regime COMPOSED capped statement: pre =
+    capped gate+dedup over the full corpus minus the cohort's own
+    rows; post = the same statement with the kept set restricted to
+    the reduced corpus — whose kept-set cumulative bucket sizes are
+    exactly what the purged counts twins serve. In-op proofs: every
+    post-boundary increment sized buckets from purged counts twins
+    only and deduped against purged band twins only (recorded paths);
+    GC covers bands+shingles+counts under the takedown marker; the
+    unified root audit walks feed and sink.
+
+    Scale shape: the composed per-increment cost is the capped intake
+    pipeline's; the takedown adds the per-generation filter-rewrites
+    and one counts re-aggregate per covered generation — all riding
+    partition-pruned scans."""
+    import os
+
+    from ..registry import scratch_dir
+    from .dedup import LSH_BUCKET_CAP, N_INC_BATCHES
+    from .dedup_stream import (
+        TD_AFTER,
+        _audit_no_tombstoned,
+        _audit_roots_no_tombstoned,
+        _gc_generations,
+        _purge_feed,
+    )
+
+    base = scratch_dir("stream_corpus_prep_capped_delete_e2e")
+    clog, rlog = [], []
+    run_corpus_prep_stream(
+        spark, sf_dir, base, bucket_cap=LSH_BUCKET_CAP,
+        delete_after=TD_AFTER, counts_paths_log=clog,
+        read_paths_log=rlog,
+    )
+    post_c = [(b, p) for (b, p) in clog if b > TD_AFTER]
+    post_r = [(b, p) for (b, p) in rlog if b > TD_AFTER]
+    if not post_c or not post_r:
+        raise AssertionError("no post-takedown increment was processed")
+    for b, paths in post_c:
+        covered = [p for p in paths if "/counts_p/gen=" in p]
+        stale = [
+            p
+            for p in paths
+            if "/counts/gen=" in p
+            and int(p.rsplit("=", 1)[1]) <= TD_AFTER
+        ]
+        if len(covered) != TD_AFTER + 1 or stale:
+            raise AssertionError(
+                f"increment {b} sized buckets from {paths}; expected"
+                " purged counts twins for the covered prefix only"
+            )
+    for b, paths in post_r:
+        covered = [p for p in paths if "/bands_p/gen=" in p]
+        if len(covered) != TD_AFTER + 1:
+            raise AssertionError(
+                f"increment {b} deduped against {paths}; expected"
+                " purged band twins for the covered prefix"
+            )
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+    removed = _gc_generations(
+        ckpt, idx, ("bands", "shingles", "counts"),
+        marker_name="takedown_upto",
+    )
+    if len(removed) != 3 * (TD_AFTER + 1):
+        raise AssertionError(
+            f"takedown GC removed {removed}, expected"
+            " bands+shingles+counts originals"
+        )
+    _purge_feed(spark, base, f"{base}/src", TD_AFTER)
+    _audit_no_tombstoned(
+        spark, idx, ("bands", "shingles", "bands_p", "shingles_p")
+    )
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    _audit_roots_no_tombstoned(
+        spark, tomb, (f"{base}/src", f"{base}/sink", f"{base}/stage")
+    )
+    return run_corpus_prep_stream(
+        spark, sf_dir, base, bucket_cap=LSH_BUCKET_CAP,
+        delete_after=TD_AFTER,
     )

@@ -2251,46 +2251,50 @@ def test_committed_src_batches_reads_compacted_metadata(tmp_path):
     assert got == set(range(11)), got  # 0..10 committed, 11 excluded
 
 
-def test_capped_delete_support_and_corpus_guard(spark, tmp_path):
-    """The dedup rig SUPPORTS bucket_cap + delete_after (takedown
-    purges the counts family into counts_p twins and the capped core
-    reads them — stream_dedup_capped_delete_e2e is the oracled form);
-    the composed intake rig still refuses the combination loudly
-    because its takedown path does not purge counts (ADVICE r9)."""
+def test_capped_delete_purges_counts_in_both_rigs(spark, tmp_path):
+    """bucket_cap + delete_after is SUPPORTED in both stream rigs
+    (previously a loud refusal — ADVICE r9): the takedown rewrites the
+    covered counts generations as purged twins recomputed from the
+    purged bands, so deleted documents stop counting toward bucket
+    caps. Pins counts_p == groupBy-count of bands_p per covered
+    generation, in the dedicated rig and the composed intake rig."""
     import os
 
     from engine.ops.corpus_stream import run_corpus_prep_stream
     from engine.ops.dedup_stream import TD_AFTER, run_inc_lsh_stream
+
+    def check_counts(idx):
+        for g in range(TD_AFTER + 1):
+            assert os.path.exists(f"{idx}/counts_p/gen={g}")
+            got = {
+                (r["band"], r["band_key"]): r["n_new"]
+                for r in spark.read.parquet(
+                    f"{idx}/counts_p/gen={g}"
+                ).collect()
+            }
+            want = {
+                (r["band"], r["band_key"]): r["n_new"]
+                for r in spark.read.parquet(f"{idx}/bands_p/gen={g}")
+                .groupBy("band", "band_key")
+                .count()
+                .withColumnRenamed("count", "n_new")
+                .collect()
+            }
+            assert got == want
 
     base = str(tmp_path / "a")
     run_inc_lsh_stream(
         spark, SMOKE_SF_DIR, base,
         bucket_cap=2, delete_after=TD_AFTER,
     )
-    for g in range(TD_AFTER + 1):
-        assert os.path.exists(f"{base}/index/counts_p/gen={g}")
-        # purged counts == original minus the cohort's contributions
-        got = {
-            (r["band"], r["band_key"]): r["n_new"]
-            for r in spark.read.parquet(
-                f"{base}/index/counts_p/gen={g}"
-            ).collect()
-        }
-        want = {
-            (r["band"], r["band_key"]): r["n_new"]
-            for r in spark.read.parquet(f"{base}/index/bands_p/gen={g}")
-            .groupBy("band", "band_key")
-            .count()
-            .withColumnRenamed("count", "n_new")
-            .collect()
-        }
-        assert got == want
+    check_counts(f"{base}/index")
 
-    with pytest.raises(ValueError, match="counts"):
-        run_corpus_prep_stream(
-            spark, SMOKE_SF_DIR, str(tmp_path / "b"),
-            bucket_cap=2, delete_after=TD_AFTER,
-        )
+    base2 = str(tmp_path / "b")
+    run_corpus_prep_stream(
+        spark, SMOKE_SF_DIR, base2,
+        bucket_cap=2, delete_after=TD_AFTER,
+    )
+    check_counts(f"{base2}/index")
 
 
 def test_takedown_audit_refuses_empty_families(spark, tmp_path):
