@@ -1072,7 +1072,9 @@ def _spancov_inc_sql():
     """
 
 
-def _span_cov_process_batch(spark, batch_docs, base, b):
+def _span_cov_process_batch(
+    spark, batch_docs, base, b, read_spans=None, read_log=None
+):
     """Process ONE ingest increment of the incremental span-coverage
     pipeline: write the batch's anchor rows as generation ``b``
     (deterministic overwrite = the replay unit, exactly the LSH-index
@@ -1081,7 +1083,12 @@ def _span_cov_process_batch(spark, batch_docs, base, b):
     earlier generation — O(batch) anchor rows joined against the
     persisted distinct-span index, never a corpus rerun. Island-merge
     and coverage are the shared dedup_span_coverage machinery.
-    ``batch_docs``: (doc_id, a, n_tokens, batch_id) for this batch."""
+    ``batch_docs``: (doc_id, a, n_tokens, batch_id) for this batch.
+    ``read_spans``: optional ``(spark, b) -> DataFrame[span]`` hook
+    overriding how generations 0..b-1's distinct spans load — the
+    streaming form serves reads from the compacted layout through it
+    (marker-gated); default reads the per-generation directories.
+    ``read_log`` records the span paths the default reader touched."""
     sp = (
         batch_docs.filter(F.col("n_tokens") >= SPAN_K)
         .select(
@@ -1107,13 +1114,13 @@ def _span_cov_process_batch(spark, batch_docs, base, b):
         .select("span")
     )
     if b > 0:
-        idx = (
-            spark.read.parquet(
-                *[f"{base}/anchors/gen={g}" for g in range(b)]
-            )
-            .select("span")
-            .distinct()
-        )
+        if read_spans is not None:
+            idx = read_spans(spark, b)
+        else:
+            paths = [f"{base}/anchors/gen={g}" for g in range(b)]
+            if read_log is not None:
+                read_log.append((b, list(paths)))
+            idx = spark.read.parquet(*paths).select("span").distinct()
         dupset = within.unionByName(idx).distinct()
     else:
         dupset = within
@@ -1194,4 +1201,216 @@ def dedup_span_coverage_incremental(spark, sf_dir):
             spark, docs.filter(F.col("batch_id") == b), base, b
         )
         out = ob if out is None else out.unionByName(ob)
+    return out
+
+
+def _compact_span_index(spark, base, upto):
+    """Fold anchor generations 0..upto's DISTINCT spans into ONE
+    compacted table (``spans_c``) behind the write-last
+    ``compacted_upto`` marker — the same seam-close the LSH counts
+    family got in round 9: the incremental reader otherwise opens
+    O(b) generation directories per micro-batch, O(b²) over a
+    long-running stream. Old generations are retained for the replay
+    horizon (the compaction-GC rule); the file-count shrink is
+    asserted."""
+    import os
+
+    gens = [f"{base}/anchors/gen={g}" for g in range(upto + 1)]
+    n_before = sum(
+        1 for p in gens for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    (
+        spark.read.parquet(*gens)
+        .select("span")
+        .distinct()
+        # one file here: the distinct-span table is a fraction of the
+        # anchor rows; at 100 TB this is a bytes-budgeted repartition
+        # on span (the _purge_sink sharding rule)
+        .repartition(1, "span")
+        .write.mode("overwrite")
+        .parquet(f"{base}/spans_c")
+    )
+    n_after = sum(
+        1
+        for f in os.listdir(f"{base}/spans_c")
+        if f.endswith(".parquet")
+    )
+    if n_after >= n_before:
+        raise AssertionError(
+            f"span-index compaction did not shrink: {n_before} -> {n_after}"
+        )
+    tmp = f"{base}/compacted_upto.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto))
+    os.replace(tmp, f"{base}/compacted_upto")
+
+
+def run_spancov_stream(
+    spark, sf_dir, base, fail_at_batch=None, compact_after=None,
+    read_log=None,
+):
+    """The checkpointed-stream rig behind stream_dedup_spancov_e2e:
+    readStream over the arriving document files (the shared staged
+    feed), foreachBatch driving `_span_cov_process_batch` — batch id
+    from the data (min doc_id), anchor generations as the durable
+    state, a per-generation idempotent parquet sink.
+    ``compact_after=k`` folds generations 0..k's distinct spans into
+    ``spans_c`` at the end of increment k; later increments read the
+    compacted table + strictly-newer generations through the
+    marker-gated hook (a replayed boundary batch stays on the
+    per-generation view). ``fail_at_batch`` raises AFTER the anchor
+    generation write, BEFORE the sink write — the torn state."""
+    import os
+
+    from .dedup import N_INC_BATCHES
+    from .dedup_stream import _feed_key, _read_marker, _stage_feed
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
+    _stage_feed(
+        d, base, src,
+        [(b, batch_of == b) for b in range(N_INC_BATCHES)],
+        feed_key=_feed_key(sf_dir, "lsh"),
+    )
+
+    def read_spans(spark_, b):
+        m = _read_marker(f"{base}/compacted_upto")
+        if (
+            m is not None
+            and m < b
+            and os.path.exists(f"{base}/spans_c")
+        ):
+            paths = [f"{base}/spans_c"] + [
+                f"{base}/anchors/gen={g}" for g in range(m + 1, b)
+            ]
+            frames = [spark_.read.parquet(f"{base}/spans_c")] + [
+                spark_.read.parquet(f"{base}/anchors/gen={g}").select(
+                    "span"
+                )
+                for g in range(m + 1, b)
+            ]
+        else:
+            paths = [f"{base}/anchors/gen={g}" for g in range(b)]
+            frames = [
+                spark_.read.parquet(*paths).select("span")
+            ] if paths else []
+        if read_log is not None:
+            read_log.append((b, paths))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out.distinct()
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        b = (
+            batch_df.agg(F.min("doc_id")).collect()[0][0]
+            * N_INC_BATCHES
+            // (mx + 1)
+        )
+        docs = (
+            batch_df.select("doc_id", F.split("text", " ").alias("a"))
+            .withColumn("n_tokens", F.size("a"))
+            .withColumn("batch_id", F.lit(b).cast("long"))
+        )
+        out = _span_cov_process_batch(
+            spark, docs, base, b, read_spans=read_spans
+        )
+        if fail_at_batch is not None and b == fail_at_batch:
+            raise RuntimeError(
+                f"injected failure: increment {b} after anchor write,"
+                " before sink write"
+            )
+        out.drop("batch_id").coalesce(1).write.mode("overwrite").parquet(
+            f"{sink}/batch_id={b}"
+        )
+        if compact_after is not None and b == compact_after:
+            _compact_span_index(spark, base, b)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_dedup_spancov_e2e: availableNow query exceeded 600s"
+        )
+    paths = [
+        f"{sink}/batch_id={b}"
+        for b in range(N_INC_BATCHES)
+        if os.path.exists(f"{sink}/batch_id={b}")
+    ]
+    return spark.read.option("basePath", sink).parquet(*paths).select(
+        "doc_id",
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "n_tokens",
+        "dup_tokens",
+        "dup_ratio",
+    )
+
+
+@register("stream_dedup_spancov_e2e", oracle=_spancov_inc_sql())
+def stream_dedup_spancov_e2e(spark, sf_dir):
+    """Incremental SPAN-COVERAGE dedup as a REAL checkpointed stream
+    WITH mid-stream anchor-index compaction — the streaming +
+    lifecycle form of dedup_span_coverage_incremental, completing the
+    symmetry every other incremental tier already has (exact, LSH
+    near-dup, and semantic all run as checkpointed streams; the
+    substring tier now does too): one arriving file = one micro-batch
+    = one ingest increment, anchor generations are the durable state
+    (deterministic overwrites = the replay unit), the sink is
+    per-generation idempotent parquet, and after the boundary
+    increment commits, generations 0..N-2's distinct spans fold into
+    ONE compacted ``spans_c`` behind a write-last marker — closing in
+    the streaming form the O(b)-directories-per-batch seam the
+    docstring of the batch op flags (the LSH counts family's round-9
+    fix, applied to the anchor index).
+
+    In-op proofs from the reader's recorded paths: every
+    post-boundary increment resolved its accumulated span set from
+    exactly ONE compacted artifact plus strictly-newer generations,
+    never a compacted-away generation; a replayed boundary batch
+    stays on the per-generation view (strictly-past marker rule).
+    Output ≡ the replayed-loop op ≡ the arrival-prefix batch
+    statement; the torn-state kill/restart proof runs in
+    tests/test_streaming.py.
+
+    Scale shape: per increment the batch op's O(batch) anchor costs;
+    after the boundary the index read is one O(distinct spans)
+    artifact + O(new gens) — a span-dedup service whose per-batch
+    cost no longer grows with stream age."""
+    from ..registry import scratch_dir
+    from .dedup import N_INC_BATCHES
+
+    base = scratch_dir("stream_dedup_spancov_e2e")
+    boundary = N_INC_BATCHES - 2
+    log = []
+    out = run_spancov_stream(
+        spark, sf_dir, base, compact_after=boundary, read_log=log
+    )
+    post = [(b, paths) for (b, paths) in log if b > boundary]
+    if not post:
+        raise AssertionError("no post-compaction increment was processed")
+    for b, paths in post:
+        n_art = sum(1 for p in paths if p.endswith("/spans_c"))
+        stale = [
+            p
+            for p in paths
+            if "/anchors/gen=" in p
+            and int(p.rsplit("=", 1)[1]) <= boundary
+        ]
+        if n_art != 1 or stale:
+            raise AssertionError(
+                f"increment {b} read {n_art} compacted artifacts plus"
+                f" compacted-away generations {stale}"
+            )
     return out

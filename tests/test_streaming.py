@@ -2511,3 +2511,53 @@ def test_capped_takedown_boundary_restart(spark, tmp_path):
         ).collect()
     }
     assert got == ref, "capped restart across takedown boundary diverged"
+
+
+def test_spancov_stream_restart_exactly_once(spark, tmp_path):
+    """Kill/restart the span-coverage stream in the torn state (anchor
+    generation written, sink row batch absent): the restarted stream
+    on the same checkpoint replays the increment, the generation redo
+    is a deterministic overwrite, and the final sink equals the
+    uninterrupted run AND the replayed-loop batch op. Post-compaction
+    increments must read the compacted span table only."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup import N_INC_BATCHES
+    from engine.ops.suffix import run_spancov_stream
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "spancov")
+    boundary = N_INC_BATCHES - 2
+
+    with pytest.raises(StreamingQueryException):
+        run_spancov_stream(
+            spark, SMOKE_SF_DIR, base, compact_after=boundary,
+            fail_at_batch=boundary,
+        )
+    # torn state: the boundary generation exists, its sink batch absent
+    assert os.path.exists(f"{base}/anchors/gen={boundary}")
+    assert not os.path.exists(f"{base}/sink/batch_id={boundary}")
+
+    log = []
+    out = run_spancov_stream(
+        spark, SMOKE_SF_DIR, base, compact_after=boundary, read_log=log
+    )
+    # the replayed boundary batch read only per-generation dirs; the
+    # post-boundary batch read the compacted table + nothing stale
+    replayed = [p for (b, p) in log if b == boundary]
+    assert replayed and all(
+        "/anchors/gen=" in x for paths in replayed for x in paths
+    )
+    post = [p for (b, p) in log if b > boundary]
+    assert post
+    for paths in post:
+        assert sum(1 for x in paths if x.endswith("/spans_c")) == 1
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["dedup_span_coverage_incremental"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "spancov stream restart diverged from batch loop"
