@@ -33,16 +33,16 @@ from .dedup import (
     _tokens,
 )
 
-def _feed_key(sf_dir, tag):
-    """Cache key for a shareable staged feed: the corpus's documents
-    file listing (size, mtime) plus a rig-family tag (plain corpus vs
-    the engineered re-upload/paraphrase transforms vs the intake
+def _feed_key(sf_dir, tag, table_file="documents.parquet"):
+    """Cache key for a shareable staged feed: the sliced table's file
+    listing (size, mtime) plus a rig-family tag (plain corpus vs the
+    engineered re-upload/paraphrase/drift transforms vs the intake
     schema) — the `_sa_artifact_dir` fingerprint discipline, so a
     changed corpus can never serve a stale feed."""
     import hashlib
     import os
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, table_file)
     parts = [tag]
     if os.path.isdir(src):
         for root, _dirs, files in os.walk(src):

@@ -3172,7 +3172,7 @@ def run_sim_index_stream(
     overwrites, which the boundary-restart test pins byte-equal.
     ``serve_paths_log`` records the list paths the final probe read."""
     import os
-    from .dedup_stream import _read_compact_marker, _stage_feed
+    from .dedup_stream import _feed_key, _read_compact_marker, _stage_feed
 
     em = table(spark, sf_dir, "embeddings")
     mx = em.agg(F.max("vec_id")).collect()[0][0]
@@ -3189,6 +3189,7 @@ def run_sim_index_stream(
             (b, (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
             for b, (lo, hi) in enumerate(bounds)
         ],
+        feed_key=_feed_key(sf_dir, "sim", "embeddings.parquet"),
     )
 
     def _compact_lists(upto):
@@ -3554,7 +3555,7 @@ def run_sim_recluster_stream(
     (batch, generation) routing decisions."""
     import os
 
-    from .dedup_stream import _stage_feed
+    from .dedup_stream import _feed_key, _stage_feed
 
     em = table(spark, sf_dir, "embeddings")
     mx = em.agg(F.max("vec_id")).collect()[0][0]
@@ -3577,6 +3578,7 @@ def run_sim_recluster_stream(
             for b, (lo, hi) in enumerate(bounds)
         ],
         step=15,
+        feed_key=_feed_key(sf_dir, "simdrift", "embeddings.parquet"),
     )
 
     def mean_of(path):
