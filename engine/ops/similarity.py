@@ -1236,12 +1236,12 @@ PQ_CAND = 128  # ADC candidates re-ranked exactly per probe
 PQ_ITERS = 5  # Lloyd iterations per subspace codebook
 
 
-def _pq_oracle_sql():
-    """Full PQ pipeline oracle: 5 unrolled integer-Lloyd iterations
-    over all 8 subspaces at once (centroids keyed (j, k, pos)),
-    encode-by-argmin, exact integer ADC via the codebook join, global
-    top-PQ_CAND pool, exact dot6 re-rank. Subspace of a dimension is
-    pos // sub; argmin ties go to the lowest k (numpy first-min)."""
+def _pq_cb_chain_sql():
+    """The PQ codebook-training + encode CTE fragment (samp → seu →
+    cb0..cbR via 5 unrolled integer-Lloyd iterations → enc), assuming
+    an ``eu`` micro-quantized element CTE is already in scope — shared
+    verbatim by the standalone PQ oracle and the composed IVF+PQ
+    oracle."""
     sub = EMB_DIM // PQ_M
     iters = []
     for t in range(PQ_ITERS):
@@ -1265,13 +1265,7 @@ def _pq_oracle_sql():
             GROUP BY 1, 2, 3) u
         ON u.j = c.j AND u.k = c.k AND u.pos = c.pos)""")
     R = PQ_ITERS
-    return f"""
-    WITH eu AS MATERIALIZED (
-        SELECT vec_id, u.i - 1 AS pos,
-               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
-                    AS BIGINT) AS e_u
-        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
-    samp AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS srn
+    return f"""samp AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS srn
              FROM embeddings WHERE vec_id % 4 = 0
              ORDER BY vec_id LIMIT 4096),
     seu AS MATERIALIZED (
@@ -1286,7 +1280,23 @@ def _pq_oracle_sql():
                        ORDER BY sum((e.e_u - cb.c_u) * (e.e_u - cb.c_u)),
                                 cb.k) AS rn
             FROM eu e JOIN cb{R} cb ON cb.pos = e.pos
-            GROUP BY e.vec_id, cb.j, cb.k) WHERE rn = 1),
+            GROUP BY e.vec_id, cb.j, cb.k) WHERE rn = 1)"""
+
+
+def _pq_oracle_sql():
+    """Full PQ pipeline oracle: 5 unrolled integer-Lloyd iterations
+    over all 8 subspaces at once (centroids keyed (j, k, pos)),
+    encode-by-argmin, exact integer ADC via the codebook join, global
+    top-PQ_CAND pool, exact dot6 re-rank. Subspace of a dimension is
+    pos // sub; argmin ties go to the lowest k (numpy first-min)."""
+    R = PQ_ITERS
+    return f"""
+    WITH eu AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS e_u
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    {_pq_cb_chain_sql()},
     adc AS MATERIALIZED (
         SELECT q.vec_id AS q_id, en.vec_id AS c_id,
                CAST(sum(qq.e_u * cb.c_u) AS BIGINT) AS adc
@@ -1354,6 +1364,197 @@ def sim_search_pq(spark, sf_dir):
     books = _pq_train(_pq_sample(em))
     encoded = _pq_encode(spark, em, books)
     return _pq_adc_probe(spark, em, books, encoded)
+
+
+def _ivfpq_oracle_sql():
+    """Composed IVF+PQ oracle: the IVF statement's coarse chain
+    (seeds → a0 → refined cent → full assignment a1 → NPROBE probes)
+    provides the candidate lists; the PQ statement's codebook chain
+    (sample → 5 integer-Lloyd iterations → encode) provides the codes;
+    ADC then scores ONLY vectors whose list is probed (exact int64
+    sum over the candidate's per-subspace codewords against the
+    query's micro elements), top-PQ_CAND pool per probe, exact dot6
+    re-rank. Both chains are the proven standalone oracles verbatim —
+    the composition adds one join."""
+    R = PQ_ITERS
+    return f"""
+    WITH seeds AS (SELECT vec_id AS cluster, embedding AS centroid
+                   FROM embeddings WHERE vec_id < {IVF_NLIST}),
+    a0 AS MATERIALIZED (
+        SELECT c_id, cluster FROM (
+            SELECT e.vec_id AS c_id, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {SQL_DOT.format(a='e.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+    eu AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS e_u
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    cent AS MATERIALIZED (
+        SELECT cluster,
+               list(CAST(m / 1000000.0 AS FLOAT) ORDER BY pos) AS centroid
+        FROM (SELECT a.cluster, eu.pos,
+                     floor(CAST(sum(eu.e_u) AS DOUBLE) / count(*)) AS m
+              FROM a0 a JOIN eu ON eu.vec_id = a.c_id
+              GROUP BY 1, 2)
+        GROUP BY cluster),
+    a1 AS MATERIALIZED (
+        SELECT c_id, cluster FROM (
+            SELECT e.vec_id AS c_id, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {SQL_DOT.format(a='e.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM embeddings e CROSS JOIN cent s) WHERE rn = 1),
+    probes AS MATERIALIZED (
+        SELECT q_id, cluster FROM (
+            SELECT q.vec_id AS q_id, s.cluster,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {SQL_DOT.format(a='q.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM embeddings q CROSS JOIN cent s
+            WHERE q.vec_id < {N_PROBES}) WHERE rn <= {IVF_NPROBE}),
+    {_pq_cb_chain_sql()},
+    adc AS MATERIALIZED (
+        SELECT p.q_id, v.c_id, CAST(sum(qq.e_u * cb.c_u) AS BIGINT) AS adc
+        FROM probes p
+        JOIN a1 v ON v.cluster = p.cluster AND v.c_id <> p.q_id
+        JOIN enc en ON en.vec_id = v.c_id
+        JOIN cb{R} cb ON cb.j = en.j AND cb.k = en.code
+        JOIN eu qq ON qq.vec_id = p.q_id AND qq.pos = cb.pos
+        GROUP BY 1, 2),
+    pool AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc DESC, c_id) AS arn
+        FROM adc) WHERE arn <= {PQ_CAND})
+    SELECT q_id, c_id, score, rank FROM (
+        SELECT p.q_id, p.c_id,
+               {SQL_DOT.format(a='a.embedding', b='b.embedding')} AS score,
+               row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY {SQL_DOT.format(a='a.embedding', b='b.embedding')} DESC,
+                            p.c_id) AS rank
+        FROM pool p
+        JOIN embeddings a ON a.vec_id = p.q_id
+        JOIN embeddings b ON b.vec_id = p.c_id)
+    WHERE rank <= {TOP_K}
+"""
+
+
+@register("sim_search_ivfpq", oracle=_ivfpq_oracle_sql())
+def sim_search_ivfpq(spark, sf_dir):
+    """COMPOSED IVF+PQ ANN — the architecture a 100 TB vector corpus
+    actually deploys (FAISS IVFPQ): the coarse quantizer routes each
+    probe to its NPROBE inverted lists, and within the probed lists
+    candidates are scored by asymmetric distance over 4-bit PQ codes —
+    so serving touches ~NPROBE/NLIST of the corpus AND reads 8 bytes
+    per touched vector instead of 256, the two compressions multiplied.
+    Both halves are the proven standalone indexes (`_ivf_build`'s
+    integer-Lloyd centroids; `_pq_train`'s integer codebooks); the
+    composition is one join.
+
+    ADC here is JVM-SIDE, unlike sim_search_pq's Arrow/numpy gather:
+    the per-probe lookup table (N_PROBES × PQ_M × PQ_K int64 dots,
+    2,560 rows) is a broadcast DataFrame, candidate codes posexplode
+    to (q, c, j, code) and equi-join the LUT, and one
+    map-side-combinable sum yields each candidate's ADC — whole-stage
+    codegen end to end, no Python in the serving path. The tradeoff is
+    deliberate and documented: the brute PQ op scans EVERY code, where
+    the numpy gather's vectorization wins; here the IVF routing has
+    already cut candidates to ~NPROBE/NLIST of the corpus, so the
+    shuffle-light join form wins and keeps serving entirely in
+    Tungsten. At 100 TB the LUT stays model-sized (per query batch),
+    codes are read partition-pruned by the cluster layout, and raw
+    vectors are touched only by the top-PQ_CAND exact re-rank.
+
+    Recall: the composition's candidate pool is the intersection of
+    the two approximations (probed lists ∩ ADC top-PQ_CAND);
+    tests/test_llm_ops.py pins the recall floor vs the brute top-5
+    anchor and bit-equality of re-ranked scores for every shared
+    pair."""
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    refined, lists = _ivf_build(spark, sf_dir)
+    books = _pq_train(_pq_sample(em))
+    encoded = _pq_encode(spark, em, books)
+
+    import numpy as np
+
+    m, sub = PQ_M, EMB_DIM // PQ_M
+    q = em.filter(F.col("vec_id") < N_PROBES)
+    probes_rows = q.orderBy("vec_id").collect()
+    lut_rows = []
+    for r in probes_rows:
+        qv = np.floor(
+            np.asarray(r["embedding"], dtype="float64") * 1e6 + 0.5
+        ).astype(np.int64)
+        for j in range(m):
+            w = books[j] @ qv[j * sub : (j + 1) * sub]
+            lut_rows.extend(
+                (r["vec_id"], j, k, int(w[k])) for k in range(PQ_K)
+            )
+    lut = spark.createDataFrame(
+        lut_rows, "l_q long, l_j int, l_k int, w long"
+    )
+
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.desc("aff"), F.asc("cluster")
+    )
+    probes = (
+        q.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        .crossJoin(F.broadcast(refined))
+        .select(
+            "q_id",
+            "cluster",
+            dot6(F.col("q_emb"), F.col("centroid")).alias("aff"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "cluster")
+    )
+    cand = (
+        probes.join(lists.select("cluster", "c_id"), "cluster")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+    )
+    adc = (
+        cand.join(
+            encoded.select(F.col("vec_id").alias("c_id"), "code"), "c_id"
+        )
+        .select("q_id", "c_id", F.posexplode("code").alias("jj", "kcode"))
+        .join(
+            F.broadcast(lut),
+            (F.col("jj") == F.col("l_j"))
+            & (F.col("kcode") == F.col("l_k"))
+            & (F.col("q_id") == F.col("l_q")),
+        )
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("w").alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
+    pool = adc.withColumn("arn", F.row_number().over(w)).filter(
+        F.col("arn") <= PQ_CAND
+    ).select("q_id", "c_id")
+
+    c = em.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    qe = q.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rr = (
+        pool.join(F.broadcast(qe), "q_id")
+        .join(c, "c_id")
+        .select("q_id", "c_id", dot6("q_emb", "c_emb").alias("score"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "score", "rank")
+    )
 
 
 def _pq_sample(em, cut=None):

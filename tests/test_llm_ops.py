@@ -1325,3 +1325,23 @@ def test_span_coverage_incremental_prefix_semantics_and_replay(spark, tmp_path):
         ).collect()
     }
     assert replayed == first[1], "batch replay is not idempotent"
+
+
+def test_ivfpq_scores_match_brute_with_recall_floor(spark):
+    """sim_search_ivfpq: the exact re-rank means every pair shared
+    with the brute anchor carries a BIT-IDENTICAL score (same dot6
+    spelling), and the composed approximation (NPROBE lists ∩ ADC
+    top-PQ_CAND) keeps recall@5 ≥ 0.9 at the differential scale —
+    measured 0.92 here, 0.78 at sf0.1 (uniform random unit vectors
+    are PQ's worst case; see the sim_search_pq docstring)."""
+    brute = {
+        (r["q_id"], r["c_id"]): r["score"]
+        for r in engine.QUERIES["sim_search_topk"](spark, T2_SF_DIR).collect()
+    }
+    comp = {
+        (r["q_id"], r["c_id"]): r["score"]
+        for r in engine.QUERIES["sim_search_ivfpq"](spark, T2_SF_DIR).collect()
+    }
+    shared = set(brute) & set(comp)
+    assert len(shared) / len(brute) >= 0.9
+    assert all(brute[k] == comp[k] for k in shared)
