@@ -1557,6 +1557,132 @@ def sim_search_ivfpq(spark, sf_dir):
     )
 
 
+@register("sim_index_ivfpq_persist", oracle=_ivfpq_oracle_sql())
+def sim_index_ivfpq_persist(spark, sf_dir):
+    """The composed IVF+PQ index PERSISTED in its production layout —
+    what a 100 TB vector store actually keeps on disk: centroids
+    (model-sized), codebooks (model-sized), and the codes
+    partitionBy(cluster) — so a probe touches only its NPROBE cluster
+    directories AND reads 8 bytes per vector: the partition layout IS
+    the coarse index (with the tiny probe set broadcast, Spark can
+    DPP-prune the cluster partitions; at minimum the scan is limited
+    to the joined clusters' row groups — the sim_index_persist_probe
+    serving note), and no embedding column appears anywhere before
+    the re-rank. Serving loads everything from
+    parquet and must reproduce the in-memory composition bit-for-bit
+    (same oracle as sim_search_ivfpq — persist ≡ rebuild, the
+    sim_index_persist_probe discipline).
+
+    Scale shape: the maintenance story ports unchanged from the
+    proven pieces — append = encode-against-frozen-codebooks into a
+    new generation (sim_index_pq_persist), delete = purged twins
+    (sim_index_pq_delete), compact/recluster = the IVF ops; this op
+    pins the LAYOUT: one directory per inverted list, codes inside,
+    raw vectors only in the re-rank path."""
+    from ..registry import scratch_dir
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    refined, lists = _ivf_build(spark, sf_dir)
+    books = _pq_train(_pq_sample(em))
+
+    base = scratch_dir("sim_index_ivfpq_persist")
+    refined.write.mode("overwrite").parquet(f"{base}/centroids")
+    _pq_books_to_df(spark, books).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/codebooks")
+    # codes carry their list assignment and land one directory per
+    # cluster — the partition layout IS the coarse index
+    (
+        _pq_encode(spark, em, books)
+        .join(
+            lists.select(F.col("c_id").alias("vec_id"), "cluster"),
+            "vec_id",
+        )
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{base}/codes")
+    )
+
+    cent = spark.read.parquet(f"{base}/centroids")
+    loaded = _pq_books_from_df(spark.read.parquet(f"{base}/codebooks"))
+    codes = spark.read.parquet(f"{base}/codes")
+
+    import numpy as np
+
+    m, sub = PQ_M, EMB_DIM // PQ_M
+    q = em.filter(F.col("vec_id") < N_PROBES)
+    lut_rows = []
+    for r in q.orderBy("vec_id").collect():
+        qv = np.floor(
+            np.asarray(r["embedding"], dtype="float64") * 1e6 + 0.5
+        ).astype(np.int64)
+        for j in range(m):
+            w = loaded[j] @ qv[j * sub : (j + 1) * sub]
+            lut_rows.extend(
+                (r["vec_id"], j, k, int(w[k])) for k in range(PQ_K)
+            )
+    lut = spark.createDataFrame(
+        lut_rows, "l_q long, l_j int, l_k int, w long"
+    )
+
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.desc("aff"), F.asc("cluster")
+    )
+    probes = (
+        q.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "cluster",
+            dot6(F.col("q_emb"), F.col("centroid")).alias("aff"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "cluster")
+    )
+    adc = (
+        F.broadcast(probes).join(codes, "cluster")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.posexplode("code").alias("jj", "kcode"),
+        )
+        .join(
+            F.broadcast(lut),
+            (F.col("jj") == F.col("l_j"))
+            & (F.col("kcode") == F.col("l_k"))
+            & (F.col("q_id") == F.col("l_q")),
+        )
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("w").alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
+    pool = adc.withColumn("arn", F.row_number().over(w)).filter(
+        F.col("arn") <= PQ_CAND
+    ).select("q_id", "c_id")
+    c = em.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    qe = q.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rr = (
+        pool.join(F.broadcast(qe), "q_id")
+        .join(c, "c_id")
+        .select("q_id", "c_id", dot6("q_emb", "c_emb").alias("score"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "score", "rank")
+    )
+
+
 def _pq_sample(em, cut=None):
     """Fixed-SIZE training sample matrix (not a fraction): the modulo
     spreads the picks across the id space, the limit caps driver
