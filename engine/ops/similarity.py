@@ -2717,6 +2717,121 @@ def sim_index_pq_delete(spark, sf_dir):
 
 
 
+def run_pq_stream(spark, sf_dir, base, fail_at_batch=None):
+    """The checkpointed-stream rig behind stream_sim_pq_e2e: arriving
+    embedding files → foreachBatch; batch 0 TRAINS the codebooks from
+    its own fixed-size sample and publishes them behind a write-last
+    marker; every batch (including 0) encodes itself against the
+    published codebooks into ``codes/gen=b`` (deterministic overwrite
+    = the replay unit). Batch identity from the data (vec_id range).
+    A replayed batch 0 re-derives byte-identical codebooks (the
+    sample, init, and integer Lloyd steps are all deterministic), so
+    the codebook redo converges — the same argument as the frozen
+    DSIR gate. ``fail_at_batch`` raises AFTER that batch's writes,
+    BEFORE the checkpoint commit (the torn state)."""
+    import os
+
+    from .dedup_stream import _feed_key, _read_marker, _stage_feed
+
+    em_full = table(spark, sf_dir, "embeddings")
+    em = em_full.select("vec_id", "embedding")
+    mx = em.agg(F.max("vec_id")).collect()[0][0]
+    _, cut, mid = _ivf_cuts(mx)
+    bounds = [(0, cut), (cut, mid), (mid, mx + 1)]
+    src, ckpt, idx = f"{base}/src", f"{base}/ckpt", f"{base}/index"
+    # stage the FULL table so the shared "sim" cache holds identical
+    # bytes no matter which rig builds it first
+    _stage_feed(
+        em_full, base, src,
+        [
+            (b, (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            for b, (lo, hi) in enumerate(bounds)
+        ],
+        feed_key=_feed_key(sf_dir, "sim", "embeddings.parquet"),
+    )
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
+        b = next(i for i, (lo, hi) in enumerate(bounds) if lo <= mn < hi)
+        if b == 0:
+            books = _pq_train(_pq_sample(batch_df))
+            _pq_books_to_df(spark, books).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{idx}/codebooks")
+            tmp = f"{idx}/codebooks_ready.tmp"
+            with open(tmp, "w") as f:
+                f.write("1")
+            os.replace(tmp, f"{idx}/codebooks_ready")
+        if _read_marker(f"{idx}/codebooks_ready") is None:
+            raise RuntimeError(
+                "codes arrived before the codebooks were published"
+            )
+        books = _pq_books_from_df(
+            spark.read.parquet(f"{idx}/codebooks")
+        )
+        _pq_encode(spark, batch_df, books).write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/codes/gen={b}")
+        if fail_at_batch is not None and b == fail_at_batch:
+            raise RuntimeError(
+                f"injected failure: increment {b} after index writes,"
+                " before checkpoint commit"
+            )
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_sim_pq_e2e: availableNow query exceeded 600s"
+        )
+    loaded = _pq_books_from_df(spark.read.parquet(f"{idx}/codebooks"))
+    gens = [
+        f"{idx}/codes/gen={b}"
+        for b in range(len(bounds))
+        if os.path.exists(f"{idx}/codes/gen={b}")
+    ]
+    return _pq_adc_probe(spark, em, loaded, spark.read.parquet(*gens))
+
+
+@register("stream_sim_pq_e2e", oracle=PQ_PERSIST_SQL)
+def stream_sim_pq_e2e(spark, sf_dir):
+    """The PQ index's ingest lifecycle as ONE checkpointed stream —
+    the PQ twin of stream_sim_index_e2e, completing the streamed row
+    of the ANN matrix (IVF: batch build / persist / append / delete /
+    compact / recluster / STREAM; PQ now has persist / delete /
+    STREAM): the first arriving increment trains the codebooks from
+    its own fixed-size sample and publishes them behind a write-last
+    marker (the frozen-gate discipline — batch-0 aggregates, retained
+    for the index's life); every increment, including replays, encodes
+    itself against the PUBLISHED codebooks into its own code
+    generation; serving ADC-probes all generations. Output ≡ the
+    persisted-PQ statement (codebooks trained on the base slice,
+    encoding over everything) — PQ_PERSIST_SQL verbatim, because one
+    stream increment = one id-range slice = the same cut the batch
+    lifecycle op uses. The torn-state kill/restart proof runs in
+    tests/test_streaming.py.
+
+    Scale shape: per increment one map-only vectorized encode +
+    one parquet append of 8 ints per vector — the cheapest possible
+    index maintenance; training happens once, on a bounded sample,
+    and the codebook table is model-sized forever after."""
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_sim_pq_e2e")
+    return run_pq_stream(spark, sf_dir, base)
+
+
+
 def _ivf_phase_stats(assigned, phase):
     """(phase, n_vectors, mean_aff_micro) from an affinity-carrying
     assignment — exact integers: micro-quantized winning dots, floored

@@ -2561,3 +2561,44 @@ def test_spancov_stream_restart_exactly_once(spark, tmp_path):
         ).collect()
     }
     assert got == ref, "spancov stream restart diverged from batch loop"
+
+
+def test_pq_stream_restart_exactly_once(spark, tmp_path):
+    """Kill/restart the PQ ingest stream in the torn state (batch 0's
+    codebooks published + its code generation written, checkpoint
+    commit missing): the replayed batch re-derives byte-identical
+    codebooks (deterministic sample + integer Lloyd) and rewrites the
+    same codes; the final serving equals the uninterrupted stream AND
+    the batch lifecycle op's persisted-PQ answer."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.similarity import run_pq_stream
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "pqstream")
+    idx = f"{base}/index"
+
+    with pytest.raises(StreamingQueryException):
+        run_pq_stream(spark, SMOKE_SF_DIR, base, fail_at_batch=0)
+    assert os.path.exists(f"{idx}/codebooks_ready")
+    assert os.path.exists(f"{idx}/codes/gen=0")
+    books_before = {
+        (r["j"], r["k"], r["pos"]): r["c_u"]
+        for r in spark.read.parquet(f"{idx}/codebooks").collect()
+    }
+
+    out = run_pq_stream(spark, SMOKE_SF_DIR, base)
+    books_after = {
+        (r["j"], r["k"], r["pos"]): r["c_u"]
+        for r in spark.read.parquet(f"{idx}/codebooks").collect()
+    }
+    assert books_after == books_before, "codebook replay diverged"
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["sim_index_pq_persist"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "PQ stream diverged from the batch lifecycle op"
