@@ -353,7 +353,7 @@ def stream_corpus_prep_delete_e2e(spark, sf_dir):
         _purge_feed,
     )
 
-    _purge_feed(spark, base, f"{base}/src", TD_AFTER)
+    _purge_feed(spark, base, f"{base}/src", TD_AFTER, ckpt=ckpt)
     _audit_no_tombstoned(
         spark, idx, ("bands", "shingles", "bands_p", "shingles_p")
     )
@@ -440,7 +440,11 @@ def run_corpus_prep_stream(
     _stage_feed(
         d, base, src,
         [(b, batch_of == b) for b in range(N_INC_BATCHES)],
-        feed_key=_feed_key(sf_dir, "prep"),
+        # takedown rigs stage privately: arrival copies must sit
+        # inside the purge/audit perimeter (round-10 review finding)
+        feed_key=_feed_key(sf_dir, "prep")
+        if delete_after is None
+        else None,
     )
 
     def process(batch_df, epoch_id):
@@ -704,7 +708,7 @@ def stream_corpus_prep_capped_delete_e2e(spark, sf_dir):
             f"takedown GC removed {removed}, expected"
             " bands+shingles+counts originals"
         )
-    _purge_feed(spark, base, f"{base}/src", TD_AFTER)
+    _purge_feed(spark, base, f"{base}/src", TD_AFTER, ckpt=ckpt)
     _audit_no_tombstoned(
         spark, idx, ("bands", "shingles", "bands_p", "shingles_p")
     )

@@ -33,6 +33,13 @@ from .dedup import (
     _tokens,
 )
 
+# Bump to invalidate every cross-session staged-feed cache (the keys
+# also fold in the corpus fingerprint, the df schema, and the slicing
+# predicates' expression strings — this is the belt for transform-code
+# changes those can't see).
+FEED_CACHE_VERSION = 1
+
+
 def _feed_key(sf_dir, tag, table_file="documents.parquet"):
     """Cache key for a shareable staged feed: the sliced table's file
     listing (size, mtime) plus a rig-family tag (plain corpus vs the
@@ -73,10 +80,19 @@ def _stage_feed(df, base, src, conds, step=20, feed_key=None):
     rename publish, the suffix-artifact protocol) and each rig COPIES
     them into its own src — every stream op previously re-ran the
     same N slice-write jobs per rig (round-9 verdict item 5). Copies,
-    not hardlinks: delete rigs rewrite their feed in place
-    (`_purge_feed`) and must never mutate the shared cache. The cache
+    not hardlinks: a rig may rewrite its feed in place and must never
+    mutate the shared cache. The published key additionally folds in
+    the feed's CONTENT signature — the df schema and every slicing
+    predicate's expression string plus FEED_CACHE_VERSION — so a code
+    change to the batch arithmetic or columns can never serve a stale
+    cross-session cache (review finding, round 10). DELETE rigs must
+    NOT pass a feed_key at all: a takedown purges every arrival copy
+    the application owns, and a shared cache outside the purge/audit
+    perimeter would hold the deleted text — the rigs enforce this by
+    forcing private staging whenever delete_after is set. The cache
     is a bench-rig artifact — production feeds arrive once, from the
     bus."""
+    import hashlib
     import os
     import shutil
     import time
@@ -87,6 +103,12 @@ def _stage_feed(df, base, src, conds, step=20, feed_key=None):
         return
     os.makedirs(src, exist_ok=True)
     now = time.time()
+    if feed_key is not None:
+        sig = "|".join(
+            [feed_key, f"v{FEED_CACHE_VERSION}", df.schema.simpleString()]
+            + [f"{b}:{cond}" for b, cond in conds]
+        )
+        feed_key = hashlib.md5(sig.encode()).hexdigest()[:16]
 
     def build(dst_dir, stage_root):
         for b, cond in conds:
@@ -740,6 +762,12 @@ def run_inc_lsh_stream(
     idx = f"{base}/index"
     if feed_tag is None and docs_override is None:
         feed_tag = "lsh"  # the untransformed corpus feed is shareable
+    if delete_after is not None:
+        # takedown rigs stage PRIVATELY: every arrival copy must sit
+        # inside the purge/audit perimeter — a shared cache would
+        # retain the deleted text where no takedown can reach it
+        # (review finding, round 10)
+        feed_tag = None
     _stage_feed(
         d,
         base,
@@ -1335,7 +1363,7 @@ def _audit_roots_no_tombstoned(spark, tomb, roots, id_col="doc_id"):
         )
 
 
-def _purge_feed(spark, base, src, upto):
+def _purge_feed(spark, base, src, upto, ckpt=None):
     """Rewrite the STAGED FEED FILES without the takedown docs — the
     step ADVICE r9 flagged: the index takedown purged every serving
     and index artifact while ``src/batch_*.parquet`` (the arrival
@@ -1350,9 +1378,15 @@ def _purge_feed(spark, base, src, upto):
     restarted stream sees the same, already-committed paths). When
     content tombstones exist (``tombstones_sha``), batches strictly
     past the boundary additionally drop rows carrying tombstoned
-    CONTENT — the feed-side mirror of the re-upload guard. The
-    leftover ``stage/`` staging dirs (data-free after the os.replace,
-    but part of the takedown's blast radius) are removed."""
+    CONTENT — the feed-side mirror of the re-upload guard; those
+    post-boundary rewrites carry their OWN replay proof (the GC
+    watermark only covers batches 0..upto), so the sha branch
+    requires ``ckpt`` and rewrites only batches the commit log shows
+    can never replay — an uncommitted post-boundary batch keeps its
+    file and is skipped (its replay re-screens through the live
+    guard anyway). The leftover ``stage/`` staging dirs (data-free
+    after the os.replace, but part of the takedown's blast radius)
+    are removed."""
     import os
     import shutil
 
@@ -1360,7 +1394,14 @@ def _purge_feed(spark, base, src, upto):
     idx = f"{base}/index"
     sha = None
     if os.path.exists(f"{idx}/tombstones_sha"):
+        if ckpt is None:
+            raise ValueError(
+                "_purge_feed: content tombstones exist but no ckpt"
+                " was given — post-boundary sha rewrites need the"
+                " commit log's replay proof"
+            )
         sha = spark.read.parquet(f"{idx}/tombstones_sha")
+        committed = _committed_src_batches(ckpt)
     for g in range(N_INC_BATCHES):
         p = f"{src}/batch_{g}.parquet"
         if not os.path.exists(p):
@@ -1368,13 +1409,14 @@ def _purge_feed(spark, base, src, upto):
         kept = spark.read.parquet(p)
         if g <= upto:
             kept = kept.filter(~td)
-        if sha is not None and g > upto:
+        sha_rewrite = sha is not None and g > upto and g in committed
+        if sha_rewrite:
             kept = kept.join(
                 F.broadcast(sha),
                 F.sha2(F.col("text"), 256) == F.col("text_sha"),
                 "left_anti",
             )
-        if g <= upto or sha is not None:
+        if g <= upto or sha_rewrite:
             st = os.stat(p)
             stage = f"{base}/stage_purge/b{g}"
             kept.coalesce(1).write.mode("overwrite").parquet(stage)
@@ -1801,7 +1843,7 @@ def stream_dedup_delete_gc_e2e(spark, sf_dir):
     # (ADVICE r9 — the one content-bearing family the r9 takedown
     # missed), and a takedown that leaves source text on disk is not
     # compliance-complete
-    _purge_feed(spark, base, f"{base}/src", TD_AFTER)
+    _purge_feed(spark, base, f"{base}/src", TD_AFTER, ckpt=ckpt)
     _audit_no_tombstoned(
         spark, idx, ("bands", "shingles", "bands_p", "shingles_p")
     )
@@ -2060,8 +2102,7 @@ def stream_takedown_unified_e2e(spark, sf_dir):
     import os
 
     from ..registry import scratch_dir
-    from .suffix import _lcp_spans_from, _suffix_array_artifact
-    from .suffix import _global_rank
+    from .suffix import _purged_sa_spans
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     mx = d.agg(F.max("doc_id")).collect()[0][0]
@@ -2073,25 +2114,11 @@ def stream_takedown_unified_e2e(spark, sf_dir):
     # 1. LSH originals GC (marker + commit watermark proven inside)
     _gc_takedown_originals(ckpt, idx)
     # 2. feed purge (safe: the GC just proved replay is impossible)
-    _purge_feed(spark, base, f"{base}/src", TD_AFTER)
+    _purge_feed(spark, base, f"{base}/src", TD_AFTER, ckpt=ckpt)
     # 3. SA family: publish the purged projection and serve spans
     batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
     td = _takedown_pred() & (batch_of <= TD_AFTER)
-    final, sfx = _suffix_array_artifact(spark, sf_dir)
-    final.filter(~td).write.mode("overwrite").parquet(
-        f"{base}/sa/array_p"
-    )
-    sfx.filter(~td).write.mode("overwrite").parquet(
-        f"{base}/sa/anchors_p"
-    )
-    arr_p = spark.read.parquet(f"{base}/sa/array_p")
-    sfx_p = spark.read.parquet(f"{base}/sa/anchors_p")
-    old = arr_p.select(F.col("_rank").alias("old_rank"), "doc_id", "pos")
-    ranked, _n = _global_rank(old.select("old_rank"), ["old_rank"])
-    spans = _lcp_spans_from(
-        old.join(ranked, "old_rank").select("_rank", "doc_id", "pos"),
-        sfx_p,
-    )
+    spans = _purged_sa_spans(spark, sf_dir, td, f"{base}/sa")
     if spans.limit(1).count() == 0:
         raise AssertionError("purged SA artifact serves no spans")
 

@@ -1,0 +1,896 @@
+"""2.J/2.L PRODUCT-QUANTIZATION ANN family: the brute PQ search,
+the composed IVF+PQ search and its persisted cluster-partitioned
+layout, the PQ index lifecycle (frozen-codebook persist/append,
+purged-twin delete), and the streamed PQ ingest.
+
+Split out of similarity.py (round 10, the repo's 4k-line module
+discipline) with zero behavior change; every op keeps its registered
+id, oracle, and plan shape. The IVF primitives (builds, cuts,
+centroid assignment) and the shared scoring/constants stay in
+similarity and are imported here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+from .similarity import (
+    EMB_DIM,
+    IVF_APPEND_CUT_SQL,
+    IVF_NLIST,
+    IVF_NPROBE,
+    N_PROBES,
+    SQL_DOT,
+    TOP_K,
+    VEC_TD_MOD,
+    VEC_TD_RES,
+    _ivf_append_cut,
+    _ivf_build,
+    _ivf_cuts,
+    dot6,
+)
+
+PQ_M = 8  # subspaces (64 dims / 8 = 8 dims each)
+PQ_K = 16  # centroids per subspace -> 4-bit codes, 8 bytes per vector
+PQ_CAND = 128  # ADC candidates re-ranked exactly per probe
+PQ_ITERS = 5  # Lloyd iterations per subspace codebook
+
+
+def _pq_cb_chain_sql():
+    """The PQ codebook-training + encode CTE fragment (samp → seu →
+    cb0..cbR via 5 unrolled integer-Lloyd iterations → enc), assuming
+    an ``eu`` micro-quantized element CTE is already in scope — shared
+    verbatim by the standalone PQ oracle and the composed IVF+PQ
+    oracle."""
+    sub = EMB_DIM // PQ_M
+    iters = []
+    for t in range(PQ_ITERS):
+        iters.append(f"""
+    asg{t} AS MATERIALIZED (
+        SELECT vec_id, j, k FROM (
+            SELECT s.vec_id, cb.j, cb.k,
+                   row_number() OVER (PARTITION BY s.vec_id, cb.j
+                       ORDER BY sum((s.e_u - cb.c_u) * (s.e_u - cb.c_u)),
+                                cb.k) AS rn
+            FROM seu s JOIN cb{t} cb ON cb.pos = s.pos
+            GROUP BY s.vec_id, cb.j, cb.k) WHERE rn = 1),
+    cb{t + 1} AS MATERIALIZED (
+        SELECT c.j, c.k, c.pos, coalesce(u.m, c.c_u) AS c_u
+        FROM cb{t} c LEFT JOIN (
+            SELECT a.j, a.k, s.pos,
+                   CAST(floor(CAST(sum(s.e_u) AS DOUBLE) / count(*))
+                        AS BIGINT) AS m
+            FROM asg{t} a
+            JOIN seu s ON s.vec_id = a.vec_id AND s.pos // {sub} = a.j
+            GROUP BY 1, 2, 3) u
+        ON u.j = c.j AND u.k = c.k AND u.pos = c.pos)""")
+    R = PQ_ITERS
+    return f"""samp AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS srn
+             FROM embeddings WHERE vec_id % 4 = 0
+             ORDER BY vec_id LIMIT 4096),
+    seu AS MATERIALIZED (
+        SELECT e.vec_id, e.pos, e.e_u FROM eu e JOIN samp USING (vec_id)),
+    cb0 AS MATERIALIZED (
+        SELECT e.pos // {sub} AS j, s.srn - 1 AS k, e.pos, e.e_u AS c_u
+        FROM samp s JOIN eu e USING (vec_id) WHERE s.srn <= {PQ_K}),{",".join(iters)},
+    enc AS MATERIALIZED (
+        SELECT vec_id, j, k AS code FROM (
+            SELECT e.vec_id, cb.j, cb.k,
+                   row_number() OVER (PARTITION BY e.vec_id, cb.j
+                       ORDER BY sum((e.e_u - cb.c_u) * (e.e_u - cb.c_u)),
+                                cb.k) AS rn
+            FROM eu e JOIN cb{R} cb ON cb.pos = e.pos
+            GROUP BY e.vec_id, cb.j, cb.k) WHERE rn = 1)"""
+
+
+def _pq_oracle_sql():
+    """Full PQ pipeline oracle: 5 unrolled integer-Lloyd iterations
+    over all 8 subspaces at once (centroids keyed (j, k, pos)),
+    encode-by-argmin, exact integer ADC via the codebook join, global
+    top-PQ_CAND pool, exact dot6 re-rank. Subspace of a dimension is
+    pos // sub; argmin ties go to the lowest k (numpy first-min)."""
+    R = PQ_ITERS
+    return f"""
+    WITH eu AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS e_u
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    {_pq_cb_chain_sql()},
+    adc AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, en.vec_id AS c_id,
+               CAST(sum(qq.e_u * cb.c_u) AS BIGINT) AS adc
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < {N_PROBES}) q
+        CROSS JOIN enc en
+        JOIN cb{R} cb ON cb.j = en.j AND cb.k = en.code
+        JOIN eu qq ON qq.vec_id = q.vec_id AND qq.pos = cb.pos
+        WHERE q.vec_id <> en.vec_id
+        GROUP BY 1, 2),
+    pool AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc DESC, c_id) AS arn
+        FROM adc) WHERE arn <= {PQ_CAND})
+    SELECT q_id, c_id, score, rank FROM (
+        SELECT p.q_id, p.c_id,
+               {SQL_DOT.format(a='a.embedding', b='b.embedding')} AS score,
+               row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY {SQL_DOT.format(a='a.embedding', b='b.embedding')} DESC,
+                            p.c_id) AS rank
+        FROM pool p
+        JOIN embeddings a ON a.vec_id = p.q_id
+        JOIN embeddings b ON b.vec_id = p.c_id)
+    WHERE rank <= {TOP_K}
+"""
+
+
+@register("sim_search_pq", oracle=_pq_oracle_sql())
+def sim_search_pq(spark, sf_dir):
+    """Product-quantization ANN — the memory-compression scale path of
+    the family (brute anchor → LSH buckets → IVF lists → PQ codes):
+    each 64-float vector compresses to PQ_M=8 4-bit codes (64× smaller
+    than float32), so a 100 TB embedding corpus's index fits in RAM
+    and candidate scoring never touches the raw vectors.
+
+    Pipeline, scale-shaped:
+      1. TRAIN (driver, bounded): codebooks fit on a deterministic
+         sample (vec_id % 4 == 0) — PQ codebooks are always trained on
+         a fixed-size sample in practice; 5 Lloyd iterations per
+         subspace, first-K init, pure numpy on a ≤O(sample) matrix.
+      2. ENCODE (distributed, map-only): one mapInPandas pass argmins
+         each subvector against its broadcast codebook (vectorized
+         L2), emitting 8 small ints per vector.
+      3. SEARCH (distributed, map-only + one small shuffle): per
+         probe, an 8×16 lookup table of subvector dots is broadcast;
+         asymmetric-distance scores are ONE numpy gather+sum per
+         batch, each task emits only its local top-PQ_CAND rows per
+         probe, and a window keeps the global top-PQ_CAND.
+      4. RE-RANK (exact): candidates join back to the raw vectors and
+         the final top-5 uses the same dot6 spelling as the brute
+         anchor, so scores bit-match it for every shared pair
+         (property-tested with a recall floor,
+         tests/test_llm_ops.py::test_pq_ann_scores_match_brute).
+
+    Recall on THIS corpus: 0.91@5 at sf0.01, 0.73@5 at sf0.1 with the
+    same PQ_CAND=128 pool (2.6% of that corpus). Uniform random unit
+    vectors are PQ's worst case — dots concentrate and 4-bit codes
+    carry little signal — the same structureless-corpus caveat
+    sim_search_blocked documents; on clustered real embeddings the
+    codebooks capture the structure and the pool fraction drops
+    further at fixed recall. The asserted floor is 0.9 at the
+    sf0.01 differential scale.
+    """
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = _pq_train(_pq_sample(em))
+    encoded = _pq_encode(spark, em, books)
+    return _pq_adc_probe(spark, em, books, encoded)
+
+
+def _ivfpq_oracle_sql():
+    """Composed IVF+PQ oracle: the IVF statement's coarse chain
+    (seeds → a0 → refined cent → full assignment a1 → NPROBE probes)
+    provides the candidate lists; the PQ statement's codebook chain
+    (sample → 5 integer-Lloyd iterations → encode) provides the codes;
+    ADC then scores ONLY vectors whose list is probed (exact int64
+    sum over the candidate's per-subspace codewords against the
+    query's micro elements), top-PQ_CAND pool per probe, exact dot6
+    re-rank. Both chains are the proven standalone oracles verbatim —
+    the composition adds one join."""
+    R = PQ_ITERS
+    return f"""
+    WITH seeds AS (SELECT vec_id AS cluster, embedding AS centroid
+                   FROM embeddings WHERE vec_id < {IVF_NLIST}),
+    a0 AS MATERIALIZED (
+        SELECT c_id, cluster FROM (
+            SELECT e.vec_id AS c_id, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {SQL_DOT.format(a='e.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+    eu AS MATERIALIZED (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS e_u
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    cent AS MATERIALIZED (
+        SELECT cluster,
+               list(CAST(m / 1000000.0 AS FLOAT) ORDER BY pos) AS centroid
+        FROM (SELECT a.cluster, eu.pos,
+                     floor(CAST(sum(eu.e_u) AS DOUBLE) / count(*)) AS m
+              FROM a0 a JOIN eu ON eu.vec_id = a.c_id
+              GROUP BY 1, 2)
+        GROUP BY cluster),
+    a1 AS MATERIALIZED (
+        SELECT c_id, cluster FROM (
+            SELECT e.vec_id AS c_id, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {SQL_DOT.format(a='e.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM embeddings e CROSS JOIN cent s) WHERE rn = 1),
+    probes AS MATERIALIZED (
+        SELECT q_id, cluster FROM (
+            SELECT q.vec_id AS q_id, s.cluster,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {SQL_DOT.format(a='q.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM embeddings q CROSS JOIN cent s
+            WHERE q.vec_id < {N_PROBES}) WHERE rn <= {IVF_NPROBE}),
+    {_pq_cb_chain_sql()},
+    adc AS MATERIALIZED (
+        SELECT p.q_id, v.c_id, CAST(sum(qq.e_u * cb.c_u) AS BIGINT) AS adc
+        FROM probes p
+        JOIN a1 v ON v.cluster = p.cluster AND v.c_id <> p.q_id
+        JOIN enc en ON en.vec_id = v.c_id
+        JOIN cb{R} cb ON cb.j = en.j AND cb.k = en.code
+        JOIN eu qq ON qq.vec_id = p.q_id AND qq.pos = cb.pos
+        GROUP BY 1, 2),
+    pool AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc DESC, c_id) AS arn
+        FROM adc) WHERE arn <= {PQ_CAND})
+    SELECT q_id, c_id, score, rank FROM (
+        SELECT p.q_id, p.c_id,
+               {SQL_DOT.format(a='a.embedding', b='b.embedding')} AS score,
+               row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY {SQL_DOT.format(a='a.embedding', b='b.embedding')} DESC,
+                            p.c_id) AS rank
+        FROM pool p
+        JOIN embeddings a ON a.vec_id = p.q_id
+        JOIN embeddings b ON b.vec_id = p.c_id)
+    WHERE rank <= {TOP_K}
+"""
+
+
+@register("sim_search_ivfpq", oracle=_ivfpq_oracle_sql())
+def sim_search_ivfpq(spark, sf_dir):
+    """COMPOSED IVF+PQ ANN — the architecture a 100 TB vector corpus
+    actually deploys (FAISS IVFPQ): the coarse quantizer routes each
+    probe to its NPROBE inverted lists, and within the probed lists
+    candidates are scored by asymmetric distance over 4-bit PQ codes —
+    so serving touches ~NPROBE/NLIST of the corpus AND reads 8 bytes
+    per touched vector instead of 256, the two compressions multiplied.
+    Both halves are the proven standalone indexes (`_ivf_build`'s
+    integer-Lloyd centroids; `_pq_train`'s integer codebooks); the
+    composition is one join.
+
+    ADC here is JVM-SIDE, unlike sim_search_pq's Arrow/numpy gather:
+    the per-probe lookup table (N_PROBES × PQ_M × PQ_K int64 dots,
+    2,560 rows) is a broadcast DataFrame, candidate codes posexplode
+    to (q, c, j, code) and equi-join the LUT, and one
+    map-side-combinable sum yields each candidate's ADC — whole-stage
+    codegen end to end, no Python in the serving path. The tradeoff is
+    deliberate and documented: the brute PQ op scans EVERY code, where
+    the numpy gather's vectorization wins; here the IVF routing has
+    already cut candidates to ~NPROBE/NLIST of the corpus, so the
+    shuffle-light join form wins and keeps serving entirely in
+    Tungsten. At 100 TB the LUT stays model-sized (per query batch),
+    codes are read partition-pruned by the cluster layout, and raw
+    vectors are touched only by the top-PQ_CAND exact re-rank.
+
+    Recall: the composition's candidate pool is the intersection of
+    the two approximations (probed lists ∩ ADC top-PQ_CAND);
+    tests/test_llm_ops.py pins the recall floor vs the brute top-5
+    anchor and bit-equality of re-ranked scores for every shared
+    pair."""
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    refined, lists = _ivf_build(spark, sf_dir)
+    books = _pq_train(_pq_sample(em))
+    coded = lists.select("cluster", "c_id").join(
+        _pq_encode(spark, em, books).select(
+            F.col("vec_id").alias("c_id"), "code"
+        ),
+        "c_id",
+    )
+    return _ivfpq_serve(spark, em, refined, books, coded)
+
+
+def _ivfpq_serve(spark, em, cent, books, coded):
+    """Shared IVF+PQ serving path (sim_search_ivfpq and the persisted
+    layout — round-10 review: the two forked this ~100-line block
+    verbatim): probes = top-NPROBE clusters per query against
+    ``cent``; candidates = ``coded`` rows (cluster, c_id, code) in
+    probed clusters, the probe set broadcast so a partitioned codes
+    layout can prune; ADC via the broadcast per-probe LUT equi-join +
+    one combinable sum (whole-stage codegen, no Python in serving);
+    top-PQ_CAND pool; exact dot6 re-rank."""
+    import numpy as np
+
+    m, sub = PQ_M, EMB_DIM // PQ_M
+    q = em.filter(F.col("vec_id") < N_PROBES)
+    lut_rows = []
+    for r in q.orderBy("vec_id").collect():
+        qv = np.floor(
+            np.asarray(r["embedding"], dtype="float64") * 1e6 + 0.5
+        ).astype(np.int64)
+        for j in range(m):
+            w = books[j] @ qv[j * sub : (j + 1) * sub]
+            lut_rows.extend(
+                (r["vec_id"], j, k, int(w[k])) for k in range(PQ_K)
+            )
+    lut = spark.createDataFrame(
+        lut_rows, "l_q long, l_j int, l_k int, w long"
+    )
+
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.desc("aff"), F.asc("cluster")
+    )
+    probes = (
+        q.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "cluster",
+            dot6(F.col("q_emb"), F.col("centroid")).alias("aff"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "cluster")
+    )
+    adc = (
+        F.broadcast(probes).join(coded, "cluster")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.posexplode("code").alias("jj", "kcode"))
+        .join(
+            F.broadcast(lut),
+            (F.col("jj") == F.col("l_j"))
+            & (F.col("kcode") == F.col("l_k"))
+            & (F.col("q_id") == F.col("l_q")),
+        )
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("w").alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
+    pool = adc.withColumn("arn", F.row_number().over(w)).filter(
+        F.col("arn") <= PQ_CAND
+    ).select("q_id", "c_id")
+
+    c = em.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    qe = q.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rr = (
+        pool.join(F.broadcast(qe), "q_id")
+        .join(c, "c_id")
+        .select("q_id", "c_id", dot6("q_emb", "c_emb").alias("score"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "score", "rank")
+    )
+
+
+@register("sim_index_ivfpq_persist", oracle=_ivfpq_oracle_sql())
+def sim_index_ivfpq_persist(spark, sf_dir):
+    """The composed IVF+PQ index PERSISTED in its production layout —
+    what a 100 TB vector store actually keeps on disk: centroids
+    (model-sized), codebooks (model-sized), and the codes
+    partitionBy(cluster) — so a probe touches only its NPROBE cluster
+    directories AND reads 8 bytes per vector: the partition layout IS
+    the coarse index (with the tiny probe set broadcast, Spark can
+    DPP-prune the cluster partitions; at minimum the scan is limited
+    to the joined clusters' row groups — the sim_index_persist_probe
+    serving note), and no embedding column appears anywhere before
+    the re-rank. Serving loads everything from
+    parquet and must reproduce the in-memory composition bit-for-bit
+    (same oracle as sim_search_ivfpq — persist ≡ rebuild, the
+    sim_index_persist_probe discipline).
+
+    Scale shape: the maintenance story ports unchanged from the
+    proven pieces — append = encode-against-frozen-codebooks into a
+    new generation (sim_index_pq_persist), delete = purged twins
+    (sim_index_pq_delete), compact/recluster = the IVF ops; this op
+    pins the LAYOUT: one directory per inverted list, codes inside,
+    raw vectors only in the re-rank path."""
+    from ..registry import scratch_dir
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    refined, lists = _ivf_build(spark, sf_dir)
+    books = _pq_train(_pq_sample(em))
+
+    base = scratch_dir("sim_index_ivfpq_persist")
+    refined.write.mode("overwrite").parquet(f"{base}/centroids")
+    _pq_books_to_df(spark, books).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/codebooks")
+    # codes carry their list assignment and land one directory per
+    # cluster — the partition layout IS the coarse index
+    (
+        _pq_encode(spark, em, books)
+        .join(
+            lists.select(F.col("c_id").alias("vec_id"), "cluster"),
+            "vec_id",
+        )
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{base}/codes")
+    )
+
+    cent = spark.read.parquet(f"{base}/centroids")
+    loaded = _pq_books_from_df(spark.read.parquet(f"{base}/codebooks"))
+    coded = spark.read.parquet(f"{base}/codes").select(
+        "cluster", F.col("vec_id").alias("c_id"), "code"
+    )
+    return _ivfpq_serve(spark, em, cent, loaded, coded)
+
+
+def _pq_sample(em, cut=None):
+    """Fixed-SIZE training sample matrix (not a fraction): the modulo
+    spreads the picks across the id space, the limit caps driver
+    transfer at 4096 vectors (1 MB) no matter the corpus size —
+    orderBy+limit is a distributed top-k, so nothing unbounded reaches
+    the driver. ``cut`` restricts the sample to the BASE slice
+    (vec_id < cut) for the frozen-codebook lifecycle ops. Returns the
+    micro-quantized int64 matrix."""
+    import numpy as np
+
+    f = em.filter(F.col("vec_id") % 4 == 0)
+    if cut is not None:
+        f = f.filter(F.col("vec_id") < cut)
+    sample = f.orderBy("vec_id").limit(4096).collect()
+    return np.floor(
+        np.vstack([r["embedding"] for r in sample]).astype("float64") * 1e6
+        + 0.5
+    ).astype(np.int64)
+
+
+def _pq_train(X):
+    """Micro-quantized integer codebook training: exact int64 squared
+    distances (≤ 8·(2e6)² ≈ 3.2e13), first-min argmin, floor-mean
+    updates — the same engine-exact discipline as the Lloyd ops, so
+    the codebooks, codes, and ADC scores all restate in the oracle.
+    Returns PQ_M int64 arrays of shape (PQ_K, sub)."""
+    m, sub = PQ_M, EMB_DIM // PQ_M
+    books = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                mask = assign == k
+                if mask.any():
+                    # numpy int // floors like DuckDB's explicit floor
+                    C[k] = S[mask].sum(axis=0) // int(mask.sum())
+        books.append(C)
+    return books
+
+
+def _pq_encode(spark, em, books):
+    """Distributed map-only PQ encoding against broadcast codebooks:
+    one mapInPandas pass argmins each subvector (vectorized int64 L2),
+    emitting PQ_M small ints per vector."""
+    m, sub = PQ_M, EMB_DIM // PQ_M
+    bks = spark.sparkContext.broadcast([b.tolist() for b in books])
+
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        B = [_np.asarray(b, dtype=_np.int64) for b in bks.value]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.floor(
+                _np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+                * 1e6
+                + 0.5
+            ).astype(_np.int64)
+            codes = _np.empty((len(V), m), dtype="int64")
+            for j in range(m):
+                S = V[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield _pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": list(codes)}
+            )
+
+    return em.mapInPandas(encode, "vec_id long, code array<long>")
+
+
+def _pq_adc_probe(spark, em, books, encoded):
+    """PQ serving: per-probe 8×PQ_K lookup tables of subvector dots
+    broadcast, asymmetric-distance scoring as one numpy gather+sum per
+    Arrow batch with per-task local top-PQ_CAND, a window for the
+    global top-PQ_CAND pool, then exact dot6 re-rank of the pool —
+    bit-matching the brute anchor for every shared pair. ``encoded``
+    is the codes frame (in-memory or a persisted-generation scan);
+    the probe workload always comes from ``em``."""
+    import numpy as np
+
+    m, sub = PQ_M, EMB_DIM // PQ_M
+    probes = (
+        em.filter(F.col("vec_id") < N_PROBES).orderBy("vec_id").collect()
+    )
+    luts = np.empty((len(probes), m, PQ_K), dtype=np.int64)
+    for i, r in enumerate(probes):
+        qv = np.floor(
+            np.asarray(r["embedding"], dtype="float64") * 1e6 + 0.5
+        ).astype(np.int64)
+        for j in range(m):
+            luts[i, j] = books[j] @ qv[j * sub : (j + 1) * sub]
+    lut_b = spark.sparkContext.broadcast(luts.tolist())
+    probe_ids = [r["vec_id"] for r in probes]
+
+    def adc_score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        L = _np.asarray(lut_b.value, dtype=_np.int64)  # (P, m, K)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = _np.vstack(pdf["code"].to_numpy())  # (n, m)
+            vids = pdf["vec_id"].to_numpy()
+            # scores[p, n] = sum_j L[p, j, codes[n, j]] — exact int64
+            scores = _np.zeros((len(probe_ids), len(codes)), dtype=_np.int64)
+            for j in range(m):
+                scores += L[:, j, codes[:, j]]
+            out_q, out_c, out_s = [], [], []
+            # take PQ_CAND+1 BEFORE the self-exclusion filter: when
+            # the probe's own code sits in this task's local top (near
+            # certain), a PQ_CAND cut would ship one candidate short
+            # of the oracle's global top-PQ_CAND (round-10 review —
+            # divergence needs that dropped candidate to re-rank into
+            # the exact top-K, rare but real on few-partition scans)
+            top = min(PQ_CAND + 1, len(codes))
+            for p, qid in enumerate(probe_ids):
+                row = scores[p]
+                idx = _np.argpartition(-row, top - 1)[:top]
+                keep = vids[idx] != qid
+                out_q.extend([qid] * int(keep.sum()))
+                out_c.extend(vids[idx][keep].tolist())
+                out_s.extend(row[idx][keep].tolist())
+            yield _pd.DataFrame(
+                {"q_id": out_q, "c_id": out_c, "adc": out_s}
+            )
+
+    cand = encoded.mapInPandas(adc_score, "q_id long, c_id long, adc long")
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
+    cand = cand.withColumn("arn", F.row_number().over(w)).filter(
+        F.col("arn") <= PQ_CAND
+    )
+
+    c = em.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    q = em.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rr = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
+        .select("q_id", "c_id", dot6("q_emb", "c_emb").alias("score"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "score", "rank")
+    )
+
+
+
+def _pq_books_to_df(spark, books):
+    """Codebooks as a (j, k, pos, c_u) parquet-able frame — the
+    persisted form (O(PQ_M × PQ_K × sub) rows, model-sized)."""
+    sub = EMB_DIM // PQ_M
+    rows = [
+        (j, k, p, int(B[k][p]))
+        for j, B in enumerate(books)
+        for k in range(PQ_K)
+        for p in range(sub)
+    ]
+    return spark.createDataFrame(rows, "j int, k int, pos int, c_u long")
+
+
+def _pq_books_from_df(df):
+    """Rebuild the numpy codebooks from the persisted (j, k, pos, c_u)
+    table — a model-sized driver pull, the PQ analogue of loading IVF
+    centroids."""
+    import numpy as np
+
+    sub = EMB_DIM // PQ_M
+    books = [np.zeros((PQ_K, sub), dtype=np.int64) for _ in range(PQ_M)]
+    for r in df.collect():
+        books[r["j"]][r["k"]][r["pos"]] = r["c_u"]
+    return books
+
+
+def _pq_persist_layout(spark, em, base):
+    """Build + persist the PQ lifecycle layout — codebooks trained on
+    the base slice's fixed-size sample, codes/gen=0 = the base slice's
+    encode, codes/gen=1 = the later-arriving slice encoded against the
+    frozen LOADED codebooks. Returns the loaded codebooks. One
+    spelling for sim_index_pq_persist and sim_index_pq_delete
+    (round-10 review: the preamble was forked verbatim)."""
+    cut = _ivf_append_cut(em)
+    books = _pq_train(_pq_sample(em, cut=cut))
+    _pq_books_to_df(spark, books).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/codebooks")
+    _pq_encode(spark, em.filter(F.col("vec_id") < cut), books).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/codes/gen=0")
+    loaded = _pq_books_from_df(spark.read.parquet(f"{base}/codebooks"))
+    _pq_encode(
+        spark, em.filter(F.col("vec_id") >= cut), loaded
+    ).write.mode("overwrite").parquet(f"{base}/codes/gen=1")
+    return loaded
+
+
+def _pq_persist_oracle_sql():
+    """The PQ pipeline oracle with codebooks trained on the BASE slice
+    only (vec_id < the 80% append cut) — encoding still covers every
+    vector against the frozen final codebooks, exactly the
+    append-against-frozen-codebooks lifecycle."""
+    old = "FROM embeddings WHERE vec_id % 4 = 0"
+    base = _pq_oracle_sql()
+    assert base.count(old) == 1
+    return base.replace(
+        old, f"{old} AND vec_id < {IVF_APPEND_CUT_SQL}"
+    )
+
+
+PQ_PERSIST_SQL = _pq_persist_oracle_sql()
+
+
+def _pq_delete_oracle_sql():
+    """The persisted-PQ probe statement with the takedown cohort
+    excluded from CODE membership only: codebooks and the probe
+    workload are unchanged (the frozen-codebook retention argument
+    sim_index_delete documents), exactly what the purged code
+    generations serve."""
+    old = "WHERE q.vec_id <> en.vec_id"
+    assert PQ_PERSIST_SQL.count(old) == 1
+    return PQ_PERSIST_SQL.replace(
+        old,
+        f"{old}\n          AND en.vec_id % {VEC_TD_MOD} <> {VEC_TD_RES}",
+    )
+
+
+@register("sim_index_pq_persist", oracle=PQ_PERSIST_SQL)
+def sim_index_pq_persist(spark, sf_dir):
+    """PQ index LIFECYCLE: persist + append — completing the ANN
+    index-family symmetry (round-9 verdict item 4: IVF had
+    persist/append/compact/delete while sim_search_pq retrained
+    codebooks per run). Codebooks train ONCE on the base slice's
+    fixed-size sample (vec_id < the 80% cut — the IVF append
+    lifecycle's id split) and persist as a (j, k, pos, c_u) parquet
+    table; the base slice encodes as ``codes/gen=0``; the remaining
+    20% "arrives later" and is encoded against the FROZEN LOADED
+    codebooks — one broadcast map-only pass — appended as
+    ``codes/gen=1``. Serving loads the codebooks and probes BOTH code
+    generations, so what's value-hashed is the persisted layout, not
+    the in-memory build.
+
+    The oracle restates exactly this: Lloyd runs on the base-slice
+    sample only, encoding covers all vectors against the final frozen
+    codebooks. Integer-exact end to end (micro-quantized codebooks,
+    int64 ADC), so the full pipeline value-hashes.
+
+    Scale shape: the codebook table is model-sized (PQ_M·PQ_K·sub
+    rows); per ingest batch the append cost is O(batch) vectorized
+    argmins + one parquet append of 8 small ints per vector — never a
+    retrain; ADC serving reads codes (64× smaller than the raw
+    vectors), and only the top-PQ_CAND pool ever touches raw
+    embeddings."""
+    from ..registry import scratch_dir
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = scratch_dir("sim_index_pq_persist")
+    loaded = _pq_persist_layout(spark, em, base)
+    codes = spark.read.parquet(
+        f"{base}/codes/gen=0", f"{base}/codes/gen=1"
+    )
+    return _pq_adc_probe(spark, em, loaded, codes)
+
+
+@register("sim_index_pq_delete", oracle=_pq_delete_oracle_sql())
+def sim_index_pq_delete(spark, sf_dir):
+    """Vector DELETE propagation through the PERSISTED PQ index — the
+    PQ twin of sim_index_delete, porting the purged-twin protocol to
+    the codes layout (codes are per-vector rows, so the machinery
+    ports directly): every code generation is rewritten WITHOUT the
+    takedown cohort into ``codes_p/gen=N`` twins (filter-rewrites
+    riding the scan), a tombstone table records the deleted ids, the
+    write-last ``takedown_applied`` marker publishes the swap, and
+    serving probes the purged layout — a deleted vector can never
+    appear in any ADC pool or re-ranked answer. PQ adds one
+    governance subtlety the docstring owes: codes are CONTENT-DERIVED
+    per-vector state (unlike centroids, which are statistical
+    aggregates), so the purge removes them like shingles, while the
+    CODEBOOK is retained exactly as the IVF delete retains centroids.
+
+    In-op proof: the purged layout's probe answers must equal a
+    frozen-codebook re-encode of the reduced corpus (exceptAll both
+    ways empty) — rebuild equivalence, the discipline every delete op
+    in the repo follows. The oracle is the persisted-PQ statement with
+    the cohort excluded from code membership only; the completeness
+    audit walks the purged twin roots.
+
+    Scale shape: the purge is one filter-rewrite per code generation
+    (8 small ints per row — the cheapest index family to rewrite in
+    the whole repo), tombstones are O(cohort), post-delete probes cost
+    exactly what pre-delete probes cost."""
+    import os
+
+    from ..registry import scratch_dir
+    from .dedup_stream import _audit_roots_no_tombstoned
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = scratch_dir("sim_index_pq_delete")
+    loaded = _pq_persist_layout(spark, em, base)
+
+    td = F.col("vec_id") % VEC_TD_MOD == VEC_TD_RES
+    for g in (0, 1):
+        (
+            spark.read.parquet(f"{base}/codes/gen={g}")
+            .filter(~td)
+            .write.mode("overwrite")
+            .parquet(f"{base}/codes_p/gen={g}")
+        )
+    (
+        em.filter(td)
+        .select("vec_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{base}/tombstones")
+    )
+    tmp = f"{base}/takedown_applied.tmp"
+    with open(tmp, "w") as f:
+        f.write("1")
+    os.replace(tmp, f"{base}/takedown_applied")
+
+    tomb = spark.read.parquet(f"{base}/tombstones")
+    _audit_roots_no_tombstoned(
+        spark,
+        tomb,
+        (f"{base}/codes_p/gen=0", f"{base}/codes_p/gen=1"),
+        id_col="vec_id",
+    )
+
+    purged = spark.read.parquet(
+        f"{base}/codes_p/gen=0", f"{base}/codes_p/gen=1"
+    )
+    post = _pq_adc_probe(spark, em, loaded, purged).localCheckpoint(
+        eager=True
+    )
+
+    # frozen-codebook rebuild equivalence: purged serving must equal a
+    # clean re-encode of the reduced corpus against the same codebooks
+    rebuilt = _pq_adc_probe(
+        spark, em, loaded, _pq_encode(spark, em.filter(~td), loaded)
+    ).localCheckpoint(eager=True)
+    diff = post.exceptAll(rebuilt).unionByName(rebuilt.exceptAll(post))
+    if diff.limit(1).count() > 0:
+        raise AssertionError(
+            "post-delete PQ probe diverges from the frozen-codebook"
+            " re-encode of the reduced corpus"
+        )
+    return post
+
+
+
+def run_pq_stream(spark, sf_dir, base, fail_at_batch=None):
+    """The checkpointed-stream rig behind stream_sim_pq_e2e: arriving
+    embedding files → foreachBatch; batch 0 TRAINS the codebooks from
+    its own fixed-size sample and publishes them behind a write-last
+    marker; every batch (including 0) encodes itself against the
+    published codebooks into ``codes/gen=b`` (deterministic overwrite
+    = the replay unit). Batch identity from the data (vec_id range).
+    A replayed batch 0 re-derives byte-identical codebooks (the
+    sample, init, and integer Lloyd steps are all deterministic), so
+    the codebook redo converges — the same argument as the frozen
+    DSIR gate. ``fail_at_batch`` raises AFTER that batch's writes,
+    BEFORE the checkpoint commit (the torn state)."""
+    import os
+
+    from .dedup_stream import _feed_key, _read_marker, _stage_feed
+
+    em_full = table(spark, sf_dir, "embeddings")
+    em = em_full.select("vec_id", "embedding")
+    mx = em.agg(F.max("vec_id")).collect()[0][0]
+    _, cut, mid = _ivf_cuts(mx)
+    bounds = [(0, cut), (cut, mid), (mid, mx + 1)]
+    src, ckpt, idx = f"{base}/src", f"{base}/ckpt", f"{base}/index"
+    # stage the FULL table so the shared "sim" cache holds identical
+    # bytes no matter which rig builds it first
+    _stage_feed(
+        em_full, base, src,
+        [
+            (b, (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            for b, (lo, hi) in enumerate(bounds)
+        ],
+        feed_key=_feed_key(sf_dir, "sim", "embeddings.parquet"),
+    )
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
+        b = next(i for i, (lo, hi) in enumerate(bounds) if lo <= mn < hi)
+        if b == 0:
+            books = _pq_train(_pq_sample(batch_df))
+            _pq_books_to_df(spark, books).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{idx}/codebooks")
+            tmp = f"{idx}/codebooks_ready.tmp"
+            with open(tmp, "w") as f:
+                f.write("1")
+            os.replace(tmp, f"{idx}/codebooks_ready")
+        if _read_marker(f"{idx}/codebooks_ready") is None:
+            raise RuntimeError(
+                "codes arrived before the codebooks were published"
+            )
+        books = _pq_books_from_df(
+            spark.read.parquet(f"{idx}/codebooks")
+        )
+        _pq_encode(spark, batch_df, books).write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/codes/gen={b}")
+        if fail_at_batch is not None and b == fail_at_batch:
+            raise RuntimeError(
+                f"injected failure: increment {b} after index writes,"
+                " before checkpoint commit"
+            )
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_sim_pq_e2e: availableNow query exceeded 600s"
+        )
+    loaded = _pq_books_from_df(spark.read.parquet(f"{idx}/codebooks"))
+    gens = [
+        f"{idx}/codes/gen={b}"
+        for b in range(len(bounds))
+        if os.path.exists(f"{idx}/codes/gen={b}")
+    ]
+    return _pq_adc_probe(spark, em, loaded, spark.read.parquet(*gens))
+
+
+@register("stream_sim_pq_e2e", oracle=PQ_PERSIST_SQL)
+def stream_sim_pq_e2e(spark, sf_dir):
+    """The PQ index's ingest lifecycle as ONE checkpointed stream —
+    the PQ twin of stream_sim_index_e2e, completing the streamed row
+    of the ANN matrix (IVF: batch build / persist / append / delete /
+    compact / recluster / STREAM; PQ now has persist / delete /
+    STREAM): the first arriving increment trains the codebooks from
+    its own fixed-size sample and publishes them behind a write-last
+    marker (the frozen-gate discipline — batch-0 aggregates, retained
+    for the index's life); every increment, including replays, encodes
+    itself against the PUBLISHED codebooks into its own code
+    generation; serving ADC-probes all generations. Output ≡ the
+    persisted-PQ statement (codebooks trained on the base slice,
+    encoding over everything) — PQ_PERSIST_SQL verbatim, because one
+    stream increment = one id-range slice = the same cut the batch
+    lifecycle op uses. The torn-state kill/restart proof runs in
+    tests/test_streaming.py.
+
+    Scale shape: per increment one map-only vectorized encode +
+    one parquet append of 8 ints per vector — the cheapest possible
+    index maintenance; training happens once, on a bounded sample,
+    and the codebook table is model-sized forever after."""
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_sim_pq_e2e")
+    return run_pq_stream(spark, sf_dir, base)
+
+

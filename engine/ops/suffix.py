@@ -914,6 +914,28 @@ def _sa_takedown_sql():
     )
 
 
+def _purged_sa_spans(spark, sf_dir, td, root):
+    """Publish the PURGED suffix-array twins under ``root``
+    (filter-rewrites of the published corpus artifact, riding the
+    scans) and serve LCP spans off them: removing documents never
+    reorders the surviving suffixes, so the reduced corpus's suffix
+    order is the induced subsequence — one integer re-ranking of the
+    surviving ranks, never a string re-sort. Shared by
+    dedup_sa_takedown and the unified takedown capstone (round-10
+    review: the block was forked verbatim)."""
+    final, sfx = _suffix_array_artifact(spark, sf_dir)
+    final.filter(~td).write.mode("overwrite").parquet(f"{root}/array_p")
+    sfx.filter(~td).write.mode("overwrite").parquet(f"{root}/anchors_p")
+    arr_p = spark.read.parquet(f"{root}/array_p")
+    sfx_p = spark.read.parquet(f"{root}/anchors_p")
+    old = arr_p.select(F.col("_rank").alias("old_rank"), "doc_id", "pos")
+    ranked, _n = _global_rank(old.select("old_rank"), ["old_rank"])
+    return _lcp_spans_from(
+        old.join(ranked, "old_rank").select("_rank", "doc_id", "pos"),
+        sfx_p,
+    )
+
+
 @register("dedup_sa_takedown", oracle=_sa_takedown_sql())
 def dedup_sa_takedown(spark, sf_dir):
     """Document DELETE propagated through the SUFFIX-ARRAY artifact —
@@ -969,10 +991,8 @@ def dedup_sa_takedown(spark, sf_dir):
     batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
     td = _takedown_pred() & (batch_of <= TD_AFTER)
 
-    final, sfx = _suffix_array_artifact(spark, sf_dir)
     base = scratch_dir("dedup_sa_takedown")
-    final.filter(~td).write.mode("overwrite").parquet(f"{base}/array_p")
-    sfx.filter(~td).write.mode("overwrite").parquet(f"{base}/anchors_p")
+    spans = _purged_sa_spans(spark, sf_dir, td, base)
     (
         d.filter(td)
         .select("doc_id")
@@ -992,15 +1012,7 @@ def dedup_sa_takedown(spark, sf_dir):
     _audit_roots_no_tombstoned(
         spark, tomb, (f"{base}/array_p", f"{base}/anchors_p")
     )
-
-    arr_p = spark.read.parquet(f"{base}/array_p")
-    sfx_p = spark.read.parquet(f"{base}/anchors_p")
-    old = arr_p.select(F.col("_rank").alias("old_rank"), "doc_id", "pos")
-    ranked, _n = _global_rank(old.select("old_rank"), ["old_rank"])
-    new_final = old.join(ranked, "old_rank").select(
-        F.col("_rank"), "doc_id", "pos"
-    )
-    return _lcp_spans_from(new_final, sfx_p)
+    return spans
 
 
 def _spancov_inc_sql():

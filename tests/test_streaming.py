@@ -2368,7 +2368,7 @@ def test_feed_purge_and_content_roots_audit(spark, tmp_path):
         g: os.stat(f"{base}/src/batch_{g}.parquet").st_mtime
         for g in range(TD_AFTER + 1)
     }
-    _purge_feed(spark, base, f"{base}/src", TD_AFTER)
+    _purge_feed(spark, base, f"{base}/src", TD_AFTER, ckpt=ckpt)
 
     # covered feed files lost exactly the cohort rows, kept their
     # paths and mtimes; staging dirs are gone
@@ -2572,7 +2572,7 @@ def test_pq_stream_restart_exactly_once(spark, tmp_path):
     the batch lifecycle op's persisted-PQ answer."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from engine.ops.similarity import run_pq_stream
+    from engine.ops.pq import run_pq_stream
     from engine.registry import QUERIES
 
     base = str(tmp_path / "pqstream")
@@ -2602,3 +2602,29 @@ def test_pq_stream_restart_exactly_once(spark, tmp_path):
         ).collect()
     }
     assert got == ref, "PQ stream diverged from the batch lifecycle op"
+
+
+def test_delete_rigs_stage_feed_privately(spark, tmp_path):
+    """Takedown rigs must never stage their feed through the shared
+    /tmp cache: every arrival copy has to sit inside the purge/audit
+    perimeter (round-10 review finding). Pins that a delete-mode run
+    creates no new engine_feed_* cache entry while a plain run does."""
+    import glob
+    import shutil
+
+    from engine.ops.dedup_stream import TD_AFTER, run_inc_lsh_stream
+
+    for d in glob.glob("/tmp/engine_feed_*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+    run_inc_lsh_stream(
+        spark, SMOKE_SF_DIR, str(tmp_path / "del"), delete_after=TD_AFTER
+    )
+    assert not glob.glob("/tmp/engine_feed_*"), (
+        "delete rig populated the shared feed cache"
+    )
+
+    run_inc_lsh_stream(spark, SMOKE_SF_DIR, str(tmp_path / "plain"))
+    assert glob.glob("/tmp/engine_feed_*"), (
+        "plain rig did not use the shared cache"
+    )
