@@ -760,14 +760,22 @@ def run_inc_lsh_stream(
         d = docs_override
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     idx = f"{base}/index"
-    if feed_tag is None and docs_override is None:
-        feed_tag = "lsh"  # the untransformed corpus feed is shareable
     if delete_after is not None:
         # takedown rigs stage PRIVATELY: every arrival copy must sit
         # inside the purge/audit perimeter — a shared cache would
         # retain the deleted text where no takedown can reach it
-        # (review finding, round 10)
-        feed_tag = None
+        # (review finding, round 10). A feed_tag passed alongside
+        # delete_after is a contract violation, not an override
+        # (ADVICE r10: silently nulling it left dead caller args that
+        # implied delete feeds were cache-shareable).
+        if feed_tag is not None:
+            raise ValueError(
+                "run_inc_lsh_stream: feed_tag is incompatible with"
+                " delete_after — takedown feeds must stage privately"
+                " inside the purge/audit perimeter"
+            )
+    elif feed_tag is None and docs_override is None:
+        feed_tag = "lsh"  # the untransformed corpus feed is shareable
     _stage_feed(
         d,
         base,
@@ -1363,16 +1371,21 @@ def _audit_roots_no_tombstoned(spark, tomb, roots, id_col="doc_id"):
         )
 
 
-def _purge_feed(spark, base, src, upto, ckpt=None):
+def _purge_feed(spark, base, src, upto, ckpt):
     """Rewrite the STAGED FEED FILES without the takedown docs — the
     step ADVICE r9 flagged: the index takedown purged every serving
     and index artifact while ``src/batch_*.parquet`` (the arrival
     copies the file source replays from) still held the deleted
-    documents' full text. MUST be called only after the takedown GC
-    has proven the covered batches are outside the replay horizon
-    (`_gc_takedown_originals` raises otherwise) — rewriting a feed
-    file that could still replay would change the replayed batch's
-    input and break exactly-once. Each rewrite is an atomic
+    documents' full text. Must run only after the takedown GC has
+    proven the covered batches are outside the replay horizon —
+    rewriting a feed file that could still replay would change the
+    replayed batch's input and break exactly-once. That precondition
+    is ENFORCED HERE, not by caller convention (ADVICE r10): the
+    function refuses unless the ``takedown_upto`` marker covers
+    ``upto`` AND the checkpoint's commit log shows every batch
+    0..upto committed (the same ground truth `_gc_generations`
+    reads), so a mis-ordered caller fails loudly instead of silently
+    corrupting replayable input. Each rewrite is an atomic
     os.replace of a deterministically filtered copy; mtimes are
     preserved so the source listing order never changes (the
     restarted stream sees the same, already-committed paths). When
@@ -1392,16 +1405,25 @@ def _purge_feed(spark, base, src, upto, ckpt=None):
 
     td = _takedown_pred()
     idx = f"{base}/index"
+    m = _read_marker(f"{idx}/takedown_upto")
+    if m is None or m < upto:
+        raise ValueError(
+            f"_purge_feed refused: takedown_upto marker is {m},"
+            f" does not cover batches 0..{upto} — run the takedown"
+            " (and its GC) before purging the feed"
+        )
+    committed = _committed_src_batches(ckpt)
+    pending = [b for b in range(upto + 1) if b not in committed]
+    if pending:
+        raise ValueError(
+            f"_purge_feed refused: batches {pending} are inside the"
+            " replay horizon (offsets admitted but commit log not"
+            " written) — rewriting their feed files would break"
+            " exactly-once"
+        )
     sha = None
     if os.path.exists(f"{idx}/tombstones_sha"):
-        if ckpt is None:
-            raise ValueError(
-                "_purge_feed: content tombstones exist but no ckpt"
-                " was given — post-boundary sha rewrites need the"
-                " commit log's replay proof"
-            )
         sha = spark.read.parquet(f"{idx}/tombstones_sha")
-        committed = _committed_src_batches(ckpt)
     for g in range(N_INC_BATCHES):
         p = f"{src}/batch_{g}.parquet"
         if not os.path.exists(p):
@@ -1587,7 +1609,7 @@ def stream_dedup_reupload_block_e2e(spark, sf_dir):
     out = run_inc_lsh_stream(
         spark, sf_dir, base, delete_after=TD_AFTER,
         docs_override=_reupload_docs(d, mx), block_reuploads=True,
-        blocked_log=blocked, feed_tag="reup",
+        blocked_log=blocked,
     )
     out = out.localCheckpoint(eager=True)
     if sum(blocked) == 0:
@@ -2025,7 +2047,6 @@ def stream_dedup_neardup_block_e2e(spark, sf_dir):
         docs_override=_paraphrase_docs(d, mx),
         block_reuploads=True, blocked_log=sha_blocked,
         block_neardups=True, nd_blocked_log=nd_blocked,
-        feed_tag="para",
     )
     out = out.localCheckpoint(eager=True)
     blocked_ids = {i for (_b, ids) in nd_blocked for i in ids}

@@ -4,10 +4,14 @@ layout, the PQ index lifecycle (frozen-codebook persist/append,
 purged-twin delete), and the streamed PQ ingest.
 
 Split out of similarity.py (round 10, the repo's 4k-line module
-discipline) with zero behavior change; every op keeps its registered
-id, oracle, and plan shape. The IVF primitives (builds, cuts,
-centroid assignment) and the shared scoring/constants stay in
-similarity and are imported here.
+discipline); every op keeps its registered id, oracle, and plan
+shape. The split carried ONE behavioral fix relative to the removed
+similarity.py code — the ADC task-local cut widened from PQ_CAND to
+PQ_CAND+1 (the self-exclusion margin, see `_pq_adc_probe`) — so the
+move is not byte-equivalent (ADVICE r10). Round 11 additionally made
+that cut tie-safe. The IVF primitives (builds, cuts, centroid
+assignment) and the shared scoring/constants stay in similarity and
+are imported here.
 """
 
 from __future__ import annotations
@@ -542,11 +546,20 @@ def _pq_adc_probe(spark, em, books, encoded):
             # certain), a PQ_CAND cut would ship one candidate short
             # of the oracle's global top-PQ_CAND (round-10 review —
             # divergence needs that dropped candidate to re-rank into
-            # the exact top-K, rare but real on few-partition scans)
+            # the exact top-K, rare but real on few-partition scans).
+            # The cut is TIE-SAFE (ADVICE r10): PQ codes collapse many
+            # vectors to identical code tuples, so exact int64 ADC
+            # ties are realistic, and an argpartition-only cut breaks
+            # them arbitrarily — a tied smaller-c_id candidate could
+            # be dropped at a task-local boundary while the oracle's
+            # global (adc DESC, c_id ASC) order keeps it. Keeping
+            # EVERY row that ties the top-th value ships a superset;
+            # the global window then matches the oracle exactly.
             top = min(PQ_CAND + 1, len(codes))
             for p, qid in enumerate(probe_ids):
                 row = scores[p]
-                idx = _np.argpartition(-row, top - 1)[:top]
+                thr = _np.partition(row, len(row) - top)[len(row) - top]
+                idx = _np.nonzero(row >= thr)[0]
                 keep = vids[idx] != qid
                 out_q.extend([qid] * int(keep.sum()))
                 out_c.extend(vids[idx][keep].tolist())

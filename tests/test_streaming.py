@@ -2611,20 +2611,25 @@ def test_delete_rigs_stage_feed_privately(spark, tmp_path):
     creates no new engine_feed_* cache entry while a plain run does."""
     import glob
     import shutil
+    import tempfile
 
     from engine.ops.dedup_stream import TD_AFTER, run_inc_lsh_stream
 
-    for d in glob.glob("/tmp/engine_feed_*"):
+    # the cache lives under tempfile.gettempdir(), which TMPDIR can
+    # move off /tmp — build the pattern from the same root _stage_feed
+    # uses (ADVICE r10)
+    pat = os.path.join(tempfile.gettempdir(), "engine_feed_*")
+    for d in glob.glob(pat):
         shutil.rmtree(d, ignore_errors=True)
 
     run_inc_lsh_stream(
         spark, SMOKE_SF_DIR, str(tmp_path / "del"), delete_after=TD_AFTER
     )
-    assert not glob.glob("/tmp/engine_feed_*"), (
+    assert not glob.glob(pat), (
         "delete rig populated the shared feed cache"
     )
 
     run_inc_lsh_stream(spark, SMOKE_SF_DIR, str(tmp_path / "plain"))
-    assert glob.glob("/tmp/engine_feed_*"), (
+    assert glob.glob(pat), (
         "plain rig did not use the shared cache"
     )
