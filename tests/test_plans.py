@@ -852,3 +852,27 @@ def test_ivf_compaction_shrinks_files(spark):
     after = n_parquet(os.path.join(base, "lists_c"))
     assert after == IVF_NLIST, after  # one file per cluster partition
     assert before >= 2 * after, (before, after)
+
+
+def test_ivfpq_lifecycle_codes_scan_prunes_clusters(spark, tmp_path):
+    """The composed-index lifecycle layout (codes/gen=N inside cluster
+    partitions) must prune CLUSTER directories on a cluster predicate
+    across BOTH generations — the partition layout IS the coarse
+    index, and an append must not degrade probe pruning."""
+    from pyspark.sql import functions as F
+
+    from engine.ops.pq import _ivfpq_coded_from, _ivfpq_lifecycle_layout
+    from engine.registry import table
+
+    em = table(spark, T2_SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = str(tmp_path / "ivfpq")
+    _ivfpq_lifecycle_layout(spark, em, base)
+    df = _ivfpq_coded_from(spark, f"{base}/codes", (0, 1)).filter(
+        F.col("cluster") == 1
+    )
+    assert df.count() > 0  # both generations contribute members
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cluster" in pf, plan
