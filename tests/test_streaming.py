@@ -2633,3 +2633,83 @@ def test_delete_rigs_stage_feed_privately(spark, tmp_path):
     assert glob.glob(pat), (
         "plain rig did not use the shared cache"
     )
+
+
+def test_ivfpq_stream_boundary_restart(spark, tmp_path):
+    """Kill/restart ACROSS the composed IVF+PQ stream's compaction
+    boundary (stream_sim_ivfpq_e2e's torn state): run 1 trains +
+    publishes both models (batch 0 commits), processes the boundary
+    increment — code generation write, compaction, marker publish —
+    then dies BEFORE the checkpoint commit. Run 2 replays the boundary
+    batch on the same checkpoint: the generation rewrite and the
+    compaction redo must both be deterministic overwrites, the models
+    must be untouched (frozen since batch 0), the final probe must
+    serve from codes_c plus only post-boundary generations, and the
+    answers must be byte-equal to the batch append lifecycle op."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import _read_marker
+    from engine.ops.pq import run_ivfpq_stream
+    from engine.ops.similarity import N_SIM_BATCHES
+    from engine.registry import QUERIES
+
+    base = str(tmp_path / "ivfpq_stream")
+    boundary = N_SIM_BATCHES - 2
+    idx = f"{base}/index"
+
+    with pytest.raises(StreamingQueryException):
+        run_ivfpq_stream(
+            spark, SMOKE_SF_DIR, base, compact_after=boundary,
+            fail_at_batch=boundary, fail_phase="post_compact",
+        )
+
+    # torn state: boundary generation + compaction marker + both
+    # models on disk, checkpoint never committed the batch
+    assert _read_marker(f"{idx}/compacted_upto") == boundary
+    assert os.path.exists(f"{idx}/codes_c")
+    assert os.path.exists(f"{idx}/codes/gen={boundary}")
+    books_before = {
+        (r["j"], r["k"], r["pos"]): r["c_u"]
+        for r in spark.read.parquet(f"{idx}/codebooks").collect()
+    }
+
+    log = []
+    out = run_ivfpq_stream(
+        spark, SMOKE_SF_DIR, base, compact_after=boundary,
+        serve_paths_log=log,
+    )
+    paths = log[-1]
+    assert any(p.endswith("/codes_c") for p in paths)
+    assert not any(
+        "/codes/gen=" in p and int(p.rsplit("=", 1)[1]) <= boundary
+        for p in paths
+    )
+    books_after = {
+        (r["j"], r["k"], r["pos"]): r["c_u"]
+        for r in spark.read.parquet(f"{idx}/codebooks").collect()
+    }
+    assert books_after == books_before, "codebook replay diverged"
+
+    got = {tuple(r) for r in out.collect()}
+    ref = {
+        tuple(r)
+        for r in QUERIES["sim_index_ivfpq_append"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == ref, "restart across IVF+PQ boundary diverged"
+
+    # the compaction redo overwrote, not appended: codes_c holds the
+    # covered generations' rows exactly once
+    covered = (
+        spark.read.option("basePath", f"{idx}/codes")
+        .parquet(*[f"{idx}/codes/gen={g}" for g in range(boundary + 1)])
+        .drop("gen")
+    )
+    codes_c = spark.read.parquet(f"{idx}/codes_c")
+    assert codes_c.count() == covered.count()
+    assert (
+        codes_c.select("vec_id").distinct().count()
+        == covered.select("vec_id").distinct().count()
+        == covered.count()
+    )
