@@ -1371,7 +1371,20 @@ def _audit_roots_no_tombstoned(spark, tomb, roots, id_col="doc_id"):
         )
 
 
-def _purge_feed(spark, base, src, upto, ckpt):
+def _audit_stores_no_tombstoned(spark, stores):
+    """ONE completeness audit across HETEROGENEOUS stores — the
+    cross-store takedown capstone's final gate: ``stores`` is a list
+    of (tombstone frame, id column, roots) triples — one per
+    content-bearing store family (the text store keys on doc_id, the
+    vector stores on vec_id/c_id) — and every root of every store is
+    walked by the shared root auditor in this single call, so "the
+    corpus forgot the cohort EVERYWHERE" is one audit result, not a
+    per-store checklist a caller can partially run."""
+    for tomb, id_col, roots in stores:
+        _audit_roots_no_tombstoned(spark, tomb, roots, id_col=id_col)
+
+
+def _purge_feed(spark, base, src, upto, ckpt, pred=None, n_batches=None):
     """Rewrite the STAGED FEED FILES without the takedown docs — the
     step ADVICE r9 flagged: the index takedown purged every serving
     and index artifact while ``src/batch_*.parquet`` (the arrival
@@ -1399,11 +1412,18 @@ def _purge_feed(spark, base, src, upto, ckpt):
     file and is skipped (its replay re-screens through the live
     guard anyway). The leftover ``stage/`` staging dirs (data-free
     after the os.replace, but part of the takedown's blast radius)
-    are removed."""
+    are removed.
+
+    ``pred``/``n_batches`` generalize the purge to NON-document feeds
+    (the cross-store capstone purges a staged EMBEDDING feed with a
+    vec_id cohort over the sim rigs' batch count); the defaults are
+    the document stream's takedown pred and batch count, and the
+    marker/commit-log guards read the same ``base`` layout either
+    way."""
     import os
     import shutil
 
-    td = _takedown_pred()
+    td = pred if pred is not None else _takedown_pred()
     idx = f"{base}/index"
     m = _read_marker(f"{idx}/takedown_upto")
     if m is None or m < upto:
@@ -1424,7 +1444,7 @@ def _purge_feed(spark, base, src, upto, ckpt):
     sha = None
     if os.path.exists(f"{idx}/tombstones_sha"):
         sha = spark.read.parquet(f"{idx}/tombstones_sha")
-    for g in range(N_INC_BATCHES):
+    for g in range(n_batches if n_batches is not None else N_INC_BATCHES):
         p = f"{src}/batch_{g}.parquet"
         if not os.path.exists(p):
             continue
@@ -2249,3 +2269,168 @@ def stream_dedup_capped_delete_e2e(spark, sf_dir):
                 " purged counts twins for the covered prefix only"
             )
     return out
+
+
+@register("stream_takedown_text_vector_e2e", oracle=DELETE_E2E_SQL)
+def stream_takedown_text_vector_e2e(spark, sf_dir):
+    """ONE cohort forgotten across the TEXT store AND the VECTOR
+    stores under one audit and one restart proof — the cross-store
+    governance capstone (round-10 verdict item 3:
+    stream_takedown_unified_e2e stops at the text families and
+    explicitly delegates the vector side). The cohort is one entity
+    set — ids ≡ TD_RES (mod TD_MOD), the same arithmetic both stores
+    already share (TD_MOD == VEC_TD_MOD) — applied to each store by
+    its own arrival semantics: the TEXT store receives the request
+    MID-STREAM (cohort docs arrived by the delete boundary; the
+    proven delete-stream machinery purges LSH generations + sink,
+    GC's the originals once the commit watermark passes, rewrites the
+    staged feed, and publishes the purged suffix-array projection),
+    while the VECTOR stores receive it at ingest end (the sim stream's
+    in-stream takedown at its last batch covers every list
+    generation; the GC removes the originals; the staged EMBEDDING
+    feed is rewritten without the cohort through the same
+    marker-and-commit-guarded purge, generalized to a vec_id
+    predicate; and the batch-built PQ code family publishes purged
+    twins before its originals are removed — codes are a batch
+    artifact no checkpoint can replay, so removal needs no watermark).
+
+    Then the one audit: `_audit_stores_no_tombstoned` walks BOTH
+    stores' content-bearing roots — text feed/sink/staging/index
+    families/SA twins against the doc tombstones, vector feed + list
+    twins + code twins against the vec tombstones — in a single call,
+    so completeness is one result. Finally BOTH streams restart on
+    the gutted stores as committed no-ops: the vector probe must
+    serve purged twins only (asserted from recorded paths) and answer
+    with no tombstoned id (list path AND ADC path), and the text sink
+    must still value-hash against the two-regime delete statement —
+    the forgetting happened exactly once, everywhere.
+
+    Division of proof labor (unchanged): rebuild-equivalence per
+    family is the dedicated delete ops' job
+    (stream_dedup_delete_e2e, dedup_sa_takedown, sim_index_delete,
+    sim_index_pq_delete, sim_index_ivfpq_delete); this op proves the
+    CROSS-STORE composition — one cohort, one audit over the union of
+    every root, one restart per stream.
+
+    Scale shape: every purge is the linear filter-rewrite its
+    dedicated op documents; the audit is one scan per store family
+    semi-joined against O(cohort) broadcast tombstones; GC and feed
+    purges are fs metadata + atomic replaces. Nothing here adds a
+    shuffle class beyond the dedicated ops."""
+    import os
+    import shutil
+
+    from ..registry import scratch_dir
+    from .pq import _pq_adc_probe, _pq_persist_layout
+    from .similarity import (
+        N_SIM_BATCHES,
+        VEC_TD_MOD,
+        VEC_TD_RES,
+        run_sim_index_stream,
+    )
+    from .suffix import _purged_sa_spans
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    base = scratch_dir("stream_takedown_text_vector_e2e")
+    tbase, vbase = f"{base}/text", f"{base}/vec"
+
+    # ---- TEXT STORE: the unified-takedown machinery ----
+    run_inc_lsh_stream(spark, sf_dir, tbase, delete_after=TD_AFTER)
+    t_idx, t_ckpt = f"{tbase}/index", f"{tbase}/ckpt"
+    _gc_takedown_originals(t_ckpt, t_idx)
+    _purge_feed(spark, tbase, f"{tbase}/src", TD_AFTER, ckpt=t_ckpt)
+    batch_of = F.expr(f"({N_INC_BATCHES} * doc_id) div {mx + 1}")
+    td_doc = _takedown_pred() & (batch_of <= TD_AFTER)
+    spans = _purged_sa_spans(spark, sf_dir, td_doc, f"{tbase}/sa")
+    if spans.limit(1).count() == 0:
+        raise AssertionError("purged SA artifact serves no spans")
+
+    # ---- VECTOR STORES: the same cohort through lists, codes, feed
+    v_last = N_SIM_BATCHES - 1
+    run_sim_index_stream(spark, sf_dir, vbase, delete_after=v_last)
+    v_idx, v_ckpt = f"{vbase}/index", f"{vbase}/ckpt"
+    _gc_generations(
+        v_ckpt, v_idx, ("lists",), marker_name="takedown_upto"
+    )
+    td_vec = F.col("vec_id") % VEC_TD_MOD == VEC_TD_RES
+    _purge_feed(
+        spark, vbase, f"{vbase}/src", v_last, ckpt=v_ckpt,
+        pred=td_vec, n_batches=N_SIM_BATCHES,
+    )
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pq_root = f"{vbase}/pq"
+    loaded = _pq_persist_layout(spark, em, pq_root)
+    for g in (0, 1):
+        (
+            spark.read.parquet(f"{pq_root}/codes/gen={g}")
+            .filter(~td_vec)
+            .write.mode("overwrite")
+            .parquet(f"{pq_root}/codes_p/gen={g}")
+        )
+    tmp = f"{pq_root}/takedown_applied.tmp"
+    with open(tmp, "w") as f:
+        f.write("1")
+    os.replace(tmp, f"{pq_root}/takedown_applied")
+    # codes are a BATCH artifact — no checkpoint can ever replay
+    # them, so the originals go the moment the twins are published
+    shutil.rmtree(f"{pq_root}/codes")
+
+    # ---- ONE audit across both stores' roots ----
+    tomb_doc = spark.read.parquet(f"{t_idx}/tombstones")
+    tomb_vec = spark.read.parquet(f"{v_idx}/tombstones")
+    _audit_stores_no_tombstoned(
+        spark,
+        [
+            (
+                tomb_doc,
+                "doc_id",
+                (
+                    f"{tbase}/src",
+                    f"{tbase}/sink",
+                    f"{tbase}/stage",
+                    f"{t_idx}/bands",
+                    f"{t_idx}/shingles",
+                    f"{t_idx}/bands_p",
+                    f"{t_idx}/shingles_p",
+                    f"{tbase}/sa/array_p",
+                    f"{tbase}/sa/anchors_p",
+                ),
+            ),
+            (tomb_vec, "c_id", (f"{v_idx}/lists_p",)),
+            (
+                tomb_vec.select(F.col("c_id").alias("vec_id")),
+                "vec_id",
+                (f"{vbase}/src", f"{pq_root}/codes_p"),
+            ),
+        ],
+    )
+
+    # ---- restart BOTH streams on the gutted stores ----
+    vlog = []
+    v_out = run_sim_index_stream(
+        spark, sf_dir, vbase, delete_after=v_last, serve_paths_log=vlog
+    )
+    bad = [p for p in vlog[-1] if "/lists_p/gen=" not in p]
+    if bad:
+        raise AssertionError(
+            f"post-takedown vector probe served {bad}; expected purged"
+            " twins only"
+        )
+    pq_out = _pq_adc_probe(
+        spark,
+        em,
+        loaded,
+        spark.read.parquet(
+            f"{pq_root}/codes_p/gen=0", f"{pq_root}/codes_p/gen=1"
+        ),
+    )
+    vc = F.col("c_id") % VEC_TD_MOD == VEC_TD_RES
+    if (
+        v_out.filter(vc).limit(1).count() > 0
+        or pq_out.filter(vc).limit(1).count() > 0
+    ):
+        raise AssertionError(
+            "a deleted vector surfaced in post-takedown serving"
+        )
+    return run_inc_lsh_stream(spark, sf_dir, tbase, delete_after=TD_AFTER)

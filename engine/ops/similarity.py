@@ -2716,7 +2716,13 @@ def run_sim_index_stream(
             (b, (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
             for b, (lo, hi) in enumerate(bounds)
         ],
-        feed_key=_feed_key(sf_dir, "sim", "embeddings.parquet"),
+        # takedown rigs stage PRIVATELY: every arrival copy must sit
+        # inside the purge/audit perimeter — the same rule
+        # run_inc_lsh_stream enforces (round-10 review finding,
+        # extended to the vector rigs in round 11)
+        feed_key=None
+        if delete_after is not None
+        else _feed_key(sf_dir, "sim", "embeddings.parquet"),
     )
 
     def _compact_lists(upto):

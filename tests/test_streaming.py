@@ -2629,6 +2629,19 @@ def test_delete_rigs_stage_feed_privately(spark, tmp_path):
         "delete rig populated the shared feed cache"
     )
 
+    # the VECTOR delete rig obeys the same perimeter (round 11)
+    from engine.ops.similarity import N_SIM_BATCHES, run_sim_index_stream
+
+    run_sim_index_stream(
+        spark,
+        SMOKE_SF_DIR,
+        str(tmp_path / "vdel"),
+        delete_after=N_SIM_BATCHES - 2,
+    )
+    assert not glob.glob(pat), (
+        "vector delete rig populated the shared feed cache"
+    )
+
     run_inc_lsh_stream(spark, SMOKE_SF_DIR, str(tmp_path / "plain"))
     assert glob.glob(pat), (
         "plain rig did not use the shared cache"
