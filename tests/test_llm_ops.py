@@ -1345,3 +1345,45 @@ def test_ivfpq_scores_match_brute_with_recall_floor(spark):
     shared = set(brute) & set(comp)
     assert len(shared) / len(brute) >= 0.9
     assert all(brute[k] == comp[k] for k in shared)
+
+
+def test_pq_drift_trigger_fires_on_real_drift(spark):
+    """Force-drift the appended cohort through the shared
+    `_drifted_corpus` fixture and pin that the PQ staleness monitor's
+    integer cross-multiply fires; the registered op on the stationary
+    fixture must NOT fire (both cohorts are out-of-sample bounded
+    samples by construction). Distortion RISES with drift (the sign
+    is reversed from the IVF affinity monitor), and the relative form
+    makes the trigger scale-free."""
+    from pyspark.sql import functions as F
+
+    from engine.ops import pq as P
+    from engine.ops import similarity as S
+
+    rows = {
+        r["phase"]: r
+        for r in engine.QUERIES["sim_index_pq_drift_report"](
+            spark, T2_SF_DIR
+        ).collect()
+    }
+    assert rows["0_validation"]["recode_due"] is False
+    assert rows["1_append"]["recode_due"] is False  # stationary corpus
+
+    em = table(spark, T2_SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mx = em.agg(F.max("vec_id")).collect()[0][0]
+    train_cut, append_cut, _ = S._ivf_cuts(mx)
+    ex = S._drifted_corpus(em, append_cut)
+    drifted = {
+        r["phase"]: r
+        for r in P._pq_drift_report_from(
+            spark, ex, train_cut, append_cut
+        ).collect()
+    }
+    assert drifted["1_append"]["recode_due"] is True
+    # the jump is decisive, not marginal: ~2x the validation ratio
+    assert (
+        drifted["1_append"]["mean_ratio_milli"]
+        > 1.5 * drifted["0_validation"]["mean_ratio_milli"]
+    )
