@@ -291,17 +291,88 @@ def sim_search_ivfpq(spark, sf_dir):
     the two approximations (probed lists ∩ ADC top-PQ_CAND);
     tests/test_llm_ops.py pins the recall floor vs the brute top-5
     anchor and bit-equality of re-ranked scores for every shared
-    pair."""
+    pair.
+
+    The build artifacts come from the keyed shared build
+    (`_ivfpq_full_build_dir`) — built once per corpus fingerprint and
+    reused by the three non-lifecycle composed ops (round-10 verdict
+    item 5: share what the proofs don't need isolated); the build is
+    deterministic end to end, the oracle re-verifies every serve, and
+    the lifecycle/takedown rigs never touch the cache."""
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    refined, lists = _ivf_build(spark, sf_dir)
-    books = _pq_train(_pq_sample(em))
-    coded = lists.select("cluster", "c_id").join(
-        _pq_encode(spark, em, books).select(
-            F.col("vec_id").alias("c_id"), "code"
-        ),
-        "c_id",
+    cent, books, coded = _ivfpq_full_build(spark, sf_dir)
+    return _ivfpq_serve(spark, em, cent, books, coded)
+
+
+def _ivfpq_full_build_dir(spark, sf_dir):
+    """Build the FULL-CORPUS composed-index artifacts (centroids,
+    codebooks, cluster-carrying codes) ONCE per corpus fingerprint
+    into a keyed tempdir with atomic staging + rename publish — the
+    `_stage_feed` cache discipline applied to the build that
+    sim_search_ivfpq, sim_index_ivfpq_persist, and
+    sim_search_ivfpq_filtered each re-ran identically (round-10
+    verdict item 5). The key folds the corpus file listing plus every
+    constant the build depends on, so a changed corpus or a retuned
+    index can never serve stale artifacts. The LIFECYCLE and TAKEDOWN
+    ops must not use this cache: their models are base-slice-trained
+    (different artifacts), and delete rigs keep every content-derived
+    artifact inside their own purge/audit perimeter."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .dedup_stream import _feed_key
+
+    sig = "|".join(
+        [
+            _feed_key(sf_dir, "ivfpq-build", "embeddings.parquet"),
+            "v1",
+            str(PQ_M),
+            str(PQ_K),
+            str(PQ_ITERS),
+            str(IVF_NLIST),
+        ]
     )
-    return _ivfpq_serve(spark, em, refined, books, coded)
+    key = hashlib.md5(sig.encode()).hexdigest()[:16]
+    pub = os.path.join(tempfile.gettempdir(), f"engine_ivfpq_build_{key}")
+    if not os.path.exists(pub):
+        tmp = f"{pub}.staging-{uuid.uuid4().hex[:8]}"
+        em = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        refined, lists = _ivf_build(spark, sf_dir)
+        books = _pq_train(_pq_sample(em))
+        refined.write.mode("overwrite").parquet(f"{tmp}/centroids")
+        _pq_books_to_df(spark, books).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/codebooks")
+        (
+            _pq_encode(spark, em, books)
+            .join(
+                lists.select(F.col("c_id").alias("vec_id"), "cluster"),
+                "vec_id",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/codes")
+        )
+        try:
+            os.rename(tmp, pub)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return pub
+
+
+def _ivfpq_full_build(spark, sf_dir):
+    """(cent, books, coded) loaded from the keyed shared build."""
+    pub = _ivfpq_full_build_dir(spark, sf_dir)
+    cent = spark.read.parquet(f"{pub}/centroids")
+    books = _pq_books_from_df(spark.read.parquet(f"{pub}/codebooks"))
+    coded = spark.read.parquet(f"{pub}/codes").select(
+        "cluster", F.col("vec_id").alias("c_id"), "code"
+    )
+    return cent, books, coded
 
 
 def _ivfpq_serve(spark, em, cent, books, coded):
@@ -406,26 +477,26 @@ def sim_index_ivfpq_persist(spark, sf_dir):
     new generation (sim_index_pq_persist), delete = purged twins
     (sim_index_pq_delete), compact/recluster = the IVF ops; this op
     pins the LAYOUT: one directory per inverted list, codes inside,
-    raw vectors only in the re-rank path."""
+    raw vectors only in the re-rank path. The build artifacts come
+    from the keyed shared build (round-10 verdict item 5) — this op's
+    own product is the partitioned serving layout it writes and then
+    proves by loading."""
     from ..registry import scratch_dir
 
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    refined, lists = _ivf_build(spark, sf_dir)
-    books = _pq_train(_pq_sample(em))
+    pub = _ivfpq_full_build_dir(spark, sf_dir)
 
     base = scratch_dir("sim_index_ivfpq_persist")
-    refined.write.mode("overwrite").parquet(f"{base}/centroids")
-    _pq_books_to_df(spark, books).coalesce(1).write.mode(
+    spark.read.parquet(f"{pub}/centroids").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/centroids")
+    spark.read.parquet(f"{pub}/codebooks").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{base}/codebooks")
     # codes carry their list assignment and land one directory per
     # cluster — the partition layout IS the coarse index
     (
-        _pq_encode(spark, em, books)
-        .join(
-            lists.select(F.col("c_id").alias("vec_id"), "cluster"),
-            "vec_id",
-        )
+        spark.read.parquet(f"{pub}/codes")
         .repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
@@ -1834,26 +1905,19 @@ def sim_search_ivfpq_filtered(spark, sf_dir):
 
     Scale shape: identical to sim_search_ivfpq plus one small column
     on the codes scan — the filter is a map-side predicate on the
-    partition-pruned candidate stream, no new shuffle, no new join
-    (the label travels WITH the codes, the way a production layout
-    stores filterable attributes inline with the index entry)."""
+    partition-pruned candidate stream (the label travels WITH the
+    codes, the way a production layout stores filterable attributes
+    inline with the index entry). The build artifacts come from the
+    keyed shared build (round-10 verdict item 5)."""
     em_full = table(spark, sf_dir, "embeddings")
     em = em_full.select("vec_id", "embedding")
-    refined, lists = _ivf_build(spark, sf_dir)
-    books = _pq_train(_pq_sample(em))
+    cent, books, coded = _ivfpq_full_build(spark, sf_dir)
     coded = (
-        lists.select("cluster", "c_id")
-        .join(
-            _pq_encode(spark, em, books).select(
-                F.col("vec_id").alias("c_id"), "code"
-            ),
-            "c_id",
-        )
-        .join(
+        coded.join(
             em_full.select(F.col("vec_id").alias("c_id"), "label"),
             "c_id",
         )
         .filter(F.col("label") % ANN_FILTER_MOD == 0)
         .drop("label")
     )
-    return _ivfpq_serve(spark, em, refined, books, coded)
+    return _ivfpq_serve(spark, em, cent, books, coded)
