@@ -24,6 +24,7 @@ from .similarity import (
     DRIFT_TRIGGER_PCT,
     EMB_DIM,
     IVF_APPEND_CUT_SQL,
+    IVF_MID_SQL,
     IVF_NLIST,
     IVF_NPROBE,
     IVF_TRAIN_CUT_SQL,
@@ -48,7 +49,9 @@ PQ_CAND = 128  # ADC candidates re-ranked exactly per probe
 PQ_ITERS = 5  # Lloyd iterations per subspace codebook
 
 
-def _pq_cb_chain_sql(p="", src="embeddings", samp_pred="", include_enc=True):
+def _pq_cb_chain_sql(
+    p="", src="embeddings", samp_pred="", include_enc=True, samp_mod=True
+):
     """The PQ codebook-training + encode CTE fragment (samp → seu →
     cb0..cbR via 5 unrolled integer-Lloyd iterations → enc), assuming
     an ``eu`` micro-quantized element CTE is already in scope — shared
@@ -57,9 +60,12 @@ def _pq_cb_chain_sql(p="", src="embeddings", samp_pred="", include_enc=True):
     splice on; ``p`` prefixes every CTE name (so two codebook chains
     can coexist in one statement — the drift/recode oracles), ``src``
     swaps the training-sample source table (the drifted ``ex`` CTE),
-    ``samp_pred`` appends to the sample's WHERE, and
+    ``samp_pred`` appends to the sample's WHERE,
     ``include_enc=False`` drops the encode CTE when a consumer only
-    needs the trained codebook (distortion monitoring)."""
+    needs the trained codebook (distortion monitoring), and
+    ``samp_mod=False`` drops the modulo spread — the streamed recode
+    trains a fresh generation on ONE increment's full bounded sample,
+    where the modulo would leave fewer rows than PQ_K codewords."""
     sub = EMB_DIM // PQ_M
     iters = []
     for t in range(PQ_ITERS):
@@ -84,7 +90,7 @@ def _pq_cb_chain_sql(p="", src="embeddings", samp_pred="", include_enc=True):
         ON u.j = c.j AND u.k = c.k AND u.pos = c.pos)""")
     R = PQ_ITERS
     enc = f""",
-    enc AS MATERIALIZED (
+    {p}enc AS MATERIALIZED (
         SELECT vec_id, j, k AS code FROM (
             SELECT e.vec_id, cb.j, cb.k,
                    row_number() OVER (PARTITION BY e.vec_id, cb.j
@@ -93,7 +99,7 @@ def _pq_cb_chain_sql(p="", src="embeddings", samp_pred="", include_enc=True):
             FROM eu e JOIN {p}cb{R} cb ON cb.pos = e.pos
             GROUP BY e.vec_id, cb.j, cb.k) WHERE rn = 1)"""
     return f"""{p}samp AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS srn
-             FROM {src} WHERE vec_id % 4 = 0{samp_pred}
+             FROM {src} WHERE {"vec_id % 4 = 0" if samp_mod else "1 = 1"}{samp_pred}
              ORDER BY vec_id LIMIT 4096),
     {p}seu AS MATERIALIZED (
         SELECT e.vec_id, e.pos, e.e_u FROM eu e JOIN {p}samp USING (vec_id)),
@@ -511,17 +517,20 @@ def sim_index_ivfpq_persist(spark, sf_dir):
     return _ivfpq_serve(spark, em, cent, loaded, coded)
 
 
-def _pq_sample(em, cut=None):
+def _pq_sample(em, cut=None, mod=True):
     """Fixed-SIZE training sample matrix (not a fraction): the modulo
     spreads the picks across the id space, the limit caps driver
     transfer at 4096 vectors (1 MB) no matter the corpus size —
     orderBy+limit is a distributed top-k, so nothing unbounded reaches
     the driver. ``cut`` restricts the sample to the BASE slice
-    (vec_id < cut) for the frozen-codebook lifecycle ops. Returns the
-    micro-quantized int64 matrix."""
+    (vec_id < cut) for the frozen-codebook lifecycle ops; ``mod=False``
+    drops the modulo spread (the streamed recode trains on one
+    increment's full bounded sample, where the modulo would leave
+    fewer rows than PQ_K codewords). Returns the micro-quantized
+    int64 matrix."""
     import numpy as np
 
-    f = em.filter(F.col("vec_id") % 4 == 0)
+    f = em.filter(F.col("vec_id") % 4 == 0) if mod else em
     if cut is not None:
         f = f.filter(F.col("vec_id") < cut)
     sample = f.orderBy("vec_id").limit(4096).collect()
@@ -586,14 +595,15 @@ def _pq_encode(spark, em, books):
     return em.mapInPandas(encode, "vec_id long, code array<long>")
 
 
-def _pq_adc_probe(spark, em, books, encoded):
-    """PQ serving: per-probe 8×PQ_K lookup tables of subvector dots
-    broadcast, asymmetric-distance scoring as one numpy gather+sum per
-    Arrow batch with per-task local top-PQ_CAND, a window for the
-    global top-PQ_CAND pool, then exact dot6 re-rank of the pool —
-    bit-matching the brute anchor for every shared pair. ``encoded``
-    is the codes frame (in-memory or a persisted-generation scan);
-    the probe workload always comes from ``em``."""
+def _pq_adc_candidates(spark, em, books, encoded):
+    """The ADC candidate pass of `_pq_adc_probe` alone — per-probe
+    8×PQ_K lookup tables broadcast, one numpy gather+sum per Arrow
+    batch, per-task local top-PQ_CAND(+1, tie-safe) — returning the
+    raw (q_id, c_id, adc) stream so MULTI-CODEBOOK serving can union
+    per-generation candidate streams before the one global pool (the
+    streamed recode: codes encoded under different codebook
+    generations score through their own LUTs, and the adc values are
+    comparable because each approximates the same exact micro² dot)."""
     import numpy as np
 
     m, sub = PQ_M, EMB_DIM // PQ_M
@@ -652,7 +662,15 @@ def _pq_adc_probe(spark, em, books, encoded):
                 {"q_id": out_q, "c_id": out_c, "adc": out_s}
             )
 
-    cand = encoded.mapInPandas(adc_score, "q_id long, c_id long, adc long")
+    return encoded.mapInPandas(
+        adc_score, "q_id long, c_id long, adc long"
+    )
+
+
+def _pq_pool_rerank(spark, em, cand):
+    """Global top-PQ_CAND pool over a candidate stream + exact dot6
+    re-rank — the tail of `_pq_adc_probe`, factored so multi-codebook
+    serving pools ONCE over the unioned per-generation streams."""
     w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
     cand = cand.withColumn("arn", F.row_number().over(w)).filter(
         F.col("arn") <= PQ_CAND
@@ -672,6 +690,19 @@ def _pq_adc_probe(spark, em, books, encoded):
         rr.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "c_id", "score", "rank")
+    )
+
+
+def _pq_adc_probe(spark, em, books, encoded):
+    """PQ serving: per-probe 8×PQ_K lookup tables of subvector dots
+    broadcast, asymmetric-distance scoring as one numpy gather+sum per
+    Arrow batch with per-task local top-PQ_CAND, a window for the
+    global top-PQ_CAND pool, then exact dot6 re-rank of the pool —
+    bit-matching the brute anchor for every shared pair. ``encoded``
+    is the codes frame (in-memory or a persisted-generation scan);
+    the probe workload always comes from ``em``."""
+    return _pq_pool_rerank(
+        spark, em, _pq_adc_candidates(spark, em, books, encoded)
     )
 
 
@@ -1921,3 +1952,288 @@ def sim_search_ivfpq_filtered(spark, sf_dir):
         .drop("label")
     )
     return _ivfpq_serve(spark, em, cent, books, coded)
+
+
+# ---- STREAMED codebook recode: the routing claim, proven -----------
+# sim_index_pq_recode asserts that republished codebooks route
+# STRICTLY-PAST (pre-boundary codes stay valid against gen=0, only
+# later batches encode against gen=1, ADC serves one LUT per codebook
+# generation). This rig makes that claim an executed, value-hashed
+# fact instead of a docstring.
+
+
+def run_pq_recode_stream(
+    spark, sf_dir, base, fail_at_batch=None, monitor_log=None
+):
+    """The checkpointed-stream rig behind stream_sim_pq_recode_e2e:
+    arriving embedding files from the DRIFTED corpus (the shared
+    `_drifted_corpus` fixture — the appended tail comes from a
+    different embedding model) → foreachBatch where batch 0 trains
+    codebooks gen=0 on its own train-slice sample and publishes them
+    TOGETHER with the validation-cohort baseline distortion behind one
+    write-last marker; every later batch first runs the STALENESS
+    MONITOR (its own bounded-sample relative distortion against the
+    latest published books, the sim_index_pq_drift_report metric) and,
+    when the integer cross-multiply fires and no fresh generation
+    exists yet, retrains codebooks on ITS OWN sample and publishes
+    ``codebooks/gen=1`` behind a second write-last marker; every batch
+    then encodes itself against the HIGHEST PUBLISHED codebook
+    generation into ``codes/gen=b`` rows that CARRY their codebook id
+    (``cb`` column — the constant column costs nothing under RLE and
+    makes the layout self-describing). Routing is strictly-past by
+    construction: batch 0's codes are immutable gen=0-encoded replay
+    units; a replayed boundary batch sees the gen=1 marker it itself
+    published, skips the (deterministic, already-converged) retrain,
+    and re-encodes to the same bytes.
+
+    Serving is the MULTI-CODEBOOK ADC composition: per-generation
+    candidate streams (each codes group scored through its own
+    codebook's LUTs — `_pq_adc_candidates`) union into ONE global
+    top-PQ_CAND pool, then the exact dot6 re-rank; the adc values are
+    comparable across generations because each approximates the same
+    exact micro² dot. ``fail_at_batch=b`` raises AFTER batch b's
+    publishes and code write, BEFORE the checkpoint commit — the torn
+    state where a half-published recode must converge on replay."""
+    import os
+
+    from .dedup_stream import _feed_key, _read_marker, _stage_feed
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mx = em.agg(F.max("vec_id")).collect()[0][0]
+    train_cut, cut, mid = _ivf_cuts(mx)
+    ex = _drifted_corpus(em, cut)
+    bounds = [(0, cut), (cut, mid), (mid, mx + 1)]
+    src, ckpt, idx = f"{base}/src", f"{base}/ckpt", f"{base}/index"
+    _stage_feed(
+        ex, base, src,
+        [
+            (b, (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            for b, (lo, hi) in enumerate(bounds)
+        ],
+        feed_key=_feed_key(sf_dir, "pqdrift", "embeddings.parquet"),
+    )
+
+    def _ratio_scalar(sample_df, books):
+        row = _pq_ratio_stats(spark, sample_df, books, "m").collect()[0]
+        return int(row["mean_ratio_milli"])
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
+        b = next(i for i, (lo, hi) in enumerate(bounds) if lo <= mn < hi)
+        if b == 0:
+            books = _pq_train(_pq_sample(batch_df, cut=train_cut))
+            _pq_books_to_df(spark, books).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{idx}/codebooks/gen=0")
+            loaded = _pq_books_from_df(
+                spark.read.parquet(f"{idx}/codebooks/gen=0")
+            )
+            baseline = _ratio_scalar(
+                _pq_cohort_sample(batch_df, train_cut, cut), loaded
+            )
+            spark.createDataFrame(
+                [(baseline,)], "mean_ratio_milli long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{idx}/baseline"
+            )
+            tmp = f"{idx}/models0_ready.tmp"
+            with open(tmp, "w") as f:
+                f.write("1")
+            os.replace(tmp, f"{idx}/models0_ready")
+        if _read_marker(f"{idx}/models0_ready") is None:
+            raise RuntimeError(
+                "codes arrived before the gen=0 models were published"
+            )
+        cbg = 1 if _read_marker(f"{idx}/cb1_ready") is not None else 0
+        if b > 0 and cbg == 0:
+            books0 = _pq_books_from_df(
+                spark.read.parquet(f"{idx}/codebooks/gen=0")
+            )
+            rat = _ratio_scalar(
+                _pq_cohort_sample(batch_df, bounds[b][0]), books0
+            )
+            baseline = int(
+                spark.read.parquet(f"{idx}/baseline").collect()[0][0]
+            )
+            fired = (rat - baseline) * (100 // DRIFT_TRIGGER_PCT) > baseline
+            if monitor_log is not None:
+                monitor_log.append((b, rat, baseline, fired))
+            if fired:
+                books1 = _pq_train(_pq_sample(batch_df, mod=False))
+                _pq_books_to_df(spark, books1).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{idx}/codebooks/gen=1")
+                tmp = f"{idx}/cb1_ready.tmp"
+                with open(tmp, "w") as f:
+                    f.write("1")
+                os.replace(tmp, f"{idx}/cb1_ready")
+                cbg = 1
+        books = _pq_books_from_df(
+            spark.read.parquet(f"{idx}/codebooks/gen={cbg}")
+        )
+        (
+            _pq_encode(spark, batch_df, books)
+            .withColumn("cb", F.lit(cbg))
+            .write.mode("overwrite")
+            .parquet(f"{idx}/codes/gen={b}")
+        )
+        if fail_at_batch is not None and b == fail_at_batch:
+            raise RuntimeError(
+                f"injected failure: increment {b} after publishes and"
+                " code write, before checkpoint commit"
+            )
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_sim_pq_recode_e2e: availableNow query exceeded 600s"
+        )
+
+    gens = [
+        f"{idx}/codes/gen={b}"
+        for b in range(len(bounds))
+        if os.path.exists(f"{idx}/codes/gen={b}")
+    ]
+    codes = spark.read.parquet(*gens)
+    exm = ex.localCheckpoint(eager=True)
+    cand = None
+    for g in (0, 1):
+        part = codes.filter(F.col("cb") == g).drop("cb")
+        if part.isEmpty():
+            continue
+        books_g = _pq_books_from_df(
+            spark.read.parquet(f"{idx}/codebooks/gen={g}")
+        )
+        cg = _pq_adc_candidates(spark, exm, books_g, part)
+        cand = cg if cand is None else cand.unionByName(cg)
+    return _pq_pool_rerank(spark, exm, cand)
+
+
+def _pq_stream_recode_oracle_sql():
+    """The dual-codebook ROUTED serving statement: the drifted corpus
+    (`_drifted_ex_ctes` verbatim), the gen=0 chain trained on the
+    pre-drift train slice, the gen=1 chain trained on the BOUNDARY
+    batch's own sample (the first drifted increment — ids in
+    [append_cut, mid)), ADC over the union of the two routed code
+    populations (pre-boundary vectors through gen=0's codebook,
+    post-boundary through gen=1's), one global top-PQ_CAND pool,
+    exact re-rank over the drifted arrays."""
+    o = _pq_cb_chain_sql(
+        p="o", src="ex",
+        samp_pred=f" AND vec_id < {IVF_TRAIN_CUT_SQL}",
+    )
+    n = _pq_cb_chain_sql(
+        p="n", src="ex",
+        samp_pred=f" AND vec_id >= {IVF_APPEND_CUT_SQL}"
+        f" AND vec_id < {IVF_MID_SQL}",
+        samp_mod=False,
+    )
+    R = PQ_ITERS
+
+    def adc_part(p, where):
+        return f"""
+        SELECT q.vec_id AS q_id, en.vec_id AS c_id,
+               CAST(sum(qq.e_u * cb.c_u) AS BIGINT) AS adc
+        FROM (SELECT vec_id FROM ex WHERE vec_id < {N_PROBES}) q
+        CROSS JOIN (SELECT * FROM {p}enc WHERE {where}) en
+        JOIN {p}cb{R} cb ON cb.j = en.j AND cb.k = en.code
+        JOIN eu qq ON qq.vec_id = q.vec_id AND qq.pos = cb.pos
+        WHERE q.vec_id <> en.vec_id
+        GROUP BY 1, 2"""
+
+    return f"""{_drifted_ex_ctes()},
+    {o},
+    {n},
+    adc AS MATERIALIZED ({adc_part("o", f"vec_id < {IVF_APPEND_CUT_SQL}")}
+        UNION ALL {adc_part("n", f"vec_id >= {IVF_APPEND_CUT_SQL}")}),
+    pool AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc DESC, c_id) AS arn
+        FROM adc) WHERE arn <= {PQ_CAND})
+    SELECT q_id, c_id, score, rank FROM (
+        SELECT p.q_id, p.c_id,
+               {SQL_DOT.format(a='a.embedding', b='b.embedding')} AS score,
+               row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY {SQL_DOT.format(a='a.embedding', b='b.embedding')} DESC,
+                            p.c_id) AS rank
+        FROM pool p
+        JOIN ex a ON a.vec_id = p.q_id
+        JOIN ex b ON b.vec_id = p.c_id)
+    WHERE rank <= {TOP_K}
+"""
+
+
+@register("stream_sim_pq_recode_e2e", oracle=_pq_stream_recode_oracle_sql())
+def stream_sim_pq_recode_e2e(spark, sf_dir):
+    """Codebook RECODE composed into the PQ ingest stream — the op
+    that EXECUTES the strictly-past routing sim_index_pq_recode could
+    only state: batch 0 (pre-drift) trains + publishes codebooks
+    gen=0 with its validation baseline behind one marker and encodes
+    itself; the first DRIFTED increment's staleness monitor fires
+    (its bounded-sample relative distortion against gen=0 crosses the
+    integer threshold), so it retrains codebooks on its own sample,
+    publishes gen=1 behind a second write-last marker, and encodes
+    itself against gen=1; the final increment routes to gen=1 without
+    re-firing. Batch 0's codes are never touched — they remain
+    gen=0-encoded replay units — and serving runs the MULTI-CODEBOOK
+    ADC composition: each code population scores through its own
+    codebook's LUTs, the candidate streams union into one global
+    top-PQ_CAND pool, and the exact re-rank is codebook-agnostic.
+
+    The op asserts from the rig's monitor log that the trigger fired
+    exactly once, at the first drifted increment, and that every code
+    generation carries the codebook id the routing rule demands
+    (gen=0 → cb 0, later → cb 1). Output value-hashes against the
+    dual-codebook routed statement; the torn-state kill/restart proof
+    (die after the gen=1 publish + code write, before the commit;
+    replay converges — the retrain is skipped because the marker the
+    torn run published is already there, and the re-encode overwrites
+    to the same bytes) runs in
+    tests/test_streaming.py::test_pq_recode_stream_boundary_restart.
+
+    Scale shape: the monitor is one bounded map-only distortion pass
+    per increment while exactly one codebook generation is live; the
+    recode writes one model-sized table + one marker — never a
+    re-encode of history; serving adds one LUT broadcast per LIVE
+    codebook generation (two here), nothing per batch."""
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_sim_pq_recode_e2e")
+    log = []
+    out = run_pq_recode_stream(spark, sf_dir, base, monitor_log=log)
+    fired = [(b, f) for (b, _r, _bl, f) in log for f in (f,)]
+    if [b for b, f in fired if f] != [1]:
+        raise AssertionError(
+            f"staleness monitor should fire exactly at increment 1;"
+            f" log: {log}"
+        )
+    import os
+
+    idx = f"{base}/index"
+    for b in range(3):
+        p = f"{idx}/codes/gen={b}"
+        if not os.path.exists(p):
+            continue
+        cbs = {
+            r["cb"]
+            for r in spark.read.parquet(p).select("cb").distinct().collect()
+        }
+        want = {0} if b == 0 else {1}
+        if cbs != want:
+            raise AssertionError(
+                f"generation {b} carries codebook ids {cbs}; routing"
+                f" demands {want}"
+            )
+    return out

@@ -1590,6 +1590,17 @@ DRIFT_TRIGGER_PCT = 25  # re-cluster when mean affinity drops > 25%
 # stationary ingest.
 IVF_TRAIN_CUT_SQL = "(SELECT 3 * (max(vec_id) + 1) // 5 FROM embeddings)"
 
+# the appended tail's midpoint — the streamed rigs' second slice
+# boundary, and the delete cohort's arrival horizon (vectors ARRIVED
+# by the delete boundary = the stream's gens 0..N-2, i.e. vec_id
+# below this midpoint; later arrivals sharing the id pattern are NOT
+# taken down). Defined here, above the pq import point, because the
+# pq module's oracle builders need it at decoration time.
+IVF_MID_SQL = (
+    "(SELECT (4 * (max(vec_id) + 1) // 5 + max(vec_id) + 1) // 2"
+    " FROM embeddings)"
+)
+
 IVF_DRIFT_SQL = f"""
     WITH seeds AS (SELECT vec_id AS cluster, embedding AS centroid
                    FROM embeddings WHERE vec_id < {IVF_NLIST}),
@@ -3376,14 +3387,8 @@ def stream_sim_gc_e2e(spark, sf_dir):
     return out
 
 
-# the appended-probe statement with the takedown cohort excluded from
-# list membership, cohort = vectors ARRIVED by the delete boundary
-# (the stream's gens 0..N-2, i.e. vec_id below the appended tail's
-# midpoint — later arrivals sharing the id pattern are NOT taken down)
-IVF_MID_SQL = (
-    "(SELECT (4 * (max(vec_id) + 1) // 5 + max(vec_id) + 1) // 2"
-    " FROM embeddings)"
-)
+# IVF_MID_SQL moved above the pq import point (round 11: the streamed
+# recode oracle needs it at pq-module decoration time).
 
 
 def _sim_stream_delete_sql():

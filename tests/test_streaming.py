@@ -2726,3 +2726,56 @@ def test_ivfpq_stream_boundary_restart(spark, tmp_path):
         == covered.select("vec_id").distinct().count()
         == covered.count()
     )
+
+
+def test_pq_recode_stream_boundary_restart(spark, tmp_path):
+    """Kill/restart the streamed codebook recode in its torn state
+    (the boundary increment fired the staleness monitor, published
+    codebooks gen=1, and wrote its own gen=1-encoded codes — the
+    checkpoint commit is missing): the replayed boundary batch must
+    see the marker its torn run published, SKIP the retrain (the
+    deterministic publish already converged), re-encode to the same
+    bytes, and the final multi-codebook serving must equal an
+    uninterrupted run's. The monitor must not re-fire on replay."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import _read_marker
+    from engine.ops.pq import run_pq_recode_stream
+
+    base = str(tmp_path / "pqrecode")
+    idx = f"{base}/index"
+
+    log1 = []
+    with pytest.raises(StreamingQueryException):
+        run_pq_recode_stream(
+            spark, SMOKE_SF_DIR, base, fail_at_batch=1, monitor_log=log1
+        )
+    assert [b for (b, _r, _bl, f) in log1 if f] == [1]
+    assert _read_marker(f"{idx}/cb1_ready") is not None
+    assert os.path.exists(f"{idx}/codes/gen=1")
+    books1_before = {
+        (r["j"], r["k"], r["pos"]): r["c_u"]
+        for r in spark.read.parquet(f"{idx}/codebooks/gen=1").collect()
+    }
+
+    log2 = []
+    out = run_pq_recode_stream(
+        spark, SMOKE_SF_DIR, base, monitor_log=log2
+    )
+    # the replayed boundary batch routed via the published marker —
+    # the monitor never ran again, so no second fire was possible
+    assert log2 == [], log2
+    books1_after = {
+        (r["j"], r["k"], r["pos"]): r["c_u"]
+        for r in spark.read.parquet(f"{idx}/codebooks/gen=1").collect()
+    }
+    assert books1_after == books1_before, "gen=1 replay diverged"
+
+    got = {tuple(r) for r in out.collect()}
+    fresh = run_pq_recode_stream(
+        spark, SMOKE_SF_DIR, str(tmp_path / "fresh")
+    )
+    assert got == {tuple(r) for r in fresh.collect()}, (
+        "restart across the recode boundary diverged from an"
+        " uninterrupted run"
+    )
