@@ -1267,7 +1267,7 @@ def sim_index_ivfpq_delete(spark, sf_dir):
 
 def run_ivfpq_stream(
     spark, sf_dir, base, fail_at_batch=None, fail_phase="post_index",
-    compact_after=None, serve_paths_log=None,
+    compact_after=None, serve_paths_log=None, delete_after=None,
 ):
     """The checkpointed-stream rig behind stream_sim_ivfpq_e2e — the
     stream_sim_index_e2e and stream_sim_pq_e2e disciplines COMPOSED:
@@ -1291,12 +1291,23 @@ def run_ivfpq_stream(
     ``fail_at_batch``/``fail_phase`` raise AFTER that batch's index
     writes (``post_index``) or AFTER the compaction marker
     (``post_compact``), BEFORE the checkpoint commit — the torn
-    states the restart test replays."""
+    states the restart test replays.
+
+    ``delete_after=k`` applies the takedown at the end of batch k's
+    processing: code generations 0..k rewrite WITHOUT the cohort into
+    cluster-partitioned purged twins (``codes_p/gen=g``) behind the
+    write-last ``takedown_upto`` marker with tombstones; the final
+    serving read is marker-gated (purged twins for the covered
+    prefix + untouched newer generations). Mutually exclusive with
+    ``compact_after``; delete runs stage their feed PRIVATELY (the
+    purge-perimeter rule every delete rig obeys)."""
     import os
 
     from .dedup_stream import _feed_key, _read_marker, _stage_feed
     from .similarity import N_SIM_BATCHES
 
+    if compact_after is not None and delete_after is not None:
+        raise ValueError("rig supports one maintenance mode per stream")
     em_full = table(spark, sf_dir, "embeddings")
     em = em_full.select("vec_id", "embedding")
     mx = em.agg(F.max("vec_id")).collect()[0][0]
@@ -1304,15 +1315,49 @@ def run_ivfpq_stream(
     bounds = [(0, cut), (cut, mid), (mid, mx + 1)]
     src, ckpt, idx = f"{base}/src", f"{base}/ckpt", f"{base}/index"
     # same slices, schema, and key family as the other sim rigs, so
-    # the staged feed is one shared cache entry across ALL of them
+    # the staged feed is one shared cache entry across ALL of them —
+    # except delete runs, which stage privately inside the perimeter
     _stage_feed(
         em_full, base, src,
         [
             (b, (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
             for b, (lo, hi) in enumerate(bounds)
         ],
-        feed_key=_feed_key(sf_dir, "sim", "embeddings.parquet"),
+        feed_key=None
+        if delete_after is not None
+        else _feed_key(sf_dir, "sim", "embeddings.parquet"),
     )
+
+    def _apply_codes_takedown(upto):
+        """Purged cluster-partitioned twins of code generations
+        0..upto + tombstones + the write-last ``takedown_upto``
+        marker; originals retained inside the replay horizon (the
+        boundary batch's replay redoes this as a deterministic
+        overwrite)."""
+        td = F.col("vec_id") % VEC_TD_MOD == VEC_TD_RES
+        for g in range(upto + 1):
+            (
+                spark.read.parquet(f"{idx}/codes/gen={g}")
+                .filter(~td)
+                .repartition("cluster")
+                .write.mode("overwrite")
+                .partitionBy("cluster")
+                .parquet(f"{idx}/codes_p/gen={g}")
+            )
+        (
+            spark.read.option("basePath", f"{idx}/codes")
+            .parquet(*[f"{idx}/codes/gen={g}" for g in range(upto + 1)])
+            .filter(td)
+            .select("vec_id")
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{idx}/tombstones")
+        )
+        tmp = f"{idx}/takedown_upto.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(upto))
+        os.replace(tmp, f"{idx}/takedown_upto")
 
     def _compact_codes(upto):
         """Fold codes/gen=0..upto into ONE cluster-partitioned layout,
@@ -1409,6 +1454,17 @@ def run_ivfpq_stream(
                     f"injected failure: increment {b} after compaction"
                     " marker, before checkpoint commit"
                 )
+        if delete_after is not None and b == delete_after:
+            _apply_codes_takedown(b)
+            if (
+                fail_at_batch is not None
+                and b == fail_at_batch
+                and fail_phase == "post_takedown"
+            ):
+                raise RuntimeError(
+                    f"injected failure: increment {b} after takedown"
+                    " marker, before checkpoint commit"
+                )
 
     q = (
         spark.readStream.schema("vec_id bigint, embedding array<float>")
@@ -1427,6 +1483,31 @@ def run_ivfpq_stream(
 
     cent = spark.read.parquet(f"{idx}/centroids")
     loaded = _pq_books_from_df(spark.read.parquet(f"{idx}/codebooks"))
+    if delete_after is not None:
+        md = _read_marker(f"{idx}/takedown_upto")
+        if md is not None:
+            paths = [
+                f"{idx}/codes_p/gen={g}" for g in range(md + 1)
+            ] + [
+                f"{idx}/codes/gen={g}"
+                for g in range(md + 1, N_SIM_BATCHES)
+            ]
+            coded = None
+            for p in paths:
+                part = spark.read.parquet(p).select(
+                    "cluster", F.col("vec_id").alias("c_id"), "code"
+                )
+                coded = part if coded is None else coded.unionByName(part)
+        else:
+            paths = [
+                f"{idx}/codes/gen={g}" for g in range(N_SIM_BATCHES)
+            ]
+            coded = _ivfpq_coded_from(
+                spark, f"{idx}/codes", range(N_SIM_BATCHES)
+            )
+        if serve_paths_log is not None:
+            serve_paths_log.append(list(paths))
+        return _ivfpq_serve(spark, em, cent, loaded, coded)
     m = _read_marker(f"{idx}/compacted_upto")
     if m is not None:
         paths = [f"{idx}/codes_c"] + [
@@ -2236,4 +2317,111 @@ def stream_sim_pq_recode_e2e(spark, sf_dir):
                 f"generation {b} carries codebook ids {cbs}; routing"
                 f" demands {want}"
             )
+    return out
+
+
+def _ivfpq_stream_delete_oracle_sql():
+    """IVFPQ_APPEND_SQL with the takedown cohort excluded from code
+    membership, cohort scoped to vectors ARRIVED by the delete
+    boundary (the stream's gens 0..N-2 = vec_id below the appended
+    tail's midpoint — later arrivals sharing the id pattern are NOT
+    taken down): the `_sim_stream_delete_sql` cohort shape applied to
+    the composed statement."""
+    old = "JOIN a1 v ON v.cluster = p.cluster AND v.c_id <> p.q_id"
+    assert IVFPQ_APPEND_SQL.count(old) == 1
+    return IVFPQ_APPEND_SQL.replace(
+        old,
+        f"""{old}
+            AND NOT (v.c_id % {VEC_TD_MOD} = {VEC_TD_RES}
+                     AND v.c_id < {IVF_MID_SQL})""",
+    )
+
+
+@register("stream_sim_ivfpq_delete_e2e", oracle=_ivfpq_stream_delete_oracle_sql())
+def stream_sim_ivfpq_delete_e2e(spark, sf_dir):
+    """Vector DELETE propagation composed into the COMPOSED index's
+    STREAMING lifecycle — completing the {IVF, PQ, IVF+PQ} ×
+    streamed-delete symmetry (IVF: stream_sim_delete_e2e; PQ:
+    sim_index_pq_delete + the stream rigs; IVF+PQ batch:
+    sim_index_ivfpq_delete): after the boundary increment commits,
+    every covered cluster-partitioned code generation rewrites
+    WITHOUT the takedown cohort into purged twins behind the
+    write-last ``takedown_upto`` marker (with tombstones); once the
+    commit watermark passes the boundary, the ORIGINAL generations —
+    whose codes are content-derived per-vector state — are GC'd under
+    the same marker-AND-watermark rule; completeness is proven from
+    the filesystem (every surviving code shard semi-joined against
+    the tombstones comes back empty); and the restarted stream serves
+    the purged prefix + untouched newer generations through the
+    unchanged composed ADC path, value-hashing against the composed
+    statement with the boundary-scoped cohort excluded from
+    membership. BOTH models are retained (centroids and codebooks are
+    aggregates, not member data); the feed stages privately inside
+    the purge perimeter like every delete rig.
+
+    Scale shape: the purge is one filter-rewrite per covered
+    generation of the cheapest index rows in the repo (8 codes +
+    cluster per vector, riding the partition-pruned scan); the GC is
+    driver-side fs metadata; the audit is one union scan semi-joined
+    against O(cohort) broadcast tombstones; ANN increments never read
+    the codes, so the delete is purely a marker-gated serving swap."""
+    import os
+
+    from ..registry import scratch_dir
+    from .dedup_stream import (
+        _audit_roots_no_tombstoned,
+        _gc_generations,
+    )
+    from .similarity import N_SIM_BATCHES
+
+    base = scratch_dir("stream_sim_ivfpq_delete_e2e")
+    boundary = N_SIM_BATCHES - 2
+    run_ivfpq_stream(spark, sf_dir, base, delete_after=boundary)
+
+    idx, ckpt = f"{base}/index", f"{base}/ckpt"
+    removed = _gc_generations(
+        ckpt, idx, ("codes",), marker_name="takedown_upto"
+    )
+    if len(removed) != boundary + 1:
+        raise AssertionError(
+            f"takedown GC removed {removed}, expected original code"
+            f" generations 0..{boundary}"
+        )
+    for g in range(boundary + 1, N_SIM_BATCHES):
+        if not os.path.exists(f"{idx}/codes/gen={g}"):
+            raise AssertionError(
+                f"GC overreached: post-boundary generation {g} deleted"
+            )
+    for model in ("centroids", "codebooks"):
+        if not os.path.exists(f"{idx}/{model}"):
+            raise AssertionError(f"GC must never touch the {model}")
+
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    _audit_roots_no_tombstoned(
+        spark,
+        tomb,
+        tuple(
+            f"{idx}/codes_p/gen={g}" for g in range(boundary + 1)
+        )
+        + tuple(
+            f"{idx}/codes/gen={g}"
+            for g in range(boundary + 1, N_SIM_BATCHES)
+        ),
+        id_col="vec_id",
+    )
+
+    log = []
+    out = run_ivfpq_stream(
+        spark, sf_dir, base, delete_after=boundary, serve_paths_log=log
+    )
+    served = log[-1]
+    covered = [p for p in served if "/codes_p/gen=" in p]
+    if len(covered) != boundary + 1 or any(
+        "/codes/gen=" in p and int(p.rsplit("=", 1)[1]) <= boundary
+        for p in served
+    ):
+        raise AssertionError(
+            f"post-delete probe served {served}; expected purged twins"
+            " for the covered prefix only"
+        )
     return out
