@@ -2294,8 +2294,7 @@ def stream_sim_pq_recode_e2e(spark, sf_dir):
     base = scratch_dir("stream_sim_pq_recode_e2e")
     log = []
     out = run_pq_recode_stream(spark, sf_dir, base, monitor_log=log)
-    fired = [(b, f) for (b, _r, _bl, f) in log for f in (f,)]
-    if [b for b, f in fired if f] != [1]:
+    if [b for (b, _r, _bl, f) in log if f] != [1]:
         raise AssertionError(
             f"staleness monitor should fire exactly at increment 1;"
             f" log: {log}"
