@@ -1372,14 +1372,17 @@ def _audit_roots_no_tombstoned(spark, tomb, roots, id_col="doc_id"):
 
 
 def _audit_stores_no_tombstoned(spark, stores):
-    """ONE completeness audit across HETEROGENEOUS stores — the
+    """Completeness audit across HETEROGENEOUS stores — the
     cross-store takedown capstone's final gate: ``stores`` is a list
     of (tombstone frame, id column, roots) triples — one per
     content-bearing store family (the text store keys on doc_id, the
-    vector stores on vec_id/c_id) — and every root of every store is
-    walked by the shared root auditor in this single call, so "the
-    corpus forgot the cohort EVERYWHERE" is one audit result, not a
-    per-store checklist a caller can partially run."""
+    vector stores on vec_id/c_id) — each walked by the shared root
+    auditor. One call site = one place a reviewer checks the audited
+    root list; completeness of that LIST is still the caller's
+    responsibility (nothing here can know which roots exist), exactly
+    as with `_audit_roots_no_tombstoned` — what the wrapper adds is
+    that a partial run can't happen by accident once the capstone
+    assembles all stores in one literal."""
     for tomb, id_col, roots in stores:
         _audit_roots_no_tombstoned(spark, tomb, roots, id_col=id_col)
 

@@ -2779,3 +2779,64 @@ def test_pq_recode_stream_boundary_restart(spark, tmp_path):
         "restart across the recode boundary diverged from an"
         " uninterrupted run"
     )
+
+
+def test_ivfpq_takedown_boundary_restart(spark, tmp_path):
+    """Kill/restart the composed IVF+PQ delete stream in its torn
+    state (boundary increment wrote its generation, published the
+    purged twins + takedown marker, checkpoint commit missing): the
+    replayed boundary batch must redo the generation write and the
+    takedown as deterministic overwrites (no double-appended twin
+    rows), the models must be untouched, and the final serving —
+    purged twins for the covered prefix + untouched newer generations
+    — must be byte-equal to an uninterrupted delete run's."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import _read_marker
+    from engine.ops.pq import run_ivfpq_stream
+    from engine.ops.similarity import N_SIM_BATCHES
+    from engine.registry import QUERIES  # noqa: F401  (parity import)
+
+    base = str(tmp_path / "ivfpq_del")
+    boundary = N_SIM_BATCHES - 2
+    idx = f"{base}/index"
+
+    with pytest.raises(StreamingQueryException):
+        run_ivfpq_stream(
+            spark, SMOKE_SF_DIR, base, delete_after=boundary,
+            fail_at_batch=boundary, fail_phase="post_takedown",
+        )
+    assert _read_marker(f"{idx}/takedown_upto") == boundary
+    for g in range(boundary + 1):
+        assert os.path.exists(f"{idx}/codes_p/gen={g}")
+    twin_counts = {
+        g: spark.read.parquet(f"{idx}/codes_p/gen={g}").count()
+        for g in range(boundary + 1)
+    }
+
+    log = []
+    out = run_ivfpq_stream(
+        spark, SMOKE_SF_DIR, base, delete_after=boundary,
+        serve_paths_log=log,
+    )
+    # the takedown redo overwrote, not appended
+    for g in range(boundary + 1):
+        assert (
+            spark.read.parquet(f"{idx}/codes_p/gen={g}").count()
+            == twin_counts[g]
+        )
+    served = log[-1]
+    assert len([p for p in served if "/codes_p/gen=" in p]) == boundary + 1
+    assert not any(
+        "/codes/gen=" in p and int(p.rsplit("=", 1)[1]) <= boundary
+        for p in served
+    )
+
+    got = {tuple(r) for r in out.collect()}
+    fresh = run_ivfpq_stream(
+        spark, SMOKE_SF_DIR, str(tmp_path / "fresh"),
+        delete_after=boundary,
+    )
+    assert got == {tuple(r) for r in fresh.collect()}, (
+        "restart across the composed takedown boundary diverged"
+    )
