@@ -1313,7 +1313,11 @@ def run_ivfpq_stream(
     import os
 
     from .dedup_stream import _feed_key, _read_marker, _stage_feed
-    from .similarity import N_SIM_BATCHES
+    from .similarity import (
+        N_SIM_BATCHES,
+        _apply_cluster_takedown,
+        _compact_cluster_generations,
+    )
 
     if compact_after is not None and delete_after is not None:
         raise ValueError("rig supports one maintenance mode per stream")
@@ -1336,72 +1340,6 @@ def run_ivfpq_stream(
         if delete_after is not None
         else _feed_key(sf_dir, "sim", "embeddings.parquet"),
     )
-
-    def _apply_codes_takedown(upto):
-        """Purged cluster-partitioned twins of code generations
-        0..upto + tombstones + the write-last ``takedown_upto``
-        marker; originals retained inside the replay horizon (the
-        boundary batch's replay redoes this as a deterministic
-        overwrite)."""
-        td = F.col("vec_id") % VEC_TD_MOD == VEC_TD_RES
-        for g in range(upto + 1):
-            (
-                spark.read.parquet(f"{idx}/codes/gen={g}")
-                .filter(~td)
-                .repartition("cluster")
-                .write.mode("overwrite")
-                .partitionBy("cluster")
-                .parquet(f"{idx}/codes_p/gen={g}")
-            )
-        (
-            spark.read.option("basePath", f"{idx}/codes")
-            .parquet(*[f"{idx}/codes/gen={g}" for g in range(upto + 1)])
-            .filter(td)
-            .select("vec_id")
-            .distinct()
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{idx}/tombstones")
-        )
-        tmp = f"{idx}/takedown_upto.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(upto))
-        os.replace(tmp, f"{idx}/takedown_upto")
-
-    def _compact_codes(upto):
-        """Fold codes/gen=0..upto into ONE cluster-partitioned layout,
-        assert the file shrink, publish the marker write-last. The
-        generation dirs are RETAINED inside the replay horizon (the
-        boundary batch's replay redoes this compaction from them)."""
-        def n_files(path):
-            return sum(
-                1
-                for _r, _d, files in os.walk(path)
-                for f in files
-                if f.endswith(".parquet")
-            )
-
-        gens = [f"{idx}/codes/gen={g}" for g in range(upto + 1)]
-        n_before = sum(n_files(g) for g in gens)
-        (
-            spark.read.option("basePath", f"{idx}/codes")
-            .parquet(*gens)
-            .drop("gen")
-            .repartition("cluster")
-            .write.mode("overwrite")
-            .partitionBy("cluster")
-            .parquet(f"{idx}/codes_c")
-        )
-        n_after = n_files(f"{idx}/codes_c")
-        if n_after >= n_before:
-            raise AssertionError(
-                f"mid-stream code compaction did not shrink:"
-                f" {n_before} -> {n_after}"
-            )
-        tmp = f"{idx}/compacted_upto.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(upto))
-        os.replace(tmp, f"{idx}/compacted_upto")
 
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
@@ -1453,7 +1391,7 @@ def run_ivfpq_stream(
                 " before checkpoint commit"
             )
         if compact_after is not None and b == compact_after:
-            _compact_codes(b)
+            _compact_cluster_generations(spark, idx, "codes", b)
             if (
                 fail_at_batch is not None
                 and b == fail_at_batch
@@ -1464,7 +1402,7 @@ def run_ivfpq_stream(
                     " marker, before checkpoint commit"
                 )
         if delete_after is not None and b == delete_after:
-            _apply_codes_takedown(b)
+            _apply_cluster_takedown(spark, idx, "codes", b, "vec_id")
             if (
                 fail_at_batch is not None
                 and b == fail_at_batch

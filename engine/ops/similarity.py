@@ -2688,6 +2688,91 @@ def dedup_incremental_semantic(spark, sf_dir):
 N_SIM_BATCHES = 3  # batch 0 = the 80% base build; 1..2 = appended halves
 
 
+def _n_parquet_files(path):
+    import os
+
+    return sum(
+        1
+        for _r, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _compact_cluster_generations(spark, idx, family, upto):
+    """Fold ``{family}/gen=0..upto`` into the ONE cluster-partitioned
+    ``{family}_c`` layout, assert the file shrink, publish the
+    ``compacted_upto`` marker write-last (atomic os.replace).
+    Generation dirs are RETAINED inside the replay horizon — a
+    checkpoint replay of batch ``upto`` must be able to redo this
+    compaction from them. One spelling for the IVF list stream and
+    the composed-index code stream (round-11 review: the two rigs
+    had forked this block verbatim)."""
+    import os
+
+    root = f"{idx}/{family}"
+    gens = [f"{root}/gen={g}" for g in range(upto + 1)]
+    n_before = sum(_n_parquet_files(g) for g in gens)
+    (
+        spark.read.option("basePath", root)
+        .parquet(*gens)
+        .drop("gen")
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{root}_c")
+    )
+    n_after = _n_parquet_files(f"{root}_c")
+    if n_after >= n_before:
+        raise AssertionError(
+            f"mid-stream {family} compaction did not shrink:"
+            f" {n_before} -> {n_after}"
+        )
+    tmp = f"{idx}/compacted_upto.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto))
+    os.replace(tmp, f"{idx}/compacted_upto")
+
+
+def _apply_cluster_takedown(spark, idx, family, upto, id_col):
+    """Rewrite ``{family}/gen=0..upto`` WITHOUT the takedown cohort
+    as cluster-partitioned purged twins (``{family}_p/gen=g``), write
+    tombstones (the ``id_col`` ids), publish the ``takedown_upto``
+    marker LAST (atomic). Originals are retained inside the replay
+    horizon — a replayed boundary batch redoes this as a
+    deterministic overwrite; the ANN streams' read side is
+    serving-only, so the swap is purely a marker-gated serving
+    decision. One spelling for the IVF list stream and the
+    composed-index code stream (round-11 review)."""
+    import os
+
+    root = f"{idx}/{family}"
+    td = F.col(id_col) % VEC_TD_MOD == VEC_TD_RES
+    for g in range(upto + 1):
+        (
+            spark.read.parquet(f"{root}/gen={g}")
+            .filter(~td)
+            .repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{root}_p/gen={g}")
+        )
+    (
+        spark.read.option("basePath", root)
+        .parquet(*[f"{root}/gen={g}" for g in range(upto + 1)])
+        .filter(td)
+        .select(id_col)
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{idx}/tombstones")
+    )
+    tmp = f"{idx}/takedown_upto.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto))
+    os.replace(tmp, f"{idx}/takedown_upto")
+
+
 def run_sim_index_stream(
     spark, sf_dir, base, fail_at_batch=None, fail_phase="post_index",
     compact_after=None, serve_paths_log=None, delete_after=None,
@@ -2736,77 +2821,8 @@ def run_sim_index_stream(
         else _feed_key(sf_dir, "sim", "embeddings.parquet"),
     )
 
-    def _compact_lists(upto):
-        """Rewrite lists/gen=0..upto into ONE cluster-partitioned
-        compacted layout, assert the file shrink, publish the marker
-        write-last (atomic os.replace). Generation dirs are RETAINED
-        inside the replay horizon — a checkpoint replay of batch
-        ``upto`` must be able to redo this compaction from them."""
-        def n_files(path):
-            return sum(
-                1
-                for _r, _d, files in os.walk(path)
-                for f in files
-                if f.endswith(".parquet")
-            )
-
-        gens = [f"{list_path}/gen={g}" for g in range(upto + 1)]
-        n_before = sum(n_files(g) for g in gens)
-        (
-            spark.read.option("basePath", list_path)
-            .parquet(*gens)
-            .drop("gen")
-            .repartition("cluster")
-            .write.mode("overwrite")
-            .partitionBy("cluster")
-            .parquet(f"{idx}/lists_c")
-        )
-        n_after = n_files(f"{idx}/lists_c")
-        if n_after >= n_before:
-            raise AssertionError(
-                f"mid-stream list compaction did not shrink:"
-                f" {n_before} -> {n_after}"
-            )
-        tmp = f"{idx}/compacted_upto.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(upto))
-        os.replace(tmp, f"{idx}/compacted_upto")
-
     if compact_after is not None and delete_after is not None:
         raise ValueError("rig supports one maintenance mode per stream")
-
-    def _apply_vec_takedown(upto):
-        """Rewrite list generations 0..upto WITHOUT the takedown
-        cohort as cluster-partitioned purged twins (lists_p/gen=g),
-        write tombstones, publish the ``takedown_upto`` marker LAST
-        (atomic). Originals are retained inside the replay horizon —
-        a replayed boundary batch redoes this as a deterministic
-        overwrite; the ANN stream's read side is serving-only, so the
-        swap is purely a marker-gated serving decision."""
-        td = F.col("c_id") % VEC_TD_MOD == VEC_TD_RES
-        for g in range(upto + 1):
-            (
-                spark.read.parquet(f"{list_path}/gen={g}")
-                .filter(~td)
-                .repartition("cluster")
-                .write.mode("overwrite")
-                .partitionBy("cluster")
-                .parquet(f"{idx}/lists_p/gen={g}")
-            )
-        (
-            spark.read.option("basePath", list_path)
-            .parquet(*[f"{list_path}/gen={g}" for g in range(upto + 1)])
-            .filter(td)
-            .select("c_id")
-            .distinct()
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{idx}/tombstones")
-        )
-        tmp = f"{idx}/takedown_upto.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(upto))
-        os.replace(tmp, f"{idx}/takedown_upto")
 
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
@@ -2847,7 +2863,7 @@ def run_sim_index_stream(
                 " before checkpoint commit"
             )
         if compact_after is not None and b == compact_after:
-            _compact_lists(b)
+            _compact_cluster_generations(spark, idx, "lists", b)
             if (
                 fail_at_batch is not None
                 and b == fail_at_batch
@@ -2858,7 +2874,7 @@ def run_sim_index_stream(
                     " marker, before checkpoint commit"
                 )
         if delete_after is not None and b == delete_after:
-            _apply_vec_takedown(b)
+            _apply_cluster_takedown(spark, idx, "lists", b, "c_id")
             if (
                 fail_at_batch is not None
                 and b == fail_at_batch
