@@ -48,6 +48,14 @@ PQ_K = 16  # centroids per subspace -> 4-bit codes, 8 bytes per vector
 PQ_CAND = 128  # ADC candidates re-ranked exactly per probe
 PQ_ITERS = 5  # Lloyd iterations per subspace codebook
 
+# Shared-build cache version — bump on ANY change to what the keyed
+# full-corpus/lifecycle builds write (the FEED_CACHE_VERSION
+# discipline; ADVICE r11: the key must not rely on a hand-edited
+# inline literal). History: v1 = plain codes; v2 = codes carry the
+# filterable label inline; v3 = version+EMB_DIM folded into the sig
+# and the lifecycle layouts joined the cache.
+BUILD_CACHE_VERSION = 3
+
 
 def _pq_cb_chain_sql(
     p="", src="embeddings", samp_pred="", include_enc=True, samp_mod=True
@@ -334,40 +342,47 @@ def _ivfpq_full_build_dir(spark, sf_dir):
     sig = "|".join(
         [
             _feed_key(sf_dir, "ivfpq-build", "embeddings.parquet"),
-            "v2",  # v2: codes carry the filterable label inline
+            f"v{BUILD_CACHE_VERSION}",
             str(PQ_M),
             str(PQ_K),
             str(PQ_ITERS),
             str(IVF_NLIST),
+            str(EMB_DIM),
         ]
     )
     key = hashlib.md5(sig.encode()).hexdigest()[:16]
     pub = os.path.join(tempfile.gettempdir(), f"engine_ivfpq_build_{key}")
     if not os.path.exists(pub):
         tmp = f"{pub}.staging-{uuid.uuid4().hex[:8]}"
-        em_full = table(spark, sf_dir, "embeddings")
-        em = em_full.select("vec_id", "embedding")
-        refined, lists = _ivf_build(spark, sf_dir)
-        books = _pq_train(_pq_sample(em))
-        refined.write.mode("overwrite").parquet(f"{tmp}/centroids")
-        _pq_books_to_df(spark, books).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp}/codebooks")
-        # codes carry their list assignment AND the filterable
-        # metadata (label) inline — the way a production index entry
-        # stores filterable attributes beside the code, so a filtered
-        # search is a map-side predicate on the codes scan, never a
-        # query-time join back to the corpus
-        (
-            _pq_encode(spark, em, books)
-            .join(
-                lists.select(F.col("c_id").alias("vec_id"), "cluster"),
-                "vec_id",
+        try:
+            em_full = table(spark, sf_dir, "embeddings")
+            em = em_full.select("vec_id", "embedding")
+            refined, lists = _ivf_build(spark, sf_dir)
+            books = _pq_train(_pq_sample(em))
+            refined.write.mode("overwrite").parquet(f"{tmp}/centroids")
+            _pq_books_to_df(spark, books).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/codebooks")
+            # codes carry their list assignment AND the filterable
+            # metadata (label) inline — the way a production index
+            # entry stores filterable attributes beside the code, so a
+            # filtered search is a map-side predicate on the codes
+            # scan, never a query-time join back to the corpus
+            (
+                _pq_encode(spark, em, books)
+                .join(
+                    lists.select(F.col("c_id").alias("vec_id"), "cluster"),
+                    "vec_id",
+                )
+                .join(em_full.select("vec_id", "label"), "vec_id")
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/codes")
             )
-            .join(em_full.select("vec_id", "label"), "vec_id")
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/codes")
-        )
+        except BaseException:
+            # a failed build must not leak its staging dir (ADVICE
+            # r11) — rmtree then re-raise; the publish never happened
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, pub)
         except OSError:
@@ -509,9 +524,13 @@ def sim_index_ivfpq_persist(spark, sf_dir):
         "overwrite"
     ).parquet(f"{base}/codebooks")
     # codes carry their list assignment and land one directory per
-    # cluster — the partition layout IS the coarse index
+    # cluster — the partition layout IS the coarse index. The shared
+    # build's inline filterable label is DROPPED here (ADVICE r11):
+    # this op's pinned layout claim is 8 bytes per vector, and the
+    # unfiltered serving path never reads the label.
     (
         spark.read.parquet(f"{pub}/codes")
+        .select("vec_id", "code", "cluster")
         .repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
