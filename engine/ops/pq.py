@@ -36,6 +36,7 @@ from .similarity import (
     _drifted_corpus,
     _drifted_ex_ctes,
     _ivf_append_cut,
+    _sql_codebook,
     _ivf_assign,
     _ivf_build,
     _ivf_build_from,
@@ -1102,18 +1103,22 @@ def _ivfpq_delete_oracle_sql():
     )
 
 
-def _ivfpq_lifecycle_layout(spark, em, base):
+def _ivfpq_lifecycle_layout(spark, em, base, cut=None):
     """Build + persist the composed index's LIFECYCLE layout — the
     persist op's layout grown one generation: frozen base-slice
-    centroids and codebooks (both models trained on vec_id < the 80%
-    cut), ``codes/gen=0`` = the base slice assigned + encoded inside
-    cluster partitions, ``codes/gen=1`` = the later-arriving slice
-    assigned against the frozen LOADED centroids AND encoded against
-    the frozen LOADED codebooks — one broadcast map-only pass each —
-    landed in the same cluster-partitioned shape. Returns the loaded
-    (cent, books). One spelling for sim_index_ivfpq_append and
-    sim_index_ivfpq_delete (the `_pq_persist_layout` discipline)."""
-    cut = _ivf_append_cut(em)
+    centroids and codebooks (both models trained on vec_id < the
+    cut — the 80% append cut by default; the recluster lifecycle
+    passes the 60% train cut so its validation cohort stays
+    out-of-sample), ``codes/gen=0`` = the base slice assigned +
+    encoded inside cluster partitions, ``codes/gen=1`` = the
+    later-arriving slice assigned against the frozen LOADED centroids
+    AND encoded against the frozen LOADED codebooks — one broadcast
+    map-only pass each — landed in the same cluster-partitioned
+    shape. Returns the loaded (cent, books). One spelling for
+    sim_index_ivfpq_append, sim_index_ivfpq_delete, and the composed
+    recluster (the `_pq_persist_layout` discipline)."""
+    if cut is None:
+        cut = _ivf_append_cut(em)
     base_em = em.filter(F.col("vec_id") < cut)
     refined, lists = _ivf_build_from(base_em)
     books = _pq_train(_pq_sample(em, cut=cut))
@@ -1162,6 +1167,88 @@ def _ivfpq_coded_from(spark, root, gens):
     return df.select("cluster", F.col("vec_id").alias("c_id"), "code")
 
 
+def _ivfpq_lifecycle_build_dir(spark, sf_dir, kind):
+    """Keyed shared build for the composed index's LIFECYCLE layouts
+    — the `_ivfpq_full_build_dir` discipline extended to the
+    base-slice-trained layouts (round-11 verdict item 7: append and
+    recluster are NOT delete rigs, so their deterministic builds can
+    fold onto one keyed atomic-publish cache; the DELETE/TAKEDOWN
+    rigs keep building privately inside their purge/audit perimeter
+    and must never touch this cache). ``kind``:
+
+    - ``"append"``: the plain corpus, models trained below the 80%
+      append cut — sim_index_ivfpq_append's layout.
+    - ``"recluster"``: the `_drifted_corpus` fixture (appended tail
+      re-embedded by a different model), models trained below the
+      60% train cut so the [60%, 80%) validation cohort stays
+      out-of-sample — sim_index_ivfpq_recluster's STALE layout.
+
+    The key folds the corpus file listing, BUILD_CACHE_VERSION, every
+    index constant, and the drift-fixture constants, so a changed
+    corpus, retuned index, or re-shaped drift can never serve stale
+    artifacts; the build stages then publishes via one atomic rename
+    and rmtree's the staging dir on any failure."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .dedup_stream import _feed_key
+    from .similarity import RECLUSTER_NORM, RECLUSTER_SUB_DIM
+
+    sig = "|".join(
+        [
+            _feed_key(sf_dir, "ivfpq-lifecycle", "embeddings.parquet"),
+            f"v{BUILD_CACHE_VERSION}",
+            kind,
+            str(PQ_M),
+            str(PQ_K),
+            str(PQ_ITERS),
+            str(IVF_NLIST),
+            str(EMB_DIM),
+            str(RECLUSTER_SUB_DIM),
+            str(RECLUSTER_NORM),
+        ]
+    )
+    key = hashlib.md5(sig.encode()).hexdigest()[:16]
+    pub = os.path.join(tempfile.gettempdir(), f"engine_ivfpq_lc_{key}")
+    if not os.path.exists(pub):
+        tmp = f"{pub}.staging-{uuid.uuid4().hex[:8]}"
+        try:
+            em = table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            if kind == "recluster":
+                mx = em.agg(F.max("vec_id")).collect()[0][0]
+                train_cut, append_cut, _ = _ivf_cuts(mx)
+                _ivfpq_lifecycle_layout(
+                    spark,
+                    _drifted_corpus(em, append_cut),
+                    tmp,
+                    cut=train_cut,
+                )
+            else:
+                _ivfpq_lifecycle_layout(spark, em, tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        try:
+            os.rename(tmp, pub)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return pub
+
+
+def _ivfpq_lifecycle_load(spark, pub):
+    """(cent, books) loaded from a published lifecycle layout — the
+    read side every consumer shares, so what serves is always the
+    persisted artifact."""
+    cent = spark.read.parquet(f"{pub}/centroids")
+    books = _pq_books_from_df(spark.read.parquet(f"{pub}/codebooks"))
+    return cent, books
+
+
 @register("sim_index_ivfpq_append", oracle=IVFPQ_APPEND_SQL)
 def sim_index_ivfpq_append(spark, sf_dir):
     """COMPOSED IVF+PQ index MAINTENANCE: append without rebuild —
@@ -1184,13 +1271,14 @@ def sim_index_ivfpq_append(spark, sf_dir):
     the layout stays the partition-pruned serving index, so probe
     cost is unchanged by appends (NPROBE directories, now one extra
     file each per generation until compaction folds them —
-    sim_index_compact's job, unchanged on this layout)."""
-    from ..registry import scratch_dir
-
+    sim_index_compact's job, unchanged on this layout). The layout
+    comes from the keyed shared lifecycle build (round-11 verdict
+    item 7: append is not a delete rig — its deterministic build can
+    be cached; the oracle re-verifies every serve)."""
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    base = scratch_dir("sim_index_ivfpq_append")
-    cent, loaded = _ivfpq_lifecycle_layout(spark, em, base)
-    coded = _ivfpq_coded_from(spark, f"{base}/codes", (0, 1))
+    pub = _ivfpq_lifecycle_build_dir(spark, sf_dir, "append")
+    cent, loaded = _ivfpq_lifecycle_load(spark, pub)
+    coded = _ivfpq_coded_from(spark, f"{pub}/codes", (0, 1))
     return _ivfpq_serve(spark, em, cent, loaded, coded)
 
 
@@ -1291,6 +1379,243 @@ def sim_index_ivfpq_delete(spark, sf_dir):
             " rebuild on the reduced corpus"
         )
     return post
+
+
+# ---- COMPOSED-index RECLUSTER: placement is the invalidated artifact
+# (round-11 verdict item 1): centroid drift on the generational
+# cluster-partitioned codes layout means code rows must MOVE cluster
+# partitions — codes and codebooks stay valid (the PQ model never saw
+# the placement), the coarse-routing geometry is what republishes.
+
+
+def _ivfpq_regime_sql(p, cent):
+    """ONE serving regime of the composed statement over the drifted
+    ``ex`` corpus: full membership assignment against ``cent``, probe
+    routing against ``cent``, candidate ADC through the SHARED ``enc``
+    codes + final codebook (codes are regime-invariant — the recluster
+    moves placement, never re-encodes), top-PQ_CAND pool. CTE names
+    prefixed ``p`` so two regimes coexist in one statement — the
+    `_sql_codebook` discipline applied to the composed serving
+    chain."""
+    R = PQ_ITERS
+    return f"""{p}a1 AS MATERIALIZED (
+        SELECT c_id, cluster FROM (
+            SELECT e.vec_id AS c_id, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {SQL_DOT.format(a='e.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM ex e CROSS JOIN {cent} s) WHERE rn = 1),
+    {p}probes AS MATERIALIZED (
+        SELECT q_id, cluster FROM (
+            SELECT q.vec_id AS q_id, s.cluster,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {SQL_DOT.format(a='q.embedding', b='s.centroid')} DESC,
+                                s.cluster) AS rn
+            FROM ex q CROSS JOIN {cent} s
+            WHERE q.vec_id < {N_PROBES}) WHERE rn <= {IVF_NPROBE}),
+    {p}adc AS MATERIALIZED (
+        SELECT pr.q_id, v.c_id, CAST(sum(qq.e_u * cb.c_u) AS BIGINT) AS adc
+        FROM {p}probes pr
+        JOIN {p}a1 v ON v.cluster = pr.cluster AND v.c_id <> pr.q_id
+        JOIN enc en ON en.vec_id = v.c_id
+        JOIN cb{R} cb ON cb.j = en.j AND cb.k = en.code
+        JOIN eu qq ON qq.vec_id = pr.q_id AND qq.pos = cb.pos
+        GROUP BY 1, 2),
+    {p}pool AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc DESC, c_id) AS arn
+        FROM {p}adc) WHERE arn <= {PQ_CAND})"""
+
+
+def _ivfpq_regime_rerank_sql(p, regime):
+    """The exact dot6 re-rank of one regime's pool over the drifted
+    arrays, tagged with its regime label."""
+    return f"""SELECT '{regime}' AS regime, q_id, c_id, score, rank FROM (
+        SELECT pl.q_id, pl.c_id,
+               {SQL_DOT.format(a='a.embedding', b='b.embedding')} AS score,
+               row_number() OVER (PARTITION BY pl.q_id
+                   ORDER BY {SQL_DOT.format(a='a.embedding', b='b.embedding')} DESC,
+                            pl.c_id) AS rank
+        FROM {p}pool pl
+        JOIN ex a ON a.vec_id = pl.q_id
+        JOIN ex b ON b.vec_id = pl.c_id)
+    WHERE rank <= {TOP_K}"""
+
+
+def _ivfpq_recluster_oracle_sql():
+    """Two-regime composed recluster oracle: the drifted corpus
+    (`_drifted_ex_ctes` verbatim), the STALE coarse codebook trained
+    on the pre-drift 60% train slice (`_sql_codebook` — the
+    sim_index_recluster discipline), the FRESH one on the whole
+    drifted corpus, ONE shared PQ chain trained on the train slice
+    (codebooks are frozen through a recluster — only placement
+    republishes), and the full composed serving statement PER REGIME
+    (membership + probes against that regime's centroids, ADC through
+    the shared codes), unioned under a regime tag. The fresh regime
+    restates exactly what the moved cluster-partitioned layout
+    serves."""
+    return f"""{_drifted_ex_ctes()},
+    {_sql_codebook('o', f' WHERE e.vec_id < {IVF_TRAIN_CUT_SQL}')},
+    {_sql_codebook('n', '')},
+    {_pq_cb_chain_sql(src="ex", samp_pred=f" AND vec_id < {IVF_TRAIN_CUT_SQL}")},
+    {_ivfpq_regime_sql('o', 'ocent')},
+    {_ivfpq_regime_sql('n', 'ncent')}
+    {_ivfpq_regime_rerank_sql('o', '0_stale')}
+    UNION ALL {_ivfpq_regime_rerank_sql('n', '1_fresh')}
+"""
+
+
+def _ivfpq_cohort_aff_means(em_like, cent, append_cut, train_cut):
+    """Held-out mean micro-affinity per cohort against ``cent`` —
+    the drift monitor's quantity (integer-exact: micro-quantized
+    winning dots, floor-means), returned as a {cohort: mean} dict
+    (a 2-row driver-side reduction)."""
+    held = em_like.filter(F.col("vec_id") >= train_cut).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    a = _ivf_assign(held, cent, keep_aff=True)
+    cohort = F.when(
+        F.col("c_id") < append_cut, F.lit("validation")
+    ).otherwise(F.lit("append"))
+    micro = F.floor(F.col("aff") * 1_000_000 + F.lit(0.5)).cast("long")
+    rows = (
+        a.select(cohort.alias("cohort"), micro.alias("m"))
+        .groupBy("cohort")
+        .agg(
+            F.floor(F.sum("m").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean")
+        )
+    ).collect()
+    return {r["cohort"]: r["mean"] for r in rows}
+
+
+def _aff_drift_fired(means):
+    """The recluster trigger's integer cross-multiply (affinity FALLS
+    with drift — `sim_index_recluster`'s sign)."""
+    return (means["validation"] - means["append"]) * (
+        100 // DRIFT_TRIGGER_PCT
+    ) > means["validation"]
+
+
+@register("sim_index_ivfpq_recluster", oracle=_ivfpq_recluster_oracle_sql())
+def sim_index_ivfpq_recluster(spark, sf_dir):
+    """COMPOSED-index RECLUSTER — the last lifecycle symmetry cell
+    (round-11 verdict item 1): IVF alone can recluster
+    (sim_index_recluster) and PQ alone can recode
+    (sim_index_pq_recode); on the composed GENERATIONAL
+    cluster-partitioned layout, centroid drift invalidates exactly ONE
+    artifact — PLACEMENT. The codes stay valid (the PQ codebooks never
+    saw the cluster geometry; ADC is placement-blind) and the
+    codebooks stay frozen; what must republish is the refined centroid
+    set and the code rows' cluster directories, because the partition
+    layout IS the coarse index — stale placement mis-routes probes,
+    which is precisely what the drift monitor measures.
+
+    Mechanics, each the proven discipline of its standalone half:
+    the STALE layout is the shared lifecycle build over the drifted
+    corpus (models trained on the pre-drift 60% slice, codes/gen=0..1
+    inside cluster partitions); the in-op monitor fires the
+    `sim_index_recluster` integer cross-multiply against the stale
+    centroids (held-out cohorts, measured ~38-41% affinity drop);
+    refined centroids retrain over the accumulated corpus and publish
+    as ``centroids/gen=1`` beside the retained gen=0; every code
+    generation REWRITES ITS PLACEMENT — (vec_id, code) joined to the
+    fresh broadcast assignment, landed as ``codes_r/gen=N`` twins in
+    the NEW cluster partitions (rows move directories; code bytes are
+    byte-identical) — behind the write-last ``reclustered`` marker;
+    and the monitor re-reads CLEAR against the loaded gen=1 centroids
+    (the op raises if fire or clear reads wrong). Routing stays
+    strictly-past: gen=0 centroids and the original codes layout are
+    retained, so pre-boundary readers (and the streamed form's
+    checkpoint replays) still see the layout they first served.
+
+    The value-hashed output is the composed SERVING statement in BOTH
+    regimes — `0_stale` through the original layout + gen=0
+    centroids, `1_fresh` through the LOADED moved layout + loaded
+    gen=1 centroids — so the placement move itself is what the oracle
+    proves (same codes, different routing), not just a drift report.
+    Partition pruning on the moved layout is plan-asserted in
+    tests/test_plans.py.
+
+    Scale shape: the monitor is two bounded held-out assignment
+    passes; the retrain is one `_ivf_build_from` pass (broadcast dots
+    + one (cluster,dim) shuffle); the placement rewrite is one
+    broadcast-assignment join + partitioned rewrite per generation of
+    the cheapest rows any index carries (8 codes per vector) — no
+    re-encode, no codebook touch, probe cost unchanged after the
+    swap."""
+    import os
+
+    from ..registry import scratch_dir
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mx = em.agg(F.max("vec_id")).collect()[0][0]
+    train_cut, append_cut, _ = _ivf_cuts(mx)
+    pub = _ivfpq_lifecycle_build_dir(spark, sf_dir, "recluster")
+    cent0, books = _ivfpq_lifecycle_load(spark, pub)
+
+    ex = _drifted_corpus(em, append_cut).persist()
+    try:
+        if not _aff_drift_fired(
+            _ivfpq_cohort_aff_means(ex, cent0, append_cut, train_cut)
+        ):
+            raise AssertionError(
+                "drift did not fire against the stale composed index"
+            )
+
+        base = scratch_dir("sim_index_ivfpq_recluster")
+        cent0.write.mode("overwrite").parquet(f"{base}/centroids/gen=0")
+        c_new, _ = _ivf_build_from(ex)
+        c_new.write.mode("overwrite").parquet(f"{base}/centroids/gen=1")
+        cent1 = spark.read.parquet(f"{base}/centroids/gen=1")
+
+        # placement rewrite: rows MOVE cluster partitions; (vec_id,
+        # code) pairs are byte-identical to the stale layout's
+        assigned1 = _ivf_assign(
+            ex.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            cent1,
+        ).select(F.col("c_id").alias("vec_id"), "cluster")
+        for g in (0, 1):
+            (
+                spark.read.parquet(f"{pub}/codes/gen={g}")
+                .select("vec_id", "code")
+                .join(assigned1, "vec_id")
+                .repartition("cluster")
+                .write.mode("overwrite")
+                .partitionBy("cluster")
+                .parquet(f"{base}/codes_r/gen={g}")
+            )
+        tmp = f"{base}/reclustered.tmp"
+        with open(tmp, "w") as f:
+            f.write("1")
+        os.replace(tmp, f"{base}/reclustered")
+
+        if _aff_drift_fired(
+            _ivfpq_cohort_aff_means(ex, cent1, append_cut, train_cut)
+        ):
+            raise AssertionError(
+                "alarm failed to clear after the composed recluster"
+            )
+
+        stale = _ivfpq_serve(
+            spark, ex, cent0, books,
+            _ivfpq_coded_from(spark, f"{pub}/codes", (0, 1)),
+        ).withColumn("regime", F.lit("0_stale"))
+        fresh = _ivfpq_serve(
+            spark, ex, cent1, books,
+            _ivfpq_coded_from(spark, f"{base}/codes_r", (0, 1)),
+        ).withColumn("regime", F.lit("1_fresh"))
+        out = stale.unionByName(fresh).select(
+            "regime", "q_id", "c_id", "score", "rank"
+        ).localCheckpoint(eager=True)
+    finally:
+        ex.unpersist()
+    return out
 
 
 def run_ivfpq_stream(
