@@ -1621,6 +1621,7 @@ def sim_index_ivfpq_recluster(spark, sf_dir):
 def run_ivfpq_stream(
     spark, sf_dir, base, fail_at_batch=None, fail_phase="post_index",
     compact_after=None, serve_paths_log=None, delete_after=None,
+    recluster=False, monitor_log=None,
 ):
     """The checkpointed-stream rig behind stream_sim_ivfpq_e2e — the
     stream_sim_index_e2e and stream_sim_pq_e2e disciplines COMPOSED:
@@ -1642,18 +1643,46 @@ def run_ivfpq_stream(
     serving read is marker-gated (codes_c + strictly-newer
     generations) and ``serve_paths_log`` records what it read.
     ``fail_at_batch``/``fail_phase`` raise AFTER that batch's index
-    writes (``post_index``) or AFTER the compaction marker
-    (``post_compact``), BEFORE the checkpoint commit — the torn
-    states the restart test replays.
+    writes (``post_index``), AFTER the compaction marker
+    (``post_compact``), AFTER the takedown marker
+    (``post_takedown``), or AFTER a recluster's placement republish +
+    the batch's own code write (``post_recluster``) — always BEFORE
+    the checkpoint commit: the torn states the restart tests replay.
 
     ``delete_after=k`` applies the takedown at the end of batch k's
     processing: code generations 0..k rewrite WITHOUT the cohort into
     cluster-partitioned purged twins (``codes_p/gen=g``) behind the
     write-last ``takedown_upto`` marker with tombstones; the final
     serving read is marker-gated (purged twins for the covered
-    prefix + untouched newer generations). Mutually exclusive with
-    ``compact_after``; delete runs stage their feed PRIVATELY (the
-    purge-perimeter rule every delete rig obeys)."""
+    prefix + untouched newer generations). COMPOSABLE with
+    ``compact_after`` since round 12 (the takedown must reach the
+    compacted layout): with both set the compaction boundary must
+    come first, and the takedown rewrites ``codes_c`` into its purged
+    twin ``codes_c_p`` alongside the purged post-compaction
+    generations. Delete runs stage their feed PRIVATELY (the
+    purge-perimeter rule every delete rig obeys).
+
+    ``recluster=True`` streams the DRIFTED corpus (`_drifted_corpus`
+    — the appended tail re-embedded by a different model) and runs
+    the composed-index recluster online: batch 0 trains both models
+    on its pre-drift train slice and publishes them TOGETHER with the
+    validation cohort's affinity baseline behind the one marker;
+    every later batch, while exactly one centroid generation is
+    live, runs the affinity STALENESS MONITOR (bounded own-cohort
+    sample against the published centroids, the sim_index_recluster
+    integer cross-multiply) and on fire retrains centroids over ALL
+    ARRIVED increments (re-read from the immutable staged feed — the
+    raw store a production recluster scans), publishes
+    ``centroids_g1``, REWRITES PLACEMENT of every prior code
+    generation into ``codes_r/gen=g`` twins (rows move cluster
+    partitions; code bytes unchanged), and publishes the write-last
+    ``reclustered_upto`` marker; batches then assign against the
+    HIGHEST published centroid generation. Routing is strictly-past
+    by construction (prior generations' originals are retained inside
+    the replay horizon; a replayed boundary batch sees the marker it
+    itself published, skips the already-converged retrain, and
+    re-encodes to the same bytes). ``monitor_log`` records
+    (batch, ratio, baseline, fired) tuples."""
     import os
 
     from .dedup_stream import _feed_key, _read_marker, _stage_feed
@@ -1663,27 +1692,67 @@ def run_ivfpq_stream(
         _compact_cluster_generations,
     )
 
-    if compact_after is not None and delete_after is not None:
-        raise ValueError("rig supports one maintenance mode per stream")
+    if recluster and (compact_after is not None or delete_after is not None):
+        raise ValueError(
+            "recluster mode does not compose with compaction/takedown"
+        )
+    if (
+        compact_after is not None
+        and delete_after is not None
+        and compact_after >= delete_after
+    ):
+        raise ValueError(
+            "composed maintenance requires the compaction boundary"
+            " strictly before the takedown boundary"
+        )
     em_full = table(spark, sf_dir, "embeddings")
     em = em_full.select("vec_id", "embedding")
     mx = em.agg(F.max("vec_id")).collect()[0][0]
-    _, cut, mid = _ivf_cuts(mx)
+    train_cut, cut, mid = _ivf_cuts(mx)
     bounds = [(0, cut), (cut, mid), (mid, mx + 1)]
     src, ckpt, idx = f"{base}/src", f"{base}/ckpt", f"{base}/index"
     # same slices, schema, and key family as the other sim rigs, so
     # the staged feed is one shared cache entry across ALL of them —
-    # except delete runs, which stage privately inside the perimeter
+    # except delete runs, which stage privately inside the perimeter;
+    # recluster mode streams the drifted corpus and shares the
+    # "pqdrift" feed with the PQ recode rig (identical slices/schema)
+    feed_df = _drifted_corpus(em, cut) if recluster else em_full
     _stage_feed(
-        em_full, base, src,
+        feed_df, base, src,
         [
             (b, (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
             for b, (lo, hi) in enumerate(bounds)
         ],
         feed_key=None
         if delete_after is not None
-        else _feed_key(sf_dir, "sim", "embeddings.parquet"),
+        else _feed_key(
+            sf_dir,
+            "pqdrift" if recluster else "sim",
+            "embeddings.parquet",
+        ),
     )
+
+    def _aff_mean(sample_df, cent):
+        """Bounded-sample mean micro-affinity against ``cent`` — the
+        recluster monitor's integer-exact scalar."""
+        a = _ivf_assign(
+            sample_df.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            cent,
+            keep_aff=True,
+        )
+        micro = F.floor(F.col("aff") * 1_000_000 + F.lit(0.5)).cast("long")
+        return int(
+            a.select(micro.alias("m"))
+            .agg(
+                F.floor(F.sum("m").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("mean")
+            )
+            .collect()[0]["mean"]
+        )
 
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
@@ -1691,12 +1760,31 @@ def run_ivfpq_stream(
         mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
         b = next(i for i, (lo, hi) in enumerate(bounds) if lo <= mn < hi)
         if b == 0:
-            refined, _lists = _ivf_build_from(batch_df)
+            train_src = (
+                batch_df.filter(F.col("vec_id") < train_cut)
+                if recluster
+                else batch_df
+            )
+            refined, _lists = _ivf_build_from(train_src)
             refined.write.mode("overwrite").parquet(f"{idx}/centroids")
-            books = _pq_train(_pq_sample(batch_df))
+            books = _pq_train(
+                _pq_sample(batch_df, cut=train_cut if recluster else None)
+            )
             _pq_books_to_df(spark, books).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(f"{idx}/codebooks")
+            if recluster:
+                # the out-of-sample validation cohort's baseline,
+                # published WITH the models (one marker covers all)
+                baseline = _aff_mean(
+                    _pq_cohort_sample(batch_df, train_cut, cut),
+                    spark.read.parquet(f"{idx}/centroids"),
+                )
+                spark.createDataFrame(
+                    [(baseline,)], "mean_aff_micro long"
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{idx}/aff_baseline"
+                )
             tmp = f"{idx}/models_ready.tmp"
             with open(tmp, "w") as f:
                 f.write("1")
@@ -1705,10 +1793,70 @@ def run_ivfpq_stream(
             raise RuntimeError(
                 "codes arrived before the models were published"
             )
+        if (
+            recluster
+            and b > 0
+            and _read_marker(f"{idx}/reclustered_upto") is None
+        ):
+            # staleness monitor, only while one centroid generation
+            # is live (the run_pq_recode_stream discipline): a
+            # replayed boundary batch sees the marker it itself
+            # published and skips the already-converged retrain
+            cent0 = spark.read.parquet(f"{idx}/centroids")
+            rat = _aff_mean(
+                _pq_cohort_sample(batch_df, bounds[b][0]), cent0
+            )
+            baseline = int(
+                spark.read.parquet(f"{idx}/aff_baseline").collect()[0][0]
+            )
+            fired = (baseline - rat) * (100 // DRIFT_TRIGGER_PCT) > baseline
+            if monitor_log is not None:
+                monitor_log.append((b, rat, baseline, fired))
+            if fired:
+                # retrain over ALL ARRIVED increments — the immutable
+                # staged feed is the raw vector store a production
+                # recluster scans (deterministic on replay)
+                arrived = spark.read.parquet(
+                    *[f"{src}/batch_{g}.parquet" for g in range(b + 1)]
+                ).select("vec_id", "embedding")
+                c_new, _ = _ivf_build_from(arrived)
+                c_new.write.mode("overwrite").parquet(
+                    f"{idx}/centroids_g1"
+                )
+                cent1 = spark.read.parquet(f"{idx}/centroids_g1")
+                moved = _ivf_assign(
+                    arrived.select(
+                        F.col("vec_id").alias("c_id"),
+                        F.col("embedding").alias("c_emb"),
+                    ),
+                    cent1,
+                ).select(F.col("c_id").alias("vec_id"), "cluster")
+                for g in range(b):
+                    (
+                        spark.read.parquet(f"{idx}/codes/gen={g}")
+                        .select("vec_id", "code")
+                        .join(moved, "vec_id")
+                        .repartition("cluster")
+                        .write.mode("overwrite")
+                        .partitionBy("cluster")
+                        .parquet(f"{idx}/codes_r/gen={g}")
+                    )
+                tmp = f"{idx}/reclustered_upto.tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(b - 1))
+                os.replace(tmp, f"{idx}/reclustered_upto")
         # the read-back discipline: every batch (batch 0 included)
         # assigns and encodes against the PUBLISHED artifacts —
-        # serving must prove the persisted models anyway
-        cent = spark.read.parquet(f"{idx}/centroids")
+        # serving must prove the persisted models anyway; in
+        # recluster mode the HIGHEST published centroid generation
+        # routes every batch past the republish boundary
+        cent_path = (
+            f"{idx}/centroids_g1"
+            if recluster
+            and _read_marker(f"{idx}/reclustered_upto") is not None
+            else f"{idx}/centroids"
+        )
+        cent = spark.read.parquet(cent_path)
         books = _pq_books_from_df(spark.read.parquet(f"{idx}/codebooks"))
         assigned = _ivf_assign(
             batch_df.select(
@@ -1734,6 +1882,17 @@ def run_ivfpq_stream(
                 f"injected failure: increment {b} after index writes,"
                 " before checkpoint commit"
             )
+        if (
+            fail_at_batch is not None
+            and b == fail_at_batch
+            and fail_phase == "post_recluster"
+            and _read_marker(f"{idx}/reclustered_upto") is not None
+        ):
+            raise RuntimeError(
+                f"injected failure: increment {b} after the recluster"
+                " placement republish and its own code write, before"
+                " checkpoint commit"
+            )
         if compact_after is not None and b == compact_after:
             _compact_cluster_generations(spark, idx, "codes", b)
             if (
@@ -1746,7 +1905,14 @@ def run_ivfpq_stream(
                     " marker, before checkpoint commit"
                 )
         if delete_after is not None and b == delete_after:
-            _apply_cluster_takedown(spark, idx, "codes", b, "vec_id")
+            if compact_after is not None:
+                from .similarity import _apply_cluster_takedown_compacted
+
+                _apply_cluster_takedown_compacted(
+                    spark, idx, "codes", compact_after, b, "vec_id"
+                )
+            else:
+                _apply_cluster_takedown(spark, idx, "codes", b, "vec_id")
             if (
                 fail_at_batch is not None
                 and b == fail_at_batch
@@ -1774,9 +1940,64 @@ def run_ivfpq_stream(
 
     cent = spark.read.parquet(f"{idx}/centroids")
     loaded = _pq_books_from_df(spark.read.parquet(f"{idx}/codebooks"))
+    if recluster:
+        # the serving corpus is the drifted one; probes and re-rank
+        # must read the re-embedded arrays
+        exm = _drifted_corpus(em, cut).localCheckpoint(eager=True)
+        mr = _read_marker(f"{idx}/reclustered_upto")
+        if mr is not None:
+            cent = spark.read.parquet(f"{idx}/centroids_g1")
+            paths = [
+                f"{idx}/codes_r/gen={g}" for g in range(mr + 1)
+            ] + [
+                f"{idx}/codes/gen={g}"
+                for g in range(mr + 1, N_SIM_BATCHES)
+            ]
+            coded = _ivfpq_coded_from(
+                spark, f"{idx}/codes_r", range(mr + 1)
+            ).unionByName(
+                _ivfpq_coded_from(
+                    spark, f"{idx}/codes", range(mr + 1, N_SIM_BATCHES)
+                )
+            )
+        else:
+            paths = [
+                f"{idx}/codes/gen={g}" for g in range(N_SIM_BATCHES)
+            ]
+            coded = _ivfpq_coded_from(
+                spark, f"{idx}/codes", range(N_SIM_BATCHES)
+            )
+        if serve_paths_log is not None:
+            serve_paths_log.append(list(paths))
+        return _ivfpq_serve(spark, exm, cent, loaded, coded)
     if delete_after is not None:
         md = _read_marker(f"{idx}/takedown_upto")
-        if md is not None:
+        if md is not None and compact_after is not None:
+            paths = [f"{idx}/codes_c_p"] + [
+                f"{idx}/codes_p/gen={g}"
+                for g in range(compact_after + 1, md + 1)
+            ] + [
+                f"{idx}/codes/gen={g}"
+                for g in range(md + 1, N_SIM_BATCHES)
+            ]
+            coded = spark.read.parquet(f"{idx}/codes_c_p").select(
+                "cluster", F.col("vec_id").alias("c_id"), "code"
+            )
+            if compact_after + 1 <= md:
+                coded = coded.unionByName(
+                    _ivfpq_coded_from(
+                        spark, f"{idx}/codes_p",
+                        range(compact_after + 1, md + 1),
+                    )
+                )
+            if md + 1 < N_SIM_BATCHES:
+                coded = coded.unionByName(
+                    _ivfpq_coded_from(
+                        spark, f"{idx}/codes",
+                        range(md + 1, N_SIM_BATCHES),
+                    )
+                )
+        elif md is not None:
             paths = [
                 f"{idx}/codes_p/gen={g}" for g in range(md + 1)
             ] + [
@@ -1884,6 +2105,169 @@ def stream_sim_ivfpq_e2e(spark, sf_dir):
         raise AssertionError(
             f"probe served covered generations {stale} past the marker"
         )
+    return out
+
+
+def _ivfpq_recluster_stream_oracle_sql():
+    """Single-regime composed statement for the STREAMED recluster:
+    the drifted corpus (`_drifted_ex_ctes` verbatim), the REFINED
+    coarse codebook trained on everything arrived by the recluster
+    boundary (vec_id < the appended tail's midpoint — batches 0..1),
+    ONE PQ chain trained on batch 0's pre-drift train-slice sample
+    (codebooks are frozen through a recluster), full membership +
+    probes against the refined centroids (prior generations serve
+    their MOVED placement; later batches assigned fresh — both equal
+    assignment against the refined model), ADC, pool, exact
+    re-rank."""
+    return f"""{_drifted_ex_ctes()},
+    {_sql_codebook('n', f' WHERE e.vec_id < {IVF_MID_SQL}')},
+    {_pq_cb_chain_sql(src="ex", samp_pred=f" AND vec_id < {IVF_TRAIN_CUT_SQL}")},
+    {_ivfpq_regime_sql('n', 'ncent')}
+    SELECT q_id, c_id, score, rank FROM (
+        {_ivfpq_regime_rerank_sql('n', 'x')})
+"""
+
+
+@register(
+    "stream_sim_ivfpq_recluster_e2e",
+    oracle=_ivfpq_recluster_stream_oracle_sql(),
+)
+def stream_sim_ivfpq_recluster_e2e(spark, sf_dir):
+    """The composed-index RECLUSTER composed into the ingest stream —
+    the op that EXECUTES sim_index_ivfpq_recluster's strictly-past
+    routing online (round-11 verdict item 1's streamed half, as a
+    `run_ivfpq_stream` mode, not a new rig): batch 0 (pre-drift)
+    trains both models on its train slice and publishes them with the
+    validation cohort's affinity baseline behind one marker, then
+    encodes itself; the first DRIFTED increment's affinity monitor
+    fires the integer cross-multiply, so it retrains centroids over
+    ALL ARRIVED increments (re-read from the immutable staged feed —
+    the raw store a production recluster scans), publishes
+    ``centroids_g1``, REWRITES PLACEMENT of every prior code
+    generation into ``codes_r/gen=g`` twins (rows move cluster
+    partitions; code bytes unchanged — the PQ codebooks are never
+    touched), publishes the write-last ``reclustered_upto`` marker,
+    and encodes itself against the refined centroids; the final
+    increment routes to the refined model without re-firing (the
+    monitor runs only while one centroid generation is live). Serving
+    is marker-gated — moved twins for the covered prefix, original
+    generations past it — asserted from the recorded paths, and
+    value-hashes against the single-regime refined statement (the
+    moved prefix and the fresh suffix both equal assignment against
+    the refined centroids, which is exactly the placement-invariance
+    the composition claims). The torn-state kill/restart proof (die
+    after the placement republish + own code write, before the
+    commit; replay sees the marker it itself published, skips the
+    already-converged retrain, and re-encodes to the same bytes) runs
+    in tests/test_streaming.py::test_ivfpq_recluster_stream_boundary_restart.
+
+    Scale shape: the monitor is one bounded-sample broadcast
+    assignment per increment while one generation is live; the
+    retrain is one pass over arrived vectors; the placement rewrite
+    is one broadcast-assignment join + partitioned rewrite per
+    covered generation of 8-byte code rows — no re-encode ever; the
+    marker swap costs one rename."""
+    from ..registry import scratch_dir
+
+    base = scratch_dir("stream_sim_ivfpq_recluster_e2e")
+    log, mon = [], []
+    out = run_ivfpq_stream(
+        spark, sf_dir, base, recluster=True,
+        serve_paths_log=log, monitor_log=mon,
+    )
+    if [b for (b, _r, _bl, f) in mon if f] != [1]:
+        raise AssertionError(
+            f"recluster monitor should fire exactly at increment 1;"
+            f" log: {mon}"
+        )
+    paths = log[-1]
+    moved = [p for p in paths if "/codes_r/gen=" in p]
+    if len(moved) != 1 or not moved[0].endswith("/codes_r/gen=0"):
+        raise AssertionError(
+            f"post-recluster probe served {paths}; expected the moved"
+            " twin for generation 0 exactly"
+        )
+    if any("/codes/gen=0" in p for p in paths):
+        raise AssertionError(
+            f"probe served the stale placement past the marker: {paths}"
+        )
+    return out
+
+
+@register(
+    "stream_sim_ivfpq_compact_delete_e2e",
+    oracle=_ivfpq_delete_oracle_sql(),
+)
+def stream_sim_ivfpq_compact_delete_e2e(spark, sf_dir):
+    """COMPACTION and TAKEDOWN composed on the vector stream — the
+    round-11 verdict item 3: a production stream compacts AND takes
+    down, so the rig's compact_after×delete_after ValueError is gone
+    (exactly how round 10 removed the text side's capped×delete
+    failure) and the takedown must reach the COMPACTED layout. The
+    stream compacts code generations 0..1 into the one
+    cluster-partitioned ``codes_c`` at the boundary increment, then
+    the takedown arrives at the LAST increment: ``codes_c`` rewrites
+    WITHOUT the cohort into its purged twin ``codes_c_p``, the
+    post-compaction generation rewrites into ``codes_p/gen=2``, both
+    behind ONE write-last ``takedown_upto`` marker with tombstones
+    drawn from every covered source; serving reads ONLY the purged
+    twins (asserted from the recorded paths), the completeness audit
+    walks both purged roots, and the output value-hashes against the
+    composed lifecycle statement with the cohort excluded from code
+    membership (the takedown covers everything arrived, so the
+    cohort is unscoped — the batch delete op's oracle verbatim). The
+    post-takedown torn-state restart proof runs in
+    tests/test_streaming.py::test_ivfpq_compact_delete_boundary_restart;
+    original-layout GC under the marker+watermark rule is
+    stream_sim_ivfpq_delete_e2e's proven machinery, unchanged here —
+    this op pins the purge's REACH across the folded layout. The feed
+    stages privately inside the purge perimeter like every delete
+    rig.
+
+    Scale shape: the compaction is the one distributed fold it always
+    was; the takedown adds one filter-rewrite of the compacted
+    artifact (still partition-pruned, still 8-byte rows) + one per
+    uncovered generation; the audit is one union scan semi-joined
+    against O(cohort) broadcast tombstones."""
+    from ..registry import scratch_dir
+    from .dedup_stream import _audit_roots_no_tombstoned
+    from .similarity import N_SIM_BATCHES
+
+    base = scratch_dir("stream_sim_ivfpq_compact_delete_e2e")
+    boundary_c = N_SIM_BATCHES - 2
+    boundary_d = N_SIM_BATCHES - 1
+    log = []
+    out = run_ivfpq_stream(
+        spark, sf_dir, base,
+        compact_after=boundary_c, delete_after=boundary_d,
+        serve_paths_log=log,
+    )
+    idx = f"{base}/index"
+    served = log[-1]
+    if not any(p.endswith("/codes_c_p") for p in served):
+        raise AssertionError(
+            f"takedown did not reach the compacted layout: {served}"
+        )
+    if any(p.endswith("/codes_c") for p in served) or any(
+        "/codes/gen=" in p for p in served
+    ):
+        raise AssertionError(
+            f"probe served un-purged artifacts past the marker: {served}"
+        )
+    purged_gens = [p for p in served if "/codes_p/gen=" in p]
+    if purged_gens != [f"{idx}/codes_p/gen={boundary_d}"]:
+        raise AssertionError(
+            f"expected exactly the purged post-compaction generation;"
+            f" served {served}"
+        )
+
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    _audit_roots_no_tombstoned(
+        spark,
+        tomb,
+        (f"{idx}/codes_c_p", f"{idx}/codes_p/gen={boundary_d}"),
+        id_col="vec_id",
+    )
     return out
 
 

@@ -2846,6 +2846,60 @@ def _apply_cluster_takedown(spark, idx, family, upto, id_col):
     os.replace(tmp, f"{idx}/takedown_upto")
 
 
+def _apply_cluster_takedown_compacted(
+    spark, idx, family, compact_upto, upto, id_col
+):
+    """`_apply_cluster_takedown` for a stream whose generations
+    0..compact_upto have already folded into the ONE compacted
+    cluster-partitioned layout (``{family}_c``): the takedown must
+    reach the COMPACTED artifact, so it rewrites ``{family}_c``
+    WITHOUT the cohort into its purged twin ``{family}_c_p`` and each
+    post-compaction generation into ``{family}_p/gen=g`` — both
+    filter-rewrites riding the partition-pruned scans — writes
+    tombstones from the union of every covered source, and publishes
+    the ``takedown_upto`` marker LAST (atomic). Originals (compacted
+    layout AND retained generations) stay inside the replay horizon;
+    a replayed boundary batch redoes this as deterministic
+    overwrites."""
+    import os
+
+    root = f"{idx}/{family}"
+    td = F.col(id_col) % VEC_TD_MOD == VEC_TD_RES
+    (
+        spark.read.parquet(f"{root}_c")
+        .filter(~td)
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{root}_c_p")
+    )
+    for g in range(compact_upto + 1, upto + 1):
+        (
+            spark.read.parquet(f"{root}/gen={g}")
+            .filter(~td)
+            .repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{root}_p/gen={g}")
+        )
+    covered = spark.read.parquet(f"{root}_c").select(id_col)
+    for g in range(compact_upto + 1, upto + 1):
+        covered = covered.unionByName(
+            spark.read.parquet(f"{root}/gen={g}").select(id_col)
+        )
+    (
+        covered.filter(td)
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{idx}/tombstones")
+    )
+    tmp = f"{idx}/takedown_upto.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto))
+    os.replace(tmp, f"{idx}/takedown_upto")
+
+
 def run_sim_index_stream(
     spark, sf_dir, base, fail_at_batch=None, fail_phase="post_index",
     compact_after=None, serve_paths_log=None, delete_after=None,

@@ -2840,3 +2840,129 @@ def test_ivfpq_takedown_boundary_restart(spark, tmp_path):
     assert got == {tuple(r) for r in fresh.collect()}, (
         "restart across the composed takedown boundary diverged"
     )
+
+
+def test_ivfpq_recluster_stream_boundary_restart(spark, tmp_path):
+    """Kill/restart the composed recluster stream in its torn state
+    (the boundary increment fired the monitor, retrained + published
+    centroids_g1, rewrote placement into codes_r/gen=0, published the
+    reclustered_upto marker, wrote its own generation — checkpoint
+    commit missing): the replayed boundary batch must see the marker
+    it itself published, SKIP the already-converged retrain (the
+    refined centroids stay byte-identical, the monitor never re-runs),
+    redo its own code write as a deterministic overwrite, and the
+    final marker-gated serving must be byte-equal to an uninterrupted
+    recluster run's."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import _read_marker
+    from engine.ops.pq import run_ivfpq_stream
+
+    base = str(tmp_path / "ivfpq_rec")
+    idx = f"{base}/index"
+
+    with pytest.raises(StreamingQueryException):
+        run_ivfpq_stream(
+            spark, SMOKE_SF_DIR, base, recluster=True,
+            fail_at_batch=1, fail_phase="post_recluster",
+        )
+    # torn state: refined model + moved twin + marker + own codes on
+    # disk, checkpoint never committed the boundary batch
+    assert _read_marker(f"{idx}/reclustered_upto") == 0
+    assert os.path.exists(f"{idx}/codes_r/gen=0")
+    assert os.path.exists(f"{idx}/codes/gen=1")
+    def cent_set(path):
+        return {
+            (r["cluster"], tuple(r["centroid"]))
+            for r in spark.read.parquet(path).collect()
+        }
+
+    cent_before = cent_set(f"{idx}/centroids_g1")
+    moved_count = spark.read.parquet(f"{idx}/codes_r/gen=0").count()
+
+    log, mon = [], []
+    out = run_ivfpq_stream(
+        spark, SMOKE_SF_DIR, base, recluster=True,
+        serve_paths_log=log, monitor_log=mon,
+    )
+    # the replay skipped the monitor and the retrain: no re-fire, no
+    # model churn, no twin duplication
+    assert mon == [], f"monitor re-ran past the marker: {mon}"
+    assert cent_set(f"{idx}/centroids_g1") == cent_before, (
+        "refined centroids replay diverged"
+    )
+    assert spark.read.parquet(f"{idx}/codes_r/gen=0").count() == moved_count
+
+    served = log[-1]
+    assert any(p.endswith("/codes_r/gen=0") for p in served)
+    assert not any("/codes/gen=0" in p for p in served)
+
+    got = {tuple(r) for r in out.collect()}
+    fresh = run_ivfpq_stream(
+        spark, SMOKE_SF_DIR, str(tmp_path / "fresh"), recluster=True,
+    )
+    assert got == {tuple(r) for r in fresh.collect()}, (
+        "restart across the recluster boundary diverged"
+    )
+
+
+def test_ivfpq_compact_delete_boundary_restart(spark, tmp_path):
+    """Kill/restart the compact×delete composed stream in its torn
+    state (the LAST increment wrote its generation, rewrote the
+    COMPACTED layout + the post-compaction generation into purged
+    twins, published the takedown marker — checkpoint commit
+    missing): the replayed boundary batch must redo the takedown over
+    the folded layout as deterministic overwrites (no double-appended
+    twin rows in codes_c_p), and the final serving — purged compacted
+    twin + purged newer generation only — must be byte-equal to an
+    uninterrupted composed run's."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import _read_marker
+    from engine.ops.pq import run_ivfpq_stream
+    from engine.ops.similarity import N_SIM_BATCHES
+
+    base = str(tmp_path / "ivfpq_cd")
+    idx = f"{base}/index"
+    boundary_c = N_SIM_BATCHES - 2
+    boundary_d = N_SIM_BATCHES - 1
+
+    with pytest.raises(StreamingQueryException):
+        run_ivfpq_stream(
+            spark, SMOKE_SF_DIR, base,
+            compact_after=boundary_c, delete_after=boundary_d,
+            fail_at_batch=boundary_d, fail_phase="post_takedown",
+        )
+    assert _read_marker(f"{idx}/compacted_upto") == boundary_c
+    assert _read_marker(f"{idx}/takedown_upto") == boundary_d
+    assert os.path.exists(f"{idx}/codes_c_p")
+    assert os.path.exists(f"{idx}/codes_p/gen={boundary_d}")
+    twin_counts = (
+        spark.read.parquet(f"{idx}/codes_c_p").count(),
+        spark.read.parquet(f"{idx}/codes_p/gen={boundary_d}").count(),
+    )
+
+    log = []
+    out = run_ivfpq_stream(
+        spark, SMOKE_SF_DIR, base,
+        compact_after=boundary_c, delete_after=boundary_d,
+        serve_paths_log=log,
+    )
+    # the takedown redo overwrote the folded twin, not appended to it
+    assert twin_counts == (
+        spark.read.parquet(f"{idx}/codes_c_p").count(),
+        spark.read.parquet(f"{idx}/codes_p/gen={boundary_d}").count(),
+    )
+    served = log[-1]
+    assert any(p.endswith("/codes_c_p") for p in served)
+    assert not any(p.endswith("/codes_c") for p in served)
+    assert not any("/codes/gen=" in p for p in served)
+
+    got = {tuple(r) for r in out.collect()}
+    fresh = run_ivfpq_stream(
+        spark, SMOKE_SF_DIR, str(tmp_path / "fresh"),
+        compact_after=boundary_c, delete_after=boundary_d,
+    )
+    assert got == {tuple(r) for r in fresh.collect()}, (
+        "restart across the compact×delete boundary diverged"
+    )
