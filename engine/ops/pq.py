@@ -2720,7 +2720,8 @@ def sim_search_ivfpq_filtered(spark, sf_dir):
 
 
 def run_pq_recode_stream(
-    spark, sf_dir, base, fail_at_batch=None, monitor_log=None
+    spark, sf_dir, base, fail_at_batch=None, monitor_log=None,
+    delete_after=None, serve_paths_log=None, fail_phase="post_publish",
 ):
     """The checkpointed-stream rig behind stream_sim_pq_recode_e2e:
     arriving embedding files from the DRIFTED corpus (the shared
@@ -2749,8 +2750,22 @@ def run_pq_recode_stream(
     top-PQ_CAND pool, then the exact dot6 re-rank; the adc values are
     comparable across generations because each approximates the same
     exact micro² dot. ``fail_at_batch=b`` raises AFTER batch b's
-    publishes and code write, BEFORE the checkpoint commit — the torn
-    state where a half-published recode must converge on replay."""
+    publishes and code write (``fail_phase="post_publish"``) or AFTER
+    the takedown marker (``"post_takedown"``), BEFORE the checkpoint
+    commit — the torn states where a half-published recode or a
+    half-committed purge must converge on replay.
+
+    ``delete_after=k``: the takedown arrives at the end of batch k's
+    processing — AFTER the recode, so the purge must reach code
+    generations across BOTH codebook eras: every covered generation
+    rewrites WITHOUT the cohort into ``codes_p/gen=g`` twins that
+    KEEP their ``cb`` column (per-era LUT routing survives the
+    purge), tombstones record the ids, and the ``takedown_upto``
+    marker publishes LAST; the final serving is marker-gated onto the
+    purged twins and still routes each code population through its
+    own codebook generation's LUTs. Delete runs stage their feed
+    PRIVATELY (the purge-perimeter rule every delete rig obeys).
+    ``serve_paths_log`` records what the final probe read."""
     import os
 
     from .dedup_stream import _feed_key, _read_marker, _stage_feed
@@ -2767,7 +2782,9 @@ def run_pq_recode_stream(
             (b, (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
             for b, (lo, hi) in enumerate(bounds)
         ],
-        feed_key=_feed_key(sf_dir, "pqdrift", "embeddings.parquet"),
+        feed_key=None
+        if delete_after is not None
+        else _feed_key(sf_dir, "pqdrift", "embeddings.parquet"),
     )
 
     def _ratio_scalar(sample_df, books):
@@ -2836,11 +2853,51 @@ def run_pq_recode_stream(
             .write.mode("overwrite")
             .parquet(f"{idx}/codes/gen={b}")
         )
-        if fail_at_batch is not None and b == fail_at_batch:
+        if (
+            fail_at_batch is not None
+            and b == fail_at_batch
+            and fail_phase == "post_publish"
+        ):
             raise RuntimeError(
                 f"injected failure: increment {b} after publishes and"
                 " code write, before checkpoint commit"
             )
+        if delete_after is not None and b == delete_after:
+            # the takedown reaches code generations across BOTH
+            # codebook eras; purged twins KEEP the cb column so
+            # per-era LUT routing survives the purge
+            td = F.col("vec_id") % VEC_TD_MOD == VEC_TD_RES
+            for g in range(b + 1):
+                (
+                    spark.read.parquet(f"{idx}/codes/gen={g}")
+                    .filter(~td)
+                    .write.mode("overwrite")
+                    .parquet(f"{idx}/codes_p/gen={g}")
+                )
+            covered = spark.read.parquet(
+                *[f"{idx}/codes/gen={g}" for g in range(b + 1)]
+            )
+            (
+                covered.filter(td)
+                .select("vec_id")
+                .distinct()
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{idx}/tombstones")
+            )
+            tmp = f"{idx}/takedown_upto.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(b))
+            os.replace(tmp, f"{idx}/takedown_upto")
+            if (
+                fail_at_batch is not None
+                and b == fail_at_batch
+                and fail_phase == "post_takedown"
+            ):
+                raise RuntimeError(
+                    f"injected failure: increment {b} after takedown"
+                    " marker, before checkpoint commit"
+                )
 
     q = (
         spark.readStream.schema("vec_id bigint, embedding array<float>")
@@ -2857,11 +2914,27 @@ def run_pq_recode_stream(
             "stream_sim_pq_recode_e2e: availableNow query exceeded 600s"
         )
 
-    gens = [
-        f"{idx}/codes/gen={b}"
-        for b in range(len(bounds))
-        if os.path.exists(f"{idx}/codes/gen={b}")
-    ]
+    md = (
+        _read_marker(f"{idx}/takedown_upto")
+        if delete_after is not None
+        else None
+    )
+    if md is not None:
+        gens = [
+            f"{idx}/codes_p/gen={b}" for b in range(md + 1)
+        ] + [
+            f"{idx}/codes/gen={b}"
+            for b in range(md + 1, len(bounds))
+            if os.path.exists(f"{idx}/codes/gen={b}")
+        ]
+    else:
+        gens = [
+            f"{idx}/codes/gen={b}"
+            for b in range(len(bounds))
+            if os.path.exists(f"{idx}/codes/gen={b}")
+        ]
+    if serve_paths_log is not None:
+        serve_paths_log.append(list(gens))
     codes = spark.read.parquet(*gens)
     exm = ex.localCheckpoint(eager=True)
     cand = None
@@ -2992,6 +3065,106 @@ def stream_sim_pq_recode_e2e(spark, sf_dir):
                 f"generation {b} carries codebook ids {cbs}; routing"
                 f" demands {want}"
             )
+    return out
+
+
+def _pq_recode_delete_oracle_sql():
+    """The dual-codebook ROUTED serving statement with the takedown
+    cohort excluded from CODE membership in BOTH eras' candidate
+    streams (both adc parts — the purge must reach every codebook
+    era): codebooks, routing, and the probe workload are unchanged
+    (the retention argument every delete op documents), cohort
+    unscoped because the takedown arrives at the last increment and
+    covers everything arrived."""
+    sql = _pq_stream_recode_oracle_sql()
+    old = "WHERE q.vec_id <> en.vec_id"
+    assert sql.count(old) == 2
+    return sql.replace(
+        old,
+        f"{old}\n          AND en.vec_id % {VEC_TD_MOD} <> {VEC_TD_RES}",
+    )
+
+
+@register(
+    "stream_sim_pq_recode_delete_e2e",
+    oracle=_pq_recode_delete_oracle_sql(),
+)
+def stream_sim_pq_recode_delete_e2e(spark, sf_dir):
+    """TAKEDOWN arriving AFTER a codebook RECODE — round-11 verdict
+    item 4, the governance × staleness composition (as a
+    `run_pq_recode_stream` mode, not a new rig): the stream runs the
+    full recode lifecycle (gen=0 books from the pre-drift increment,
+    the monitor fires once at the first drifted increment, gen=1
+    books published, codes carry their ``cb`` era), then the takedown
+    arrives at the LAST increment and must purge code generations
+    across BOTH codebook eras — every covered generation rewrites
+    WITHOUT the cohort into ``codes_p/gen=g`` twins that KEEP their
+    ``cb`` column, so the multi-codebook serving composition routes
+    each purged population through its own era's LUTs exactly as it
+    routed the originals. The op asserts from the rig's logs that the
+    monitor fired exactly once at the boundary, that serving read
+    ONLY the purged twins, and that the purged twins preserve the
+    era routing (gen 0 → cb 0, later → cb 1 — the audit walking the
+    cb-era roots); the completeness audit semi-joins every purged
+    root against the tombstones; the output value-hashes against the
+    dual-codebook routed statement with the cohort excluded from
+    both eras' candidate streams. The post-takedown torn-state
+    restart proof runs in
+    tests/test_streaming.py::test_pq_recode_delete_boundary_restart.
+    The feed stages privately inside the purge perimeter like every
+    delete rig.
+
+    Scale shape: the purge is one filter-rewrite per covered
+    generation of 8-code rows + one constant era column (free under
+    RLE); tombstones are O(cohort); serving cost is unchanged — one
+    LUT broadcast per LIVE codebook era, applied now to the purged
+    twins."""
+    import os
+
+    from ..registry import scratch_dir
+    from .dedup_stream import _audit_roots_no_tombstoned
+
+    base = scratch_dir("stream_sim_pq_recode_delete_e2e")
+    log, mon = [], []
+    out = run_pq_recode_stream(
+        spark, sf_dir, base, monitor_log=mon,
+        delete_after=2, serve_paths_log=log,
+    )
+    if [b for (b, _r, _bl, f) in mon if f] != [1]:
+        raise AssertionError(
+            f"staleness monitor should fire exactly at increment 1;"
+            f" log: {mon}"
+        )
+    idx = f"{base}/index"
+    served = log[-1]
+    if served != [f"{idx}/codes_p/gen={g}" for g in range(3)]:
+        raise AssertionError(
+            f"post-takedown probe served {served}; expected the purged"
+            " twins for every covered generation"
+        )
+    # era routing survives the purge: the cb-era roots hold exactly
+    # the codebook id the strictly-past routing rule assigned
+    for b in range(3):
+        p = f"{idx}/codes_p/gen={b}"
+        if not os.path.exists(p):
+            raise AssertionError(f"purged twin missing: {p}")
+        cbs = {
+            r["cb"]
+            for r in spark.read.parquet(p).select("cb").distinct().collect()
+        }
+        want = {0} if b == 0 else {1}
+        if cbs != want:
+            raise AssertionError(
+                f"purged generation {b} carries codebook ids {cbs};"
+                f" routing demands {want}"
+            )
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    _audit_roots_no_tombstoned(
+        spark,
+        tomb,
+        tuple(f"{idx}/codes_p/gen={g}" for g in range(3)),
+        id_col="vec_id",
+    )
     return out
 
 

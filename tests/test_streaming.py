@@ -2781,6 +2781,65 @@ def test_pq_recode_stream_boundary_restart(spark, tmp_path):
     )
 
 
+def test_pq_recode_delete_boundary_restart(spark, tmp_path):
+    """Kill/restart the recode×delete stream in its torn state (the
+    LAST increment wrote its gen=1-encoded codes, purged every
+    covered generation across BOTH codebook eras into cb-carrying
+    twins, published the takedown marker — checkpoint commit
+    missing): the replayed boundary batch must redo its code write
+    and the two-era takedown as deterministic overwrites (stable twin
+    counts, era routing intact), and the final marker-gated
+    multi-codebook serving must be byte-equal to an uninterrupted
+    composed run's."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from engine.ops.dedup_stream import _read_marker
+    from engine.ops.pq import run_pq_recode_stream
+
+    base = str(tmp_path / "pqrecdel")
+    idx = f"{base}/index"
+
+    with pytest.raises(StreamingQueryException):
+        run_pq_recode_stream(
+            spark, SMOKE_SF_DIR, base, delete_after=2,
+            fail_at_batch=2, fail_phase="post_takedown",
+        )
+    assert _read_marker(f"{idx}/takedown_upto") == 2
+    twin_counts = {
+        g: spark.read.parquet(f"{idx}/codes_p/gen={g}").count()
+        for g in range(3)
+    }
+
+    log = []
+    out = run_pq_recode_stream(
+        spark, SMOKE_SF_DIR, base, delete_after=2, serve_paths_log=log,
+    )
+    # the takedown redo overwrote the twins, not appended
+    for g in range(3):
+        assert (
+            spark.read.parquet(f"{idx}/codes_p/gen={g}").count()
+            == twin_counts[g]
+        )
+        cbs = {
+            r["cb"]
+            for r in spark.read.parquet(f"{idx}/codes_p/gen={g}")
+            .select("cb")
+            .distinct()
+            .collect()
+        }
+        assert cbs == ({0} if g == 0 else {1}), (g, cbs)
+    served = log[-1]
+    assert served == [f"{idx}/codes_p/gen={g}" for g in range(3)]
+
+    got = {tuple(r) for r in out.collect()}
+    fresh = run_pq_recode_stream(
+        spark, SMOKE_SF_DIR, str(tmp_path / "fresh"), delete_after=2,
+    )
+    assert got == {tuple(r) for r in fresh.collect()}, (
+        "restart across the recode×delete boundary diverged"
+    )
+
+
 def test_ivfpq_takedown_boundary_restart(spark, tmp_path):
     """Kill/restart the composed IVF+PQ delete stream in its torn
     state (boundary increment wrote its generation, published the
