@@ -2711,6 +2711,161 @@ def sim_search_ivfpq_filtered(spark, sf_dir):
     return _ivfpq_serve(spark, em, cent, books, coded)
 
 
+# ---- query-time REGIME PLANNER: pre-filter-index vs metadata-first -
+
+PLANNER_PCT = 5  # below this selectivity, skip the index entirely
+ANN_RARE_MOD = 31  # the rare predicate's extra modulus (~1.3%)
+
+
+def _ann_planner_oracle_sql():
+    """Two-regime planner oracle (the recluster splice pattern): each
+    predicate's branch restates BOTH the count-derived regime choice
+    (the exact integer cross-multiply as a WHERE gate — if the
+    fixture's selectivity ever flipped a choice, the branch emits
+    zero rows and the engine's differing pick fails the hash loudly)
+    and the chosen regime's serving statement: the moderate predicate
+    serves the pre-filtered composed index
+    (`_ivfpq_filtered_oracle_sql` verbatim), the rare one the
+    metadata-first brute rank (TOPK_SQL with the corpus side
+    pre-filtered)."""
+    mod_pred = f"label % {ANN_FILTER_MOD} = 0"
+    rare_pred = (
+        f"label % {ANN_FILTER_MOD} = 0 AND vec_id % {ANN_RARE_MOD} = 0"
+    )
+    from .similarity import TOPK_SQL
+
+    old = "c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),"
+    assert TOPK_SQL.count(old) == 1
+    rare_brute = TOPK_SQL.replace(
+        old,
+        "c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings"
+        f" WHERE {rare_pred}),",
+    )
+    return f"""
+    WITH idxr AS MATERIALIZED ({_ivfpq_filtered_oracle_sql()}),
+    rarer AS MATERIALIZED ({rare_brute}),
+    modn AS (SELECT CAST(count(*) FILTER (WHERE {mod_pred}) AS BIGINT) AS nm,
+                    CAST(count(*) AS BIGINT) AS nt FROM embeddings),
+    raren AS (SELECT CAST(count(*) FILTER (WHERE {rare_pred}) AS BIGINT) AS nm,
+                     CAST(count(*) AS BIGINT) AS nt FROM embeddings)
+    SELECT 'label_mod' AS pred, 'index' AS regime,
+           q_id, c_id, score, rank
+    FROM idxr WHERE NOT (SELECT nm * 100 < nt * {PLANNER_PCT} FROM modn)
+    UNION ALL
+    SELECT 'label_mod_rare' AS pred, 'metadata_first' AS regime,
+           q_id, c_id, score, rank
+    FROM rarer WHERE (SELECT nm * 100 < nt * {PLANNER_PCT} FROM raren)
+"""
+
+
+@register("sim_search_ann_planner", oracle=_ann_planner_oracle_sql())
+def sim_search_ann_planner(spark, sf_dir):
+    """FILTERED-ANN REGIME PLANNER — the production vector-store query
+    planner shape (round-11 verdict stretch item 8):
+    sim_search_ivfpq_filtered's docstring documents that below ~1%
+    selectivity a real store flips from the pre-filtered index to a
+    METADATA-FIRST plan (scan the matching ids, brute-rank them
+    exactly — the index adds recall loss for no candidate savings
+    when the allowed set is already tiny); this op EXECUTES that
+    choice. For each registered predicate it counts the exact match
+    cardinality on the metadata store (one scalar aggregate — the
+    statistics lookup a planner does), applies the integer
+    cross-multiplied threshold (metadata-first iff
+    n_match × 100 < n_total × {PLANNER_PCT}), and serves the chosen
+    plan: the moderate predicate (~40%) routes to the pre-filtered
+    composed index (the sim_search_ivfpq_filtered path off the shared
+    build, predicate riding the codes scan inline), the rare one
+    (~1.3%) routes to metadata-first exact ranking. Both predicates
+    run in ONE op, each row tagged (pred, regime), and the regime
+    column is value-hashed — the oracle restates the count-derived
+    choice as a WHERE gate, so a wrong pick mismatches loudly. The op
+    additionally raises unless the two predicates exercised BOTH
+    regimes.
+
+    Scale shape: the planner's inputs are metadata-store counts (at
+    100 TB, a statistics lookup or one column-pruned count); the
+    index regime costs exactly sim_search_ivfpq_filtered; the
+    metadata-first regime scans O(matching) vectors — by construction
+    under {PLANNER_PCT}% of the corpus — and brute-ranks them against
+    the probe set, the plan every production store uses at needle
+    selectivity."""
+    em_full = table(spark, sf_dir, "embeddings")
+    em = em_full.select("vec_id", "embedding")
+    preds = [
+        (
+            "label_mod",
+            F.col("label") % ANN_FILTER_MOD == 0,
+            True,  # index-servable: the label rides the codes inline
+        ),
+        (
+            "label_mod_rare",
+            (F.col("label") % ANN_FILTER_MOD == 0)
+            & (F.col("vec_id") % ANN_RARE_MOD == 0),
+            False,
+        ),
+    ]
+    n_total = em_full.count()
+    outs, regimes = [], {}
+    for pname, pred, index_servable in preds:
+        n_match = em_full.filter(pred).count()
+        metadata_first = n_match * 100 < n_total * PLANNER_PCT
+        regimes[pname] = "metadata_first" if metadata_first else "index"
+        if metadata_first:
+            q = em.filter(F.col("vec_id") < N_PROBES).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_emb"),
+            )
+            c = em_full.filter(pred).select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+            )
+            w = Window.partitionBy("q_id").orderBy(
+                F.desc("score"), F.asc("c_id")
+            )
+            res = (
+                c.crossJoin(F.broadcast(q))
+                .filter(F.col("q_id") != F.col("c_id"))
+                .select(
+                    "q_id",
+                    "c_id",
+                    dot6(F.col("q_emb"), F.col("c_emb")).alias("score"),
+                )
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= TOP_K)
+            )
+        else:
+            if not index_servable:
+                raise AssertionError(
+                    f"planner chose the index for {pname}, whose"
+                    " predicate is not stored inline with the codes"
+                )
+            cent, books, coded = _ivfpq_full_build(
+                spark, sf_dir, with_label=True
+            )
+            coded = coded.filter(
+                F.col("label") % ANN_FILTER_MOD == 0
+            ).drop("label")
+            res = _ivfpq_serve(spark, em, cent, books, coded)
+        outs.append(
+            res.select(
+                F.lit(pname).alias("pred"),
+                F.lit(regimes[pname]).alias("regime"),
+                "q_id",
+                "c_id",
+                "score",
+                "rank",
+            )
+        )
+    if set(regimes.values()) != {"index", "metadata_first"}:
+        raise AssertionError(
+            f"planner failed to exercise both regimes: {regimes}"
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # ---- STREAMED codebook recode: the routing claim, proven -----------
 # sim_index_pq_recode asserts that republished codebooks route
 # STRICTLY-PAST (pre-boundary codes stay valid against gen=0, only
