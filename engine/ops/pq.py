@@ -1466,6 +1466,25 @@ def _ivfpq_recluster_oracle_sql():
 """
 
 
+def _micro_aff_mean(assigned, *group_cols):
+    """Floor-mean of the micro-quantized winning affinity ``aff`` —
+    the recluster monitor's integer-exact quantity. ONE spelling for
+    the batch cohort report and the stream rig's scalar (round-12
+    review: two hand-maintained copies of the quantization would let
+    the batch and stream monitors silently measure different
+    quantities)."""
+    micro = F.floor(F.col("aff") * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        assigned.select(*group_cols, micro.alias("m"))
+        .groupBy(*group_cols)
+        .agg(
+            F.floor(F.sum("m").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean")
+        )
+    )
+
+
 def _ivfpq_cohort_aff_means(em_like, cent, append_cut, train_cut):
     """Held-out mean micro-affinity per cohort against ``cent`` —
     the drift monitor's quantity (integer-exact: micro-quantized
@@ -1478,15 +1497,8 @@ def _ivfpq_cohort_aff_means(em_like, cent, append_cut, train_cut):
     cohort = F.when(
         F.col("c_id") < append_cut, F.lit("validation")
     ).otherwise(F.lit("append"))
-    micro = F.floor(F.col("aff") * 1_000_000 + F.lit(0.5)).cast("long")
-    rows = (
-        a.select(cohort.alias("cohort"), micro.alias("m"))
-        .groupBy("cohort")
-        .agg(
-            F.floor(F.sum("m").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("mean")
-        )
+    rows = _micro_aff_mean(
+        a.select(cohort.alias("cohort"), "aff"), "cohort"
     ).collect()
     return {r["cohort"]: r["mean"] for r in rows}
 
@@ -1734,7 +1746,8 @@ def run_ivfpq_stream(
 
     def _aff_mean(sample_df, cent):
         """Bounded-sample mean micro-affinity against ``cent`` — the
-        recluster monitor's integer-exact scalar."""
+        recluster monitor's integer-exact scalar (`_micro_aff_mean`,
+        the batch cohort report's spelling)."""
         a = _ivf_assign(
             sample_df.select(
                 F.col("vec_id").alias("c_id"),
@@ -1743,16 +1756,7 @@ def run_ivfpq_stream(
             cent,
             keep_aff=True,
         )
-        micro = F.floor(F.col("aff") * 1_000_000 + F.lit(0.5)).cast("long")
-        return int(
-            a.select(micro.alias("m"))
-            .agg(
-                F.floor(F.sum("m").cast("double") / F.count(F.lit(1)))
-                .cast("long")
-                .alias("mean")
-            )
-            .collect()[0]["mean"]
-        )
+        return int(_micro_aff_mean(a).collect()[0]["mean"])
 
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
@@ -1905,14 +1909,10 @@ def run_ivfpq_stream(
                     " marker, before checkpoint commit"
                 )
         if delete_after is not None and b == delete_after:
-            if compact_after is not None:
-                from .similarity import _apply_cluster_takedown_compacted
-
-                _apply_cluster_takedown_compacted(
-                    spark, idx, "codes", compact_after, b, "vec_id"
-                )
-            else:
-                _apply_cluster_takedown(spark, idx, "codes", b, "vec_id")
+            _apply_cluster_takedown(
+                spark, idx, "codes", b, "vec_id",
+                compact_upto=compact_after,
+            )
             if (
                 fail_at_batch is not None
                 and b == fail_at_batch
@@ -2804,35 +2804,28 @@ def sim_search_ann_planner(spark, sf_dir):
             False,
         ),
     ]
-    n_total = em_full.count()
+    # ONE statistics pass: total + every predicate's match count in a
+    # single column-pruned aggregate (round-12 review — the op's own
+    # docstring calls this "a statistics lookup"; 1 + N full scans
+    # contradicted it)
+    stats = em_full.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum(F.when(pred, 1).otherwise(0)).alias(f"n_match_{i}")
+            for i, (_, pred, _) in enumerate(preds)
+        ],
+    ).collect()[0]
+    n_total = stats["n_total"]
     outs, regimes = [], {}
-    for pname, pred, index_servable in preds:
-        n_match = em_full.filter(pred).count()
+    for i, (pname, pred, index_servable) in enumerate(preds):
+        n_match = stats[f"n_match_{i}"]
         metadata_first = n_match * 100 < n_total * PLANNER_PCT
         regimes[pname] = "metadata_first" if metadata_first else "index"
         if metadata_first:
-            q = em.filter(F.col("vec_id") < N_PROBES).select(
-                F.col("vec_id").alias("q_id"),
-                F.col("embedding").alias("q_emb"),
-            )
-            c = em_full.filter(pred).select(
-                F.col("vec_id").alias("c_id"),
-                F.col("embedding").alias("c_emb"),
-            )
-            w = Window.partitionBy("q_id").orderBy(
-                F.desc("score"), F.asc("c_id")
-            )
-            res = (
-                c.crossJoin(F.broadcast(q))
-                .filter(F.col("q_id") != F.col("c_id"))
-                .select(
-                    "q_id",
-                    "c_id",
-                    dot6(F.col("q_emb"), F.col("c_emb")).alias("score"),
-                )
-                .withColumn("rank", F.row_number().over(w).cast("long"))
-                .filter(F.col("rank") <= TOP_K)
-            )
+            # the exact-rank block has ONE spelling (round-12 review)
+            from .similarity import _filtered_brute_anchor
+
+            res = _filtered_brute_anchor(spark, sf_dir, corpus_pred=pred)
         else:
             if not index_servable:
                 raise AssertionError(
@@ -2842,10 +2835,13 @@ def sim_search_ann_planner(spark, sf_dir):
             cent, books, coded = _ivfpq_full_build(
                 spark, sf_dir, with_label=True
             )
-            coded = coded.filter(
-                F.col("label") % ANN_FILTER_MOD == 0
-            ).drop("label")
-            res = _ivfpq_serve(spark, em, cent, books, coded)
+            # the LOOP's predicate, not a re-spelling of it — the
+            # registered predicate and the served filter can never
+            # diverge (round-12 review); index_servable pins that the
+            # predicate's columns ride inline with the codes
+            res = _ivfpq_serve(
+                spark, em, cent, books, coded.filter(pred).drop("label")
+            )
         outs.append(
             res.select(
                 F.lit(pname).alias("pred"),

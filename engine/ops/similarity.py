@@ -2328,17 +2328,23 @@ def _recall_report_sql():
 """
 
 
-def _filtered_brute_anchor(spark, sf_dir):
-    """The label-filtered brute top-k — sim_search_topk's exact logic
-    with the CORPUS side pre-filtered by the filtered-ANN predicate
-    (the ideal set the filtered search is measured against)."""
+def _filtered_brute_anchor(spark, sf_dir, corpus_pred=None):
+    """The predicate-filtered brute top-k — sim_search_topk's exact
+    logic with the CORPUS side pre-filtered (the ideal set a filtered
+    search is measured against). ``corpus_pred`` defaults to the
+    filtered-ANN label predicate; `sim_search_ann_planner` passes its
+    own registered predicates so the exact-rank block has ONE
+    spelling (round-12 review — three near-identical copies of the
+    dot6/window/rank chain would have to stay bit-equal by hand)."""
     from .pq import ANN_FILTER_MOD
 
+    if corpus_pred is None:
+        corpus_pred = F.col("label") % ANN_FILTER_MOD == 0
     em = table(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    c = em.filter(F.col("label") % ANN_FILTER_MOD == 0).select(
+    c = em.filter(corpus_pred).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
@@ -2807,86 +2813,47 @@ def _compact_cluster_generations(spark, idx, family, upto):
     os.replace(tmp, f"{idx}/compacted_upto")
 
 
-def _apply_cluster_takedown(spark, idx, family, upto, id_col):
-    """Rewrite ``{family}/gen=0..upto`` WITHOUT the takedown cohort
-    as cluster-partitioned purged twins (``{family}_p/gen=g``), write
-    tombstones (the ``id_col`` ids), publish the ``takedown_upto``
-    marker LAST (atomic). Originals are retained inside the replay
-    horizon — a replayed boundary batch redoes this as a
-    deterministic overwrite; the ANN streams' read side is
+def _apply_cluster_takedown(spark, idx, family, upto, id_col,
+                            compact_upto=None):
+    """Rewrite every covered source WITHOUT the takedown cohort as
+    cluster-partitioned purged twins, write tombstones (the
+    ``id_col`` ids), publish the ``takedown_upto`` marker LAST
+    (atomic). With ``compact_upto=None`` the covered sources are
+    ``{family}/gen=0..upto`` (twins land in ``{family}_p/gen=g``);
+    with ``compact_upto=k`` generations 0..k have already folded into
+    the ONE compacted layout ``{family}_c``, so the takedown must
+    reach the COMPACTED artifact — it rewrites ``{family}_c`` into
+    its purged twin ``{family}_c_p`` plus each post-compaction
+    generation into ``{family}_p/gen=g``. All rewrites are
+    filter-rewrites riding the partition-pruned scans. Originals stay
+    inside the replay horizon — a replayed boundary batch redoes this
+    as deterministic overwrites; the ANN streams' read side is
     serving-only, so the swap is purely a marker-gated serving
-    decision. One spelling for the IVF list stream and the
-    composed-index code stream (round-11 review)."""
+    decision. ONE spelling for the IVF list stream, the composed-code
+    stream, and its compacted form (round-11 + round-12 reviews —
+    the purge/tombstone/marker sequence must not fork)."""
     import os
 
     root = f"{idx}/{family}"
     td = F.col(id_col) % VEC_TD_MOD == VEC_TD_RES
-    for g in range(upto + 1):
+    first_gen = 0 if compact_upto is None else compact_upto + 1
+    sources = [] if compact_upto is None else [(f"{root}_c", f"{root}_c_p")]
+    sources += [
+        (f"{root}/gen={g}", f"{root}_p/gen={g}")
+        for g in range(first_gen, upto + 1)
+    ]
+    covered = None
+    for src, twin in sources:
+        df = spark.read.parquet(src)
         (
-            spark.read.parquet(f"{root}/gen={g}")
-            .filter(~td)
+            df.filter(~td)
             .repartition("cluster")
             .write.mode("overwrite")
             .partitionBy("cluster")
-            .parquet(f"{root}_p/gen={g}")
+            .parquet(twin)
         )
-    (
-        spark.read.option("basePath", root)
-        .parquet(*[f"{root}/gen={g}" for g in range(upto + 1)])
-        .filter(td)
-        .select(id_col)
-        .distinct()
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{idx}/tombstones")
-    )
-    tmp = f"{idx}/takedown_upto.tmp"
-    with open(tmp, "w") as f:
-        f.write(str(upto))
-    os.replace(tmp, f"{idx}/takedown_upto")
-
-
-def _apply_cluster_takedown_compacted(
-    spark, idx, family, compact_upto, upto, id_col
-):
-    """`_apply_cluster_takedown` for a stream whose generations
-    0..compact_upto have already folded into the ONE compacted
-    cluster-partitioned layout (``{family}_c``): the takedown must
-    reach the COMPACTED artifact, so it rewrites ``{family}_c``
-    WITHOUT the cohort into its purged twin ``{family}_c_p`` and each
-    post-compaction generation into ``{family}_p/gen=g`` — both
-    filter-rewrites riding the partition-pruned scans — writes
-    tombstones from the union of every covered source, and publishes
-    the ``takedown_upto`` marker LAST (atomic). Originals (compacted
-    layout AND retained generations) stay inside the replay horizon;
-    a replayed boundary batch redoes this as deterministic
-    overwrites."""
-    import os
-
-    root = f"{idx}/{family}"
-    td = F.col(id_col) % VEC_TD_MOD == VEC_TD_RES
-    (
-        spark.read.parquet(f"{root}_c")
-        .filter(~td)
-        .repartition("cluster")
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(f"{root}_c_p")
-    )
-    for g in range(compact_upto + 1, upto + 1):
-        (
-            spark.read.parquet(f"{root}/gen={g}")
-            .filter(~td)
-            .repartition("cluster")
-            .write.mode("overwrite")
-            .partitionBy("cluster")
-            .parquet(f"{root}_p/gen={g}")
-        )
-    covered = spark.read.parquet(f"{root}_c").select(id_col)
-    for g in range(compact_upto + 1, upto + 1):
-        covered = covered.unionByName(
-            spark.read.parquet(f"{root}/gen={g}").select(id_col)
-        )
+        ids = df.select(id_col)
+        covered = ids if covered is None else covered.unionByName(ids)
     (
         covered.filter(td)
         .distinct()

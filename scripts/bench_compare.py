@@ -16,6 +16,13 @@ def main() -> None:
     old_p, new_p = sys.argv[1], sys.argv[2]
     old = json.load(open(old_p))
     new = json.load(open(new_p))
+    for p, d in ((old_p, old), (new_p, new)):
+        if not isinstance(d, dict) or "_meta" not in d:
+            raise SystemExit(
+                f"{p}: no _meta block — this script compares bench.py"
+                " LOCAL artifacts (BENCH_local_r*.json with embedded"
+                " sentinels), not driver-side BENCH_r*.json files"
+            )
     om, nm = old.pop("_meta"), new.pop("_meta")
 
     def med(meta, key):
@@ -24,10 +31,19 @@ def main() -> None:
 
     o_jvm, n_jvm = med(om, "jvm_sentinel_times"), med(nm, "jvm_sentinel_times")
     o_py, n_py = med(om, "py_sentinel_times"), med(nm, "py_sentinel_times")
+    if o_jvm is None or n_jvm is None:
+        raise SystemExit(
+            "an artifact has no jvm sentinel times — normalization"
+            " needs the full-suite sentinel discipline"
+        )
+
+    def fmt(x):
+        return f"{x:.3f}" if x is not None else "n/a"
+
     print(f"old: n={om['n_queries']} total={om['total_raw_s']:.1f}s "
-          f"jvm_med={o_jvm:.3f} py_med={o_py:.3f}")
+          f"jvm_med={fmt(o_jvm)} py_med={fmt(o_py)}")
     print(f"new: n={nm['n_queries']} total={nm['total_raw_s']:.1f}s "
-          f"jvm_med={n_jvm:.3f} py_med={n_py:.3f}")
+          f"jvm_med={fmt(n_jvm)} py_med={fmt(n_py)}")
 
     shared = sorted(set(old) & set(new))
     only_new = sorted(set(new) - set(old))
