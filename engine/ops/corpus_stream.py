@@ -380,7 +380,8 @@ _GATE_CACHE: dict = {}
 def _frozen_gate_cached(spark, sf_dir, d, batch_of):
     from .dedup_stream import _feed_key
 
-    key = _feed_key(sf_dir, "gate")
+    # app-scoped like _EDGE_CACHE: within-invocation sharing only
+    key = (spark.sparkContext.applicationId, _feed_key(sf_dir, "gate"))
     if key not in _GATE_CACHE:
         lr0, t0 = _dsir_frozen_gate(d.filter(batch_of == 0))
         rows = [(r["bucket"], r["lr_micro"]) for r in lr0.collect()]

@@ -33,10 +33,11 @@ from .dedup import (
     _tokens,
 )
 
-# Bump to invalidate every cross-session staged-feed cache (the keys
-# also fold in the corpus fingerprint, the df schema, and the slicing
-# predicates' expression strings — this is the belt for transform-code
-# changes those can't see).
+# Bump to invalidate every staged-feed cache (the keys also fold in
+# the corpus fingerprint, the APPLICATION id — sharing is strictly
+# within-invocation — the df schema, and the slicing predicates'
+# expression strings — this is the belt for transform-code changes
+# those can't see).
 FEED_CACHE_VERSION = 1
 
 
@@ -76,7 +77,7 @@ def _stage_feed(df, base, src, conds, step=20, feed_key=None):
     (round-8 review: this block was forked verbatim four times).
 
     ``feed_key``: when given, the sliced files are built ONCE per
-    (corpus, rig family) into a keyed cache dir (atomic staging +
+    (application, corpus, rig family) into a keyed cache dir (atomic staging +
     rename publish, the suffix-artifact protocol) and each rig COPIES
     them into its own src — every stream op previously re-ran the
     same N slice-write jobs per rig (round-9 verdict item 5). Copies,
@@ -85,7 +86,7 @@ def _stage_feed(df, base, src, conds, step=20, feed_key=None):
     the feed's CONTENT signature — the df schema and every slicing
     predicate's expression string plus FEED_CACHE_VERSION — so a code
     change to the batch arithmetic or columns can never serve a stale
-    cross-session cache (review finding, round 10). DELETE rigs must
+    cache (review finding, round 10). DELETE rigs must
     NOT pass a feed_key at all: a takedown purges every arrival copy
     the application owns, and a shared cache outside the purge/audit
     perimeter would hold the deleted text — the rigs enforce this by
@@ -104,8 +105,18 @@ def _stage_feed(df, base, src, conds, step=20, feed_key=None):
     os.makedirs(src, exist_ok=True)
     now = time.time()
     if feed_key is not None:
+        from ..registry import run_scope
+
         sig = "|".join(
-            [feed_key, f"v{FEED_CACHE_VERSION}", df.schema.simpleString()]
+            [
+                feed_key,
+                f"v{FEED_CACHE_VERSION}",
+                # application-scoped: rigs within one invocation share
+                # the staged slices, a fresh invocation re-stages from
+                # the parquet inputs (no cross-run artifact reuse)
+                run_scope(df.sparkSession),
+                df.schema.simpleString(),
+            ]
             + [f"{b}:{cond}" for b, cond in conds]
         )
         feed_key = hashlib.md5(sig.encode()).hexdigest()[:16]

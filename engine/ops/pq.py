@@ -340,10 +340,17 @@ def _ivfpq_full_build_dir(spark, sf_dir):
 
     from .dedup_stream import _feed_key
 
+    from ..registry import run_scope
+
     sig = "|".join(
         [
             _feed_key(sf_dir, "ivfpq-build", "embeddings.parquet"),
             f"v{BUILD_CACHE_VERSION}",
+            # application-scoped (no cross-run artifact reuse): the
+            # three non-lifecycle composed ops inside ONE invocation
+            # still fold onto one build; a fresh bench/verify run
+            # always rebuilds from the parquet inputs
+            run_scope(spark),
             str(PQ_M),
             str(PQ_K),
             str(PQ_ITERS),
@@ -1197,10 +1204,15 @@ def _ivfpq_lifecycle_build_dir(spark, sf_dir, kind):
     from .dedup_stream import _feed_key
     from .similarity import RECLUSTER_NORM, RECLUSTER_SUB_DIM
 
+    from ..registry import run_scope
+
     sig = "|".join(
         [
             _feed_key(sf_dir, "ivfpq-lifecycle", "embeddings.parquet"),
             f"v{BUILD_CACHE_VERSION}",
+            # application-scoped: within-run sharing only (see
+            # _ivfpq_full_build_dir)
+            run_scope(spark),
             kind,
             str(PQ_M),
             str(PQ_K),

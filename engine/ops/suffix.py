@@ -490,19 +490,24 @@ def _suffix_array_build(spark, sf_dir):
 SA_ARTIFACT_VERSION = 2
 
 
-def _sa_artifact_dir(sf_dir):
+def _sa_artifact_dir(spark, sf_dir):
     """Stable on-disk location of the published suffix-array artifact
     for a given corpus. Keyed by the documents table's file listing
     (relpath, size, mtime) PLUS an algorithm token
     (SA_ARTIFACT_VERSION, SA_K0) — a changed corpus OR a changed
     construction gets a fresh key, so a stale artifact can never serve
-    a new corpus or new code."""
+    a new corpus or new code. The key also folds the APPLICATION id
+    (`registry.run_scope`): consumers within one invocation share one
+    build, but a fresh bench/verify invocation always rebuilds from
+    the parquet inputs — never serves a previous run's artifact."""
     import hashlib
     import os
     import tempfile
 
+    from ..registry import run_scope
+
     src = os.path.join(sf_dir, "documents.parquet")
-    parts = [f"v{SA_ARTIFACT_VERSION}:k0={SA_K0}"]
+    parts = [f"v{SA_ARTIFACT_VERSION}:k0={SA_K0}", run_scope(spark)]
     if os.path.isdir(src):
         for root, _dirs, files in os.walk(src):
             for f in sorted(files):
@@ -543,7 +548,7 @@ def _suffix_array_artifact(spark, sf_dir):
     import shutil
     import uuid
 
-    d = _sa_artifact_dir(sf_dir)
+    d = _sa_artifact_dir(spark, sf_dir)
     if not os.path.exists(d):
         final, sfx = _suffix_array_build(spark, sf_dir)
         tmp = f"{d}.staging-{uuid.uuid4().hex[:8]}"

@@ -47,6 +47,17 @@ def register(name: str, oracle: Optional[str] = None):
     return deco
 
 
+def run_scope(spark: SparkSession) -> str:
+    """Cache-key scope for keyed shared build artifacts (staged feeds,
+    index builds, suffix arrays): the Spark application id. Folding
+    this into every artifact key makes the sharing strictly
+    WITHIN-invocation — rigs inside one bench/verify run still fold
+    onto one build, but a fresh invocation always recomputes from the
+    parquet inputs (the optimization-round rule: no persisted
+    intermediates reused across runs)."""
+    return spark.sparkContext.applicationId
+
+
 def scratch_dir(name: str) -> str:
     """Stable per-operator scratch directory, wiped at each call.
 

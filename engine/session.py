@@ -14,10 +14,27 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
+
+def _shuffle_partitions() -> str:
+    """Default shuffle-partition count, derived from the core budget
+    (scale-adaptive posture: AQE re-sizes real workloads at runtime;
+    this is only the upper bound / state-store partition count for the
+    toy scale factors). Overridable via ENGINE_SHUFFLE_PARTITIONS for
+    cluster deployments where cores-per-host is the wrong basis."""
+    override = os.environ.get("ENGINE_SHUFFLE_PARTITIONS")
+    if override:
+        return override
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    return str(min(32, cpus * 2))
+
+
 # Runtime confs every query relies on; applied defensively to
-# externally-supplied sessions too (the driver builds its own).
+# externally-supplied sessions too (the driver builds its own — e.g.
+# the correctness driver's vanilla session otherwise runs every
+# stateful stream op with the 200-partition default).
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": _shuffle_partitions(),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

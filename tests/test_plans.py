@@ -812,7 +812,7 @@ def test_lcp_spans_reads_published_suffix_array(spark):
     from engine.ops.suffix import _sa_artifact_dir
 
     engine.QUERIES["dedup_suffix_array"](spark, T2_SF_DIR).collect()
-    art = _sa_artifact_dir(T2_SF_DIR)
+    art = _sa_artifact_dir(spark, T2_SF_DIR)
     assert os.path.isdir(os.path.join(art, "array"))
     assert os.path.isdir(os.path.join(art, "anchors"))
     lazy = engine.QUERIES["dedup_lcp_spans"](spark, T2_SF_DIR)

@@ -2648,6 +2648,27 @@ def test_delete_rigs_stage_feed_privately(spark, tmp_path):
     )
 
 
+def test_shared_artifact_keys_are_application_scoped(spark):
+    """Every keyed shared-artifact cache folds the Spark application
+    id into its key (registry.run_scope): rigs inside ONE invocation
+    share a build, but a fresh bench/verify invocation can never be
+    served a previous run's persisted artifact (optimization-round
+    rule: every invocation computes from the parquet inputs). Pinned
+    white-box on the suffix-array artifact key — a different
+    application id must yield a different artifact directory."""
+    from engine.ops.suffix import _sa_artifact_dir
+
+    class _FakeSC:
+        applicationId = "application-not-this-run"
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    here = _sa_artifact_dir(spark, SMOKE_SF_DIR)
+    other = _sa_artifact_dir(_FakeSpark(), SMOKE_SF_DIR)
+    assert here != other, "SA artifact key ignores the application id"
+
+
 def test_ivfpq_stream_boundary_restart(spark, tmp_path):
     """Kill/restart ACROSS the composed IVF+PQ stream's compaction
     boundary (stream_sim_ivfpq_e2e's torn state): run 1 trains +
