@@ -584,6 +584,22 @@ def _reupload_docs(d, mx):
     )
 
 
+def _ensure_gen_dirs(spark, dst_root, upto, builder):
+    """Structural guard for folded partitionBy("gen") twin writes: a
+    partitioned write SKIPS empty partitions, so a covered generation
+    whose rows are all filtered away would leave ``dst_root/gen=g``
+    missing where the old per-generation loop wrote an empty (but
+    readable) directory. Materialize any missing covered dir from
+    ``builder(g)`` — never fires on the bench fixtures (every
+    generation keeps survivors); replay-determinism safety only."""
+    import os
+
+    for g in range(upto + 1):
+        dst = f"{dst_root}/gen={g}"
+        if not os.path.isdir(dst):
+            builder(g).write.mode("overwrite").parquet(dst)
+
+
 def _apply_takedown(
     spark, idx, upto, src=None, band_tombstones=False, purge_counts=False
 ):
@@ -620,27 +636,46 @@ def _apply_takedown(
     import os
 
     td = _takedown_pred()
-    for g in range(upto + 1):
+    # ONE pass per family instead of one per generation (optimization
+    # round 12, guide §1.2/§2.4): the covered generations are read
+    # with basePath so ``gen`` rides along as a partition column, and
+    # one partitionBy("gen") write lands the per-generation twin dirs
+    # byte-compatible with the old per-gen loop — same directories,
+    # same rows, upto+1 fewer Spark jobs per family. The redo on
+    # replay is still a deterministic overwrite of the whole covered
+    # prefix (the loop also rewrote every covered generation).
+    gens = [f"gen={g}" for g in range(upto + 1)]
+    for fam in ("bands", "shingles"):
         (
-            spark.read.parquet(f"{idx}/bands/gen={g}")
+            spark.read.option("basePath", f"{idx}/{fam}")
+            .parquet(*[f"{idx}/{fam}/{g}" for g in gens])
             .filter(~td)
             .write.mode("overwrite")
-            .parquet(f"{idx}/bands_p/gen={g}")
+            .partitionBy("gen")
+            .parquet(f"{idx}/{fam}_p")
         )
+        _ensure_gen_dirs(
+            spark, f"{idx}/{fam}_p", upto,
+            lambda g, fam=fam: spark.read.parquet(
+                f"{idx}/{fam}/gen={g}"
+            ).filter(~td),
+        )
+    if purge_counts:
         (
-            spark.read.parquet(f"{idx}/shingles/gen={g}")
-            .filter(~td)
+            spark.read.option("basePath", f"{idx}/bands_p")
+            .parquet(*[f"{idx}/bands_p/{g}" for g in gens])
+            .groupBy("gen", "band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n_new"))
             .write.mode("overwrite")
-            .parquet(f"{idx}/shingles_p/gen={g}")
+            .partitionBy("gen")
+            .parquet(f"{idx}/counts_p")
         )
-        if purge_counts:
-            (
-                spark.read.parquet(f"{idx}/bands_p/gen={g}")
-                .groupBy("band", "band_key")
-                .agg(F.count(F.lit(1)).alias("n_new"))
-                .write.mode("overwrite")
-                .parquet(f"{idx}/counts_p/gen={g}")
-            )
+        _ensure_gen_dirs(
+            spark, f"{idx}/counts_p", upto,
+            lambda g: spark.read.parquet(f"{idx}/bands_p/gen={g}")
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n_new")),
+        )
     (
         spark.read.parquet(
             *[f"{idx}/shingles/gen={g}" for g in range(upto + 1)]
@@ -713,16 +748,42 @@ def _purge_sink(spark, sink, upto, rows_per_file=None):
 
     per = rows_per_file or PURGE_ROWS_PER_FILE
     td = _takedown_pred()
-    for g in range(upto + 1):
-        p = f"{sink}/batch_id={g}"
-        if os.path.exists(p):
-            kept = (
-                spark.read.parquet(p)
-                .filter(~td)
-                .localCheckpoint(eager=True)
-            )
-            n_files = max(1, -(-kept.count() // per))
-            kept.repartition(n_files).write.mode("overwrite").parquet(p)
+    # ONE filtered pass + ONE grouped count over all served partitions
+    # instead of a (scan + count) pair per partition (optimization
+    # round 12, guide §1.2): the covered dirs are read with basePath
+    # so batch_id rides along, checkpointed once, and each partition's
+    # rewrite slices the checkpointed frame.
+    existing = [
+        g for g in range(upto + 1)
+        if os.path.exists(f"{sink}/batch_id={g}")
+    ]
+    if not existing:
+        return
+    kept = (
+        spark.read.option("basePath", sink)
+        .parquet(*[f"{sink}/batch_id={g}" for g in existing])
+        .filter(~td)
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["batch_id"]: r["n"]
+        for r in kept.groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # per-partition rewrites keep the exact round-robin sharding
+    # (ceil(rows/per) parallel writer tasks — the round-9 property),
+    # but each write now slices the ONE checkpointed frame instead of
+    # re-scanning and re-counting its directory.
+    for g in existing:
+        n_files = max(1, -(-counts.get(g, 0) // per))
+        (
+            kept.filter(F.col("batch_id") == g)
+            .drop("batch_id")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(f"{sink}/batch_id={g}")
+        )
 
 
 def run_inc_lsh_stream(
@@ -1367,18 +1428,29 @@ def _audit_roots_no_tombstoned(spark, tomb, roots, id_col="doc_id"):
             raise AssertionError(
                 f"takedown audit: root {root} has no {id_col} column"
             )
-        leaked = df.select(id_col).join(
-            F.broadcast(tomb.select(id_col)), id_col, "left_semi"
+        # label each root's ids and fold every root into ONE audit
+        # action below (optimization round 12, guide §1.2: one union
+        # scan + one semi-join instead of one job per root) — the
+        # raised error still names a violating root
+        ids = df.select(
+            F.lit(root).alias("_audit_root"), F.col(id_col)
         )
-        if leaked.limit(1).count() > 0:
-            raise AssertionError(
-                f"takedown incomplete: {root} still holds a"
-                f" tombstoned {id_col}"
-            )
+        surviving = (
+            ids if checked == 0 else surviving.unionByName(ids)  # noqa: F821
+        )
         checked += 1
     if checked == 0:
         raise AssertionError(
             f"takedown audit: none of the roots exist: {roots}"
+        )
+    leaked = surviving.join(
+        F.broadcast(tomb.select(id_col)), id_col, "left_semi"
+    )
+    hit = leaked.limit(1).collect()
+    if hit:
+        raise AssertionError(
+            f"takedown incomplete: {hit[0]['_audit_root']} still holds"
+            f" a tombstoned {id_col}"
         )
 
 

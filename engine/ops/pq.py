@@ -436,8 +436,15 @@ def _ivfpq_serve(spark, em, cent, books, coded):
             lut_rows.extend(
                 (r["vec_id"], j, k, int(w[k])) for k in range(PQ_K)
             )
+    # pandas -> Arrow ingestion (guide §6: the Arrow driver-transfer
+    # path) instead of a pickled local relation; dtypes pinned so the
+    # schema stays exactly (long, int, int, long)
+    import pandas as pd
+
     lut = spark.createDataFrame(
-        lut_rows, "l_q long, l_j int, l_k int, w long"
+        pd.DataFrame(
+            lut_rows, columns=["l_q", "l_j", "l_k", "w"]
+        ).astype({"l_q": "int64", "l_j": "int32", "l_k": "int32", "w": "int64"})
     )
 
     probe_w = Window.partitionBy("q_id").orderBy(
@@ -746,6 +753,8 @@ def _pq_adc_probe(spark, em, books, encoded):
 def _pq_books_to_df(spark, books):
     """Codebooks as a (j, k, pos, c_u) parquet-able frame — the
     persisted form (O(PQ_M × PQ_K × sub) rows, model-sized)."""
+    import pandas as pd
+
     sub = EMB_DIM // PQ_M
     rows = [
         (j, k, p, int(B[k][p]))
@@ -753,7 +762,13 @@ def _pq_books_to_df(spark, books):
         for k in range(PQ_K)
         for p in range(sub)
     ]
-    return spark.createDataFrame(rows, "j int, k int, pos int, c_u long")
+    # Arrow ingestion with pinned dtypes — schema identical to the
+    # former "j int, k int, pos int, c_u long" local relation
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["j", "k", "pos", "c_u"]).astype(
+            {"j": "int32", "k": "int32", "pos": "int32", "c_u": "int64"}
+        )
+    )
 
 
 def _pq_books_from_df(df):
@@ -1133,16 +1148,13 @@ def _ivfpq_lifecycle_layout(spark, em, base, cut=None):
     _pq_books_to_df(spark, books).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{base}/codebooks")
-    (
+    gen0 = (
         _pq_encode(spark, base_em, books)
         .join(
             lists.select(F.col("c_id").alias("vec_id"), "cluster"),
             "vec_id",
         )
-        .repartition("cluster")
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(f"{base}/codes/gen=0")
+        .withColumn("gen", F.lit(0))
     )
     cent = spark.read.parquet(f"{base}/centroids")
     loaded = _pq_books_from_df(spark.read.parquet(f"{base}/codebooks"))
@@ -1153,13 +1165,22 @@ def _ivfpq_lifecycle_layout(spark, em, base, cut=None):
         ),
         cent,
     ).select(F.col("c_id").alias("vec_id"), "cluster")
-    (
+    gen1 = (
         _pq_encode(spark, app, loaded)
         .join(assigned, "vec_id")
-        .repartition("cluster")
+        .withColumn("gen", F.lit(1))
+    )
+    # BOTH generations land in one partitionBy("gen", "cluster") write
+    # (optimization round 12, guide §1.2): gen=0 still encodes against
+    # the in-build models, gen=1 against the LOADED published models —
+    # the two branches stay distinct inside the one union plan, and
+    # the directory layout is identical to the former two writes.
+    (
+        gen0.unionByName(gen1)
+        .repartition("gen", "cluster")
         .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(f"{base}/codes/gen=1")
+        .partitionBy("gen", "cluster")
+        .parquet(f"{base}/codes")
     )
     return cent, loaded
 
@@ -1332,15 +1353,18 @@ def sim_index_ivfpq_delete(spark, sf_dir):
     cent, loaded = _ivfpq_lifecycle_layout(spark, em, base)
 
     td = F.col("vec_id") % VEC_TD_MOD == VEC_TD_RES
-    for g in (0, 1):
-        (
-            spark.read.parquet(f"{base}/codes/gen={g}")
-            .filter(~td)
-            .repartition("cluster")
-            .write.mode("overwrite")
-            .partitionBy("cluster")
-            .parquet(f"{base}/codes_p/gen={g}")
-        )
+    # ONE filter-rewrite over both generations (optimization round 12,
+    # guide §1.2): basePath carries gen; partitionBy("gen", "cluster")
+    # lands the identical per-generation cluster-partitioned twins.
+    (
+        spark.read.option("basePath", f"{base}/codes")
+        .parquet(f"{base}/codes/gen=0", f"{base}/codes/gen=1")
+        .filter(~td)
+        .repartition("gen", "cluster")
+        .write.mode("overwrite")
+        .partitionBy("gen", "cluster")
+        .parquet(f"{base}/codes_p")
+    )
     (
         em.filter(td)
         .select("vec_id")
@@ -1847,16 +1871,21 @@ def run_ivfpq_stream(
                     ),
                     cent1,
                 ).select(F.col("c_id").alias("vec_id"), "cluster")
-                for g in range(b):
-                    (
-                        spark.read.parquet(f"{idx}/codes/gen={g}")
-                        .select("vec_id", "code")
-                        .join(moved, "vec_id")
-                        .repartition("cluster")
-                        .write.mode("overwrite")
-                        .partitionBy("cluster")
-                        .parquet(f"{idx}/codes_r/gen={g}")
+                # ONE placement rewrite across all prior generations
+                # (optimization round 12, guide §1.2): same per-gen
+                # cluster-partitioned codes_r twins, one job.
+                (
+                    spark.read.option("basePath", f"{idx}/codes")
+                    .parquet(
+                        *[f"{idx}/codes/gen={g}" for g in range(b)]
                     )
+                    .select("gen", "vec_id", "code")
+                    .join(moved, "vec_id")
+                    .repartition("gen", "cluster")
+                    .write.mode("overwrite")
+                    .partitionBy("gen", "cluster")
+                    .parquet(f"{idx}/codes_r")
+                )
                 tmp = f"{idx}/reclustered_upto.tmp"
                 with open(tmp, "w") as f:
                     f.write(str(b - 1))
@@ -3030,13 +3059,26 @@ def run_pq_recode_stream(
             # codebook eras; purged twins KEEP the cb column so
             # per-era LUT routing survives the purge
             td = F.col("vec_id") % VEC_TD_MOD == VEC_TD_RES
-            for g in range(b + 1):
-                (
-                    spark.read.parquet(f"{idx}/codes/gen={g}")
-                    .filter(~td)
-                    .write.mode("overwrite")
-                    .parquet(f"{idx}/codes_p/gen={g}")
-                )
+            from .dedup_stream import _ensure_gen_dirs
+
+            # ONE filter-rewrite across both codebook eras' covered
+            # generations (optimization round 12, guide §1.2); the
+            # twins keep their cb column exactly as before — gen is a
+            # partition directory in both layouts.
+            (
+                spark.read.option("basePath", f"{idx}/codes")
+                .parquet(*[f"{idx}/codes/gen={g}" for g in range(b + 1)])
+                .filter(~td)
+                .write.mode("overwrite")
+                .partitionBy("gen")
+                .parquet(f"{idx}/codes_p")
+            )
+            _ensure_gen_dirs(
+                spark, f"{idx}/codes_p", b,
+                lambda g: spark.read.parquet(
+                    f"{idx}/codes/gen={g}"
+                ).filter(~td),
+            )
             covered = spark.read.parquet(
                 *[f"{idx}/codes/gen={g}" for g in range(b + 1)]
             )

@@ -2837,22 +2837,33 @@ def _apply_cluster_takedown(spark, idx, family, upto, id_col,
     root = f"{idx}/{family}"
     td = F.col(id_col) % VEC_TD_MOD == VEC_TD_RES
     first_gen = 0 if compact_upto is None else compact_upto + 1
-    sources = [] if compact_upto is None else [(f"{root}_c", f"{root}_c_p")]
-    sources += [
-        (f"{root}/gen={g}", f"{root}_p/gen={g}")
-        for g in range(first_gen, upto + 1)
-    ]
     covered = None
-    for src, twin in sources:
-        df = spark.read.parquet(src)
+    if compact_upto is not None:
+        dfc = spark.read.parquet(f"{root}_c")
         (
-            df.filter(~td)
+            dfc.filter(~td)
             .repartition("cluster")
             .write.mode("overwrite")
             .partitionBy("cluster")
-            .parquet(twin)
+            .parquet(f"{root}_c_p")
         )
-        ids = df.select(id_col)
+        covered = dfc.select(id_col)
+    gen_paths = [f"{root}/gen={g}" for g in range(first_gen, upto + 1)]
+    if gen_paths:
+        # ONE filter-rewrite over all covered generations instead of
+        # one per generation (optimization round 12, guide §1.2): the
+        # basePath read carries gen as a partition column and the
+        # partitionBy("gen", "cluster") write lands the same per-
+        # generation cluster-partitioned twin dirs the loop produced.
+        dfg = spark.read.option("basePath", root).parquet(*gen_paths)
+        (
+            dfg.filter(~td)
+            .repartition("gen", "cluster")
+            .write.mode("overwrite")
+            .partitionBy("gen", "cluster")
+            .parquet(f"{root}_p")
+        )
+        ids = dfg.select(id_col)
         covered = ids if covered is None else covered.unionByName(ids)
     (
         covered.filter(td)

@@ -2339,6 +2339,42 @@ def test_purge_sink_shards_oversized_partition(spark, tmp_path):
     assert len(files) == expected_files, (len(files), expected_files)
 
 
+def test_purge_sink_folds_partitions_one_pass(spark, tmp_path):
+    """_purge_sink now reads all covered partitions in ONE basePath
+    scan (one checkpoint + one grouped count) and slices per-partition
+    rewrites from it (round-12 optimization). Pins the fold's
+    equivalence: every covered partition is purged, uncovered
+    partitions untouched, per-partition file budget preserved."""
+    from engine.ops.dedup_stream import TD_MOD, TD_RES, _purge_sink
+
+    sink = tmp_path / "sink"
+    n = 3_000
+    for g in (0, 1, 2):
+        spark.range(g * n, (g + 1) * n).selectExpr(
+            "id AS doc_id", "id * 2 AS payload"
+        ).coalesce(1).write.parquet(str(sink / f"batch_id={g}"))
+
+    _purge_sink(spark, str(sink), 1, rows_per_file=1_000)
+
+    for g in (0, 1):
+        part = spark.read.parquet(str(sink / f"batch_id={g}"))
+        assert part.filter((part.doc_id % TD_MOD) == TD_RES).count() == 0
+        n_kept = part.count()
+        assert n_kept == len(
+            [i for i in range(g * n, (g + 1) * n) if i % TD_MOD != TD_RES]
+        )
+        files = [
+            f
+            for f in os.listdir(sink / f"batch_id={g}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == -(-n_kept // 1_000)
+    # partition 2 is past the boundary: byte-untouched
+    part2 = spark.read.parquet(str(sink / "batch_id=2"))
+    assert part2.count() == n
+    assert part2.filter((part2.doc_id % TD_MOD) == TD_RES).count() > 0
+
+
 def test_feed_purge_and_content_roots_audit(spark, tmp_path):
     """Takedown must reach the ARRIVAL copies (ADVICE r9): after the
     takedown GC proves the covered batches can never replay, the
