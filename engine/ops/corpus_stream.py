@@ -420,6 +420,7 @@ def run_corpus_prep_stream(
     from .dedup import N_INC_BATCHES, _lsh_band_rows, _shingle_array, _tokens
     from .dedup_stream import (
         _apply_takedown,
+        _batch_fan,
         _compact_index_generations,
         _feed_key,
         _inc_lsh_dedupe_batch,
@@ -486,7 +487,7 @@ def run_corpus_prep_stream(
                 "doc_id",
             )
             doc_sh = (
-                kept_docs.repartition(32, "doc_id")
+                kept_docs.repartition(_batch_fan(batch_df), "doc_id")
                 .select("doc_id", _shingle_array(_tokens()).alias("sh"))
                 .persist()
             )

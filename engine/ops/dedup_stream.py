@@ -179,6 +179,34 @@ INC_LSH_SQL = f"""
 
 
 
+def _batch_fan(df):
+    """Partition fan for a document batch's CPU-bound shingle/minhash
+    chain, derived from the batch's INPUT SIZE instead of a constant
+    (guide §2.2/§2.5: scale-adaptive partitioning — a constant tuned
+    for either local mode or the cluster is wrong at the other scale).
+    One task per ~512 KB of input, clamped to [4, shuffle.partitions]:
+    a toy increment keeps enough fan for the md5-minhash compute
+    without shattering every index generation into 32 tiny files
+    (whose read-back cost recurs in every later batch), while a real
+    increment spreads across the full core budget.
+    ENGINE_STREAM_FAN overrides for experiments."""
+    import os
+
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    override = os.environ.get("ENGINE_STREAM_FAN")
+    if override:
+        return min(int(override), target)
+    try:
+        n_bytes = sum(
+            os.path.getsize(p.removeprefix("file:"))
+            for p in df.inputFiles()
+        )
+    except OSError:
+        return target
+    return max(4, min(target, -(-n_bytes // (512 * 1024))))
+
+
 def _inc_lsh_prepare(docs):
     """Shared cached frames for the incremental run: shingle arrays
     and band rows for the WHOLE corpus, computed and cached once.
@@ -190,7 +218,7 @@ def _inc_lsh_prepare(docs):
     this sharing is a local-bench artifact of replaying all batches
     in one query."""
     doc_sh = (
-        docs.repartition(32, "doc_id")
+        docs.repartition(_batch_fan(docs), "doc_id")
         .select("doc_id", _shingle_array(_tokens()).alias("sh"))
         .persist()
     )
@@ -934,7 +962,7 @@ def run_inc_lsh_stream(
                 if batch_df.isEmpty():
                     return
         doc_sh = (
-            batch_df.repartition(32, "doc_id")
+            batch_df.repartition(_batch_fan(batch_df), "doc_id")
             .select("doc_id", _shingle_array(_tokens()).alias("sh"))
             .persist()
         )

@@ -41,6 +41,7 @@ from .similarity import (
     _ivf_build,
     _ivf_build_from,
     _ivf_cuts,
+    _spread,
     dot6,
 )
 
@@ -610,6 +611,7 @@ def _pq_encode(spark, em, books):
     """Distributed map-only PQ encoding against broadcast codebooks:
     one mapInPandas pass argmins each subvector (vectorized int64 L2),
     emitting PQ_M small ints per vector."""
+    em = _spread(em)
     m, sub = PQ_M, EMB_DIM // PQ_M
     bks = spark.sparkContext.broadcast([b.tolist() for b in books])
 
@@ -1141,6 +1143,7 @@ def _ivfpq_lifecycle_layout(spark, em, base, cut=None):
     recluster (the `_pq_persist_layout` discipline)."""
     if cut is None:
         cut = _ivf_append_cut(em)
+    em = _spread(em)
     base_em = em.filter(F.col("vec_id") < cut)
     refined, lists = _ivf_build_from(base_em)
     books = _pq_train(_pq_sample(em, cut=cut))
@@ -1393,7 +1396,7 @@ def sim_index_ivfpq_delete(spark, sf_dir):
     # frozen-model rebuild equivalence: purged serving must equal a
     # clean re-assign + re-encode of the reduced corpus against the
     # same centroids and codebooks
-    reduced = em.filter(~td)
+    reduced = _spread(em.filter(~td))
     re_assigned = _ivf_assign(
         reduced.select(
             F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")

@@ -262,6 +262,23 @@ IVF_NPROBE = 8  # clusters probed per query (recall@k >= 0.9 floor:
 # why high recall is expensive here and cheap on real embeddings)
 
 
+def _spread(df, key="vec_id"):
+    """Spread a narrow scan across the core budget before a CPU-bound
+    per-row chain (broadcast-centroid dot folds, PQ encodes): the toy
+    corpus reads as ONE split, which serializes those chains on one
+    task while the other cores idle (measured: the lifecycle build's
+    assign+encode stages ran 2.2-2.7 s single-task at sf0.1 — guide
+    §2.5, input skew from an unsplittable single-row-group file).
+    No-op when the input already has enough partitions — production
+    scans have natural splits, so the extra exchange never fires
+    there."""
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= min(8, target):
+        return df
+    return df.repartition(target, key)
+
+
 def _ivf_assign(vectors, centroids, keep_aff=False):
     """Max-dot cluster per vector; ties break to lowest cluster id.
     Broadcast-centroid map-only pass (the NLIST×64 table is tiny at
@@ -288,6 +305,7 @@ def _ivf_build_from(em):
     base of both the full-corpus build (_ivf_build) and the
     append lifecycle's frozen-centroid build over the pre-cut slice
     (sim_index_append)."""
+    em = _spread(em)
     c = em.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
 
     seeds = (

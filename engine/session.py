@@ -55,6 +55,19 @@ RUNTIME_CONFS = {
     # runtime bloom filter injects at toy scale
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
+    # optimization round 12 (guide §3.1/§9): let the planner pick a
+    # shuffled-hash join when its build side fits instead of always
+    # sort-merge — skips both sorts; result multisets are unchanged
+    # (every oracle is engine-order-independent by design, proven by
+    # the DuckDB value hashes). A/B'd at sf0.1: averaged positive,
+    # strongest on iterative join ops; adopted suite-wide.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    # driver-side LISTING of partitioned layouts (cluster=*/gen=* dirs,
+    # date partitions) launches a Spark job above this many paths; the
+    # default 32 turns every small partitioned-layout read into an
+    # extra job at any scale. 512 paths still lists in-driver in
+    # microseconds; beyond that the parallel job is genuinely needed.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "512",
 }
 
 

@@ -40,6 +40,10 @@ VARIANTS = {
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.sources.parallelPartitionDiscovery.threshold": "512",
     },
+    "shj_listing": {
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.sources.parallelPartitionDiscovery.threshold": "512",
+    },
 }
 
 

@@ -40,6 +40,8 @@ def build_session(log_dir: str):
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", log_dir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
@@ -83,13 +85,27 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
-    # the event log is <dir>/<app_id>(.inprogress)
-    path = os.path.join(log_dir, app_id)
-    if not os.path.exists(path):
-        path = path + ".inprogress"
+    # the event log is <dir>/<app_id>(.inprogress), or a rolling
+    # eventlog_v2_<app_id>/ directory of events_* files (Spark 4)
+    candidates = [
+        os.path.join(log_dir, app_id),
+        os.path.join(log_dir, app_id + ".inprogress"),
+    ]
+    roll = os.path.join(log_dir, f"eventlog_v2_{app_id}")
+    if os.path.isdir(roll):
+        candidates += sorted(
+            os.path.join(roll, f)
+            for f in os.listdir(roll)
+            if f.startswith("events_")
+        )
+    lines = []
+    for path in candidates:
+        if os.path.isfile(path):
+            with open(path) as f:
+                lines.extend(f)
     jobs = {}
-    with open(path) as f:
-        for line in f:
+    if True:
+        for line in lines:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
