@@ -3147,7 +3147,10 @@ def run_pq_recode_stream(
     exm = ex.localCheckpoint(eager=True)
     cand = None
     for g in (0, 1):
-        part = codes.filter(F.col("cb") == g).drop("cb")
+        # spread here, where the codes frame is a fresh parquet read
+        # (cheap partition probe): a single-file generation otherwise
+        # serializes the ADC gather on one task (guide §2.5)
+        part = _spread(codes.filter(F.col("cb") == g).drop("cb"))
         if part.isEmpty():
             continue
         books_g = _pq_books_from_df(

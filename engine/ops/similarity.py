@@ -2029,6 +2029,7 @@ def _drifted_corpus(em, append_cut):
     RECLUSTER_SUB_DIM-dim subspace at norm RECLUSTER_NORM. The
     expression SHAPE (left-associated sum of squares, (0.6*e)/nrm
     double arithmetic) matches _recluster_drift_sql bit-for-bit."""
+    em = _spread(em)  # the re-embed chain is per-row CPU (guide §2.5)
     els = [
         F.element_at("embedding", i).cast("double")
         for i in range(1, RECLUSTER_SUB_DIM + 1)
