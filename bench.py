@@ -182,6 +182,12 @@ def main() -> None:
             json.dump(artifact, f, indent=1)
             f.write("\n")
         print(f"# wrote {args.out}", file=sys.stderr)
+    # The stdout contract line stays as small as possible (round-12
+    # verdict item 7: the r11 driver capture failed to parse a ~30 KB
+    # line; a truncated tail-capture must not null another round's
+    # comparison). The full per-query sentinel-normalized map lives in
+    # the --out artifact only — on stdout it is derivable from
+    # `queries` + `times` — and the line is flushed explicitly.
     print(
         json.dumps(
             {
@@ -195,13 +201,13 @@ def main() -> None:
                     "id": SENTINEL,
                     "every": SENTINEL_EVERY,
                     "times": sent_times,
-                    "norm": sent_norm,
                     "py_id": PY_SENTINEL,
                     "py_times": py_sent_times,
                     "disk_times": disk_sent_times,
                 },
             }
-        )
+        ),
+        flush=True,
     )
 
 

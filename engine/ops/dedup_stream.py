@@ -147,10 +147,14 @@ def _stage_feed(df, base, src, conds, step=20, feed_key=None):
         tempfile.gettempdir(), f"engine_feed_{feed_key}"
     )
     if not os.path.exists(shared):
+        from ..registry import gc_other_scope_artifacts, write_scope_marker
+
+        gc_other_scope_artifacts(df.sparkSession, "engine_feed_")
         tmp = f"{shared}.staging-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp, exist_ok=True)
         build(tmp, f"{tmp}/stage")
         shutil.rmtree(f"{tmp}/stage", ignore_errors=True)
+        write_scope_marker(df.sparkSession, tmp)
         try:
             os.rename(tmp, shared)
         except OSError:
@@ -198,9 +202,16 @@ def _batch_fan(df):
     if override:
         return min(int(override), target)
     try:
+        paths = df.inputFiles()
+        if not paths or any(
+            not p.startswith(("file:", "/")) for p in paths
+        ):
+            # no resolvable local files (non-file scheme, empty
+            # listing): size is UNKNOWN — keep the full fan rather
+            # than underfanning a large batch to the minimum
+            return target
         n_bytes = sum(
-            os.path.getsize(p.removeprefix("file:"))
-            for p in df.inputFiles()
+            os.path.getsize(p.removeprefix("file:")) for p in paths
         )
     except OSError:
         return target
@@ -612,7 +623,7 @@ def _reupload_docs(d, mx):
     )
 
 
-def _ensure_gen_dirs(spark, dst_root, upto, builder):
+def _ensure_gen_dirs(spark, dst_root, upto, builder, start=0):
     """Structural guard for folded partitionBy("gen") twin writes: a
     partitioned write SKIPS empty partitions, so a covered generation
     whose rows are all filtered away would leave ``dst_root/gen=g``
@@ -622,7 +633,7 @@ def _ensure_gen_dirs(spark, dst_root, upto, builder):
     generation keeps survivors); replay-determinism safety only."""
     import os
 
-    for g in range(upto + 1):
+    for g in range(start, upto + 1):
         dst = f"{dst_root}/gen={g}"
         if not os.path.isdir(dst):
             builder(g).write.mode("overwrite").parquet(dst)
@@ -1459,9 +1470,12 @@ def _audit_roots_no_tombstoned(spark, tomb, roots, id_col="doc_id"):
         # label each root's ids and fold every root into ONE audit
         # action below (optimization round 12, guide §1.2: one union
         # scan + one semi-join instead of one job per root) — the
-        # raised error still names a violating root
+        # raised error still names a violating root. Cast the id to
+        # the tombstone frame's dtype so roots with differing id
+        # widths still union (ADVICE r12).
         ids = df.select(
-            F.lit(root).alias("_audit_root"), F.col(id_col)
+            F.lit(root).alias("_audit_root"),
+            F.col(id_col).cast(tomb.schema[id_col].dataType),
         )
         surviving = (
             ids if checked == 0 else surviving.unionByName(ids)  # noqa: F821

@@ -362,6 +362,9 @@ def _ivfpq_full_build_dir(spark, sf_dir):
     key = hashlib.md5(sig.encode()).hexdigest()[:16]
     pub = os.path.join(tempfile.gettempdir(), f"engine_ivfpq_build_{key}")
     if not os.path.exists(pub):
+        from ..registry import gc_other_scope_artifacts, write_scope_marker
+
+        gc_other_scope_artifacts(spark, "engine_ivfpq_build_")
         tmp = f"{pub}.staging-{uuid.uuid4().hex[:8]}"
         try:
             em_full = table(spark, sf_dir, "embeddings")
@@ -392,6 +395,7 @@ def _ivfpq_full_build_dir(spark, sf_dir):
             # r11) — rmtree then re-raise; the publish never happened
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        write_scope_marker(spark, tmp)
         try:
             os.rename(tmp, pub)
         except OSError:
@@ -1250,6 +1254,9 @@ def _ivfpq_lifecycle_build_dir(spark, sf_dir, kind):
     key = hashlib.md5(sig.encode()).hexdigest()[:16]
     pub = os.path.join(tempfile.gettempdir(), f"engine_ivfpq_lc_{key}")
     if not os.path.exists(pub):
+        from ..registry import gc_other_scope_artifacts, write_scope_marker
+
+        gc_other_scope_artifacts(spark, "engine_ivfpq_lc_")
         tmp = f"{pub}.staging-{uuid.uuid4().hex[:8]}"
         try:
             em = table(spark, sf_dir, "embeddings").select(
@@ -1269,6 +1276,7 @@ def _ivfpq_lifecycle_build_dir(spark, sf_dir, kind):
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        write_scope_marker(spark, tmp)
         try:
             os.rename(tmp, pub)
         except OSError:
@@ -1367,6 +1375,17 @@ def sim_index_ivfpq_delete(spark, sf_dir):
         .write.mode("overwrite")
         .partitionBy("gen", "cluster")
         .parquet(f"{base}/codes_p")
+    )
+    # a partitioned write skips empty partitions: a generation fully
+    # removed by the cohort must still leave a readable gen dir for
+    # the explicit codes_p/gen=N reads below (ADVICE r12)
+    from .dedup_stream import _ensure_gen_dirs
+
+    _ensure_gen_dirs(
+        spark, f"{base}/codes_p", 1,
+        lambda g: spark.read.parquet(f"{base}/codes/gen={g}").filter(
+            ~td
+        ),
     )
     (
         em.filter(td)
@@ -1888,6 +1907,19 @@ def run_ivfpq_stream(
                     .write.mode("overwrite")
                     .partitionBy("gen", "cluster")
                     .parquet(f"{idx}/codes_r")
+                )
+                # empty-generation guard for the folded write: the
+                # serving reads walk codes_r/gen=0..b-1 explicitly
+                # (ADVICE r12)
+                from .dedup_stream import _ensure_gen_dirs
+
+                _ensure_gen_dirs(
+                    spark, f"{idx}/codes_r", b - 1,
+                    lambda g: spark.read.parquet(
+                        f"{idx}/codes/gen={g}"
+                    )
+                    .select("vec_id", "code")
+                    .join(moved, "vec_id"),
                 )
                 tmp = f"{idx}/reclustered_upto.tmp"
                 with open(tmp, "w") as f:

@@ -2882,6 +2882,17 @@ def _apply_cluster_takedown(spark, idx, family, upto, id_col,
             .partitionBy("gen", "cluster")
             .parquet(f"{root}_p")
         )
+        # empty-generation guard for the folded write: downstream
+        # serving walks {root}_p/gen=g explicitly (ADVICE r12)
+        from .dedup_stream import _ensure_gen_dirs
+
+        _ensure_gen_dirs(
+            spark, f"{root}_p", upto,
+            lambda g: spark.read.parquet(f"{root}/gen={g}").filter(
+                ~td
+            ),
+            start=first_gen,
+        )
         ids = dfg.select(id_col)
         covered = ids if covered is None else covered.unionByName(ids)
     (

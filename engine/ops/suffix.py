@@ -350,6 +350,54 @@ def _global_rank(df, cols, n_parts=32):
     return ranked, acc
 
 
+def _global_rank_rows(df, cols, keep=None, n_parts=32):
+    """Exact global 1-based DENSE rank over ``cols`` attached to EVERY
+    row of ``df`` — the fused form of `_global_rank` for callers that
+    would immediately join the distinct-key ranks back onto the frame
+    (optimization round 13, guide §2.3/§2.4): instead of
+    distinct-shuffle + range-shuffle of the keys + join-back shuffle
+    of the full frame, range-partition the FULL frame on the key once,
+    dense_rank within each ordered range, and add per-partition
+    cumulative distinct-key counts (a P-row driver reduction +
+    broadcast back — dense_rank's per-partition max IS the partition's
+    distinct-key count). Equal keys land in one range partition, so
+    the stitched dense rank equals the global dense rank of the
+    distinct keys — identical to `_global_rank` + join by
+    construction. ``keep`` selects the output columns (defaults to all
+    of ``df``'s); pass the narrow set so the eager checkpoint doesn't
+    materialize wide key columns. Returns (eager localCheckpoint of
+    (keep..., _rank), number of distinct keys)."""
+    spark = df.sparkSession
+    out_cols = list(df.columns) if keep is None else list(keep)
+    src = df.repartitionByRange(n_parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = src.withColumn("_dr", F.dense_rank().over(w)).persist()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in local.groupBy("_pid")
+        .agg(F.max("_dr").alias("n"))
+        .collect()
+    }
+    acc = 0
+    offs = []
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    ranked = (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(
+            *out_cols,
+            (F.col("_dr") + F.col("_off")).cast("long").alias("_rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    local.unpersist()
+    return ranked, acc
+
+
 @register(
     "dedup_suffix_array",
     oracle="""
@@ -456,30 +504,44 @@ def _suffix_array_build(spark, sf_dir):
         .select("doc_id", (F.col("p") + 1).alias("pos"), "anchor")
         .localCheckpoint(eager=True)
     )
-    anchors, n_distinct = _global_rank(sfx, ["anchor"])
-    cur = sfx.join(anchors, "anchor").select(
-        "doc_id", "pos", F.col("_rank").alias("r")
+    # fused ranking (optimization round 13, guide §2.3/§2.4): dense-
+    # rank the anchor strings directly on the full suffix frame — one
+    # string-keyed range shuffle instead of three (distinct + range +
+    # join-back), and the long anchor strings cross the wire once.
+    cur, n_distinct = _global_rank_rows(
+        sfx, ["anchor"], keep=["doc_id", "pos"]
     )
+    cur = cur.select("doc_id", "pos", F.col("_rank").alias("r"))
     k = k0
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
     while k < max_len and n_distinct < n_suffix:
-        shifted = cur.select(
-            "doc_id", (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
-        )
-        pair = (
-            cur.join(shifted, ["doc_id", "pos"], "left")
-            .select(
-                "doc_id", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2")
-            )
-            .localCheckpoint(eager=True)
-        )
+        # rank-pair construction as a window LEAD instead of the
+        # offset self-join: pos is dense (1..len per doc), so the row
+        # k positions ahead IS the suffix at pos+k — one shuffle of
+        # one side instead of a two-sided shuffle join (guide §2.4)
+        pair = cur.select(
+            "doc_id",
+            "pos",
+            "r",
+            F.coalesce(F.lead("r", k).over(w_doc), F.lit(0)).alias("r2"),
+        ).localCheckpoint(eager=True)
         # n_distinct falls out of the ranking's offset reduction: all
         # ranks distinct ⇒ fully ordered ⇒ remaining rounds are no-ops
-        keys, n_distinct = _global_rank(pair, ["r", "r2"])
-        cur = pair.join(keys, ["r", "r2"]).select(
-            "doc_id", "pos", F.col("_rank").alias("r")
+        cur, n_distinct = _global_rank_rows(
+            pair, ["r", "r2"], keep=["doc_id", "pos"]
         )
+        cur = cur.select("doc_id", "pos", F.col("_rank").alias("r"))
         k *= 2
-    final, _ = _global_rank(cur, ["r", "doc_id", "pos"])
+    if n_distinct == n_suffix:
+        # every rank already unique ⇒ r IS the dense 1..n total order
+        # (the final tie-break ranking would return _rank == r);
+        # skip the largest ranking pass outright
+        final = cur.select(F.col("r").alias("_rank"), "doc_id", "pos")
+    else:
+        final, _ = _global_rank_rows(
+            cur, ["r", "doc_id", "pos"], keep=["doc_id", "pos"]
+        )
+        final = final.select("_rank", "doc_id", "pos")
     return final, sfx
 
 
@@ -487,7 +549,7 @@ def _suffix_array_build(spark, sf_dir):
 # the version (and SA_K0) are folded into the artifact key, so a code
 # change can never silently serve a stale artifact built by older code
 # across sessions (round-8 ADVICE item 1).
-SA_ARTIFACT_VERSION = 2
+SA_ARTIFACT_VERSION = 3  # r13: fused dense-rank build, (_rank, doc_id, pos) schema
 
 
 def _sa_artifact_dir(spark, sf_dir):
@@ -550,10 +612,14 @@ def _suffix_array_artifact(spark, sf_dir):
 
     d = _sa_artifact_dir(spark, sf_dir)
     if not os.path.exists(d):
+        from ..registry import gc_other_scope_artifacts, write_scope_marker
+
+        gc_other_scope_artifacts(spark, "engine_sa_gen_")
         final, sfx = _suffix_array_build(spark, sf_dir)
         tmp = f"{d}.staging-{uuid.uuid4().hex[:8]}"
         final.write.mode("overwrite").parquet(f"{tmp}/array")
         sfx.write.mode("overwrite").parquet(f"{tmp}/anchors")
+        write_scope_marker(spark, tmp)
         try:
             os.rename(tmp, d)
         except OSError:
@@ -878,7 +944,10 @@ def dedup_prefix_dups(spark, sf_dir):
     — the sort is the one string-keyed shuffle, everything after is
     linear in rows."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    ranked, _n = _global_rank(d, ["text", "doc_id"])
+    # (text, doc_id) is unique per row — rank attaches directly to the
+    # rows; the document strings cross the wire once instead of three
+    # times (fused `_global_rank_rows`, optimization round 13)
+    ranked, _n = _global_rank_rows(d, ["text", "doc_id"])
     cur = ranked.select("doc_id", "text", F.col("_rank").alias("rk"))
     nxt = cur.select(
         (F.col("rk") - 1).alias("rk"),
@@ -934,10 +1003,14 @@ def _purged_sa_spans(spark, sf_dir, td, root):
     arr_p = spark.read.parquet(f"{root}/array_p")
     sfx_p = spark.read.parquet(f"{root}/anchors_p")
     old = arr_p.select(F.col("_rank").alias("old_rank"), "doc_id", "pos")
-    ranked, _n = _global_rank(old.select("old_rank"), ["old_rank"])
+    # old_rank is unique per surviving suffix, so the integer
+    # re-ranking attaches directly to the rows — no distinct pass, no
+    # join-back (fused `_global_rank_rows`, optimization round 13)
+    ranked, _n = _global_rank_rows(
+        old, ["old_rank"], keep=["doc_id", "pos"]
+    )
     return _lcp_spans_from(
-        old.join(ranked, "old_rank").select("_rank", "doc_id", "pos"),
-        sfx_p,
+        ranked.select("_rank", "doc_id", "pos"), sfx_p
     )
 
 

@@ -3179,17 +3179,12 @@ def _dsir_model(feats):
     )
 
 
-def _dsir_build(spark, sf_dir):
-    """Lazy DSIR selection + the cached feature frame, factored so the
-    registered op can checkpoint-then-unpersist while the plan-pin
-    test asserts on the PRE-checkpoint plan (a checkpointed frame's
-    plan is just a scan — the broadcast evidence lives here)."""
-    from .suffix import _global_rank
-
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    feats = _dsir_features(d).persist()
-    lr = _dsir_model(feats)
-    w = (
+def _dsir_weights(feats, lr):
+    """The pre-ranking per-doc weight frame (model broadcast-joined to
+    the per-doc features) — factored so the plan-pin test can assert
+    the broadcast evidence on it directly (the fused ranking below
+    checkpoints, which hides this subtree from the final plan)."""
+    return (
         feats.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -3198,16 +3193,30 @@ def _dsir_build(spark, sf_dir):
         )
         .withColumn("neg_w", -F.col("dsir_weight_micro"))
     )
-    ranked, nd = _global_rank(w, ["neg_w", "doc_id"])
-    out = (
-        w.join(ranked, ["neg_w", "doc_id"])
-        .select(
-            "doc_id",
-            "n_features",
-            "dsir_weight_micro",
-            F.col("_rank").alias("sel_rank"),
-            (F.col("_rank") <= nd // DSIR_KEEP_FRAC).alias("selected"),
-        )
+
+
+def _dsir_build(spark, sf_dir):
+    """Lazy DSIR selection + the cached feature frame, factored so the
+    registered op can checkpoint-then-unpersist."""
+    from .suffix import _global_rank_rows
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feats = _dsir_features(d).persist()
+    lr = _dsir_model(feats)
+    w = _dsir_weights(feats, lr)
+    # (neg_w, doc_id) is unique per row (doc_id alone is) — the rank
+    # attaches directly; no distinct pass, no join-back (fused
+    # `_global_rank_rows`, optimization round 13)
+    ranked, nd = _global_rank_rows(
+        w, ["neg_w", "doc_id"],
+        keep=["doc_id", "n_features", "dsir_weight_micro"],
+    )
+    out = ranked.select(
+        "doc_id",
+        "n_features",
+        "dsir_weight_micro",
+        F.col("_rank").alias("sel_rank"),
+        (F.col("_rank") <= nd // DSIR_KEEP_FRAC).alias("selected"),
     )
     return out, feats
 
@@ -3443,13 +3452,12 @@ def corpus_epoch_shuffle(spark, sf_dir):
     (`_global_rank`) once per epoch — never a one-task window — which
     is exactly the shape a trainer's shard-manifest job has at scale
     (rank → shard id → one manifest file per shard)."""
-    from .suffix import _global_rank
+    from .suffix import _global_rank_rows
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     frames = []
     for ep in range(EPOCH_SHUFFLE_EPOCHS):
         k = d.select(
-            F.lit(ep).cast("long").alias("epoch"),
             "doc_id",
             F.conv(
                 F.substring(
@@ -3468,10 +3476,13 @@ def corpus_epoch_shuffle(spark, sf_dir):
             .cast("long")
             .alias("key"),
         )
-        ranked, _n = _global_rank(k, ["key", "doc_id"])
+        # (key, doc_id) is unique per row — fused ranking attaches
+        # directly; no distinct pass, no per-epoch join-back
+        # (`_global_rank_rows`, optimization round 13)
+        ranked, _n = _global_rank_rows(k, ["key", "doc_id"], keep=["doc_id"])
         frames.append(
-            k.join(ranked, ["key", "doc_id"]).select(
-                "epoch",
+            ranked.select(
+                F.lit(ep).cast("long").alias("epoch"),
                 "doc_id",
                 F.col("_rank").alias("ord"),
                 ((F.col("_rank") - 1) % EPOCH_SHUFFLE_SHARDS).alias("shard"),

@@ -58,6 +58,51 @@ def run_scope(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def gc_other_scope_artifacts(spark: SparkSession, prefix: str) -> None:
+    """Tempdir hygiene for keyed shared artifacts (round-12 ADVICE /
+    verdict item 8): artifact keys fold the application id, so a dir
+    published by ANOTHER application can never be reused by this one —
+    it is dead weight that would otherwise accumulate across repeated
+    bench/verify invocations. At publish time, remove sibling dirs
+    under the same prefix whose ``.scope`` marker names a different
+    application (or is absent — pre-marker or crashed-staging
+    leftovers). Concurrent engine applications on one host were never
+    supported (scratch_dir already stomps fixed shared paths), so this
+    only ever deletes a finished run's leavings."""
+    import os
+    import shutil
+    import tempfile
+
+    scope = run_scope(spark)
+    tmp = tempfile.gettempdir()
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        d = os.path.join(tmp, name)
+        if not os.path.isdir(d):
+            continue
+        try:
+            with open(os.path.join(d, ".scope")) as f:
+                owner = f.read().strip()
+        except OSError:
+            owner = None
+        if owner != scope:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def write_scope_marker(spark: SparkSession, d: str) -> None:
+    """Stamp a (staging) artifact dir with this application's scope so
+    `gc_other_scope_artifacts` can tell live dirs from dead ones."""
+    import os
+
+    with open(os.path.join(d, ".scope"), "w") as f:
+        f.write(run_scope(spark))
+
+
 def scratch_dir(name: str) -> str:
     """Stable per-operator scratch directory, wiped at each call.
 

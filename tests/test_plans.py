@@ -734,10 +734,13 @@ def test_null_profile_approx_avoids_expand(spark):
 
 def test_index_compaction_shrinks_files_and_is_bucket_shaped(spark):
     """dedup_index_compact: the rewrite must collapse the
-    per-generation writer slivers by a large factor (3 generations ×
-    32-partition writes → COMPACT_FILES files) for BOTH index table
-    families; equivalence of probe answers is enforced inside the op
-    itself (it raises on any diverging row)."""
+    per-generation writer slivers (N_INC_BATCHES generations × a
+    size-derived fan per write → COMPACT_FILES files) for BOTH index
+    table families; equivalence of probe answers is enforced inside
+    the op itself (it raises on any diverging row). The pre-compaction
+    fan is scale-adaptive since _batch_fan (r12), so we pin the shape
+    (strictly more sliver files than compacted, at least one sliver
+    per generation) rather than a hard-coded shrink ratio."""
     import os
     import tempfile
 
@@ -760,7 +763,8 @@ def test_index_compaction_shrinks_files_and_is_bucket_shaped(spark):
         before = n_parquet(os.path.join(base, fam))
         after = n_parquet(os.path.join(base, f"{fam}_c"))
         assert after == COMPACT_FILES, (fam, after)
-        assert before >= 4 * after, (fam, before, after)
+        assert before > after, (fam, before, after)
+        assert before >= N_INC_BATCHES, (fam, before)
     assert N_INC_BATCHES >= 3  # the sliver problem is real, not 1 gen
 
 
@@ -779,12 +783,23 @@ def test_dsir_model_join_is_broadcast_and_no_cartesian(spark):
     """corpus_dsir_select: the per-bucket log-ratio model table must
     reach the per-feature join as a broadcast (it is bounded by the
     bucket count, never by the corpus), and nothing in the selection
-    may degenerate to a product."""
-    from engine.ops.textops import _dsir_build
+    may degenerate to a product. Asserted on the pre-ranking weight
+    frame — the fused ranking (r13) checkpoints, so the final plan is
+    a scan and the broadcast evidence lives here."""
+    from engine.ops.textops import (
+        _dsir_features,
+        _dsir_model,
+        _dsir_weights,
+        table,
+    )
 
-    lazy, feats = _dsir_build(spark, T2_SF_DIR)
+    d = table(spark, T2_SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    feats = _dsir_features(d).persist()
     try:
-        plan = lazy._jdf.queryExecution().executedPlan().toString()
+        w = _dsir_weights(feats, _dsir_model(feats))
+        plan = w._jdf.queryExecution().executedPlan().toString()
     finally:
         feats.unpersist()
     assert "BroadcastHashJoin" in plan
