@@ -2034,12 +2034,16 @@ def agg_kmv_set_ops(spark, sf_dir):
         .persist()  # consumed by the union build AND two membership joins
     )
     types = e.select("event_type").distinct()
+    # the pair dim is ≤ C(|types|,2) rows but feeds TWO sketch joins —
+    # materialize it once so the events-distinct subtree isn't planned
+    # and executed per consumer (guide §3.3; optimization r13)
     pd_ = (
         types.select(F.col("event_type").alias("ta"))
         .join(
             types.select(F.col("event_type").alias("tb")),
             F.col("ta") < F.col("tb"),
         )
+        .localCheckpoint(eager=True)
     )
     pu = (
         pd_.join(sk.withColumnsRenamed({"event_type": "ta"}), "ta")

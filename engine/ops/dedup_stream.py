@@ -66,7 +66,7 @@ def _feed_key(sf_dir, tag, table_file="documents.parquet"):
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
-def _stage_feed(df, base, src, conds, step=20, feed_key=None):
+def _stage_feed(df, base, src, conds, step=20, feed_key=None, heavy=False):
     """Stage a stream rig's feed: slice ``df`` by each (batch_id,
     predicate) in ``conds`` into ONE parquet file
     ``src/batch_<b>.parquet`` with strictly increasing mtimes, so the
@@ -122,11 +122,25 @@ def _stage_feed(df, base, src, conds, step=20, feed_key=None):
         feed_key = hashlib.md5(sig.encode()).hexdigest()[:16]
 
     def build(dst_dir, stage_root):
+        # heavy=True: materialize the expensive feed transform ONCE,
+        # distributed — each slice's single-file write otherwise pulls
+        # the WHOLE upstream chain into its one task via coalesce(1)
+        # (the drifted-corpus feeds measured 5.5 s single-task per
+        # slice — guide §2.5/§5); repartition(1), unlike coalesce(1),
+        # keeps the filter parallel and only the final exchange is one
+        # task. For plain table feeds (heavy=False) the upstream is a
+        # single-split scan — coalesce(1) costs nothing there and the
+        # checkpoint would be pure overhead (measured +26% on the
+        # delete rigs when applied unconditionally).
+        src_df = df.localCheckpoint(eager=True) if heavy else df
+        one_file = (
+            (lambda d: d.repartition(1)) if heavy else (lambda d: d.coalesce(1))
+        )
         for b, cond in conds:
             stage = f"{stage_root}/b{b}"
-            df.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-                stage
-            )
+            one_file(src_df.filter(cond)).write.mode(
+                "overwrite"
+            ).parquet(stage)
             part = next(
                 f for f in os.listdir(stage) if f.startswith("part-")
             )

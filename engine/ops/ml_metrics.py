@@ -83,7 +83,11 @@ def ml_confusion_matrix(spark, sf_dir):
         "q_id", F.col("predicted_label").alias("predicted")
     )
     truth = em.select(F.col("vec_id").alias("q_id"), F.col("label").alias("truth"))
-    pairs = pred.join(truth, "q_id")
+    # pairs is PROBE-sized and feeds three consumers (two label
+    # projections + the cross join) — materialize it once so the whole
+    # k-NN predictor subtree isn't planned and executed three times
+    # (guide §3.3: truncate repeated big subtrees; optimization r13)
+    pairs = pred.join(truth, "q_id").localCheckpoint(eager=True)
     labs = (
         pairs.select(F.col("predicted").alias("label"))
         .union(pairs.select(F.col("truth").alias("label")))
@@ -1274,7 +1278,10 @@ def ml_cohens_kappa(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select(F.col("vec_id").alias("q_id"), F.col("c_label").alias("pb"))
     )
-    pairs = preda.join(predb, "q_id")
+    # pairs is PROBE-sized and feeds three marginal aggregations —
+    # materialize once so the two predictor subtrees (k-NN + centroid)
+    # aren't planned and executed three times each (guide §3.3)
+    pairs = preda.join(predb, "q_id").localCheckpoint(eager=True)
     t = pairs.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(F.col("pa") == F.col("pb")).alias("agree"),
@@ -1503,7 +1510,10 @@ def ml_learning_curve_subsample(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("k", "vec_id", "label", F.col("c_label").alias("predicted"))
     )
-    folds = ex.select("vec_id", "fold").distinct()
+    # fold membership needs no explode and no distinct: vec_id is
+    # unique and fold is derived from it (optimization r13 — this was
+    # a third full explode of the embeddings + a dedup shuffle)
+    folds = em.select("vec_id", (F.col("vec_id") % 5).alias("fold"))
     tr = (
         F.broadcast(ks.withColumnsRenamed({"k": "k2"}))
         .join(folds, folds.fold < F.col("k2"))

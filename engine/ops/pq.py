@@ -1800,6 +1800,7 @@ def run_ivfpq_stream(
             "pqdrift" if recluster else "sim",
             "embeddings.parquet",
         ),
+        heavy=recluster,  # the drift re-embed chain is per-row CPU
     )
 
     def _aff_mean(sample_df, cent):
@@ -3012,6 +3013,7 @@ def run_pq_recode_stream(
         feed_key=None
         if delete_after is not None
         else _feed_key(sf_dir, "pqdrift", "embeddings.parquet"),
+        heavy=True,  # the drift re-embed chain is per-row CPU
     )
 
     def _ratio_scalar(sample_df, books):

@@ -1260,7 +1260,13 @@ def _logreg_fit(spark, sf_dir):
     order and steps. Returns (w, per-iteration losses)."""
     import numpy as np
 
-    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    em = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .persist()  # one parquet decode for the whole GD loop; the
+        # iterations re-read cached rows (guide §5 — reuse across
+        # LOGREG_ITERS actions; unpersisted after the loop)
+    )
     d = EMB_DIM
     w = np.zeros(d + 1)
     losses = []
@@ -1295,6 +1301,7 @@ def _logreg_fit(spark, sf_dir):
         n = acc[-1]
         losses.append(acc[-2] / n)
         w = w - LOGREG_LR * acc[: d + 1] / n
+    em.unpersist()
     return w, losses
 
 
@@ -3274,6 +3281,7 @@ def run_sim_recluster_stream(
         ],
         step=15,
         feed_key=_feed_key(sf_dir, "simdrift", "embeddings.parquet"),
+        heavy=True,  # the drift re-embed chain is per-row CPU
     )
 
     def mean_of(path):
