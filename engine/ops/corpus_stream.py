@@ -450,13 +450,10 @@ def run_corpus_prep_stream(
     )
 
     def process(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
-        b = (
-            batch_df.agg(F.min("doc_id")).collect()[0][0]
-            * N_INC_BATCHES
-            // (mx + 1)
-        )
+        mn = batch_df.agg(F.min("doc_id")).collect()[0][0]
+        if mn is None:
+            return  # one action derives emptiness AND the batch id
+        b = mn * N_INC_BATCHES // (mx + 1)
         scored = (
             batch_df.select("doc_id")
             .join(

@@ -142,6 +142,14 @@ def dedup_ngram_jaccard(spark, sf_dir, max_doc_freq=None):
     )
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("ids") <= max_doc_freq)
+    # spread the pair emission: AQE coalesces the grouped-index
+    # exchange by BYTES, but the C(|ids|,2) struct emission downstream
+    # is CPU-heavy per byte — at sf0.1 the coalesced stage ran the
+    # whole transform on 1-2 tasks (guide §2.5; explicit repartitions
+    # are exempt from AQE coalescing, so the fan survives)
+    grouped = grouped.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "shingle"
+    )
     pairs = (
         grouped.select(
             F.explode(

@@ -921,7 +921,14 @@ def run_inc_lsh_stream(
     )
 
     def process(batch_df, epoch_id):
-        if batch_df.isEmpty():
+        # ONE driver action derives both emptiness and the batch id
+        # (min doc_id): every micro-batch previously paid a separate
+        # isEmpty probe job before the min-collect (guide §1.2 —
+        # collapse per-batch actions; optimization r13). Any member of
+        # the batch yields the same id (batches are id ranges), so the
+        # pre-filter min is valid even when the guard below drops rows.
+        mn0 = batch_df.agg(F.min("doc_id")).collect()[0][0]
+        if mn0 is None:
             return
         if block_reuploads or block_neardups:
             # content-tombstone guard, STRICTLY-PAST like every other
@@ -934,11 +941,7 @@ def run_inc_lsh_stream(
             # pipeline: no sink row, no banding, no index membership.
             # Broadcast anti-join on the O(cohort) hash set.
             m = _read_marker(f"{idx}/takedown_upto")
-            b_pre = (
-                batch_df.agg(F.min("doc_id")).collect()[0][0]
-                * N_INC_BATCHES
-                // (mx + 1)
-            )
+            b_pre = mn0 * N_INC_BATCHES // (mx + 1)
             if m is not None and m < b_pre:
                 tomb_sha = spark.read.parquet(f"{idx}/tombstones_sha")
                 before = batch_df.count()
@@ -991,11 +994,7 @@ def run_inc_lsh_stream(
             .select("doc_id", _shingle_array(_tokens()).alias("sh"))
             .persist()
         )
-        b = (
-            doc_sh.agg(F.min("doc_id")).collect()[0][0]
-            * N_INC_BATCHES
-            // (mx + 1)
-        )
+        b = mn0 * N_INC_BATCHES // (mx + 1)
         try:
             out = _inc_lsh_dedupe_batch(
                 spark, doc_sh, _lsh_band_rows(doc_sh), idx, b,

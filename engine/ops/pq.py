@@ -999,9 +999,9 @@ def run_pq_stream(spark, sf_dir, base, fail_at_batch=None):
     )
 
     def process(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
         mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
+        if mn is None:
+            return  # one action derives emptiness AND the batch id
         b = next(i for i, (lo, hi) in enumerate(bounds) if lo <= mn < hi)
         if b == 0:
             books = _pq_train(_pq_sample(batch_df))
@@ -1818,9 +1818,9 @@ def run_ivfpq_stream(
         return int(_micro_aff_mean(a).collect()[0]["mean"])
 
     def process(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
         mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
+        if mn is None:
+            return  # one action derives emptiness AND the batch id
         b = next(i for i, (lo, hi) in enumerate(bounds) if lo <= mn < hi)
         if b == 0:
             train_src = (
@@ -3021,9 +3021,9 @@ def run_pq_recode_stream(
         return int(row["mean_ratio_milli"])
 
     def process(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
         mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
+        if mn is None:
+            return  # one action derives emptiness AND the batch id
         b = next(i for i, (lo, hi) in enumerate(bounds) if lo <= mn < hi)
         if b == 0:
             books = _pq_train(_pq_sample(batch_df, cut=train_cut))

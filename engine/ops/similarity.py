@@ -2967,9 +2967,9 @@ def run_sim_index_stream(
         raise ValueError("rig supports one maintenance mode per stream")
 
     def process(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
         mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
+        if mn is None:
+            return  # one action derives emptiness AND the batch id
         b = 0 if mn < cut else (1 if mn < mid else 2)
         if b == 0:
             refined, _lists = _ivf_build_from(batch_df)
@@ -3288,9 +3288,9 @@ def run_sim_recluster_stream(
         return spark.read.parquet(path).collect()[0]
 
     def process(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
         mn = batch_df.agg(F.min("vec_id")).collect()[0][0]
+        if mn is None:
+            return  # one action derives emptiness AND the batch id
         b = next(i for i, (lo, hi) in enumerate(bounds) if lo <= mn < hi)
         if b == 0:
             refined, _lists = _ivf_build_from(batch_df)

@@ -2834,11 +2834,15 @@ def text_bleu_pair_overlap(spark, sf_dir):
     O(pairs * shared-vocab), never corpus-quadratic — the pair list
     is the (already-bucketed) dedup output."""
     d = table(spark, sf_dir, "documents")
-    # persist: the pair list feeds BOTH clipped joins and the final
-    # assembly — without the pin each consumer re-derives the whole
-    # shingle-jaccard subtree (the dominant cost; measured ~3x the
-    # useful work at sf0.1)
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).persist()
+    # eager checkpoint: the pair list feeds BOTH clipped joins and the
+    # final assembly — a lazy persist let the two concurrent consumers
+    # RACE-compute the whole shingle-jaccard subtree before the cache
+    # filled (two overlapping 2.7 s jobs in the r13 profile); the
+    # eager materialization runs it exactly once and truncates the
+    # triplicated plan (guide §3.3)
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     toks = F.split("text", " ")
     uni = d.select("doc_id", F.explode(toks).alias("g"))
     u1 = uni.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
@@ -3342,13 +3346,10 @@ def stream_corpus_router_e2e(spark, sf_dir):
     )
 
     def route_batch(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
-        b = (
-            batch_df.agg(F.min("doc_id")).collect()[0][0]
-            * N_INC_BATCHES
-            // (mx + 1)
-        )
+        mn = batch_df.agg(F.min("doc_id")).collect()[0][0]
+        if mn is None:
+            return  # one action derives emptiness AND the batch id
+        b = mn * N_INC_BATCHES // (mx + 1)
         w = (
             _dsir_features(batch_df)
             .join(F.broadcast(lr0), "bucket")

@@ -55,13 +55,20 @@ RUNTIME_CONFS = {
     # runtime bloom filter injects at toy scale
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
-    # optimization round 12 (guide §3.1/§9): let the planner pick a
-    # shuffled-hash join when its build side fits instead of always
-    # sort-merge — skips both sorts; result multisets are unchanged
-    # (every oracle is engine-order-independent by design, proven by
-    # the DuckDB value hashes). A/B'd at sf0.1: averaged positive,
-    # strongest on iterative join ops; adopted suite-wide.
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # round 13: the r12 preferSortMergeJoin=false switch is REVERTED
+    # (verdict item 4 — demonstrate or revert; the demonstration
+    # failed). Evidence: a registry-wide plan scan shows the conf
+    # flips only TWO static plans (join_full_outer,
+    # graph_clustering_coefficient), both of which measure ≤ 40 ms
+    # FASTER under sort-merge in best-of-5; the heavy multi-join rigs
+    # plan 31/31 SortMergeJoins under EITHER setting (size estimates
+    # over raw text never satisfy the SHJ build-side condition —
+    # plans/r13/dedup_cascade_report_{smj,shj}.txt are identical) and
+    # interleaved best-of-5 on dedup_cascade_report ties (5.23 vs
+    # 5.34 s). The conf was inert where it mattered and slightly
+    # negative where it fired; default (prefer sort-merge) also
+    # degrades gracefully at 100 TB where a mis-estimated SHJ build
+    # side OOMs (guide §3.1).
     # driver-side LISTING of partitioned layouts (cluster=*/gen=* dirs,
     # date partitions) launches a Spark job above this many paths; the
     # default 32 turns every small partitioned-layout read into an
