@@ -1803,6 +1803,8 @@ def run_ivfpq_stream(
         heavy=recluster,  # the drift re-embed chain is per-row CPU
     )
 
+    memo = {}  # per-run scalars that are immutable once published
+
     def _aff_mean(sample_df, cent):
         """Bounded-sample mean micro-affinity against ``cent`` — the
         recluster monitor's integer-exact scalar (`_micro_aff_mean`,
@@ -1869,9 +1871,16 @@ def run_ivfpq_stream(
             rat = _aff_mean(
                 _pq_cohort_sample(batch_df, bounds[b][0]), cent0
             )
-            baseline = int(
-                spark.read.parquet(f"{idx}/aff_baseline").collect()[0][0]
-            )
+            # the baseline scalar is immutable once published with the
+            # models — read it once per run, not once per monitored
+            # batch (a collect job each time; guide §1.2). A restart's
+            # fresh closure re-reads from the artifact.
+            if "aff_baseline" not in memo:
+                memo["aff_baseline"] = int(
+                    spark.read.parquet(f"{idx}/aff_baseline")
+                    .collect()[0][0]
+                )
+            baseline = memo["aff_baseline"]
             fired = (baseline - rat) * (100 // DRIFT_TRIGGER_PCT) > baseline
             if monitor_log is not None:
                 monitor_log.append((b, rat, baseline, fired))
@@ -3016,6 +3025,8 @@ def run_pq_recode_stream(
         heavy=True,  # the drift re-embed chain is per-row CPU
     )
 
+    memo = {}  # per-run scalars that are immutable once published
+
     def _ratio_scalar(sample_df, books):
         row = _pq_ratio_stats(spark, sample_df, books, "m").collect()[0]
         return int(row["mean_ratio_milli"])
@@ -3057,9 +3068,13 @@ def run_pq_recode_stream(
             rat = _ratio_scalar(
                 _pq_cohort_sample(batch_df, bounds[b][0]), books0
             )
-            baseline = int(
-                spark.read.parquet(f"{idx}/baseline").collect()[0][0]
-            )
+            # immutable once published with the gen=0 models — one
+            # collect per run, not one per monitored batch
+            if "baseline" not in memo:
+                memo["baseline"] = int(
+                    spark.read.parquet(f"{idx}/baseline").collect()[0][0]
+                )
+            baseline = memo["baseline"]
             fired = (rat - baseline) * (100 // DRIFT_TRIGGER_PCT) > baseline
             if monitor_log is not None:
                 monitor_log.append((b, rat, baseline, fired))

@@ -2834,15 +2834,14 @@ def text_bleu_pair_overlap(spark, sf_dir):
     O(pairs * shared-vocab), never corpus-quadratic — the pair list
     is the (already-bucketed) dedup output."""
     d = table(spark, sf_dir, "documents")
-    # eager checkpoint: the pair list feeds BOTH clipped joins and the
-    # final assembly — a lazy persist let the two concurrent consumers
-    # RACE-compute the whole shingle-jaccard subtree before the cache
-    # filled (two overlapping 2.7 s jobs in the r13 profile); the
-    # eager materialization runs it exactly once and truncates the
-    # triplicated plan (guide §3.3)
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(
-        eager=True
-    )
+    # persist: the pair list feeds BOTH clipped joins and the final
+    # assembly — without the pin each consumer re-derives the whole
+    # shingle-jaccard subtree (the dominant cost; measured ~3x the
+    # useful work at sf0.1). Kept LAZY deliberately: an eager
+    # checkpoint here serializes the subtree ahead of everything else
+    # and measured +2.1 s — the concurrent branches overlap it instead
+    # (r13 A/B; guide §2.6).
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).persist()
     toks = F.split("text", " ")
     uni = d.select("doc_id", F.explode(toks).alias("g"))
     u1 = uni.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
