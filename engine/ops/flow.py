@@ -1052,6 +1052,12 @@ def flow_port_cardinality_kmv(spark, sf_dir):
         )
         .distinct()
     )
+    # NOTE (r13): an explicit srcaddr repartition here beat the
+    # AQE-coalesced single-partition rank pass in isolation
+    # (1.52→1.03 s) but regressed the FULL op (3.00→3.46 s best-of-2,
+    # faster sentinel window) — the extra exchange perturbs the
+    # exact-count join downstream. Left on AQE defaults; measured,
+    # not guessed.
     w = Window.partitionBy("srcaddr").orderBy("hv")
     kth = (
         h.withColumn("rn", F.row_number().over(w))

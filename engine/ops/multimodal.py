@@ -822,6 +822,8 @@ def multimodal_image_ahash(spark, sf_dir):
 def _ahash_df(spark, sf_dir):
     """Shared aHash pipeline: encode each doc's deterministic PPM,
     REALLY decode it, emit (doc_id, hash_hi, hash_lo)."""
+    from .similarity import _spread
+
     d = table(spark, sf_dir, "documents")
 
     def encode(batches):
@@ -833,7 +835,13 @@ def _ahash_df(spark, sf_dir):
                 }
             )
 
-    assets = d.select("doc_id").mapInPandas(encode, "doc_id long, payload binary")
+    # spread the id scan before the CPU-bound synth+decode+hash chain:
+    # the doc_id-only projection reads as ONE split, which serialized
+    # the whole aHash pass on one task (2.4-3.0 s at sf0.1 — guide
+    # §2.5, the _spread discipline)
+    assets = _spread(d.select("doc_id"), key="doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
 
     def ahash(batches):
         for pdf in batches:
@@ -927,7 +935,10 @@ def multimodal_phash_neardup(spark, sf_dir):
     Scale: this is dedup_simhash's shape on binary media — band
     buckets shuffle-partition the self-join so cost follows bucket
     occupancy, not N²; the brute anchor lives only in the oracle."""
-    hh = _ahash_df(spark, sf_dir)
+    # the hash table is 3 longs per doc and feeds BOTH sides of the
+    # band self-join — materialize once so the decode+hash pass isn't
+    # executed twice (guide §3.3; optimization r13)
+    hh = _ahash_df(spark, sf_dir).localCheckpoint(eager=True)
     bands = hh.select(
         "doc_id",
         "hash_hi",

@@ -47,7 +47,15 @@ def udtf_order_chunks(spark, sf_dir):
                 yield (o_orderkey, i, o_orderkey % 7)
 
     spark.udtf.register("order_chunks", OrderChunks)
-    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_udtf")
+    # fan the single-split orders scan so the row-at-a-time Python
+    # eval actually runs row-PARALLEL as documented — unspread it was
+    # one 1.9 s task (guide §2.5; the _parsed/_spread discipline)
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .createOrReplaceTempView("v_orders_udtf")
+    )
     return spark.sql(
         """
         SELECT c.o_orderkey, c.chunk_idx, c.chunk_salt
