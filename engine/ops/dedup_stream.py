@@ -220,14 +220,25 @@ def _batch_fan(df):
         if not paths or any(
             not p.startswith(("file:", "/")) for p in paths
         ):
-            # no resolvable local files (non-file scheme, empty
-            # listing): size is UNKNOWN — keep the full fan rather
-            # than underfanning a large batch to the minimum
-            return target
-        n_bytes = sum(
-            os.path.getsize(p.removeprefix("file:")) for p in paths
-        )
-    except OSError:
+            # no resolvable local files — stream micro-batch frames
+            # report NO inputFiles (measured: every foreachBatch frame
+            # here), so fall back to the optimized plan's statistics,
+            # which carry the exact source-slice bytes for file-backed
+            # micro-batches. Only a genuinely unknown estimate (the
+            # huge default sentinel) keeps the full fan — returning
+            # the full fan for EVERY micro-batch re-created the
+            # 32-sliver-files-per-generation problem `_batch_fan`
+            # exists to fix (r13 full-suite regression, reverted).
+            n_bytes = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            if n_bytes <= 0 or n_bytes >= (1 << 50):
+                return target
+        else:
+            n_bytes = sum(
+                os.path.getsize(p.removeprefix("file:")) for p in paths
+            )
+    except Exception:
         return target
     return max(4, min(target, -(-n_bytes // (512 * 1024))))
 
