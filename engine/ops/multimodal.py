@@ -819,7 +819,7 @@ def multimodal_image_ahash(spark, sf_dir):
     return _ahash_df(spark, sf_dir)
 
 
-def _ahash_df(spark, sf_dir):
+def _ahash_df(spark, sf_dir, spread=False):
     """Shared aHash pipeline: encode each doc's deterministic PPM,
     REALLY decode it, emit (doc_id, hash_hi, hash_lo)."""
     from .similarity import _spread
@@ -835,13 +835,18 @@ def _ahash_df(spark, sf_dir):
                 }
             )
 
-    # spread the id scan before the CPU-bound synth+decode+hash chain:
-    # the doc_id-only projection reads as ONE split, which serialized
-    # the whole aHash pass on one task (2.4-3.0 s at sf0.1 — guide
-    # §2.5, the _spread discipline)
-    assets = _spread(d.select("doc_id"), key="doc_id").mapInPandas(
-        encode, "doc_id long, payload binary"
-    )
+    # spread=True fans the id scan before the CPU-bound synth+decode+
+    # hash chain — the doc_id-only projection reads as ONE split,
+    # which serialized the whole aHash pass on one task (2.4-3.0 s at
+    # sf0.1 — guide §2.5). Opt-in: the neardup consumer (which pays
+    # the pass into a checkpoint) wins 0.8 s; the plain single-pass
+    # ahash op LOSES the same 0.8 s to the exchange + 32-worker spinup
+    # at toy scale, so it keeps the unspread scan (both measured,
+    # best-of-3).
+    src = d.select("doc_id")
+    if spread:
+        src = _spread(src, key="doc_id")
+    assets = src.mapInPandas(encode, "doc_id long, payload binary")
 
     def ahash(batches):
         for pdf in batches:
@@ -938,7 +943,7 @@ def multimodal_phash_neardup(spark, sf_dir):
     # the hash table is 3 longs per doc and feeds BOTH sides of the
     # band self-join — materialize once so the decode+hash pass isn't
     # executed twice (guide §3.3; optimization r13)
-    hh = _ahash_df(spark, sf_dir).localCheckpoint(eager=True)
+    hh = _ahash_df(spark, sf_dir, spread=True).localCheckpoint(eager=True)
     bands = hh.select(
         "doc_id",
         "hash_hi",
